@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's synthetic tables (TESTDATA.md) and for
+  * bronze pose-stream layouts (SURVEY §1.4).
+  *
+  * The `events` table is written with nanosecond parquet timestamps, which
+  * Spark only reads as `LongType` (via `spark.sql.legacy.parquet.nanosAsLong`).
+  * We normalize to microsecond `TimestampType` by truncation — identical to
+  * DuckDB's ns→µs cast, so oracle comparisons agree bit-for-bit.
+  */
+object Tables {
+  /** Session settings every entry point uses. Call before first read. */
+  def configure(builder: SparkSession.Builder): SparkSession.Builder = builder
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType.typeName == "long")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Null-run filling — SURVEY §2.5 W3/W6/W7.
+  *
+  * `ffill` reproduces pandas `DataFrame.ffill()` (reference
+  * `social_behavior_detection/social_behaviour_detection.py:565`), i.e.
+  * carry the last non-null value forward within a `by` group.
+  *
+  * `boundedFill` reproduces the reference's conservative gap bridge
+  * (`id_model/step2_composite_videos/generate_composite_quadrant_videos.py:120-157`):
+  * fill a null run only when the run is shorter than `maxRun` rows AND the
+  * values on both sides of the run are equal — otherwise leave the run null.
+  */
+object Fill {
+  private def part(by: Seq[String]) =
+    if (by.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(by.map(col): _*)
+
+  /** Forward-fill `cols` ordered by `orderCol` within `by` groups. */
+  def ffill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil): DataFrame = {
+    val w = part(by).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Backward-fill (mirror of ffill). */
+  def bfill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil): DataFrame = {
+    val w = part(by).orderBy(col(orderCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Fill null runs of length < `maxRun` whose flanking values agree.
+    * Output column `filledCol` (default: overwrite `valueCol`).
+    */
+  def boundedFill(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      by: Seq[String] = Nil,
+      maxRun: Long,
+      filledColOpt: Option[String] = None): DataFrame = {
+    val filledCol = filledColOpt.getOrElse(valueCol)
+    val v = col(valueCol)
+    val wOrd = part(by).orderBy(col(orderCol))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // run id: count of non-null rows seen so far → constant across a null run
+    val runId = sum(when(v.isNotNull, 1L).otherwise(0L)).over(wPrev)
+    val tagged = df
+      .withColumn("_prev_v", last(v, ignoreNulls = true).over(wPrev))
+      .withColumn("_next_v", first(v, ignoreNulls = true).over(wNext))
+      .withColumn("_run", when(v.isNull, runId))
+    val wRun = Window.partitionBy((by.map(col) :+ col("_run")): _*)
+    val runLen: Column = count(lit(1)).over(wRun)
+    tagged
+      .withColumn(filledCol,
+        when(v.isNotNull, v)
+          .when(col("_run").isNotNull && runLen < maxRun &&
+            col("_prev_v").isNotNull && col("_prev_v") === col("_next_v"), col("_prev_v"))
+          .otherwise(v))
+      .drop("_prev_v", "_next_v", "_run")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the reference's signature grouping operator
+  * (SURVEY §2.6 G1-G3; reference
+  * `social_behavior_detection/social_behaviour_detection.py:265-273,618-642`
+  * splits sorted candidate-frame arrays where `diff > max_gap`).
+  *
+  * Classic cumulative-sum formulation: a row starts a new session when its
+  * gap from the previous row (within the same `by` keys) exceeds `gap`;
+  * `session_id` = running count of starts. One shuffle on `by`, one sort —
+  * embarrassingly parallel across keys. The streaming flavor of the same
+  * semantics is `session_window(col, gap)` (see graft.streaming).
+  */
+object Sessionize {
+  /** Add a `session_id` column (0-based per `by` group, ordered by `orderCol`).
+    *
+    * @param orderCol  numeric or timestamp column defining order and gaps
+    * @param gap       max allowed gap (same units as `orderCol` diffs;
+    *                  timestamps are compared in microseconds)
+    */
+  def sessionize(
+      df: DataFrame,
+      orderCol: String,
+      by: Seq[String],
+      gap: Long,
+      sessionCol: String = "session_id"): DataFrame = {
+    val part = if (by.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(by.map(col): _*)
+    val w = part.orderBy(col(orderCol))
+    val ord: Column =
+      if (df.schema(orderCol).dataType.typeName == "timestamp") unix_micros(col(orderCol))
+      else col(orderCol).cast("long")
+    val prev = lag(ord, 1).over(part.orderBy(ord))
+    val isNew = when(prev.isNull || (ord - prev) > gap, 1L).otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+  }
+
+  /** Drop sessions with fewer than `minRows` rows (G2; reference
+    * `social_behaviour_detection.py:272-273,625`). Implemented as a windowed
+    * count, avoiding a groupBy + semi-join round trip.
+    */
+  def filterMinSize(
+      df: DataFrame,
+      by: Seq[String],
+      sessionCol: String,
+      minRows: Long): DataFrame = {
+    val w = Window.partitionBy((by :+ sessionCol).map(col): _*)
+    df.withColumn("_sess_n", count(lit(1)).over(w))
+      .filter(col("_sess_n") >= minRows)
+      .drop("_sess_n")
+  }
+
+  /** Two-phase regroup (G3; reference `social_behaviour_detection.py:627-642`):
+    * union `candidates` with `bridge` rows (e.g. empty frames near fights),
+    * re-sessionize with a stricter gap, and keep only sessions that contain
+    * at least one original candidate row.
+    *
+    * @param flagCol boolean column marking original candidate rows
+    */
+  def regroupWithBridges(
+      union: DataFrame,
+      orderCol: String,
+      by: Seq[String],
+      gap: Long,
+      flagCol: String,
+      sessionCol: String = "session_id"): DataFrame = {
+    val sessed = sessionize(union, orderCol, by, gap, sessionCol)
+    val w = Window.partitionBy((by :+ sessionCol).map(col): _*)
+    sessed
+      .withColumn("_has_candidate", max(when(col(flagCol), 1).otherwise(0)).over(w))
+      .filter(col("_has_candidate") === 1)
+      .drop("_has_candidate")
+  }
+}
