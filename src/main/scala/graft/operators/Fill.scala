@@ -19,16 +19,19 @@ object Fill {
   private def part(by: Seq[String]) =
     if (by.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(by.map(col): _*)
 
-  /** Forward-fill `cols` ordered by `orderCol` within `by` groups. */
-  def ffill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil): DataFrame = {
-    val w = part(by).orderBy(col(orderCol))
+  /** Forward-fill `cols` ordered by `orderCol` (+ `tieBreak` for a total
+    * order under duplicate timestamps) within `by` groups. */
+  def ffill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = part(by).orderBy((orderCol +: tieBreak).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
   /** Backward-fill (mirror of ffill). */
-  def bfill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil): DataFrame = {
-    val w = part(by).orderBy(col(orderCol))
+  def bfill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = part(by).orderBy((orderCol +: tieBreak).map(col): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
   }

@@ -16,24 +16,32 @@ import org.apache.spark.sql.functions._
   * semantics is `session_window(col, gap)` (see graft.streaming).
   */
 object Sessionize {
-  /** Add a `session_id` column (0-based per `by` group, ordered by `orderCol`).
+  /** Add a `session_id` column (0-based per `by` group, ordered by `orderCol`
+    * then `tieBreak`).
+    *
+    * Both internal windows (the lag and the running sum) share ONE ordering
+    * expression including the tiebreak columns, so duplicate `orderCol`
+    * values cannot be ordered differently by the two window execs — without
+    * this, ties are nondeterministic under parallel execution.
     *
     * @param orderCol  numeric or timestamp column defining order and gaps
     * @param gap       max allowed gap (same units as `orderCol` diffs;
     *                  timestamps are compared in microseconds)
+    * @param tieBreak  extra order columns making the sort total (e.g. a row id)
     */
   def sessionize(
       df: DataFrame,
       orderCol: String,
       by: Seq[String],
       gap: Long,
-      sessionCol: String = "session_id"): DataFrame = {
+      sessionCol: String = "session_id",
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val part = if (by.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(by.map(col): _*)
-    val w = part.orderBy(col(orderCol))
     val ord: Column =
       if (df.schema(orderCol).dataType.typeName == "timestamp") unix_micros(col(orderCol))
       else col(orderCol).cast("long")
-    val prev = lag(ord, 1).over(part.orderBy(ord))
+    val w = part.orderBy(ord +: tieBreak.map(col): _*)
+    val prev = lag(ord, 1).over(w)
     val isNew = when(prev.isNull || (ord - prev) > gap, 1L).otherwise(0L)
     df.withColumn(sessionCol,
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
@@ -67,8 +75,9 @@ object Sessionize {
       by: Seq[String],
       gap: Long,
       flagCol: String,
-      sessionCol: String = "session_id"): DataFrame = {
-    val sessed = sessionize(union, orderCol, by, gap, sessionCol)
+      sessionCol: String = "session_id",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val sessed = sessionize(union, orderCol, by, gap, sessionCol, tieBreak)
     val w = Window.partitionBy((by :+ sessionCol).map(col): _*)
     sessed
       .withColumn("_has_candidate", max(when(col(flagCol), 1).otherwise(0)).over(w))

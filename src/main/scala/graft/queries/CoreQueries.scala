@@ -29,11 +29,16 @@ object CoreQueries {
           cents(col("value")).as("value_cents")))
     }),
 
-    // P3: identity-code projection (string → dense integer code)
+    // P3: identity-code projection (string → dense integer code). The code
+    // domain is tiny and bounded (identity/event-type strings), so collect it
+    // once and broadcast a literal mapping — no global single-partition
+    // window at any scale.
     "p3_identity_code" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val codes = e.select("event_type").distinct()
-        .withColumn("type_code", dense_rank().over(Window.orderBy("event_type")) - 1)
+      val domain = e.select("event_type").distinct().collect()
+        .map(_.getString(0)).sorted
+      val codes = s.createDataFrame(domain.zipWithIndex.map { case (v, i) => (v, i.toLong) })
+        .toDF("event_type", "type_code")
       sortAll(e.join(broadcast(codes), "event_type")
         .groupBy("event_type", "type_code").agg(count(lit(1)).as("n")))
     }),
@@ -292,9 +297,9 @@ object CoreQueries {
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-         |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
-         |  sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_disc_cents,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+         |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
          |  count(*) AS n
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
@@ -302,7 +307,7 @@ object CoreQueries {
 
     "j_star_join" ->
       s"""SELECT r_name, n_name,
-         |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
          |  count(*) AS n_orders
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
@@ -313,7 +318,7 @@ object CoreQueries {
 
     "j1_band_join" ->
       s"""WITH grid AS (SELECT DISTINCT date_trunc('minute', ts) AS grid_t FROM events)
-         |SELECT g.grid_t, count(*) AS n, sum(CAST(round(e.value*100) AS BIGINT)) AS sum_cents
+         |SELECT g.grid_t, count(*) AS n, CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM grid g JOIN events e
          |  ON epoch_us(e.ts) - epoch_us(g.grid_t) BETWEEN 0 AND 29999999
          |GROUP BY g.grid_t
@@ -352,7 +357,7 @@ object CoreQueries {
          |${orderBySql("label", "event_type", "n")}""".stripMargin,
 
     "j6_interval_exclusion" ->
-      s"""SELECT event_type, count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+      s"""SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM events e
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM events x WHERE x.event_type = 'error'

@@ -38,7 +38,7 @@ object WindowQueries {
     "w3_ffill" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .withColumn("v", when(col("event_type") =!= "error", cents(col("value"))))
-      sortAll(Fill.ffill(e, Seq("v"), "ts", Seq("user_id"))
+      sortAll(Fill.ffill(e, Seq("v"), "ts", Seq("user_id"), tieBreak = Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("v").as("v_filled")))
     }),
 
@@ -78,7 +78,8 @@ object WindowQueries {
     // G1+G2: gap sessionization + per-session stats
     "g1_sessionize" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val sessed = Sessionize.sessionize(e, "ts", Seq("user_id"), GAP_US)
+      val sessed = Sessionize.sessionize(e, "ts", Seq("user_id"), GAP_US,
+        tieBreak = Seq("event_id"))
       sortAll(sessed.groupBy("user_id", "session_id").agg(
         count(lit(1)).as("n_events"),
         min("ts").as("start_ts"), max("ts").as("end_ts"),
@@ -88,7 +89,8 @@ object WindowQueries {
     // G2: min-size session filter
     "g2_session_min_size" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val sessed = Sessionize.sessionize(e, "ts", Seq("user_id"), GAP_US)
+      val sessed = Sessionize.sessionize(e, "ts", Seq("user_id"), GAP_US,
+        tieBreak = Seq("event_id"))
       val kept = Sessionize.filterMinSize(sessed, Seq("user_id"), "session_id", 3L)
       sortAll(kept.groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events")))
     }),
@@ -100,7 +102,7 @@ object WindowQueries {
       val tagged = e.withColumn("is_candidate", col("event_type") === "purchase")
         .filter(col("event_type").isin("purchase", "view"))
       val kept = Sessionize.regroupWithBridges(tagged, "ts", Seq("user_id"),
-        600L * 1000000L, "is_candidate")
+        600L * 1000000L, "is_candidate", tieBreak = Seq("event_id"))
       sortAll(kept.groupBy("user_id", "session_id").agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("is_candidate"), 1L).otherwise(0L)).as("n_candidates")))
@@ -109,7 +111,8 @@ object WindowQueries {
     // G5: event minimum-duration filter
     "g5_duration_filter" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val sessed = Sessionize.sessionize(e, "ts", Seq("user_id"), GAP_US)
+      val sessed = Sessionize.sessionize(e, "ts", Seq("user_id"), GAP_US,
+        tieBreak = Seq("event_id"))
       sortAll(sessed.groupBy("user_id", "session_id")
         .agg(min("ts").as("start_ts"), max("ts").as("end_ts"), count(lit(1)).as("n"))
         .withColumn("duration_raw",
@@ -123,8 +126,8 @@ object WindowQueries {
 
   private val sessSql =
     """sess AS (
-      |  SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 86400000000 THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 86400000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
       |  FROM (
       |    SELECT *, epoch_us(ts) AS us,
       |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -192,7 +195,7 @@ object WindowQueries {
       s"""WITH $sessSql
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min(ts) AS start_ts, max(ts) AS end_ts,
-         |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM sess GROUP BY user_id, session_id
          |${orderBySql("user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_cents")}""".stripMargin,
 
@@ -207,13 +210,13 @@ object WindowQueries {
          |  SELECT *, event_type = 'purchase' AS is_candidate FROM events
          |  WHERE event_type IN ('purchase', 'view')),
          |sess AS (
-         |  SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
          |  FROM (SELECT *, epoch_us(ts) AS us,
          |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
          |        FROM base))
          |SELECT user_id, session_id, count(*) AS n_rows,
-         |  sum(CASE WHEN is_candidate THEN 1 ELSE 0 END) AS n_candidates
+         |  CAST(sum(CASE WHEN is_candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
          |FROM sess GROUP BY user_id, session_id
          |HAVING max(CASE WHEN is_candidate THEN 1 ELSE 0 END) = 1
          |${orderBySql("user_id", "session_id", "n_rows", "n_candidates")}""".stripMargin,

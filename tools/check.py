@@ -48,7 +48,9 @@ def main(sf_dir, out_dir):
         gs = got.sort_values(by=list(got.columns), na_position="first").reset_index(drop=True)
         ws = want.sort_values(by=list(want.columns), na_position="first").reset_index(drop=True)
         try:
-            pd.testing.assert_frame_equal(gs, ws, check_dtype=False, check_exact=True)
+            # dtype-strict: the driver hashes typed values, so a DuckDB HUGEINT
+            # vs Spark int64 mismatch must fail here too.
+            pd.testing.assert_frame_equal(gs, ws, check_dtype=True, check_exact=True)
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         except AssertionError as ex:
             print(f"FAIL {name}: {str(ex)[:400]}"); n_fail += 1
