@@ -20,8 +20,10 @@ object SparkEntry {
     queries("g1_sessionize")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ WindowQueries.queries ++ CoverageQueries.queries
+    CoreQueries.queries ++ WindowQueries.queries ++ CoverageQueries.queries ++
+      AssignQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ WindowQueries.oracle ++ CoverageQueries.oracle
+    CoreQueries.oracle ++ WindowQueries.oracle ++ CoverageQueries.oracle ++
+      AssignQueries.oracle
 }

@@ -104,6 +104,14 @@ object Assignment {
 
   /** Assign per group from a candidate-pair DataFrame.
     *
+    * Key types are preserved end-to-end: the kernel returns *indices into the
+    * collected candidate array* and the output projects the original typed
+    * values back out with `element_at` — no string casts, so numeric keys
+    * stay numeric and join back cleanly. Rows with a null left/right key or
+    * a null cost are infeasible and dropped up front. Tie-breaking is made
+    * deterministic by sorting the candidate list on a stable representation
+    * before building the cost matrix (order only — values are untouched).
+    *
     * @param pairs     columns: groupCols ++ (leftKey, rightKey, costCol);
     *                  absent pairs are infeasible
     * @param inferSingletons reference J4 rule: if after the optimal solve
@@ -119,43 +127,61 @@ object Assignment {
       rightKey: String,
       costCol: String,
       inferSingletons: Boolean = false): DataFrame = {
-    val spark = pairs.sparkSession
+    // Returns (leftPairIdx, rightPairIdx, inferred): indices of the candidate
+    // rows supplying the left and right key values. For a solved match both
+    // indices point at the matched pair (its min-cost duplicate); for an
+    // inferred singleton they point at any row carrying that key.
     val solveGroup = udf { (rows: Seq[Row]) =>
-      val lefts = rows.map(_.getAs[Any](0)).distinct.sortBy(_.toString)
-      val rights = rows.map(_.getAs[Any](1)).distinct.sortBy(_.toString)
-      val lIdx = lefts.zipWithIndex.toMap
-      val rIdx = rights.zipWithIndex.toMap
-      val cost = Array.fill(lefts.size, rights.size)(Double.PositiveInfinity)
-      rows.foreach { r =>
-        val c = r.getAs[Double](2)
-        val i = lIdx(r.getAs[Any](0)); val j = rIdx(r.getAs[Any](1))
-        if (c < cost(i)(j)) cost(i)(j) = c
+      val order = rows.indices.sortBy { i =>
+        val r = rows(i)
+        (String.valueOf(r.get(0)), String.valueOf(r.get(1)), r.getDouble(2))
+      }
+      val lefts = mutable.LinkedHashMap.empty[Any, Int]  // value → row index of first sighting
+      val rights = mutable.LinkedHashMap.empty[Any, Int]
+      order.foreach { i =>
+        val r = rows(i)
+        if (!lefts.contains(r.get(0))) lefts(r.get(0)) = i
+        if (!rights.contains(r.get(1))) rights(r.get(1)) = i
+      }
+      val lKeys = lefts.keys.toArray
+      val rKeys = rights.keys.toArray
+      val lIdx = lKeys.zipWithIndex.toMap
+      val rIdx = rKeys.zipWithIndex.toMap
+      val cost = Array.fill(lKeys.length, rKeys.length)(Double.PositiveInfinity)
+      val bestRow = Array.fill(lKeys.length, rKeys.length)(-1)
+      order.foreach { k =>
+        val r = rows(k)
+        val c = r.getDouble(2)
+        val i = lIdx(r.get(0)); val j = rIdx(r.get(1))
+        if (c < cost(i)(j)) { cost(i)(j) = c; bestRow(i)(j) = k }
       }
       val m = solve(cost)
-      val out = mutable.ArrayBuffer.empty[(String, String, Option[Double])]
+      val out = mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
       m.zipWithIndex.foreach { case (j, i) =>
-        if (j >= 0) out += ((lefts(i).toString, rights(j).toString, Some(cost(i)(j))))
+        if (j >= 0) out += ((bestRow(i)(j), bestRow(i)(j), false))
       }
       if (inferSingletons) {
-        val unassignedL = lefts.indices.filter(m(_) < 0)
+        val unassignedL = lKeys.indices.filter(m(_) < 0)
         val assignedR = m.filter(_ >= 0).toSet
-        val unassignedR = rights.indices.filterNot(assignedR)
+        val unassignedR = rKeys.indices.filterNot(assignedR)
         if (unassignedL.size == 1 && unassignedR.size == 1)
-          out += ((lefts(unassignedL.head).toString, rights(unassignedR.head).toString, None))
+          out += ((lefts(lKeys(unassignedL.head)), rights(rKeys(unassignedR.head)), true))
       }
       out.toSeq
     }
     val gc = groupCols.map(col)
-    pairs
+    val feasible = pairs.filter(
+      col(leftKey).isNotNull && col(rightKey).isNotNull && col(costCol).isNotNull)
+    feasible
       .groupBy(gc: _*)
       .agg(collect_list(struct(
-        col(leftKey).cast("string"),
-        col(rightKey).cast("string"),
-        col(costCol).cast("double"))).as("_pairs"))
-      .select((gc :+ explode(solveGroup(col("_pairs"))).as("_m")): _*)
+        col(leftKey), col(rightKey),
+        col(costCol).cast("double").as(costCol))).as("_pairs"))
+      .select((gc ++ Seq(col("_pairs"), explode(solveGroup(col("_pairs"))).as("_m"))): _*)
       .select((gc ++ Seq(
-        col("_m._1").as(leftKey),
-        col("_m._2").as(rightKey),
-        col("_m._3").as(costCol))): _*)
+        element_at(col("_pairs"), col("_m._1") + 1)(leftKey).as(leftKey),
+        element_at(col("_pairs"), col("_m._2") + 1)(rightKey).as(rightKey),
+        when(!col("_m._3"),
+          element_at(col("_pairs"), col("_m._1") + 1)(costCol)).as(costCol))): _*)
   }
 }
