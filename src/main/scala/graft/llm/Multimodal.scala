@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * processed in partition-local batches.
+  *
+  * The decode step itself is a STUB — image/audio codecs are not available
+  * in this environment — replaced by a deterministic fake feature extractor
+  * over raw bytes. What is real (and what matters at scale) is the Spark
+  * plumbing: binary columns travel as `BinaryType` with a metadata struct,
+  * feature extraction runs batched per partition via `mapPartitions` (the
+  * Scala analogue of `mapInPandas`: one iterator per partition, vectorized
+  * libraries amortize per-batch setup), and the output schema is fixed and
+  * columnar.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Long,
+      features: Array[Float])
+
+  /** Attach a binary payload + metadata struct to a text table (stand-in
+    * for real image/audio bytes; schema shape is what production uses). */
+  def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        lit("text/plain").as("format")).as("meta"))
+
+  /** STUB decoder: deterministic fake features from raw bytes (8 stripe
+    * sums). A real deployment swaps `extract` for the codec call; the
+    * batching, schema, and partitioning stay identical.
+    */
+  def extract(payload: Array[Byte], nFeatures: Int = 8): Array[Float] = {
+    val acc = new Array[Float](nFeatures)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % nFeatures) += (payload(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    acc
+  }
+
+  /** Batched per-partition feature extraction over the payload table. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition setup would init the codec once here
+        rows.map { r =>
+          val feats = extract(r.payload)
+          MediaFeatures(r.doc_id, r.payload.length.toLong,
+            if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else -1L, feats)
+        }
+      }
+  }
+}

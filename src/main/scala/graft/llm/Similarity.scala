@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers:
+  *   - [[cosineTopK]]: brute-force exact top-k — broadcast the (small) query
+  *     set against the full corpus; the reference answer and the baseline.
+  *   - [[ivfTopK]]: IVF-style partitioned search — assign every corpus
+  *     vector to its nearest coarse centroid once, probe only `nprobe` cells
+  *     per query. At 100 TB the corpus-cell assignment is the partitioning
+  *     key (each cell is a co-located shard); a query touches nprobe/С of
+  *     the data instead of all of it.
+  *
+  * All math is double-precision column arithmetic in index order (zip_with +
+  * aggregate), keeping results deterministic and differential-testable.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float arrays, summed in index
+    * order (bit-exact reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity = dot / (‖a‖·‖b‖), all double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded).
+    * queries/corpus: (idCol, vecCol). Queries are broadcast — the scan is
+    * one pass over the corpus with no shuffle before the per-query top-k.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Nearest-centroid cell id for every vector. Centroids are a small
+    * DataFrame (cell, vec) — broadcast; at scale they come from a sampled
+    * k-means, here from any deterministic picker.
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cell"))
+    vectors.select(col(idCol), col(vecCol).as("_v"))
+      .crossJoin(broadcast(centroids.select(col("cell"), col("_cv"))))
+      .withColumn("_d", cosine(col("_v"), col("_cv")))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= nprobe)
+      .select(col(idCol), col("cell"))
+  }
+
+  /** IVF top-k: corpus sharded by nearest cell (1 cell each), queries probe
+    * their `nprobe` nearest cells; exact re-scoring within probed cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val corpusCells = assignCells(corpus, centroids, idCol, vecCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val queryCells = assignCells(queries, centroids, idCol, vecCol, nprobe)
+      .withColumnRenamed(idCol, "query_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(corpusCells, "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .join(queryCells, "query_id")
+    val scored = q.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Mean recall@k of `approx` against `exact` (both (query_id, neighbor_id)
+    * top-k tables). One row: (n_queries, avg_recall).
+    */
+  def recallAgainst(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("_hits"))
+    val perQuery = exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("_recall", coalesce(col("_hits"), lit(0L)).cast("double") / k)
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      round(avg(col("_recall")), 4).as("avg_recall"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for training-data pipelines: token counting,
+  * quality scoring, language identification, and content fingerprinting.
+  * Everything is pure column math (codegen-friendly, no UDFs) so it runs at
+  * scan speed inside whole-stage codegen.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish subword token estimate: alphanumeric runs and single
+    * non-alphanumeric marks each count as one token. */
+  def bpeTokenEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Fraction of tokens in the stopword list (quality signal). */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
+    val toks = split(lower(text), " ")
+    size(filter(toks, t => t.isInCollection(stops))).cast("double") / size(toks)
+  }
+
+  /** Fraction of characters that are a-z0-9 or space. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") / length(text)
+
+  /** Composite quality score ∈ [0,1]: length prior + stopword band +
+    * alphanumeric purity (shape of C4/Gopher-style heuristics). */
+  def qualityScore(text: Column, stops: Seq[String]): Column = {
+    val lenPrior = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    lenPrior * 0.5 + stopwordRatio(text, stops) * 0.3 + alphaRatio(text) * 0.2
+  }
+
+  /** Marker-token language votes: count of hits in `markers`. */
+  def langVotes(text: Column, markers: Seq[String]): Column =
+    size(filter(split(lower(text), " "), t => t.isInCollection(markers))).cast("long")
+
+  /** Argmax language over marker vote sets with deterministic tie-break
+    * (earlier entry wins ties). */
+  def langId(text: Column, markerSets: Seq[(String, Seq[String])]): Column = {
+    val votes = markerSets.map { case (lang, m) => (lit(lang), langVotes(text, m)) }
+    votes.tail.foldLeft(votes.head) { case ((bestLang, bestVotes), (lang, v)) =>
+      (when(v > bestVotes, lang).otherwise(bestLang), greatest(bestVotes, v))
+    }._1
+  }
+
+  /** Content fingerprint: md5 of whitespace/punctuation-normalized text —
+    * the cheap exact-dedup key after normalization. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
+
+  /** Winnowing document sketch (rolling k-gram hashes, window minima) —
+    * near-dup fingerprint used by plagiarism-style matching. Driver-side
+    * kernel for the typed Dataset path; property-tested in ScalaTest.
+    */
+  def winnow(text: String, k: Int, window: Int): Seq[Long] = {
+    val s = text.toLowerCase
+    if (s.length < k) return Seq.empty
+    val hashes = (0 to s.length - k).map { i =>
+      var h = 1125899906842597L // FNV-ish polynomial rolling base
+      var j = i
+      while (j < i + k) { h = 31 * h + s.charAt(j); j += 1 }
+      h
+    }
+    if (hashes.length <= window) Seq(hashes.min)
+    else hashes.sliding(window).map(_.min).toSeq.distinct
+  }
+}
