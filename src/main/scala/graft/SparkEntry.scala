@@ -21,11 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ WindowQueries.queries ++ CoverageQueries.queries ++
-      AssignQueries.queries ++ LlmQueries.queries
+      AssignQueries.queries ++ LlmQueries.queries ++ BehaviorQueries.queries
 
   /** Oracle SQL may reference source parquet via the `{SFDIR}` placeholder,
     * which Verify substitutes with the actual scale-factor directory. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ WindowQueries.oracle ++ CoverageQueries.oracle ++
-      AssignQueries.oracle ++ LlmQueries.oracle
+      AssignQueries.oracle ++ LlmQueries.oracle ++ BehaviorQueries.oracle
 }
