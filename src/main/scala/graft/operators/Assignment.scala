@@ -23,6 +23,13 @@ import scala.collection.mutable
   */
 object Assignment {
 
+  /** Large finite stand-in for infeasible cells: padding with a uniform
+    * big cost (instead of aborting augmentation mid-way, which corrupts the
+    * dual potentials) yields the min-cost **maximum-cardinality** matching
+    * over the feasible cells, matching the reference's reduce-then-solve
+    * semantics. Finite costs must be ≪ BIG / n. */
+  private val BIG = 1e15
+
   /** Solve min-cost assignment. `cost(i)(j)` may be
     * `Double.PositiveInfinity` for infeasible pairs. Returns for each row i
     * the assigned column, or -1 (unassigned / only infeasible options).
@@ -42,6 +49,8 @@ object Assignment {
       colToRow.zipWithIndex.foreach { case (i, j) => if (i >= 0) res(i) = j }
       return res
     }
+    val c = Array.tabulate(nRows, nCols)((i, j) =>
+      if (cost(i)(j).isPosInfinity) BIG else cost(i)(j))
     val INF = Double.PositiveInfinity
     val u = Array.fill(nRows + 1)(0.0)
     val v = Array.fill(nCols + 1)(0.0)
@@ -62,41 +71,36 @@ object Assignment {
         var j = 1
         while (j <= nCols) {
           if (!used(j)) {
-            val cur = cost(i0 - 1)(j - 1) - u(i0) - v(j)
+            val cur = c(i0 - 1)(j - 1) - u(i0) - v(j)
             if (cur < minv(j)) { minv(j) = cur; way(j) = j0 }
             if (minv(j) < delta) { delta = minv(j); j1 = j }
           }
           j += 1
         }
-        if (j1 == -1 || delta == INF) {
-          // no feasible augmenting path: leave row i unassigned
-          p(0) = 0
+        var j2 = 0
+        while (j2 <= nCols) {
+          if (used(j2)) { u(p(j2)) += delta; v(j2) -= delta }
+          else minv(j2) -= delta
+          j2 += 1
+        }
+        j0 = j1
+        if (p(j0) == 0) {
+          // augment along the alternating path
+          while (j0 != 0) {
+            val j3 = way(j0)
+            p(j0) = p(j3)
+            j0 = j3
+          }
           continue = false
-        } else {
-          var j2 = 0
-          while (j2 <= nCols) {
-            if (used(j2)) { u(p(j2)) += delta; v(j2) -= delta }
-            else minv(j2) -= delta
-            j2 += 1
-          }
-          j0 = j1
-          if (p(j0) == 0) {
-            // augment along the alternating path
-            while (j0 != 0) {
-              val j3 = way(j0)
-              p(j0) = p(j3)
-              j0 = j3
-            }
-            continue = false
-          }
         }
       }
       i += 1
     }
+    // drop matches that landed on padded (infeasible) cells
     val res = Array.fill(nRows)(-1)
     var j = 1
     while (j <= nCols) {
-      if (p(j) > 0 && cost(p(j) - 1)(j - 1) != INF) res(p(j) - 1) = j - 1
+      if (p(j) > 0 && !cost(p(j) - 1)(j - 1).isPosInfinity) res(p(j) - 1) = j - 1
       j += 1
     }
     res
@@ -113,7 +117,11 @@ object Assignment {
     * before building the cost matrix (order only — values are untouched).
     *
     * @param pairs     columns: groupCols ++ (leftKey, rightKey, costCol);
-    *                  absent pairs are infeasible
+    *                  absent pairs are infeasible. An entity that exists but
+    *                  has no feasible partner can be declared with a
+    *                  `Double.PositiveInfinity`-cost pair (the reference's
+    *                  full cost matrix shape) — it then participates in
+    *                  singleton inference without ever being matched.
     * @param inferSingletons reference J4 rule: if after the optimal solve
     *                  exactly one left and one right key in the group remain
     *                  unassigned, pair them (their candidate pair need not

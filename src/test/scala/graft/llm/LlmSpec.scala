@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Parity and recall tests for the LLM-pipeline operators over the
+  * sf0.001 documents/embeddings tables. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.documents(spark, TestSpark.sfDir)
+  lazy val embs = Tables.embeddings(spark, TestSpark.sfDir)
+
+  test("minhash+LSH finds exactly the exact-Jaccard pair set on planted near-dups") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    assert(lsh === exact, s"missed=${exact.diff(lsh)} spurious=${lsh.diff(exact)}")
+  }
+
+  test("simhash band blocking equals brute-force hamming pairs (pigeonhole exactness)") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val banded = Dedup.simhashPairs(sig, 3, 4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(banded === brute)
+  }
+
+  test("exact dedup groups by content, representative = min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    val nDocs = docs.count()
+    val nTexts = docs.select("text").distinct().count()
+    assert(out.count() === nTexts)
+    assert(out.agg(sum("n_copies")).head.getLong(0) === nDocs)
+  }
+
+  test("IVF ANN reaches a recall floor vs exact top-k") {
+    val q = embs.filter(col("vec_id") < 50)
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val exact = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+    val approx = Similarity.ivfTopK(q, embs, cents, "vec_id", "embedding", 5, 3)
+    val recall = Similarity.recallAgainst(exact, approx, 5)
+      .head.getDouble(1)
+    assert(recall >= 0.4, s"IVF recall@5 = $recall below floor")
+  }
+
+  test("cosine is symmetric, 1 on self, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(3f, 2f, 1f)))
+      .toDF("id", "v")
+    val c = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((1L, 1L)) - 1.0) < 1e-12)
+    assert(c((1L, 2L)) === c((2L, 1L)))
+    assert(math.abs(c((1L, 2L)) - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("winnowing sketch: deterministic, shift-invariant overlap for shared content") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "PREFIX PREFIX " + a // same content, shifted
+    val sa = TextStats.winnow(a, 8, 4).toSet
+    val sb = TextStats.winnow(b, 8, 4).toSet
+    assert(TextStats.winnow(a, 8, 4) === TextStats.winnow(a, 8, 4))
+    val overlap = sa.intersect(sb).size.toDouble / sa.size
+    assert(overlap > 0.8, s"shared-content overlap $overlap too low")
+    assert(TextStats.winnow("ab", 8, 4).isEmpty, "short text yields empty sketch")
+  }
+
+  test("multimodal: stub extractor is deterministic and plumbing preserves bytes") {
+    val media = Multimodal.withBinaryPayload(docs.limit(20), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length === 20)
+    val texts = docs.limit(20).collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach { f =>
+      val t = texts(f.doc_id)
+      assert(f.n_bytes === t.getBytes("UTF-8").length.toLong)
+      assert(f.first_byte === (t.getBytes("UTF-8")(0) & 0xff).toLong)
+      assert(f.features sameElements Multimodal.extract(t.getBytes("UTF-8")))
+    }
+  }
+}

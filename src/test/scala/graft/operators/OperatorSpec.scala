@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import scala.util.Random
+
+/** Property tests for the time-series primitives (SURVEY §5): sessionization
+  * invariants, asof ⊆ band containment, bounded-fill bounds, and assignment
+  * optimality vs brute force. Seeded random inputs, multiple rounds. */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionize: session count per key = gap exceedances + 1 (property)") {
+    val rnd = new Random(7)
+    val rows = for {
+      user <- 0 until 20
+      t <- Iterator.iterate(0L)(_ + 1 + rnd.nextInt(2000)).take(50).toSeq
+    } yield (user.toLong, t)
+    val df = rows.toDF("user", "t")
+    val gap = 500L
+    val sessed = Sessionize.sessionize(df, "t", Seq("user"), gap)
+    val got = sessed.groupBy("user").agg(countDistinct("session_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).map { case (u, rs) =>
+      val ts = rs.map(_._2).sorted
+      u -> (1L + ts.zip(ts.tail).count { case (a, b) => b - a > gap })
+    }
+    assert(got === want)
+  }
+
+  test("asof backward with tolerance is contained in the band join (property)") {
+    val rnd = new Random(13)
+    val left = (0 until 200).map(i => (i.toLong, rnd.nextInt(100000).toLong))
+      .toDF("lid", "t").withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val right = (0 until 200).map(i => (1000L + i, rnd.nextInt(100000).toLong))
+      .toDF("rid", "t").withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val tol = 5000L
+    val asof = AsOfJoin.asofJoin(left, right, "ts", Nil, AsOfJoin.Backward, Some(tol))
+      .filter(col("rid").isNotNull)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // band: right.ts − left.ts ∈ [−tol, 0] (backward matches look back in time)
+    val band = BandJoin.bandJoin(left, right, "ts", "ts", Nil, -tol, 0L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asof.subsetOf(band),
+      s"asof produced pairs outside the band: ${asof.diff(band).take(5)}")
+    // and the asof match is the max right.ts among band candidates per left row
+    val bestInBand = BandJoin.bandJoin(left, right, "ts", "ts", Nil, -tol, 0L)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lid")
+          .orderBy(col("ts_r").desc, col("rid").desc)))
+      .filter(col("rn") === 1)
+      .select("lid").distinct().count()
+    assert(asof.map(_._1).size === bestInBand)
+  }
+
+  test("boundedFill: never bridges runs ≥ maxRun and only equal-flank runs (property)") {
+    val rnd = new Random(21)
+    // values with planted null runs of varying lengths
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Int])]
+    var t = 0L
+    for (_ <- 0 until 40) {
+      val v = rnd.nextInt(3)
+      val runLen = 1 + rnd.nextInt(6)
+      rows += ((t, Some(v))); t += 1
+      for (_ <- 0 until runLen) { rows += ((t, None)); t += 1 }
+      // flank: same value half the time
+      rows += ((t, Some(if (rnd.nextBoolean()) v else v + 10))); t += 1
+    }
+    val df = rows.toSeq.map { case (tt, v) => (tt, v.map(_.toLong)) }.toDF("t", "v")
+    val maxRun = 4L
+    val filled = Fill.boundedFill(df, "v", "t", Nil, maxRun, Some("vf"))
+      .orderBy("t").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // reconstruct runs from the input and check fill decisions
+    val arr = rows.toArray
+    var i = 0
+    while (i < arr.length) {
+      if (arr(i)._2.isEmpty) {
+        var j = i
+        while (j < arr.length && arr(j)._2.isEmpty) j += 1
+        val runLen = j - i
+        val prev = if (i == 0) None else arr(i - 1)._2
+        val next = if (j == arr.length) None else arr(j)._2
+        val shouldFill = runLen < maxRun && prev.isDefined && prev == next
+        for (k <- i until j) {
+          val gotFilled = filled(k)._3
+          if (shouldFill) assert(gotFilled === prev.map(_.toLong),
+            s"run at $i len $runLen should fill with $prev")
+          else assert(gotFilled.isEmpty,
+            s"run at $i len $runLen flanks $prev/$next must stay null")
+        }
+        i = j
+      } else i += 1
+    }
+  }
+
+  test("Assignment.solve matches brute force on random matrices (property)") {
+    val rnd = new Random(42)
+    for (_ <- 0 until 200) {
+      val n = 1 + rnd.nextInt(4); val m = 1 + rnd.nextInt(4)
+      val cost = Array.fill(n, m)(
+        if (rnd.nextInt(5) == 0) Double.PositiveInfinity else rnd.nextInt(100).toDouble)
+      val res = Assignment.solve(cost)
+      // validity: no column used twice, no infeasible picks
+      val used = res.filter(_ >= 0)
+      assert(used.distinct.length === used.length)
+      res.zipWithIndex.foreach { case (j, i) =>
+        if (j >= 0) assert(!cost(i)(j).isInfinity)
+      }
+      val total = res.zipWithIndex.collect { case (j, i) if j >= 0 => cost(i)(j) }.sum
+      // brute force over all injective row→col maps with max cardinality
+      def best(rows: List[Int], usedCols: Set[Int]): (Int, Double) = rows match {
+        case Nil => (0, 0.0)
+        case r :: rest =>
+          val skip = best(rest, usedCols)
+          val opts = (0 until m).collect {
+            case c if !usedCols(c) && !cost(r)(c).isInfinity =>
+              val sub = best(rest, usedCols + c)
+              (sub._1 + 1, sub._2 + cost(r)(c))
+          }
+          (opts :+ skip).maxBy(o => (o._1, -o._2))
+      }
+      val (bk, bc) = best((0 until n).toList, Set.empty)
+      assert(used.length === bk, s"cardinality ${used.length} vs brute $bk")
+      assert(math.abs(total - bc) < 1e-9, s"cost $total vs brute $bc")
+    }
+  }
+
+  test("Assignment.assign preserves numeric key types and infers singletons") {
+    val pairs = Seq(
+      // group 1: 2×2 full bipartite, optimal = (1→10 cost 1, 2→9 cost 2)
+      (1L, 1L, 9L, 5.0), (1L, 1L, 10L, 1.0),
+      (1L, 2L, 9L, 2.0), (1L, 2L, 10L, 7.0),
+      // group 2: left {5,6}, right {20,21}; only (5,20) feasible (the rest
+      // are declared-infeasible ∞ cells) → J4 pairs the singletons (6,21)
+      (2L, 5L, 20L, 3.0), (2L, 5L, 21L, Double.PositiveInfinity),
+      (2L, 6L, 20L, Double.PositiveInfinity), (2L, 6L, 21L, Double.PositiveInfinity))
+      .toDF("g", "l", "r", "c")
+    val out = Assignment.assign(pairs, Seq("g"), "l", "r", "c", inferSingletons = true)
+    assert(out.schema("l").dataType.typeName === "long", "left key type preserved")
+    assert(out.schema("r").dataType.typeName === "long", "right key type preserved")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rows === Set(
+      (1L, 1L, 10L, Some(1.0)), (1L, 2L, 9L, Some(2.0)),
+      (2L, 5L, 20L, Some(3.0)), (2L, 6L, 21L, None)))
+  }
+
+  test("Assignment optimal total ≤ greedy total (property)") {
+    val rnd = new Random(99)
+    for (_ <- 0 until 50) {
+      val n = 2 + rnd.nextInt(3)
+      val cost = Array.fill(n, n)(rnd.nextDouble() * 100)
+      val res = Assignment.solve(cost)
+      val total = res.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum
+      // row-greedy baseline
+      var usedCols = Set.empty[Int]; var greedy = 0.0
+      for (i <- 0 until n) {
+        val j = (0 until n).filterNot(usedCols).minBy(cost(i))
+        usedCols += j; greedy += cost(i)(j)
+      }
+      assert(total <= greedy + 1e-9)
+    }
+  }
+}
