@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.{Tables, TestSpark}
+import graft.operators.Sessionize
+import java.nio.file.Files
+
+/** T1/T2/T6 coverage: exactly-once incremental file ingest and
+  * batch ≡ streaming session assignment parity. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("session_window sessionization ≡ batch cumulative-sum Sessionize") {
+    val events = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "ts", "event_id")
+    val gapUs = 86400L * 1000000L
+    // batch: cumulative-sum session ids → per-session (user, start, n)
+    val batch = Sessionize.sessionize(events, "ts", Seq("user_id"), gapUs,
+        tieBreak = Seq("event_id"))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // streaming-flavored: session_window over the same (batch) frame
+    val windowed = Streaming.sessionCounts(events, "ts", Seq("user_id"), "1 day")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(batch === windowed)
+  }
+
+  test("streaming session_window over MemoryStream matches the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: two sessions separated by > 10s
+      (1L, 1000L), (1L, 3000L), (1L, 5000L), (1L, 30000L), (1L, 31000L),
+      // user 2: one session
+      (2L, 2000L), (2L, 4000L))
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData(rows)
+    val df = stream.toDF().toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val agg = Streaming.sessionCounts(df, "ts", Seq("user_id"), "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("sess_par")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_par")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    val batchDf = rows.toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val want = Sessionize.sessionize(batchDf, "ts", Seq("user_id"), 10000000L)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s"), count(lit(1)).as("n"))
+      .select("user_id", "s", "n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(got === want)
+    assert(got === Set((1L, 1000L, 3L), (1L, 30000L, 2L), (2L, 2000L, 2L)))
+  }
+
+  test("file-source incremental ingest is exactly-once across re-runs (T1/T2/S9)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // batch 1 arrives
+    Seq(1L, 2L, 3L).toDF("id").write.parquet(s"$in/chunk1")
+    spark.read.parquet(s"$in/chunk1") // materialize dir listing
+    Streaming.drainToParquet(
+      Streaming.fileStream(spark, s"$in/*", schema), out, ckpt)
+    val after1 = spark.read.parquet(out).as[Long].collect().sorted
+    assert(after1 === Array(1L, 2L, 3L))
+    // batch 2 arrives; re-run the same drain (the reference's 30-min poll)
+    Seq(4L, 5L).toDF("id").write.parquet(s"$in/chunk2")
+    Streaming.drainToParquet(
+      Streaming.fileStream(spark, s"$in/*", schema), out, ckpt)
+    val after2 = spark.read.parquet(out).as[Long].collect().sorted
+    assert(after2 === Array(1L, 2L, 3L, 4L, 5L), "new chunk ingested once")
+    // re-run with nothing new: no duplicates (idempotency guard S9)
+    Streaming.drainToParquet(
+      Streaming.fileStream(spark, s"$in/*", schema), out, ckpt)
+    val after3 = spark.read.parquet(out).as[Long].collect().sorted
+    assert(after3 === Array(1L, 2L, 3L, 4L, 5L))
+  }
+}
