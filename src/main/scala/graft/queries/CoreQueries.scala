@@ -196,16 +196,23 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents")))
     }),
 
-    // J7/J8: key-set intersection and union as joins
+    // J7/J8: key-set intersection/union/difference — folded into ONE
+    // groupBy pass (per-user membership flags + conditional counts + stack)
+    // instead of six distinct/intersect/except shuffles; same result, one
+    // shuffle, and the shape that survives 100× the keys.
     "j7_set_ops" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val clickers = e.filter(col("event_type") === "click").select("user_id").distinct()
-      val buyers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
-      val both = clickers.intersect(buyers).withColumn("set_kind", lit("both"))
-      val either = clickers.union(buyers).distinct().withColumn("set_kind", lit("either"))
-      val onlyClick = clickers.except(buyers).withColumn("set_kind", lit("click_only"))
-      sortAll(both.unionByName(either).unionByName(onlyClick)
-        .groupBy("set_kind").agg(count(lit(1)).as("n_users")))
+      val flags = e.groupBy("user_id").agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+      val counts = flags.agg(
+        sum(when(col("c") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("c") === 1 || col("b") === 1, 1L).otherwise(0L)).as("n_either"),
+        sum(when(col("c") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n_click_only"))
+      sortAll(counts.selectExpr(
+        "stack(3, 'both', n_both, 'either', n_either, 'click_only', n_click_only)" +
+          " AS (set_kind, n_users)")
+        .filter(col("n_users") > 0))
     }),
 
     // O1/O5: multi-key sort + top-k

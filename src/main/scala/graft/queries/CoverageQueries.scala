@@ -226,6 +226,73 @@ object CoverageQueries {
         count(lit(1)).as("n")))
     }),
 
+    // S2: epoch/chunk catalog discovery — file-name metadata surfaced as a
+    // column and regex-parsed (reference find_epochs directory scans,
+    // detect_fights_all_epochs.py:12-94)
+    "s2_catalog_discovery" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      sortAll(e
+        .withColumn("chunk",
+          regexp_extract(input_file_name(), "(sf[0-9.]+)/events\\.parquet", 1))
+        .groupBy("chunk").agg(count(lit(1)).as("n_rows"),
+          min("ts").as("chunk_start"), max("ts").as("chunk_end")))
+    }),
+
+    // S5+S6: JSON config / metadata struct source — write a nested config,
+    // read it back via spark.read.json, project nested fields (reference
+    // confmap_config.json patch, combine_pose_id_chunk.py:291-305, and the
+    // experiment metadata struct, social_behaviour_detection.py:89-98)
+    "s5_json_config" -> ((s, dir) => {
+      val path = "/tmp/graft_json_cfg"
+      val cfg = """{"experiment":"social-02",
+        |"ActiveRegion":{"ArenaInnerRadius":20.5,"ArenaOuterRadius":80.25,
+        |"ArenaCenter":{"X":100.0,"Y":5.0}},
+        |"Devices":{"VideoController":{"TriggerFrequency":50}}}""".stripMargin
+          .replaceAll("\n", "")
+      import java.nio.file.{Files, Paths}
+      Files.createDirectories(Paths.get(path))
+      Files.writeString(Paths.get(s"$path/metadata.json"), cfg + "\n")
+      val meta = s.read.json(path)
+      sortAll(meta.select(
+        col("experiment"),
+        col("ActiveRegion.ArenaInnerRadius").as("r_inner"),
+        col("ActiveRegion.ArenaOuterRadius").as("r_outer"),
+        col("ActiveRegion.ArenaCenter.X").as("cx"),
+        col("Devices.VideoController.TriggerFrequency").cast("long").as("fps")))
+    }),
+
+    // S10: video clip manifest — padded (start, end) windows + formatted
+    // clip names projected from the session/event table (reference
+    // generate_videos padding, social_behaviour_detection.py:880-919)
+    "s10_clip_manifest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sessed = Sessionize.sessionize(e, "ts", Seq("user_id"),
+        86400L * 1000000L, tieBreak = Seq("event_id"))
+      val sessions = sessed.groupBy("user_id", "session_id")
+        .agg(min("ts").as("start_ts"), max("ts").as("end_ts"), count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+      sortAll(sessions.select(
+        col("user_id"),
+        (col("start_ts") - expr("INTERVAL 5 SECONDS")).as("clip_start"),
+        (col("end_ts") + expr("INTERVAL 5 SECONDS")).as("clip_end"),
+        format_string("clip_u%d_%s.avi", col("user_id"),
+          date_format(col("start_ts"), "yyyy-MM-dd'T'HH-mm-ss")).as("clip_name")))
+    }),
+
+    // J2 forward flavor: first event at-or-after each probe time
+    "j2_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val j = graft.operators.AsOfJoin.asofJoin(p, v, "ts", Seq("user_id"),
+        graft.operators.AsOfJoin.Forward, Some(172800000000L))
+      sortAll(j.filter(col("view_id").isNotNull).select(
+        col("event_id"), col("user_id"), col("view_id"),
+        round((unix_micros(col("_asof_time")) - unix_micros(col("ts"))).cast("double")
+          / 1000000.0, 6).as("delta_sec")))
+    }),
+
     // §2.8 math: per-step kinematics — euclidean distance, orientation
     // degrees mod 360, speed (reference social_behaviour_detection.py:571-601)
     "geo2_kinematics" -> ((s, dir) => {
@@ -411,6 +478,43 @@ object CoverageQueries {
          |          CAST(user_id % 100 AS DOUBLE)/10.0 AS y FROM events))
          |GROUP BY event_type
          |${orderBySql("event_type", "n_annulus", "n_quad", "n")}""".stripMargin,
+
+    "s2_catalog_discovery" ->
+      s"""SELECT regexp_extract(filename, '(sf[0-9.]+)/events\\.parquet', 1) AS chunk,
+         |  count(*) AS n_rows, min(ts) AS chunk_start, max(ts) AS chunk_end
+         |FROM read_parquet('{SFDIR}/events.parquet', filename=true)
+         |GROUP BY 1
+         |${orderBySql("chunk", "n_rows", "chunk_start", "chunk_end")}""".stripMargin,
+
+    "s5_json_config" ->
+      s"""SELECT experiment,
+         |  ActiveRegion.ArenaInnerRadius AS r_inner,
+         |  ActiveRegion.ArenaOuterRadius AS r_outer,
+         |  ActiveRegion.ArenaCenter.X AS cx,
+         |  CAST(Devices.VideoController.TriggerFrequency AS BIGINT) AS fps
+         |FROM read_json_auto('/tmp/graft_json_cfg/metadata.json')
+         |${orderBySql("experiment", "r_inner", "r_outer", "cx", "fps")}""".stripMargin,
+
+    "s10_clip_manifest" ->
+      s"""WITH $sessSql,
+         |sessions AS (
+         |  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n
+         |  FROM sess GROUP BY user_id, session_id HAVING count(*) >= 20)
+         |SELECT user_id,
+         |  start_ts - INTERVAL 5 SECOND AS clip_start,
+         |  end_ts + INTERVAL 5 SECOND AS clip_end,
+         |  printf('clip_u%d_%s.avi', user_id, strftime(start_ts, '%Y-%m-%dT%H-%M-%S')) AS clip_name
+         |FROM sessions
+         |${orderBySql("user_id", "clip_start", "clip_end", "clip_name")}""".stripMargin,
+
+    "j2_asof_forward" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |     v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+         |SELECT p.event_id AS event_id, p.user_id AS user_id, v.view_id AS view_id,
+         |  round((epoch_us(v.ts) - epoch_us(p.ts)) / 1000000.0, 6) AS delta_sec
+         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+         |WHERE epoch_us(v.ts) - epoch_us(p.ts) <= 172800000000
+         |${orderBySql("event_id", "user_id", "view_id", "delta_sec")}""".stripMargin,
 
     "geo2_kinematics" ->
       s"""SELECT event_id, user_id,
