@@ -21,6 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: pay JVM/codegen/parquet-reader initialization once, outside
+    // the measured loop, so the first query's time is its own.
+    try Tables.events(spark, sfDir).limit(10000)
+      .groupBy("event_type").count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -42,32 +42,59 @@ object Dedup {
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** Exact n-gram Jaccard pairs ≥ minJaccard via inverted shingle index:
-    * equi-join on shingle → per-pair intersection counts → |A∪B| by
-    * inclusion-exclusion. `maxShingleDf` drops shingles present in more
-    * than that many documents (stopword-shingle skew guard; 0 = keep all —
-    * exact semantics, used when differential-testing against an oracle).
+  /** Exact n-gram Jaccard pairs ≥ minJaccard via **prefix-filtered**
+    * inverted index (Chaudhuri/Xiao-style): under any fixed global shingle
+    * order, two sets with Jaccard ≥ τ must share an element within their
+    * first |d| − ⌈τ·|d|⌉ + 1 shingles — so only those prefixes are indexed
+    * and joined, shrinking candidate generation ~(1−τ)²× while staying
+    * exact. Candidates are then verified with true set intersection.
+    *
+    * `maxShingleDf` additionally drops prefix shingles present in more than
+    * that many documents (stopword-shingle skew guard). 0 = keep all, which
+    * preserves exactness — the setting used for oracle differential tests.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDf: Long = 0L): DataFrame = {
-    val sh0 = shingleTable(docs, idCol, textCol, n)
-    val sh =
-      if (maxShingleDf <= 0) sh0
+    // Shingles travel as xxhash64 longs from here on: 3× less shuffle than
+    // strings and integer equi-joins; a 64-bit collision would need ~10⁹
+    // distinct shingles in one corpus to matter (birthday bound).
+    // Global shingle order = ascending document frequency (rarest first),
+    // so prefixes hold the most selective shingles — with a frequency-skewed
+    // vocabulary a lexicographic order would put the same hot shingles in
+    // every prefix and regenerate the n² candidate blow-up.
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .select(col("_id"), xxhash64(col("shingle")).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // cached: the DAG below consumes `sets` four times (probe explode + both
+    // verify sides); without the cache the whole shingle scan re-runs each
+    // time. One row per doc with an array payload — small relative to input.
+    val sets = sh.join(dfreq, "shingle")
+      .groupBy("_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_df"), col("shingle")))),
+        x => x("shingle")).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .cache()
+    val prefLen = (size(col("_sh")) - ceil(size(col("_sh")) * minJaccard) + 1).cast("int")
+    val probes0 = sets.select(col("_id"),
+      explode(slice(col("_sh"), lit(1), prefLen)).as("shingle"))
+    val probes =
+      if (maxShingleDf <= 0) probes0
       else {
-        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+        val hot = probes0.groupBy("shingle").agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxShingleDf).select("shingle")
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        probes0.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
-    val a = sh.select(col("_id").as("i"), col("shingle"))
-    val b = sh.select(col("_id").as("j"), col("shingle"))
-    val inter = a.join(b, "shingle").filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("m"))
-    inter
-      .join(sizes.select(col("_id").as("i"), col("_n").as("ni")), "i")
-      .join(sizes.select(col("_id").as("j"), col("_n").as("nj")), "j")
-      .withColumn("jaccard",
-        col("m").cast("double") / (col("ni") + col("nj") - col("m")))
+    val cand = probes.select(col("_id").as("i"), col("shingle"))
+      .join(probes.select(col("_id").as("j"), col("shingle")), "shingle")
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    cand
+      .join(sets.select(col("_id").as("i"), col("_sh").as("sh_i")), "i")
+      .join(sets.select(col("_id").as("j"), col("_sh").as("sh_j")), "j")
+      .withColumn("m", size(array_intersect(col("sh_i"), col("sh_j"))).cast("long"))
+      .withColumn("jaccard", col("m").cast("double") /
+        (size(col("sh_i")) + size(col("sh_j")) - col("m")))
       .filter(col("jaccard") >= minJaccard)
       .select("i", "j", "jaccard")
   }
@@ -110,7 +137,9 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val cand = lshCandidates(sig, numHashes, bands)
+    // cached: consumed by both verify sides
     val sets = docs.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
+      .cache()
     cand
       .join(sets.select(col("_id").as("i"), col("_sh").as("sh_i")), "i")
       .join(sets.select(col("_id").as("j"), col("_sh").as("sh_j")), "j")
