@@ -60,6 +60,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 1000L, 3L), (1L, 30000L, 2L), (2L, 2000L, 2L)))
   }
 
+  test("T3: whole-range sessionization has no 24h-boundary loss (reference caveat)") {
+    import spark.implicits._
+    // a session straddling midnight: events at 23:59:50, 23:59:55, 00:00:05
+    val rows = Seq(
+      (1L, "2024-03-01 23:59:50"), (1L, "2024-03-01 23:59:55"),
+      (1L, "2024-03-02 00:00:05"),
+      (1L, "2024-03-02 12:00:00")) // separate later session
+      .toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val gapUs = 60L * 1000000L
+    // whole-range: the straddling events are ONE session (no boundary loss)
+    val whole = Sessionize.sessionize(rows, "ts", Seq("user_id"), gapUs)
+      .groupBy("session_id").count().collect().map(_.getLong(1)).sorted
+    assert(whole === Array(1L, 3L))
+    // the reference's manual 24h split loses the cross-boundary merge
+    // (social_behavior_detection/README.md caveat); replaying that split
+    // shows the artifact our shuffle partitioning removes
+    val byDay = rows.withColumn("day", to_date(col("ts")))
+    val split = Sessionize.sessionize(byDay, "ts", Seq("user_id", "day"), gapUs)
+      .groupBy("day", "session_id").count().collect().map(_.getLong(2)).sorted
+    assert(split === Array(1L, 1L, 2L), "day-split artificially cuts the session")
+  }
+
   test("file-source incremental ingest is exactly-once across re-runs (T1/T2/S9)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream").toString
