@@ -19,6 +19,14 @@ import graft.operators.{Fill, Sessionize}
   * (the reference's documented two-phase design,
   * `tube_test_detection_logic.md:35`), so its cost is proportional to event
   * frames, not stream frames; events parallelize across the cluster.
+  *
+  * Scope note: one invocation processes ONE epoch (the reference's unit of
+  * work — an epoch is one continuous recording). Per-frame feature stages
+  * are fully partition-parallel; only the *candidate frame ids* (sparse,
+  * orders of magnitude smaller than the stream) pass through an
+  * unpartitioned sessionization window. Multi-epoch corpora shard by epoch
+  * around this API, which also preserves the reference's session-boundary
+  * semantics at epoch edges.
   */
 object Detectors {
 
