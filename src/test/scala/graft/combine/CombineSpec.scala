@@ -1,0 +1,70 @@
+package graft.combine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Golden test for the combine ETL (reference combine_pose_id_chunk.py):
+  * assignment by likelihood under the distance gate, full-instance
+  * writeback, unmatched-pose drop, and the J4 singleton epilogue. */
+class CombineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+  private def ts(offsetUs: Long) = new java.sql.Timestamp(t0.getTime + offsetUs / 1000)
+
+  test("combineChunk golden: gate, assignment, writeback, drop, singleton inference") {
+    // tick 1 (t0+2ms): poses A(1),B(2),C(3); ids alice,bob → C unmatched
+    // tick 2 (t0+42ms): pose D(4); id carol too far → J4 singleton pair
+    val pose = Seq(
+      (ts(2000), 1L, "anchor_spine2", 10.0, 10.0),
+      (ts(2000), 1L, "head", 11.0, 12.0),
+      (ts(2000), 2L, "anchor_spine2", 100.0, 100.0),
+      (ts(2000), 3L, "anchor_spine2", 500.0, 500.0),
+      (ts(42000), 4L, "anchor_spine2", 200.0, 200.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    val ids = Seq(
+      (ts(1000), "alice", Map("alice" -> 0.9, "bob" -> 0.1), 12.0, 10.0),
+      (ts(1000), "bob", Map("bob" -> 0.8, "alice" -> 0.2), 98.0, 102.0),
+      (ts(41000), "carol", Map("carol" -> 0.7), 600.0, 600.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+
+    val out = Combine.combineChunk(pose, ids, Combine.Params(fps = 50, maxDistance = 40))
+      .select("pose_id", "part", "identity", "identity_likelihood")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getMap[String, Double](3).toMap))
+
+    // pose C (unmatched, no feasible id) is dropped
+    assert(!out.exists(_._1 == 3L))
+    // pose A: both part rows carry alice + her full likelihood map
+    val aRows = out.filter(_._1 == 1L)
+    assert(aRows.length === 2)
+    assert(aRows.forall(_._3 == "alice"))
+    assert(aRows.forall(_._4 == Map("alice" -> 0.9, "bob" -> 0.1)))
+    // pose B: bob
+    val bRows = out.filter(_._1 == 2L)
+    assert(bRows.map(_._3).toSeq === Seq("bob"))
+    // pose D: inferred singleton pair with carol, NaN/null likelihood map
+    val dRows = out.filter(_._1 == 4L)
+    assert(dRows.map(_._3).toSeq === Seq("carol"))
+    assert(dRows.head._4 == null, "inferred pair has no verified likelihood map")
+  }
+
+  test("projectAndUnion: per-camera homography + anchor filter + union") {
+    val cam1 = Seq((ts(0), "m0", Map("m0" -> 0.9), "anchor_spine2", 10.0, 20.0),
+      (ts(0), "m0", Map("m0" -> 0.9), "head", 1.0, 1.0))
+      .toDF("time", "identity", "identity_likelihood", "part", "x", "y")
+    val cam2 = Seq((ts(0), "m1", Map("m1" -> 0.8), "anchor_spine2", 30.0, 40.0))
+      .toDF("time", "identity", "identity_likelihood", "part", "x", "y")
+    // pure translations as homographies
+    val h1 = Seq(1.0, 0, 5, 0, 1, -5, 0, 0, 1)
+    val h2 = Seq(1.0, 0, 100, 0, 1, 200, 0, 0, 1)
+    val out = Combine.projectAndUnion(Seq((cam1, h1), (cam2, h2)))
+      .select("identity", "x_top", "y_top").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(out === Set(("m0", 15.0, 15.0), ("m1", 130.0, 240.0)),
+      "anchor rows only, translated per camera")
+  }
+}
