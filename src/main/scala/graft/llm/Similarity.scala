@@ -81,6 +81,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ minCos.
+    * The exact form broadcasts one side (embeddings are narrow); the
+    * approximate scale path for huge corpora is [[ivfTopK]]-style cell
+    * sharding, which bounds each comparison to co-located cells.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("i"), col(vecCol).as("_va"))
+    val b = vectors.select(col(idCol).as("j"), col(vecCol).as("_vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("i") < col("j"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= minCos)
+      .select("i", "j", "cos")
+  }
+
   /** Mean recall@k of `approx` against `exact` (both (query_id, neighbor_id)
     * top-k tables). One row: (n_queries, avg_recall).
     */

@@ -55,6 +55,12 @@ object LlmQueries {
       sortAll(Dedup.simhashPairs(sig, 3, 4))
     }),
 
+    // Embedding-cosine near-dup pairs (exact, broadcast side)
+    "d5_embedding_neardup" -> ((s, dir) => {
+      sortAll(Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.35)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos")))
+    }),
+
     // Brute-force exact cosine top-5 for 50 query vectors (the ANN baseline)
     "ann1_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -148,6 +154,16 @@ object LlmQueries {
 
     "d2_ngram_jaccard" -> jaccardOracle,
     "d3_minhash_lsh" -> jaccardOracle,
+
+    "d5_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM $embsPq)
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |  round(list_inner_product(a.e, b.e)
+         |    / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cos
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE list_inner_product(a.e, b.e)
+         |    / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35
+         |${orderBySql("i", "j", "cos")}""".stripMargin,
 
     "ann1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
