@@ -55,28 +55,27 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDf: Long = 0L): DataFrame = {
-    // Shingles travel as xxhash64 longs from here on: 3× less shuffle than
-    // strings and integer equi-joins; a 64-bit collision would need ~10⁹
-    // distinct shingles in one corpus to matter (birthday bound).
-    // Global shingle order = ascending document frequency (rarest first),
-    // so prefixes hold the most selective shingles — with a frequency-skewed
-    // vocabulary a lexicographic order would put the same hot shingles in
-    // every prefix and regenerate the n² candidate blow-up.
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .select(col("_id"), xxhash64(col("shingle")).as("shingle"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
-    // cached: the DAG below consumes `sets` four times (probe explode + both
-    // verify sides); without the cache the whole shingle scan re-runs each
-    // time. One row per doc with an array payload — small relative to input.
-    val sets = sh.join(dfreq, "shingle")
-      .groupBy("_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("_df"), col("shingle")))),
-        x => x("shingle")).as("_sh"))
+    // Shingles travel as xxhash64 longs: 3× less shuffle than strings and
+    // integer equi-joins; a 64-bit collision would need ~10⁹ distinct
+    // shingles in one corpus to matter (birthday bound).
+    // Global shingle order = the hash value itself. Any fixed total order
+    // preserves prefix-filter exactness, and hash order (i) decorrelates
+    // prefix membership from vocabulary frequency — a lexicographic order
+    // puts the same hot shingles in every prefix and regenerates the n²
+    // candidate blow-up — and (ii) needs NO global document-frequency pass,
+    // so the per-doc sorted set is pure column math off the scan.
+    // Cached because the DAG below consumes it three times (probe explode +
+    // both verify sides); one row per doc.
+    val sets = docs
+      .select(col(idCol).as("_id"),
+        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .cache()
     val prefLen = (size(col("_sh")) - ceil(size(col("_sh")) * minJaccard) + 1).cast("int")
-    val probes0 = sets.select(col("_id"),
+    // probes carry their full set alongside the prefix shingle, so candidate
+    // generation and verification are ONE equi-join + one dedup — no
+    // re-join of the sets afterwards
+    val probes0 = sets.select(col("_id"), col("_sh"),
       explode(slice(col("_sh"), lit(1), prefLen)).as("shingle"))
     val probes =
       if (maxShingleDf <= 0) probes0
@@ -85,13 +84,12 @@ object Dedup {
           .filter(col("_df") > maxShingleDf).select("shingle")
         probes0.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    val cand = probes.select(col("_id").as("i"), col("shingle"))
-      .join(probes.select(col("_id").as("j"), col("shingle")), "shingle")
+    probes.select(col("_id").as("i"), col("_sh").as("sh_i"), col("shingle"))
+      .join(probes.select(col("_id").as("j"), col("_sh").as("sh_j"), col("shingle")),
+        "shingle")
       .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-    cand
-      .join(sets.select(col("_id").as("i"), col("_sh").as("sh_i")), "i")
-      .join(sets.select(col("_id").as("j"), col("_sh").as("sh_j")), "j")
+      .groupBy("i", "j") // dedup multi-shingle matches; sets are constant per id
+      .agg(first(col("sh_i")).as("sh_i"), first(col("sh_j")).as("sh_j"))
       .withColumn("m", size(array_intersect(col("sh_i"), col("sh_j"))).cast("long"))
       .withColumn("jaccard", col("m").cast("double") /
         (size(col("sh_i")) + size(col("sh_j")) - col("m")))
@@ -137,8 +135,10 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val cand = lshCandidates(sig, numHashes, bands)
-    // cached: consumed by both verify sides
-    val sets = docs.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
+    // hashed shingle sets (see jaccardPairs), cached: both verify sides
+    val sets = docs
+      .select(col(idCol).as("_id"),
+        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("_sh"))
       .cache()
     cand
       .join(sets.select(col("_id").as("i"), col("_sh").as("sh_i")), "i")

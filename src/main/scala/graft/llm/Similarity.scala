@@ -21,26 +21,52 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Double-precision dot product of two float arrays, summed in index
-    * order (bit-exact reproducible). */
+    * order (bit-exact reproducible). Higher-order-function form — correct
+    * for any length but interpreted, so per-row cost is high. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Primitive-array dot in index order with a double accumulator —
+    * bit-identical to [[dot]], ~100× its throughput. Used inside the
+    * mapPartitions scoring kernels where per-pair cost dominates; column
+    * expressions (HOF or unrolled) evaluate interpreted per element and are
+    * the wrong tool for all-pairs workloads. */
+  @inline def dotKernel(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var k = 0
+    while (k < a.length) { d += a(k).toDouble * b(k).toDouble; k += 1 }
+    d
+  }
 
   /** Cosine similarity = dot / (‖a‖·‖b‖), all double. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
-    * queries/corpus: (idCol, vecCol). Queries are broadcast — the scan is
-    * one pass over the corpus with no shuffle before the per-query top-k.
+    * queries/corpus: (idCol numeric, vecCol). The query set is broadcast
+    * (it must fit in executor memory — same contract as any broadcast side)
+    * and scored against the corpus in one mapPartitions pass over primitive
+    * arrays: no shuffle before the per-query top-k, and the per-pair work
+    * is a tight JVM loop instead of an interpreted expression.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qArr = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v, math.sqrt(dotKernel(v, v))) }
+    val bc = spark.sparkContext.broadcast(qArr)
+    val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (cid, cv) =>
+          val cn = math.sqrt(dotKernel(cv, cv))
+          bc.value.iterator.collect { case (qid, qv, qn) if qid != cid =>
+            (qid, cid, dotKernel(qv, cv) / (qn * cn))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "cos")
@@ -69,13 +95,15 @@ object Similarity {
       .withColumnRenamed(idCol, "neighbor_id")
     val queryCells = assignCells(queries, centroids, idCol, vecCol, nprobe)
       .withColumnRenamed(idCol, "query_id")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
       .join(corpusCells, "neighbor_id")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_qn"))
       .join(queryCells, "query_id")
     val scored = q.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "cos")
@@ -88,13 +116,24 @@ object Similarity {
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
-    val a = vectors.select(col(idCol).as("i"), col(vecCol).as("_va"))
-    val b = vectors.select(col(idCol).as("j"), col(vecCol).as("_vb"))
-    a.crossJoin(broadcast(b))
-      .filter(col("i") < col("j"))
-      .withColumn("cos", cosine(col("_va"), col("_vb")))
-      .filter(col("cos") >= minCos)
-      .select("i", "j", "cos")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val all = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v, math.sqrt(dotKernel(v, v))) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (i, va) =>
+          val na = math.sqrt(dotKernel(va, va))
+          bc.value.iterator.filter(_._1 > i).flatMap { case (j, vb, nb) =>
+            val cos = dotKernel(va, vb) / (na * nb)
+            if (cos >= minCos) Iterator.single((i, j, cos)) else Iterator.empty
+          }
+        }
+      }.toDF("i", "j", "cos")
   }
 
   /** Mean recall@k of `approx` against `exact` (both (query_id, neighbor_id)
