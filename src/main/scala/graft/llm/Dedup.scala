@@ -42,6 +42,55 @@ object Dedup {
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("shingle"))
 
+  /** FNV-1a 64-bit string hash (public-domain algorithm) — the kernel-side
+    * shingle/token hash. */
+  @inline def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Sorted distinct hashed n-gram shingle sets, built in one typed map —
+    * the column-expression form (split/transform/slice/array_join/
+    * array_distinct/array_sort) evaluates interpreted per element and is an
+    * order of magnitude slower on wide documents. Sorted ascending = the
+    * global "hash order" used by prefix filtering.
+    */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split(" ")
+        val hs = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new StringBuilder(toks(i))
+          var k = i + 1
+          while (k < i + n) { sb.append(' ').append(toks(k)); k += 1 }
+          hs.add(fnv64(sb.toString))
+          i += 1
+        }
+        val out = new Array[Long](hs.size)
+        val it = hs.iterator(); var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        (id, out)
+      }.toDF("_id", "_sh")
+  }
+
+  /** Merge-count of two ascending long arrays (exact |A∩B|). */
+  private val intersectCount = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var m = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { m += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    m
+  }
+
   /** Exact n-gram Jaccard pairs ≥ minJaccard via **prefix-filtered**
     * inverted index (Chaudhuri/Xiao-style): under any fixed global shingle
     * order, two sets with Jaccard ≥ τ must share an element within their
@@ -55,20 +104,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDf: Long = 0L): DataFrame = {
-    // Shingles travel as xxhash64 longs: 3× less shuffle than strings and
-    // integer equi-joins; a 64-bit collision would need ~10⁹ distinct
-    // shingles in one corpus to matter (birthday bound).
+    // Shingles travel as 64-bit hashes: 3× less shuffle than strings and
+    // integer equi-joins; a collision would need ~10⁹ distinct shingles in
+    // one corpus to matter (birthday bound).
     // Global shingle order = the hash value itself. Any fixed total order
     // preserves prefix-filter exactness, and hash order (i) decorrelates
     // prefix membership from vocabulary frequency — a lexicographic order
     // puts the same hot shingles in every prefix and regenerates the n²
-    // candidate blow-up — and (ii) needs NO global document-frequency pass,
-    // so the per-doc sorted set is pure column math off the scan.
-    // Cached because the DAG below consumes it three times (probe explode +
-    // both verify sides); one row per doc.
-    val sets = docs
-      .select(col(idCol).as("_id"),
-        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("_sh"))
+    // candidate blow-up — and (ii) needs NO global document-frequency pass.
+    // Cached: the DAG below consumes it twice (both probe sides).
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
       .filter(size(col("_sh")) > 0)
       .cache()
     val prefLen = (size(col("_sh")) - ceil(size(col("_sh")) * minJaccard) + 1).cast("int")
@@ -90,7 +135,7 @@ object Dedup {
       .filter(col("i") < col("j"))
       .groupBy("i", "j") // dedup multi-shingle matches; sets are constant per id
       .agg(first(col("sh_i")).as("sh_i"), first(col("sh_j")).as("sh_j"))
-      .withColumn("m", size(array_intersect(col("sh_i"), col("sh_j"))).cast("long"))
+      .withColumn("m", intersectCount(col("sh_i"), col("sh_j")))
       .withColumn("jaccard", col("m").cast("double") /
         (size(col("sh_i")) + size(col("sh_j")) - col("m")))
       .filter(col("jaccard") >= minJaccard)
@@ -126,6 +171,51 @@ object Dedup {
       .select(col("a._id").as("i"), col("b._id").as("j")).distinct()
   }
 
+  /** Murmur3 finalizer (public-domain mixing constants) — permutes a
+    * shingle hash into the i-th minhash family member. */
+  @inline private def mix(h: Long, i: Int): Long = {
+    var x = h ^ (0x9E3779B97F4A7C15L * (i + 1))
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+    x
+  }
+
+  /** (id, band, bandHash) LSH bucket table computed in ONE typed map per
+    * document: k minhash mins and the band digests come out of the same
+    * shingle pass — no explode, no k-column aggregation. */
+  def minhashBandTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split(" ")
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new StringBuilder(toks(i))
+          var k = i + 1
+          while (k < i + n) { sb.append(' ').append(toks(k)); k += 1 }
+          val h = fnv64(sb.toString)
+          var f = 0
+          while (f < numHashes) {
+            val m = mix(h, f)
+            if (m < mins(f)) mins(f) = m
+            f += 1
+          }
+          i += 1
+        }
+        if (i == 0) Iterator.empty
+        else (0 until bands).iterator.map { b =>
+          var bh = 1125899906842597L
+          var j = b * r
+          while (j < (b + 1) * r) { bh = 31 * bh + mins(j); j += 1 }
+          (id, b, bh)
+        }
+      }.toDF("_id", "band", "bh")
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified: band candidates are checked
     * with true shingle-set Jaccard (array intersect on the two docs' shingle
     * sets), so emitted pairs are exactly those ≥ minJaccard that banding
@@ -133,17 +223,16 @@ object Dedup {
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
-    val cand = lshCandidates(sig, numHashes, bands)
+    val bt = minhashBandTable(docs, idCol, textCol, n, numHashes, bands)
+    val cand = bt.alias("a").join(bt.alias("b"), Seq("band", "bh"))
+      .filter(col("a._id") < col("b._id"))
+      .select(col("a._id").as("i"), col("b._id").as("j")).distinct()
     // hashed shingle sets (see jaccardPairs), cached: both verify sides
-    val sets = docs
-      .select(col(idCol).as("_id"),
-        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("_sh"))
-      .cache()
+    val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
     cand
       .join(sets.select(col("_id").as("i"), col("_sh").as("sh_i")), "i")
       .join(sets.select(col("_id").as("j"), col("_sh").as("sh_j")), "j")
-      .withColumn("m", size(array_intersect(col("sh_i"), col("sh_j"))).cast("long"))
+      .withColumn("m", intersectCount(col("sh_i"), col("sh_j")))
       .withColumn("jaccard", col("m").cast("double") /
         (size(col("sh_i")) + size(col("sh_j")) - col("m")))
       .filter(col("jaccard") >= minJaccard)
@@ -155,17 +244,23 @@ object Dedup {
     * One explode + one aggregation (64 conditional sums).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"s$b")
-    }
-    val summed = tok.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    summed.select(col("_id"), sig.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new Array[Long](64)
+        text.toLowerCase.split(" ").foreach { w =>
+          val h = fnv64(w)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L; var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      }.toDF("_id", "simhash")
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist via band
