@@ -82,6 +82,43 @@ class DetectorSpec extends AnyFunSuite {
     assert(tube.end_ts.getTime === t0.getTime + 20 * 20)
   }
 
+  test("detectTubeTests: annulus ROI gate keeps/rejects the corridor") {
+    val rows = (0 to 69).flatMap { f =>
+      if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)
+      else mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140.0 + 3 * (f - 19), 50, 1)
+    }
+    // centroids sit 50–290 px from (0,50): an annulus covering that band
+    // admits the event; a far-away annulus filters every candidate out
+    val in = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
+      roi = Some((0.0, 50.0, 50.0, 400.0))).collect()
+    assert(in.length === 1)
+    val out = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
+      roi = Some((5000.0, 5000.0, 10.0, 20.0))).collect()
+    assert(out.isEmpty)
+  }
+
+  test("detectFights: blob-speed condition 3 gates candidates") {
+    def blob(speedPxPerFrame: Double) = (0 to 260).map { f =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L),
+        100.0 + f * speedPxPerFrame, 100.0)
+    }.toSeq.toDF("time", "x", "y")
+    val rows = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 140, 104, 1)
+    }
+    // fast blob (10 px/frame ≈ 92 cm/s > 3 cm/s): fight detected
+    val fast = Detectors.detectFights(poseDf(rows), Some(blob(10.0)), parts,
+      Detectors.FightParams()).collect()
+    assert(fast.length === 1)
+    // stationary blob (0 px/frame < 3 cm/s): condition 3 kills every frame
+    val slow = Detectors.detectFights(poseDf(rows), Some(blob(0.0)), parts,
+      Detectors.FightParams()).collect()
+    assert(slow.isEmpty)
+  }
+
   test("detectTubeTests golden: B squeezes past without turning → no event") {
     val rows = (0 to 69).flatMap { f =>
       if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)

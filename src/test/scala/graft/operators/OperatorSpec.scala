@@ -97,6 +97,14 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bfill mirrors ffill on the reversed sequence") {
+    val df = Seq((1L, None), (2L, Some(5L)), (3L, None), (4L, Some(7L)), (5L, None))
+      .map { case (t, v) => (t, v) }.toDF("t", "v")
+    val b = Fill.bfill(df, Seq("v"), "t").orderBy("t").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(b.toSeq === Seq(Some(5L), Some(5L), Some(7L), Some(7L), None))
+  }
+
   test("Assignment.solve matches brute force on random matrices (property)") {
     val rnd = new Random(42)
     for (_ <- 0 until 200) {
