@@ -27,6 +27,15 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Codegen'd native dot product (custom Catalyst expression) — the
+    * declarative form with kernel-class throughput; identical index-order
+    * double arithmetic as [[dot]]/[[dotKernel]]. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Primitive-array dot in index order with a double accumulator —
     * bit-identical to [[dot]], ~100× its throughput. Used inside the
     * mapPartitions scoring kernels where per-pair cost dominates; column
@@ -38,9 +47,10 @@ object Similarity {
     d
   }
 
-  /** Cosine similarity = dot / (‖a‖·‖b‖), all double. */
+  /** Cosine similarity = dot / (‖a‖·‖b‖), all double, via the codegen'd
+    * native dot. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * queries/corpus: (idCol numeric, vecCol). The query set is broadcast
@@ -96,14 +106,15 @@ object Similarity {
     val queryCells = assignCells(queries, centroids, idCol, vecCol, nprobe)
       .withColumnRenamed(idCol, "query_id")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
       .join(corpusCells, "neighbor_id")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("_qn"))
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"))
       .join(queryCells, "query_id")
     val scored = q.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("cos",
+        dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "cos")

@@ -64,6 +64,32 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(c((1L, 2L)) - 10.0 / 14.0) < 1e-12)
   }
 
+  test("native DotProduct expression: bit-identical to HOF and kernel, codegen'd") {
+    import spark.implicits._
+    val df = embs.limit(200).select(col("vec_id"),
+      Similarity.dot(col("embedding"), col("embedding")).as("hof"),
+      Similarity.dotNative(col("embedding"), col("embedding")).as("native"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"vec ${r.getLong(0)}")
+    }
+    val kernelCheck = embs.limit(50).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val nativeVals = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    kernelCheck.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(Similarity.dotKernel(v, v)) ===
+        java.lang.Double.doubleToLongBits(nativeVals(id)))
+    }
+    // the native expression stays inside whole-stage codegen (the HOF column
+    // above would break codegen for the shared projection, so check alone)
+    val nativeOnly = embs.select(
+      Similarity.dotNative(col("embedding"), col("embedding")).as("native"))
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"native-only projection must codegen:\n$plan")
+  }
+
   test("winnowing sketch: deterministic, shift-invariant overlap for shared content") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "PREFIX PREFIX " + a // same content, shifted
