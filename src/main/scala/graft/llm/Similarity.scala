@@ -54,17 +54,24 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * queries/corpus: (idCol numeric, vecCol). The query set is broadcast
-    * (it must fit in executor memory — same contract as any broadcast side)
-    * and scored against the corpus in one mapPartitions pass over primitive
-    * arrays: no shuffle before the per-query top-k, and the per-pair work
-    * is a tight JVM loop instead of an interpreted expression.
+    * (it must fit in executor memory — same contract as any broadcast side,
+    * enforced by `maxBroadcastQueries`: the collect is capped, and exceeding
+    * the cap fails fast instead of OOMing the driver) and scored against the
+    * corpus in one mapPartitions pass over primitive arrays: no shuffle
+    * before the per-query top-k, and the per-pair work is a tight JVM loop
+    * instead of an interpreted expression. For a LARGE query side, use
+    * [[ivfTopK]] (both sides stay distributed).
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, maxBroadcastQueries: Int = 1 << 17): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qArr = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect()
+    val taken = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].take(maxBroadcastQueries + 1)
+    require(taken.length <= maxBroadcastQueries,
+      s"cosineTopK query side exceeds maxBroadcastQueries=$maxBroadcastQueries rows; " +
+        "use ivfTopK for a distributed query side")
+    val qArr = taken
       .map { case (id, v) => (id, v, math.sqrt(dotKernel(v, v))) }
     val bc = spark.sparkContext.broadcast(qArr)
     val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
@@ -120,31 +127,134 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
-  /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ minCos.
-    * The exact form broadcasts one side (embeddings are narrow); the
-    * approximate scale path for huge corpora is [[ivfTopK]]-style cell
-    * sharding, which bounds each comparison to co-located cells.
+  /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ minCos —
+    * EXACT, fully distributed block-triangle all-pairs. No driver collect,
+    * no full-corpus broadcast: each vector is routed to the block-pair
+    * tasks its block participates in (G replicas for G blocks), and every
+    * task compares two bounded blocks in a tight primitive-array loop.
+    *
+    * Scale contract: per-task memory is O(2·n/G · dim); total shuffle is
+    * n·G vectors; compute is the inherent O(n²·dim) of an exact low-threshold
+    * scan, spread over G·(G+1)/2 independent tasks. `numBlocks` = 0 picks
+    * G from the corpus size so a block stays ≤ `maxRowsPerBlock` rows and
+    * there are at least ~2× defaultParallelism tasks. For thresholds high
+    * enough to imply true near-duplicates (≳0.8), prefer
+    * [[lshNearDupPairs]], which prunes candidates sub-quadratically.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      minCos: Double): DataFrame = {
+      minCos: Double, numBlocks: Int = 0,
+      maxRowsPerBlock: Int = 1 << 16): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val all = vectors.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, v) => (id, v, math.sqrt(dotKernel(v, v))) }
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
-    vectors.select(col(idCol).cast("long"), col(vecCol))
+    val v = vectors.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        rows.flatMap { case (i, va) =>
-          val na = math.sqrt(dotKernel(va, va))
-          bc.value.iterator.filter(_._1 > i).flatMap { case (j, vb, nb) =>
-            val cos = dotKernel(va, vb) / (na * nb)
-            if (cos >= minCos) Iterator.single((i, j, cos)) else Iterator.empty
-          }
+    val g =
+      if (numBlocks > 0) numBlocks
+      else {
+        val n = v.count()
+        val byPar = math.ceil(math.sqrt(
+          2.0 * spark.sparkContext.defaultParallelism)).toInt
+        val byMem = math.ceil(n.toDouble / maxRowsPerBlock).toInt
+        math.max(2, math.max(byPar, byMem))
+      }
+    // (task, isRight, id, vec): block b is the LEFT side of tasks (b, b..G-1)
+    // — including the diagonal, compared i<j within — and the RIGHT side of
+    // tasks (0..b-1, b). Golden-ratio mixing spreads sequential ids evenly.
+    val reps = v.flatMap { case (id, vec) =>
+      val b = (((id * 0x9E3779B97F4A7C15L) >>> 33) % g).toInt
+      (b until g).iterator.map(o => (b * g + o, false, id, vec)) ++
+        (0 until b).iterator.map(a => (a * g + b, true, id, vec))
+    }
+    reps.groupByKey(_._1).flatMapGroups { (task, rows) =>
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      rows.foreach { case (_, isRight, id, vec) =>
+        val e = (id, vec, math.sqrt(dotKernel(vec, vec)))
+        if (isRight) right += e else left += e
+      }
+      val diagonal = task / g == task % g
+      val out = Iterator.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < left.length) {
+        val (ia, va, na) = left(i)
+        val other = if (diagonal) left else right
+        var j = if (diagonal) i + 1 else 0
+        while (j < other.length) {
+          val (ib, vb, nb) = other(j)
+          val cos = dotKernel(va, vb) / (na * nb)
+          if (cos >= minCos)
+            out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+          j += 1
         }
-      }.toDF("i", "j", "cos")
+        i += 1
+      }
+      out.result()
+    }.toDF("i", "j", "cos")
+  }
+
+  /** Deterministic Rademacher (±1) hyperplane component for (dim j, bit k):
+    * one bit of a murmur-style mix — public-domain constants. */
+  @inline private def radSign(j: Int, k: Int): Float = {
+    var x = (j.toLong << 32 | (k & 0xffffffffL)) * 0x9E3779B97F4A7C15L
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 29
+    if ((x & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  /** Approximate near-duplicate pairs via random-hyperplane LSH with exact
+    * verification — the sub-quadratic scale tier for genuinely-near
+    * duplicates (minCos ≳ 0.8, where sign-bit collision probability
+    * 1 − θ/π is high enough for banding to recall reliably).
+    *
+    * Shape (the same id-only candidate discipline as
+    * [[Dedup.minhashDedupPairs]]): one typed pass computes `numBits`
+    * sign-bits per vector from deterministic Rademacher hyperplanes and
+    * folds them into `bands` band digests → band equi-join on (band,
+    * digest) yields id-only candidate pairs → candidates join the vector
+    * table twice and are verified with the exact codegen'd dot, so every
+    * emitted pair truly has cosine ≥ minCos (banding can only lose recall,
+    * never precision). Nothing wider than (id, band, digest) or a
+    * candidate's two vectors ever shuffles.
+    *
+    * Miss probability for a pair at cosine c: (1 − p^r)^bands with
+    * p = 1 − arccos(c)/π, r = numBits/bands — at the defaults (128, 16)
+    * and c = 0.95, < 1e-8.
+    */
+  def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, numBits: Int = 128, bands: Int = 16): DataFrame = {
+    require(numBits % bands == 0, "bands must divide numBits")
+    require(numBits % 64 == 0, "numBits must be a multiple of 64")
+    val r = numBits / bands
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long"), col(vecCol))
+    val bandTable = v.as[(Long, Array[Float])].flatMap { case (id, vec) =>
+      val bits = new Array[Boolean](numBits)
+      var k = 0
+      while (k < numBits) {
+        var s = 0.0; var j = 0
+        while (j < vec.length) { s += radSign(j, k) * vec(j); j += 1 }
+        bits(k) = s >= 0
+        k += 1
+      }
+      (0 until bands).iterator.map { b =>
+        var digest = 1125899906842597L
+        var k2 = b * r
+        while (k2 < (b + 1) * r) {
+          digest = 31 * digest + (if (bits(k2)) 1 else 0); k2 += 1
+        }
+        (id, b, digest)
+      }
+    }.toDF("_id", "band", "digest")
+    val cand = bandTable.alias("a").join(bandTable.alias("b"), Seq("band", "digest"))
+      .filter(col("a._id") < col("b._id"))
+      .select(col("a._id").as("i"), col("b._id").as("j")).distinct()
+    cand
+      .join(v.toDF("i", "_vi"), "i")
+      .join(v.toDF("j", "_vj"), "j")
+      .withColumn("cos", dotNative(col("_vi"), col("_vj")) /
+        (sqrt(dotNative(col("_vi"), col("_vi"))) * sqrt(dotNative(col("_vj"), col("_vj")))))
+      .filter(col("cos") >= minCos)
+      .select("i", "j", "cos")
   }
 
   /** Mean recall@k of `approx` against `exact` (both (query_id, neighbor_id)

@@ -55,7 +55,8 @@ object LlmQueries {
       sortAll(Dedup.simhashPairs(sig, 3, 4))
     }),
 
-    // Embedding-cosine near-dup pairs (exact, broadcast side)
+    // Embedding-cosine near-dup pairs — exact distributed block-triangle
+    // all-pairs (no driver collect; per-task memory bounded by block size)
     "d5_embedding_neardup" -> ((s, dir) => {
       sortAll(Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.35)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos")))

@@ -51,6 +51,62 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 = $recall below floor")
   }
 
+  test("blocked near-dup pairs equal brute-force all-pairs (exact, no collect)") {
+    import spark.implicits._
+    val got = Similarity.cosineNearDupPairs(embs, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = embs.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v, math.sqrt(Similarity.dotKernel(v, v))) }
+    val brute = (for {
+      (i, vi, ni) <- all; (j, vj, nj) <- all if i < j
+      if Similarity.dotKernel(vi, vj) / (ni * nj) >= 0.35
+    } yield (i, j)).toSet
+    assert(brute.nonEmpty, "fixture should contain qualifying pairs")
+    assert(got === brute, s"missed=${brute.diff(got)} spurious=${got.diff(brute)}")
+    // explicit block counts partition identically
+    val g4 = Similarity.cosineNearDupPairs(embs, "vec_id", "embedding", 0.35, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g4 === brute)
+  }
+
+  test("hyperplane-LSH near-dup recalls the full pair set on planted clusters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(Similarity.dotKernel(v, v)).toFloat
+      v.map(_ / n)
+    }
+    def randv() = unit(Array.fill(dim)(rng.nextGaussian().toFloat))
+    // 20 clusters of 5 (intra-cos ≈ 0.97) over 200 background vectors
+    val centers = Array.fill(20)(randv())
+    val rows = centers.zipWithIndex.flatMap { case (c, k) =>
+      (0 until 5).map { m =>
+        val noisy = c.zip(Array.fill(dim)((rng.nextGaussian() * 0.02).toFloat))
+          .map { case (a, b) => a + b }
+        ((k * 5 + m).toLong, unit(noisy))
+      }
+    } ++ (0 until 200).map(i => ((100 + i).toLong, randv()))
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    val brute = (for {
+      (i, vi) <- rows; (j, vj) <- rows if i < j
+      if Similarity.dotKernel(vi, vj) >= 0.9
+    } yield (i, j)).toSet
+    assert(brute.size >= 100, s"fixture too sparse: ${brute.size}")
+    val lsh = Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute, s"missed=${brute.diff(lsh)} spurious=${lsh.diff(brute)}")
+  }
+
+  test("cosineTopK fails fast when the query side exceeds the broadcast cap") {
+    val q = embs.filter(col("vec_id") < 50)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5, maxBroadcastQueries = 10)
+    }
+    assert(e.getMessage.contains("maxBroadcastQueries"))
+  }
+
   test("cosine is symmetric, 1 on self, deterministic") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(3f, 2f, 1f)))
