@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
-import graft.operators.{Fill, Sessionize}
+import graft.operators.{Buckets, Fill, Sessionize}
 
 /** Behavior detectors — the reference's signature analytics queries
   * (`social_behavior_detection/social_behaviour_detection.py`: tube tests
@@ -22,11 +22,14 @@ import graft.operators.{Fill, Sessionize}
   *
   * Scope note: one invocation processes ONE epoch (the reference's unit of
   * work — an epoch is one continuous recording). Per-frame feature stages
-  * are fully partition-parallel; only the *candidate frame ids* (sparse,
-  * orders of magnitude smaller than the stream) pass through an
-  * unpartitioned sessionization window. Multi-epoch corpora shard by epoch
-  * around this API, which also preserves the reference's session-boundary
-  * semantics at epoch edges.
+  * are fully partition-parallel; full-stream sequential math (ffill, blob
+  * speed) runs through hour-bucketed windows ([[graft.operators.Buckets]] /
+  * [[Fill.ffillBucketed]]) so no stage sorts the epoch on one task. Only the
+  * *candidate frame ids* (sparse, orders of magnitude smaller than the
+  * stream) pass through an unpartitioned sessionization window. Multi-epoch
+  * corpora use [[detectFightsAllEpochs]] / [[detectTubeTestsAllEpochs]],
+  * which shard by epoch around this API and preserve the reference's
+  * session-boundary semantics at epoch edges.
   */
 object Detectors {
 
@@ -95,9 +98,10 @@ object Detectors {
     val wide = framed.groupBy("frame")
       .agg(min(unix_micros(col("time"))).as("tsUs"), aggs: _*)
     // dense spine: every frame id in [0, max] exists (empty frames = NaNs),
-    // matching the reference's dense tensor semantics
-    val spine = wide.agg(max("frame").as("maxF"))
-      .select(explode(sequence(lit(0L), col("maxF"))).as("frame"))
+    // matching the reference's dense tensor semantics; chunked explode so no
+    // single task generates the whole epoch's range
+    val spine = graft.operators.Buckets.densifiedRange(
+      wide.agg(max("frame").as("maxF")), "maxF", "frame")
     spine.join(wide, Seq("frame"), "left")
       .crossJoin(broadcast(bounds))
       .withColumn("tsUs", coalesce(col("tsUs"),
@@ -193,8 +197,11 @@ object Detectors {
         feat0.join(sp, Seq("frame"), "left")
       case None => feat0.withColumn("blob_speed", lit(Double.MaxValue))
     }
-    val ff = Fill.ffill(feat.withColumn("cdist_ff",
-      when(col("cdist").isNaN, lit(null)).otherwise(col("cdist"))), Seq("cdist_ff"), "frame")
+    // bucketed ffill: exact pandas-ffill semantics with no global sort task
+    // (an epoch spine can be 10⁹ frames); bucket = 1 h of frames
+    val ff = Fill.ffillBucketed(feat.withColumn("cdist_ff",
+      when(col("cdist").isNaN, lit(null)).otherwise(col("cdist"))), Seq("cdist_ff"),
+      "frame", bucketSize = math.max(1L, (p.fps * 3600).toLong))
     val cond1 = col("cdist_ff") < p.maxDistance
     val cond2 = col("nh0") > p.maxNoseHeadDistance || col("nh1") > p.maxNoseHeadDistance ||
       col("is0") > p.maxInterspinalDistance || col("is1") > p.maxInterspinalDistance
@@ -239,25 +246,137 @@ object Detectors {
     }
   }
 
-  /** Blob-position stream → per-frame smoothed speed (cm/s): W1 lag-diff,
-    * dt<10 ms anomaly drop (T5), 10-frame "same"-mode moving average (W4).
-    * Reference `social_behaviour_detection.py:579-601`. */
-  def blobSpeed(blob: DataFrame, fps: Double, cm2px: Double): DataFrame = {
+  /** Blob-position stream → per-frame smoothed speed (cm/s), matching the
+    * reference recipe (`social_behaviour_detection.py:579-601`) exactly:
+    *
+    *   1. drop rows whose dt to the ORIGINAL predecessor is < 10 ms
+    *      (one pass, not iterated — the reference recomputes diffs once);
+    *   2. recompute dxy/dt against the NEW predecessor of the survivors;
+    *   3. speed = ‖dxy‖ / dt_ms / cm2px · 1000, with a leading speed-0
+    *      sample (np.concatenate(([0], …)));
+    *   4. 10-row uniform "same"-mode convolution = rows (−5, +4) sum / 10
+    *      (missing rows at the stream edges contribute 0, like zero-pad);
+    *   5. aggregate to ONE row per frame id (avg) so the feature join never
+    *      fans out frames.
+    *
+    * All windows are hour-bucketed with ghost edge rows ([[Buckets]]) — no
+    * global single-task sort anywhere, exact equality with the global plan.
+    */
+  def blobSpeed(blob: DataFrame, fps: Double, cm2px: Double,
+      bucketSeconds: Long = 3600): DataFrame = {
     val bounds = blob.agg(min(unix_micros(col("time"))).as("t0us"))
-    val w = Window.orderBy("time")
-    val stepped = blob.na.drop(Seq("x", "y"))
-      .withColumn("pt", lag(unix_micros(col("time")), 1).over(w))
-      .withColumn("px", lag(col("x"), 1).over(w))
-      .withColumn("py", lag(col("y"), 1).over(w))
-      .withColumn("dtMs", (unix_micros(col("time")) - col("pt")) / lit(1000.0))
-      .filter(col("dtMs") >= 10.0) // drop duplicate/abnormal samples
-      .withColumn("speed",
-        hypot(col("x") - col("px"), col("y") - col("py")) / col("dtMs") / cm2px * 1000.0)
-    val smoothW = Window.orderBy("frame").rowsBetween(-5, 4)
-    stepped.crossJoin(broadcast(bounds))
-      .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
+    val bUs = bucketSeconds * 1000000L
+    val base = blob.na.drop(Seq("x", "y"))
+      .withColumn("_tus", unix_micros(col("time")))
+      .withColumn("_bkt", (col("_tus") / bUs).cast("long"))
+    // pass 1: dt anomaly drop (keep the stream head: null dt survives)
+    val w1 = Window.partitionBy("_bkt").orderBy("_tus")
+    val kept = Buckets.withGhosts(base, "_bkt", "_tus", 1, 0)
+      .withColumn("_pt", lag(col("_tus"), 1).over(w1))
+      .filter(!col("_ghost"))
+      .filter(col("_pt").isNull || (col("_tus") - col("_pt")) / 1000.0 >= 10.0)
+      .drop("_ghost", "_pt")
+    // pass 2: recomputed lag + smoothing. before=6 = 5 (smoothing extent)
+    // + 1 so every ghost inside a live smoothing window has its own lag
+    // partner; the one ghost with a wrong 0-speed (first of the 6) is
+    // outside every surviving row's window.
+    val w2 = Window.partitionBy("_bkt").orderBy("_tus")
+    val smoothW = w2.rowsBetween(-5, 4)
+    val sp = Buckets.withGhosts(kept, "_bkt", "_tus", 6, 4)
+      .withColumn("_pt", lag(col("_tus"), 1).over(w2))
+      .withColumn("_px", lag(col("x"), 1).over(w2))
+      .withColumn("_py", lag(col("y"), 1).over(w2))
+      .withColumn("speed", when(col("_pt").isNull, 0.0).otherwise(
+        hypot(col("x") - col("_px"), col("y") - col("_py"))
+          / floor((col("_tus") - col("_pt")) / 1000.0) / cm2px * 1000.0))
       .withColumn("blob_speed", sum(col("speed")).over(smoothW) / 10.0)
-      .select("frame", "blob_speed")
+      .filter(!col("_ghost"))
+    sp.crossJoin(broadcast(bounds))
+      .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
+      .groupBy("frame").agg(avg(col("blob_speed")).as("blob_speed"))
+  }
+
+  /** Split [start, end) into 24 h periods cut at `boundaryHour` local time
+    * (reference `detect_fights_all_epochs.py:96-170`): first period runs
+    * from start to the first boundary, then whole days boundary→boundary,
+    * then the remainder. Pure metadata math — periods are few. */
+  def periods24h(startUs: Long, endUs: Long, boundaryHour: Int,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Seq[(Long, Long)] = {
+    import java.time.{Instant, ZonedDateTime}
+    val start = Instant.ofEpochSecond(startUs / 1000000L, (startUs % 1000000L) * 1000L)
+      .atZone(zone)
+    val end = Instant.ofEpochSecond(endUs / 1000000L, (endUs % 1000000L) * 1000L)
+      .atZone(zone)
+    val sameDay = start.toLocalDate.atTime(boundaryHour, 0).atZone(zone)
+    val firstBoundary = if (start.isBefore(sameDay)) sameDay else sameDay.plusDays(1)
+    def us(z: ZonedDateTime) = z.toInstant.getEpochSecond * 1000000L +
+      z.toInstant.getNano / 1000L
+    if (!firstBoundary.isBefore(end) && !firstBoundary.isEqual(end))
+      Seq((startUs, endUs))
+    else {
+      val b = scala.collection.mutable.ArrayBuffer((startUs, us(firstBoundary)))
+      var cur = firstBoundary
+      while (!cur.plusDays(1).isAfter(end)) {
+        b += ((us(cur), us(cur.plusDays(1)))); cur = cur.plusDays(1)
+      }
+      if (us(cur) < endUs) b += ((us(cur), endUs))
+      b.toSeq
+    }
+  }
+
+  /** Multi-epoch fight detection (reference `detect_fights_all_epochs.py`):
+    * one [[detectFights]] shard per epoch × 24 h period (cut at
+    * `boundaryHour`, reference default 2 AM), all shards unioned into ONE
+    * lazy distributed plan. The driver enumerates only epoch METADATA
+    * (min/max time per epoch — recording sessions, dozens not billions);
+    * every shard's heavy work stays distributed. Events never span a period
+    * boundary — the reference's per-job semantics.
+    *
+    * Output: FightEvent columns + `epoch`, `period_start`.
+    */
+  def detectFightsAllEpochs(pose: DataFrame, blob: Option[DataFrame],
+      parts: Map[String, String], p: FightParams, epochCol: String = "epoch",
+      boundaryHour: Int = 2): DataFrame = {
+    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e) =>
+      val sub = pose.filter(col(epochCol) === ep &&
+        unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
+      val subBlob = blob.map(_.filter(
+        unix_micros(col("time")) >= s && unix_micros(col("time")) < e))
+      detectFights(sub.drop(epochCol), subBlob, parts, p).toDF()
+    }
+  }
+
+  /** Multi-epoch tube-test detection — same sharding contract as
+    * [[detectFightsAllEpochs]]. */
+  def detectTubeTestsAllEpochs(pose: DataFrame, parts: Map[String, String],
+      p: TubeParams, roi: Option[(Double, Double, Double, Double)] = None,
+      epochCol: String = "epoch", boundaryHour: Int = 2): DataFrame = {
+    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e) =>
+      val sub = pose.filter(col(epochCol) === ep &&
+        unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
+      detectTubeTests(sub.drop(epochCol), parts, p, roi).toDF()
+    }
+  }
+
+  /** Enumerate (epoch, period) shards from epoch metadata and union the
+    * per-shard plans produced by `build`. */
+  private def shardedByEpoch(pose: DataFrame, epochCol: String,
+      boundaryHour: Int)(build: (String, Long, Long) => DataFrame): DataFrame = {
+    val epochs = pose.groupBy(col(epochCol).cast("string").as("_ep"))
+      .agg(min(unix_micros(col("time"))).as("_s"),
+        max(unix_micros(col("time"))).as("_e"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val shards = for {
+      (ep, s, e) <- epochs.toSeq
+      // max(time) is inclusive → +1 µs so the last sample stays in range
+      (ps, pe) <- periods24h(s, e + 1, boundaryHour)
+    } yield build(ep, ps, pe)
+      .withColumn("epoch", lit(ep))
+      .withColumn("period_start", timestamp_micros(lit(ps)))
+    shards.reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException("no epochs found"))
   }
 
   /** Tube-test detection end-to-end (reference `detect_tube_tests`,

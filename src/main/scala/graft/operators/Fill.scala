@@ -28,6 +28,44 @@ object Fill {
     cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** Scale-safe forward fill over a numeric order column: exact [[ffill]]
+    * semantics with NO single-partition sort. Rows are bucketed by
+    * `floor(orderCol / bucketSize)`; each bucket ffills independently
+    * (parallel), then a bucket-summary table (one row per bucket — thousands
+    * of rows for a multi-week epoch, vs billions of stream rows) computes
+    * each bucket's carry-in value with an ordinary cumulative window, and a
+    * broadcast join fills each bucket's leading null run. Two shuffles
+    * total, both partitioned.
+    */
+  def ffillBucketed(df: DataFrame, cols: Seq[String], orderCol: String,
+      bucketSize: Long, by: Seq[String] = Nil): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val d0 = df.withColumn("_fb", floor(col(orderCol) / bucketSize))
+    val keys = by :+ "_fb"
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = cols.foldLeft(d0)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // per-bucket last non-null value per column: max of (order, value)
+    // structs over non-null rows — deterministic, one tiny row per bucket
+    val summ = d0.groupBy(keys.map(col): _*)
+      .agg(max(when(col(cols.head).isNotNull,
+          struct(col(orderCol).as("o"), col(cols.head).as("v")))).as(s"_s_${cols.head}"),
+        cols.tail.map(c => max(when(col(c).isNotNull,
+          struct(col(orderCol).as("o"), col(c).as("v")))).as(s"_s_$c")): _*)
+    // carry-in per bucket = most recent preceding bucket's last non-null
+    // tiny table (one row per bucket): a single-partition window is fine here
+    val wS = part(by).orderBy(col("_fb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summ.select((keys.map(col) ++ cols.map(c =>
+      last(col(s"_s_$c"), ignoreNulls = true).over(wS).getField("v")
+        .as(s"_carry_$c"))): _*)
+    val joined = local.join(broadcast(carry), keys)
+    cols.foldLeft(joined)((d, c) =>
+        d.withColumn(c, coalesce(col(c), col(s"_carry_$c"))))
+      .drop("_fb" +: cols.map(c => s"_carry_$c"): _*)
+  }
+
   /** Backward-fill (mirror of ffill). */
   def bfill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil,
       tieBreak: Seq[String] = Nil): DataFrame = {

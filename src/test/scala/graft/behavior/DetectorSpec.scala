@@ -119,6 +119,72 @@ class DetectorSpec extends AnyFunSuite {
     assert(slow.isEmpty)
   }
 
+  test("blobSpeed matches the reference recipe: anomaly drop, lag recompute, leading 0, per-frame rows") {
+    // times in ms; t=45 has dt=5 < 10 ms → dropped; survivors' diffs are
+    // recomputed against the NEW predecessor (t=40 → t=60 bridges the drop)
+    val timesMs = Seq(0L, 20L, 40L, 45L, 60L, 80L, 100L, 120L, 140L, 160L, 180L, 200L)
+    val xs = timesMs.indices.map(_ * 10.0)
+    val cm2px = 5.4
+    val blob = timesMs.zip(xs).map { case (t, x) =>
+      (new java.sql.Timestamp(t0.getTime + t), x, 0.0)
+    }.toDF("time", "x", "y")
+    val got = Detectors.blobSpeed(blob, 50.0, cm2px).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replicate the numpy recipe
+    val keep = timesMs.indices.filter(i => i == 0 || timesMs(i) - timesMs(i - 1) >= 10)
+    val kt = keep.map(timesMs); val kx = keep.map(xs)
+    val speeds = 0.0 +: (1 until kt.length).map { i =>
+      math.abs(kx(i) - kx(i - 1)) / math.floor((kt(i) - kt(i - 1)).toDouble) / cm2px * 1000.0
+    }
+    val smoothed = speeds.indices.map { i =>
+      (math.max(0, i - 5) to math.min(speeds.length - 1, i + 4)).map(speeds).sum / 10.0
+    }
+    val want = kt.indices.groupBy(i => math.round(kt(i) * 50.0 / 1000.0))
+      .map { case (f, is) => f -> is.map(smoothed).sum / is.size }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (f, v) => assert(math.abs(got(f) - v) < 1e-9, s"frame $f") }
+    // exactly one row per frame — the feature join cannot fan out
+    assert(got.size === keep.size)
+  }
+
+  test("multi-epoch wrapper: events detected independently in both epochs") {
+    val fight = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+    }
+    val twoEpochs = fight.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y, "epochA")
+    } ++ fight.map { case (f, id, part, x, y) =>
+      // second epoch 3 days later
+      (new java.sql.Timestamp(t0.getTime + 3L * 86400000L + f * 20L), id, part, x, y, "epochB")
+    }
+    val pose = twoEpochs.toDF("time", "identity", "part", "x", "y", "epoch")
+    val out = Detectors.detectFightsAllEpochs(pose, None, parts,
+      Detectors.FightParams()).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("epoch")).sorted.toSeq === Seq("epochA", "epochB"))
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("duration_sec") - 2.0) < 1e-9)
+    }
+  }
+
+  test("periods24h splits at the boundary hour like the reference") {
+    val zone = java.time.ZoneOffset.UTC
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    // start 23:00 day1, end 04:00 day3 → [23:00→02:00), [02:00→02:00+24h), [02:00→04:00)
+    val p = Detectors.periods24h(us("2024-06-01T23:00:00Z"), us("2024-06-03T04:00:00Z"), 2, zone)
+    assert(p === Seq(
+      (us("2024-06-01T23:00:00Z"), us("2024-06-02T02:00:00Z")),
+      (us("2024-06-02T02:00:00Z"), us("2024-06-03T02:00:00Z")),
+      (us("2024-06-03T02:00:00Z"), us("2024-06-03T04:00:00Z"))))
+    // epoch entirely before the first boundary → single period
+    val q = Detectors.periods24h(us("2024-06-01T03:00:00Z"), us("2024-06-01T23:00:00Z"), 2, zone)
+    assert(q === Seq((us("2024-06-01T03:00:00Z"), us("2024-06-01T23:00:00Z"))))
+  }
+
   test("detectTubeTests golden: B squeezes past without turning → no event") {
     val rows = (0 to 69).flatMap { f =>
       if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import scala.util.Random
+
+/** Exactness of the bucketed-window plumbing vs the global-sort plan, and
+  * the distributed dense-range spine. */
+class BucketsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ffillBucketed equals global ffill on sparse random data (property)") {
+    val rnd = new Random(11)
+    val rows = (0L until 5000L).map { i =>
+      (i, if (rnd.nextDouble() < 0.85) null else java.lang.Double.valueOf(rnd.nextDouble()),
+        if (rnd.nextDouble() < 0.95) null else java.lang.Double.valueOf(rnd.nextDouble()))
+    }
+    val df = rows.toDF("ord", "a", "b")
+    val global = Fill.ffill(df, Seq("a", "b"), "ord")
+      .select("ord", "a", "b").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // bucket size 100 → 50 buckets, many all-null buckets for column b
+    val bucketed = Fill.ffillBucketed(df, Seq("a", "b"), "ord", bucketSize = 100)
+      .select("ord", "a", "b").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(bucketed === global)
+  }
+
+  test("withGhosts: bucketed lag + moving sum equal the global-sort window") {
+    val rnd = new Random(13)
+    // irregular time steps so buckets have uneven row counts
+    val times = Iterator.iterate(0L)(_ + 1 + rnd.nextInt(50)).take(3000).toSeq
+    val df = times.map(t => (t, rnd.nextDouble())).toDF("t", "v")
+    val gw = Window.orderBy("t")
+    val expected = df
+      .withColumn("lagv", lag(col("v"), 1).over(gw))
+      .withColumn("msum", sum(col("v")).over(gw.rowsBetween(-5, 4)))
+      .select("t", "lagv", "msum").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2))).toSet
+    val bw = Window.partitionBy("_bkt").orderBy("t")
+    val got = Buckets.withGhosts(
+        df.withColumn("_bkt", (col("t") / 500).cast("long")), "_bkt", "t", 5, 4)
+      .withColumn("lagv", lag(col("v"), 1).over(bw))
+      .withColumn("msum", sum(col("v")).over(bw.rowsBetween(-5, 4)))
+      .filter(!col("_ghost"))
+      .select("t", "lagv", "msum").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
+  test("densifiedRange: complete, duplicate-free, multi-task") {
+    val maxDf = Seq(999999L).toDF("maxF")
+    val spine = Buckets.densifiedRange(maxDf, "maxF", "frame", chunk = 100000)
+    val n = spine.count()
+    assert(n === 1000000L)
+    assert(spine.distinct().count() === 1000000L)
+    assert(spine.agg(min("frame"), max("frame")).head.toSeq === Seq(0L, 999999L))
+    assert(spine.rdd.getNumPartitions > 1)
+  }
+}
