@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
-import graft.operators.{Buckets, Fill, Sessionize}
+import graft.operators.{Buckets, Fill, Intervals, Sessionize}
 
 /** Behavior detectors — the reference's signature analytics queries
   * (`social_behavior_detection/social_behaviour_detection.py`: tube tests
@@ -52,6 +52,56 @@ object Detectors {
       duration_sec: Double, end_x: Double, end_y: Double)
   case class TubeTestEvent(start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
       winner_identity: String)
+
+  /** Corridor region-of-interest for tube tests, with the reference's
+    * exclusion zones (`social_behaviour_detection.py:225-257`): the annulus
+    * [innerR, outerR] around (centerX, centerY), MINUS the nest band
+    * (x > centerX ∧ nestY1 ≤ y ≤ nestY2, when nest bounds are given) MINUS
+    * a circle of `gateWidth` around every gate location. A frame passes only
+    * when BOTH mice are inside the annulus and NEITHER mouse is in any
+    * excluded region (the reference's `np.any(..., axis=0)` over mice).
+    */
+  case class Roi(centerX: Double, centerY: Double, innerR: Double, outerR: Double,
+      nestY1: Double = Double.NaN, nestY2: Double = Double.NaN,
+      gates: Seq[(Double, Double)] = Nil, gateWidth: Double = 0.0)
+
+  object Roi {
+    /** Build an [[Roi]] from an experiment-metadata DataFrame shaped like
+      * the reference metadata (`ActiveRegion.ArenaCenter.{X,Y}`,
+      * `ActiveRegion.{ArenaInnerRadius,ArenaOuterRadius}`, optional
+      * `ActiveRegion.NestRegion.ArrayOfPoint[{1,2}].Y`, and
+      * `Devices.<*Gate*Rfid*>.Location.{X,Y}` — the reference scans device
+      * keys containing both "Gate" and "Rfid",
+      * `social_behaviour_detection.py:229-233`). */
+    def fromMetadata(meta: DataFrame, gateWidth: Double): Roi = {
+      val row = meta.select(
+        col("ActiveRegion.ArenaCenter.X").cast("double"),
+        col("ActiveRegion.ArenaCenter.Y").cast("double"),
+        col("ActiveRegion.ArenaInnerRadius").cast("double"),
+        col("ActiveRegion.ArenaOuterRadius").cast("double")).head()
+      val nest =
+        try {
+          val n = meta.select(
+            col("ActiveRegion.NestRegion.ArrayOfPoint").getItem(1).getField("Y").cast("double"),
+            col("ActiveRegion.NestRegion.ArrayOfPoint").getItem(2).getField("Y").cast("double")).head()
+          (n.getDouble(0), n.getDouble(1))
+        } catch { case _: org.apache.spark.sql.AnalysisException =>
+          (Double.NaN, Double.NaN) }
+      val gateKeys = meta.schema.fields.find(_.name == "Devices").toSeq
+        .flatMap(_.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fieldNames.filter(k => k.contains("Gate") && k.contains("Rfid"))
+          case _ => Array.empty[String]
+        })
+      val gates = gateKeys.map { k =>
+        val g = meta.select(col(s"Devices.`$k`.Location.X").cast("double"),
+          col(s"Devices.`$k`.Location.Y").cast("double")).head()
+        (g.getDouble(0), g.getDouble(1))
+      }
+      Roi(row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
+        nest._1, nest._2, gates, gateWidth)
+    }
+  }
 
   /** Per-event kernel input row (shared by both detectors; tube-only fields
     * ride as NaN for fights). */
@@ -181,15 +231,24 @@ object Detectors {
   /** Fight detection end-to-end (reference `detect_fights`,
     * `social_behaviour_detection.py:394-762`).
     *
-    * @param pose  long pose table (time, identity, part, x, y)
-    * @param blob  optional blob-position stream (time, x, y) for the speed
-    *              condition; None skips condition 3
+    * @param pose      long pose table (time, identity, part, x, y)
+    * @param blob      optional blob-position stream (time, x, y) for the
+    *                  speed condition; None skips condition 3
+    * @param intervals optional (start, stop) experiment intervals
+    *                  ([[graft.operators.Intervals.experimentIntervals]]);
+    *                  pose samples outside every interval (= maintenance
+    *                  mode) are excluded before detection, like the
+    *                  reference's `exclude_maintenance_data`
+    *                  (`social_behaviour_detection.py:488-489`)
     */
   def detectFights(pose: DataFrame, blob: Option[DataFrame],
-      parts: Map[String, String], p: FightParams): Dataset[FightEvent] = {
+      parts: Map[String, String], p: FightParams,
+      intervals: Option[DataFrame] = None): Dataset[FightEvent] = {
     val spark = pose.sparkSession
     import spark.implicits._
-    val feat0 = withFeatures(wideFrames(pose, parts, p.fps))
+    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
+      .getOrElse(pose)
+    val feat0 = withFeatures(wideFrames(poseKept, parts, p.fps))
     // blob speed: dt-anomaly drop (T5), px→cm/s, 10-frame "same" smoothing
     val feat = blob match {
       case Some(b) =>
@@ -336,25 +395,26 @@ object Detectors {
     */
   def detectFightsAllEpochs(pose: DataFrame, blob: Option[DataFrame],
       parts: Map[String, String], p: FightParams, epochCol: String = "epoch",
-      boundaryHour: Int = 2): DataFrame = {
+      boundaryHour: Int = 2, intervals: Option[DataFrame] = None): DataFrame = {
     shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e) =>
       val sub = pose.filter(col(epochCol) === ep &&
         unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
       val subBlob = blob.map(_.filter(
         unix_micros(col("time")) >= s && unix_micros(col("time")) < e))
-      detectFights(sub.drop(epochCol), subBlob, parts, p).toDF()
+      detectFights(sub.drop(epochCol), subBlob, parts, p, intervals).toDF()
     }
   }
 
   /** Multi-epoch tube-test detection — same sharding contract as
     * [[detectFightsAllEpochs]]. */
   def detectTubeTestsAllEpochs(pose: DataFrame, parts: Map[String, String],
-      p: TubeParams, roi: Option[(Double, Double, Double, Double)] = None,
-      epochCol: String = "epoch", boundaryHour: Int = 2): DataFrame = {
+      p: TubeParams, roi: Option[Roi] = None,
+      epochCol: String = "epoch", boundaryHour: Int = 2,
+      intervals: Option[DataFrame] = None): DataFrame = {
     shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e) =>
       val sub = pose.filter(col(epochCol) === ep &&
         unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
-      detectTubeTests(sub.drop(epochCol), parts, p, roi).toDF()
+      detectTubeTests(sub.drop(epochCol), parts, p, roi, intervals).toDF()
     }
   }
 
@@ -384,19 +444,35 @@ object Detectors {
     * exclusion zones) is applied when `roi` is given:
     * (centerX, centerY, innerR, outerR). */
   def detectTubeTests(pose: DataFrame, parts: Map[String, String], p: TubeParams,
-      roi: Option[(Double, Double, Double, Double)] = None): Dataset[TubeTestEvent] = {
+      roi: Option[Roi] = None,
+      intervals: Option[DataFrame] = None): Dataset[TubeTestEvent] = {
     val spark = pose.sparkSession
     import spark.implicits._
-    val ids = pose.select("identity").distinct().collect().map(_.getString(0)).sorted
+    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
+      .getOrElse(pose)
+    val ids = poseKept.select("identity").distinct().collect().map(_.getString(0)).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
-    val feat = withFeatures(wideFrames(pose, parts, p.fps))
+    val feat = withFeatures(wideFrames(poseKept, parts, p.fps))
     val adj1 = pmod(col("o1") + 180.0, lit(360.0))
     val roiOk: Column = roi match {
-      case Some((cx, cy, ri, ro)) =>
-        Cols.inAnnulus(nn(col("m0_centroid_x")), nn(col("m0_centroid_y")),
-          lit(cx), lit(cy), lit(ri), lit(ro)) &&
-          Cols.inAnnulus(nn(col("m1_centroid_x")), nn(col("m1_centroid_y")),
-            lit(cx), lit(cy), lit(ri), lit(ro))
+      case Some(r) =>
+        def cx(m: Int) = nn(col(s"m${m}_centroid_x"))
+        def cy(m: Int) = nn(col(s"m${m}_centroid_y"))
+        def annulus(m: Int) = Cols.inAnnulus(cx(m), cy(m),
+          lit(r.centerX), lit(r.centerY), lit(r.innerR), lit(r.outerR))
+        // nest band: x > centerX ∧ y ∈ [nestY1, nestY2] (skipped when the
+        // metadata has no nest region — NaN bounds compare false... except
+        // Spark orders NaN greatest, so guard explicitly)
+        def inNest(m: Int) =
+          if (r.nestY1.isNaN || r.nestY2.isNaN) lit(false)
+          else !isnan(cx(m)) && !isnan(cy(m)) &&
+            cx(m) > r.centerX && cy(m) >= r.nestY1 && cy(m) <= r.nestY2
+        def nearGate(m: Int) = r.gates.foldLeft(lit(false)) { case (acc, (gx, gy)) =>
+          val d2 = (cx(m) - gx) * (cx(m) - gx) + (cy(m) - gy) * (cy(m) - gy)
+          acc || (!isnan(d2) && d2 <= r.gateWidth * r.gateWidth)
+        }
+        annulus(0) && annulus(1) &&
+          !(inNest(0) || inNest(1) || nearGate(0) || nearGate(1))
       case None => lit(true)
     }
     val startCond = abs(col("o0") - adj1) <= p.angleTolerance &&

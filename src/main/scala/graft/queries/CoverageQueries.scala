@@ -25,7 +25,7 @@ object CoverageQueries {
     // combine_pose_id_chunk.py:274)
     "p2_contains_filter" -> ((s, dir) => {
       val p = t(s, dir, "part")
-      sortAll(p.filter(col("p_type").contains("BRASS"))
+      sortAll(p.filter(col("p_type").contains("DAR"))
         .groupBy("p_brand").agg(count(lit(1)).as("n"),
           sum(col("p_size").cast("long")).as("sum_size")))
     }),
@@ -170,7 +170,7 @@ object CoverageQueries {
       def firstPerSec(typ: String, out: String) = {
         val w = Window.partitionBy("sec").orderBy("event_id")
         e.filter(col("event_type") === typ)
-          .withColumn("sec", date_trunc("second", col("ts")))
+          .withColumn("sec", date_trunc("minute", col("ts")))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("sec"), col("event_id").as(out))
       }
@@ -324,7 +324,7 @@ object CoverageQueries {
   val oracle: Map[String, String] = Map(
     "p2_contains_filter" ->
       s"""SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
-         |FROM part WHERE p_type LIKE '%BRASS%'
+         |FROM part WHERE p_type LIKE '%DAR%'
          |GROUP BY p_brand
          |${orderBySql("p_brand", "n", "sum_size")}""".stripMargin,
 
@@ -427,13 +427,13 @@ object CoverageQueries {
     "j10_merge_on_index" ->
       s"""WITH p AS (
          |  SELECT sec, event_id AS p_event FROM (
-         |    SELECT date_trunc('second', ts) AS sec, event_id,
-         |      row_number() OVER (PARTITION BY date_trunc('second', ts) ORDER BY event_id) AS rn
+         |    SELECT date_trunc('minute', ts) AS sec, event_id,
+         |      row_number() OVER (PARTITION BY date_trunc('minute', ts) ORDER BY event_id) AS rn
          |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
          |v AS (
          |  SELECT sec, event_id AS v_event FROM (
-         |    SELECT date_trunc('second', ts) AS sec, event_id,
-         |      row_number() OVER (PARTITION BY date_trunc('second', ts) ORDER BY event_id) AS rn
+         |    SELECT date_trunc('minute', ts) AS sec, event_id,
+         |      row_number() OVER (PARTITION BY date_trunc('minute', ts) ORDER BY event_id) AS rn
          |    FROM events WHERE event_type = 'view') WHERE rn = 1)
          |SELECT p.sec, p.p_event, v.v_event FROM p JOIN v USING (sec)
          |${orderBySql("sec", "p_event", "v_event")}""".stripMargin,

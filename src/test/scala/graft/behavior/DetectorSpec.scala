@@ -90,11 +90,51 @@ class DetectorSpec extends AnyFunSuite {
     // centroids sit 50–290 px from (0,50): an annulus covering that band
     // admits the event; a far-away annulus filters every candidate out
     val in = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
-      roi = Some((0.0, 50.0, 50.0, 400.0))).collect()
+      roi = Some(Detectors.Roi(0.0, 50.0, 50.0, 400.0))).collect()
     assert(in.length === 1)
     val out = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
-      roi = Some((5000.0, 5000.0, 10.0, 20.0))).collect()
+      roi = Some(Detectors.Roi(5000.0, 5000.0, 10.0, 20.0))).collect()
     assert(out.isEmpty)
+  }
+
+  test("ROI exclusion zones: nest band and gate circles reject candidates") {
+    val rows = (0 to 69).flatMap { f =>
+      if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)
+      else mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140.0 + 3 * (f - 19), 50, 1)
+    }
+    val base = Detectors.Roi(0.0, 50.0, 50.0, 400.0)
+    // nest band x > 0 ∧ y ∈ [40, 60] contains both mice (y = 50) → rejected
+    val nest = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
+      roi = Some(base.copy(nestY1 = 40.0, nestY2 = 60.0))).collect()
+    assert(nest.isEmpty)
+    // nest band away from the corridor (y ∈ [300, 400]) → event survives
+    val nestFar = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
+      roi = Some(base.copy(nestY1 = 300.0, nestY2 = 400.0))).collect()
+    assert(nestFar.length === 1)
+    // gate circle over mouse A's stand-off spot (100, 50) → rejected even
+    // though mouse B is clear (np.any over mice)
+    val gated = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
+      roi = Some(base.copy(gates = Seq((100.0, 50.0)), gateWidth = 15.0))).collect()
+    assert(gated.isEmpty)
+    // distant gate → event survives
+    val gatedFar = Detectors.detectTubeTests(poseDf(rows), parts, Detectors.TubeParams(),
+      roi = Some(base.copy(gates = Seq((1000.0, 1000.0)), gateWidth = 15.0))).collect()
+    assert(gatedFar.length === 1)
+  }
+
+  test("Roi.fromMetadata parses arena, nest, and Gate+Rfid device locations") {
+    val cfg = """{"ActiveRegion":{"ArenaCenter":{"X":10.0,"Y":20.0},
+      |"ArenaInnerRadius":5.0,"ArenaOuterRadius":50.0,
+      |"NestRegion":{"ArrayOfPoint":[{"X":1,"Y":11.0},{"X":2,"Y":22.0},{"X":3,"Y":33.0}]}},
+      |"Devices":{"GateRfid1":{"Location":{"X":7.0,"Y":8.0}},
+      |"GateSouthRfid":{"Location":{"X":9.0,"Y":3.0}},
+      |"CameraTop":{"Location":{"X":0.0,"Y":0.0}}}}""".stripMargin.replaceAll("\n", "")
+    val dir = java.nio.file.Files.createTempDirectory("roi_meta")
+    java.nio.file.Files.writeString(dir.resolve("metadata.json"), cfg + "\n")
+    val meta = spark.read.json(dir.toString)
+    val roi = Detectors.Roi.fromMetadata(meta, gateWidth = 12.0)
+    assert(roi === Detectors.Roi(10.0, 20.0, 5.0, 50.0, 22.0, 33.0,
+      Seq((7.0, 8.0), (9.0, 3.0)), 12.0))
   }
 
   test("detectFights: blob-speed condition 3 gates candidates") {
@@ -183,6 +223,50 @@ class DetectorSpec extends AnyFunSuite {
     // epoch entirely before the first boundary → single period
     val q = Detectors.periods24h(us("2024-06-01T03:00:00Z"), us("2024-06-01T23:00:00Z"), 2, zone)
     assert(q === Seq((us("2024-06-01T03:00:00Z"), us("2024-06-01T23:00:00Z"))))
+  }
+
+  test("maintenance exclusion: a fight inside the maintenance window is dropped") {
+    val rows = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+    }
+    // control: full data yields the fight
+    assert(Detectors.detectFights(poseDf(rows), None, parts,
+      Detectors.FightParams()).collect().length === 1)
+    // maintenance covers frames 120+ (experiment interval ends at frame
+    // 119): the surviving 20-frame fragment is under the 1 s duration
+    // floor → no events. (A maintenance window with candidate runs on BOTH
+    // sides merges via empty-frame bridging — the same continuity the
+    // reference gets from positionally collapsing excluded rows.)
+    val iv = Seq(
+      (new java.sql.Timestamp(t0.getTime), new java.sql.Timestamp(t0.getTime + 119 * 20L))
+    ).toDF("start", "stop")
+    val excluded = Detectors.detectFights(poseDf(rows), None, parts,
+      Detectors.FightParams(), intervals = Some(iv)).collect()
+    assert(excluded.isEmpty)
+  }
+
+  test("experimentIntervals: padding, state-change filter, and zip pairing") {
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // stream starts in Maintenance (Experiment entered before the range) and
+    // ends without a Maintenance event → both sentinels kick in
+    val env = Seq(
+      (ts(10), "Maintenance"), (ts(20), "Experiment"), (ts(25), "Experiment"),
+      (ts(40), "Maintenance"), (ts(50), "Experiment")
+    ).toDF("time", "state")
+    val iv = graft.operators.Intervals.experimentIntervals(
+      env, "time", "state", ts(0), ts(100)).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1))).sortBy(_._1.getTime)
+    assert(iv.toSeq === Seq((ts(0), ts(10)), (ts(20), ts(40)), (ts(50), ts(100))))
+    // empty stream → the whole range is one experiment interval
+    val empty = Seq.empty[(java.sql.Timestamp, String)].toDF("time", "state")
+    val iv2 = graft.operators.Intervals.experimentIntervals(
+      empty, "time", "state", ts(0), ts(100)).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    assert(iv2.toSeq === Seq((ts(0), ts(100))))
   }
 
   test("detectTubeTests golden: B squeezes past without turning → no event") {
