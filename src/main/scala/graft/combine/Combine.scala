@@ -41,13 +41,20 @@ object Combine {
     }.reduce(_.unionByName(_))
 
   /** Fixed-frequency grid ticks spanning the pose stream (reference
-    * `:309-314`), derived with one aggregation — no driver-side scalar scan.
+    * `:309-314`), derived with one aggregation — no driver-side scalar scan,
+    * and chunked two-level explode so no single task materializes a
+    * multi-week grid (60 M ticks for a 2-week epoch at 50 fps).
     */
   def ticks(pose: DataFrame, fps: Double): DataFrame = {
     val periodUs = math.round(1e6 / fps)
+    val step = periodUs * (1L << 18)
+    val par = pose.sparkSession.sparkContext.defaultParallelism
     pose.agg(min(unix_micros(col("time"))).as("t0"),
         max(unix_micros(col("time"))).as("t1"))
-      .select(explode(sequence(col("t0"), col("t1"), lit(periodUs))).as("tick_us"))
+      .select(col("t1"), explode(sequence(col("t0"), col("t1"), lit(step))).as("c0"))
+      .repartition(par, col("c0"))
+      .select(explode(sequence(col("c0"),
+        least(col("c0") + (step - periodUs), col("t1")), lit(periodUs))).as("tick_us"))
       .select(timestamp_micros(col("tick_us")).as("tick"))
   }
 
@@ -93,8 +100,16 @@ object Combine {
     // by (tick, identity)); unmatched instances drop (P8). Inferred J4
     // singleton pairs have no verified detection pairing → null map, as the
     // reference writes a NaN-likelihood map (`combine_pose_id_chunk.py:141`).
-    val lik = idj.select(col("tick"), col("identity"), col("identity_likelihood"))
-      .dropDuplicates("tick", "identity")
+    // the solver matches the min-cost duplicate per (pose, identity) cell =
+    // the max-likelihood detection of that identity in the tick, so a
+    // deterministic max-likelihood dedup reproduces exactly the MATCHED
+    // detection's map (position as tiebreak for bit-equal likelihoods)
+    val lik = idj.select(col("tick"), col("identity"), col("identity_likelihood"),
+        col("x_top"), col("y_top"),
+        coalesce(element_at(col("identity_likelihood"), col("identity")), lit(0.0)).as("_l"))
+      .groupBy("tick", "identity")
+      .agg(max_by(col("identity_likelihood"),
+        struct(col("_l"), col("x_top"), col("y_top"))).as("identity_likelihood"))
     val withLik = matched.join(lik, Seq("tick", "identity"), "left")
       .select(col("pose_id"), col("identity").as("_mid"),
         when(col("cost").isNotNull, col("identity_likelihood")).as("_mlik"))

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HARP binary stream codec — the reference's native on-disk format
+  * (files `<Camera>_<register>_<YYYY-MM-DDTHH-MM-SS>.bin` in hour chunks,
+  * `combine_pose_id_chunk.py:245-246,263-282`, layout
+  * `combine_pose_id_automated.py:25-44`), implemented from the PUBLIC
+  * harp-tech protocol specification:
+  *
+  *   [0]    message type (1=Read, 2=Write, 3=Event)
+  *   [1]    length — bytes after this byte, checksum included
+  *   [2]    address (register id)
+  *   [3]    port
+  *   [4]    payload type — low bits element type (0x44 = Float32),
+  *          0x10 flag = timestamped payload
+  *   [5:9]  uint32 LE seconds since the HARP epoch (1904-01-01T00:00:00Z)
+  *   [9:11] uint16 LE sub-second ticks of 32 µs
+  *   [11:]  little-endian float32 payload elements
+  *   [last] checksum = sum of all preceding bytes mod 256
+  *
+  * [[poseView]] maps a decoded register stream onto the reference Pose
+  * schema (SURVEY §1.1): payload layout
+  * `[class_idx, part_idx, x, y, part_likelihood, class_lik_0…class_lik_C−1]`
+  * → `(time, identity, identity_likelihood: map, part, part_likelihood,
+  * x, y)` with names resolved from the confmap-config class/part lists.
+  */
+object HarpBin {
+
+  /** 1904-01-01T00:00:00Z in unix seconds. */
+  val HarpEpochSec: Long = -2082844800L
+
+  val FloatTimestamped: Int = 0x44 | 0x10
+  val EventType: Int = 3
+
+  /** Encode one timestamped float32 event message. Payload arity ≤ 58 so
+    * the single-byte length field suffices. */
+  def encodeMessage(register: Int, port: Int, tsUs: Long,
+      payload: Array[Float]): Array[Byte] = {
+    require(payload.length <= 58, "payload too wide for single-byte length")
+    val n = payload.length
+    val len = 3 + 6 + 4 * n + 1 // addr+port+type, timestamp, data, checksum
+    val buf = java.nio.ByteBuffer.allocate(2 + len)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(EventType.toByte).put(len.toByte)
+      .put(register.toByte).put(port.toByte).put(FloatTimestamped.toByte)
+    val harpUs = tsUs - HarpEpochSec * 1000000L
+    buf.putInt((harpUs / 1000000L).toInt)
+    buf.putShort(((harpUs % 1000000L) / 32L).toShort)
+    payload.foreach(buf.putFloat)
+    val arr = buf.array()
+    var sum = 0
+    var i = 0
+    while (i < arr.length - 1) { sum += arr(i) & 0xff; i += 1 }
+    arr(arr.length - 1) = (sum & 0xff).toByte
+    arr
+  }
+
+  /** Decoded message: (tsUs, msgType, register, port, payload). */
+  def decode(bytes: Array[Byte]): Iterator[(Long, Int, Int, Int, Array[Float])] =
+    new Iterator[(Long, Int, Int, Int, Array[Float])] {
+      private var off = 0
+      def hasNext: Boolean = off + 2 <= bytes.length
+      def next(): (Long, Int, Int, Int, Array[Float]) = {
+        val msgType = bytes(off) & 0xff
+        val len = bytes(off + 1) & 0xff
+        val end = off + 2 + len
+        require(end <= bytes.length, s"truncated message at offset $off")
+        var sum = 0
+        var i = off
+        while (i < end - 1) { sum += bytes(i) & 0xff; i += 1 }
+        require((sum & 0xff) == (bytes(end - 1) & 0xff),
+          s"checksum mismatch at offset $off")
+        val bb = java.nio.ByteBuffer.wrap(bytes, off + 2, len - 1)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val register = bb.get() & 0xff
+        val port = bb.get() & 0xff
+        val ptype = bb.get() & 0xff
+        require((ptype & 0x10) != 0 && (ptype & 0x4f) == 0x44,
+          s"unsupported payload type $ptype")
+        val sec = bb.getInt().toLong & 0xffffffffL
+        val ticks = bb.getShort().toLong & 0xffffL
+        val tsUs = (HarpEpochSec + sec) * 1000000L + ticks * 32L
+        val n = (len - 1 - 3 - 6) / 4
+        val payload = new Array[Float](n)
+        var k = 0
+        while (k < n) { payload(k) = bb.getFloat(); k += 1 }
+        off = end
+        (tsUs, msgType, register, port, payload)
+      }
+    }
+
+  /** Write one chunk file of event messages. */
+  def writeFile(path: String, register: Int,
+      rows: Seq[(Long, Array[Float])], port: Int = 255): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try rows.foreach { case (tsUs, payload) =>
+      out.write(encodeMessage(register, port, tsUs, payload))
+    } finally out.close()
+  }
+
+  /** Chunk-start micros parsed from `..._YYYY-MM-DDTHH-MM-SS.bin`. */
+  def chunkStartUs(fileName: String): Option[Long] = {
+    val re = """(\d{4}-\d{2}-\d{2}T\d{2}-\d{2}-\d{2})\.bin$""".r
+    re.findFirstMatchIn(fileName).map { m =>
+      java.time.LocalDateTime
+        .parse(m.group(1), java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH-mm-ss"))
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    }
+  }
+
+  /** Register id parsed from `<Camera>_<register>_<ts>.bin`. */
+  def fileRegister(fileName: String): Option[Int] = {
+    val re = """_(\d+)_\d{4}-\d{2}-\d{2}T""".r
+    re.findFirstMatchIn(fileName).map(_.group(1).toInt)
+  }
+
+  /** Reference Pose schema over a decoded register stream (see class doc
+    * for the payload layout). */
+  def poseView(df: DataFrame, classNames: Seq[String],
+      partNames: Seq[String]): DataFrame = {
+    val classArr = array(classNames.map(lit): _*)
+    val partArr = array(partNames.map(lit): _*)
+    val liks = sequence(lit(5), lit(5 + classNames.length - 1))
+    df.select(
+      col("time"),
+      element_at(classArr, col("payload").getItem(0).cast("int") + 1).as("identity"),
+      map_from_arrays(classArr,
+        transform(liks, i => element_at(col("payload"), i + 1).cast("double")))
+        .as("identity_likelihood"),
+      element_at(partArr, col("payload").getItem(1).cast("int") + 1).as("part"),
+      col("payload").getItem(4).cast("double").as("part_likelihood"),
+      col("payload").getItem(2).cast("double").as("x"),
+      col("payload").getItem(3).cast("double").as("y"))
+  }
+}

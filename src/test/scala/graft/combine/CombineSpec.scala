@@ -52,6 +52,23 @@ class CombineSpec extends AnyFunSuite {
     assert(dRows.head._4 == null, "inferred pair has no verified likelihood map")
   }
 
+  test("writeback carries the MATCHED (max-likelihood) detection's map when an identity repeats in a tick") {
+    // two 'alice' detections in the same tick: the solver matches the
+    // min-cost (= max alice-likelihood) one; the writeback map must be that
+    // detection's map, deterministically
+    val pose = Seq((ts(2000), 1L, "anchor_spine2", 10.0, 10.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    val ids = Seq(
+      (ts(1000), "alice", Map("alice" -> 0.4, "bob" -> 0.6), 12.0, 10.0),
+      (ts(3000), "alice", Map("alice" -> 0.9, "bob" -> 0.1), 11.0, 10.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+    val out = Combine.combineChunk(pose, ids, Combine.Params(fps = 50, maxDistance = 40))
+      .select("pose_id", "identity", "identity_likelihood").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "alice")
+    assert(out.head.getMap[String, Double](2).toMap === Map("alice" -> 0.9, "bob" -> 0.1))
+  }
+
   test("projectAndUnion: per-camera homography + anchor filter + union") {
     val cam1 = Seq((ts(0), "m0", Map("m0" -> 0.9), "anchor_spine2", 10.0, 20.0),
       (ts(0), "m0", Map("m0" -> 0.9), "head", 1.0, 1.0))

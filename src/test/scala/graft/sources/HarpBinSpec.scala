@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import java.nio.file.Files
+
+/** Round-trip and pruning tests for the HARP .bin codec + DataSource V2. */
+class HarpBinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 2024-06-01T12:00:00Z in epoch micros
+  private val t0Us = 1717243200000000L
+  private def alignedUs(offset: Long) = t0Us + (offset / 32) * 32 // 32 µs ticks
+
+  test("codec: encode/decode round-trips messages bit-exactly") {
+    val rows = (0 until 100).map { i =>
+      (alignedUs(i * 20000L), Array(i.toFloat, i * 0.5f, -i.toFloat))
+    }
+    val bytes = rows.flatMap { case (ts, p) =>
+      HarpBin.encodeMessage(222, 255, ts, p)
+    }.toArray
+    val decoded = HarpBin.decode(bytes).toSeq
+    assert(decoded.length === 100)
+    decoded.zip(rows).foreach { case ((ts, mt, reg, port, payload), (wantTs, wantP)) =>
+      assert(ts === wantTs)
+      assert(mt === HarpBin.EventType)
+      assert(reg === 222)
+      assert(port === 255)
+      assert(payload.toSeq === wantP.toSeq)
+    }
+  }
+
+  test("codec: corrupted checksum is rejected") {
+    val msg = HarpBin.encodeMessage(222, 255, alignedUs(0), Array(1.0f))
+    msg(msg.length - 1) = (msg(msg.length - 1) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException](HarpBin.decode(msg).toSeq)
+  }
+
+  test("DataSource V2: reads chunk files; equals the parquet path; prunes by time and register") {
+    val dir = Files.createTempDirectory("harp_bin").toFile
+    // three hour chunks for register 222 + one for register 202
+    val chunks = Seq("2024-06-01T12-00-00", "2024-06-01T13-00-00", "2024-06-01T14-00-00")
+    val hourUs = 3600L * 1000000L
+    val all = chunks.zipWithIndex.flatMap { case (name, ci) =>
+      val rows = (0 until 50).map { i =>
+        (alignedUs(ci * hourUs + i * 20000L),
+          Array(ci.toFloat, i.toFloat, i * 2.0f, 0.9f))
+      }
+      HarpBin.writeFile(s"$dir/CameraTop_222_$name.bin", 222, rows)
+      rows
+    }
+    HarpBin.writeFile(s"$dir/CameraTop_202_2024-06-01T12-00-00.bin", 202,
+      Seq((alignedUs(0), Array(9.0f))))
+
+    val df = spark.read.format("graft.sources.HarpBinSource")
+      .load(s"$dir/*.bin")
+    assert(df.count() === 151)
+
+    // equals a parquet round-trip of the same decoded rows
+    val pq = s"$dir/pq"
+    all.map { case (ts, p) => (new java.sql.Timestamp(ts / 1000), p.toSeq) }
+      .toDF("time", "payload").write.parquet(pq)
+    val fromBin = df.filter(col("register") === 222)
+      .select(col("time"), col("payload"))
+      .collect().map(r => (r.getTimestamp(0), r.getSeq[Float](1))).toSet
+    val fromPq = spark.read.parquet(pq)
+      .collect().map(r => (r.getTimestamp(0), r.getSeq[Float](1))).toSet
+    assert(fromBin === fromPq)
+
+    // time-range pruning: only the middle chunk's file is planned
+    val midLo = new java.sql.Timestamp((t0Us + hourUs) / 1000)
+    val midHi = new java.sql.Timestamp((t0Us + hourUs + 1000000L) / 1000)
+    val pruned = df.filter(col("time") >= midLo && col("time") <= midHi)
+    assert(pruned.rdd.getNumPartitions === 1,
+      "time-range pushdown must prune to the single matching chunk file")
+    assert(pruned.count() === 50)
+
+    // register pruning: register = 202 plans only its one file
+    val reg = df.filter(col("register") === 202)
+    assert(reg.rdd.getNumPartitions === 1)
+    assert(reg.count() === 1)
+  }
+
+  test("poseView maps payload onto the reference Pose schema") {
+    val dir = Files.createTempDirectory("harp_pose").toFile
+    // payload: [class_idx, part_idx, x, y, part_likelihood, lik_m0, lik_m1]
+    HarpBin.writeFile(s"$dir/CameraTop_222_2024-06-01T12-00-00.bin", 222, Seq(
+      (alignedUs(0), Array(0f, 1f, 10f, 20f, 0.95f, 0.8f, 0.2f)),
+      (alignedUs(20000), Array(1f, 0f, 30f, 40f, 0.85f, 0.1f, 0.9f))))
+    val df = spark.read.format("graft.sources.HarpBinSource").load(s"$dir/*.bin")
+    val pose = HarpBin.poseView(df, Seq("m0", "m1"), Seq("nose", "head"))
+      .orderBy("time").collect()
+    assert(pose.length === 2)
+    assert(pose(0).getString(1) === "m0")
+    assert(pose(0).getMap[String, Double](2).toMap ===
+      Map("m0" -> 0.8f.toDouble, "m1" -> 0.2f.toDouble))
+    assert(pose(0).getString(3) === "head")
+    assert(pose(0).getDouble(5) === 10.0)
+    assert(pose(1).getString(1) === "m1")
+    assert(pose(1).getString(3) === "nose")
+  }
+}
