@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   * a sort-merge join, with no quadratic band expansion. Rows at equal
   * timestamps are resolved deterministically: a right row at exactly the left
   * timestamp matches in both directions (pandas `allow_exact_matches=True`
-  * default). Requires non-empty `by` for parallelism; an empty `by` degrades
-  * to a single sorted partition (documented, intended only for small dims).
+  * default). With empty `by` AND no `bucketUs`, the join degrades to a
+  * single sorted partition (intended only for small dims); pass `bucketUs`
+  * to run the KEYLESS as-of over time buckets instead — per-bucket window
+  * passes plus a one-row-per-bucket carry summary (the [[Fill.ffillBucketed]]
+  * scheme), exactly equal to the global plan and never sorting the stream on
+  * one task.
   */
 object AsOfJoin {
   sealed trait Direction
@@ -52,7 +56,8 @@ object AsOfJoin {
       by: Seq[String],
       direction: Direction = Backward,
       tolerance: Option[Long] = None,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      bucketUs: Option[Long] = None): DataFrame = {
 
     val leftPayload = left.columns.filterNot(c => c == timeCol || by.contains(c)).toSeq
     val rightPayload0 = right.columns.filterNot(c => c == timeCol || by.contains(c)).toSeq
@@ -80,29 +85,81 @@ object AsOfJoin {
       .select(unionCols.map(col): _*)
     val unioned = lAligned.unionByName(rAligned)
 
-    val part = if (by.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(by.map(col): _*)
-    // backward: right rows sort before left at equal time → visible in frame
-    val wBack = part.orderBy(col(t).asc, col(side).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // forward: right rows sort after left at equal time → visible in frame
-    val wFwd = part.orderBy(col(t).asc, col(side).desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // bucketed keyless path: per-bucket window + tiny carry summary; the
+    // carry for bucket k is the boundary right row from the nearest earlier
+    // (backward) / later (forward) bucket that has one
+    def bucketedMatch(df: DataFrame, outCol: String, backward: Boolean): DataFrame = {
+      // right rows sort before (backward) / after (forward) left at equal t
+      val ord =
+        if (backward) Seq(col(t).asc, col(side).asc)
+        else Seq(col(t).asc, col(side).desc)
+      val w =
+        if (backward)
+          Window.partitionBy(col("_ab")).orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else
+          Window.partitionBy(col("_ab")).orderBy(ord: _*)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val local = df.withColumn("_loc",
+        if (backward) last(col("_rp"), ignoreNulls = true).over(w)
+        else first(col("_rp"), ignoreNulls = true).over(w))
+      val summ = df.filter(col(side) === 0).groupBy(col("_ab"))
+        .agg((if (backward) max_by(col("_rp"), unixMicros(col(t)))
+              else min_by(col("_rp"), unixMicros(col(t)))).as("_bval"))
+      val wS = Window.partitionBy(lit(0))
+        .orderBy(if (backward) col("_ab").asc else col("_ab").desc)
+        .rowsBetween(Window.unboundedPreceding, -1) // tiny: one row per bucket
+      val carry = df.select(col("_ab")).distinct()
+        .join(summ, Seq("_ab"), "left")
+        .withColumn("_cin", last(col("_bval"), ignoreNulls = true).over(wS))
+        .select(col("_ab"), col("_cin"))
+      local.join(broadcast(carry), "_ab")
+        .withColumn(outCol, coalesce(col("_loc"), col("_cin")))
+        .drop("_loc", "_cin")
+    }
 
-    val withMatches = direction match {
-      case Backward => unioned.withColumn("_m", last(col("_rp"), ignoreNulls = true).over(wBack))
-      case Forward  => unioned.withColumn("_m", first(col("_rp"), ignoreNulls = true).over(wFwd))
-      case Nearest =>
-        unioned
-          .withColumn("_mb", last(col("_rp"), ignoreNulls = true).over(wBack))
-          .withColumn("_mf", first(col("_rp"), ignoreNulls = true).over(wFwd))
-          .withColumn("_m", {
-            val db = abs(unixMicros(col(t)) - unixMicros(col("_mb")("_t")))
-            val df_ = abs(unixMicros(col("_mf")("_t")) - unixMicros(col(t)))
-            when(col("_mb").isNull, col("_mf"))
-              .when(col("_mf").isNull, col("_mb"))
-              .when(df_ < db, col("_mf"))
-              .otherwise(col("_mb")) // ties → backward, as pandas
-          })
+    def nearestOf(mb: Column, mf: Column): Column = {
+      val db = abs(unixMicros(col(t)) - unixMicros(mb("_t")))
+      val df_ = abs(unixMicros(mf("_t")) - unixMicros(col(t)))
+      when(mb.isNull, mf)
+        .when(mf.isNull, mb)
+        .when(df_ < db, mf)
+        .otherwise(mb) // ties → backward, as pandas
+    }
+
+    val withMatches = bucketUs match {
+      case Some(bu) if by.isEmpty =>
+        val dfb = unioned.withColumn("_ab",
+          floor(unixMicros(col(t)) / lit(bu)).cast("long"))
+        val out = direction match {
+          case Backward => bucketedMatch(dfb, "_m", backward = true)
+          case Forward  => bucketedMatch(dfb, "_m", backward = false)
+          case Nearest =>
+            bucketedMatch(bucketedMatch(dfb, "_mb", backward = true),
+              "_mf", backward = false)
+              .withColumn("_m", nearestOf(col("_mb"), col("_mf")))
+        }
+        out.drop("_ab")
+      case _ =>
+        val part = if (by.isEmpty) Window.partitionBy(lit(0))
+          else Window.partitionBy(by.map(col): _*)
+        // backward: right rows sort before left at equal time → in frame
+        val wBack = part.orderBy(col(t).asc, col(side).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // forward: right rows sort after left at equal time → in frame
+        val wFwd = part.orderBy(col(t).asc, col(side).desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        direction match {
+          case Backward =>
+            unioned.withColumn("_m", last(col("_rp"), ignoreNulls = true).over(wBack))
+          case Forward =>
+            unioned.withColumn("_m", first(col("_rp"), ignoreNulls = true).over(wFwd))
+          case Nearest =>
+            unioned
+              .withColumn("_mb", last(col("_rp"), ignoreNulls = true).over(wBack))
+              .withColumn("_mf", first(col("_rp"), ignoreNulls = true).over(wFwd))
+              .withColumn("_m", nearestOf(col("_mb"), col("_mf")))
+        }
     }
 
     val withinTol: Column = tolerance match {

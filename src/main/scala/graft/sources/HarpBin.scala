@@ -118,6 +118,41 @@ object HarpBin {
     re.findFirstMatchIn(fileName).map(_.group(1).toInt)
   }
 
+  /** Epoch/chunk catalog discovery over the reference directory layout
+    * `root/<epoch YYYY-MM-DDTHH-MM-SS>/<Camera>/<Camera>_<register>_<ts>.bin`
+    * (reference `find_epochs`/`find_chunks`,
+    * `combine_pose_id_automated.py:19-44`, `detect_fights_all_epochs.py:12-94`):
+    * one row per chunk file with parsed epoch, camera, register, and chunk
+    * start, restricted to epochs inside [startUs, endUs]. Directory listing
+    * is driver-side METADATA work (the same contract as Spark's own file
+    * index); the returned DataFrame is the query-able catalog.
+    */
+  def discoverChunks(spark: org.apache.spark.sql.SparkSession, root: String,
+      startUs: Long = Long.MinValue, endUs: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val epochFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss")
+    val rows = for {
+      epochDir <- fs.listStatus(rootPath).toSeq if epochDir.isDirectory
+      epochUs <- scala.util.Try(java.time.LocalDateTime
+        .parse(epochDir.getPath.getName, epochFmt)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L).toOption.toSeq
+      if epochUs >= startUs && epochUs <= endUs
+      camDir <- fs.listStatus(epochDir.getPath).toSeq if camDir.isDirectory
+      f <- fs.listStatus(camDir.getPath).toSeq
+      if f.isFile && f.getPath.getName.endsWith(".bin")
+      chunkUs <- chunkStartUs(f.getPath.getName).toSeq
+    } yield (epochDir.getPath.getName, timestampFromUs(epochUs),
+      camDir.getPath.getName, fileRegister(f.getPath.getName).getOrElse(-1),
+      timestampFromUs(chunkUs), f.getPath.toString, f.getLen)
+    rows.toDF("epoch", "epoch_start", "camera", "register", "chunk_start",
+      "file", "size_bytes")
+  }
+
+  private def timestampFromUs(us: Long) = new java.sql.Timestamp(us / 1000L)
+
   /** Reference Pose schema over a decoded register stream (see class doc
     * for the payload layout). */
   def poseView(df: DataFrame, classNames: Seq[String],

@@ -51,6 +51,32 @@ class BucketsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("bucketed keyless as-of equals the global-sort as-of (all directions, property)") {
+    val rnd = new Random(17)
+    def mkTs(n: Int, seed: Long) = {
+      var t = 1700000000000000L + seed
+      (0 until n).map { _ => t += (1 + rnd.nextInt(5000)) * 1000L; t }
+    }
+    val left = mkTs(400, 0).zipWithIndex
+      .map { case (t, i) => (new java.sql.Timestamp(t / 1000), i.toLong) }
+      .toDF("ts", "lid")
+    val right = mkTs(300, 777).zipWithIndex
+      .map { case (t, i) => (new java.sql.Timestamp(t / 1000), i.toLong * 10) }
+      .toDF("ts", "rv")
+    for (dir <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)) {
+      val global = AsOfJoin.asofJoin(left, right, "ts", Nil, dir, Some(60000000L))
+        .select("lid", "rv", "_asof_time").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)).map(_.toString))).toSet
+      // bucket of 10 min over a ~17-minute stream → several buckets,
+      // some containing left rows with no in-bucket right match
+      val bucketed = AsOfJoin.asofJoin(left, right, "ts", Nil, dir, Some(60000000L),
+          bucketUs = Some(600L * 1000000L))
+        .select("lid", "rv", "_asof_time").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)).map(_.toString))).toSet
+      assert(bucketed === global, s"direction $dir")
+    }
+  }
+
   test("densifiedRange: complete, duplicate-free, multi-task") {
     val maxDf = Seq(999999L).toDF("maxF")
     val spine = Buckets.densifiedRange(maxDf, "maxF", "frame", chunk = 100000)

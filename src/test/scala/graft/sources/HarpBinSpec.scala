@@ -83,6 +83,37 @@ class HarpBinSpec extends AnyFunSuite {
     assert(reg.count() === 1)
   }
 
+  test("discoverChunks catalogs the epoch/camera/chunk tree with range pruning") {
+    val root = Files.createTempDirectory("harp_root")
+    def epoch(name: String, cams: Seq[String], chunks: Seq[String]): Unit =
+      cams.foreach { cam =>
+        val d = root.resolve(name).resolve(cam)
+        Files.createDirectories(d)
+        chunks.foreach { c =>
+          HarpBin.writeFile(d.resolve(s"${cam}_222_$c.bin").toString, 222,
+            Seq((alignedUs(0), Array(1.0f))))
+        }
+      }
+    epoch("2024-06-01T10-00-00", Seq("CameraTop", "CameraNorth"),
+      Seq("2024-06-01T10-00-00", "2024-06-01T11-00-00"))
+    epoch("2024-06-05T08-00-00", Seq("CameraTop"), Seq("2024-06-05T08-00-00"))
+    Files.createDirectories(root.resolve("not-an-epoch")) // ignored
+
+    val all = HarpBin.discoverChunks(spark, root.toString)
+    assert(all.count() === 5)
+    assert(all.select("epoch").distinct().count() === 2)
+    assert(all.filter(col("camera") === "CameraNorth").count() === 2)
+    assert(all.filter(col("register") =!= 222).count() === 0)
+
+    // epoch-range pruning: only the first epoch
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    val pruned = HarpBin.discoverChunks(spark, root.toString,
+      us("2024-06-01T00:00:00Z"), us("2024-06-02T00:00:00Z"))
+    assert(pruned.select("epoch").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("2024-06-01T10-00-00"))
+    assert(pruned.count() === 4)
+  }
+
   test("poseView maps payload onto the reference Pose schema") {
     val dir = Files.createTempDirectory("harp_pose").toFile
     // payload: [class_idx, part_idx, x, y, part_likelihood, lik_m0, lik_m1]
