@@ -60,4 +60,60 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+  case class FrameRow(doc_id: Long, frame_idx: Long, offset: Long,
+      frame: Array[Byte])
+
+  /** STUB image resize: emits a deterministic `width × height`-byte payload
+    * derived from the source bytes (a real deployment swaps `resizeKernel`
+    * for the codec's decode→scale→encode). The plumbing — binary in/out,
+    * per-partition batching, fixed output schema — is the production shape.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): Dataset[ResizedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def resizeKernel(src: Array[Byte], n: Int): Array[Byte] = {
+      // deterministic down/up-sample over the byte stream
+      val out = new Array[Byte](n)
+      if (src.nonEmpty) {
+        var i = 0
+        while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
+      }
+      out
+    }
+    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => ResizedRow(r.doc_id, width, height,
+          resizeKernel(r.payload, width * height)))
+      }
+  }
+
+  /** STUB video frame sampling: every `everyN`-th fixed-size frame of the
+    * payload (a real deployment swaps the splitter for the demuxer; offsets
+    * and batch shape are real). One output row per sampled frame — the
+    * explode happens inside the partition iterator, so a long video never
+    * materializes all frames at once.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int,
+      everyN: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val nFrames = r.payload.length / frameBytes
+          (0L until nFrames.toLong by everyN.toLong).iterator.map { f =>
+            val off = f * frameBytes
+            FrameRow(r.doc_id, f, off,
+              java.util.Arrays.copyOfRange(r.payload, off.toInt,
+                off.toInt + frameBytes))
+          }
+        }
+      }
+  }
 }

@@ -66,6 +66,15 @@ object Fill {
       .drop("_fb" +: cols.map(c => s"_carry_$c"): _*)
   }
 
+  /** Scale-safe backward fill: [[ffillBucketed]] over the negated order
+    * (exact [[bfill]] semantics, no single-partition sort). */
+  def bfillBucketed(df: DataFrame, cols: Seq[String], orderCol: String,
+      bucketSize: Long, by: Seq[String] = Nil): DataFrame = {
+    val neg = "_neg_" + orderCol
+    ffillBucketed(df.withColumn(neg, -col(orderCol)), cols, neg, bucketSize, by)
+      .drop(neg)
+  }
+
   /** Backward-fill (mirror of ffill). */
   def bfill(df: DataFrame, cols: Seq[String], orderCol: String, by: Seq[String] = Nil,
       tieBreak: Seq[String] = Nil): DataFrame = {

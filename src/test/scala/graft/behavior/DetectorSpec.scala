@@ -269,6 +269,23 @@ class DetectorSpec extends AnyFunSuite {
     assert(iv2.toSeq === Seq((ts(0), ts(100))))
   }
 
+  test("detectFights physical plan has no unpartitioned WindowExec (scale shape)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val rows = (0 to 60).flatMap { f =>
+      mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 140, 104, 1)
+    }
+    val blob = (0 to 60).map { f =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), f * 1.0, 0.0)
+    }.toDF("time", "x", "y")
+    val plan = Detectors.detectFights(poseDf(rows), Some(blob), parts,
+      Detectors.FightParams()).queryExecution.executedPlan
+    val bad = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned windows found:\n${bad.map(_.simpleStringWithNodeId()).mkString("\n")}")
+  }
+
   test("detectTubeTests golden: B squeezes past without turning → no event") {
     val rows = (0 to 69).flatMap { f =>
       if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)

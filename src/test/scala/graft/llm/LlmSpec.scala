@@ -157,6 +157,28 @@ class LlmSpec extends AnyFunSuite {
     assert(TextStats.winnow("ab", 8, 4).isEmpty, "short text yields empty sketch")
   }
 
+  test("multimodal resize and frame-sample: deterministic shapes, bounded memory plumbing") {
+    val media = Multimodal.withBinaryPayload(docs.limit(10), "doc_id", "text")
+    val resized = Multimodal.resize(media, 8, 4).collect()
+    assert(resized.length === 10)
+    assert(resized.forall(_.payload.length === 32))
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, 8, 4).collect()
+      .map(r => r.doc_id -> r.payload.toSeq).toMap
+    resized.foreach(r => assert(again(r.doc_id) === r.payload.toSeq))
+
+    val frames = Multimodal.frameSample(media, frameBytes = 16, everyN = 2).collect()
+    val texts = docs.limit(10).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(fs.length === (bytes.length / 16 + 1) / 2)
+      fs.foreach { f =>
+        assert(f.offset === f.frame_idx * 16)
+        assert(f.frame.toSeq === bytes.slice(f.offset.toInt, f.offset.toInt + 16).toSeq)
+      }
+    }
+  }
+
   test("multimodal: stub extractor is deterministic and plumbing preserves bytes") {
     val media = Multimodal.withBinaryPayload(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.decodeFeatures(media).collect()

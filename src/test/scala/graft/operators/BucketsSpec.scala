@@ -29,6 +29,21 @@ class BucketsSpec extends AnyFunSuite {
     assert(bucketed === global)
   }
 
+  test("bfillBucketed equals global bfill on sparse random data") {
+    val rnd = new Random(23)
+    val rows = (0L until 3000L).map { i =>
+      (i, if (rnd.nextDouble() < 0.9) null else java.lang.Double.valueOf(rnd.nextDouble()))
+    }
+    val df = rows.toDF("ord", "a")
+    val global = Fill.bfill(df, Seq("a"), "ord")
+      .select("ord", "a").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val bucketed = Fill.bfillBucketed(df, Seq("a"), "ord", bucketSize = 128)
+      .select("ord", "a").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(bucketed === global)
+  }
+
   test("withGhosts: bucketed lag + moving sum equal the global-sort window") {
     val rnd = new Random(13)
     // irregular time steps so buckets have uneven row counts
