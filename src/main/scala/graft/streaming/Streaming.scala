@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Incremental/streaming semantics — SURVEY §2.10.
@@ -65,6 +65,33 @@ object Streaming {
   def streamingSessionCounts(events: DataFrame, timeCol: String,
       by: Seq[String], gap: String, lateness: String): DataFrame =
     sessionCounts(events.withWatermark(timeCol, lateness), timeCol, by, gap)
+
+  case class FillRow(key: String, tsUs: Long, v: Option[Double])
+
+  /** T5 + custom state: streaming forward-fill via
+    * `flatMapGroupsWithState` — each key's last non-null value survives in
+    * group state ACROSS micro-batches, so a value observed in chunk N fills
+    * nulls at the head of chunk N+1 (the cross-chunk carry the reference
+    * loses at its per-chunk job boundaries). Rows inside a micro-batch are
+    * ordered by event time; batches are assumed in arrival order (the
+    * bronze file source delivers chunk files in order). State is one value
+    * per key — bounded, independent of stream length.
+    */
+  def statefulFfill(rows: Dataset[FillRow]): Dataset[FillRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[FillRow], state: GroupState[Double]) =>
+          var last: Option[Double] = if (state.exists) Some(state.get) else None
+          val out = it.toSeq.sortBy(_.tsUs).map { r =>
+            last = r.v.orElse(last)
+            FillRow(key, r.tsUs, r.v.orElse(last))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 
   /** T4: the Zip→timestamp→format→write chain of the reference's Bonsai
     * dataflow as a streaming select + sink (model scoring stays external).

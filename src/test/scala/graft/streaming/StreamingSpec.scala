@@ -60,6 +60,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 1000L, 3L), (1L, 30000L, 2L), (2L, 2000L, 2L)))
   }
 
+  test("statefulFfill carries the last value across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Long, Option[Double])]
+    val filled = Streaming.statefulFfill(
+      stream.toDS().map { case (k, t, v) => Streaming.FillRow(k, t, v) })
+    val q = filled.writeStream.format("memory").queryName("ffill_state")
+      .outputMode("append").start()
+    try {
+      // batch 1: key a ends with 2.0 known; key b stays all-null
+      stream.addData(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(2.0)),
+        ("b", 1L, None))
+      q.processAllAvailable()
+      // batch 2: a's leading nulls must fill with 2.0 FROM STATE; b still null
+      stream.addData(("a", 4L, None), ("a", 5L, None), ("a", 6L, Some(7.0)),
+        ("b", 2L, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ffill_state").as[Streaming.FillRow].collect()
+      .map(r => (r.key, r.tsUs) -> r.v).toMap
+    assert(got(("a", 2L)) === Some(1.0))
+    assert(got(("a", 4L)) === Some(2.0), "carry across the batch boundary")
+    assert(got(("a", 5L)) === Some(2.0))
+    assert(got(("a", 6L)) === Some(7.0))
+    assert(got(("b", 1L)) === None)
+    assert(got(("b", 2L)) === None, "no spurious cross-key carry")
+  }
+
   test("T3: whole-range sessionization has no 24h-boundary loss (reference caveat)") {
     import spark.implicits._
     // a session straddling midnight: events at 23:59:50, 23:59:55, 00:00:05
