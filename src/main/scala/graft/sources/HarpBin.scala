@@ -118,6 +118,47 @@ object HarpBin {
     re.findFirstMatchIn(fileName).map(_.group(1).toInt)
   }
 
+  /** Distributed HARP chunk-file SINK — S8 on the native format (the
+    * reference writes the combined stream back as register-222 `.bin`,
+    * `combine_pose_id_chunk.py:324-326`). Rows `(time, payload:
+    * array<float>)` are hash-repartitioned on their hour bucket, each
+    * bucket's rows are sorted by time and encoded into ONE
+    * `<cameraPrefix>_<register>_<YYYY-MM-DDTHH-MM-SS>.bin` chunk file,
+    * written executor-side through the Hadoop FS (idempotent overwrite —
+    * re-runs produce identical bytes). One task may own several buckets;
+    * a bucket never splits across tasks.
+    */
+  def writeChunkFiles(df: DataFrame, outDir: String, cameraPrefix: String,
+      register: Int, chunkSeconds: Long = 3600): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunkUs = chunkSeconds * 1000000L
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    df.select(unix_micros(col("time")).as("tus"), col("payload"))
+      .withColumn("_b", floor(col("tus") / chunkUs).cast("long"))
+      .repartition(col("_b"))
+      .as[(Long, Array[Float], Long)]
+      .foreachPartition { (it: Iterator[(Long, Array[Float], Long)]) =>
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH-mm-ss") // not Serializable: build here
+        val byBucket = it.toSeq.groupBy(_._3)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(conf.value)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+        byBucket.foreach { case (b, rows) =>
+          val startUs = b * chunkUs
+          val name = cameraPrefix + "_" + register + "_" +
+            java.time.Instant.ofEpochSecond(startUs / 1000000L)
+              .atZone(java.time.ZoneOffset.UTC).format(fmt) + ".bin"
+          val out = fs.create(new org.apache.hadoop.fs.Path(outDir, name), true)
+          try rows.sortBy(_._1).foreach { case (tus, payload, _) =>
+            out.write(encodeMessage(register, 255, tus, payload))
+          } finally out.close()
+        }
+      }
+  }
+
   /** Epoch/chunk catalog discovery over the reference directory layout
     * `root/<epoch YYYY-MM-DDTHH-MM-SS>/<Camera>/<Camera>_<register>_<ts>.bin`
     * (reference `find_epochs`/`find_chunks`,

@@ -83,6 +83,37 @@ class HarpBinSpec extends AnyFunSuite {
     assert(reg.count() === 1)
   }
 
+  test("writeChunkFiles: distributed bin sink round-trips through the DSv2 reader, idempotently") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("harp_sink").toString
+    val hourUs = 3600L * 1000000L
+    // 3 hours of data, one row per second, payload = [hour, sec]
+    val rows = for (h <- 0 until 3; s <- 0 until 60) yield
+      (new java.sql.Timestamp((t0Us + h * hourUs + s * 60000000L) / 1000),
+        Seq(h.toFloat, s.toFloat))
+    val df = rows.toDF("time", "payload")
+      .withColumn("payload", col("payload").cast("array<float>"))
+    HarpBin.writeChunkFiles(df, out, "CameraTop", 222)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.endsWith(".bin")).sorted
+    assert(files.toSeq === Seq(
+      "CameraTop_222_2024-06-01T12-00-00.bin",
+      "CameraTop_222_2024-06-01T13-00-00.bin",
+      "CameraTop_222_2024-06-01T14-00-00.bin"))
+    val back = spark.read.format("graft.sources.HarpBinSource").load(s"$out/*.bin")
+      .select("time", "payload").collect()
+      .map(r => (r.getTimestamp(0), r.getSeq[Float](1))).toSet
+    assert(back === rows.map { case (t, p) => (t, p.map(_.toFloat)) }.toSet)
+    // idempotent: second run overwrites to identical bytes
+    val sums1 = files.map(f => f -> java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, f)).toSeq).toMap
+    HarpBin.writeChunkFiles(df, out, "CameraTop", 222)
+    files.foreach { f =>
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, f)).toSeq === sums1(f))
+    }
+  }
+
   test("discoverChunks catalogs the epoch/camera/chunk tree with range pruning") {
     val root = Files.createTempDirectory("harp_root")
     def epoch(name: String, cams: Seq[String], chunks: Seq[String]): Unit =
