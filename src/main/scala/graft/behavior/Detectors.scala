@@ -196,7 +196,14 @@ object Detectors {
         .flatMap(p => Seq(d(m, p, "x").isNaN, d(m, p, "y").isNaN))).reduce(_ && _))
 
   /** Candidate-event assembly shared by both detectors: sessionize candidate
-    * frames, enforce min size, and emit (ev, firstF, lastF). */
+    * frames, enforce min size, and emit (ev, firstF, lastF). Candidate sets
+    * are sparse relative to the stream (the two-phase design's point), so
+    * the plain single-partition sessionization is intentional here; a
+    * dense keyless candidate set can opt into
+    * `Sessionize.sessionize(bucketSize = ...)` standalone — composing the
+    * bucketed form INSIDE this already-deep plan multiplies the logical
+    * tree (each layer references its input ~4×) and blows up analysis time.
+    */
   private def events(cand: DataFrame, gap: Long, minFrames: Long): DataFrame = {
     val sessed = Sessionize.sessionize(cand, "frame", Nil, gap)
     sessed.groupBy("session_id").agg(

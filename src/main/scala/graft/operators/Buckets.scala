@@ -41,15 +41,17 @@ object Buckets {
     *               are copied into b−1)
     */
   def withGhosts(df: DataFrame, bucketCol: String, orderCol: String,
-      before: Int, after: Int): DataFrame = {
+      before: Int, after: Int, tieBreak: Seq[String] = Nil): DataFrame = {
     // tiny table: one row per occupied bucket
     val wIdx = Window.partitionBy(lit(0)).orderBy(col(bucketCol))
     val mapping = df.select(col(bucketCol)).distinct()
       .withColumn("_bidx", row_number().over(wIdx).cast("long"))
     val dense = df.join(broadcast(mapping), bucketCol)
       .withColumn(bucketCol, col("_bidx")).drop("_bidx")
-    val wAsc = Window.partitionBy(col(bucketCol)).orderBy(col(orderCol))
-    val wDesc = Window.partitionBy(col(bucketCol)).orderBy(col(orderCol).desc)
+    val wAsc = Window.partitionBy(col(bucketCol))
+      .orderBy((col(orderCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val wDesc = Window.partitionBy(col(bucketCol))
+      .orderBy((col(orderCol) +: tieBreak.map(col)).map(_.desc): _*)
     val tagged = dense
       .withColumn("_rnA", row_number().over(wAsc))
       .withColumn("_rnD", row_number().over(wDesc))

@@ -24,10 +24,24 @@ object Sessionize {
     * values cannot be ordered differently by the two window execs — without
     * this, ties are nondeterministic under parallel execution.
     *
-    * @param orderCol  numeric or timestamp column defining order and gaps
-    * @param gap       max allowed gap (same units as `orderCol` diffs;
-    *                  timestamps are compared in microseconds)
-    * @param tieBreak  extra order columns making the sort total (e.g. a row id)
+    * @param orderCol   numeric or timestamp column defining order and gaps
+    * @param gap        max allowed gap (same units as `orderCol` diffs;
+    *                   timestamps are compared in microseconds)
+    * @param tieBreak   extra order columns making the sort total (e.g. a row id)
+    * @param bucketSize when set (and `by` is empty), sessionize WITHOUT a
+    *                   single global sort: rows bucket by
+    *                   `floor(order/bucketSize)`, each bucket computes its
+    *                   local session-start cumsum against a 1-row ghost from
+    *                   the previous bucket, and a one-row-per-bucket summary
+    *                   pass supplies each bucket's session-id offset — exact
+    *                   equality with the global plan. Use when the keyless
+    *                   candidate set can be a significant fraction of the
+    *                   stream (multi-week epochs); the plain path is fine for
+    *                   sparse candidates. CAUTION: the bucketed form
+    *                   references its input plan several times — applied to
+    *                   an already-deep lineage, analysis time multiplies;
+    *                   cache/checkpoint the input first, or sessionize a
+    *                   materialized candidate table.
     */
   def sessionize(
       df: DataFrame,
@@ -35,16 +49,45 @@ object Sessionize {
       by: Seq[String],
       gap: Long,
       sessionCol: String = "session_id",
-      tieBreak: Seq[String] = Nil): DataFrame = {
-    val part = if (by.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(by.map(col): _*)
+      tieBreak: Seq[String] = Nil,
+      bucketSize: Option[Long] = None): DataFrame = {
     val ord: Column =
       if (df.schema(orderCol).dataType.typeName == "timestamp") unix_micros(col(orderCol))
       else col(orderCol).cast("long")
-    val w = part.orderBy(ord +: tieBreak.map(col): _*)
-    val prev = lag(ord, 1).over(w)
-    val isNew = when(prev.isNull || (ord - prev) > gap, 1L).otherwise(0L)
-    df.withColumn(sessionCol,
-      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+    bucketSize match {
+      case Some(bs) if by.isEmpty =>
+        val d0 = df.withColumn("_so", ord)
+          .withColumn("_sb", floor(col("_so") / bs).cast("long"))
+        val g = Buckets.withGhosts(d0, "_sb", "_so", before = 1, after = 0,
+          tieBreak = tieBreak)
+        val w = Window.partitionBy(col("_sb"))
+          .orderBy((col("_so") +: tieBreak.map(col)).map(_.asc): _*)
+        val prev = lag(col("_so"), 1).over(w)
+        // ghosts contribute ONLY as lag context; only own rows count starts
+        val isNew = when(!col("_ghost") &&
+          (prev.isNull || (col("_so") - prev) > gap), 1L).otherwise(0L)
+        val cum = g.withColumn("_new", isNew)
+          .withColumn("_cum", sum(col("_new"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(!col("_ghost"))
+        // tiny: one row per bucket → cumulative start-count offsets
+        val wS = Window.partitionBy(lit(0)).orderBy(col("_sb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = cum.groupBy("_sb").agg(max("_cum").as("_tot"))
+          .withColumn("_off", coalesce(sum(col("_tot")).over(wS), lit(0L)))
+          .select("_sb", "_off")
+        cum.join(broadcast(off), "_sb")
+          .withColumn(sessionCol, col("_cum") + col("_off") - 1)
+          .drop("_sb", "_so", "_new", "_cum", "_off", "_ghost")
+      case _ =>
+        val part = if (by.isEmpty) Window.partitionBy(lit(0))
+          else Window.partitionBy(by.map(col): _*)
+        val w = part.orderBy(ord +: tieBreak.map(col): _*)
+        val prev = lag(ord, 1).over(w)
+        val isNew = when(prev.isNull || (ord - prev) > gap, 1L).otherwise(0L)
+        df.withColumn(sessionCol,
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+    }
   }
 
   /** Drop sessions with fewer than `minRows` rows (G2; reference
@@ -76,8 +119,9 @@ object Sessionize {
       gap: Long,
       flagCol: String,
       sessionCol: String = "session_id",
-      tieBreak: Seq[String] = Nil): DataFrame = {
-    val sessed = sessionize(union, orderCol, by, gap, sessionCol, tieBreak)
+      tieBreak: Seq[String] = Nil,
+      bucketSize: Option[Long] = None): DataFrame = {
+    val sessed = sessionize(union, orderCol, by, gap, sessionCol, tieBreak, bucketSize)
     val w = Window.partitionBy((by :+ sessionCol).map(col): _*)
     sessed
       .withColumn("_has_candidate", max(when(col(flagCol), 1).otherwise(0)).over(w))

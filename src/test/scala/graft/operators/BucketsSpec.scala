@@ -66,6 +66,23 @@ class BucketsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("bucketed sessionize equals global sessionize (property, incl. bucket-spanning sessions)") {
+    val rnd = new Random(29)
+    // gaps sized so sessions regularly span the 1000-unit buckets
+    val times = Iterator.iterate(0L)(t => t + (if (rnd.nextDouble() < 0.1) 800 else 1 + rnd.nextInt(40)))
+      .take(4000).toSeq
+    val df = times.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("t", "rid")
+    val global = Sessionize.sessionize(df, "t", Nil, 100, tieBreak = Seq("rid"))
+      .select("rid", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = Sessionize.sessionize(df, "t", Nil, 100, tieBreak = Seq("rid"),
+        bucketSize = Some(1000L))
+      .select("rid", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed === global)
+    assert(global.values.max > 50, s"fixture should have many sessions: ${global.values.max}")
+  }
+
   test("bucketed keyless as-of equals the global-sort as-of (all directions, property)") {
     val rnd = new Random(17)
     def mkTs(n: Int, seed: Long) = {
