@@ -252,6 +252,60 @@ object Dedup {
     verifyJaccard(cand, sets, minJaccard)
   }
 
+  /** Connected components over a near-duplicate pair table — the step that
+    * turns pairs into CLUSTERS so a corpus can actually be deduplicated
+    * (each component keeps one survivor). Distributed min-label
+    * propagation: every node starts as its own label; each round, every
+    * node adopts the minimum label among itself and its neighbors;
+    * converges in O(component diameter) rounds (near-dup chains are
+    * shallow). Each round is one equi-join + one aggregation, and the
+    * label frontier is `localCheckpoint`ed so lineage (and Catalyst
+    * analysis cost) stays CONSTANT per round instead of compounding.
+    *
+    * @return (id, component) with component = min id reachable
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("i").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("j"), col("component").as("_nc")), "j")
+        .groupBy(col("i").as("id")).agg(min("_nc").as("_cand"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_cand"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(
+          labels.select(col("id"), col("component").as("_old")), "id")
+        .filter(col("component") =!= col("_old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Deduplicate a corpus given its near-duplicate pairs: every document
+    * keeps its component's min id as `rep_id` (documents in no pair are
+    * their own representative); survivors are the rows with
+    * `doc_id = rep_id` — filter on it to drop near-duplicates.
+    */
+  def withRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    // no broadcast hint: the component table scales with the number of
+    // near-duplicated docs — let AQE pick the strategy
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+  }
+
   /** 64-bit SimHash per document: each token hash votes ±1 per bit position
     * weighted by term frequency; the signature sets bits with positive sums.
     * One explode + one aggregation (64 conditional sums).

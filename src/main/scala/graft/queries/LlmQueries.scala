@@ -55,6 +55,17 @@ object LlmQueries {
       sortAll(Dedup.simhashPairs(sig, 3, 4))
     }),
 
+    // Near-dup pair table → connected components → survivors: one row per
+    // multi-member cluster (rep = min doc_id) with the member count — the
+    // step that actually DROPS near-duplicates from a corpus
+    "d6_neardup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text",
+        3, 64, 16, 0.8)
+      val reps = Dedup.withRepresentatives(docs(s, dir), "doc_id", pairs)
+      sortAll(reps.groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1))
+    }),
+
     // Embedding-cosine near-dup pairs — exact distributed block-triangle
     // all-pairs (no driver collect; per-task memory bounded by block size)
     "d5_embedding_neardup" -> ((s, dir) => {
@@ -155,6 +166,22 @@ object LlmQueries {
 
     "d2_ngram_jaccard" -> jaccardOracle,
     "d3_minhash_lsh" -> jaccardOracle,
+
+    // transitive closure over the exact near-dup pair set (recursive CTE),
+    // then one row per multi-member component keyed by its min id
+    "d6_neardup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p2 AS (SELECT i, j FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT i, j FROM p2 UNION SELECT j, i FROM p2),
+         |nodes AS (SELECT DISTINCT i AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT component AS rep_id, count(*) AS n_members
+         |FROM comp GROUP BY component HAVING count(*) > 1
+         |${orderBySql("rep_id", "n_members")}""".stripMargin,
 
     "d5_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM $embsPq)

@@ -107,6 +107,22 @@ class LlmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxBroadcastQueries"))
   }
 
+  test("connectedComponents: chains, merges, and survivor selection") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, singleton 20 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).map(i => (i, s"doc$i"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.withRepresentatives(corpus, "doc_id", pairs)
+    val survivors = reps.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 10L, 20L))
+  }
+
   test("cosine is symmetric, 1 on self, deterministic") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(3f, 2f, 1f)))
