@@ -89,9 +89,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Train IVF coarse centroids with MLlib k-means over a (sampled)
+    * corpus — the scale path for [[ivfTopK]]'s cell table: at 100 TB, fit
+    * on `sampleFraction` of the corpus (k-means quality needs only a
+    * representative sample), then assign the full corpus to cells once.
+    * Deterministic under the fixed seed. Output: (cell, _cv) — the
+    * centroid table [[assignCells]]/[[ivfTopK]] expect.
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val sampled =
+      (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+       else corpus)
+        .select(toVec(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(sampled)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "_cv")
+  }
+
   /** Nearest-centroid cell id for every vector. Centroids are a small
     * DataFrame (cell, vec) — broadcast; at scale they come from a sampled
-    * k-means, here from any deterministic picker.
+    * k-means ([[trainCentroids]]), here from any deterministic picker.
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {

@@ -51,6 +51,28 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 = $recall below floor")
   }
 
+  test("k-means-trained centroids: deterministic, and recall not worse than the naive picker") {
+    val q = embs.filter(col("vec_id") < 50)
+    val naive = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val trained = Similarity.trainCentroids(embs, "embedding", 8)
+    assert(trained.count() === 8)
+    // deterministic under the fixed seed
+    val again = Similarity.trainCentroids(embs, "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    trained.collect().foreach(r =>
+      assert(again(r.getLong(0)) === r.getSeq[Float](1)))
+    val exact = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+    def recall(cents: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAgainst(exact,
+        Similarity.ivfTopK(q, embs, cents, "vec_id", "embedding", 5, 3), 5)
+        .head.getDouble(1)
+    val rNaive = recall(naive)
+    val rTrained = recall(trained)
+    assert(rTrained >= rNaive - 0.05,
+      s"trained centroids recall $rTrained far below naive $rNaive")
+  }
+
   test("blocked near-dup pairs equal brute-force all-pairs (exact, no collect)") {
     import spark.implicits._
     val got = Similarity.cosineNearDupPairs(embs, "vec_id", "embedding", 0.35)
