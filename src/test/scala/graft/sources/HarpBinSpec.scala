@@ -145,6 +145,18 @@ class HarpBinSpec extends AnyFunSuite {
     assert(pruned.count() === 4)
   }
 
+  test("empty chunk marker files (reference no-data sentinel) read as zero rows") {
+    val dir = Files.createTempDirectory("harp_empty").toFile
+    // the reference writes an empty file when a chunk has no data
+    // (combine_pose_id_chunk.py:327-331)
+    Files.write(new java.io.File(dir, "CameraTop_222_2024-06-01T12-00-00.bin").toPath,
+      Array.empty[Byte])
+    HarpBin.writeFile(s"$dir/CameraTop_222_2024-06-01T13-00-00.bin", 222,
+      Seq((alignedUs(0), Array(1.0f))))
+    val df = spark.read.format("graft.sources.HarpBinSource").load(s"$dir/*.bin")
+    assert(df.count() === 1)
+  }
+
   test("poseView maps payload onto the reference Pose schema") {
     val dir = Files.createTempDirectory("harp_pose").toFile
     // payload: [class_idx, part_idx, x, y, part_likelihood, lik_m0, lik_m1]
