@@ -261,6 +261,20 @@ object CoverageQueries {
         col("Devices.VideoController.TriggerFrequency").cast("long").as("fps")))
     }),
 
+    // S11: native HARP .bin round-trip under the oracle gate — events →
+    // distributed chunk sink → DataSource V2 reader → aggregate; the oracle
+    // computes the same float32-quantized sum directly on the parquet
+    "s11_harp_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_harp_rt_${math.abs(dir.hashCode)}"
+      val e = t(s, dir, "events").filter(col("event_id") < 1000)
+        .select(col("ts").as("time"), array(col("value").cast("float")).as("payload"))
+      graft.sources.HarpBin.writeChunkFiles(e, out, "CameraTop", 222)
+      val back = s.read.format("graft.sources.HarpBinSource").load(s"$out/*.bin")
+      sortAll(back.agg(count(lit(1)).as("n"),
+        sum(round(element_at(col("payload"), 1).cast("double") * 100).cast("long"))
+          .as("sum_cents")))
+    }),
+
     // S10: video clip manifest — padded (start, end) windows + formatted
     // clip names projected from the session/event table (reference
     // generate_videos padding, social_behaviour_detection.py:880-919)
@@ -322,6 +336,12 @@ object CoverageQueries {
       |    FROM events))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s11_harp_roundtrip" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(round(CAST(CAST(value AS REAL) AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events WHERE event_id < 1000
+         |${orderBySql("n", "sum_cents")}""".stripMargin,
+
     "p2_contains_filter" ->
       s"""SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
          |FROM part WHERE p_type LIKE '%DAR%'
