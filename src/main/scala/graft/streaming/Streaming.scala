@@ -66,6 +66,18 @@ object Streaming {
       by: Seq[String], gap: String, lateness: String): DataFrame =
     sessionCounts(events.withWatermark(timeCol, lateness), timeCol, by, gap)
 
+  /** T2/S9 at row grain: streaming deduplication of replayed rows. The
+    * reference's exists-check guards whole chunk FILES; row-level replays
+    * (a chunk partially re-delivered) need watermark-bounded dedup state:
+    * duplicates of a key arriving within `lateness` of the watermark are
+    * dropped, and state for keys older than the watermark is evicted — so
+    * dedup memory is bounded by the lateness window, not the stream.
+    */
+  def dedupWithinWatermark(df: DataFrame, timeCol: String,
+      keyCols: Seq[String], lateness: String): DataFrame =
+    df.withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class FillRow(key: String, tsUs: Long, v: Option[Double])
 
   /** T5 + custom state: streaming forward-fill via

@@ -211,6 +211,24 @@ class DetectorSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-epoch tube tests: one event per epoch, winners preserved") {
+    val tube = (0 to 69).flatMap { f =>
+      if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)
+      else mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140.0 + 3 * (f - 19), 50, 1)
+    }
+    val twoEpochs = tube.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y, "ep1")
+    } ++ tube.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + 5L * 86400000L + f * 20L), id, part, x, y, "ep2")
+    }
+    val pose = twoEpochs.toDF("time", "identity", "part", "x", "y", "epoch")
+    val out = Detectors.detectTubeTestsAllEpochs(pose, parts,
+      Detectors.TubeParams()).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("epoch")).sorted.toSeq === Seq("ep1", "ep2"))
+    assert(out.forall(_.getAs[String]("winner_identity") == "A"))
+  }
+
   test("periods24h splits at the boundary hour like the reference") {
     val zone = java.time.ZoneOffset.UTC
     def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L

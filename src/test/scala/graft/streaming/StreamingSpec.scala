@@ -60,6 +60,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 1000L, 3L), (1L, 30000L, 2L), (2L, 2000L, 2L)))
   }
 
+  test("dedupWithinWatermark drops row-level replays across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long)]
+    val df = stream.toDF().toDF("event_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val deduped = Streaming.dedupWithinWatermark(df, "ts", Seq("event_id"), "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 1000L), (2L, 2000L), (1L, 1000L)) // in-batch dup
+      q.processAllAvailable()
+      stream.addData((2L, 2000L), (3L, 3000L)) // cross-batch replay of 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_wm").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
   test("statefulFfill carries the last value across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
