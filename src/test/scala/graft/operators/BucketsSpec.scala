@@ -109,6 +109,50 @@ class BucketsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join equals a brute-force reference implementation (all directions, property)") {
+    val rnd = new Random(31)
+    val tol = 5000L
+    val users = (0 until 10).map(_.toLong)
+    val left = for (u <- users; i <- 0 until 40) yield
+      (u, (1000L + rnd.nextInt(100000)) * 1000L, u * 1000 + i)
+    // unique right timestamps per user → unambiguous brute force
+    val right = users.flatMap { u =>
+      rnd.shuffle((1 to 100000).toList).take(30)
+        .map(t => (u, t.toLong * 1000L, u * 10000 + t.toLong))
+    }
+    val leftDf = left.map { case (u, t, lid) =>
+      (u, new java.sql.Timestamp(t / 1000), lid) }.toDF("u", "ts", "lid")
+    val rightDf = right.map { case (u, t, rv) =>
+      (u, new java.sql.Timestamp(t / 1000), rv) }.toDF("u", "ts", "rv")
+    val rByU = right.groupBy(_._1)
+    def bf(dir: AsOfJoin.Direction, u: Long, t: Long): Option[Long] = {
+      val rs = rByU.getOrElse(u, Nil)
+      val back = rs.filter(r => r._2 <= t && t - r._2 <= tol * 1000)
+        .sortBy(_._2).lastOption
+      val fwd = rs.filter(r => r._2 >= t && r._2 - t <= tol * 1000)
+        .sortBy(_._2).headOption
+      (dir match {
+        case AsOfJoin.Backward => back
+        case AsOfJoin.Forward => fwd
+        case AsOfJoin.Nearest => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (f._2 - t < t - b._2) Some(f) else Some(b) // ties → backward
+          case (b, f) => b.orElse(f)
+        }
+      }).map(_._3)
+    }
+    for (dir <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)) {
+      val got = AsOfJoin.asofJoin(leftDf, rightDf, "ts", Seq("u"), dir,
+          Some(tol * 1000L))
+        .select("lid", "rv").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      left.foreach { case (u, t, lid) =>
+        assert(got(lid) === bf(dir, u, t), s"direction $dir, left $lid")
+      }
+    }
+  }
+
   test("densifiedRange: complete, duplicate-free, multi-task") {
     val maxDf = Seq(999999L).toDF("maxF")
     val spine = Buckets.densifiedRange(maxDf, "maxF", "frame", chunk = 100000)
