@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+
+/** Quadrant-camera selection for composite videos — the reference's
+  * position→FOV analytics (`id_model/step2_composite_videos/
+  * generate_composite_quadrant_videos.py:224-339`), re-expressed as pure
+  * column math + one per-timestamp aggregation:
+  *
+  *   1. each quadrant camera's FOV = its image corners pushed through the
+  *      camera homography ([[fovCorners]], reference `get_transformed_corners`);
+  *   2. per position: `possible_quadrants` = FOVs containing the point
+  *      (convex point-in-polygon, `find_quadrants_for_positions`), falling
+  *      back to the nearest FOV center when none contains it
+  *      (`find_closest_quadrant`);
+  *   3. `most_central` = the possible quadrant whose FOV center is nearest
+  *      (`find_most_central_quadrant`);
+  *   4. per timestamp over both mice (`determine_quadrant_camera`): the
+  *      common possible quadrants decide — singleton wins; two-way
+  *      most-central ties break DETERMINISTICALLY by a seeded hash of the
+  *      timestamp (the reference uses unseeded `random.choice`; an engine
+  *      must be replayable — SURVEY §7.4 risk 5); no common quadrant →
+  *      each mouse's most-central.
+  *
+  * Everything until step 4 is codegen'd column arithmetic; step 4 is one
+  * `groupBy(time)` aggregation — shuffle on timestamp, no driver loops.
+  */
+object Quadrants {
+
+  /** FOV corner quadrilateral in arena-top space: image corners through the
+    * 3×3 homography (row-major), normalized, ordered TL,TR,BR,BL. */
+  def fovCorners(h: Seq[Double], width: Int, height: Int): Seq[(Double, Double)] = {
+    val corners = Seq((0.0, 0.0), (0.0, height - 1.0), (width - 1.0, 0.0),
+      (width - 1.0, height - 1.0))
+    val projected = corners.map { case (x, y) =>
+      val w = h(6) * x + h(7) * y + h(8)
+      ((h(0) * x + h(1) * y + h(2)) / w, (h(3) * x + h(4) * y + h(5)) / w)
+    }
+    val sorted = projected.sortBy(p => (p._1, p._2))
+    val Seq(topLeft, bottomLeft) = sorted.take(2).sortBy(_._2)
+    val Seq(topRight, bottomRight) = sorted.drop(2).sortBy(_._2)
+    Seq(topLeft, topRight, bottomRight, bottomLeft)
+  }
+
+  def fovCenter(corners: Seq[(Double, Double)]): (Double, Double) =
+    (corners.map(_._1).sum / corners.length, corners.map(_._2).sum / corners.length)
+
+  /** Add `possible_quadrants` (array<int>, with nearest-center fallback)
+    * and `most_central_quadrant` (int) to a positions table (xCol, yCol).
+    * `fovs` = one corner quadrilateral per quadrant camera, index = id.
+    */
+  def withQuadrants(df: DataFrame, xCol: String, yCol: String,
+      fovs: Seq[Seq[(Double, Double)]]): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val inside: Seq[Column] = fovs.map(c => Cols.inConvexPolygon(x, y, c))
+    val possible = filter(
+      array(fovs.indices.map(i => when(inside(i), lit(i))): _*),
+      c => c.isNotNull)
+    val centers = fovs.map(fovCenter)
+    def d2(i: Int): Column = {
+      val (cx, cy) = centers(i)
+      (x - cx) * (x - cx) + (y - cy) * (y - cy)
+    }
+    // nearest FOV center (ties → lower index, like the reference's sort)
+    val nearest = fovs.indices.map(i => struct(d2(i).as("d"), lit(i).as("q")))
+      .reduce((a, b) => when(b("d") < a("d"), b).otherwise(a))
+    val extended = when(size(col("possible_quadrants")) > 0,
+      col("possible_quadrants")).otherwise(array(nearest("q")))
+    // most central among the extended possibles
+    val central = fovs.indices.map(i =>
+        when(array_contains(col("_pq_ext"), i), struct(d2(i).as("d"), lit(i).as("q"))))
+      .reduce((a, b) =>
+        when(a.isNull, b).when(b.isNull, a).when(b("d") < a("d"), b).otherwise(a))
+    df.withColumn("possible_quadrants", possible)
+      .withColumn("_pq_ext", extended)
+      .withColumn("most_central_quadrant", central("q"))
+      .drop("_pq_ext")
+  }
+
+  /** Per-timestamp selection over both mice (reference
+    * `determine_quadrant_camera`). Output: (timeCol, selected_quadrants:
+    * array<int>, selected_cameras: array<string>).
+    *
+    * @param cameraNames quadrant index → camera name
+    * @param seed        tie-break seed (two-way most-central ties)
+    */
+  def selectQuadrant(withQ: DataFrame, timeCol: String,
+      cameraNames: Seq[String], seed: Long = 42L): DataFrame = {
+    val grouped = withQ.groupBy(col(timeCol))
+      .agg(
+        // common = quadrants possible for EVERY mouse at the timestamp;
+        // fewer than 2 mice → no common (the reference's None)
+        aggregate(collect_list(col("possible_quadrants")),
+          lit(null).cast("array<int>"),
+          (acc, cur) => when(acc.isNull, cur).otherwise(array_intersect(acc, cur)))
+          .as("_common0"),
+        count(lit(1)).as("_n"),
+        collect_list(col("most_central_quadrant")).as("_centrals"))
+      .withColumn("_common", when(col("_n") < 2,
+        array().cast("array<int>")).otherwise(col("_common0")))
+    val centralsDistinct = array_sort(array_distinct(col("_centrals")))
+    val inter = array_sort(array_intersect(centralsDistinct, col("_common")))
+    // all modes of _centrals, ascending (pandas .mode() semantics)
+    def countOf(q: Column): Column = size(filter(col("_centrals"), c => c === q))
+    val maxCount = array_max(transform(centralsDistinct, countOf(_)))
+    val modes = filter(centralsDistinct, q => countOf(q) === maxCount)
+    val pick2 = element_at(inter,
+      (pmod(hash(col(timeCol), lit(seed)), lit(2)) + 1).cast("int"))
+    val selected =
+      when(size(col("_common")) === 0, centralsDistinct)
+        .when(size(col("_common")) === 1, col("_common"))
+        .when(size(inter) === 1, inter)
+        .when(size(inter) === 2, array(pick2))
+        .otherwise(modes)
+    val camMap = map(cameraNames.zipWithIndex
+      .flatMap { case (n, i) => Seq(lit(i), lit(n)) }: _*)
+    grouped
+      .withColumn("selected_quadrants", selected)
+      .withColumn("selected_cameras",
+        transform(col("selected_quadrants"), q => element_at(camMap, q)))
+      .select(col(timeCol), col("selected_quadrants"), col("selected_cameras"))
+  }
+}
