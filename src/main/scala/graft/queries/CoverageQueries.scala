@@ -226,6 +226,23 @@ object CoverageQueries {
         count(lit(1)).as("n")))
     }),
 
+    // Quadrant membership + most-central selection over a 2×2 FOV tiling
+    // (reference generate_composite_quadrant_videos.py:224-283); the
+    // nearest-FOV fallback fires for positions outside every FOV
+    "geo3_quadrant_select" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val pos = e.select(col("event_id"), (col("value") * 2).as("x"),
+        ((col("user_id") % 100).cast("double") * 2).as("y"))
+      val homos = Seq(
+        Seq(1.0, 0, 0, 0, 1, 0, 0, 0, 1), Seq(1.0, 0, 100, 0, 1, 0, 0, 0, 1),
+        Seq(1.0, 0, 0, 0, 1, 100, 0, 0, 1), Seq(1.0, 0, 100, 0, 1, 100, 0, 0, 1))
+      val fovs = homos.map(h => graft.operators.Quadrants.fovCorners(h, 100, 100))
+      val q = graft.operators.Quadrants.withQuadrants(pos, "x", "y", fovs)
+      sortAll(q.select(col("event_id"),
+        size(col("possible_quadrants")).as("n_possible"),
+        col("most_central_quadrant").as("most_central")))
+    }),
+
     // S2: epoch/chunk catalog discovery — file-name metadata surfaced as a
     // column and regex-parsed (reference find_epochs directory scans,
     // detect_fights_all_epochs.py:12-94)
@@ -336,6 +353,33 @@ object CoverageQueries {
       |    FROM events))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "geo3_quadrant_select" ->
+      s"""WITH pos AS (
+         |  SELECT event_id, value * 2 AS x, CAST(user_id % 100 AS DOUBLE) * 2 AS y
+         |  FROM events),
+         |f AS (SELECT event_id, x, y,
+         |  CASE WHEN x >= 0 AND x <= 99 AND y >= 0 AND y <= 99 THEN 1 ELSE 0 END AS m0,
+         |  CASE WHEN x >= 100 AND x <= 199 AND y >= 0 AND y <= 99 THEN 1 ELSE 0 END AS m1,
+         |  CASE WHEN x >= 0 AND x <= 99 AND y >= 100 AND y <= 199 THEN 1 ELSE 0 END AS m2,
+         |  CASE WHEN x >= 100 AND x <= 199 AND y >= 100 AND y <= 199 THEN 1 ELSE 0 END AS m3,
+         |  (x-49.5)*(x-49.5) + (y-49.5)*(y-49.5) AS d0,
+         |  (x-149.5)*(x-149.5) + (y-49.5)*(y-49.5) AS d1,
+         |  (x-49.5)*(x-49.5) + (y-149.5)*(y-149.5) AS d2,
+         |  (x-149.5)*(x-149.5) + (y-149.5)*(y-149.5) AS d3
+         |FROM pos),
+         |g AS (SELECT event_id, m0 + m1 + m2 + m3 AS n_possible,
+         |  CASE WHEN m0 + m1 + m2 + m3 = 0 OR m0 = 1 THEN d0 ELSE 1e308 END AS md0,
+         |  CASE WHEN m0 + m1 + m2 + m3 = 0 OR m1 = 1 THEN d1 ELSE 1e308 END AS md1,
+         |  CASE WHEN m0 + m1 + m2 + m3 = 0 OR m2 = 1 THEN d2 ELSE 1e308 END AS md2,
+         |  CASE WHEN m0 + m1 + m2 + m3 = 0 OR m3 = 1 THEN d3 ELSE 1e308 END AS md3
+         |FROM f)
+         |SELECT event_id, n_possible,
+         |  CASE WHEN md0 <= md1 AND md0 <= md2 AND md0 <= md3 THEN 0
+         |       WHEN md1 <= md2 AND md1 <= md3 THEN 1
+         |       WHEN md2 <= md3 THEN 2 ELSE 3 END AS most_central
+         |FROM g
+         |${orderBySql("event_id", "n_possible", "most_central")}""".stripMargin,
+
     "s11_harp_roundtrip" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CAST(round(CAST(CAST(value AS REAL) AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
