@@ -187,6 +187,25 @@ class DetectorSpec extends AnyFunSuite {
     assert(got.size === keep.size)
   }
 
+  test("blobSpeed bucket boundaries: 1-second buckets equal the single-bucket result") {
+    val rnd = new scala.util.Random(37)
+    // ~12 s of irregular samples (some dt < 10 ms to exercise the drop),
+    // so bucketSeconds = 1 yields ~12 buckets with live boundaries
+    var tMs = 0L
+    val rows = (0 until 600).map { i =>
+      tMs += (if (rnd.nextDouble() < 0.1) 5L else 15L + rnd.nextInt(10))
+      (new java.sql.Timestamp(t0.getTime + tMs), rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+    }.toDF("time", "x", "y")
+    def run(bucketSeconds: Long) =
+      Detectors.blobSpeed(rows, 50.0, 5.4, bucketSeconds).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val single = run(3600) // whole stream in one bucket = the global plan
+    val bucketed = run(1)
+    assert(bucketed.keySet === single.keySet)
+    single.foreach { case (f, v) =>
+      assert(math.abs(bucketed(f) - v) < 1e-9, s"frame $f") }
+  }
+
   test("multi-epoch wrapper: events detected independently in both epochs") {
     val fight = (0 to 260).flatMap { f =>
       if (f >= 100 && f <= 200) {
