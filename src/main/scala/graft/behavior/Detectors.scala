@@ -84,7 +84,10 @@ object Detectors {
           val n = meta.select(
             col("ActiveRegion.NestRegion.ArrayOfPoint").getItem(1).getField("Y").cast("double"),
             col("ActiveRegion.NestRegion.ArrayOfPoint").getItem(2).getField("Y").cast("double")).head()
-          (n.getDouble(0), n.getDouble(1))
+          // a NestRegion with < 3 points resolves but evaluates null →
+          // same no-nest fallback as a missing field
+          if (n.isNullAt(0) || n.isNullAt(1)) (Double.NaN, Double.NaN)
+          else (n.getDouble(0), n.getDouble(1))
         } catch { case _: org.apache.spark.sql.AnalysisException =>
           (Double.NaN, Double.NaN) }
       val gateKeys = meta.schema.fields.find(_.name == "Devices").toSeq
@@ -123,12 +126,16 @@ object Detectors {
     * reference's tensor shape), with per-mouse per-part coordinates, real or
     * synthesized timestamp, and feature columns.
     */
-  def wideFrames(pose: DataFrame, parts: Map[String, String], fps: Double): DataFrame = {
+  def wideFrames(pose: DataFrame, parts: Map[String, String], fps: Double,
+      knownIds: Option[Seq[String]] = None): DataFrame = {
     val spark = pose.sparkSession
     val logical = Seq("nose", "head", "centroid", "tail_base")
     val physToLog = logical.map(l => parts(l) -> l).toMap
     // identity codes: bounded 2-value domain → collect + broadcast literal
-    val ids = pose.select("identity").distinct().collect().map(_.getString(0)).sorted
+    // (callers that already know the pair pass it in — the multi-epoch
+    // wrapper resolves identities once per corpus, not once per shard)
+    val ids = knownIds.getOrElse(
+      pose.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
     val idCode = when(col("identity") === ids(0), 0).otherwise(1)
     val filtered = pose
@@ -250,12 +257,13 @@ object Detectors {
     */
   def detectFights(pose: DataFrame, blob: Option[DataFrame],
       parts: Map[String, String], p: FightParams,
-      intervals: Option[DataFrame] = None): Dataset[FightEvent] = {
+      intervals: Option[DataFrame] = None,
+      knownIds: Option[Seq[String]] = None): Dataset[FightEvent] = {
     val spark = pose.sparkSession
     import spark.implicits._
     val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
       .getOrElse(pose)
-    val feat0 = withFeatures(wideFrames(poseKept, parts, p.fps))
+    val feat0 = withFeatures(wideFrames(poseKept, parts, p.fps, knownIds))
     // blob speed: dt-anomaly drop (T5), px→cm/s, 10-frame "same" smoothing
     val feat = blob match {
       case Some(b) =>
@@ -403,12 +411,19 @@ object Detectors {
   def detectFightsAllEpochs(pose: DataFrame, blob: Option[DataFrame],
       parts: Map[String, String], p: FightParams, epochCol: String = "epoch",
       boundaryHour: Int = 2, intervals: Option[DataFrame] = None): DataFrame = {
-    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e) =>
+    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e, ids) =>
       val sub = pose.filter(col(epochCol) === ep &&
         unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
-      val subBlob = blob.map(_.filter(
-        unix_micros(col("time")) >= s && unix_micros(col("time")) < e))
-      detectFights(sub.drop(epochCol), subBlob, parts, p, intervals).toDF()
+      // filter blob by epoch too when it carries the column — two epochs
+      // can overlap in wall-clock time (concurrent rigs)
+      val subBlob = blob.map { b =>
+        val byEpoch = if (b.columns.contains(epochCol))
+          b.filter(col(epochCol) === ep) else b
+        byEpoch.filter(
+          unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
+      }
+      detectFights(sub.drop(epochCol), subBlob, parts, p, intervals,
+        knownIds = Some(ids)).toDF()
     }
   }
 
@@ -418,32 +433,41 @@ object Detectors {
       p: TubeParams, roi: Option[Roi] = None,
       epochCol: String = "epoch", boundaryHour: Int = 2,
       intervals: Option[DataFrame] = None): DataFrame = {
-    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e) =>
+    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e, ids) =>
       val sub = pose.filter(col(epochCol) === ep &&
         unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
-      detectTubeTests(sub.drop(epochCol), parts, p, roi, intervals).toDF()
+      detectTubeTests(sub.drop(epochCol), parts, p, roi, intervals,
+        knownIds = Some(ids)).toDF()
     }
   }
 
-  /** Enumerate (epoch, period) shards from epoch metadata and union the
-    * per-shard plans produced by `build`. */
+  /** Enumerate (epoch, period) shards from ONE metadata aggregation (time
+    * bounds + identity set per epoch — the only eager work) and union the
+    * per-shard plans produced by `build`. Epochs whose identity set is not
+    * exactly 2 are SKIPPED, like the reference's "no data for this chunk"
+    * empty-output path (`combine_pose_id_chunk.py:284-288`) — a silent day
+    * inside a valid epoch yields an empty shard result, not a crash. */
   private def shardedByEpoch(pose: DataFrame, epochCol: String,
-      boundaryHour: Int)(build: (String, Long, Long) => DataFrame): DataFrame = {
+      boundaryHour: Int)(
+      build: (String, Long, Long, Seq[String]) => DataFrame): DataFrame = {
     val epochs = pose.groupBy(col(epochCol).cast("string").as("_ep"))
       .agg(min(unix_micros(col("time"))).as("_s"),
-        max(unix_micros(col("time"))).as("_e"))
+        max(unix_micros(col("time"))).as("_e"),
+        collect_set(col("identity")).as("_ids"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).sorted))
       .sortBy(_._1)
     val shards = for {
-      (ep, s, e) <- epochs.toSeq
+      (ep, s, e, ids) <- epochs.toSeq if ids.length == 2
       // max(time) is inclusive → +1 µs so the last sample stays in range
       (ps, pe) <- periods24h(s, e + 1, boundaryHour)
-    } yield build(ep, ps, pe)
+    } yield build(ep, ps, pe, ids)
       .withColumn("epoch", lit(ep))
       .withColumn("period_start", timestamp_micros(lit(ps)))
     shards.reduceOption(_ unionByName _)
-      .getOrElse(throw new IllegalArgumentException("no epochs found"))
+      .getOrElse(throw new IllegalArgumentException(
+        "no epochs with exactly 2 identities found"))
   }
 
   /** Tube-test detection end-to-end (reference `detect_tube_tests`,
@@ -452,14 +476,16 @@ object Detectors {
     * (centerX, centerY, innerR, outerR). */
   def detectTubeTests(pose: DataFrame, parts: Map[String, String], p: TubeParams,
       roi: Option[Roi] = None,
-      intervals: Option[DataFrame] = None): Dataset[TubeTestEvent] = {
+      intervals: Option[DataFrame] = None,
+      knownIds: Option[Seq[String]] = None): Dataset[TubeTestEvent] = {
     val spark = pose.sparkSession
     import spark.implicits._
     val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
       .getOrElse(pose)
-    val ids = poseKept.select("identity").distinct().collect().map(_.getString(0)).sorted
+    val ids = knownIds.getOrElse(
+      poseKept.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
-    val feat = withFeatures(wideFrames(poseKept, parts, p.fps))
+    val feat = withFeatures(wideFrames(poseKept, parts, p.fps, Some(ids)))
     val adj1 = pmod(col("o1") + 180.0, lit(360.0))
     val roiOk: Column = roi match {
       case Some(r) =>

@@ -100,19 +100,24 @@ object Combine {
     // by (tick, identity)); unmatched instances drop (P8). Inferred J4
     // singleton pairs have no verified detection pairing → null map, as the
     // reference writes a NaN-likelihood map (`combine_pose_id_chunk.py:141`).
-    // the solver matches the min-cost duplicate per (pose, identity) cell =
-    // the max-likelihood detection of that identity in the tick, so a
-    // deterministic max-likelihood dedup reproduces exactly the MATCHED
-    // detection's map (position as tiebreak for bit-equal likelihoods)
-    val lik = idj.select(col("tick"), col("identity"), col("identity_likelihood"),
-        col("x_top"), col("y_top"),
+    // The matched detection is recovered by its COST: the solver's cell
+    // value is the min cost among that (pose, identity)'s candidate rows =
+    // −likelihood of the matched (feasible) detection, so joining idj on
+    // (tick, identity, likelihood == −cost) selects exactly the detection
+    // the assignment used — a far-away higher-likelihood duplicate (cost
+    // +∞, never matchable) cannot leak its map in. Bit-equal-likelihood
+    // duplicates share a deterministic position tiebreak.
+    val lik = idj.select(col("tick"), col("identity"),
+        col("identity_likelihood"), col("x_top"), col("y_top"),
         coalesce(element_at(col("identity_likelihood"), col("identity")), lit(0.0)).as("_l"))
-      .groupBy("tick", "identity")
-      .agg(max_by(col("identity_likelihood"),
-        struct(col("_l"), col("x_top"), col("y_top"))).as("identity_likelihood"))
-    val withLik = matched.join(lik, Seq("tick", "identity"), "left")
+    val withLik = matched
+      .join(lik, Seq("tick", "identity"), "left")
+      .withColumn("_costOk", col("cost").isNotNull && col("_l") === -col("cost"))
+      .groupBy("tick", "identity", "pose_id", "cost")
+      .agg(max_by(when(col("_costOk"), col("identity_likelihood")),
+        struct(col("_costOk"), col("x_top"), col("y_top"))).as("_mlik0"))
       .select(col("pose_id"), col("identity").as("_mid"),
-        when(col("cost").isNotNull, col("identity_likelihood")).as("_mlik"))
+        when(col("cost").isNotNull, col("_mlik0")).as("_mlik"))
     pose
       .join(withLik, Seq("pose_id"))
       .withColumn("identity", col("_mid"))

@@ -264,7 +264,7 @@ object Dedup {
     *
     * @return (id, component) with component = min id reachable
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("i"), col("j"))
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
       .distinct().localCheckpoint()
@@ -287,6 +287,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // silent non-convergence would split true clusters and under-dedup —
+    // fail loudly instead (rounds ≈ component diameter; raise maxIter for
+    // pathological chains)
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
     labels
   }
 

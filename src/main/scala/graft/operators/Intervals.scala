@@ -46,9 +46,12 @@ object Intervals {
     // ends in Maintenance the pad dies in the state-change filter, so this
     // equals the reference's conditional pad — declaratively
     val endPad = Seq((rangeEnd, maintenance, 1)).toDF("t", "s", "_pad")
+    // state as second tie key: two REAL rows at one timestamp pick
+    // deterministically (the reference's keep-first depends on file order,
+    // which a distributed engine must not)
     val dedup = real.unionByName(endPad)
       .withColumn("_rn",
-        row_number().over(Window.partitionBy(col("t")).orderBy(col("_pad"))))
+        row_number().over(Window.partitionBy(col("t")).orderBy(col("_pad"), col("s"))))
       .filter(col("_rn") === 1).drop("_rn", "_pad")
     // drop everything after the last Maintenance event
     val endT = dedup.filter(col("s") === maintenance).agg(max("t").as("_endT"))

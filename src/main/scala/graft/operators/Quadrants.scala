@@ -47,8 +47,11 @@ object Quadrants {
   def fovCenter(corners: Seq[(Double, Double)]): (Double, Double) =
     (corners.map(_._1).sum / corners.length, corners.map(_._2).sum / corners.length)
 
-  /** Add `possible_quadrants` (array<int>, with nearest-center fallback)
-    * and `most_central_quadrant` (int) to a positions table (xCol, yCol).
+  /** Add `possible_quadrants` (array<int> — RAW membership, empty when the
+    * point is outside every FOV; the selection cascade intersects this raw
+    * set, like the reference) and `most_central_quadrant` (int — nearest
+    * FOV center among the possibles, falling back to the globally nearest
+    * FOV when the point is outside all of them) to a positions table.
     * `fovs` = one corner quadrilateral per quadrant camera, index = id.
     */
   def withQuadrants(df: DataFrame, xCol: String, yCol: String,

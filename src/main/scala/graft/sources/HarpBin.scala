@@ -135,27 +135,36 @@ object HarpBin {
     val chunkUs = chunkSeconds * 1000000L
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    // repartition on the bucket, sort (bucket, time) within tasks, then
+    // STREAM rows to one file per bucket — a task may own several hour
+    // buckets but never holds more than one row in memory
     df.select(unix_micros(col("time")).as("tus"), col("payload"))
       .withColumn("_b", floor(col("tus") / chunkUs).cast("long"))
       .repartition(col("_b"))
+      .sortWithinPartitions(col("_b"), col("tus"))
       .as[(Long, Array[Float], Long)]
       .foreachPartition { (it: Iterator[(Long, Array[Float], Long)]) =>
         val fmt = java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd'T'HH-mm-ss") // not Serializable: build here
-        val byBucket = it.toSeq.groupBy(_._3)
         val fs = new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(conf.value)
         fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
-        byBucket.foreach { case (b, rows) =>
-          val startUs = b * chunkUs
-          val name = cameraPrefix + "_" + register + "_" +
-            java.time.Instant.ofEpochSecond(startUs / 1000000L)
-              .atZone(java.time.ZoneOffset.UTC).format(fmt) + ".bin"
-          val out = fs.create(new org.apache.hadoop.fs.Path(outDir, name), true)
-          try rows.sortBy(_._1).foreach { case (tus, payload, _) =>
+        var curBucket = Long.MinValue
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        try {
+          it.foreach { case (tus, payload, b) =>
+            if (b != curBucket) {
+              if (out != null) out.close()
+              val startUs = b * chunkUs
+              val name = cameraPrefix + "_" + register + "_" +
+                java.time.Instant.ofEpochSecond(startUs / 1000000L)
+                  .atZone(java.time.ZoneOffset.UTC).format(fmt) + ".bin"
+              out = fs.create(new org.apache.hadoop.fs.Path(outDir, name), true)
+              curBucket = b
+            }
             out.write(encodeMessage(register, 255, tus, payload))
-          } finally out.close()
-        }
+          }
+        } finally if (out != null) out.close()
       }
   }
 

@@ -248,6 +248,29 @@ class DetectorSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("winner_identity") == "A"))
   }
 
+  test("multi-epoch wrapper skips epochs without exactly 2 identities instead of crashing") {
+    val fight = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+    }
+    val good = fight.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y, "good")
+    }
+    // second epoch has only ONE identity (a mouse was removed) → skipped
+    val lonely = (0 to 100).flatMap(f => mouse(f, "A", 100, 100, 1)).map {
+      case (f, id, part, x, y) =>
+        (new java.sql.Timestamp(t0.getTime + 3L * 86400000L + f * 20L), id, part, x, y, "lonely")
+    }
+    val pose = (good ++ lonely).toDF("time", "identity", "part", "x", "y", "epoch")
+    val out = Detectors.detectFightsAllEpochs(pose, None, parts,
+      Detectors.FightParams()).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("epoch") === "good")
+  }
+
   test("periods24h splits at the boundary hour like the reference") {
     val zone = java.time.ZoneOffset.UTC
     def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L

@@ -69,6 +69,23 @@ class CombineSpec extends AnyFunSuite {
     assert(out.head.getMap[String, Double](2).toMap === Map("alice" -> 0.9, "bob" -> 0.1))
   }
 
+  test("writeback never leaks the map of an infeasible (out-of-range) duplicate detection") {
+    // same identity twice: D1 likelihood 0.95 but 500 px away (cost +inf,
+    // unmatchable); D2 likelihood 0.4 within range (matched). The output
+    // map must be D2's, not the higher-likelihood D1's.
+    val pose = Seq((ts(2000), 1L, "anchor_spine2", 10.0, 10.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    val ids = Seq(
+      (ts(1000), "alice", Map("alice" -> 0.95, "bob" -> 0.05), 510.0, 10.0),
+      (ts(3000), "alice", Map("alice" -> 0.4, "bob" -> 0.6), 11.0, 10.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+    val out = Combine.combineChunk(pose, ids, Combine.Params(fps = 50, maxDistance = 40))
+      .select("pose_id", "identity", "identity_likelihood").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "alice")
+    assert(out.head.getMap[String, Double](2).toMap === Map("alice" -> 0.4, "bob" -> 0.6))
+  }
+
   test("projectAndUnion: per-camera homography + anchor filter + union") {
     val cam1 = Seq((ts(0), "m0", Map("m0" -> 0.9), "anchor_spine2", 10.0, 20.0),
       (ts(0), "m0", Map("m0" -> 0.9), "head", 1.0, 1.0))
