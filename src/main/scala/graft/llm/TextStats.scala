@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count. */
+  /** Whitespace token count — deliberately `' '`-split semantics (Python
+    * `text.split(' ')`): empty strings and repeated spaces yield phantom
+    * tokens, exactly like the naive split the oracle and reference-style
+    * pipelines use. Normalize whitespace upstream when that matters. */
   def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
 
   /** BPE-ish subword token estimate: alphanumeric runs and single
@@ -24,9 +27,12 @@ object TextStats {
     size(filter(toks, t => t.isInCollection(stops))).cast("double") / size(toks)
   }
 
-  /** Fraction of characters that are a-z0-9 or space. */
+  /** Fraction of characters that are a-z0-9 or space; 0.0 for empty text
+    * (a bare division would null out and break qualityScore's [0,1]
+    * contract). */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") / length(text)
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") / length(text))
 
   /** Composite quality score ∈ [0,1]: length prior + stopword band +
     * alphanumeric purity (shape of C4/Gopher-style heuristics). */
@@ -49,9 +55,14 @@ object TextStats {
   }
 
   /** Content fingerprint: md5 of whitespace/punctuation-normalized text —
-    * the cheap exact-dedup key after normalization. */
-  def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
+    * the cheap exact-dedup key after normalization. Text whose ASCII
+    * normalization is EMPTY (non-Latin scripts, emoji-only) falls back to
+    * hashing the raw text, so distinct non-Latin documents never collapse
+    * into one dedup bucket. */
+  def fingerprint(text: Column): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    md5(when(norm === "", text).otherwise(norm).cast("binary"))
+  }
 
   /** Winnowing document sketch (rolling k-gram hashes, window minima) —
     * near-dup fingerprint used by plagiarism-style matching. Driver-side

@@ -21,10 +21,19 @@ object Salt {
     pmod(xxhash64(identityCols: _*), lit(saltFactor.toLong)).cast("int")
 
   /** Equi-join `large ⋈ small` on `keys`, salted S ways. `identityCols`
-    * picks the large side's salt (any columns unique-ish per row). */
+    * picks the large side's salt (any columns unique-ish per row).
+    *
+    * Join types preserving small-side rows (right/full outer) are rejected:
+    * the small side is replicated S×, so an unmatched small-side row would
+    * surface S times instead of once. */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int, identityCols: Seq[String],
       joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!jt.contains("right") && !jt.contains("full") && !jt.contains("outer")
+        || jt == "leftouter",
+      s"saltedJoin cannot preserve unmatched small-side rows (joinType=$joinType)")
     val l = large.withColumn("_salt", saltCol(saltFactor, identityCols.map(col): _*))
     val s = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -250,7 +250,9 @@ object LlmQueries {
 
     "tx4_fingerprint" ->
       s"""SELECT doc_id,
-         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  md5(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+         |           THEN text
+         |           ELSE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) END) AS fp
          |FROM $docsPq
          |${orderBySql("doc_id", "fp")}""".stripMargin,
 

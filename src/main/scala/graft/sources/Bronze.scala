@@ -29,11 +29,30 @@ object Bronze {
       .parquet(root)
 
   /** Time-range pattern scan (S1): camera/register selection + [start, end)
-    * pruning — both resolve against partition values before any file I/O. */
+    * pruning — both resolve against partition values before any file I/O.
+    * For ranges up to 14 days the exact (date, hour) pairs are enumerated
+    * driver-side (≤ 336 tuples) so the HOUR partitions prune too — a
+    * one-hour query touches 1 partition, not the day's 24; longer ranges
+    * fall back to date-level pruning (hour pruning buys nothing there).
+    */
   def scan(spark: SparkSession, root: String, camera: String, register: Int,
-      start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
-    spark.read.parquet(root)
+      start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
+    val base = spark.read.parquet(root)
       .filter(col("camera") === camera && col("register") === register)
-      .filter(col("date").between(to_date(lit(start)), to_date(lit(end))))
-      .filter(col("time") >= lit(start) && col("time") < lit(end))
+    val startHourMs = start.getTime - start.getTime % 3600000L
+    val hours = (end.getTime - 1 - startHourMs) / 3600000L + 1
+    val pruned =
+      if (hours <= 14 * 24 && hours > 0) {
+        // OR of (date = d AND hour = h) conjunctions — the form Catalyst's
+        // partition pruning handles (struct-isin would not prune)
+        val cond = (0L until hours).map { h =>
+          val t = new java.sql.Timestamp(startHourMs + h * 3600000L)
+          col("date") === to_date(lit(t)) &&
+            col("hour") === lit(t.toLocalDateTime.getHour)
+        }.reduce(_ || _)
+        base.filter(cond)
+      } else
+        base.filter(col("date").between(to_date(lit(start)), to_date(lit(end))))
+    pruned.filter(col("time") >= lit(start) && col("time") < lit(end))
+  }
 }

@@ -27,6 +27,10 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.count() === 20)
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), "partition filters must reach the scan")
+    // the HOUR column itself must participate in pruning (a date-only
+    // filter would read all 24 hour partitions and discard rows post-scan)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("hour"), s"hour must appear in PartitionFilters: $pf")
     // the physical scan reads only the pruned partitions' files
     val files = scan.select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.forall(f => f.contains("hour=5") || f.contains("hour=6")),
