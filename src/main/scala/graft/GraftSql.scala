@@ -46,9 +46,11 @@ object GraftSql {
       })
     spark.udf.register("graft_assign",
       (pairs: Seq[(Long, String, Double)]) => {
-        // same deterministic ordering discipline as Assignment.assign:
-        // sort candidates, first-sighting entity order, min-cost per cell
-        val rows = pairs.toArray.sortBy { case (l, r, c) => (l, r, c) }
+        // same deterministic ordering discipline as Assignment.assign —
+        // including its STRING ordering of keys, so equal-cost tie-breaks
+        // agree between the SQL facade and the Scala API
+        val rows = pairs.toArray
+          .sortBy { case (l, r, c) => (String.valueOf(l), r, c) }
         val lefts = mutable.LinkedHashMap.empty[Long, Int]
         val rights = mutable.LinkedHashMap.empty[String, Int]
         rows.foreach { case (l, r, _) =>
