@@ -14,6 +14,11 @@ import org.apache.spark.sql.types._
   * size. This expression stays inside codegen via `doGenCode` (a tight Java
   * loop over the unsafe array data), with an interpreted `nullSafeEval`
   * fallback producing identical results.
+  *
+  * NULL semantics match the HOF form `aggregate(zip_with(a, b, _*_), …)`
+  * exactly: mismatched lengths or any null element → NULL (zip_with pads
+  * the shorter side with null, nulling the sum) — so the three dot
+  * implementations (HOF, native, kernel) never silently disagree.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -30,14 +35,20 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var d = 0.0
     var i = 0
-    while (i < n) { d += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      d += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     d
   }
 
@@ -47,12 +58,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -45,12 +45,19 @@ object Multimodal {
     acc
   }
 
-  /** Batched per-partition feature extraction over the payload table. */
-  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  /** Shared typed projection of a payload table. */
+  private def asMediaRows(media: DataFrame): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
       .as[MediaRow]
+  }
+
+  /** Batched per-partition feature extraction over the payload table. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    asMediaRows(media)
       .mapPartitions { rows =>
         // per-partition setup would init the codec once here
         rows.map { r =>
@@ -72,6 +79,9 @@ object Multimodal {
     * per-partition batching, fixed output schema — is the production shape.
     */
   def resize(media: DataFrame, width: Int, height: Int): Dataset[ResizedRow] = {
+    require(width > 0 && height > 0, s"dimensions must be positive: $width×$height")
+    require(width.toLong * height <= Int.MaxValue,
+      s"payload $width×$height overflows an array size")
     val spark = media.sparkSession
     import spark.implicits._
     def resizeKernel(src: Array[Byte], n: Int): Array[Byte] = {
@@ -83,8 +93,7 @@ object Multimodal {
       }
       out
     }
-    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
-      .as[MediaRow]
+    asMediaRows(media)
       .mapPartitions { rows =>
         rows.map(r => ResizedRow(r.doc_id, width, height,
           resizeKernel(r.payload, width * height)))
@@ -102,8 +111,7 @@ object Multimodal {
     require(frameBytes > 0 && everyN > 0)
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
-      .as[MediaRow]
+    asMediaRows(media)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val nFrames = r.payload.length / frameBytes

@@ -51,9 +51,20 @@ object Sessionize {
       sessionCol: String = "session_id",
       tieBreak: Seq[String] = Nil,
       bucketSize: Option[Long] = None): DataFrame = {
-    val ord: Column =
-      if (df.schema(orderCol).dataType.typeName == "timestamp") unix_micros(col(orderCol))
-      else col(orderCol).cast("long")
+    // guard the order type: a fractional column silently truncated to long
+    // would corrupt gap comparisons
+    val ord: Column = df.schema(orderCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(orderCol))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(orderCol).cast("timestamp")) // session-tz, deterministic
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        col(orderCol).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"sessionize order column must be integral or timestamp, got ${t.simpleString}")
+    }
+    bucketSize.foreach(bs => require(bs > 0, s"bucketSize must be positive, got $bs"))
     bucketSize match {
       case Some(bs) if by.isEmpty =>
         val d0 = df.withColumn("_so", ord)

@@ -35,15 +35,18 @@ object Streaming {
     * re-runnable call. The checkpoint makes re-runs exactly-once; the
     * `_spark_metadata` log makes the output directory self-describing.
     */
-  def drainToParquet(df: DataFrame, outPath: String, checkpoint: String): Unit = {
-    val q = df.writeStream
+  def drainToParquet(df: DataFrame, outPath: String, checkpoint: String): Unit =
+    parquetSink(df, outPath, checkpoint).awaitTermination()
+
+  /** The idempotent checkpointed parquet sink both drains share. */
+  private def parquetSink(df: DataFrame, outPath: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-  }
 
   /** T6: gap-based session aggregation via `session_window` — works on both
     * batch and streaming DataFrames, so batch/stream parity is the SAME
@@ -110,12 +113,5 @@ object Streaming {
     */
   def formatAndWrite(scored: DataFrame, register: Int, outPath: String,
       checkpoint: String): StreamingQuery =
-    scored
-      .withColumn("register", lit(register))
-      .writeStream
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    parquetSink(scored.withColumn("register", lit(register)), outPath, checkpoint)
 }

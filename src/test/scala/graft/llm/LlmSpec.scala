@@ -184,6 +184,27 @@ class LlmSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), s"native-only projection must codegen:\n$plan")
   }
 
+  test("DotProduct null semantics equal the HOF form: length mismatch and null element → NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Some(1f), Some(2f)), Seq(Some(3f), Some(4f))),   // normal
+      (2L, Seq(Some(1f), Some(2f)), Seq(Some(3f))),             // length mismatch
+      (3L, Seq(Some(1f), None), Seq(Some(3f), Some(4f)))        // null element
+    ).toDF("id", "a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+    val out = df.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("hof"),
+        Similarity.dotNative(col("a"), col("b")).as("native"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) === (Some(11.0), Some(11.0)))
+    assert(out(2L)._1 === out(2L)._2, "mismatch must agree with HOF")
+    assert(out(2L)._2 === None)
+    assert(out(3L)._1 === out(3L)._2, "null element must agree with HOF")
+    assert(out(3L)._2 === None)
+  }
+
   test("winnowing sketch: deterministic, shift-invariant overlap for shared content") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "PREFIX PREFIX " + a // same content, shifted
