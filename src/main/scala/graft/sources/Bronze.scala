@@ -45,10 +45,15 @@ object Bronze {
       if (hours <= 14 * 24 && hours > 0) {
         // OR of (date = d AND hour = h) conjunctions — the form Catalyst's
         // partition pruning handles (struct-isin would not prune)
+        // Both sides derived with Spark functions so date AND hour evaluate
+        // in the session timezone — the same zone `write` used to produce the
+        // partition values. (A JVM-local getHour here would silently drop
+        // rows whenever spark.sql.session.timeZone != JVM default: this
+        // filter is a row filter, not just a pruning hint.)
         val cond = (0L until hours).map { h =>
           val t = new java.sql.Timestamp(startHourMs + h * 3600000L)
           col("date") === to_date(lit(t)) &&
-            col("hour") === lit(t.toLocalDateTime.getHour)
+            col("hour") === hour(lit(t))
         }.reduce(_ || _)
         base.filter(cond)
       } else

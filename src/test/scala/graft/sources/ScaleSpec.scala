@@ -43,6 +43,27 @@ class ScaleSpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("2024-05-03 00:00:00")).count() === 480)
   }
 
+  test("bronze scan: hour pruning correct when JVM default tz != session tz") {
+    // Session tz is UTC (Tables.configure). Force a JVM default far from UTC:
+    // the old hour derivation (t.toLocalDateTime.getHour, JVM-local) would
+    // enumerate NY-local hours while partitions were written with UTC hours,
+    // silently filtering out every matching row.
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val root = Files.createTempDirectory("graft_bronze_tz").toString
+      // fixed instants (epoch millis), independent of any default-tz parse
+      val base = 1714536000000L // 2024-05-01 04:00:00 UTC
+      val rows = (0 until 120).map { i =>
+        (new java.sql.Timestamp(base + i * 60000L), s"id$i", 1.0 * i)
+      }.toDF("time", "identity", "x")
+      Bronze.write(rows, root, "CameraTop", 222)
+      val scan = Bronze.scan(spark, root, "CameraTop", 222,
+        new java.sql.Timestamp(base), new java.sql.Timestamp(base + 3600000L))
+      assert(scan.count() === 60, "hour-pruned scan must keep the first hour's rows")
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
   test("saltedJoin: same result as plain join, hot key spread over salts") {
     // skew: one key holds 90% of the large side
     val large = ((1 to 900).map(i => ("hot", i.toLong)) ++
