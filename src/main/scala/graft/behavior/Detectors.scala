@@ -20,16 +20,20 @@ import graft.operators.{Buckets, Fill, Intervals, Sessionize}
   * `tube_test_detection_logic.md:35`), so its cost is proportional to event
   * frames, not stream frames; events parallelize across the cluster.
   *
-  * Scope note: one invocation processes ONE epoch (the reference's unit of
-  * work — an epoch is one continuous recording). Per-frame feature stages
-  * are fully partition-parallel; full-stream sequential math (ffill, blob
-  * speed) runs through hour-bucketed windows ([[graft.operators.Buckets]] /
-  * [[Fill.ffillBucketed]]) so no stage sorts the epoch on one task. Only the
+  * Every stage is keyed by an internal shard column `_g`, so ONE logical
+  * plan serves any number of (epoch × 24 h period) shards: the single-epoch
+  * entry points ([[detectFights]]/[[detectTubeTests]]) run with a constant
+  * shard key, and the multi-epoch wrappers ([[detectFightsAllEpochs]] /
+  * [[detectTubeTestsAllEpochs]]) tag rows with their shard via one broadcast
+  * join against a tiny shard table — driver-side plan size and Catalyst
+  * analysis cost are CONSTANT in the number of epochs (the round-3 design
+  * unioned one full detector plan per shard, which made analysis linear in
+  * epoch count). Per-frame feature stages are fully partition-parallel;
+  * full-stream sequential math (ffill, blob speed) runs through
+  * hour-bucketed windows ([[graft.operators.Buckets]] /
+  * [[Fill.ffillBucketed]]) so no stage sorts an epoch on one task. Only the
   * *candidate frame ids* (sparse, orders of magnitude smaller than the
-  * stream) pass through an unpartitioned sessionization window. Multi-epoch
-  * corpora use [[detectFightsAllEpochs]] / [[detectTubeTestsAllEpochs]],
-  * which shard by epoch around this API and preserve the reference's
-  * session-boundary semantics at epoch edges.
+  * stream) pass through a per-shard unpartitioned sessionization window.
   */
 object Detectors {
 
@@ -52,6 +56,18 @@ object Detectors {
       duration_sec: Double, end_x: Double, end_y: Double)
   case class TubeTestEvent(start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
       winner_identity: String)
+
+  /** Internal shard key threaded through every stage (constant "" for the
+    * single-epoch entry points). */
+  private val G = "_g"
+
+  /** Per-shard event rows produced by the grouped cores. (Not private:
+    * Catalyst's generated encoder code cannot call accessors on a
+    * private class — codegen would silently fall back to interpreted.) */
+  case class GFight(g: String, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, duration_sec: Double, end_x: Double, end_y: Double)
+  case class GTube(g: String, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, winner_idx: Int)
 
   /** Corridor region-of-interest for tube tests, with the reference's
     * exclusion zones (`social_behaviour_detection.py:225-257`): the annulus
@@ -108,14 +124,15 @@ object Detectors {
 
   /** Per-event kernel input row (shared by both detectors; tube-only fields
     * ride as NaN for fights). */
-  case class EvRow(ev: Long, frame: Long, tsUs: Long,
+  case class EvRow(g: String, ev: Long, frame: Long, tsUs: Long,
       c0x: Double, c0y: Double, c1x: Double, c1y: Double,
       o0: Double, o1: Double, e2: Double, e3: Double, cdist: Double,
       isCand: Boolean, firstF: Long, lastF: Long)
 
   private def nn(c: Column): Column = coalesce(c, lit(Double.NaN))
 
-  /** Long pose table → dense wide frame table.
+  /** Long pose table → dense wide frame table (single-stream public form:
+    * constant shard key; see [[wideFramesG]] for the grouped core).
     *
     * Input columns: `time, identity, part, x, y`; exactly 2 identities.
     * `parts` maps logical names (nose/head/centroid/tail_base) to physical
@@ -128,16 +145,24 @@ object Detectors {
     */
   def wideFrames(pose: DataFrame, parts: Map[String, String], fps: Double,
       knownIds: Option[Seq[String]] = None): DataFrame = {
-    val spark = pose.sparkSession
-    val logical = Seq("nose", "head", "centroid", "tail_base")
-    val physToLog = logical.map(l => parts(l) -> l).toMap
-    // identity codes: bounded 2-value domain → collect + broadcast literal
-    // (callers that already know the pair pass it in — the multi-epoch
-    // wrapper resolves identities once per corpus, not once per shard)
     val ids = knownIds.getOrElse(
       pose.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
-    val idCode = when(col("identity") === ids(0), 0).otherwise(1)
+    wideFramesG(pose.withColumn(G, lit("")).withColumn("_id0", lit(ids(0))),
+      parts, fps).drop(G)
+  }
+
+  /** Grouped wide-frame core: `pose` must carry the shard key `_g` and a
+    * `_id0` column holding the shard's first (sorted) identity. Frame ids
+    * and the dense spine are per-shard; identity codes come from `_id0`
+    * (identity pairs can differ across shards). One logical plan regardless
+    * of shard count.
+    */
+  private def wideFramesG(pose: DataFrame, parts: Map[String, String],
+      fps: Double): DataFrame = {
+    val logical = Seq("nose", "head", "centroid", "tail_base")
+    val physToLog = logical.map(l => parts(l) -> l).toMap
+    val idCode = when(col("identity") === col("_id0"), 0).otherwise(1)
     val filtered = pose
       .filter(col("part").isin(parts.values.toSeq: _*))
       .withColumn("mouse", idCode)
@@ -145,22 +170,24 @@ object Detectors {
         physToLog.foldLeft(lit(null).cast("string")) { case (acc, (phys, log)) =>
           when(col("part") === phys, log).otherwise(acc)
         })
-    // frame id from stream start at fixed fps (P4)
-    val bounds = pose.agg(min(unix_micros(col("time"))).as("t0us"))
-    val framed = filtered.crossJoin(broadcast(bounds))
+    // per-shard stream start (P4 frame-id baseline): tiny table, one row
+    // per shard → broadcast back
+    val bounds = pose.groupBy(col(G))
+      .agg(min(unix_micros(col("time"))).as("t0us"))
+    val framed = filtered.join(broadcast(bounds), G)
       .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
     val aggs = for (m <- 0 to 1; l <- logical; c <- Seq("x", "y")) yield
       min(when(col("mouse") === m && col("lpart") === l, col(c)))
         .as(s"m${m}_${l}_$c")
-    val wide = framed.groupBy("frame")
+    val wide = framed.groupBy(col(G), col("frame"))
       .agg(min(unix_micros(col("time"))).as("tsUs"), aggs: _*)
     // dense spine: every frame id in [0, max] exists (empty frames = NaNs),
     // matching the reference's dense tensor semantics; chunked explode so no
-    // single task generates the whole epoch's range
-    val spine = graft.operators.Buckets.densifiedRange(
-      wide.agg(max("frame").as("maxF")), "maxF", "frame")
-    spine.join(wide, Seq("frame"), "left")
-      .crossJoin(broadcast(bounds))
+    // single task generates a shard's whole range
+    val spine = Buckets.densifiedRange(
+      wide.groupBy(col(G)).agg(max("frame").as("maxF")), "maxF", "frame")
+    spine.join(wide, Seq(G, "frame"), "left")
+      .join(broadcast(bounds), G)
       .withColumn("tsUs", coalesce(col("tsUs"),
         col("t0us") + round(col("frame") * 1e6 / fps).cast("long")))
       .drop("t0us")
@@ -203,33 +230,35 @@ object Detectors {
         .flatMap(p => Seq(d(m, p, "x").isNaN, d(m, p, "y").isNaN))).reduce(_ && _))
 
   /** Candidate-event assembly shared by both detectors: sessionize candidate
-    * frames, enforce min size, and emit (ev, firstF, lastF). Candidate sets
-    * are sparse relative to the stream (the two-phase design's point), so
-    * the plain single-partition sessionization is intentional here; a
-    * dense keyless candidate set can opt into
+    * frames per shard, enforce min size, and emit (_g, ev, firstF, lastF).
+    * Candidate sets are sparse relative to the stream (the two-phase
+    * design's point), so the per-shard single-partition sessionization is
+    * intentional here; a dense keyless candidate set can opt into
     * `Sessionize.sessionize(bucketSize = ...)` standalone — composing the
     * bucketed form INSIDE this already-deep plan multiplies the logical
     * tree (each layer references its input ~4×) and blows up analysis time.
     */
   private def events(cand: DataFrame, gap: Long, minFrames: Long): DataFrame = {
-    val sessed = Sessionize.sessionize(cand, "frame", Nil, gap)
-    sessed.groupBy("session_id").agg(
+    val sessed = Sessionize.sessionize(cand, "frame", Seq(G), gap)
+    sessed.groupBy(col(G), col("session_id")).agg(
         min("frame").as("firstF"), max("frame").as("lastF"),
         count(lit(1)).as("nF"))
       .filter(col("nF") > minFrames)
-      .select(col("session_id").as("ev"), col("firstF"), col("lastF"))
+      .select(col(G), col("session_id").as("ev"), col("firstF"), col("lastF"))
   }
 
-  /** Attach all spine frames in [firstF+lo, lastF+hi] to each event
-    * (events are few → broadcast range join). */
+  /** Attach all spine frames in [firstF+lo, lastF+hi] to each event of the
+    * same shard (events are few → broadcast range join). */
   private def attachSpan(feat: DataFrame, evs: DataFrame, lo: Long, hi: Long,
       candFrames: DataFrame): Dataset[EvRow] = {
     val spark = feat.sparkSession
     import spark.implicits._
-    feat.join(broadcast(evs),
+    val e = evs.select(col(G).as("_eg"), col("ev"), col("firstF"), col("lastF"))
+    feat.join(broadcast(e), col(G) === col("_eg") &&
         col("frame") >= col("firstF") + lo && col("frame") <= col("lastF") + hi)
-      .join(candFrames.select(col("frame"), lit(true).as("isCand")), Seq("frame"), "left")
-      .select(col("ev"), col("frame"), col("tsUs"),
+      .join(candFrames.select(col(G), col("frame"), lit(true).as("isCand")),
+        Seq(G, "frame"), "left")
+      .select(col(G).as("g"), col("ev"), col("frame"), col("tsUs"),
         nn(col("m0_centroid_x")).as("c0x"), nn(col("m0_centroid_y")).as("c0y"),
         nn(col("m1_centroid_x")).as("c1x"), nn(col("m1_centroid_y")).as("c1y"),
         nn(col("o0")).as("o0"), nn(col("o1")).as("o1"),
@@ -263,19 +292,37 @@ object Detectors {
     import spark.implicits._
     val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
       .getOrElse(pose)
-    val feat0 = withFeatures(wideFrames(poseKept, parts, p.fps, knownIds))
+    // identity codes: bounded 2-value domain → collect + broadcast literal
+    // (callers that already know the pair pass it in — the multi-epoch
+    // wrapper resolves identities once per corpus, not once per shard)
+    val ids = knownIds.getOrElse(
+      poseKept.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
+    require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
+    val tagged = poseKept.withColumn(G, lit("")).withColumn("_id0", lit(ids(0)))
+    fightsCore(tagged, blob.map(_.withColumn(G, lit(""))), parts, p)
+      .map(f => FightEvent(f.start_ts, f.end_ts, f.duration_sec, f.end_x, f.end_y))
+  }
+
+  /** Grouped fight-detection core: `pose` carries `_g` + `_id0`, `blob`
+    * (when given) carries `_g`. Emits one [[GFight]] per detected event,
+    * shard-keyed. ONE logical plan regardless of shard count. */
+  private def fightsCore(pose: DataFrame, blob: Option[DataFrame],
+      parts: Map[String, String], p: FightParams): Dataset[GFight] = {
+    val spark = pose.sparkSession
+    import spark.implicits._
+    val feat0 = withFeatures(wideFramesG(pose, parts, p.fps))
     // blob speed: dt-anomaly drop (T5), px→cm/s, 10-frame "same" smoothing
     val feat = blob match {
       case Some(b) =>
-        val sp = blobSpeed(b, p.fps, p.cm2px)
-        feat0.join(sp, Seq("frame"), "left")
+        val sp = blobSpeedG(b, p.fps, p.cm2px)
+        feat0.join(sp, Seq(G, "frame"), "left")
       case None => feat0.withColumn("blob_speed", lit(Double.MaxValue))
     }
     // bucketed ffill: exact pandas-ffill semantics with no global sort task
     // (an epoch spine can be 10⁹ frames); bucket = 1 h of frames
     val ff = Fill.ffillBucketed(feat.withColumn("cdist_ff",
       when(col("cdist").isNaN, lit(null)).otherwise(col("cdist"))), Seq("cdist_ff"),
-      "frame", bucketSize = math.max(1L, (p.fps * 3600).toLong))
+      "frame", bucketSize = math.max(1L, (p.fps * 3600).toLong), by = Seq(G))
     val cond1 = col("cdist_ff") < p.maxDistance
     val cond2 = col("nh0") > p.maxNoseHeadDistance || col("nh1") > p.maxNoseHeadDistance ||
       col("is0") > p.maxInterspinalDistance || col("is1") > p.maxInterspinalDistance
@@ -283,23 +330,25 @@ object Detectors {
     val flagged = ff.withColumn("isFight", cond1 && cond2 && cond3)
       .withColumn("isBridge", cond1 && col("isEmpty"))
     // two-phase sessionization with empty-frame bridges (G3)
-    val cand = flagged.filter(col("isFight")).select("frame")
-    val sess1 = Sessionize.sessionize(cand, "frame", Nil, p.maxFrameGap)
-    val kept1 = Sessionize.filterMinSize(sess1, Nil, "session_id", p.minNumFrames + 1)
-      .select("frame")
+    val cand = flagged.filter(col("isFight")).select(G, "frame")
+    val sess1 = Sessionize.sessionize(cand, "frame", Seq(G), p.maxFrameGap)
+    val kept1 = Sessionize.filterMinSize(sess1, Seq(G), "session_id", p.minNumFrames + 1)
+      .select(G, "frame")
     val union = kept1.withColumn("isCand", lit(true))
-      .unionByName(flagged.filter(col("isBridge")).select("frame")
+      .unionByName(flagged.filter(col("isBridge")).select(G, "frame")
         .withColumn("isCand", lit(false)))
-      .dropDuplicates("frame")
-    val regrouped = Sessionize.regroupWithBridges(union, "frame", Nil,
+      .dropDuplicates(G, "frame")
+    val regrouped = Sessionize.regroupWithBridges(union, "frame", Seq(G),
       p.maxFrameGapWEmptyFrames, "isCand")
-    val evs = Sessionize.filterMinSize(regrouped, Nil, "session_id", p.minNumFrames + 1)
-      .groupBy("session_id")
+    val evs = Sessionize.filterMinSize(regrouped, Seq(G), "session_id", p.minNumFrames + 1)
+      .groupBy(col(G), col("session_id"))
       .agg(min("frame").as("firstF"), max("frame").as("lastF"))
-      .select(col("session_id").as("ev"), col("firstF"), col("lastF"))
+      .select(col(G), col("session_id").as("ev"), col("firstF"), col("lastF"))
     // kernel over [firstF−1, lastF]; cleanup arrays exclude the last frame
     val rows = attachSpan(ff, evs, -1L, 0L, kept1)
-    rows.groupByKey(_.ev).flatMapGroups { (_, it) =>
+    rows.groupByKey(r => (r.g, r.ev)).flatMapGroups {
+      (key: (String, Long), it: Iterator[EvRow]) =>
+      val g = key._1
       val rs = it.toArray.sortBy(_.frame)
       if (rs.length < 3) Iterator.empty
       else {
@@ -313,7 +362,7 @@ object Detectors {
           val startUs = rs.find(_.frame == rs.head.firstF).map(_.tsUs).getOrElse(rs.head.tsUs)
           val endUs = rs.last.tsUs
           val dur = (endUs - startUs) / 1e6
-          if (dur > 1.0) Iterator(FightEvent(usToTs(startUs), usToTs(endUs), dur, ex, ey))
+          if (dur > 1.0) Iterator(GFight(g, usToTs(startUs), usToTs(endUs), dur, ex, ey))
           else Iterator.empty
         }
       }
@@ -337,15 +386,21 @@ object Detectors {
     * global single-task sort anywhere, exact equality with the global plan.
     */
   def blobSpeed(blob: DataFrame, fps: Double, cm2px: Double,
+      bucketSeconds: Long = 3600): DataFrame =
+    blobSpeedG(blob.withColumn(G, lit("")), fps, cm2px, bucketSeconds).drop(G)
+
+  /** Grouped core of [[blobSpeed]]: `blob` carries the shard key `_g`;
+    * every window and bucket chain is per-shard. */
+  private def blobSpeedG(blob: DataFrame, fps: Double, cm2px: Double,
       bucketSeconds: Long = 3600): DataFrame = {
-    val bounds = blob.agg(min(unix_micros(col("time"))).as("t0us"))
+    val bounds = blob.groupBy(col(G)).agg(min(unix_micros(col("time"))).as("t0us"))
     val bUs = bucketSeconds * 1000000L
     val base = blob.na.drop(Seq("x", "y"))
       .withColumn("_tus", unix_micros(col("time")))
       .withColumn("_bkt", (col("_tus") / bUs).cast("long"))
     // pass 1: dt anomaly drop (keep the stream head: null dt survives)
-    val w1 = Window.partitionBy("_bkt").orderBy("_tus")
-    val kept = Buckets.withGhosts(base, "_bkt", "_tus", 1, 0)
+    val w1 = Window.partitionBy(col(G), col("_bkt")).orderBy("_tus")
+    val kept = Buckets.withGhosts(base, "_bkt", "_tus", 1, 0, by = Seq(G))
       .withColumn("_pt", lag(col("_tus"), 1).over(w1))
       .filter(!col("_ghost"))
       .filter(col("_pt").isNull || (col("_tus") - col("_pt")) / 1000.0 >= 10.0)
@@ -354,9 +409,9 @@ object Detectors {
     // + 1 so every ghost inside a live smoothing window has its own lag
     // partner; the one ghost with a wrong 0-speed (first of the 6) is
     // outside every surviving row's window.
-    val w2 = Window.partitionBy("_bkt").orderBy("_tus")
+    val w2 = Window.partitionBy(col(G), col("_bkt")).orderBy("_tus")
     val smoothW = w2.rowsBetween(-5, 4)
-    val sp = Buckets.withGhosts(kept, "_bkt", "_tus", 6, 4)
+    val sp = Buckets.withGhosts(kept, "_bkt", "_tus", 6, 4, by = Seq(G))
       .withColumn("_pt", lag(col("_tus"), 1).over(w2))
       .withColumn("_px", lag(col("x"), 1).over(w2))
       .withColumn("_py", lag(col("y"), 1).over(w2))
@@ -365,9 +420,9 @@ object Detectors {
           / floor((col("_tus") - col("_pt")) / 1000.0) / cm2px * 1000.0))
       .withColumn("blob_speed", sum(col("speed")).over(smoothW) / 10.0)
       .filter(!col("_ghost"))
-    sp.crossJoin(broadcast(bounds))
+    sp.join(broadcast(bounds), G)
       .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
-      .groupBy("frame").agg(avg(col("blob_speed")).as("blob_speed"))
+      .groupBy(col(G), col("frame")).agg(avg(col("blob_speed")).as("blob_speed"))
   }
 
   /** Split [start, end) into 24 h periods cut at `boundaryHour` local time
@@ -399,57 +454,60 @@ object Detectors {
   }
 
   /** Multi-epoch fight detection (reference `detect_fights_all_epochs.py`):
-    * one [[detectFights]] shard per epoch × 24 h period (cut at
-    * `boundaryHour`, reference default 2 AM), all shards unioned into ONE
-    * lazy distributed plan. The driver enumerates only epoch METADATA
-    * (min/max time per epoch — recording sessions, dozens not billions);
-    * every shard's heavy work stays distributed. Events never span a period
-    * boundary — the reference's per-job semantics.
+    * rows are tagged with their (epoch × 24 h period) shard — periods cut at
+    * `boundaryHour`, reference default 2 AM — via ONE broadcast join against
+    * a tiny shard table, then the whole corpus flows through ONE
+    * [[fightsCore]] plan. The driver enumerates only epoch METADATA (min/max
+    * time + identity set per epoch — recording sessions, dozens not
+    * billions); plan size and analysis cost do not grow with epoch count.
+    * Events never span a period boundary — the reference's per-job
+    * semantics. Epochs whose identity set is not exactly 2 are SKIPPED,
+    * like the reference's "no data for this chunk" empty-output path
+    * (`combine_pose_id_chunk.py:284-288`).
     *
     * Output: FightEvent columns + `epoch`, `period_start`.
     */
   def detectFightsAllEpochs(pose: DataFrame, blob: Option[DataFrame],
       parts: Map[String, String], p: FightParams, epochCol: String = "epoch",
       boundaryHour: Int = 2, intervals: Option[DataFrame] = None): DataFrame = {
-    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e, ids) =>
-      val sub = pose.filter(col(epochCol) === ep &&
-        unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
-      // filter blob by epoch too when it carries the column — two epochs
-      // can overlap in wall-clock time (concurrent rigs)
-      val subBlob = blob.map { b =>
-        val byEpoch = if (b.columns.contains(epochCol))
-          b.filter(col(epochCol) === ep) else b
-        byEpoch.filter(
-          unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
-      }
-      detectFights(sub.drop(epochCol), subBlob, parts, p, intervals,
-        knownIds = Some(ids)).toDF()
-    }
+    val (shardDf, tagged) = tagShards(pose, epochCol, boundaryHour)
+    val poseKept = intervals.map(Intervals.excludeOutside(tagged, "time", _))
+      .getOrElse(tagged)
+    fightsCore(poseKept, blob.map(tagBlob(_, shardDf, epochCol)), parts, p)
+      .join(broadcast(shardDf.select(col(G).as("g"), col("_ep").as("epoch"),
+        timestamp_micros(col("_ps")).as("period_start"))), "g")
+      .select("start_ts", "end_ts", "duration_sec", "end_x", "end_y",
+        "epoch", "period_start")
   }
 
-  /** Multi-epoch tube-test detection — same sharding contract as
+  /** Multi-epoch tube-test detection — same single-plan sharding as
     * [[detectFightsAllEpochs]]. */
   def detectTubeTestsAllEpochs(pose: DataFrame, parts: Map[String, String],
       p: TubeParams, roi: Option[Roi] = None,
       epochCol: String = "epoch", boundaryHour: Int = 2,
       intervals: Option[DataFrame] = None): DataFrame = {
-    shardedByEpoch(pose, epochCol, boundaryHour) { (ep, s, e, ids) =>
-      val sub = pose.filter(col(epochCol) === ep &&
-        unix_micros(col("time")) >= s && unix_micros(col("time")) < e)
-      detectTubeTests(sub.drop(epochCol), parts, p, roi, intervals,
-        knownIds = Some(ids)).toDF()
-    }
+    val (shardDf, tagged) = tagShards(pose, epochCol, boundaryHour)
+    val poseKept = intervals.map(Intervals.excludeOutside(tagged, "time", _))
+      .getOrElse(tagged)
+    tubeCore(poseKept, parts, p, roi)
+      .join(broadcast(shardDf.select(col(G).as("g"), col("_ep").as("epoch"),
+        timestamp_micros(col("_ps")).as("period_start"),
+        col("_id0"), col("_id1"))), "g")
+      .withColumn("winner_identity",
+        when(col("winner_idx") === 0, col("_id0")).otherwise(col("_id1")))
+      .select("start_ts", "end_ts", "winner_identity", "epoch", "period_start")
   }
 
-  /** Enumerate (epoch, period) shards from ONE metadata aggregation (time
-    * bounds + identity set per epoch — the only eager work) and union the
-    * per-shard plans produced by `build`. Epochs whose identity set is not
-    * exactly 2 are SKIPPED, like the reference's "no data for this chunk"
-    * empty-output path (`combine_pose_id_chunk.py:284-288`) — a silent day
-    * inside a valid epoch yields an empty shard result, not a crash. */
-  private def shardedByEpoch(pose: DataFrame, epochCol: String,
-      boundaryHour: Int)(
-      build: (String, Long, Long, Seq[String]) => DataFrame): DataFrame = {
+  /** Resolve (epoch × period) shards from ONE metadata aggregation (time
+    * bounds + identity set per epoch — the only eager work), and tag every
+    * pose row with its shard key `_g` and first identity `_id0` through a
+    * broadcast range join. Epochs without exactly 2 identities get no shard
+    * rows → their pose rows drop out of the join, the reference's
+    * skip-silently path. Returns (shard table, tagged pose). */
+  private def tagShards(pose: DataFrame, epochCol: String,
+      boundaryHour: Int): (DataFrame, DataFrame) = {
+    val spark = pose.sparkSession
+    import spark.implicits._
     val epochs = pose.groupBy(col(epochCol).cast("string").as("_ep"))
       .agg(min(unix_micros(col("time"))).as("_s"),
         max(unix_micros(col("time"))).as("_e"),
@@ -462,12 +520,31 @@ object Detectors {
       (ep, s, e, ids) <- epochs.toSeq if ids.length == 2
       // max(time) is inclusive → +1 µs so the last sample stays in range
       (ps, pe) <- periods24h(s, e + 1, boundaryHour)
-    } yield build(ep, ps, pe, ids)
-      .withColumn("epoch", lit(ep))
-      .withColumn("period_start", timestamp_micros(lit(ps)))
-    shards.reduceOption(_ unionByName _)
-      .getOrElse(throw new IllegalArgumentException(
-        "no epochs with exactly 2 identities found"))
+    } yield (ep, ps, pe, ids(0), ids(1))
+    require(shards.nonEmpty, "no epochs with exactly 2 identities found")
+    val shardDf = shards.toDF("_ep", "_ps", "_pe", "_id0", "_id1")
+      .withColumn(G, concat_ws("|", col("_ep"), col("_ps")))
+    val tagged = pose
+      .withColumn("_ptus", unix_micros(col("time")))
+      .join(broadcast(shardDf), col(epochCol).cast("string") === col("_ep") &&
+        col("_ptus") >= col("_ps") && col("_ptus") < col("_pe"))
+      .drop("_ptus", "_ep", "_ps", "_pe", "_id1", epochCol)
+    (shardDf, tagged)
+  }
+
+  /** Tag a blob stream with shard keys: epoch equality when the stream
+    * carries the epoch column, else time-range only (two wall-clock-
+    * overlapping epochs then share the blob rows — the same semantics as
+    * filtering the epoch-less stream per shard). */
+  private def tagBlob(b: DataFrame, shardDf: DataFrame,
+      epochCol: String): DataFrame = {
+    val epMatch: Column =
+      if (b.columns.contains(epochCol)) col(epochCol).cast("string") === col("_ep")
+      else lit(true)
+    b.withColumn("_btus", unix_micros(col("time")))
+      .join(broadcast(shardDf), epMatch &&
+        col("_btus") >= col("_ps") && col("_btus") < col("_pe"))
+      .drop("_btus", "_ep", "_ps", "_pe", "_id0", "_id1", epochCol)
   }
 
   /** Tube-test detection end-to-end (reference `detect_tube_tests`,
@@ -485,7 +562,19 @@ object Detectors {
     val ids = knownIds.getOrElse(
       poseKept.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
-    val feat = withFeatures(wideFrames(poseKept, parts, p.fps, Some(ids)))
+    val tagged = poseKept.withColumn(G, lit("")).withColumn("_id0", lit(ids(0)))
+    tubeCore(tagged, parts, p, roi)
+      .map(t => TubeTestEvent(t.start_ts, t.end_ts, ids(t.winner_idx)))
+  }
+
+  /** Grouped tube-test core: `pose` carries `_g` + `_id0`. Emits one
+    * [[GTube]] per event with the winner as an identity INDEX (0 = the
+    * shard's `_id0`) — callers map indices back to identity strings. */
+  private def tubeCore(pose: DataFrame, parts: Map[String, String], p: TubeParams,
+      roi: Option[Roi]): Dataset[GTube] = {
+    val spark = pose.sparkSession
+    import spark.implicits._
+    val feat = withFeatures(wideFramesG(pose, parts, p.fps))
     val adj1 = pmod(col("o1") + 180.0, lit(360.0))
     val roiOk: Column = roi match {
       case Some(r) =>
@@ -512,12 +601,14 @@ object Detectors {
       col("cdist") < p.maxDistanceStart &&
       col("rel1") > col("rel0") &&
       col("e_tailtail") > col("e_headhead") && roiOk
-    val cand = feat.filter(startCond).select("frame")
+    val cand = feat.filter(startCond).select(G, "frame")
     val evs = events(cand, p.maxFrameGap, p.minTubeTestStartFrames)
     val window = math.ceil(p.fps * p.searchWindowSeconds).toLong
     // span [firstF, lastF + window)
     val rows = attachSpan(feat, evs, 0L, window - 1, cand)
-    rows.groupByKey(_.ev).flatMapGroups { (_, it) =>
+    rows.groupByKey(r => (r.g, r.ev)).flatMapGroups {
+      (key: (String, Long), it: Iterator[EvRow]) =>
+      val g = key._1
       val rs = it.toArray.sortBy(_.frame)
       if (rs.isEmpty) Iterator.empty
       else {
@@ -528,7 +619,7 @@ object Detectors {
           rs.map(_.cdist), rs.map(_.isCand), lastStartRel,
           p.angleTolerance, p.minDistance, p.maxDistanceEnd, p.movementThreshold)
         verdict.iterator.map { case (endRel, winnerIdx) =>
-          TubeTestEvent(usToTs(rs.head.tsUs), usToTs(rs(endRel).tsUs), ids(winnerIdx))
+          GTube(g, usToTs(rs.head.tsUs), usToTs(rs(endRel).tsUs), winnerIdx)
         }
       }
     }

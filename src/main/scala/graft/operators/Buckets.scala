@@ -39,18 +39,26 @@ object Buckets {
     *               rows of bucket b are copied into b+1)
     * @param after  rows of forward context (first `after` rows of bucket b
     *               are copied into b−1)
+    * @param by     extra grouping keys: the bucket chain (dense rank + ghost
+    *               replication) is computed independently per `by` group, so
+    *               one plan serves many shards. Downstream windows must
+    *               partition by `by :+ bucketCol`.
     */
   def withGhosts(df: DataFrame, bucketCol: String, orderCol: String,
-      before: Int, after: Int, tieBreak: Seq[String] = Nil): DataFrame = {
-    // tiny table: one row per occupied bucket
-    val wIdx = Window.partitionBy(lit(0)).orderBy(col(bucketCol))
-    val mapping = df.select(col(bucketCol)).distinct()
+      before: Int, after: Int, tieBreak: Seq[String] = Nil,
+      by: Seq[String] = Nil): DataFrame = {
+    // tiny table: one row per occupied (group, bucket)
+    val wIdx =
+      (if (by.isEmpty) Window.partitionBy(lit(0))
+       else Window.partitionBy(by.map(col): _*)).orderBy(col(bucketCol))
+    val mapping = df.select((by :+ bucketCol).map(col): _*).distinct()
       .withColumn("_bidx", row_number().over(wIdx).cast("long"))
-    val dense = df.join(broadcast(mapping), bucketCol)
+    val dense = df.join(broadcast(mapping), by :+ bucketCol)
       .withColumn(bucketCol, col("_bidx")).drop("_bidx")
-    val wAsc = Window.partitionBy(col(bucketCol))
+    val part = (by :+ bucketCol).map(col)
+    val wAsc = Window.partitionBy(part: _*)
       .orderBy((col(orderCol) +: tieBreak.map(col)).map(_.asc): _*)
-    val wDesc = Window.partitionBy(col(bucketCol))
+    val wDesc = Window.partitionBy(part: _*)
       .orderBy((col(orderCol) +: tieBreak.map(col)).map(_.desc): _*)
     val tagged = dense
       .withColumn("_rnA", row_number().over(wAsc))
@@ -77,18 +85,24 @@ object Buckets {
     * whole range (a 2-week epoch is 60 M frames; `explode(sequence(0, maxF))`
     * off a 1-row aggregate would generate them all in one task).
     *
-    * @param maxDf 1-row DataFrame holding the inclusive max in `maxCol`
+    * Any column of `maxDf` other than `maxCol` (e.g. a shard key) is carried
+    * through to every generated row — one input row per group yields that
+    * group's own 0..max spine.
+    *
+    * @param maxDf DataFrame holding the inclusive max in `maxCol`, one row
+    *              per desired spine (a 1-row aggregate for a single stream)
     */
   def densifiedRange(maxDf: DataFrame, maxCol: String, outCol: String,
       chunk: Long = 1L << 18): DataFrame = {
     // explicit partition count: AQE would coalesce the (tiny) chunk-start
     // shuffle to 1 partition and re-serialize the whole explode on one task
     val par = maxDf.sparkSession.sparkContext.defaultParallelism
+    val carry = maxDf.columns.filterNot(_ == maxCol).toSeq
     maxDf
-      .select(col(maxCol).as("_maxV"),
-        explode(sequence(lit(0L), col(maxCol), lit(chunk))).as("_c0"))
-      .repartition(par, col("_c0"))
-      .select(explode(sequence(col("_c0"),
-        least(col("_c0") + (chunk - 1), col("_maxV")))).as(outCol))
+      .select(carry.map(col) ++ Seq(col(maxCol).as("_maxV"),
+        explode(sequence(lit(0L), col(maxCol), lit(chunk))).as("_c0")): _*)
+      .repartition(par, (carry :+ "_c0").map(col): _*)
+      .select(carry.map(col) :+ explode(sequence(col("_c0"),
+        least(col("_c0") + (chunk - 1), col("_maxV")))).as(outCol): _*)
   }
 }

@@ -271,6 +271,76 @@ class DetectorSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("epoch") === "good")
   }
 
+  test("multi-epoch detectors build ONE plan: no per-epoch union, analysis flat in epoch count") {
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val fight = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+    }
+    // 20 epochs, one per day — the round-3 per-shard-union design built 20
+    // full detector plans here; the single-plan design must build one
+    def poseFor(n: Int) = (0 until n).flatMap { ep =>
+      fight.map { case (f, id, part, x, y) =>
+        (new java.sql.Timestamp(t0.getTime + ep * 86400000L + f * 20L),
+          id, part, x, y, f"ep$ep%02d")
+      }
+    }.toDF("time", "identity", "part", "x", "y", "epoch")
+    def planStats(n: Int): (Int, Int, Double) = {
+      val t0n = System.nanoTime()
+      val analyzed = Detectors.detectFightsAllEpochs(poseFor(n), None, parts,
+        Detectors.FightParams()).queryExecution.analyzed // forces analysis
+      val sec = (System.nanoTime() - t0n) / 1e9
+      (analyzed.collect { case p => p }.length,
+        analyzed.collect { case u: Union => u }.length, sec)
+    }
+    // the plan has a fixed number of STRUCTURAL unions (candidate∪bridge,
+    // ghost replication) — what must NOT happen is unions/nodes growing
+    // with epoch count
+    val (nodes2, unions2, _) = planStats(2)
+    val (nodes20, unions20, analysisSec) = planStats(20)
+    assert(nodes20 === nodes2,
+      s"plan node count grew with epochs: $nodes2 @2 epochs vs $nodes20 @20")
+    assert(unions20 === unions2,
+      s"union count grew with epochs: $unions2 @2 epochs vs $unions20 @20")
+    assert(analysisSec < 60.0,
+      f"20-epoch analysis took $analysisSec%.1f s — plan growing with epoch count?")
+    val events = Detectors.detectFightsAllEpochs(poseFor(20), None, parts,
+      Detectors.FightParams()).collect()
+    assert(events.length === 20)
+    assert(events.map(_.getAs[String]("epoch")).sorted.toSeq ===
+      (0 until 20).map(ep => f"ep$ep%02d"))
+    events.foreach { r =>
+      assert(math.abs(r.getAs[Double]("duration_sec") - 2.0) < 1e-9)
+    }
+  }
+
+  test("multi-epoch tube tests resolve identity pairs per epoch") {
+    val tube = (0 to 69).flatMap { f =>
+      if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)
+      else mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140.0 + 3 * (f - 19), 50, 1)
+    }
+    // ep1 keeps A/B (winner A); ep2 renames A→D, B→C (winner D) — the
+    // sorted id0 flips roles, so a shared/global identity mapping would
+    // report the wrong winner
+    val twoEpochs = tube.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y, "ep1")
+    } ++ tube.map { case (f, id, part, x, y) =>
+      val renamed = if (id == "A") "D" else "C"
+      (new java.sql.Timestamp(t0.getTime + 5L * 86400000L + f * 20L),
+        renamed, part, x, y, "ep2")
+    }
+    val pose = twoEpochs.toDF("time", "identity", "part", "x", "y", "epoch")
+    val out = Detectors.detectTubeTestsAllEpochs(pose, parts,
+      Detectors.TubeParams()).collect()
+    assert(out.length === 2)
+    val byEpoch = out.map(r =>
+      r.getAs[String]("epoch") -> r.getAs[String]("winner_identity")).toMap
+    assert(byEpoch === Map("ep1" -> "A", "ep2" -> "D"))
+  }
+
   test("periods24h splits at the boundary hour like the reference") {
     val zone = java.time.ZoneOffset.UTC
     def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
