@@ -130,6 +130,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(split === Array(1L, 1L, 2L), "day-split artificially cuts the session")
   }
 
+  test("incremental fight detection ≡ batch detectFights on a two-chunk fixture") {
+    import spark.implicits._
+    import graft.behavior.Detectors
+    val parts = Map("nose" -> "nose", "head" -> "head",
+      "centroid" -> "spine2", "tail_base" -> "spine4")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val t0us = t0.getTime * 1000L
+    def mouse(frame: Int, id: String, cx: Double, cy: Double, dir: Double,
+        noseHead: Double = 2.0) = Seq(
+      (frame, id, "nose", cx + dir * (8 + noseHead), cy),
+      (frame, id, "head", cx + dir * 8, cy),
+      (frame, id, "spine2", cx, cy),
+      (frame, id, "spine4", cx - dir * 10, cy))
+    val fight = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+    }
+    def poseDf(rows: Seq[(Int, String, String, Double, Double)]) =
+      rows.map { case (f, id, part, x, y) =>
+        (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y)
+      }.toDF("time", "identity", "part", "x", "y")
+    val base = Files.createTempDirectory("graft_fightstream").toString
+    val poseDir = s"$base/pose"; val work = s"$base/work"
+    val p = Detectors.FightParams()
+    // chunk 1 lands: frames 0..150 — the frontier stops MID-FIGHT
+    poseDf(fight.filter(_._1 <= 150)).write.parquet(s"$poseDir/chunk1")
+    FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
+      Seq("A", "B"), t0us + 151L * 20000L)
+    assert(FightStream.fightEvents(spark, work).collect().isEmpty,
+      "fight still open at the mid-event frontier: nothing may be emitted")
+    // chunk 2 lands; final poll with the frontier past the gap horizon
+    poseDf(fight.filter(_._1 > 150)).write.parquet(s"$poseDir/chunk2")
+    FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
+      Seq("A", "B"), t0us + (260L + p.maxFrameGapWEmptyFrames + 5) * 20000L)
+    def key(e: Detectors.FightEvent) =
+      (e.start_ts.getTime, e.end_ts.getTime, e.duration_sec, e.end_x, e.end_y)
+    val stream = FightStream.fightEvents(spark, work).collect().map(key).toSet
+    val batch = Detectors.detectFights(poseDf(fight), None, parts, p)
+      .collect().map(key).toSet
+    assert(batch.size === 1)
+    assert(stream === batch)
+    // idempotency: an empty re-poll emits nothing new (exactly-once)
+    FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
+      Seq("A", "B"), t0us + (260L + p.maxFrameGapWEmptyFrames + 20) * 20000L)
+    assert(FightStream.fightEvents(spark, work).collect().map(key).toSet === batch)
+  }
+
   test("file-source incremental ingest is exactly-once across re-runs (T1/T2/S9)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream").toString
