@@ -313,25 +313,37 @@ object Dedup {
 
   /** 64-bit SimHash per document: each token hash votes ±1 per bit position
     * weighted by term frequency; the signature sets bits with positive sums.
-    * One explode + one aggregation (64 conditional sums).
+    * One typed pass per document.
+    *
+    * The token hash is the first 8 bytes (big-endian) of md5(token) — a
+    * cross-engine-reproducible choice (`('0x' || substr(md5(w),1,16))
+    * ::UBIGINT` in DuckDB computes the identical value), which makes the
+    * whole pair set differentially testable against an independent SQL
+    * engine. md5 costs a few times more than an FNV mix per token but the
+    * signature pass is a single map over documents either way.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (id, text) =>
-        val counts = new Array[Long](64)
-        text.toLowerCase.split(" ").foreach { w =>
-          val h = fnv64(w)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val counts = new Array[Long](64)
+          text.toLowerCase.split(" ").foreach { w =>
+            md.reset()
+            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h = java.nio.ByteBuffer.wrap(d).getLong // big-endian first 8 bytes
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
           }
+          var sig = 0L; var b = 0
+          while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+          (id, sig)
         }
-        var sig = 0L; var b = 0
-        while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-        (id, sig)
       }.toDF("_id", "simhash")
   }
 

@@ -48,8 +48,9 @@ object LlmQueries {
     }),
 
     // SimHash near-dup pairs (hamming ≤ 3 via exact 4-band blocking).
-    // Token hashes are engine-specific → no SQL oracle; rows-only check
-    // here, brute-force parity covered in ScalaTest.
+    // Token hash = md5 low-64 → the full signature + pair set replays in
+    // DuckDB bit ops (hash-gated); band-blocking exactness additionally
+    // brute-force-checked in ScalaTest.
     "d4_simhash" -> ((s, dir) => {
       val sig = Dedup.simhash(docs(s, dir), "doc_id", "text")
       sortAll(Dedup.simhashPairs(sig, 3, 4))
@@ -82,8 +83,9 @@ object LlmQueries {
     }),
 
     // IVF-partitioned ANN: 8 deterministic coarse cells, 3 probes; output is
-    // mean recall@5 vs the exact scan. Approximate by design → rows-only
-    // check; the recall floor is asserted in ScalaTest.
+    // mean recall@5 vs the exact scan. With deterministic centroids the
+    // entire computation (cell assignment, probe fan-out, per-cell top-k,
+    // recall) replays in SQL → hash-gated like everything else.
     "ann2_ivf_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 50)
@@ -167,6 +169,30 @@ object LlmQueries {
     "d2_ngram_jaccard" -> jaccardOracle,
     "d3_minhash_lsh" -> jaccardOracle,
 
+    // independent simhash replay: md5-low-64 token hash, ±1 bit votes,
+    // positive-sum signature, brute-force hamming pair scan (the Spark side
+    // band-blocks, which is exact-complete for maxDist < bands)
+    "d4_simhash" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM $docsPq),
+         |tok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words),
+         |bitv AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM tok, (SELECT unnest(generate_series(0, 63)) AS b)
+         |  GROUP BY doc_id, b),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)
+         |         AS UBIGINT) AS s
+         |  FROM bitv GROUP BY doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |${orderBySql("i", "j", "hamming")}""".stripMargin,
+
     // transitive closure over the exact near-dup pair set (recursive CTE),
     // then one row per multi-member component keyed by its min id
     "d6_neardup_clusters" ->
@@ -206,6 +232,53 @@ object LlmQueries {
          |        ORDER BY cos DESC, neighbor_id) AS rn FROM s)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
          |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin,
+
+    // full IVF replay: nearest-cell corpus sharding (nprobe=1), 3-cell query
+    // probes, per-cell exact top-5, then recall@5 against the exact scan
+    "ann2_ivf_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM $embsPq WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM $embsPq),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
+         |         FROM $embsPq WHERE vec_id < 8),
+         |sx AS (SELECT query_id, neighbor_id,
+         |         list_inner_product(qv, cv)
+         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+         |       FROM q, c WHERE query_id <> neighbor_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS rn FROM sx) WHERE rn <= 5),
+         |ca AS (SELECT neighbor_id, cell FROM (
+         |         SELECT c.neighbor_id, cent.cell,
+         |           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+         |             list_inner_product(cv, ev)
+         |               / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(ev, ev)))
+         |             DESC, cent.cell) AS rn
+         |         FROM c, cent) WHERE rn <= 1),
+         |qa AS (SELECT query_id, cell FROM (
+         |         SELECT q.query_id, cent.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             list_inner_product(qv, ev)
+         |               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(ev, ev)))
+         |             DESC, cent.cell) AS rn
+         |         FROM q, cent) WHERE rn <= 3),
+         |sa AS (SELECT q.query_id, c.neighbor_id,
+         |         list_inner_product(qv, cv)
+         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+         |       FROM q JOIN qa USING (query_id)
+         |       JOIN ca USING (cell)
+         |       JOIN c USING (neighbor_id)
+         |       WHERE query_id <> neighbor_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS rn FROM sa) WHERE rn <= 5),
+         |hits AS (SELECT query_id, count(*) AS h
+         |         FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+         |perq AS (SELECT query_id, coalesce(h, 0) / 5.0 AS r
+         |         FROM (SELECT DISTINCT query_id FROM ex) LEFT JOIN hits USING (query_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(r), 4) AS avg_recall
+         |FROM perq""".stripMargin,
 
     "tx1_token_stats" ->
       s"""SELECT doc_id,
