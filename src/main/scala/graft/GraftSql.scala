@@ -1,19 +1,35 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
 import scala.collection.mutable
 
 /** SQL façade (SURVEY §7.1 item 9 / §7.3 stretch): register the
   * scale-factor tables as temp views AND expose the typed operator kernels
   * to `spark.sql(...)` so a SQL-only user can run them:
   *
+  *   - `graft_sessionize_t('view', 'orderCol', gapUs[, bucketSize])` — a
+  *     TABLE function (registered in the session's TableFunctionRegistry):
+  *     `SELECT * FROM graft_sessionize_t('events_v', 'ts', 86400000000)`
+  *     returns the view's rows plus `session_id`, running the same
+  *     distributed plan as the typed [[graft.operators.Sessionize]] — use
+  *     this for large keyless tables; with `bucketSize` set the plan has no
+  *     single-partition sort at any size;
   *   - `graft_sessionize(sort_array(collect_list(us)), gapUs)` → per-element
   *     session ids for an ascending epoch-micros array (the G1 gap rule);
-  *     pair back with `arrays_zip` + `inline`;
+  *     pair back with `arrays_zip` + `inline`. GROUP-SIZE CONTRACT: the
+  *     array materializes one group on one row — meant for small per-key
+  *     groups (per-frame candidate sets, per-user event lists), not for a
+  *     keyless million-row table (use `graft_sessionize_t` there);
   *   - `graft_assign(collect_list(struct(l, r, cost)))` → matched
   *     `array<struct<l,r,cost>>` per group under optimal min-cost
   *     assignment (J3; infeasible = +Infinity cost, like the Scala API);
-  *     explode with `inline`.
+  *     explode with `inline`. Same group-size contract — assignment groups
+  *     are per-frame (≤ #detections × #identities rows, single digits in
+  *     the reference), and the J3 solve is inherently per-group.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -34,6 +50,10 @@ object GraftSql {
 
   /** Register the SQL-callable operator kernels (idempotent). */
   def registerFunctions(spark: SparkSession): Unit = {
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_sessionize_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_sessionize_t"),
+      (args: Seq[Expression]) => sessionizeTablePlan(args))
     spark.udf.register("graft_sessionize",
       (times: Seq[Long], gapUs: Long) => {
         var sid = 0L
@@ -69,5 +89,36 @@ object GraftSql {
           (lKeys(i), rKeys(j), cost(i)(j))
         }.toSeq
       })
+  }
+
+  /** Build the `graft_sessionize_t` table-function plan: resolve the named
+    * view in the ACTIVE session and wrap it in the distributed Sessionize
+    * plan — no per-group array ever materializes, so the function scales to
+    * keyless tables of any size (pass `bucketSize` to also avoid the single
+    * global sort; see [[graft.operators.Sessionize.sessionize]]). */
+  private def sessionizeTablePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "usage: graft_sessionize_t('view', 'orderCol', gapUs[, bucketSize])")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_sessionize_t: $what must be a string literal, got $other")
+    }
+    def lng(e: Expression, what: String): Long = e match {
+      case l: Literal if l.value != null && (l.dataType == org.apache.spark.sql.types.LongType ||
+          l.dataType == org.apache.spark.sql.types.IntegerType ||
+          l.dataType == org.apache.spark.sql.types.ShortType) =>
+        l.value.asInstanceOf[Number].longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_sessionize_t: $what must be an integer literal, got $other")
+    }
+    val view = str(args(0), "view name")
+    val orderCol = str(args(1), "order column")
+    val gap = lng(args(2), "gap")
+    val bucket = if (args.length == 4) Some(lng(args(3), "bucketSize")) else None
+    val spark = SparkSession.active
+    graft.operators.Sessionize
+      .sessionize(spark.table(view), orderCol, Nil, gap, bucketSize = bucket)
+      .queryExecution.logical
   }
 }

@@ -39,6 +39,40 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql === fromScala)
   }
 
+  test("graft_sessionize_t table function equals the typed operator, no arrays") {
+    GraftSql.register(spark, TestSpark.sfDir)
+    val gap = 86400L * 1000000L
+    val fromSql = spark.sql(
+      s"SELECT event_id, session_id FROM graft_sessionize_t('events', 'ts', $gap)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromScala = graft.operators.Sessionize.sessionize(
+        spark.table("events"), "ts", Nil, gap)
+      .select("event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSql === fromScala)
+  }
+
+  test("graft_sessionize_t scales: 1M-row keyless view, no single-row array, no global sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    GraftSql.registerFunctions(spark)
+    // 1M rows, ~1000 sessions: tsUs advances 10us per row, +big jump each
+    // 1000th row
+    spark.range(1000000L)
+      .selectExpr("id", "id * 10 + (id DIV 1000) * 1000000 AS us")
+      .createOrReplaceTempView("big_stream")
+    val df = spark.sql(
+      "SELECT * FROM graft_sessionize_t('big_stream', 'us', 5000, 100000)")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "bucketed table-function plan must not sort the stream on one task")
+    assert(!plan.toString.contains("collect_list"),
+      "table function must not materialize per-group arrays")
+    val sessions = df.agg(
+      org.apache.spark.sql.functions.countDistinct("session_id")).head.getLong(0)
+    assert(sessions === 1000L)
+  }
+
   test("graft_assign from SQL equals the typed Assignment operator") {
     GraftSql.registerFunctions(spark)
     import spark.implicits._
