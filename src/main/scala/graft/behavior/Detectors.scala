@@ -384,6 +384,11 @@ object Detectors {
     *
     * All windows are hour-bucketed with ghost edge rows ([[Buckets]]) — no
     * global single-task sort anywhere, exact equality with the global plan.
+    * Exactness requires every occupied bucket to hold at least the window
+    * extent (6 rows at `bucketSeconds = 3600` and 50 fps; a camera dropout
+    * leaving 1–5 samples in an hour violates it) — enforced with a loud
+    * runtime error (`guardSparse`), not silent divergence; lower
+    * `bucketSeconds` resolution only with correspondingly dense streams.
     */
   def blobSpeed(blob: DataFrame, fps: Double, cm2px: Double,
       bucketSeconds: Long = 3600): DataFrame =
@@ -411,7 +416,8 @@ object Detectors {
     // outside every surviving row's window.
     val w2 = Window.partitionBy(col(G), col("_bkt")).orderBy("_tus")
     val smoothW = w2.rowsBetween(-5, 4)
-    val sp = Buckets.withGhosts(kept, "_bkt", "_tus", 6, 4, by = Seq(G))
+    val sp = Buckets.withGhosts(kept, "_bkt", "_tus", 6, 4, by = Seq(G),
+      guardSparse = true)
       .withColumn("_pt", lag(col("_tus"), 1).over(w2))
       .withColumn("_px", lag(col("x"), 1).over(w2))
       .withColumn("_py", lag(col("y"), 1).over(w2))

@@ -96,23 +96,23 @@ object Combine {
     val matched = Assignment.assign(pairs, Seq("tick"), "pose_id", "identity",
       "cost", inferSingletons = true)
     // J5 update-join writeback: all parts of a matched pose instance get the
-    // assigned identity + the matched detection's likelihood map (looked up
-    // by (tick, identity)); unmatched instances drop (P8). Inferred J4
-    // singleton pairs have no verified detection pairing → null map, as the
-    // reference writes a NaN-likelihood map (`combine_pose_id_chunk.py:141`).
-    // The matched detection is recovered by its COST: the solver's cell
-    // value is the min cost among that (pose, identity)'s candidate rows =
-    // −likelihood of the matched (feasible) detection, so joining idj on
-    // (tick, identity, likelihood == −cost) selects exactly the detection
-    // the assignment used — a far-away higher-likelihood duplicate (cost
-    // +∞, never matchable) cannot leak its map in. Bit-equal-likelihood
+    // assigned identity + the matched detection's likelihood map; unmatched
+    // instances drop (P8). Inferred J4 singleton pairs have no verified
+    // detection pairing → null map, as the reference writes a
+    // NaN-likelihood map (`combine_pose_id_chunk.py:141`).
+    // The matched detection is recovered from the CANDIDATE PAIR rows (not
+    // the raw detection table): joining matched back to `pairs` on
+    // (tick, pose_id, identity) with pair-cost == matched-cost selects
+    // exactly the feasible detections the solver's min-cost cell came from —
+    // an infeasible (dist > maxDistance) duplicate carries cost +∞ and can
+    // never equal a finite matched cost, so its likelihood map cannot leak
+    // in even when its likelihood VALUE is bit-equal. Bit-equal feasible
     // duplicates share a deterministic position tiebreak.
-    val lik = idj.select(col("tick"), col("identity"),
-        col("identity_likelihood"), col("x_top"), col("y_top"),
-        coalesce(element_at(col("identity_likelihood"), col("identity")), lit(0.0)).as("_l"))
+    val cand = pairs.select(col("tick"), col("pose_id"), col("identity"),
+      col("cost").as("_pc"), col("identity_likelihood"), col("x_top"), col("y_top"))
     val withLik = matched
-      .join(lik, Seq("tick", "identity"), "left")
-      .withColumn("_costOk", col("cost").isNotNull && col("_l") === -col("cost"))
+      .join(cand, Seq("tick", "pose_id", "identity"), "left")
+      .withColumn("_costOk", col("cost").isNotNull && col("_pc") === col("cost"))
       .groupBy("tick", "identity", "pose_id", "cost")
       .agg(max_by(when(col("_costOk"), col("identity_likelihood")),
         struct(col("_costOk"), col("x_top"), col("y_top"))).as("_mlik0"))

@@ -43,18 +43,44 @@ object Buckets {
     *               replication) is computed independently per `by` group, so
     *               one plan serves many shards. Downstream windows must
     *               partition by `by :+ bucketCol`.
+    * @param guardSparse when true, any INTERIOR bucket with fewer than
+    *               max(before, after) rows RAISES at execution instead of
+    *               letting window results silently diverge from the
+    *               global-sort plan near that bucket's edges. (A sparse
+    *               interior bucket cannot relay its neighbor's context —
+    *               ghosts don't chain across two buckets. First/last
+    *               buckets are exempt: with no rows beyond them, their own
+    *               rows ARE the complete context.)
     */
   def withGhosts(df: DataFrame, bucketCol: String, orderCol: String,
       before: Int, after: Int, tieBreak: Seq[String] = Nil,
-      by: Seq[String] = Nil): DataFrame = {
+      by: Seq[String] = Nil, guardSparse: Boolean = false): DataFrame = {
     // tiny table: one row per occupied (group, bucket)
-    val wIdx =
-      (if (by.isEmpty) Window.partitionBy(lit(0))
-       else Window.partitionBy(by.map(col): _*)).orderBy(col(bucketCol))
-    val mapping = df.select((by :+ bucketCol).map(col): _*).distinct()
+    val wPart =
+      if (by.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(by.map(col): _*)
+    val wIdx = wPart.orderBy(col(bucketCol))
+    val mapping = df.groupBy((by :+ bucketCol).map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
       .withColumn("_bidx", row_number().over(wIdx).cast("long"))
-    val dense = df.join(broadcast(mapping), by :+ bucketCol)
-      .withColumn(bucketCol, col("_bidx")).drop("_bidx")
+      .withColumn("_bmax", max(col("_bidx")).over(
+        wPart.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val joined = df.join(broadcast(mapping), by :+ bucketCol)
+    val guarded =
+      if (!guardSparse) joined
+      else {
+        val extent = math.max(before, after)
+        val bad =
+          col("_bn") < extent && col("_bidx") > 1L && col("_bidx") < col("_bmax")
+        joined.withColumn("_bidx", when(bad,
+          raise_error(format_string(
+            s"withGhosts: bucket %s holds only %s rows — fewer than the window " +
+              s"extent (before=$before, after=$after); bucketed window results " +
+              "would silently diverge from the global plan. Use a coarser bucket.",
+            col(bucketCol).cast("string"), col("_bn").cast("string"))).cast("long"))
+          .otherwise(col("_bidx")))
+      }
+    val dense = guarded
+      .withColumn(bucketCol, col("_bidx")).drop("_bidx", "_bn", "_bmax")
     val part = (by :+ bucketCol).map(col)
     val wAsc = Window.partitionBy(part: _*)
       .orderBy((col(orderCol) +: tieBreak.map(col)).map(_.asc): _*)

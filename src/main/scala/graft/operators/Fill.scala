@@ -85,6 +85,14 @@ object Fill {
 
   /** Fill null runs of length < `maxRun` whose flanking values agree.
     * Output column `filledCol` (default: overwrite `valueCol`).
+    *
+    * `strict = true` reproduces the reference's compat behavior
+    * (`generate_composite_quadrant_videos.py:157`): any null run that
+    * CANNOT be filled — too long, flanks disagree, or no leading value —
+    * raises at execution instead of staying null. The check runs
+    * distributed (a conditional `raise_error` in the fill expression), so
+    * the first offending partition fails the job with the gap's order key
+    * in the message.
     */
   def boundedFill(
       df: DataFrame,
@@ -92,7 +100,8 @@ object Fill {
       orderCol: String,
       by: Seq[String] = Nil,
       maxRun: Long,
-      filledColOpt: Option[String] = None): DataFrame = {
+      filledColOpt: Option[String] = None,
+      strict: Boolean = false): DataFrame = {
     val filledCol = filledColOpt.getOrElse(valueCol)
     val v = col(valueCol)
     val wOrd = part(by).orderBy(col(orderCol))
@@ -106,12 +115,20 @@ object Fill {
       .withColumn("_run", when(v.isNull, runId))
     val wRun = Window.partitionBy((by.map(col) :+ col("_run")): _*)
     val runLen: Column = count(lit(1)).over(wRun)
+    val unfilled: Column =
+      if (strict)
+        raise_error(format_string(
+          s"boundedFill: unfillable null run (> $maxRun rows, disagreeing " +
+            s"flanks, or no leading value) at $orderCol=%s",
+          col(orderCol).cast("string")))
+          .cast(df.schema(valueCol).dataType)
+      else v
     tagged
       .withColumn(filledCol,
         when(v.isNotNull, v)
           .when(col("_run").isNotNull && runLen < maxRun &&
             col("_prev_v").isNotNull && col("_prev_v") === col("_next_v"), col("_prev_v"))
-          .otherwise(v))
+          .otherwise(unfilled))
       .drop("_prev_v", "_next_v", "_run")
   }
 }

@@ -57,37 +57,57 @@ object HarpBin {
     arr
   }
 
-  /** Decoded message: (tsUs, msgType, register, port, payload). */
+  /** Decoded message: (tsUs, msgType, register, port, payload).
+    *
+    * Only timestamped Float32 event messages are EMITTED; other well-formed
+    * messages (write echoes at stream start, differently-typed registers)
+    * are SKIPPED by advancing past their length field — one odd message must
+    * not poison a whole chunk read. Structural corruption still fails fast:
+    * the truncation and checksum `require`s stay on every message, skipped
+    * or not.
+    */
   def decode(bytes: Array[Byte]): Iterator[(Long, Int, Int, Int, Array[Float])] =
     new Iterator[(Long, Int, Int, Int, Array[Float])] {
       private var off = 0
-      def hasNext: Boolean = off + 2 <= bytes.length
+      private var nextRow: (Long, Int, Int, Int, Array[Float]) = _
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && off + 2 <= bytes.length) {
+          val msgType = bytes(off) & 0xff
+          val len = bytes(off + 1) & 0xff
+          val end = off + 2 + len
+          require(end <= bytes.length, s"truncated message at offset $off")
+          var sum = 0
+          var i = off
+          while (i < end - 1) { sum += bytes(i) & 0xff; i += 1 }
+          require((sum & 0xff) == (bytes(end - 1) & 0xff),
+            s"checksum mismatch at offset $off")
+          val bb = java.nio.ByteBuffer.wrap(bytes, off + 2, len - 1)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val register = bb.get() & 0xff
+          val port = bb.get() & 0xff
+          val ptype = bb.get() & 0xff
+          // timestamped (0x10) Float32 (0x44) events only; len must cover
+          // address+port+type (3) + timestamp (6)
+          if ((ptype & 0x10) != 0 && (ptype & 0x4f) == 0x44 && len >= 10) {
+            val sec = bb.getInt().toLong & 0xffffffffL
+            val ticks = bb.getShort().toLong & 0xffffL
+            val tsUs = (HarpEpochSec + sec) * 1000000L + ticks * 32L
+            val n = (len - 1 - 3 - 6) / 4
+            val payload = new Array[Float](n)
+            var k = 0
+            while (k < n) { payload(k) = bb.getFloat(); k += 1 }
+            nextRow = (tsUs, msgType, register, port, payload)
+          }
+          off = end
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextRow != null
       def next(): (Long, Int, Int, Int, Array[Float]) = {
-        val msgType = bytes(off) & 0xff
-        val len = bytes(off + 1) & 0xff
-        val end = off + 2 + len
-        require(end <= bytes.length, s"truncated message at offset $off")
-        var sum = 0
-        var i = off
-        while (i < end - 1) { sum += bytes(i) & 0xff; i += 1 }
-        require((sum & 0xff) == (bytes(end - 1) & 0xff),
-          s"checksum mismatch at offset $off")
-        val bb = java.nio.ByteBuffer.wrap(bytes, off + 2, len - 1)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val register = bb.get() & 0xff
-        val port = bb.get() & 0xff
-        val ptype = bb.get() & 0xff
-        require((ptype & 0x10) != 0 && (ptype & 0x4f) == 0x44,
-          s"unsupported payload type $ptype")
-        val sec = bb.getInt().toLong & 0xffffffffL
-        val ticks = bb.getShort().toLong & 0xffffL
-        val tsUs = (HarpEpochSec + sec) * 1000000L + ticks * 32L
-        val n = (len - 1 - 3 - 6) / 4
-        val payload = new Array[Float](n)
-        var k = 0
-        while (k < n) { payload(k) = bb.getFloat(); k += 1 }
-        off = end
-        (tsUs, msgType, register, port, payload)
+        val r = nextRow
+        advance()
+        r
       }
     }
 

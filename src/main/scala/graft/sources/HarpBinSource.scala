@@ -137,7 +137,7 @@ class HarpBinReader(file: String, conf: Configuration)
   private val bytes: Array[Byte] = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen.toInt
+    val len = HarpBinReader.checkedLength(fs.getFileStatus(p).getLen, file)
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
@@ -156,4 +156,16 @@ class HarpBinReader(file: String, conf: Configuration)
     }
   override def get(): InternalRow = cur
   override def close(): Unit = ()
+}
+
+object HarpBinReader {
+  /** The reader buffers one chunk file whole (hour chunks are tens of MB at
+    * 50 fps); a file at/over 2 GiB would overflow the Int cast into a
+    * negative array size — fail with a clear message instead. */
+  def checkedLength(len: Long, file: String): Int = {
+    require(len < Int.MaxValue,
+      s"HARP chunk file too large to buffer ($len bytes): $file — " +
+        "hour chunks are expected to be tens of MB; split the file")
+    len.toInt
+  }
 }

@@ -86,6 +86,23 @@ class CombineSpec extends AnyFunSuite {
     assert(out.head.getMap[String, Double](2).toMap === Map("alice" -> 0.4, "bob" -> 0.6))
   }
 
+  test("writeback excludes an infeasible duplicate even with a BIT-EQUAL likelihood value") {
+    // D1 is out of range but has the same alice-likelihood VALUE as the
+    // matched D2 (and a larger position tiebreak) — only the feasibility
+    // gate carried into the writeback join keeps its map out
+    val pose = Seq((ts(2000), 1L, "anchor_spine2", 10.0, 10.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    val ids = Seq(
+      (ts(1000), "alice", Map("alice" -> 0.4, "bob" -> 0.99), 510.0, 10.0),
+      (ts(3000), "alice", Map("alice" -> 0.4, "bob" -> 0.6), 11.0, 10.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+    val out = Combine.combineChunk(pose, ids, Combine.Params(fps = 50, maxDistance = 40))
+      .select("pose_id", "identity", "identity_likelihood").collect()
+    assert(out.length === 1)
+    assert(out.head.getMap[String, Double](2).toMap === Map("alice" -> 0.4, "bob" -> 0.6),
+      "the out-of-range duplicate's map must not leak in on a cost tie")
+  }
+
   test("projectAndUnion: per-camera homography + anchor filter + union") {
     val cam1 = Seq((ts(0), "m0", Map("m0" -> 0.9), "anchor_spine2", 10.0, 20.0),
       (ts(0), "m0", Map("m0" -> 0.9), "head", 1.0, 1.0))

@@ -66,6 +66,29 @@ class BucketsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("withGhosts guardSparse: an undersized interior bucket raises; boundary buckets exempt") {
+    // bucket 0: 10 rows, bucket 1: 2 rows (< before=6, HAS a successor),
+    // bucket 2: 10 rows, bucket 3 (last): 2 rows (exempt for `before`)
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (n, b) =>
+      (0 until n).map(i => (b * 1000L + i * 10L, 1.0))
+    }.toDF("t", "v").withColumn("_bkt", (col("t") / 1000).cast("long"))
+    val w = Window.partitionBy("_bkt").orderBy("t")
+    // consume the windowed column (as any real caller does) — the guard
+    // lives on the bucket index the window partitions by, so a plan that
+    // prunes the window away never evaluates buckets at all
+    def run(counts: Seq[Int]) =
+      Buckets.withGhosts(mk(counts), "_bkt", "t", 6, 4, guardSparse = true)
+        .withColumn("s", sum(col("v")).over(w.rowsBetween(-5, 4)))
+        .filter(!col("_ghost")).agg(count(col("s"))).head.getLong(0)
+    val ex = intercept[Exception](run(Seq(10, 2, 10, 2)))
+    assert(ex.getMessage.contains("withGhosts") ||
+      Option(ex.getCause).exists(_.getMessage.contains("withGhosts")),
+      s"sparse interior bucket must raise, got: ${ex.getMessage}")
+    // boundary buckets may be sparse: no rows exist beyond them, so their
+    // own rows are the complete window context either way
+    assert(run(Seq(4, 10, 10, 2)) === 26L)
+  }
+
   test("bucketed sessionize equals global sessionize (property, incl. bucket-spanning sessions)") {
     val rnd = new Random(29)
     // gaps sized so sessions regularly span the 1000-unit buckets

@@ -97,6 +97,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("boundedFill strict mode raises on an unfillable gap, permissive leaves null") {
+    val df = Seq((0L, Some(1L)), (1L, None), (2L, Some(2L)), (3L, Some(3L)))
+      .toDF("t", "v")
+    // gap at t=1 has disagreeing flanks (1 vs 2) → unfillable
+    val permissive = Fill.boundedFill(df, "v", "t", Nil, 4L, Some("vf"))
+      .orderBy("t").collect()
+    assert(permissive(1).isNullAt(2), "permissive default leaves the run null")
+    val ex = intercept[Exception] {
+      Fill.boundedFill(df, "v", "t", Nil, 4L, Some("vf"), strict = true)
+        .collect()
+    }
+    assert(ex.getMessage.contains("unfillable null run"),
+      s"strict mode must raise the reference's error, got: ${ex.getMessage}")
+    // a fillable gap does not raise in strict mode
+    val ok = Seq((0L, Some(1L)), (1L, None), (2L, Some(1L)))
+      .toDF("t", "v")
+    val strictOk = Fill.boundedFill(ok, "v", "t", Nil, 4L, Some("vf"), strict = true)
+      .orderBy("t").collect()
+    assert(strictOk.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L))
+  }
+
   test("bfill mirrors ffill on the reversed sequence") {
     val df = Seq((1L, None), (2L, Some(5L)), (3L, None), (4L, Some(7L)), (5L, None))
       .map { case (t, v) => (t, v) }.toDF("t", "v")

@@ -38,6 +38,40 @@ class HarpBinSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](HarpBin.decode(msg).toSeq)
   }
 
+  test("codec: well-formed non-event messages are skipped, not fatal") {
+    // a write echo: valid checksum, untimestamped U8 payload (type 0x01)
+    def writeEcho(register: Int): Array[Byte] = {
+      val len = 3 + 1 + 1 // addr+port+type, one data byte, checksum
+      val buf = java.nio.ByteBuffer.allocate(2 + len)
+      buf.put(2.toByte).put(len.toByte) // msgType 2 = WRITE
+        .put(register.toByte).put(255.toByte).put(0x01.toByte).put(7.toByte)
+      val arr = buf.array()
+      var sum = 0
+      for (i <- 0 until arr.length - 1) sum += arr(i) & 0xff
+      arr(arr.length - 1) = (sum & 0xff).toByte
+      arr
+    }
+    val bytes = writeEcho(32) ++
+      HarpBin.encodeMessage(222, 255, alignedUs(0), Array(1.0f)) ++
+      writeEcho(33) ++
+      HarpBin.encodeMessage(222, 255, alignedUs(20000), Array(2.0f))
+    val decoded = HarpBin.decode(bytes).toSeq
+    assert(decoded.length === 2, "events decoded, echoes skipped")
+    assert(decoded.map(_._5.head.toDouble) === Seq(1.0, 2.0))
+    // corruption inside a SKIPPED message still fails fast
+    val bad = writeEcho(32)
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException](
+      HarpBin.decode(bad ++ HarpBin.encodeMessage(222, 255, alignedUs(0), Array(1.0f))).toSeq)
+  }
+
+  test("reader length guard: a >=2GiB chunk file fails with a clear error") {
+    assert(HarpBinReader.checkedLength(1024L * 1024, "f.bin") === 1048576)
+    val ex = intercept[IllegalArgumentException](
+      HarpBinReader.checkedLength(Int.MaxValue.toLong + 5, "big.bin"))
+    assert(ex.getMessage.contains("too large"))
+  }
+
   test("DataSource V2: reads chunk files; equals the parquet path; prunes by time and register") {
     val dir = Files.createTempDirectory("harp_bin").toFile
     // three hour chunks for register 222 + one for register 202
