@@ -53,12 +53,21 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // COMPACT line: the harness captures only the TAIL of process output
+    // and json-parses the line it finds there — a line over ~2k chars gets
+    // its head truncated and parses as nothing. 3-decimal seconds keep all
+    // 72 queries in ~1.7k chars (ms resolution is below the noise floor
+    // anyway).
+    def f3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, -1.0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // numeric sf parsed from the dir name (…/sf0.1 → 0.1); -1 if unparseable
+    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("-1")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":$sfNum}"""
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
     // raw stdout: visible as a clean line even under sbt's logger

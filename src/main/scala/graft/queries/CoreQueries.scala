@@ -35,10 +35,14 @@ object CoreQueries {
     // window at any scale.
     "p3_identity_code" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val domain = e.select("event_type").distinct().collect()
-        .map(_.getString(0)).sorted
-      val codes = s.createDataFrame(domain.zipWithIndex.map { case (v, i) => (v, i.toLong) })
-        .toDF("event_type", "type_code")
+      // one lazy plan: the code table is a rank over the DISTINCT types
+      // (a handful of rows after aggregation — the single-partition window
+      // is on that tiny set), not a driver-side collect + re-parallelize,
+      // so the query is one job instead of an eager collect plus the agg
+      val codes = e.select("event_type").distinct()
+        .withColumn("type_code",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(0)).orderBy("event_type")).cast("long") - 1)
       sortAll(e.join(broadcast(codes), "event_type")
         .groupBy("event_type", "type_code").agg(count(lit(1)).as("n")))
     }),
