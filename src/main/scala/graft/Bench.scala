@@ -58,7 +58,10 @@ object Bench {
     // its head truncated and parses as nothing. 3-decimal seconds keep all
     // 72 queries in ~1.7k chars (ms resolution is below the noise floor
     // anyway).
-    def f3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would print a comma
+    // decimal separator on e.g. de_DE JVMs — invalid JSON
+    def f3(v: Double) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, -1.0) => "\"" + k + "\"" }

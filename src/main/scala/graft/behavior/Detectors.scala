@@ -129,7 +129,27 @@ object Detectors {
       o0: Double, o1: Double, e2: Double, e3: Double, cdist: Double,
       isCand: Boolean, firstF: Long, lastF: Long)
 
-  private def nn(c: Column): Column = coalesce(c, lit(Double.NaN))
+  private[graft] def nn(c: Column): Column = coalesce(c, lit(Double.NaN))
+
+  /** Shared wide-pivot building blocks — ONE definition for the batch core
+    * ([[wideFramesG]]) and the streaming silver stage
+    * ([[graft.streaming.FightStream]]), so the two feature tables cannot
+    * silently drift apart. */
+  private[graft] val logicalParts = Seq("nose", "head", "centroid", "tail_base")
+  /** Physical→logical part name mapping expression. */
+  private[graft] def lpartCol(parts: Map[String, String]): Column =
+    logicalParts.map(l => parts(l) -> l)
+      .foldLeft(lit(null).cast("string")) { case (acc, (phys, log)) =>
+        when(col("part") === phys, log).otherwise(acc)
+      }
+  /** Identity code from the shard's first identity. */
+  private[graft] def mouseCol(id0: Column): Column =
+    when(col("identity") === id0, 0).otherwise(1)
+  /** The 16 per-mouse per-part coordinate pivots (min over the frame). */
+  private[graft] def pivotAggs: Seq[Column] =
+    for (m <- 0 to 1; l <- logicalParts; c <- Seq("x", "y")) yield
+      min(when(col("mouse") === m && col("lpart") === l, col(c)))
+        .as(s"m${m}_${l}_$c")
 
   /** Long pose table → dense wide frame table (single-stream public form:
     * constant shard key; see [[wideFramesG]] for the grouped core).
@@ -160,27 +180,18 @@ object Detectors {
     */
   private def wideFramesG(pose: DataFrame, parts: Map[String, String],
       fps: Double): DataFrame = {
-    val logical = Seq("nose", "head", "centroid", "tail_base")
-    val physToLog = logical.map(l => parts(l) -> l).toMap
-    val idCode = when(col("identity") === col("_id0"), 0).otherwise(1)
     val filtered = pose
       .filter(col("part").isin(parts.values.toSeq: _*))
-      .withColumn("mouse", idCode)
-      .withColumn("lpart",
-        physToLog.foldLeft(lit(null).cast("string")) { case (acc, (phys, log)) =>
-          when(col("part") === phys, log).otherwise(acc)
-        })
+      .withColumn("mouse", mouseCol(col("_id0")))
+      .withColumn("lpart", lpartCol(parts))
     // per-shard stream start (P4 frame-id baseline): tiny table, one row
     // per shard → broadcast back
     val bounds = pose.groupBy(col(G))
       .agg(min(unix_micros(col("time"))).as("t0us"))
     val framed = filtered.join(broadcast(bounds), G)
       .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
-    val aggs = for (m <- 0 to 1; l <- logical; c <- Seq("x", "y")) yield
-      min(when(col("mouse") === m && col("lpart") === l, col(c)))
-        .as(s"m${m}_${l}_$c")
     val wide = framed.groupBy(col(G), col("frame"))
-      .agg(min(unix_micros(col("time"))).as("tsUs"), aggs: _*)
+      .agg(min(unix_micros(col("time"))).as("tsUs"), pivotAggs: _*)
     // dense spine: every frame id in [0, max] exists (empty frames = NaNs),
     // matching the reference's dense tensor semantics; chunked explode so no
     // single task generates a shard's whole range

@@ -330,7 +330,10 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, text) =>
           val counts = new Array[Long](64)
-          text.toLowerCase.split(" ").foreach { w =>
+          // Locale.ROOT: default-locale lowercasing (tr_TR: I → ı) would
+          // diverge from the DuckDB oracle's lower() and make signatures
+          // JVM-locale-dependent
+          text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { w =>
             md.reset()
             val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             val h = java.nio.ByteBuffer.wrap(d).getLong // big-endian first 8 bytes

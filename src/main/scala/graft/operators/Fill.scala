@@ -118,7 +118,7 @@ object Fill {
     val unfilled: Column =
       if (strict)
         raise_error(format_string(
-          s"boundedFill: unfillable null run (> $maxRun rows, disagreeing " +
+          s"boundedFill: unfillable null run (>= $maxRun rows, disagreeing " +
             s"flanks, or no leading value) at $orderCol=%s",
           col(orderCol).cast("string")))
           .cast(df.schema(valueCol).dataType)

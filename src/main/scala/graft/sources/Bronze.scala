@@ -44,16 +44,25 @@ object Bronze {
     val pruned =
       if (hours <= 14 * 24 && hours > 0) {
         // OR of (date = d AND hour = h) conjunctions — the form Catalyst's
-        // partition pruning handles (struct-isin would not prune)
-        // Both sides derived with Spark functions so date AND hour evaluate
-        // in the session timezone — the same zone `write` used to produce the
-        // partition values. (A JVM-local getHour here would silently drop
-        // rows whenever spark.sql.session.timeZone != JVM default: this
-        // filter is a row filter, not just a pruning hint.)
-        val cond = (0L until hours).map { h =>
-          val t = new java.sql.Timestamp(startHourMs + h * 3600000L)
-          col("date") === to_date(lit(t)) &&
-            col("hour") === hour(lit(t))
+        // partition pruning handles (struct-isin would not prune).
+        // The partition values were written by `hour(time)`/`to_date(time)`
+        // in the SESSION timezone, so enumerate the range's (date, hour)
+        // pairs with java.time in that same zone (read from spark.conf) —
+        // not with UTC-hour-aligned instants, which never produce the
+        // session-local hour values of a zone at a non-whole-hour offset
+        // (+05:30, +05:45, …), and this filter drops rows, it is not just
+        // a pruning hint. Stepping every 15 min covers every real-world
+        // offset granularity; the pairs dedup back to ~hours tuples.
+        val zone = java.time.ZoneId.of(spark.conf.get(
+          "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+        val pairs = (0L to hours * 4).map { q =>
+          val inst = java.time.Instant.ofEpochMilli(
+            math.min(startHourMs + q * 900000L, end.getTime - 1))
+          val z = inst.atZone(zone)
+          (z.toLocalDate, z.getHour)
+        }.distinct
+        val cond = pairs.map { case (ld, h) =>
+          col("date") === lit(java.sql.Date.valueOf(ld)) && col("hour") === h
         }.reduce(_ || _)
         base.filter(cond)
       } else

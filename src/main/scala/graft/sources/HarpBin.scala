@@ -82,22 +82,27 @@ object HarpBin {
           while (i < end - 1) { sum += bytes(i) & 0xff; i += 1 }
           require((sum & 0xff) == (bytes(end - 1) & 0xff),
             s"checksum mismatch at offset $off")
-          val bb = java.nio.ByteBuffer.wrap(bytes, off + 2, len - 1)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val register = bb.get() & 0xff
-          val port = bb.get() & 0xff
-          val ptype = bb.get() & 0xff
-          // timestamped (0x10) Float32 (0x44) events only; len must cover
-          // address+port+type (3) + timestamp (6)
-          if ((ptype & 0x10) != 0 && (ptype & 0x4f) == 0x44 && len >= 10) {
-            val sec = bb.getInt().toLong & 0xffffffffL
-            val ticks = bb.getShort().toLong & 0xffffL
-            val tsUs = (HarpEpochSec + sec) * 1000000L + ticks * 32L
-            val n = (len - 1 - 3 - 6) / 4
-            val payload = new Array[Float](n)
-            var k = 0
-            while (k < n) { payload(k) = bb.getFloat(); k += 1 }
-            nextRow = (tsUs, msgType, register, port, payload)
+          // len must at least cover address+port+type (3) + checksum before
+          // the header reads — a checksum-valid short control frame is
+          // SKIPPED, not a BufferUnderflowException
+          if (len >= 4) {
+            val bb = java.nio.ByteBuffer.wrap(bytes, off + 2, len - 1)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val register = bb.get() & 0xff
+            val port = bb.get() & 0xff
+            val ptype = bb.get() & 0xff
+            // timestamped (0x10) Float32 (0x44) events only; len must cover
+            // address+port+type (3) + timestamp (6)
+            if ((ptype & 0x10) != 0 && (ptype & 0x4f) == 0x44 && len >= 10) {
+              val sec = bb.getInt().toLong & 0xffffffffL
+              val ticks = bb.getShort().toLong & 0xffffL
+              val tsUs = (HarpEpochSec + sec) * 1000000L + ticks * 32L
+              val n = (len - 1 - 3 - 6) / 4
+              val payload = new Array[Float](n)
+              var k = 0
+              while (k < n) { payload(k) = bb.getFloat(); k += 1 }
+              nextRow = (tsUs, msgType, register, port, payload)
+            }
           }
           off = end
         }

@@ -95,28 +95,26 @@ object FightStream {
     val sorted = ids.sorted
     require(sorted.length == 2, s"expected exactly 2 identities, got ${sorted.length}")
     val durUs = frameDurUs(fps)
-    val logical = Seq("nose", "head", "centroid", "tail_base")
-    val physToLog = logical.map(l => parts(l) -> l).toMap
     val withT = pose
       .withColumn("frame", Cols.frameId(col("time"), lit(t0us), fps))
       .withColumn("tFrame", timestamp_micros(lit(t0us) + col("frame") * durUs))
       .withWatermark("tFrame", "0 seconds")
-      .withColumn("mouse",
-        when(col("identity") === sorted.head, 0).otherwise(1))
-      .withColumn("lpart",
-        physToLog.foldLeft(lit(null).cast("string")) { case (acc, (phys, log)) =>
-          when(col("part") === phys, log).otherwise(acc)
-        })
-    val aggs = for (m <- 0 to 1; l <- logical; c <- Seq("x", "y")) yield
-      min(when(col("mouse") === m && col("lpart") === l, col(c)))
-        .as(s"m${m}_${l}_$c")
+      .withColumn("mouse", Detectors.mouseCol(lit(sorted.head)))
+      .withColumn("lpart", Detectors.lpartCol(parts))
+    // tsUs excludes marker rows (null identity): a marker landing in a live
+    // slot must not replace the slot's real min pose timestamp (event
+    // start/end times come from tsUs); marker-only slots synthesize the
+    // slot-grid time, like the batch dense spine does for empty frames
     val allAggs = Seq(min(col("frame")).as("frame"),
-      min(unix_micros(col("time"))).as("tsUs")) ++ aggs
+      min(when(col("identity").isNotNull, unix_micros(col("time")))).as("tsUs0")) ++
+      Detectors.pivotAggs
     val wide = withT
       .groupBy(window(col("tFrame"), s"$durUs microseconds"))
       .agg(allAggs.head, allAggs.tail: _*)
       .drop("window")
-    def nn(c: org.apache.spark.sql.Column) = coalesce(c, lit(Double.NaN))
+      .withColumn("tsUs", coalesce(col("tsUs0"), lit(t0us) + col("frame") * durUs))
+      .drop("tsUs0")
+    import Detectors.nn
     Detectors.withFeatures(wide).select(
       col("frame"), col("tsUs"),
       nn(col("m0_centroid_x")).as("c0x"), nn(col("m0_centroid_y")).as("c0y"),

@@ -317,6 +317,40 @@ class DetectorSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-epoch fights with a blob stream: epoch-tagged and epoch-less blobs both gate") {
+    val fight = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+    }
+    val pose = (fight.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y, "e1")
+    } ++ fight.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + 3L * 86400000L + f * 20L), id, part, x, y, "e2")
+    }).toDF("time", "identity", "part", "x", "y", "epoch")
+    def blob(speed: Double, withEpoch: Boolean) = {
+      val rows = (0 to 1).flatMap { e =>
+        (0 to 260).map { f =>
+          (new java.sql.Timestamp(t0.getTime + e * 3L * 86400000L + f * 20L),
+            100.0 + f * speed, 0.0, if (e == 0) "e1" else "e2")
+        }
+      }
+      val df = rows.toDF("time", "x", "y", "epoch")
+      if (withEpoch) df else df.drop("epoch")
+    }
+    // fast blob: both epochs keep their fight — with and without the epoch col
+    for (withEpoch <- Seq(true, false)) {
+      val out = Detectors.detectFightsAllEpochs(pose, Some(blob(10.0, withEpoch)),
+        parts, Detectors.FightParams()).collect()
+      assert(out.length === 2, s"withEpoch=$withEpoch")
+    }
+    // stationary blob kills condition 3 in both epochs
+    assert(Detectors.detectFightsAllEpochs(pose, Some(blob(0.0, withEpoch = true)),
+      parts, Detectors.FightParams()).collect().isEmpty)
+  }
+
   test("multi-epoch tube tests resolve identity pairs per epoch") {
     val tube = (0 to 69).flatMap { f =>
       if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)

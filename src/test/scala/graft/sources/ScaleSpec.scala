@@ -64,6 +64,25 @@ class ScaleSpec extends AnyFunSuite {
     } finally java.util.TimeZone.setDefault(prev)
   }
 
+  test("bronze scan: hour pruning correct for a half-hour-offset session timezone") {
+    // Asia/Kolkata (+05:30): a UTC hour range spans TWO session-local hour
+    // partitions — UTC-hour-aligned enumeration would miss one of them
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val root = Files.createTempDirectory("graft_bronze_ist").toString
+      val base = 1714536000000L // 2024-05-01 04:00:00 UTC = 09:30 IST
+      val rows = (0 until 120).map { i =>
+        (new java.sql.Timestamp(base + i * 60000L), s"id$i", 1.0 * i)
+      }.toDF("time", "identity", "x")
+      Bronze.write(rows, root, "CameraTop", 222)
+      val scan = Bronze.scan(spark, root, "CameraTop", 222,
+        new java.sql.Timestamp(base), new java.sql.Timestamp(base + 3600000L))
+      assert(scan.count() === 60,
+        "first UTC hour spans IST hours 9 and 10 — both partitions must match")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("saltedJoin: same result as plain join, hot key spread over salts") {
     // skew: one key holds 90% of the large side
     val large = ((1 to 900).map(i => ("hot", i.toLong)) ++

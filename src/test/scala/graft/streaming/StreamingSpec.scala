@@ -150,9 +150,12 @@ class StreamingSpec extends AnyFunSuite {
           mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
       } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
     }
+    // off-grid jitter (0-6 ms, zero at frame 0): event timestamps must come
+    // from the REAL pose times, not the frame-slot grid — a frontier marker
+    // sharing a slot with real data must not replace the slot's min time
     def poseDf(rows: Seq[(Int, String, String, Double, Double)]) =
       rows.map { case (f, id, part, x, y) =>
-        (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y)
+        (new java.sql.Timestamp(t0.getTime + f * 20L + f % 7), id, part, x, y)
       }.toDF("time", "identity", "part", "x", "y")
     val base = Files.createTempDirectory("graft_fightstream").toString
     val poseDir = s"$base/pose"; val work = s"$base/work"
