@@ -63,7 +63,7 @@ object Dedup {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase.split(" ")
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
         val m = math.max(0, toks.length - n + 1)
         val raw = new Array[Long](m)
         var i = 0
@@ -209,7 +209,7 @@ object Dedup {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split(" ")
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
         val mins = Array.fill(numHashes)(Long.MaxValue)
         var i = 0
         while (i + n <= toks.length) {
@@ -333,7 +333,7 @@ object Dedup {
           // Locale.ROOT: default-locale lowercasing (tr_TR: I → ı) would
           // diverge from the DuckDB oracle's lower() and make signatures
           // JVM-locale-dependent
-          text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { w =>
+          text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { w =>
             md.reset()
             val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             val h = java.nio.ByteBuffer.wrap(d).getLong // big-endian first 8 bytes

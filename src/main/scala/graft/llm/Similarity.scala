@@ -71,15 +71,21 @@ object Similarity {
     require(taken.length <= maxBroadcastQueries,
       s"cosineTopK query side exceeds maxBroadcastQueries=$maxBroadcastQueries rows; " +
         "use ivfTopK for a distributed query side")
+    // zero-norm vectors (padding / failed-encode artifacts) are EXCLUDED:
+    // their cosine is 0/0 = NaN, and NaN sorts ABOVE every real similarity
+    // in the descending top-k window, so one zero vector would displace
+    // the true rank-1 neighbor of every query
     val qArr = taken
       .map { case (id, v) => (id, v, math.sqrt(dotKernel(v, v))) }
+      .filter(_._3 > 0.0)
     val bc = spark.sparkContext.broadcast(qArr)
     val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         rows.flatMap { case (cid, cv) =>
           val cn = math.sqrt(dotKernel(cv, cv))
-          bc.value.iterator.collect { case (qid, qv, qn) if qid != cid =>
+          if (cn == 0.0) Iterator.empty
+          else bc.value.iterator.collect { case (qid, qv, qn) if qid != cid =>
             (qid, cid, dotKernel(qv, cv) / (qn * cn))
           }
         }
@@ -118,11 +124,14 @@ object Similarity {
   /** Nearest-centroid cell id for every vector. Centroids are a small
     * DataFrame (cell, vec) — broadcast; at scale they come from a sampled
     * k-means ([[trainCentroids]]), here from any deterministic picker.
-    */
+    * Zero-norm vectors are dropped (their cosine to every centroid is NaN,
+    * which would rank them into an arbitrary cell — same exclusion as
+    * [[cosineTopK]]). */
   def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cell"))
     vectors.select(col(idCol), col(vecCol).as("_v"))
+      .filter(dotNative(col("_v"), col("_v")) > 0.0)
       .crossJoin(broadcast(centroids.select(col("cell"), col("_cv"))))
       .withColumn("_d", cosine(col("_v"), col("_cv")))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= nprobe)
@@ -289,9 +298,13 @@ object Similarity {
   def recallAgainst(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("_hits"))
-    val perQuery = exact.select("query_id").distinct()
+    // denominator = the query's ACTUAL exact-neighbor count (≤ k): a query
+    // with fewer than k exact neighbors (small corpus/cell) can still score
+    // recall 1.0 when the index returns all of them
+    val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("_nEx"))
       .join(hits, Seq("query_id"), "left")
-      .withColumn("_recall", coalesce(col("_hits"), lit(0L)).cast("double") / k)
+      .withColumn("_recall", coalesce(col("_hits"), lit(0L)).cast("double") /
+        least(col("_nEx"), lit(k.toLong)))
     perQuery.agg(count(lit(1)).as("n_queries"),
       round(avg(col("_recall")), 4).as("avg_recall"))
   }

@@ -69,7 +69,7 @@ object TextStats {
     * kernel for the typed Dataset path; property-tested in ScalaTest.
     */
   def winnow(text: String, k: Int, window: Int): Seq[Long] = {
-    val s = text.toLowerCase
+    val s = text.toLowerCase(java.util.Locale.ROOT)
     if (s.length < k) return Seq.empty
     val hashes = (0 to s.length - k).map { i =>
       var h = 1125899906842597L // FNV-ish polynomial rolling base

@@ -64,6 +64,14 @@ object AsOfJoin {
     val rename = rightPayload0.map { c =>
       c -> (if (leftPayload.contains(c) || by.contains(c)) c + rightSuffix else c)
     }.toMap
+    // fail fast on a second-order clash: right's c renamed to c+suffix while
+    // the left ALREADY has a column of that name would emit two identically
+    // named output columns (ambiguous downstream)
+    rename.foreach { case (from, to) =>
+      require(from == to || !left.columns.contains(to),
+        s"asof: renaming right column '$from' to '$to' collides with an " +
+          s"existing left column — pass a different rightSuffix")
+    }
     val rightPayload = rightPayload0.map(rename)
 
     val t = "_asof_t"

@@ -178,13 +178,17 @@ object Assignment {
       out.toSeq
     }
     val gc = groupCols.map(col)
+    // null-check the CAST value: a non-numeric cost string casts to null
+    // AFTER an isNotNull on the raw column would have passed, and a null
+    // inside the collected struct NPEs in the solver kernel
+    val castCost = col(costCol).cast("double")
     val feasible = pairs.filter(
-      col(leftKey).isNotNull && col(rightKey).isNotNull && col(costCol).isNotNull)
+      col(leftKey).isNotNull && col(rightKey).isNotNull && castCost.isNotNull)
     feasible
       .groupBy(gc: _*)
       .agg(collect_list(struct(
         col(leftKey), col(rightKey),
-        col(costCol).cast("double").as(costCol))).as("_pairs"))
+        castCost.as(costCol))).as("_pairs"))
       .select((gc ++ Seq(col("_pairs"), explode(solveGroup(col("_pairs"))).as("_m"))): _*)
       .select((gc ++ Seq(
         element_at(col("_pairs"), col("_m._1") + 1)(leftKey).as(leftKey),

@@ -51,7 +51,13 @@ object BandJoin {
 
     val clashes = left.columns.toSet
     val rRenamed = right.columns.foldLeft(right) { (df, c) =>
-      if (clashes.contains(c)) df.withColumnRenamed(c, c + rightSuffix) else df
+      if (clashes.contains(c)) {
+        // fail fast on a second-order clash (left already owns c+suffix)
+        require(!clashes.contains(c + rightSuffix),
+          s"bandJoin: renaming right column '$c' to '${c + rightSuffix}' " +
+            "collides with an existing left column — pass a different rightSuffix")
+        df.withColumnRenamed(c, c + rightSuffix)
+      } else df
     }
     val rTime = if (clashes.contains(rightTime)) rightTime + rightSuffix else rightTime
     val rBy = by.map(c => if (clashes.contains(c)) c + rightSuffix else c)

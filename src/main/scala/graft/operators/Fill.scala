@@ -38,21 +38,33 @@ object Fill {
     * total, both partitioned.
     */
   def ffillBucketed(df: DataFrame, cols: Seq[String], orderCol: String,
-      bucketSize: Long, by: Seq[String] = Nil): DataFrame = {
+      bucketSize: Long, by: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
     val d0 = df.withColumn("_fb", floor(col(orderCol) / bucketSize))
     val keys = by :+ "_fb"
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    // tieBreak makes the order total under duplicate orderCol values — the
+    // in-bucket window and the carry summary below use the SAME (order,
+    // tieBreak) ranking, so the fill is deterministic and bucket-alignment-
+    // independent (without it, duplicate order keys fill with whichever
+    // row the partition iterator saw last)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tieBreak).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = cols.foldLeft(d0)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    // per-bucket last non-null value per column: max of (order, value)
-    // structs over non-null rows — deterministic, one tiny row per bucket
+    // per-bucket last non-null value per column: max of (order, tieBreak…,
+    // value) structs over non-null rows — deterministic, one tiny row per
+    // bucket, same ranking as the window above
+    def summStruct(c: String) = struct(
+      (col(orderCol).as("o") +:
+        tieBreak.zipWithIndex.map { case (t, i) => col(t).as(s"t$i") }) :+
+        col(c).as("v"): _*)
     val summ = d0.groupBy(keys.map(col): _*)
-      .agg(max(when(col(cols.head).isNotNull,
-          struct(col(orderCol).as("o"), col(cols.head).as("v")))).as(s"_s_${cols.head}"),
-        cols.tail.map(c => max(when(col(c).isNotNull,
-          struct(col(orderCol).as("o"), col(c).as("v")))).as(s"_s_$c")): _*)
+      .agg(max(when(col(cols.head).isNotNull, summStruct(cols.head)))
+          .as(s"_s_${cols.head}"),
+        cols.tail.map(c => max(when(col(c).isNotNull, summStruct(c)))
+          .as(s"_s_$c")): _*)
     // carry-in per bucket = most recent preceding bucket's last non-null
     // tiny table (one row per bucket): a single-partition window is fine here
     val wS = part(by).orderBy(col("_fb"))

@@ -76,9 +76,16 @@ object Quadrants {
         when(array_contains(col("_pq_ext"), i), struct(d2(i).as("d"), lit(i).as("q"))))
       .reduce((a, b) =>
         when(a.isNull, b).when(b.isNull, a).when(b("d") < a("d"), b).otherwise(a))
-    df.withColumn("possible_quadrants", possible)
+    // missing coordinates (null or NaN) must propagate as null, like the
+    // reference's NaN rows — otherwise the nearest-FOV reduce's
+    // keep-a-on-null-comparison behavior silently resolves every missing
+    // position to quadrant 0 and casts a phantom camera vote
+    val coordsOk = x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y)
+    df.withColumn("possible_quadrants",
+        when(coordsOk, possible).otherwise(array().cast("array<int>")))
       .withColumn("_pq_ext", extended)
-      .withColumn("most_central_quadrant", central("q"))
+      .withColumn("most_central_quadrant",
+        when(coordsOk, central("q")))
       .drop("_pq_ext")
   }
 

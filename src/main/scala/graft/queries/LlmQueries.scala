@@ -275,8 +275,9 @@ object LlmQueries {
          |           ORDER BY cos DESC, neighbor_id) AS rn FROM sa) WHERE rn <= 5),
          |hits AS (SELECT query_id, count(*) AS h
          |         FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
-         |perq AS (SELECT query_id, coalesce(h, 0) / 5.0 AS r
-         |         FROM (SELECT DISTINCT query_id FROM ex) LEFT JOIN hits USING (query_id))
+         |perq AS (SELECT query_id, coalesce(h, 0) * 1.0 / least(n_ex, 5) AS r
+         |         FROM (SELECT query_id, count(*) AS n_ex FROM ex GROUP BY 1)
+         |         LEFT JOIN hits USING (query_id))
          |SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(r), 4) AS avg_recall
          |FROM perq""".stripMargin,
 

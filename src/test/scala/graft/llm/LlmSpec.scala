@@ -121,6 +121,24 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh === brute, s"missed=${brute.diff(lsh)} spurious=${lsh.diff(brute)}")
   }
 
+  test("zero-norm vectors are excluded from top-k and cell assignment, not ranked NaN-first") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
+      (9L, Array(0f, 0f))) // zero-norm artifact
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(rows.filter(col("vec_id") === 0),
+      rows, "vec_id", "embedding", 2).collect()
+    assert(top.map(_.getLong(1)).toSet === Set(1L, 2L),
+      "the zero vector must not displace real neighbors")
+    assert(top.forall(r => !r.getDouble(2).isNaN))
+    val cells = Similarity.assignCells(rows,
+      rows.filter(col("vec_id") < 2).select(col("vec_id").as("cell"),
+        col("embedding").as("_cv")), "vec_id", "embedding", 1).collect()
+    assert(!cells.map(_.getLong(0)).contains(9L),
+      "zero vector gets no (arbitrary) IVF cell")
+  }
+
   test("cosineTopK fails fast when the query side exceeds the broadcast cap") {
     val q = embs.filter(col("vec_id") < 50)
     val e = intercept[IllegalArgumentException] {

@@ -118,6 +118,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(strictOk.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("assign: NaN cost is infeasible (never matched, never a crash)") {
+    val pairs = Seq(
+      (1L, 10L, "a", Double.NaN), (1L, 11L, "a", 0.5))
+      .toDF("grp", "l", "r", "cost")
+    val out = Assignment.assign(pairs, Seq("grp"), "l", "r", "cost")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(out === Set((11L, "a", 0.5)),
+      "the NaN-cost pair must lose to the finite one and drop out")
+  }
+
+  test("ffillBucketed tieBreak: deterministic under duplicate order values") {
+    // two rows share o=5 with different values; the fill of o=6 must follow
+    // the (o, rid) order — value B (rid 2) — in every bucket alignment
+    val df = Seq((5L, 1L, Some("A")), (5L, 2L, Some("B")), (6L, 3L, None))
+      .toDF("o", "rid", "v")
+    for (bucket <- Seq(2L, 100L)) {
+      val got = Fill.ffillBucketed(df, Seq("v"), "o", bucket, tieBreak = Seq("rid"))
+        .filter(col("o") === 6L).head.getString(2)
+      assert(got === "B", s"bucket=$bucket")
+    }
+  }
+
   test("bfill mirrors ffill on the reversed sequence") {
     val df = Seq((1L, None), (2L, Some(5L)), (3L, None), (4L, Some(7L)), (5L, None))
       .map { case (t, v) => (t, v) }.toDF("t", "v")
