@@ -145,11 +145,22 @@ object Detectors {
   /** Identity code from the shard's first identity. */
   private[graft] def mouseCol(id0: Column): Column =
     when(col("identity") === id0, 0).otherwise(1)
-  /** The 16 per-mouse per-part coordinate pivots (min over the frame). */
+  /** The 8 per-mouse per-part pivots: min over (x, y) PAIRS, so duplicate
+    * detections collapsing into one frame keep the coordinates of ONE
+    * detection — independent min(x), min(y) would synthesize a point
+    * belonging to neither. Expand with [[expandPivot]] after aggregating. */
   private[graft] def pivotAggs: Seq[Column] =
-    for (m <- 0 to 1; l <- logicalParts; c <- Seq("x", "y")) yield
-      min(when(col("mouse") === m && col("lpart") === l, col(c)))
-        .as(s"m${m}_${l}_$c")
+    for (m <- 0 to 1; l <- logicalParts) yield
+      min(when(col("mouse") === m && col("lpart") === l,
+        struct(col("x"), col("y")))).as(s"_p_m${m}_$l")
+  /** Split the struct pivots into the 16 m{m}_{part}_{x,y} columns. */
+  private[graft] def expandPivot(df: DataFrame): DataFrame =
+    (for (m <- 0 to 1; l <- logicalParts) yield (m, l)).foldLeft(df) {
+      case (d, (m, l)) => d
+        .withColumn(s"m${m}_${l}_x", col(s"_p_m${m}_$l").getField("x"))
+        .withColumn(s"m${m}_${l}_y", col(s"_p_m${m}_$l").getField("y"))
+        .drop(s"_p_m${m}_$l")
+    }
 
   /** Long pose table → dense wide frame table (single-stream public form:
     * constant shard key; see [[wideFramesG]] for the grouped core).
@@ -179,19 +190,20 @@ object Detectors {
     * of shard count.
     */
   private def wideFramesG(pose: DataFrame, parts: Map[String, String],
-      fps: Double): DataFrame = {
+      fps: Double, boundsOpt: Option[DataFrame] = None): DataFrame = {
     val filtered = pose
       .filter(col("part").isin(parts.values.toSeq: _*))
       .withColumn("mouse", mouseCol(col("_id0")))
       .withColumn("lpart", lpartCol(parts))
     // per-shard stream start (P4 frame-id baseline): tiny table, one row
-    // per shard → broadcast back
-    val bounds = pose.groupBy(col(G))
-      .agg(min(unix_micros(col("time"))).as("t0us"))
+    // per shard → broadcast back; callers aligning SEVERAL streams to one
+    // frame grid (pose + blob) pass the shared bounds in
+    val bounds = boundsOpt.getOrElse(pose.groupBy(col(G))
+      .agg(min(unix_micros(col("time"))).as("t0us")))
     val framed = filtered.join(broadcast(bounds), G)
       .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
-    val wide = framed.groupBy(col(G), col("frame"))
-      .agg(min(unix_micros(col("time"))).as("tsUs"), pivotAggs: _*)
+    val wide = expandPivot(framed.groupBy(col(G), col("frame"))
+      .agg(min(unix_micros(col("time"))).as("tsUs"), pivotAggs: _*))
     // dense spine: every frame id in [0, max] exists (empty frames = NaNs),
     // matching the reference's dense tensor semantics; chunked explode so no
     // single task generates a shard's whole range
@@ -321,11 +333,17 @@ object Detectors {
       parts: Map[String, String], p: FightParams): Dataset[GFight] = {
     val spark = pose.sparkSession
     import spark.implicits._
-    val feat0 = withFeatures(wideFramesG(pose, parts, p.fps))
+    // ONE per-shard frame-id baseline (min POSE time) shared by the wide
+    // frames AND the blob-speed stream: if each stream derived frames from
+    // its own start, a blob stream starting seconds after the pose stream
+    // (camera warm-up) would align every speed to the wrong frames
+    val bounds = pose.groupBy(col(G))
+      .agg(min(unix_micros(col("time"))).as("t0us"))
+    val feat0 = withFeatures(wideFramesG(pose, parts, p.fps, Some(bounds)))
     // blob speed: dt-anomaly drop (T5), px→cm/s, 10-frame "same" smoothing
     val feat = blob match {
       case Some(b) =>
-        val sp = blobSpeedG(b, p.fps, p.cm2px)
+        val sp = blobSpeedG(b, p.fps, p.cm2px, boundsOpt = Some(bounds))
         feat0.join(sp, Seq(G, "frame"), "left")
       case None => feat0.withColumn("blob_speed", lit(Double.MaxValue))
     }
@@ -406,10 +424,14 @@ object Detectors {
     blobSpeedG(blob.withColumn(G, lit("")), fps, cm2px, bucketSeconds).drop(G)
 
   /** Grouped core of [[blobSpeed]]: `blob` carries the shard key `_g`;
-    * every window and bucket chain is per-shard. */
+    * every window and bucket chain is per-shard. `boundsOpt` supplies a
+    * shared per-shard frame-id baseline (the POSE stream's start when
+    * composing with the detectors); standalone use falls back to the blob
+    * stream's own start. */
   private def blobSpeedG(blob: DataFrame, fps: Double, cm2px: Double,
-      bucketSeconds: Long = 3600): DataFrame = {
-    val bounds = blob.groupBy(col(G)).agg(min(unix_micros(col("time"))).as("t0us"))
+      bucketSeconds: Long = 3600, boundsOpt: Option[DataFrame] = None): DataFrame = {
+    val bounds = boundsOpt.getOrElse(
+      blob.groupBy(col(G)).agg(min(unix_micros(col("time"))).as("t0us")))
     val bUs = bucketSeconds * 1000000L
     val base = blob.na.drop(Seq("x", "y"))
       .withColumn("_tus", unix_micros(col("time")))
@@ -487,10 +509,14 @@ object Detectors {
   def detectFightsAllEpochs(pose: DataFrame, blob: Option[DataFrame],
       parts: Map[String, String], p: FightParams, epochCol: String = "epoch",
       boundaryHour: Int = 2, intervals: Option[DataFrame] = None): DataFrame = {
-    val (shardDf, tagged) = tagShards(pose, epochCol, boundaryHour)
-    val poseKept = intervals.map(Intervals.excludeOutside(tagged, "time", _))
-      .getOrElse(tagged)
-    fightsCore(poseKept, blob.map(tagBlob(_, shardDf, epochCol)), parts, p)
+    // exclusion FIRST: shard metadata (epoch bounds, identity sets, period
+    // boundaries) must see the same rows the single-epoch entry point sees
+    // — an identity present only during maintenance must not flip an epoch
+    // into the skip path
+    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
+      .getOrElse(pose)
+    val (shardDf, tagged) = tagShards(poseKept, epochCol, boundaryHour)
+    fightsCore(tagged, blob.map(tagBlob(_, shardDf, epochCol)), parts, p)
       .join(broadcast(shardDf.select(col(G).as("g"), col("_ep").as("epoch"),
         timestamp_micros(col("_ps")).as("period_start"))), "g")
       .select("start_ts", "end_ts", "duration_sec", "end_x", "end_y",
@@ -503,10 +529,10 @@ object Detectors {
       p: TubeParams, roi: Option[Roi] = None,
       epochCol: String = "epoch", boundaryHour: Int = 2,
       intervals: Option[DataFrame] = None): DataFrame = {
-    val (shardDf, tagged) = tagShards(pose, epochCol, boundaryHour)
-    val poseKept = intervals.map(Intervals.excludeOutside(tagged, "time", _))
-      .getOrElse(tagged)
-    tubeCore(poseKept, parts, p, roi)
+    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
+      .getOrElse(pose)
+    val (shardDf, tagged) = tagShards(poseKept, epochCol, boundaryHour)
+    tubeCore(tagged, parts, p, roi)
       .join(broadcast(shardDf.select(col(G).as("g"), col("_ep").as("epoch"),
         timestamp_micros(col("_ps")).as("period_start"),
         col("_id0"), col("_id1"))), "g")

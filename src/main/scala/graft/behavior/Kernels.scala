@@ -169,7 +169,11 @@ object Kernels {
     // most between start frames and end frames is the loser (it turned)
     def cleanedPair(a: Array[Double], b: Array[Double], f: Int): (Double, Double) =
       if (swapped(f)) (b(f), a(f)) else (a(f), b(f))
-    val startFrames = (0 until n).filter(isStart)
+    // start frames = THIS session's candidate frames — they live in
+    // [0, lastStartRel]; an isStart flag beyond that belongs to a LATER
+    // session whose start happens to fall inside this event's search
+    // window and must not pollute the orientation baseline
+    val startFrames = (0 to math.min(lastStartRel, n - 1)).filter(isStart)
     val start0 = nanMean(startFrames.map(f => cleanedPair(o0, o1, f)._1))
     val start1 = nanMean(startFrames.map(f => cleanedPair(o0, o1, f)._2))
     val end0 = nanMean(ends.map(f => cleanedPair(o0, o1, f)._1))

@@ -57,7 +57,8 @@ object AsOfJoin {
       direction: Direction = Backward,
       tolerance: Option[Long] = None,
       rightSuffix: String = "_r",
-      bucketUs: Option[Long] = None): DataFrame = {
+      bucketUs: Option[Long] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
 
     val leftPayload = left.columns.filterNot(c => c == timeCol || by.contains(c)).toSeq
     val rightPayload0 = right.columns.filterNot(c => c == timeCol || by.contains(c)).toSeq
@@ -73,6 +74,15 @@ object AsOfJoin {
           s"existing left column — pass a different rightSuffix")
     }
     val rightPayload = rightPayload0.map(rename)
+    // deterministic duplicate resolution: extra RIGHT columns appended to
+    // every match ordering, so equal right timestamps within a key resolve
+    // to the same row on every run (without them, last()/first() pick
+    // whichever duplicate the partition sort emitted adjacent)
+    val tieCols: Seq[Column] =
+      tieBreak.map(c => col("_rp").getField(rename.getOrElse(c, c)).asc)
+    def tieKey(rp: Column, base: Column): Column =
+      if (tieBreak.isEmpty) base
+      else struct(base +: tieBreak.map(c => rp.getField(rename.getOrElse(c, c))): _*)
 
     val t = "_asof_t"
     val side = "_asof_side" // 0 = right (build), 1 = left (probe)
@@ -99,8 +109,8 @@ object AsOfJoin {
     def bucketedMatch(df: DataFrame, outCol: String, backward: Boolean): DataFrame = {
       // right rows sort before (backward) / after (forward) left at equal t
       val ord =
-        if (backward) Seq(col(t).asc, col(side).asc)
-        else Seq(col(t).asc, col(side).desc)
+        (if (backward) Seq(col(t).asc, col(side).asc)
+         else Seq(col(t).asc, col(side).desc)) ++ tieCols
       val w =
         if (backward)
           Window.partitionBy(col("_ab")).orderBy(ord: _*)
@@ -112,8 +122,8 @@ object AsOfJoin {
         if (backward) last(col("_rp"), ignoreNulls = true).over(w)
         else first(col("_rp"), ignoreNulls = true).over(w))
       val summ = df.filter(col(side) === 0).groupBy(col("_ab"))
-        .agg((if (backward) max_by(col("_rp"), unixMicros(col(t)))
-              else min_by(col("_rp"), unixMicros(col(t)))).as("_bval"))
+        .agg((if (backward) max_by(col("_rp"), tieKey(col("_rp"), unixMicros(col(t))))
+              else min_by(col("_rp"), tieKey(col("_rp"), unixMicros(col(t))))).as("_bval"))
       val wS = Window.partitionBy(lit(0))
         .orderBy(if (backward) col("_ab").asc else col("_ab").desc)
         .rowsBetween(Window.unboundedPreceding, -1) // tiny: one row per bucket
@@ -152,10 +162,10 @@ object AsOfJoin {
         val part = if (by.isEmpty) Window.partitionBy(lit(0))
           else Window.partitionBy(by.map(col): _*)
         // backward: right rows sort before left at equal time → in frame
-        val wBack = part.orderBy(col(t).asc, col(side).asc)
+        val wBack = part.orderBy(Seq(col(t).asc, col(side).asc) ++ tieCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // forward: right rows sort after left at equal time → in frame
-        val wFwd = part.orderBy(col(t).asc, col(side).desc)
+        val wFwd = part.orderBy(Seq(col(t).asc, col(side).desc) ++ tieCols: _*)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         direction match {
           case Backward =>

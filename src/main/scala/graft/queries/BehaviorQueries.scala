@@ -83,7 +83,7 @@ object BehaviorQueries {
        |  UNION ALL SELECT TIMESTAMP '2024-01-20 00:00:00', 'Maintenance', 1),
        |dedup AS (
        |  SELECT t, s FROM (
-       |    SELECT t, s, row_number() OVER (PARTITION BY t ORDER BY pad) AS rn
+       |    SELECT t, s, row_number() OVER (PARTITION BY t ORDER BY pad, s) AS rn
        |    FROM padded) WHERE rn = 1),
        |sliced AS (
        |  SELECT t, s FROM dedup

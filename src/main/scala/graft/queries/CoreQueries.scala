@@ -47,26 +47,30 @@ object CoreQueries {
         .groupBy("event_type", "type_code").agg(count(lit(1)).as("n")))
     }),
 
-    // P4: frame-id derivation from timestamp at fixed fps
+    // P4: frame-id derivation from timestamp at fixed fps — the stream
+    // start rides as a broadcast 1-row aggregate (one lazy plan, no eager
+    // driver job, no NPE on an empty table), through the shared
+    // Cols.frameId combinator
     "p4_frame_id" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val minUs = e.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val bounds = e.agg(min(unix_micros(col("ts"))).as("_t0us"))
       sortAll(e
         .filter(col("event_id") < 3000)
+        .crossJoin(broadcast(bounds))
         .select(col("event_id"),
-          round((unix_micros(col("ts")) - lit(minUs)).cast("double") * 50.0 / 1000000.0)
-            .cast("long").as("frame_id")))
+          graft.functions.Cols.frameId(col("ts"), col("_t0us"), 50.0).as("frame_id")))
     }),
 
-    // P5: homography projection (pure column math, no UDF)
+    // P5: homography projection via the shared Cols combinators (the same
+    // expression tree Combine.projectAndUnion uses — no duplicated math)
     "p5_homography" -> ((s, dir) => {
       val e = t(s, dir, "events")
+      val h = Seq(0.866, -0.5, 10.0, 0.5, 0.866, -5.0, 0.0001, 0.0002, 1.0)
       val x = col("value"); val y = (col("user_id") % 100).cast("double") / 10.0
-      val w = lit(0.0001) * x + lit(0.0002) * y + lit(1.0)
       sortAll(e.filter(col("event_id") < 3000).select(
         col("event_id"),
-        round((lit(0.866) * x - lit(0.5) * y + lit(10.0)) / w, 6).as("x_top"),
-        round((lit(0.5) * x + lit(0.866) * y - lit(5.0)) / w, 6).as("y_top")))
+        round(graft.functions.Cols.homographyX(h, x, y), 6).as("x_top"),
+        round(graft.functions.Cols.homographyY(h, x, y), 6).as("y_top")))
     }),
 
     // P7: duplicate-timestamp dedup (first row per truncated second)
@@ -156,7 +160,7 @@ object CoreQueries {
       val v = e.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
       val j = AsOfJoin.asofJoin(p, v, "ts", Seq("user_id"),
-        AsOfJoin.Backward, Some(172800000000L))
+        AsOfJoin.Backward, Some(172800000000L), tieBreak = Seq("view_id"))
       sortAll(j.filter(col("view_id").isNotNull).select(
         col("event_id"), col("user_id"), col("view_id"),
         round((unix_micros(col("ts")) - unix_micros(col("_asof_time"))).cast("double")
@@ -170,7 +174,7 @@ object CoreQueries {
       val v = e.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
       val j = AsOfJoin.asofJoin(p, v, "ts", Seq("user_id"),
-        AsOfJoin.Nearest, Some(172800000000L))
+        AsOfJoin.Nearest, Some(172800000000L), tieBreak = Seq("view_id"))
       sortAll(j.filter(col("view_id").isNotNull).select(
         col("event_id"), col("user_id"), col("view_id"),
         round(abs(unix_micros(col("ts")) - unix_micros(col("_asof_time"))).cast("double")

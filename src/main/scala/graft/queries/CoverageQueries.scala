@@ -317,7 +317,8 @@ object CoverageQueries {
       val v = e.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
       val j = graft.operators.AsOfJoin.asofJoin(p, v, "ts", Seq("user_id"),
-        graft.operators.AsOfJoin.Forward, Some(172800000000L))
+        graft.operators.AsOfJoin.Forward, Some(172800000000L),
+        tieBreak = Seq("view_id"))
       sortAll(j.filter(col("view_id").isNotNull).select(
         col("event_id"), col("user_id"), col("view_id"),
         round((unix_micros(col("_asof_time")) - unix_micros(col("ts"))).cast("double")

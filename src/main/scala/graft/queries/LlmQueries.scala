@@ -294,7 +294,8 @@ object LlmQueries {
          |  round(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio,
          |  round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
          |        + (stop_hits * 1.0 / n_tokens) * 0.3
-         |        + (alpha_chars * 1.0 / n_chars) * 0.2, 6) AS quality
+         |        + (CASE WHEN n_chars = 0 THEN 0.0
+         |                ELSE alpha_chars * 1.0 / n_chars END) * 0.2, 6) AS quality
          |FROM (
          |  SELECT doc_id,
          |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
@@ -330,9 +331,14 @@ object LlmQueries {
          |FROM $docsPq
          |${orderBySql("doc_id", "fp")}""".stripMargin,
 
+    // first_byte = first UTF-8 BYTE (Spark reads payload(0)), not the first
+    // character's code point — ascii(substr(text,1,1)) would diverge on any
+    // non-ASCII-leading document; empty payload = -1, like the Spark kernel
     "mm1_binary_features" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+         |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+         |            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT
+         |       END AS BIGINT) AS first_byte
          |FROM $docsPq
          |${orderBySql("doc_id", "n_bytes", "first_byte")}""".stripMargin
   )

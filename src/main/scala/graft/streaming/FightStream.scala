@@ -108,10 +108,10 @@ object FightStream {
     val allAggs = Seq(min(col("frame")).as("frame"),
       min(when(col("identity").isNotNull, unix_micros(col("time")))).as("tsUs0")) ++
       Detectors.pivotAggs
-    val wide = withT
+    val wide = Detectors.expandPivot(withT
       .groupBy(window(col("tFrame"), s"$durUs microseconds"))
       .agg(allAggs.head, allAggs.tail: _*)
-      .drop("window")
+      .drop("window"))
       .withColumn("tsUs", coalesce(col("tsUs0"), lit(t0us) + col("frame") * durUs))
       .drop("tsUs0")
     import Detectors.nn
