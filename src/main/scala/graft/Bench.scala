@@ -68,7 +68,8 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // numeric sf parsed from the dir name (…/sf0.1 → 0.1); -1 if unparseable
-    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+    // strict number shape: "sf2.5.1" or "sf1." must not splice invalid JSON
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("-1")
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":$sfNum}"""
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")

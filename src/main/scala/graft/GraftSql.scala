@@ -65,11 +65,17 @@ object GraftSql {
         }
       })
     spark.udf.register("graft_assign",
-      (pairs: Seq[(Long, String, Double)]) => {
+      (pairs: Seq[(java.lang.Long, String, java.lang.Double)]) => {
+        // boxed field types: a NULL l/r/cost decodes as null (a primitive
+        // tuple would crash the decoder with AssertNotNull) and is dropped
+        // as infeasible — the same null filter Assignment.assign applies
         // same deterministic ordering discipline as Assignment.assign —
         // including its STRING ordering of keys, so equal-cost tie-breaks
         // agree between the SQL facade and the Scala API
-        val rows = pairs.toArray
+        val rows = pairs.iterator
+          .filter(p => p != null && p._1 != null && p._2 != null && p._3 != null)
+          .map(p => (p._1.longValue, p._2, p._3.doubleValue))
+          .toArray
           .sortBy { case (l, r, c) => (String.valueOf(l), r, c) }
         val lefts = mutable.LinkedHashMap.empty[Long, Int]
         val rights = mutable.LinkedHashMap.empty[String, Int]

@@ -233,6 +233,20 @@ object Detectors {
     when(isnan(ang("nose")), ang("head")).otherwise(ang("nose"))
   }
 
+  /** NaN-safe strict greater-than with numpy comparison semantics: a NaN
+    * left operand compares FALSE. Spark SQL orders NaN greatest, so a bare
+    * `>` would compare TRUE and flag frames with an UNDETECTED part as
+    * condition hits — the reference's numpy comparisons drop them
+    * (`social_behaviour_detection.py:608-612`). A NaN right operand already
+    * compares false on both sides. */
+  private def gtNanFalse(c: Column, t: Column): Column = !isnan(c) && c > t
+
+  /** np.nanmean over two NaN-or-value columns: one missing edge falls back
+    * to the other; both missing stays NaN
+    * (`social_behaviour_detection.py:575-576`). */
+  private def nanmean2(a: Column, b: Column): Column =
+    when(isnan(a), b).when(isnan(b), a).otherwise((a + b) / 2.0)
+
   /** Feature columns shared by both detectors. */
   def withFeatures(wide: DataFrame): DataFrame = wide
     .withColumn("cdist", edist(0, "centroid", 1, "centroid"))
@@ -246,8 +260,8 @@ object Detectors {
     .withColumn("rel1", edist(0, "tail_base", 1, "head"))
     .withColumn("nh0", edist(0, "nose", 0, "head"))
     .withColumn("nh1", edist(1, "nose", 1, "head"))
-    .withColumn("is0", (edist(0, "head", 0, "centroid") + edist(0, "centroid", 0, "tail_base")) / 2.0)
-    .withColumn("is1", (edist(1, "head", 1, "centroid") + edist(1, "centroid", 1, "tail_base")) / 2.0)
+    .withColumn("is0", nanmean2(edist(0, "head", 0, "centroid"), edist(0, "centroid", 0, "tail_base")))
+    .withColumn("is1", nanmean2(edist(1, "head", 1, "centroid"), edist(1, "centroid", 1, "tail_base")))
     .withColumn("isEmpty",
       (0 to 1).flatMap(m => Seq("nose", "head", "centroid", "tail_base")
         .flatMap(p => Seq(d(m, p, "x").isNaN, d(m, p, "y").isNaN))).reduce(_ && _))
@@ -353,8 +367,10 @@ object Detectors {
       when(col("cdist").isNaN, lit(null)).otherwise(col("cdist"))), Seq("cdist_ff"),
       "frame", bucketSize = math.max(1L, (p.fps * 3600).toLong), by = Seq(G))
     val cond1 = col("cdist_ff") < p.maxDistance
-    val cond2 = col("nh0") > p.maxNoseHeadDistance || col("nh1") > p.maxNoseHeadDistance ||
-      col("is0") > p.maxInterspinalDistance || col("is1") > p.maxInterspinalDistance
+    val cond2 = gtNanFalse(col("nh0"), lit(p.maxNoseHeadDistance)) ||
+      gtNanFalse(col("nh1"), lit(p.maxNoseHeadDistance)) ||
+      gtNanFalse(col("is0"), lit(p.maxInterspinalDistance)) ||
+      gtNanFalse(col("is1"), lit(p.maxInterspinalDistance))
     val cond3 = col("blob_speed") > p.minBlobSpeed
     val flagged = ff.withColumn("isFight", cond1 && cond2 && cond3)
       .withColumn("isBridge", cond1 && col("isEmpty"))
@@ -642,8 +658,8 @@ object Detectors {
     }
     val startCond = abs(col("o0") - adj1) <= p.angleTolerance &&
       col("cdist") < p.maxDistanceStart &&
-      col("rel1") > col("rel0") &&
-      col("e_tailtail") > col("e_headhead") && roiOk
+      gtNanFalse(col("rel1"), col("rel0")) &&
+      gtNanFalse(col("e_tailtail"), col("e_headhead")) && roiOk
     val cand = feat.filter(startCond).select(G, "frame")
     val evs = events(cand, p.maxFrameGap, p.minTubeTestStartFrames)
     val window = math.ceil(p.fps * p.searchWindowSeconds).toLong

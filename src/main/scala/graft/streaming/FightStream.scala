@@ -101,6 +101,11 @@ object FightStream {
       .withWatermark("tFrame", "0 seconds")
       .withColumn("mouse", Detectors.mouseCol(lit(sorted.head)))
       .withColumn("lpart", Detectors.lpartCol(parts))
+      // batch wideFramesG filters to the skeleton parts BEFORE aggregating,
+      // so the slot tsUs must too: a non-skeleton row (spine1, tail_tip …)
+      // landing earliest in a slot must not shift event timestamps. Marker
+      // rows (null identity) stay — they only advance the watermark.
+      .filter(col("identity").isNull || col("lpart").isNotNull)
     // tsUs excludes marker rows (null identity): a marker landing in a live
     // slot must not replace the slot's real min pose timestamp (event
     // start/end times come from tsUs); marker-only slots synthesize the
@@ -140,6 +145,8 @@ object FightStream {
             val cd = if (!r.cdist.isNaN) r.cdist else last
             if (!r.cdist.isNaN) last = r.cdist
             val cond1 = cd < p.maxDistance
+            // Scala NaN > t is FALSE — the same NaN-drops-the-frame
+            // semantics as the batch core's gtNanFalse (numpy parity)
             val cond2 = r.nh0 > p.maxNoseHeadDistance ||
               r.nh1 > p.maxNoseHeadDistance ||
               r.is0 > p.maxInterspinalDistance ||
@@ -237,6 +244,14 @@ object FightStream {
     * be dropped as late). Events are only emitted once the frontier passes
     * their session's gap horizon — on the final poll of an epoch pass
     * `epochEndUs + (maxFrameGapWEmptyFrames + 2) frames` or more.
+    *
+    * Memory contract: each poll's silver rows pass through ONE stateful
+    * task ([[fillAndFlag]]'s sequential carry), so a poll must be bounded —
+    * at the reference cadence (30 min at 50 fps ≈ 90 k slots) that is a few
+    * MB. Catching up over a LONG backlog (days of pose data) must be split
+    * into multiple polls with stepped `upToUs`, not one giant poll;
+    * `maxFilesPerTrigger` is no substitute because file discovery order
+    * within one backlog batch does not follow frame order.
     */
   def pollFights(spark: SparkSession, poseDir: String, workDir: String,
       parts: Map[String, String], p: FightParams, t0us: Long,
@@ -252,8 +267,14 @@ object FightStream {
     // watermark to exactly upTo, flushing every frame slot STRICTLY before
     // the frontier — the slot containing upTo stays pending, so rows for it
     // arriving in a later poll are merged, not dropped as late
-    val markers = Seq(upToUs - durUs, upToUs).map(us => Row(
-      new java.sql.Timestamp(us / 1000), null, null, null, null))
+    val markers = Seq(upToUs - durUs, upToUs).map { us =>
+      // full µs precision: Timestamp(ms) alone truncates up to 999 µs, which
+      // can round the marker's frame id one slot low and leave the last
+      // pre-frontier slot unflushed this poll
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      Row(t, null, null, null, null)
+    }
     spark.createDataFrame(spark.sparkContext.parallelize(markers, 1), poseSchema)
       .write.mode("append").parquet(markerDir)
     val pose = spark.readStream.schema(poseSchema).parquet(poseDir)

@@ -101,7 +101,7 @@ object Streaming {
           var last: Option[Double] = if (state.exists) Some(state.get) else None
           val out = it.toSeq.sortBy(_.tsUs).map { r =>
             last = r.v.orElse(last)
-            FillRow(key, r.tsUs, r.v.orElse(last))
+            FillRow(key, r.tsUs, last) // emitted value IS the carried state
           }
           last.foreach(state.update)
           out.iterator

@@ -96,4 +96,26 @@ class GraftSqlSpec extends AnyFunSuite {
     // the optimum: in group 1, b→10 (0.1) + a→11 (0.2) beats the greedy mix
     assert(fromSql.contains((1L, 10L, "b", 0.1)) && fromSql.contains((1L, 11L, "a", 0.2)))
   }
+
+  test("graft_assign drops NULL l/r/cost rows as infeasible, like the Scala API") {
+    GraftSql.registerFunctions(spark)
+    val values =
+      """VALUES
+        |  (CAST(10 AS BIGINT), 'a', CAST(0.4 AS DOUBLE)),
+        |  (CAST(10 AS BIGINT), 'b', CAST(NULL AS DOUBLE)),
+        |  (CAST(NULL AS BIGINT), 'b', CAST(0.1 AS DOUBLE)),
+        |  (CAST(11 AS BIGINT), CAST(NULL AS STRING), CAST(0.2 AS DOUBLE)),
+        |  (CAST(11 AS BIGINT), 'b', CAST(0.7 AS DOUBLE)) AS t(l, r, cost)""".stripMargin
+    // pre-fix this CRASHED (null in a non-nullable decoded tuple field)
+    val fromSql = spark.sql(
+      s"""SELECT l, r, cost FROM (
+         |  SELECT inline(graft_assign(collect_list(struct(l, r, cost)))) AS (l, r, cost)
+         |  FROM $values)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val fromScala = graft.operators.Assignment.assign(
+        spark.sql(s"SELECT * FROM $values"), Nil, "l", "r", "cost")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(fromSql === fromScala)
+    assert(fromSql === Set((10L, "a", 0.4), (11L, "b", 0.7)))
+  }
 }

@@ -143,19 +143,35 @@ class StreamingSpec extends AnyFunSuite {
       (frame, id, "head", cx + dir * 8, cy),
       (frame, id, "spine2", cx, cy),
       (frame, id, "spine4", cx - dir * 10, cy))
+    // non-skeleton body part: present in the raw stream, must not shift
+    // per-slot timestamps (batch filters to skeleton parts before the pivot)
+    def extraPart(frame: Int, id: String, cx: Double, cy: Double) =
+      Seq((frame, id, "tail_tip", cx - 20.0, cy))
     val fight = (0 to 260).flatMap { f =>
       if (f >= 100 && f <= 200) {
         val x = 100.0 + (f - 100) * 10.0
         mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
-          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
-      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0) ++
+          extraPart(f, "A", x, 100)
+      } else if (f >= 210 && f <= 220) {
+        // close centroids, BOTH noses undetected: nh0/nh1 are NaN, so cond2
+        // must be FALSE (numpy semantics) — under Spark's NaN-compares-
+        // greatest a bare `>` would flag these frames and stretch the event
+        mouse(f, "A", 100, 100, 1).filterNot(_._3 == "nose") ++
+          mouse(f, "B", 103, 104, 1).filterNot(_._3 == "nose")
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1) ++
+        extraPart(f, "A", 100, 100)
     }
     // off-grid jitter (0-6 ms, zero at frame 0): event timestamps must come
     // from the REAL pose times, not the frame-slot grid — a frontier marker
-    // sharing a slot with real data must not replace the slot's min time
+    // sharing a slot with real data must not replace the slot's min time.
+    // tail_tip rows land at the slot start, EARLIER than the skeleton rows:
+    // if either side let a non-skeleton row into the per-slot min the event
+    // timestamps would shift.
     def poseDf(rows: Seq[(Int, String, String, Double, Double)]) =
       rows.map { case (f, id, part, x, y) =>
-        (new java.sql.Timestamp(t0.getTime + f * 20L + f % 7), id, part, x, y)
+        val jit = if (part == "tail_tip") 0L else f % 7
+        (new java.sql.Timestamp(t0.getTime + f * 20L + jit), id, part, x, y)
       }.toDF("time", "identity", "part", "x", "y")
     val base = Files.createTempDirectory("graft_fightstream").toString
     val poseDir = s"$base/pose"; val work = s"$base/work"
@@ -176,6 +192,10 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Detectors.detectFights(poseDf(fight), None, parts, p)
       .collect().map(key).toSet
     assert(batch.size === 1)
+    // end = frame 200's min SKELETON pose time (jitter 200%7=4): a tail_tip
+    // row in the slot min would give +0; NaN cond2 flagging the noseless
+    // close frames 210-220 would push the end to frame 220
+    assert(batch.head._2 === t0.getTime + 200L * 20L + 4L)
     assert(stream === batch)
     // idempotency: an empty re-poll emits nothing new (exactly-once)
     FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
