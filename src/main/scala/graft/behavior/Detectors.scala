@@ -59,7 +59,7 @@ object Detectors {
 
   /** Internal shard key threaded through every stage (constant "" for the
     * single-epoch entry points). */
-  private val G = "_g"
+  private[graft] val G = "_g"
 
   /** Per-shard event rows produced by the grouped cores. (Not private:
     * Catalyst's generated encoder code cannot call accessors on a
@@ -374,6 +374,24 @@ object Detectors {
     val cond3 = col("blob_speed") > p.minBlobSpeed
     val flagged = ff.withColumn("isFight", cond1 && cond2 && cond3)
       .withColumn("isBridge", cond1 && col("isEmpty"))
+    fightsTail(flagged.select(col(G), col("frame"), col("tsUs"),
+      nn(col("m0_centroid_x")).as("c0x"), nn(col("m0_centroid_y")).as("c0y"),
+      nn(col("m1_centroid_x")).as("c1x"), nn(col("m1_centroid_y")).as("c1y"),
+      col("isFight"), col("isBridge")), p)
+  }
+
+  /** Shared back half of fight detection — two-phase sessionization with
+    * empty-frame bridges (G3) through the per-event verdict kernel
+    * (`social_behaviour_detection.py:617-762`). `flagged` columns:
+    * `_g, frame, tsUs, c0x, c0y, c1x, c1y, isFight, isBridge`; every frame
+    * slot of the shard must be present (dense spine). The SAME function
+    * runs under the batch core (whole corpus) and the streaming gold stage
+    * (closed super-sessions joined back to the filled sink,
+    * [[graft.streaming.FightStream]]) — one implementation, so the two
+    * modes cannot drift. */
+  private[graft] def fightsTail(flagged: DataFrame, p: FightParams): Dataset[GFight] = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
     // two-phase sessionization with empty-frame bridges (G3)
     val cand = flagged.filter(col("isFight")).select(G, "frame")
     val sess1 = Sessionize.sessionize(cand, "frame", Seq(G), p.maxFrameGap)
@@ -389,8 +407,20 @@ object Detectors {
       .groupBy(col(G), col("session_id"))
       .agg(min("frame").as("firstF"), max("frame").as("lastF"))
       .select(col(G), col("session_id").as("ev"), col("firstF"), col("lastF"))
-    // kernel over [firstF−1, lastF]; cleanup arrays exclude the last frame
-    val rows = attachSpan(ff, evs, -1L, 0L, kept1)
+    // kernel over [firstF−1, lastF]; cleanup arrays exclude the last frame.
+    // The tube-only EvRow fields (o0/o1/e2/e3/cdist) ride as NaN.
+    val e = evs.select(col(G).as("_eg"), col("ev"), col("firstF"), col("lastF"))
+    val rows = flagged.join(broadcast(e), col(G) === col("_eg") &&
+        col("frame") >= col("firstF") - 1 && col("frame") <= col("lastF"))
+      .join(kept1.withColumn("isCand", lit(true)), Seq(G, "frame"), "left")
+      .select(col(G).as("g"), col("ev"), col("frame"), col("tsUs"),
+        col("c0x"), col("c0y"), col("c1x"), col("c1y"),
+        lit(Double.NaN).as("o0"), lit(Double.NaN).as("o1"),
+        lit(Double.NaN).as("e2"), lit(Double.NaN).as("e3"),
+        lit(Double.NaN).as("cdist"),
+        coalesce(col("isCand"), lit(false)).as("isCand"),
+        col("firstF"), col("lastF"))
+      .as[EvRow]
     rows.groupByKey(r => (r.g, r.ev)).flatMapGroups {
       (key: (String, Long), it: Iterator[EvRow]) =>
       val g = key._1

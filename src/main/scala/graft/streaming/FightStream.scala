@@ -21,11 +21,17 @@ import graft.functions.Cols
   *   2. silver→filled: `flatMapGroupsWithState` forward-fill of the
   *      centroid distance ACROSS micro-batches (the cross-chunk carry the
   *      reference loses at its per-chunk job boundaries) + candidate /
-  *      bridge flags;
-  *   3. filled→gold: `session_window` assembly of candidate∪bridge frames,
-  *      then the [[Kernels.fightVerdict]] kernel on each CLOSED session
-  *      (append mode: each event is emitted exactly once, when the
-  *      watermark passes the session's gap horizon).
+  *      bridge flags + dense-spine synthesis (interior slot gaps become
+  *      empty frames, exactly like the batch frame tensor);
+  *   3. filled→gold: `session_window` assembly of candidate∪bridge frames
+  *      into SUPER-SESSIONS (gap ≥ both batch sessionization gaps, so no
+  *      cross-super interaction exists), then — per closed super-session,
+  *      in `foreachBatch` — the EXACT batch tail [[Detectors.fightsTail]]
+  *      over the filled sink slice: same two-phase sessionization, same
+  *      min-size counts, same kernel span [firstF−1, lastF], same event
+  *      timestamps. One shared implementation; batch and stream cannot
+  *      drift. Events are written exactly once (append-mode closed
+  *      sessions + idempotent per-micro-batch output dirs).
   *
   * End-of-data flush: a poll writes two marker rows at the frontier
   * `upToUs` into a side channel unioned with the pose source. Markers
@@ -35,44 +41,45 @@ import graft.functions.Cols
   * form. The poll contract is the file-discovery contract: `upToUs` must
   * not exceed the earliest event time that could still arrive.
   *
-  * Deviations from batch [[Detectors.detectFights]] (documented, exact on
-  * streams without mid-event detection dropouts): the kernel sees the
-  * session's candidate∪bridge frames (batch attaches every spine frame in
-  * [firstF−1, lastF], including the leading cleanup-seed frame and any
-  * non-candidate interior frames); sessionization is single-phase at
-  * `maxFrameGapWEmptyFrames` (batch pre-clusters candidates at
-  * `maxFrameGap` with a min-size filter before bridging); the blob-speed
-  * condition is not wired (condition 3 = always true, as with
-  * `blob = None` in batch); dense-spine empty frames exist only where the
-  * stream delivered rows for the slot.
+  * Deviations from batch [[Detectors.detectFights]] (documented): the
+  * blob-speed condition is not wired (condition 3 = always true, as with
+  * `blob = None` in batch); a camera gap that SPANS a poll frontier gets
+  * its synthesized empty frames one poll late, where the watermark drops
+  * them — a session the batch mode would bridge across such a gap may
+  * close early or split (graceful; the reference's own chunked incremental
+  * mode has the same boundary artifact, without the cross-chunk ffill
+  * carry). Interior gaps — any dropout that does not straddle a frontier —
+  * are exact.
   *
-  * Scale: stage 1 and 3 are keyed stateful aggregations (parallel across
+  * Scale: stage 1 and 3a are keyed stateful aggregations (parallel across
   * frame slots / sessions); stage 2's sequential carry is inherently
   * serial PER EPOCH — one group key per epoch stream, so a multi-epoch
-  * deployment runs one carry chain per epoch in parallel, state one double
-  * per key. Multiple silver files per poll land in ONE micro-batch
-  * (AvailableNow, no maxFilesPerTrigger) and are ordered inside the
-  * stateful closure, so shuffle-randomized file layout cannot reorder the
-  * carry.
+  * deployment runs one carry chain per epoch in parallel, state one
+  * (frame, cdist) pair per key. Multiple silver files per poll land in ONE
+  * micro-batch (AvailableNow, no maxFilesPerTrigger) and are ordered
+  * inside the stateful closure, so shuffle-randomized file layout cannot
+  * reorder the carry. Stage 3b's slice read prunes the filled sink to the
+  * closed spans' frame range via parquet min/max stats before the
+  * broadcast range join.
   */
 object FightStream {
 
   /** Silver rows: one per observed frame slot, reference feature columns
-    * (NaN = missing, exactly like the batch wide table). */
+    * (NaN = missing, exactly like the batch wide table). `isMarker` flags
+    * frontier-marker-only slots (no real pose row landed in the slot) —
+    * they advance watermarks but carry no data. */
   case class SilverRow(frame: Long, tsUs: Long,
       c0x: Double, c0y: Double, c1x: Double, c1y: Double,
       cdist: Double, nh0: Double, nh1: Double, is0: Double, is1: Double,
-      isEmpty: Boolean)
+      isEmpty: Boolean, isMarker: Boolean)
 
   /** Filled rows: silver + forward-filled centroid distance folded into the
-    * candidate (`isFight`) and empty-frame bridge (`isBridge`) flags. */
+    * candidate (`isFight`) and empty-frame bridge (`isBridge`) flags, plus
+    * the synthesized dense-spine empty frames for interior slot gaps.
+    * Marker rows pass through with both flags false. */
   case class FilledRow(frame: Long, tsUs: Long,
       c0x: Double, c0y: Double, c1x: Double, c1y: Double,
-      isFight: Boolean, isBridge: Boolean)
-
-  /** One frame inside a closed session (gold-stage kernel input). */
-  case class SessRow(frame: Long, tsUs: Long,
-      c0x: Double, c0y: Double, c1x: Double, c1y: Double, isFight: Boolean)
+      isFight: Boolean, isBridge: Boolean, isMarker: Boolean)
 
   private def frameDurUs(fps: Double): Long = {
     val d = math.round(1e6 / fps)
@@ -111,7 +118,8 @@ object FightStream {
     // start/end times come from tsUs); marker-only slots synthesize the
     // slot-grid time, like the batch dense spine does for empty frames
     val allAggs = Seq(min(col("frame")).as("frame"),
-      min(when(col("identity").isNotNull, unix_micros(col("time")))).as("tsUs0")) ++
+      min(when(col("identity").isNotNull, unix_micros(col("time")))).as("tsUs0"),
+      count(when(col("identity").isNotNull, lit(1))).as("nReal")) ++
       Detectors.pivotAggs
     val wide = Detectors.expandPivot(withT
       .groupBy(window(col("tFrame"), s"$durUs microseconds"))
@@ -127,49 +135,85 @@ object FightStream {
       nn(col("cdist")).as("cdist"),
       nn(col("nh0")).as("nh0"), nn(col("nh1")).as("nh1"),
       nn(col("is0")).as("is0"), nn(col("is1")).as("is1"),
-      col("isEmpty"))
+      col("isEmpty"), (col("nReal") === 0).as("isMarker"))
   }
 
-  /** Stage 2 plan: forward-fill `cdist` across frames AND micro-batches
-    * (state = last non-NaN value), then fold the fight conditions into
-    * flags. One carry chain per stream (key per epoch at deployment
-    * scale). */
-  def fillAndFlag(silver: Dataset[SilverRow], p: FightParams): Dataset[FilledRow] = {
+  /** Stage 2 plan: forward-fill `cdist` across frames AND micro-batches,
+    * fold the fight conditions into flags, and SYNTHESIZE the batch dense
+    * spine — every interior slot gap (no pose rows delivered at all)
+    * becomes empty frames with the forward-filled centroid distance, so
+    * camera dropouts bridge sessions exactly as the batch detector's dense
+    * frame tensor does. State = (last observed frame, last non-NaN cdist);
+    * one carry chain per stream (key per epoch at deployment scale).
+    *
+    * Marker-only slots pass through with both flags false (watermark
+    * carriers, never data) and do not advance the spine: a marker slot
+    * below a later real frame is re-synthesized as a true empty frame and
+    * the duplicate marker row is dropped by the gold-stage candidate
+    * filter and the `!isMarker` slice filter. */
+  def fillAndFlag(silver: Dataset[SilverRow], p: FightParams,
+      t0us: Long): Dataset[FilledRow] = {
     val spark = silver.sparkSession
     import spark.implicits._
+    val durUs = frameDurUs(p.fps)
     silver.groupByKey(_ => "")
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[SilverRow], state: GroupState[Double]) =>
-          var last: Double = if (state.exists) state.get else Double.NaN
-          val out = it.toArray.sortBy(_.frame).map { r =>
-            val cd = if (!r.cdist.isNaN) r.cdist else last
-            if (!r.cdist.isNaN) last = r.cdist
-            val cond1 = cd < p.maxDistance
-            // Scala NaN > t is FALSE — the same NaN-drops-the-frame
-            // semantics as the batch core's gtNanFalse (numpy parity)
-            val cond2 = r.nh0 > p.maxNoseHeadDistance ||
-              r.nh1 > p.maxNoseHeadDistance ||
-              r.is0 > p.maxInterspinalDistance ||
-              r.is1 > p.maxInterspinalDistance
-            FilledRow(r.frame, r.tsUs, r.c0x, r.c0y, r.c1x, r.c1y,
-              isFight = cond1 && cond2, isBridge = cond1 && r.isEmpty)
+        (_: String, it: Iterator[SilverRow], state: GroupState[(Long, Double)]) =>
+          var (lastF, lastCd) =
+            if (state.exists) state.get else (Long.MinValue, Double.NaN)
+          // chunks of lazy iterators: synthesized gaps never materialize an
+          // array (an hour-long camera gap is 180 k rows), snapshot locals
+          // keep them correct after the state vars move on
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[Iterator[FilledRow]]
+          it.toArray.sortBy(_.frame).foreach { r =>
+            if (r.isMarker) {
+              chunks += Iterator.single(FilledRow(r.frame, r.tsUs,
+                Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+                isFight = false, isBridge = false, isMarker = true))
+            } else {
+              if (lastF != Long.MinValue && r.frame > lastF + 1) {
+                val (f0, f1, cd) = (lastF + 1, r.frame - 1, lastCd)
+                val bridge = cd < p.maxDistance // NaN compares false
+                chunks += (f0 to f1).iterator.map(f =>
+                  FilledRow(f, t0us + f * durUs,
+                    Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+                    isFight = false, isBridge = bridge, isMarker = false))
+              }
+              val cd = if (!r.cdist.isNaN) r.cdist else lastCd
+              val cond1 = cd < p.maxDistance
+              // Scala NaN > t is FALSE — the same NaN-drops-the-frame
+              // semantics as the batch core's gtNanFalse (numpy parity)
+              val cond2 = r.nh0 > p.maxNoseHeadDistance ||
+                r.nh1 > p.maxNoseHeadDistance ||
+                r.is0 > p.maxInterspinalDistance ||
+                r.is1 > p.maxInterspinalDistance
+              chunks += Iterator.single(FilledRow(r.frame, r.tsUs,
+                r.c0x, r.c0y, r.c1x, r.c1y,
+                isFight = cond1 && cond2, isBridge = cond1 && r.isEmpty,
+                isMarker = false))
+              lastF = r.frame
+              if (!r.cdist.isNaN) lastCd = r.cdist
+            }
           }
-          if (!last.isNaN) state.update(last)
-          out.iterator
+          if (lastF != Long.MinValue) state.update((lastF, lastCd))
+          chunks.iterator.flatten
       }
   }
 
-  /** Stage 3 plan: session-window assembly of candidate∪bridge frames and
-    * the per-closed-session fight kernel. The watermark node sits BEFORE
-    * the candidate filter so every frame (markers included) advances it. */
-  def goldEvents(filled: DataFrame, p: FightParams, t0us: Long): Dataset[FightEvent] = {
-    val spark = filled.sparkSession
-    import spark.implicits._
+  /** Stage 3a plan: candidate∪bridge frames → closed SUPER-SESSION spans.
+    * The super gap = max(maxFrameGap, maxFrameGapWEmptyFrames) dominates
+    * both batch sessionization phases, so every set of frames that either
+    * phase could chain lands inside ONE super-session — running the exact
+    * batch tail per closed super-session is then exact. The watermark node
+    * sits BEFORE the candidate filter so every frame (markers included)
+    * advances it. Emits one (minF, maxF) span per closed super-session. */
+  def goldSessions(filled: DataFrame, p: FightParams, t0us: Long): DataFrame = {
     val durUs = frameDurUs(p.fps)
-    // merge iff frame diff <= maxFrameGapWEmptyFrames, like the batch
-    // cumulative-sum form (session_window splits at >= gap, so +0.5 frame)
-    val gapUs = math.round((p.maxFrameGapWEmptyFrames + 0.5) * durUs.toDouble)
-    val sessions = filled
+    // merge iff frame diff <= superGap, like the batch cumulative-sum form
+    // (session_window splits at >= gap, so +0.5 frame)
+    val superGap = math.max(p.maxFrameGap, p.maxFrameGapWEmptyFrames)
+    val gapUs = math.round((superGap + 0.5) * durUs.toDouble)
+    filled
       .withColumn("tFrame", timestamp_micros(lit(t0us) + col("frame") * durUs))
       .withWatermark("tFrame", "0 seconds")
       // The never-true third disjunct REFERENCES THE WATERMARK COLUMN, which
@@ -187,32 +231,31 @@ object FightStream {
       // grouping key (and a multi-epoch deployment keys by epoch here)
       .withColumn("_ek", lit(""))
       .groupBy(col("_ek"), session_window(col("tFrame"), s"$gapUs microseconds"))
-      .agg(collect_list(struct(col("frame"), col("tsUs"),
+      .agg(min(col("frame")).as("minF"), max(col("frame")).as("maxF"))
+      .select(col("minF"), col("maxF"))
+  }
+
+  /** Stage 3b (foreachBatch body): closed super-session spans → the EXACT
+    * batch tail ([[Detectors.fightsTail]] — same two-phase sessionization,
+    * min-size counts, kernel span [firstF−1, lastF] and event timestamps as
+    * `detectFights`) over the filled sink sliced to the spans. Spans are
+    * ≥ superGap apart, so each is an independent shard key. */
+  def eventsFromSpans(spark: SparkSession, spans: Array[(Long, Long)],
+      filledDir: String, p: FightParams): Dataset[FightEvent] = {
+    import spark.implicits._
+    val lo = spans.map(_._1).min - 1 // kernel span reaches one frame left
+    val hi = spans.map(_._2).max
+    val spanDf = spans.toSeq.toDF("_lo", "_hi")
+    val slice = spark.read.schema(filledSchema).parquet(filledDir)
+      .filter(!col("isMarker") && col("frame") >= lo && col("frame") <= hi)
+    val flagged = slice.join(broadcast(spanDf),
+        col("frame") >= col("_lo") - 1 && col("frame") <= col("_hi"))
+      .withColumn(Detectors.G, col("_lo").cast("string"))
+      .select(col(Detectors.G), col("frame"), col("tsUs"),
         col("c0x"), col("c0y"), col("c1x"), col("c1y"),
-        col("isFight"))).as("rows"))
-      .select(col("rows").as[Seq[SessRow]])
-    sessions.flatMap { raw =>
-      val rs = raw.sortBy(_.frame).toArray
-      val nCand = rs.count(_.isFight).toLong
-      if (nCand <= p.minNumFrames || rs.length < 2) Iterator.empty
-      else {
-        // batch kernel body = [firstF−1, lastF) incl. the cleanup seed
-        // frame; the stream session lacks the seed → body = [firstF, lastF)
-        val body = rs.dropRight(1)
-        val verdict = Kernels.fightVerdict(
-          body.map(_.c0x), body.map(_.c0y), body.map(_.c1x), body.map(_.c1y),
-          p.fps, p.cm2px, p.minCentroidSpeed, p.minBothCentroidSpeed)
-        verdict.iterator.flatMap { case (ex, ey) =>
-          val startUs = rs.head.tsUs
-          val endUs = rs.last.tsUs
-          val dur = (endUs - startUs) / 1e6
-          if (dur > 1.0)
-            Iterator(FightEvent(new java.sql.Timestamp(startUs / 1000),
-              new java.sql.Timestamp(endUs / 1000), dur, ex, ey))
-          else Iterator.empty
-        }
-      }
-    }
+        col("isFight"), col("isBridge"))
+    Detectors.fightsTail(flagged, p)
+      .map(f => FightEvent(f.start_ts, f.end_ts, f.duration_sec, f.end_x, f.end_y))
   }
 
   private val silverSchema = org.apache.spark.sql.Encoders.product[SilverRow].schema
@@ -242,8 +285,9 @@ object FightStream {
     * `upToUs` is the discovery frontier: all data strictly before it must
     * already be in `poseDir` (later-arriving rows below the frontier would
     * be dropped as late). Events are only emitted once the frontier passes
-    * their session's gap horizon — on the final poll of an epoch pass
-    * `epochEndUs + (maxFrameGapWEmptyFrames + 2) frames` or more.
+    * their super-session's gap horizon — on the final poll of an epoch pass
+    * `epochEndUs + (max(maxFrameGap, maxFrameGapWEmptyFrames) + 2) frames`
+    * or more.
     *
     * Memory contract: each poll's silver rows pass through ONE stateful
     * task ([[fillAndFlag]]'s sequential carry), so a poll must be bounded —
@@ -283,14 +327,39 @@ object FightStream {
       silverDir, s"$workDir/ckpt_silver")
     val silver = spark.readStream.schema(silverSchema).parquet(silverDir)
       .as[SilverRow]
-    drain(fillAndFlag(silver, p).toDF(), filledDir, s"$workDir/ckpt_filled")
+    drain(fillAndFlag(silver, p, t0us).toDF(), filledDir, s"$workDir/ckpt_filled")
     val filled = spark.readStream.schema(filledSchema).parquet(filledDir)
-    drain(goldEvents(filled, p, t0us).toDF(), eventsDir, s"$workDir/ckpt_gold")
+    // gold: closed super-session spans → exact batch tail over the filled
+    // sink slice, written per micro-batch under an id-keyed subdir —
+    // overwrite of the same subdir makes checkpoint replays idempotent
+    // (exactly-once events without relying on sink transactionality)
+    def goldOnce(): Unit =
+      goldSessions(filled, p, t0us).writeStream
+        .option("checkpointLocation", s"$workDir/ckpt_gold")
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val spans = batch.select("minF", "maxF").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          if (spans.nonEmpty)
+            eventsFromSpans(batch.sparkSession, spans, filledDir, p).toDF()
+              .write.mode("overwrite").parquet(s"$eventsDir/b$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    goldOnce(); goldOnce()
   }
 
-  /** Events emitted so far (batch read of the gold sink). */
+  /** Events emitted so far (batch read of the per-micro-batch gold dirs). */
   def fightEvents(spark: SparkSession, workDir: String): Dataset[FightEvent] = {
     import spark.implicits._
-    spark.read.schema(eventSchema).parquet(s"$workDir/events").as[FightEvent]
+    val root = new org.apache.hadoop.fs.Path(s"$workDir/events")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("b")).map(_.getPath.toString)
+      else Array.empty[String]
+    if (dirs.isEmpty) spark.emptyDataset[FightEvent]
+    else spark.read.schema(eventSchema).parquet(dirs.toIndexedSeq: _*).as[FightEvent]
   }
 }

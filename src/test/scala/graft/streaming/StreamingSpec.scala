@@ -184,8 +184,9 @@ class StreamingSpec extends AnyFunSuite {
       "fight still open at the mid-event frontier: nothing may be emitted")
     // chunk 2 lands; final poll with the frontier past the gap horizon
     poseDf(fight.filter(_._1 > 150)).write.parquet(s"$poseDir/chunk2")
+    // flush horizon = the SUPER-session gap (max of the two batch gaps)
     FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
-      Seq("A", "B"), t0us + (260L + p.maxFrameGapWEmptyFrames + 5) * 20000L)
+      Seq("A", "B"), t0us + (260L + p.maxFrameGap + 5) * 20000L)
     def key(e: Detectors.FightEvent) =
       (e.start_ts.getTime, e.end_ts.getTime, e.duration_sec, e.end_x, e.end_y)
     val stream = FightStream.fightEvents(spark, work).collect().map(key).toSet
@@ -199,8 +200,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
     // idempotency: an empty re-poll emits nothing new (exactly-once)
     FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
-      Seq("A", "B"), t0us + (260L + p.maxFrameGapWEmptyFrames + 20) * 20000L)
+      Seq("A", "B"), t0us + (260L + p.maxFrameGap + 20) * 20000L)
     assert(FightStream.fightEvents(spark, work).collect().map(key).toSet === batch)
+  }
+
+  test("streaming detector matches batch on camera gaps, stragglers, separations") {
+    import spark.implicits._
+    import graft.behavior.Detectors
+    val parts = Map("nose" -> "nose", "head" -> "head",
+      "centroid" -> "spine2", "tail_base" -> "spine4")
+    val t0 = java.sql.Timestamp.valueOf("2024-07-01 08:00:00")
+    val t0us = t0.getTime * 1000L
+    def mouse(frame: Int, id: String, cx: Double, cy: Double,
+        noseHead: Double = 2.0) = Seq(
+      (frame, id, "nose", cx + 8 + noseHead, cy),
+      (frame, id, "head", cx + 8, cy),
+      (frame, id, "spine2", cx, cy),
+      (frame, id, "spine4", cx - 10, cy))
+    def close(f: Int, fighting: Boolean) = {
+      val x = 100.0 + f * 10.0
+      mouse(f, "A", x, 100, noseHead = if (fighting) 10.0 else 2.0) ++
+        mouse(f, "B", x + 3, 104, noseHead = if (fighting) 10.0 else 2.0)
+    }
+    def apart(f: Int) = mouse(f, "A", 100, 100) ++ mouse(f, "B", 4000, 4000)
+    val rows = (0 to 500).flatMap { f =>
+      if (f >= 100 && f <= 140) close(f, fighting = true)
+      // 141-155: CAMERA GAP mid-fight (no rows at all) — the batch dense
+      // spine bridges it; the stream must synthesize the missing slots
+      else if (f >= 141 && f <= 155) Nil
+      else if (f >= 156 && f <= 159) close(f, fighting = true)
+      // 160-165: brief separation (observed, non-candidate interior
+      // frames) — present in the kernel span on both sides
+      else if (f >= 160 && f <= 165) apart(f)
+      else if (f >= 166 && f <= 200) close(f, fighting = true)
+      // 201-419: long camera gap with the mice last seen CLOSE → 219
+      // consecutive synthesized bridge frames chain the session onward
+      else if (f >= 201 && f <= 419) Nil
+      // 420-423: raw candidate straggler cluster, 220 frames past the last
+      // kept candidate: phase-1 (gap 200) separates it, min-size 6 drops
+      // it from kept1 — it must NOT extend the event even though the
+      // bridge chain reaches it (the old single-phase stream included it)
+      else if (f >= 420 && f <= 423) close(f, fighting = true)
+      else apart(f)
+    }
+    def poseDf(rs: Seq[(Int, String, String, Double, Double)]) =
+      rs.map { case (f, id, part, x, y) =>
+        (new java.sql.Timestamp(t0.getTime + f * 20L + f % 7), id, part, x, y)
+      }.toDF("time", "identity", "part", "x", "y")
+    val base = Files.createTempDirectory("graft_fightstream2").toString
+    val poseDir = s"$base/pose"; val work = s"$base/work"
+    val p = Detectors.FightParams()
+    poseDf(rows).write.parquet(s"$poseDir/chunk1")
+    FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
+      Seq("A", "B"), t0us + (500L + p.maxFrameGap + 5) * 20000L)
+    def key(e: Detectors.FightEvent) =
+      (e.start_ts.getTime, e.end_ts.getTime, e.duration_sec, e.end_x, e.end_y)
+    val stream = FightStream.fightEvents(spark, work).collect().map(key).toSet
+    val batch = Detectors.detectFights(poseDf(rows), None, parts, p)
+      .collect().map(key).toSet
+    assert(batch.size === 1)
+    // the event must end at the LAST bridge frame (419, grid timestamp):
+    // the straggler cluster is phase-1-dropped, bridges chain to 419
+    assert(batch.head._2 === t0.getTime + 419L * 20L)
+    assert(stream === batch)
   }
 
   test("file-source incremental ingest is exactly-once across re-runs (T1/T2/S9)") {
