@@ -41,9 +41,14 @@ import graft.functions.Cols
   * form. The poll contract is the file-discovery contract: `upToUs` must
   * not exceed the earliest event time that could still arrive.
   *
-  * Deviations from batch [[Detectors.detectFights]] (documented): the
-  * blob-speed condition is not wired (condition 3 = always true, as with
-  * `blob = None` in batch); a camera gap that SPANS a poll frontier gets
+  * Condition 3 (blob speed): an incrementally-maintained per-frame speed
+  * table ([[updateBlobSpeeds]] — the exact batch recipe over the trailing
+  * hour buckets, dynamic partition overwrite) stream-static-joined into
+  * stage 2; omitting `blobDir` disables it, exactly like `blob = None` in
+  * batch.
+  *
+  * Deviations from batch [[Detectors.detectFights]] (documented): a camera
+  * gap that SPANS a poll frontier gets
   * its synthesized empty frames one poll late, where the watermark drops
   * them — a session the batch mode would bridge across such a gap may
   * close early or split (graceful; the reference's own chunked incremental
@@ -73,6 +78,15 @@ object FightStream {
       cdist: Double, nh0: Double, nh1: Double, is0: Double, is1: Double,
       isEmpty: Boolean, isMarker: Boolean)
 
+  /** Silver row + the per-frame smoothed blob speed (stage 2 input after
+    * the stream-static speed join; `Double.MaxValue` = condition 3 disabled,
+    * NaN = no blob sample for the frame → not a candidate, like batch's
+    * null-left-join semantics). */
+  case class SilverSpeed(frame: Long, tsUs: Long,
+      c0x: Double, c0y: Double, c1x: Double, c1y: Double,
+      cdist: Double, nh0: Double, nh1: Double, is0: Double, is1: Double,
+      isEmpty: Boolean, isMarker: Boolean, speed: Double)
+
   /** Filled rows: silver + forward-filled centroid distance folded into the
     * candidate (`isFight`) and empty-frame bridge (`isBridge`) flags, plus
     * the synthesized dense-spine empty frames for interior slot gaps.
@@ -92,6 +106,13 @@ object FightStream {
     StructField("time", TimestampType), StructField("identity", StringType),
     StructField("part", StringType), StructField("x", DoubleType),
     StructField("y", DoubleType)))
+
+  val blobSchema: StructType = StructType(Seq(
+    StructField("time", TimestampType), StructField("x", DoubleType),
+    StructField("y", DoubleType)))
+
+  private val speedSchema: StructType = StructType(Seq(
+    StructField("frame", LongType), StructField("blob_speed", DoubleType)))
 
   /** Stage 1 plan: pose stream → per-frame-slot wide pivot + features.
     * The watermark rides the frame-slot event time, so marker rows (null
@@ -151,14 +172,14 @@ object FightStream {
     * below a later real frame is re-synthesized as a true empty frame and
     * the duplicate marker row is dropped by the gold-stage candidate
     * filter and the `!isMarker` slice filter. */
-  def fillAndFlag(silver: Dataset[SilverRow], p: FightParams,
+  def fillAndFlag(silver: Dataset[SilverSpeed], p: FightParams,
       t0us: Long): Dataset[FilledRow] = {
     val spark = silver.sparkSession
     import spark.implicits._
     val durUs = frameDurUs(p.fps)
     silver.groupByKey(_ => "")
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[SilverRow], state: GroupState[(Long, Double)]) =>
+        (_: String, it: Iterator[SilverSpeed], state: GroupState[(Long, Double)]) =>
           var (lastF, lastCd) =
             if (state.exists) state.get else (Long.MinValue, Double.NaN)
           // chunks of lazy iterators: synthesized gaps never materialize an
@@ -187,10 +208,11 @@ object FightStream {
                 r.nh1 > p.maxNoseHeadDistance ||
                 r.is0 > p.maxInterspinalDistance ||
                 r.is1 > p.maxInterspinalDistance
+              val cond3 = r.speed > p.minBlobSpeed // NaN (no sample) → false
               chunks += Iterator.single(FilledRow(r.frame, r.tsUs,
                 r.c0x, r.c0y, r.c1x, r.c1y,
-                isFight = cond1 && cond2, isBridge = cond1 && r.isEmpty,
-                isMarker = false))
+                isFight = cond1 && cond2 && cond3,
+                isBridge = cond1 && r.isEmpty, isMarker = false))
               lastF = r.frame
               if (!r.cdist.isNaN) lastCd = r.cdist
             }
@@ -276,6 +298,46 @@ object FightStream {
   private def ensureDir(path: String): Unit =
     new java.io.File(path).mkdirs()
 
+  /** Incrementally maintain the per-frame smoothed blob-speed table
+    * (condition 3, reference `social_behaviour_detection.py:579-601`): the
+    * exact batch recipe ([[Detectors.blobSpeedWithBase]], dt-anomaly drop →
+    * lag recompute → 10-row smoothing, hour-bucketed) recomputed each poll
+    * for only the LAST TWO existing hour-bucket partitions plus anything
+    * newer, then written with dynamic partition overwrite. Earlier buckets
+    * already had their full ±5-row smoothing context when written, so they
+    * are final — per-poll work is O(new data), not O(epoch).
+    *
+    * Speeds are final for every frame with ≥ 5 blob samples after it, so
+    * the poll contract extends to the blob stream: blob data through
+    * `upToUs` plus 5 samples must have landed before the pose frontier
+    * advances to `upToUs`. */
+  def updateBlobSpeeds(spark: SparkSession, blobDir: String, speedDir: String,
+      p: FightParams, t0us: Long, bucketSeconds: Long = 3600): Unit = {
+    val durUs = frameDurUs(p.fps)
+    val bUs = bucketSeconds * 1000000L
+    val root = new org.apache.hadoop.fs.Path(speedDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingMax: Option[Long] =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).iterator
+        .map(_.getPath.getName).filter(_.startsWith("_sb="))
+        .map(_.stripPrefix("_sb=").toLong)
+        .foldLeft(Option.empty[Long])((acc, b) => Some(acc.fold(b)(math.max(_, b))))
+    val b0 = existingMax.map(_ - 1)
+    val blob = spark.read.schema(blobSchema).parquet(blobDir)
+    // input one bucket further back than the recompute floor: pass-1 ghost
+    // rows and the dt-anomaly lag reach at most one bucket across
+    val sliced = b0.fold(blob)(b =>
+      blob.filter(unix_micros(col("time")) >= lit((b - 1) * bUs)))
+    val sp = Detectors.blobSpeedWithBase(sliced, p.fps, p.cm2px, t0us, bucketSeconds)
+      // integral div: a double round-trip could flip floor at exact
+      // bucket-boundary microseconds
+      .withColumn("_sb", expr(s"(${t0us}L + frame * ${durUs}L) div ${bUs}L"))
+    b0.fold(sp)(b => sp.filter(col("_sb") >= b))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_sb").parquet(speedDir)
+  }
+
   /** One incremental poll (the reference's 30-minute loop body): ingest all
     * pose chunk files under `poseDir` with event time < `upToUs`, advance
     * every stage, and append newly-closed fight events under
@@ -299,14 +361,18 @@ object FightStream {
     */
   def pollFights(spark: SparkSession, poseDir: String, workDir: String,
       parts: Map[String, String], p: FightParams, t0us: Long,
-      ids: Seq[String], upToUs: Long): Unit = {
+      ids: Seq[String], upToUs: Long, blobDir: Option[String] = None): Unit = {
     import spark.implicits._
     val durUs = frameDurUs(p.fps)
     val markerDir = s"$workDir/markers"
     val silverDir = s"$workDir/silver"
     val filledDir = s"$workDir/filled"
     val eventsDir = s"$workDir/events"
+    val speedDir = s"$workDir/speed"
     Seq(markerDir, silverDir, filledDir, eventsDir).foreach(ensureDir)
+    // condition 3: refresh the incremental per-frame speed table BEFORE the
+    // filled stage reads it (stream-static join below)
+    blobDir.foreach(bd => updateBlobSpeeds(spark, bd, speedDir, p, t0us))
     // frontier markers at (upTo − 1 frame, upTo): the pair advances the
     // watermark to exactly upTo, flushing every frame slot STRICTLY before
     // the frontier — the slot containing upTo stays pending, so rows for it
@@ -326,8 +392,18 @@ object FightStream {
     drain(silverQuery(pose, parts, p.fps, t0us, ids),
       silverDir, s"$workDir/ckpt_silver")
     val silver = spark.readStream.schema(silverSchema).parquet(silverDir)
-      .as[SilverRow]
-    drain(fillAndFlag(silver, p, t0us).toDF(), filledDir, s"$workDir/ckpt_filled")
+    // stream-static left join against the speed table (batch joins the
+    // same shape onto the dense spine); no blob source = condition 3 off
+    val withSpeed = blobDir match {
+      case Some(_) => silver.join(
+        spark.read.schema(speedSchema).parquet(speedDir)
+          .select("frame", "blob_speed"), Seq("frame"), "left")
+        .withColumn("speed", coalesce(col("blob_speed"), lit(Double.NaN)))
+        .drop("blob_speed")
+      case None => silver.withColumn("speed", lit(Double.MaxValue))
+    }
+    drain(fillAndFlag(withSpeed.as[SilverSpeed], p, t0us).toDF(),
+      filledDir, s"$workDir/ckpt_filled")
     val filled = spark.readStream.schema(filledSchema).parquet(filledDir)
     // gold: closed super-session spans → exact batch tail over the filled
     // sink slice, written per micro-batch under an id-keyed subdir —

@@ -265,6 +265,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("streaming blob-speed condition 3 matches batch detectFights(blob=Some)") {
+    import spark.implicits._
+    import graft.behavior.Detectors
+    val parts = Map("nose" -> "nose", "head" -> "head",
+      "centroid" -> "spine2", "tail_base" -> "spine4")
+    val t0 = java.sql.Timestamp.valueOf("2024-08-01 08:00:00")
+    val t0us = t0.getTime * 1000L
+    def mouse(frame: Int, id: String, cx: Double, cy: Double, noseHead: Double) =
+      Seq((frame, id, "nose", cx + 8 + noseHead, cy),
+        (frame, id, "head", cx + 8, cy),
+        (frame, id, "spine2", cx, cy),
+        (frame, id, "spine4", cx - 10, cy))
+    def close(f: Int) = {
+      val x = 100.0 + f * 10.0
+      mouse(f, "A", x, 100, 10.0) ++ mouse(f, "B", x + 3, 104, 10.0)
+    }
+    def apart(f: Int) = mouse(f, "A", 100, 100, 2.0) ++ mouse(f, "B", 4000, 4000, 2.0)
+    // fight at 100-200 (blob moving), PSEUDO-fight at 450-520: identical
+    // close fighting poses but a STATIC blob — only condition 3 tells the
+    // two apart, so wiring it wrong yields a phantom second event
+    val rows = (0 to 700).flatMap { f =>
+      if ((f >= 100 && f <= 200) || (f >= 450 && f <= 520)) close(f) else apart(f)
+    }
+    val poseDf = rows.map { case (f, id, part, x, y) =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y)
+    }.toDF("time", "identity", "part", "x", "y")
+    val blobDf = (0 to 700).map { f =>
+      val x = if (f >= 100 && f <= 200) 100.0 + (f - 100) * 10.0 else 500.0
+      (new java.sql.Timestamp(t0.getTime + f * 20L), x, 100.0)
+    }.toDF("time", "x", "y")
+    val base = Files.createTempDirectory("graft_fightstream3").toString
+    val poseDir = s"$base/pose"; val blobDir = s"$base/blob"; val work = s"$base/work"
+    val p = Detectors.FightParams()
+    poseDf.write.parquet(s"$poseDir/chunk1")
+    blobDf.write.parquet(s"$blobDir/chunk1")
+    def key(e: Detectors.FightEvent) =
+      (e.start_ts.getTime, e.end_ts.getTime, e.duration_sec, e.end_x, e.end_y)
+    // fixture sanity: WITHOUT the blob condition there are two events
+    val noBlob = Detectors.detectFights(poseDf, None, parts, p).collect()
+    assert(noBlob.length === 2, "fixture must produce a phantom without cond3")
+    val batch = Detectors.detectFights(poseDf, Some(blobDf), parts, p)
+      .collect().map(key).toSet
+    assert(batch.size === 1, "condition 3 must suppress the static-blob event")
+    FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
+      Seq("A", "B"), t0us + (700L + p.maxFrameGap + 5) * 20000L,
+      blobDir = Some(s"$blobDir/*"))
+    val stream = FightStream.fightEvents(spark, work).collect().map(key).toSet
+    assert(stream === batch)
+  }
+
   test("file-source incremental ingest is exactly-once across re-runs (T1/T2/S9)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream").toString
