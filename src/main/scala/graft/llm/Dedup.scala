@@ -61,7 +61,9 @@ object Dedup {
       n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
         val m = math.max(0, toks.length - n + 1)
@@ -207,7 +209,9 @@ object Dedup {
     val r = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
         val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -325,7 +329,9 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, text) =>

@@ -45,11 +45,13 @@ object Multimodal {
     acc
   }
 
-  /** Shared typed projection of a payload table. */
+  /** Shared typed projection of a payload table. Null payloads (failed
+    * fetches) are dropped rather than NPE-ing the extraction kernels. */
   private def asMediaRows(media: DataFrame): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
       .as[MediaRow]
   }
 

@@ -67,6 +67,7 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val taken = queries.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])].take(maxBroadcastQueries + 1)
     require(taken.length <= maxBroadcastQueries,
       s"cosineTopK query side exceeds maxBroadcastQueries=$maxBroadcastQueries rows; " +
@@ -79,15 +80,46 @@ object Similarity {
       .map { case (id, v) => (id, v, math.sqrt(dotKernel(v, v))) }
       .filter(_._3 > 0.0)
     val bc = spark.sparkContext.broadcast(qArr)
+    // per-partition bounded k-heaps per query: the shuffle into the final
+    // per-query window then carries numPartitions·k rows per query instead
+    // of |corpus| rows per query — without this, one query against a 10⁹
+    // corpus would sort 10⁹ rows on a single window task. Heap memory is
+    // |queries|·k entries per task, the same order as the query broadcast.
+    // Eviction order mirrors the final tie-break (cos desc, neighbor asc),
+    // so the reduced set contains exactly the window's winners.
     val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        rows.flatMap { case (cid, cv) =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by((t: (Double, Long)) => (-t._1, t._2))))
+        rows.foreach { case (cid, cv) =>
           val cn = math.sqrt(dotKernel(cv, cv))
-          if (cn == 0.0) Iterator.empty
-          else bc.value.iterator.collect { case (qid, qv, qn) if qid != cid =>
-            (qid, cid, dotKernel(qv, cv) / (qn * cn))
+          // `> 0.0` not `!= 0.0`: a NaN component gives cn = NaN, and a NaN
+          // cosine would rank ABOVE every real similarity in the window
+          if (cn > 0.0) {
+            var i = 0
+            while (i < qs.length) {
+              val q = qs(i)
+              if (q._1 != cid) {
+                val cos = dotKernel(q._2, cv) / (q._3 * cn)
+                val h = heaps(i)
+                if (h.size < k) h.enqueue((cos, cid))
+                else {
+                  val worst = h.head
+                  if (cos > worst._1 || (cos == worst._1 && cid < worst._2)) {
+                    h.dequeue(); h.enqueue((cos, cid))
+                  }
+                }
+              }
+              i += 1
+            }
           }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (cos, cid) => (qs(i)._1, cid, cos) }
         }
       }.toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -112,6 +144,11 @@ object Similarity {
     val sampled =
       (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
        else corpus)
+        // zero/NaN-norm vectors are excluded downstream (assignCells,
+        // cosineTopK) — training on them could produce a (near-)zero
+        // centroid whose NaN cosine would swallow the whole corpus into
+        // one cell
+        .filter(col(vecCol).isNotNull && dotNative(col(vecCol), col(vecCol)) > 0.0)
         .select(toVec(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)

@@ -84,6 +84,8 @@ object AsOfJoin {
       if (tieBreak.isEmpty) base
       else struct(base +: tieBreak.map(c => rp.getField(rename.getOrElse(c, c))): _*)
 
+    val unixMicros: Column => Column = timeKeyFn(left.schema(timeCol).dataType)
+
     val t = "_asof_t"
     val side = "_asof_side" // 0 = right (build), 1 = left (probe)
     val lTagged = left
@@ -196,8 +198,17 @@ object AsOfJoin {
           col("_mok")("_t").as("_asof_time")): _*)
   }
 
-  /** µs-since-epoch of a column that may be timestamp or numeric. */
-  private def unixMicros(c: Column): Column = unix_micros(c)
+  /** Order key of a time column that may be timestamp (→ µs since epoch)
+    * or numeric (frame ids — pass through; `tolerance`/`bucketUs` are then
+    * in the column's own units). Bound once per join from the left time
+    * column's type via [[timeKeyFn]]. */
+  private def timeKeyFn(dt: org.apache.spark.sql.types.DataType): Column => Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(_)
+      case _: org.apache.spark.sql.types.NumericType => _.cast("long")
+      case t => throw new IllegalArgumentException(
+        s"asof: time column must be timestamp or numeric, got ${t.simpleString}")
+    }
 
   private def structType(right: DataFrame, timeCol: String, by: Seq[String],
       rename: Map[String, String]) = {

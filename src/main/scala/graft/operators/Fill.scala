@@ -79,12 +79,18 @@ object Fill {
   }
 
   /** Scale-safe backward fill: [[ffillBucketed]] over the negated order
-    * (exact [[bfill]] semantics, no single-partition sort). */
+    * (exact [[bfill]] semantics, no single-partition sort). `tieBreak`
+    * columns are negated along with the order column so duplicates resolve
+    * to the same row the plain [[bfill]] picks; numeric tie-breaks only. */
   def bfillBucketed(df: DataFrame, cols: Seq[String], orderCol: String,
-      bucketSize: Long, by: Seq[String] = Nil): DataFrame = {
+      bucketSize: Long, by: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val neg = "_neg_" + orderCol
-    ffillBucketed(df.withColumn(neg, -col(orderCol)), cols, neg, bucketSize, by)
-      .drop(neg)
+    val negTies = tieBreak.map("_neg_" + _)
+    val negated = tieBreak.foldLeft(df.withColumn(neg, -col(orderCol)))(
+      (d, t) => d.withColumn("_neg_" + t, -col(t)))
+    ffillBucketed(negated, cols, neg, bucketSize, by, tieBreak = negTies)
+      .drop(neg +: negTies: _*)
   }
 
   /** Backward-fill (mirror of ffill). */
@@ -113,10 +119,13 @@ object Fill {
       by: Seq[String] = Nil,
       maxRun: Long,
       filledColOpt: Option[String] = None,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val filledCol = filledColOpt.getOrElse(valueCol)
     val v = col(valueCol)
-    val wOrd = part(by).orderBy(col(orderCol))
+    // tieBreak totalizes the order under duplicate keys; without it the
+    // flank values (and so fillability) can flip between runs
+    val wOrd = part(by).orderBy((orderCol +: tieBreak).map(col): _*)
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // run id: count of non-null rows seen so far → constant across a null run

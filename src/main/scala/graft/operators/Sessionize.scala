@@ -57,7 +57,10 @@ object Sessionize {
       case org.apache.spark.sql.types.TimestampType =>
         unix_micros(col(orderCol))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(orderCol).cast("timestamp")) // session-tz, deterministic
+        // pure wall-clock micros: a session-tz cast would compress/stretch
+        // gaps across DST transitions and make the split depend on
+        // spark.sql.session.timeZone
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$orderCol`)")
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
         col(orderCol).cast("long")

@@ -139,6 +139,44 @@ class LlmSpec extends AnyFunSuite {
       "zero vector gets no (arbitrary) IVF cell")
   }
 
+  test("NaN-component and null rows are dropped, not ranked or crashed on") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
+      (7L, Array(Float.NaN, 1f))) // NaN component → NaN norm
+      .toDF("vec_id", "embedding")
+      // a null-embedding row rides along (failed encode)
+      .unionByName(Seq(8L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val top = Similarity.cosineTopK(rows.filter(col("vec_id") === 0),
+      rows, "vec_id", "embedding", 2).collect()
+    assert(top.map(_.getLong(1)).toSet === Set(1L, 2L),
+      "a NaN-norm corpus vector must not displace real neighbors")
+    assert(top.forall(r => !r.getDouble(2).isNaN))
+    // null text/id rows: kernels drop them like the column paths do
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(3L).toDF("doc_id").withColumn("text", lit(null).cast("string")))
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    assert(Dedup.simhash(docs, "doc_id", "text").count() === 2)
+  }
+
+  test("trainCentroids ignores zero-norm vectors (no NaN-cosine cell collapse)") {
+    import spark.implicits._
+    val rows = (0L to 19L).map { i =>
+      val a = if (i % 2 == 0) Array(1f + i / 20f, 0.1f * i) else Array(0.1f * i, 1f + i / 20f)
+      (i, a)
+    }.toDF("vec_id", "embedding")
+      .unionByName((100L to 140L).map(i => (i, Array(0f, 0f))).toDF("vec_id", "embedding"))
+    val cents = Similarity.trainCentroids(rows, "embedding", k = 2, seed = 7L)
+    val assigned = Similarity.assignCells(rows, cents, "vec_id", "embedding", 1)
+    val cellsUsed = assigned.select("cell").distinct().count()
+    assert(cellsUsed === 2,
+      "zero vectors dominating the sample must not collapse assignment to one cell")
+  }
+
   test("cosineTopK fails fast when the query side exceeds the broadcast cap") {
     val q = embs.filter(col("vec_id") < 50)
     val e = intercept[IllegalArgumentException] {

@@ -216,4 +216,37 @@ class OperatorSpec extends AnyFunSuite {
       assert(total <= greedy + 1e-9)
     }
   }
+
+  test("asof accepts numeric (frame-id) time columns for tolerance and Nearest") {
+    val left = Seq((1L, 100L), (1L, 207L), (2L, 300L)).toDF("k", "f")
+    val right = Seq((1L, 98L, "a"), (1L, 205L, "b"), (2L, 310L, "c"))
+      .toDF("k", "f", "v")
+    // tolerance in the column's own units (frames)
+    val tol = AsOfJoin.asofJoin(left, right, "f", Seq("k"),
+        direction = AsOfJoin.Backward, tolerance = Some(2L))
+      .select("k", "f", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(tol === Set((1L, 100L, Some("a")), (1L, 207L, Some("b")),
+      (2L, 300L, None)))
+    val near = AsOfJoin.asofJoin(left, right, "f", Seq("k"),
+        direction = AsOfJoin.Nearest)
+      .select("k", "f", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(near === Set((1L, 100L, "a"), (1L, 207L, "b"), (2L, 300L, "c")))
+  }
+
+  test("sessionize on TIMESTAMP_NTZ uses wall-clock gaps, immune to session tz/DST") {
+    // 2026-03-08 02:00 does not exist in America/New_York (spring forward):
+    // a session-tz interpretation would compress the 61.5-minute wall gap
+    // to ~90 seconds and merge the sessions
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq("2026-03-08 01:59:00", "2026-03-08 03:00:30")
+        .toDF("s").withColumn("ts", col("s").cast("timestamp_ntz"))
+      val sessed = Sessionize.sessionize(df, "ts", Nil, gap = 30L * 60L * 1000000L)
+      assert(sessed.select("session_id").distinct().count() === 2,
+        "61.5-minute wall-clock gap must split at a 30-minute gap")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }
