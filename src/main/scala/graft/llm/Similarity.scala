@@ -145,10 +145,13 @@ object Similarity {
       (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
        else corpus)
         // zero/NaN-norm vectors are excluded downstream (assignCells,
-        // cosineTopK) — training on them could produce a (near-)zero
-        // centroid whose NaN cosine would swallow the whole corpus into
-        // one cell
-        .filter(col(vecCol).isNotNull && dotNative(col(vecCol), col(vecCol)) > 0.0)
+        // cosineTopK) — training on them could produce a (near-)zero or
+        // NaN centroid whose NaN cosine would swallow the whole corpus
+        // into one cell. The isnan guard is load-bearing: Spark SQL orders
+        // NaN GREATER than any value, so `NaN > 0.0` alone is TRUE
+        .filter(col(vecCol).isNotNull &&
+          !isnan(dotNative(col(vecCol), col(vecCol))) &&
+          dotNative(col(vecCol), col(vecCol)) > 0.0)
         .select(toVec(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
@@ -219,6 +222,7 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
     val v = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
     val g =
       if (numBlocks > 0) numBlocks
@@ -299,6 +303,7 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
     val v = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     val bandTable = v.as[(Long, Array[Float])].flatMap { case (id, vec) =>
       val bits = new Array[Boolean](numBits)
       var k = 0

@@ -199,16 +199,20 @@ object AsOfJoin {
   }
 
   /** Order key of a time column that may be timestamp (→ µs since epoch)
-    * or numeric (frame ids — pass through; `tolerance`/`bucketUs` are then
-    * in the column's own units). Bound once per join from the left time
-    * column's type via [[timeKeyFn]]. */
-  private def timeKeyFn(dt: org.apache.spark.sql.types.DataType): Column => Column =
+    * or integral (frame ids — pass through; `tolerance`/`bucketUs` are then
+    * in the column's own units). Fractional types are rejected like
+    * [[Sessionize.sessionize]] does: a silent cast-to-long would truncate
+    * the tolerance/nearest/bucket math while the window sort stays exact.
+    * Bound once per join from the left time column's type. */
+  private def timeKeyFn(dt: org.apache.spark.sql.types.DataType): Column => Column = {
+    import org.apache.spark.sql.types._
     dt match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(_)
-      case _: org.apache.spark.sql.types.NumericType => _.cast("long")
+      case TimestampType => unix_micros(_)
+      case LongType | IntegerType | ShortType | ByteType => _.cast("long")
       case t => throw new IllegalArgumentException(
-        s"asof: time column must be timestamp or numeric, got ${t.simpleString}")
+        s"asof: time column must be timestamp or integral, got ${t.simpleString}")
     }
+  }
 
   private def structType(right: DataFrame, timeCol: String, by: Seq[String],
       rename: Map[String, String]) = {

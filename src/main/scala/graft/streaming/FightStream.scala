@@ -325,10 +325,13 @@ object FightStream {
         .foldLeft(Option.empty[Long])((acc, b) => Some(acc.fold(b)(math.max(_, b))))
     val b0 = existingMax.map(_ - 1)
     val blob = spark.read.schema(blobSchema).parquet(blobDir)
-    // input one bucket further back than the recompute floor: pass-1 ghost
-    // rows and the dt-anomaly lag reach at most one bucket across
+    // input TWO buckets behind the recompute floor: the floor's pass-2
+    // ghost rows come from bucket b0−1, and THAT bucket's own pass-1
+    // dt-anomaly decision for its head row needs the last row of b0−2 —
+    // one bucket of slack would let a sliced-in head row survive pass 1
+    // that the full batch computation drops
     val sliced = b0.fold(blob)(b =>
-      blob.filter(unix_micros(col("time")) >= lit((b - 1) * bUs)))
+      blob.filter(unix_micros(col("time")) >= lit((b - 2) * bUs)))
     val sp = Detectors.blobSpeedWithBase(sliced, p.fps, p.cm2px, t0us, bucketSeconds)
       // integral div: a double round-trip could flip floor at exact
       // bucket-boundary microseconds

@@ -170,7 +170,12 @@ class LlmSpec extends AnyFunSuite {
       (i, a)
     }.toDF("vec_id", "embedding")
       .unionByName((100L to 140L).map(i => (i, Array(0f, 0f))).toDF("vec_id", "embedding"))
+      // NaN-component vector: Spark orders NaN > 0.0, so a bare norm > 0
+      // filter would let it through and poison the k-means centroids
+      .unionByName(Seq((200L, Array(Float.NaN, 1f))).toDF("vec_id", "embedding"))
     val cents = Similarity.trainCentroids(rows, "embedding", k = 2, seed = 7L)
+    assert(cents.collect().forall(r =>
+      r.getSeq[Float](1).forall(f => !f.isNaN)), "no NaN centroid")
     val assigned = Similarity.assignCells(rows, cents, "vec_id", "embedding", 1)
     val cellsUsed = assigned.select("cell").distinct().count()
     assert(cellsUsed === 2,
