@@ -29,7 +29,10 @@ import scala.collection.mutable
   *     assignment (J3; infeasible = +Infinity cost, like the Scala API);
   *     explode with `inline`. Same group-size contract — assignment groups
   *     are per-frame (≤ #detections × #identities rows, single digits in
-  *     the reference), and the J3 solve is inherently per-group.
+  *     the reference), and the J3 solve is inherently per-group;
+  *   - `graft_assign_t('view', 'grp1,grp2', 'l', 'r', 'cost')` — TABLE
+  *     function form of the same operator: groups distributed across the
+  *     cluster, no caller-side `collect_list`/`GROUP BY` assembly.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -54,6 +57,10 @@ object GraftSql {
       FunctionIdentifier("graft_sessionize_t"),
       new ExpressionInfo("graft.GraftSql", "graft_sessionize_t"),
       (args: Seq[Expression]) => sessionizeTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_assign_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_assign_t"),
+      (args: Seq[Expression]) => assignTablePlan(args))
     spark.udf.register("graft_sessionize",
       (times: Seq[Long], gapUs: Long) => {
         var sid = 0L
@@ -125,6 +132,35 @@ object GraftSql {
     val spark = SparkSession.active
     graft.operators.Sessionize
       .sessionize(spark.table(view), orderCol, Nil, gap, bucketSize = bucket)
+      .queryExecution.logical
+  }
+
+  private def strLit(e: Expression, fn: String, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got $other")
+  }
+
+  /** Build the `graft_assign_t` table-function plan:
+    * `graft_assign_t('view', 'groupCols,csv', 'l', 'r', 'cost')` runs the
+    * distributed [[graft.operators.Assignment.assign]] over the named view
+    * — per-group optimal assignment with groups distributed across the
+    * cluster (each group's candidate set is still collected onto one row
+    * for the JV solve, the operator's intrinsic per-group contract; pass ''
+    * for a single global group). */
+  private def assignTablePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "usage: graft_assign_t('view', 'group1,group2', 'leftCol', 'rightCol', 'costCol')")
+    val fn = "graft_assign_t"
+    val view = strLit(args(0), fn, "view name")
+    val groups = strLit(args(1), fn, "group columns").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val l = strLit(args(2), fn, "left column")
+    val r = strLit(args(3), fn, "right column")
+    val cost = strLit(args(4), fn, "cost column")
+    val spark = SparkSession.active
+    graft.operators.Assignment
+      .assign(spark.table(view), groups, l, r, cost)
       .queryExecution.logical
   }
 }

@@ -97,6 +97,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql.contains((1L, 10L, "b", 0.1)) && fromSql.contains((1L, 11L, "a", 0.2)))
   }
 
+  test("graft_assign_t table function equals the typed Assignment operator") {
+    GraftSql.registerFunctions(spark)
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 10L, "a", 0.5), (1L, 10L, "b", 0.1), (1L, 11L, "a", 0.2),
+      (1L, 11L, "b", 0.9), (2L, 20L, "a", 0.3))
+      .toDF("grp", "l", "r", "cost")
+    pairs.createOrReplaceTempView("assign_t_pairs")
+    val fromSql = spark.sql(
+      "SELECT grp, l, r, cost FROM graft_assign_t('assign_t_pairs', 'grp', 'l', 'r', 'cost')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val fromScala = graft.operators.Assignment.assign(
+        pairs, Seq("grp"), "l", "r", "cost")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(fromSql === fromScala)
+    assert(fromSql.contains((1L, 10L, "b", Some(0.1))))
+  }
+
   test("graft_assign drops NULL l/r/cost rows as infeasible, like the Scala API") {
     GraftSql.registerFunctions(spark)
     val values =
