@@ -118,4 +118,44 @@ class CombineSpec extends AnyFunSuite {
     assert(out === Set(("m0", 15.0, 15.0), ("m1", 130.0, 240.0)),
       "anchor rows only, translated per camera")
   }
+
+  test("pollCombine: incremental chunks, pairing, idempotency, missing-id chunk") {
+    import graft.streaming.CombineStream
+    val base = java.nio.file.Files.createTempDirectory("graft_combstream").toString
+    val poseDir = s"$base/pose"; val idsDir = s"$base/ids"; val work = s"$base/work"
+    val p = Combine.Params(fps = 50, maxDistance = 40)
+    def poseChunk(off: Long) = Seq(
+      (ts(off + 2000), off + 1L, "anchor_spine2", 10.0, 10.0),
+      (ts(off + 2000), off + 1L, "head", 11.0, 12.0),
+      (ts(off + 2000), off + 2L, "anchor_spine2", 100.0, 100.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    def idsChunk(off: Long) = Seq(
+      (ts(off + 1000), "alice", Map("alice" -> 0.9), 12.0, 10.0),
+      (ts(off + 1000), "bob", Map("bob" -> 0.8), 98.0, 102.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+    def got() = CombineStream.combined(spark, work)
+      .select("pose_id", "part", "identity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // chunk c1 lands; poll
+    poseChunk(0).write.parquet(s"$poseDir/c1")
+    idsChunk(0).write.parquet(s"$idsDir/c1")
+    CombineStream.pollCombine(spark, poseDir, idsDir, work, p)
+    val want1 = Combine.combineChunk(poseChunk(0), idsChunk(0), p)
+      .select("pose_id", "part", "identity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got() === want1)
+    // empty re-poll: nothing reprocessed, nothing duplicated
+    CombineStream.pollCombine(spark, poseDir, idsDir, work, p)
+    assert(got() === want1)
+    // c2 (pose WITHOUT ids → empty output) and c3 land; poll
+    poseChunk(3600L * 1000000L).write.parquet(s"$poseDir/c2")
+    poseChunk(7200L * 1000000L).write.parquet(s"$poseDir/c3")
+    idsChunk(7200L * 1000000L).write.parquet(s"$idsDir/c3")
+    CombineStream.pollCombine(spark, poseDir, idsDir, work, p)
+    val want3 = Combine.combineChunk(
+        poseChunk(7200L * 1000000L), idsChunk(7200L * 1000000L), p)
+      .select("pose_id", "part", "identity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got() === (want1 ++ want3), "c2 contributes nothing (no id chunk)")
+  }
 }
