@@ -112,11 +112,8 @@ object GraftSql {
   private def sessionizeTablePlan(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 3 || args.length == 4,
       "usage: graft_sessionize_t('view', 'orderCol', gapUs[, bucketSize])")
-    def str(e: Expression, what: String): String = e match {
-      case Literal(v, StringType) if v != null => v.toString
-      case other => throw new IllegalArgumentException(
-        s"graft_sessionize_t: $what must be a string literal, got $other")
-    }
+    def str(e: Expression, what: String): String =
+      strLit(e, "graft_sessionize_t", what)
     def lng(e: Expression, what: String): Long = e match {
       case l: Literal if l.value != null && (l.dataType == org.apache.spark.sql.types.LongType ||
           l.dataType == org.apache.spark.sql.types.IntegerType ||

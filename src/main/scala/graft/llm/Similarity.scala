@@ -148,10 +148,11 @@ object Similarity {
         // cosineTopK) — training on them could produce a (near-)zero or
         // NaN centroid whose NaN cosine would swallow the whole corpus
         // into one cell. The isnan guard is load-bearing: Spark SQL orders
-        // NaN GREATER than any value, so `NaN > 0.0` alone is TRUE
-        .filter(col(vecCol).isNotNull &&
-          !isnan(dotNative(col(vecCol), col(vecCol))) &&
-          dotNative(col(vecCol), col(vecCol)) > 0.0)
+        // NaN GREATER than any value, so `NaN > 0.0` alone is TRUE.
+        // Projected once so the O(dim) dot runs once per row, not twice.
+        .filter(col(vecCol).isNotNull)
+        .withColumn("_n2", dotNative(col(vecCol), col(vecCol)))
+        .filter(!isnan(col("_n2")) && col("_n2") > 0.0)
         .select(toVec(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)

@@ -209,6 +209,7 @@ object AsOfJoin {
     dt match {
       case TimestampType => unix_micros(_)
       case LongType | IntegerType | ShortType | ByteType => _.cast("long")
+      case d: DecimalType if d.scale == 0 => _.cast("long") // exact integral
       case t => throw new IllegalArgumentException(
         s"asof: time column must be timestamp or integral, got ${t.simpleString}")
     }

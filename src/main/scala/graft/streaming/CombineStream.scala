@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.Path
 import graft.combine.Combine
 
 /** The reference's automated combine loop (`combine_pose_id_automated.py:
@@ -18,10 +19,15 @@ import graft.combine.Combine
   *
   * Layout contract (the reference's hourly chunk keys as directories):
   * `poseDir/<chunk>/…parquet` paired with `idsDir/<chunk>/…parquet` by
-  * name; chunk dirs are immutable once written. A pose chunk whose id
-  * chunk is absent yields an EMPTY output dir — the reference's
-  * no-identity-data path (`combine_pose_id_chunk.py:245-250`) — and is
-  * not retried.
+  * name; chunk dirs are immutable once written.
+  *
+  * Pose/id ingestion race: a pose chunk whose id chunk has NOT landed yet
+  * is deferred (a marker under `workDir/pending/`) and retried on every
+  * later poll — the pose files are already in the stream checkpoint, so
+  * without the marker the chunk would freeze as silent data loss. Passing
+  * `finalizeMissing = true` (the epoch's last poll) instead writes the
+  * empty output of the reference's no-identity-data path
+  * (`combine_pose_id_chunk.py:245-250`).
   */
 object CombineStream {
 
@@ -35,17 +41,43 @@ object CombineStream {
     StructField("identity_likelihood", MapType(StringType, DoubleType)),
     StructField("x_top", DoubleType), StructField("y_top", DoubleType)))
 
-  /** Chunk key = the file's immediate parent directory name. */
-  private def chunkKey(file: String): String = {
-    val parts = file.split('/')
-    parts(parts.length - 2)
+  /** Chunk key = the file's immediate parent directory name.
+    * `input_file_name` yields a percent-encoded URI — decode through
+    * java.net.URI so a chunk dir with a space or '%' round-trips. */
+  private def chunkKey(file: String): String =
+    new Path(new java.net.URI(file)).getParent.getName
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Combine one chunk and write its output dir (overwrite-idempotent).
+    * Returns false when the id chunk is absent and `emptyIfMissing` is
+    * unset (caller defers the chunk). */
+  private def combineOne(sp: SparkSession, poseDir: String, idsDir: String,
+      workDir: String, c: String, p: Combine.Params, anchorPart: String,
+      emptyIfMissing: Boolean): Boolean = {
+    val idsPath = new Path(s"$idsDir/$c")
+    val haveIds = fs(sp, idsDir).exists(idsPath)
+    if (!haveIds && !emptyIfMissing) false
+    else {
+      val pose = sp.read.schema(poseChunkSchema).parquet(s"$poseDir/$c")
+      val ids =
+        if (haveIds) sp.read.schema(idsChunkSchema).parquet(s"$idsDir/$c")
+        else sp.createDataFrame(
+          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], idsChunkSchema)
+      Combine.combineChunk(pose, ids, p, anchorPart)
+        .write.mode("overwrite").parquet(s"$workDir/out/$c")
+      true
+    }
   }
 
   /** One incremental poll: combine every pose chunk whose files are new to
-    * the checkpoint, pairing with the same-named id chunk. */
+    * the checkpoint plus every previously-deferred chunk, pairing each
+    * with the same-named id chunk. */
   def pollCombine(spark: SparkSession, poseDir: String, idsDir: String,
-      workDir: String, p: Combine.Params, anchorPart: String = "anchor"): Unit = {
-    new java.io.File(s"$workDir/out").mkdirs()
+      workDir: String, p: Combine.Params, anchorPart: String = "anchor",
+      finalizeMissing: Boolean = false): Unit = {
+    val pendingDir = s"$workDir/pending"
     val poseFiles = spark.readStream.schema(poseChunkSchema)
       .parquet(s"$poseDir/*")
       .select(input_file_name().as("_f"))
@@ -56,31 +88,42 @@ object CombineStream {
         val sp = batch.sparkSession
         val chunks = batch.select("_f").distinct().collect()
           .map(r => chunkKey(r.getString(0))).distinct.sorted
+        val pfs = fs(sp, pendingDir)
         chunks.foreach { c =>
-          val pose = sp.read.schema(poseChunkSchema).parquet(s"$poseDir/$c")
-          val idsPath = new org.apache.hadoop.fs.Path(s"$idsDir/$c")
-          val fs = idsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-          val ids =
-            if (fs.exists(idsPath))
-              sp.read.schema(idsChunkSchema).parquet(s"$idsDir/$c")
-            else sp.createDataFrame(
-              sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], idsChunkSchema)
-          Combine.combineChunk(pose, ids, p, anchorPart)
-            .write.mode("overwrite").parquet(s"$workDir/out/$c")
+          if (!combineOne(sp, poseDir, idsDir, workDir, c, p, anchorPart,
+              emptyIfMissing = false))
+            pfs.create(new Path(s"$pendingDir/$c"), true).close()
         }
         ()
       }
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // deferred chunks retry OUTSIDE the stream: a poll with no new files
+    // produces no micro-batch, but pending chunks must still be attempted
+    val pfs = fs(spark, pendingDir)
+    val pendRoot = new Path(pendingDir)
+    if (pfs.exists(pendRoot)) pfs.listStatus(pendRoot).foreach { st =>
+      val c = st.getPath.getName
+      if (combineOne(spark, poseDir, idsDir, workDir, c, p, anchorPart,
+          emptyIfMissing = finalizeMissing))
+        pfs.delete(st.getPath, false)
+    }
   }
 
-  /** Combined output so far (batch read over the per-chunk output dirs). */
+  /** Combined output so far (batch read over the per-chunk output dirs).
+    * Empty (no chunk processed yet) keeps the combineChunk schema so
+    * `select`s on the documented columns still resolve. */
   def combined(spark: SparkSession, workDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$workDir/out")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"$workDir/out")
+    val rfs = fs(spark, s"$workDir/out")
     val dirs =
-      if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString)
+      if (rfs.exists(root)) rfs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString)
       else Array.empty[String]
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs.toIndexedSeq: _*)
+    if (dirs.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], poseChunkSchema)
+      val emptyIds = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idsChunkSchema)
+      Combine.combineChunk(empty, emptyIds, Combine.Params())
+    } else spark.read.parquet(dirs.toIndexedSeq: _*)
   }
 }

@@ -147,7 +147,7 @@ class CombineSpec extends AnyFunSuite {
     // empty re-poll: nothing reprocessed, nothing duplicated
     CombineStream.pollCombine(spark, poseDir, idsDir, work, p)
     assert(got() === want1)
-    // c2 (pose WITHOUT ids → empty output) and c3 land; poll
+    // c2 lands WITHOUT its id chunk (ingestion race), c3 lands paired
     poseChunk(3600L * 1000000L).write.parquet(s"$poseDir/c2")
     poseChunk(7200L * 1000000L).write.parquet(s"$poseDir/c3")
     idsChunk(7200L * 1000000L).write.parquet(s"$idsDir/c3")
@@ -156,6 +156,21 @@ class CombineSpec extends AnyFunSuite {
         poseChunk(7200L * 1000000L), idsChunk(7200L * 1000000L), p)
       .select("pose_id", "part", "identity").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    assert(got() === (want1 ++ want3), "c2 contributes nothing (no id chunk)")
+    assert(got() === (want1 ++ want3), "c2 deferred, not silently emptied")
+    // c2's ids arrive late: the deferred chunk is retried on the next poll
+    // even though its pose files are already in the checkpoint
+    idsChunk(3600L * 1000000L).write.parquet(s"$idsDir/c2")
+    CombineStream.pollCombine(spark, poseDir, idsDir, work, p)
+    val want2 = Combine.combineChunk(
+        poseChunk(3600L * 1000000L), idsChunk(3600L * 1000000L), p)
+      .select("pose_id", "part", "identity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got() === (want1 ++ want2 ++ want3), "late id chunk recovered")
+    // a chunk whose ids never arrive finalizes to the reference's empty
+    // output on the last poll
+    poseChunk(10800L * 1000000L).write.parquet(s"$poseDir/c4")
+    CombineStream.pollCombine(spark, poseDir, idsDir, work, p, finalizeMissing = true)
+    assert(got() === (want1 ++ want2 ++ want3), "c4 finalized empty")
+    assert(new java.io.File(s"$work/out/c4").exists, "c4 has an (empty) output dir")
   }
 }
