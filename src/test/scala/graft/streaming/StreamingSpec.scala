@@ -265,6 +265,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("randomized differential: pollFights ≡ detectFights over mixed segments") {
+    import spark.implicits._
+    import graft.behavior.Detectors
+    import scala.util.Random
+    val parts = Map("nose" -> "nose", "head" -> "head",
+      "centroid" -> "spine2", "tail_base" -> "spine4")
+    val p = Detectors.FightParams()
+    for (seed <- Seq(11, 23)) {
+      val rnd = new Random(seed)
+      val t0 = java.sql.Timestamp.valueOf("2024-09-01 06:00:00")
+      val t0us = t0.getTime * 1000L
+      def mouse(f: Int, id: String, cx: Double, cy: Double, noseHead: Double,
+          dropNose: Boolean) = {
+        val all = Seq(
+          (f, id, "nose", cx + 8 + noseHead, cy),
+          (f, id, "head", cx + 8, cy),
+          (f, id, "spine2", cx, cy),
+          (f, id, "spine4", cx - 10, cy))
+        if (dropNose) all.filterNot(_._3 == "nose") else all
+      }
+      // random segment walk: states chosen so frontiers land in 'apart'
+      // segments (camera gaps spanning a frontier are the documented caveat)
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      segs += (("apart", 10)) // frame 0 anchor
+      var total = 10
+      while (total < 1100) {
+        val st = Seq("apart", "fight", "quiet", "gap", "partial")(rnd.nextInt(5))
+        val len = 20 + rnd.nextInt(120)
+        segs += ((st, len)); total += len
+      }
+      var f0 = 0
+      val rows = segs.flatMap { case (st, len) =>
+        val out = (f0 until f0 + len).flatMap { f =>
+          val x = 100.0 + f * 7.0
+          st match {
+            case "apart" =>
+              mouse(f, "A", 100, 100, 2.0, dropNose = false) ++
+                mouse(f, "B", 4000, 4000, 2.0, dropNose = false)
+            case "fight" => // close, contorted, moving
+              mouse(f, "A", x, 100, 10.0, dropNose = false) ++
+                mouse(f, "B", x + 3, 104, 10.0, dropNose = false)
+            case "quiet" => // close but compact poses (cond2 false)
+              mouse(f, "A", x, 100, 2.0, dropNose = false) ++
+                mouse(f, "B", x + 3, 104, 2.0, dropNose = false)
+            case "gap" => Nil // camera dropout
+            case _ => // partial: close, noses undetected (NaN cond2 terms)
+              mouse(f, "A", x, 100, 10.0, dropNose = true) ++
+                mouse(f, "B", x + 3, 104, 10.0, dropNose = true)
+          }
+        }
+        f0 += len
+        out
+      }.toSeq
+      val maxF = f0
+      def poseDf(rs: Seq[(Int, String, String, Double, Double)]) =
+        rs.map { case (f, id, part, x, y) =>
+          (new java.sql.Timestamp(t0.getTime + f * 20L + f % 5), id, part, x, y)
+        }.toDF("time", "identity", "part", "x", "y")
+      // poll cuts inside 'apart' segments (mid-fight cut is covered by the
+      // dedicated two-chunk test; frontier-in-gap is the documented caveat)
+      val apartCuts = {
+        var acc = 0
+        segs.collect { case (st, len) =>
+          val mid = acc + len / 2; acc += len
+          (st, mid)
+        }.filter(_._1 == "apart").map(_._2).filter(c => c > 50 && c < maxF - 50)
+      }
+      val cuts = (apartCuts.take(2) :+ (maxF + p.maxFrameGap.toInt + 5)).sorted
+      val base = Files.createTempDirectory(s"graft_rand$seed").toString
+      val poseDir = s"$base/pose"; val work = s"$base/work"
+      var prev = 0
+      cuts.zipWithIndex.foreach { case (cut, i) =>
+        val chunk = rows.filter(r => r._1 >= prev && r._1 < cut)
+        if (chunk.nonEmpty) poseDf(chunk).write.parquet(s"$poseDir/chunk$i")
+        prev = cut
+        FightStream.pollFights(spark, s"$poseDir/*", work, parts, p, t0us,
+          Seq("A", "B"), t0us + cut.toLong * 20000L)
+      }
+      def key(e: Detectors.FightEvent) =
+        (e.start_ts.getTime, e.end_ts.getTime, e.duration_sec, e.end_x, e.end_y)
+      val stream = FightStream.fightEvents(spark, work).collect().map(key).toSet
+      val batch = Detectors.detectFights(poseDf(rows), None, parts, p)
+        .collect().map(key).toSet
+      assert(stream === batch, s"seed=$seed segs=${segs.toList}")
+      info(s"seed=$seed events=${batch.size}")
+    }
+  }
+
   test("streaming blob-speed condition 3 matches batch detectFights(blob=Some)") {
     import spark.implicits._
     import graft.behavior.Detectors
