@@ -284,28 +284,6 @@ object Detectors {
       .select(col(G), col("session_id").as("ev"), col("firstF"), col("lastF"))
   }
 
-  /** Attach all spine frames in [firstF+lo, lastF+hi] to each event of the
-    * same shard (events are few → broadcast range join). */
-  private def attachSpan(feat: DataFrame, evs: DataFrame, lo: Long, hi: Long,
-      candFrames: DataFrame): Dataset[EvRow] = {
-    val spark = feat.sparkSession
-    import spark.implicits._
-    val e = evs.select(col(G).as("_eg"), col("ev"), col("firstF"), col("lastF"))
-    feat.join(broadcast(e), col(G) === col("_eg") &&
-        col("frame") >= col("firstF") + lo && col("frame") <= col("lastF") + hi)
-      .join(candFrames.select(col(G), col("frame"), lit(true).as("isCand")),
-        Seq(G, "frame"), "left")
-      .select(col(G).as("g"), col("ev"), col("frame"), col("tsUs"),
-        nn(col("m0_centroid_x")).as("c0x"), nn(col("m0_centroid_y")).as("c0y"),
-        nn(col("m1_centroid_x")).as("c1x"), nn(col("m1_centroid_y")).as("c1y"),
-        nn(col("o0")).as("o0"), nn(col("o1")).as("o1"),
-        nn(col("e2")).as("e2"), nn(col("e3")).as("e3"),
-        nn(col("cdist")).as("cdist"),
-        coalesce(col("isCand"), lit(false)).as("isCand"),
-        col("firstF"), col("lastF"))
-      .as[EvRow]
-  }
-
   private def usToTs(us: Long) = new java.sql.Timestamp(us / 1000)
 
   /** Fight detection end-to-end (reference `detect_fights`,
@@ -674,9 +652,24 @@ object Detectors {
     * shard's `_id0`) — callers map indices back to identity strings. */
   private def tubeCore(pose: DataFrame, parts: Map[String, String], p: TubeParams,
       roi: Option[Roi]): Dataset[GTube] = {
-    val spark = pose.sparkSession
-    import spark.implicits._
     val feat = withFeatures(wideFramesG(pose, parts, p.fps))
+    tubeTail(feat.select(col(G), col("frame"), col("tsUs"),
+      nn(col("m0_centroid_x")).as("c0x"), nn(col("m0_centroid_y")).as("c0y"),
+      nn(col("m1_centroid_x")).as("c1x"), nn(col("m1_centroid_y")).as("c1y"),
+      nn(col("o0")).as("o0"), nn(col("o1")).as("o1"),
+      nn(col("e2")).as("e2"), nn(col("e3")).as("e3"),
+      nn(col("cdist")).as("cdist"),
+      coalesce(tubeStartCond(p, roi), lit(false)).as("isCand")), p)
+  }
+
+  /** Tube-test start condition (`social_behaviour_detection.py:259-274`)
+    * over [[withFeatures]] columns: facing each other within tolerance,
+    * close centroids, the relative-extremity and tail-tail/head-head
+    * orderings, and the optional ROI gate. Shared by the batch core and
+    * the streaming silver stage ([[graft.streaming.TubeStream]]) — one
+    * expression, so the two modes cannot drift. NULL on empty-spine rows
+    * (callers coalesce to false). */
+  private[graft] def tubeStartCond(p: TubeParams, roi: Option[Roi]): Column = {
     val adj1 = pmod(col("o1") + 180.0, lit(360.0))
     val roiOk: Column = roi match {
       case Some(r) =>
@@ -699,15 +692,37 @@ object Detectors {
           !(inNest(0) || inNest(1) || nearGate(0) || nearGate(1))
       case None => lit(true)
     }
-    val startCond = abs(col("o0") - adj1) <= p.angleTolerance &&
+    abs(col("o0") - adj1) <= p.angleTolerance &&
       col("cdist") < p.maxDistanceStart &&
       gtNanFalse(col("rel1"), col("rel0")) &&
       gtNanFalse(col("e_tailtail"), col("e_headhead")) && roiOk
-    val cand = feat.filter(startCond).select(G, "frame")
+  }
+
+  /** Shared back half of tube-test detection — candidate sessionization
+    * through the per-event verdict kernel
+    * (`social_behaviour_detection.py:276-385`). `flagged` columns:
+    * `_g, frame, tsUs, c0x, c0y, c1x, c1y, o0, o1, e2, e3, cdist, isCand`;
+    * every frame slot of the shard's spine must be present (empty frames as
+    * NaN rows — trailing all-NaN frames beyond the spine are verdict
+    * no-ops, see [[Kernels.greedyCleanup]]). The SAME function runs under
+    * the batch core and the streaming gold stage
+    * ([[graft.streaming.TubeStream]]) — one implementation, so the two
+    * modes cannot drift. */
+  private[graft] def tubeTail(flagged: DataFrame, p: TubeParams): Dataset[GTube] = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
+    val cand = flagged.filter(col("isCand")).select(G, "frame")
     val evs = events(cand, p.maxFrameGap, p.minTubeTestStartFrames)
     val window = math.ceil(p.fps * p.searchWindowSeconds).toLong
-    // span [firstF, lastF + window)
-    val rows = attachSpan(feat, evs, 0L, window - 1, cand)
+    // span [firstF, lastF + window); events are few → broadcast range join
+    val e = evs.select(col(G).as("_eg"), col("ev"), col("firstF"), col("lastF"))
+    val rows = flagged.join(broadcast(e), col(G) === col("_eg") &&
+        col("frame") >= col("firstF") && col("frame") <= col("lastF") + (window - 1))
+      .select(col(G).as("g"), col("ev"), col("frame"), col("tsUs"),
+        col("c0x"), col("c0y"), col("c1x"), col("c1y"),
+        col("o0"), col("o1"), col("e2"), col("e3"), col("cdist"),
+        col("isCand"), col("firstF"), col("lastF"))
+      .as[EvRow]
     rows.groupByKey(r => (r.g, r.ev)).flatMapGroups {
       (key: (String, Long), it: Iterator[EvRow]) =>
       val g = key._1
