@@ -95,17 +95,9 @@ object FightStream {
       c0x: Double, c0y: Double, c1x: Double, c1y: Double,
       isFight: Boolean, isBridge: Boolean, isMarker: Boolean)
 
-  private def frameDurUs(fps: Double): Long = {
-    val d = math.round(1e6 / fps)
-    require(math.abs(d * fps - 1e6) < 1e-6,
-      s"fps must divide 1e6 microseconds evenly (reference 50 fps), got $fps")
-    d
-  }
+  private def frameDurUs(fps: Double): Long = Poll.frameDurUs(fps)
 
-  val poseSchema: StructType = StructType(Seq(
-    StructField("time", TimestampType), StructField("identity", StringType),
-    StructField("part", StringType), StructField("x", DoubleType),
-    StructField("y", DoubleType)))
+  val poseSchema: StructType = Poll.poseSchema
 
   val blobSchema: StructType = StructType(Seq(
     StructField("time", TimestampType), StructField("x", DoubleType),
@@ -120,36 +112,8 @@ object FightStream {
     * frames. */
   def silverQuery(pose: DataFrame, parts: Map[String, String], fps: Double,
       t0us: Long, ids: Seq[String]): DataFrame = {
-    val sorted = ids.sorted
-    require(sorted.length == 2, s"expected exactly 2 identities, got ${sorted.length}")
-    val durUs = frameDurUs(fps)
-    val withT = pose
-      .withColumn("frame", Cols.frameId(col("time"), lit(t0us), fps))
-      .withColumn("tFrame", timestamp_micros(lit(t0us) + col("frame") * durUs))
-      .withWatermark("tFrame", "0 seconds")
-      .withColumn("mouse", Detectors.mouseCol(lit(sorted.head)))
-      .withColumn("lpart", Detectors.lpartCol(parts))
-      // batch wideFramesG filters to the skeleton parts BEFORE aggregating,
-      // so the slot tsUs must too: a non-skeleton row (spine1, tail_tip …)
-      // landing earliest in a slot must not shift event timestamps. Marker
-      // rows (null identity) stay — they only advance the watermark.
-      .filter(col("identity").isNull || col("lpart").isNotNull)
-    // tsUs excludes marker rows (null identity): a marker landing in a live
-    // slot must not replace the slot's real min pose timestamp (event
-    // start/end times come from tsUs); marker-only slots synthesize the
-    // slot-grid time, like the batch dense spine does for empty frames
-    val allAggs = Seq(min(col("frame")).as("frame"),
-      min(when(col("identity").isNotNull, unix_micros(col("time")))).as("tsUs0"),
-      count(when(col("identity").isNotNull, lit(1))).as("nReal")) ++
-      Detectors.pivotAggs
-    val wide = Detectors.expandPivot(withT
-      .groupBy(window(col("tFrame"), s"$durUs microseconds"))
-      .agg(allAggs.head, allAggs.tail: _*)
-      .drop("window"))
-      .withColumn("tsUs", coalesce(col("tsUs0"), lit(t0us) + col("frame") * durUs))
-      .drop("tsUs0")
     import Detectors.nn
-    Detectors.withFeatures(wide).select(
+    Poll.silverFeatures(pose, parts, fps, t0us, ids).select(
       col("frame"), col("tsUs"),
       nn(col("m0_centroid_x")).as("c0x"), nn(col("m0_centroid_y")).as("c0y"),
       nn(col("m1_centroid_x")).as("c1x"), nn(col("m1_centroid_y")).as("c1y"),
@@ -284,19 +248,10 @@ object FightStream {
   private val filledSchema = org.apache.spark.sql.Encoders.product[FilledRow].schema
   private val eventSchema = org.apache.spark.sql.Encoders.product[FightEvent].schema
 
-  private def drain(df: DataFrame, outPath: String, checkpoint: String): Unit = {
-    def once(): Unit =
-      df.writeStream.format("parquet")
-        .option("path", outPath).option("checkpointLocation", checkpoint)
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    // second pass: stateful append sinks evict with the watermark advanced
-    // by the FIRST pass's data, so a no-data flush run emits what the data
-    // run closed — without it, emission would lag one poll behind
-    once(); once()
-  }
+  private def drain(df: DataFrame, outPath: String, checkpoint: String): Unit =
+    Poll.drain(df, outPath, checkpoint)
 
-  private def ensureDir(path: String): Unit =
-    new java.io.File(path).mkdirs()
+  private def ensureDir(path: String): Unit = Poll.ensureDir(path)
 
   /** Incrementally maintain the per-frame smoothed blob-speed table
     * (condition 3, reference `social_behaviour_detection.py:579-601`): the
@@ -376,20 +331,7 @@ object FightStream {
     // condition 3: refresh the incremental per-frame speed table BEFORE the
     // filled stage reads it (stream-static join below)
     blobDir.foreach(bd => updateBlobSpeeds(spark, bd, speedDir, p, t0us))
-    // frontier markers at (upTo − 1 frame, upTo): the pair advances the
-    // watermark to exactly upTo, flushing every frame slot STRICTLY before
-    // the frontier — the slot containing upTo stays pending, so rows for it
-    // arriving in a later poll are merged, not dropped as late
-    val markers = Seq(upToUs - durUs, upToUs).map { us =>
-      // full µs precision: Timestamp(ms) alone truncates up to 999 µs, which
-      // can round the marker's frame id one slot low and leave the last
-      // pre-frontier slot unflushed this poll
-      val t = new java.sql.Timestamp(us / 1000)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      Row(t, null, null, null, null)
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(markers, 1), poseSchema)
-      .write.mode("append").parquet(markerDir)
+    Poll.writeMarkers(spark, markerDir, upToUs, durUs)
     val pose = spark.readStream.schema(poseSchema).parquet(poseDir)
       .unionByName(spark.readStream.schema(poseSchema).parquet(markerDir))
     drain(silverQuery(pose, parts, p.fps, t0us, ids),
@@ -431,14 +373,8 @@ object FightStream {
   /** Events emitted so far (batch read of the per-micro-batch gold dirs). */
   def fightEvents(spark: SparkSession, workDir: String): Dataset[FightEvent] = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(s"$workDir/events")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(root))
-        fs.listStatus(root).filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("b")).map(_.getPath.toString)
-      else Array.empty[String]
+    val dirs = Poll.eventParquetDirs(spark, workDir)
     if (dirs.isEmpty) spark.emptyDataset[FightEvent]
-    else spark.read.schema(eventSchema).parquet(dirs.toIndexedSeq: _*).as[FightEvent]
+    else spark.read.schema(eventSchema).parquet(dirs: _*).as[FightEvent]
   }
 }

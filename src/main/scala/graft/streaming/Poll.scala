@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.behavior.Detectors
+import graft.functions.Cols
+
+/** Shared plumbing for the incremental detector pollers
+  * ([[FightStream]], [[TubeStream]]): the per-frame-slot silver pivot, the
+  * frontier-marker watermark protocol, and the drain / event-dir helpers.
+  * ONE pivot implementation — the two streams' feature tables cannot drift
+  * from each other, and both ride [[Detectors.withFeatures]] /
+  * [[Detectors.pivotAggs]], so they cannot drift from the batch cores
+  * either. */
+private[streaming] object Poll {
+
+  val poseSchema: StructType = StructType(Seq(
+    StructField("time", TimestampType), StructField("identity", StringType),
+    StructField("part", StringType), StructField("x", DoubleType),
+    StructField("y", DoubleType)))
+
+  def frameDurUs(fps: Double): Long = {
+    val d = math.round(1e6 / fps)
+    require(math.abs(d * fps - 1e6) < 1e-6,
+      s"fps must divide 1e6 microseconds evenly (reference 50 fps), got $fps")
+    d
+  }
+
+  /** Pose stream → per-frame-slot wide pivot + ALL batch feature columns
+    * (plus `frame`, `tsUs`, `nReal`); the watermark rides the frame-slot
+    * grid time. Marker rows (null identity/part) advance the watermark,
+    * aggregate to all-null (`nReal = 0`) slots, and never contribute to a
+    * slot's `tsUs`. Callers select their detector's columns. */
+  def silverFeatures(pose: DataFrame, parts: Map[String, String], fps: Double,
+      t0us: Long, ids: Seq[String]): DataFrame = {
+    val sorted = ids.sorted
+    require(sorted.length == 2, s"expected exactly 2 identities, got ${sorted.length}")
+    val durUs = frameDurUs(fps)
+    val withT = pose
+      .withColumn("frame", Cols.frameId(col("time"), lit(t0us), fps))
+      .withColumn("tFrame", timestamp_micros(lit(t0us) + col("frame") * durUs))
+      .withWatermark("tFrame", "0 seconds")
+      .withColumn("mouse", Detectors.mouseCol(lit(sorted.head)))
+      .withColumn("lpart", Detectors.lpartCol(parts))
+      // batch wideFramesG filters to the skeleton parts BEFORE aggregating,
+      // so the slot tsUs must too: a non-skeleton row (spine1, tail_tip …)
+      // landing earliest in a slot must not shift event timestamps. Marker
+      // rows (null identity) stay — they only advance the watermark.
+      .filter(col("identity").isNull || col("lpart").isNotNull)
+    // tsUs excludes marker rows (null identity): a marker landing in a live
+    // slot must not replace the slot's real min pose timestamp (event
+    // start/end times come from tsUs); marker-only slots synthesize the
+    // slot-grid time, like the batch dense spine does for empty frames
+    val allAggs = Seq(min(col("frame")).as("frame"),
+      min(when(col("identity").isNotNull, unix_micros(col("time")))).as("tsUs0"),
+      count(when(col("identity").isNotNull, lit(1))).as("nReal")) ++
+      Detectors.pivotAggs
+    val wide = Detectors.expandPivot(withT
+      .groupBy(window(col("tFrame"), s"$durUs microseconds"))
+      .agg(allAggs.head, allAggs.tail: _*)
+      .drop("window"))
+      .withColumn("tsUs", coalesce(col("tsUs0"), lit(t0us) + col("frame") * durUs))
+      .drop("tsUs0")
+    Detectors.withFeatures(wide)
+  }
+
+  def drain(df: DataFrame, outPath: String, checkpoint: String): Unit = {
+    def once(): Unit =
+      df.writeStream.format("parquet")
+        .option("path", outPath).option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // second pass: stateful append sinks evict with the watermark advanced
+    // by the FIRST pass's data, so a no-data flush run emits what the data
+    // run closed — without it, emission would lag one poll behind
+    once(); once()
+  }
+
+  def ensureDir(path: String): Unit =
+    new java.io.File(path).mkdirs()
+
+  /** Append the frontier-marker pair at (upTo − 1 frame, upTo): the pair
+    * advances the watermark to exactly upTo, flushing every frame slot
+    * STRICTLY before the frontier — the slot containing upTo stays
+    * pending, so rows for it arriving in a later poll are merged, not
+    * dropped as late. */
+  def writeMarkers(spark: SparkSession, markerDir: String, upToUs: Long,
+      durUs: Long): Unit = {
+    val markers = Seq(upToUs - durUs, upToUs).map { us =>
+      // full µs precision: Timestamp(ms) alone truncates up to 999 µs, which
+      // can round the marker's frame id one slot low and leave the last
+      // pre-frontier slot unflushed this poll
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      Row(t, null, null, null, null)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(markers, 1), poseSchema)
+      .write.mode("append").parquet(markerDir)
+  }
+
+  /** The per-micro-batch gold event dirs under `workDir/events`. */
+  def eventParquetDirs(spark: SparkSession, workDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$workDir/events")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("b")).map(_.getPath.toString).toIndexedSeq
+    else Seq.empty
+  }
+}
