@@ -32,7 +32,13 @@ import scala.collection.mutable
   *     the reference), and the J3 solve is inherently per-group;
   *   - `graft_assign_t('view', 'grp1,grp2', 'l', 'r', 'cost')` — TABLE
   *     function form of the same operator: groups distributed across the
-  *     cluster, no caller-side `collect_list`/`GROUP BY` assembly.
+  *     cluster, no caller-side `collect_list`/`GROUP BY` assembly;
+  *   - `graft_fights_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[,
+  *     'blobView']]]])` and `graft_tube_tests_t('poseView'[, 'partsCsv'[,
+  *     'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])` — the full batch
+  *     behavior detectors as table functions: a SQL-only user runs the
+  *     flagship pipelines end-to-end
+  *     (`SELECT * FROM graft_fights_t('pose_v', '', 'A,B')`).
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -61,6 +67,14 @@ object GraftSql {
       FunctionIdentifier("graft_assign_t"),
       new ExpressionInfo("graft.GraftSql", "graft_assign_t"),
       (args: Seq[Expression]) => assignTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_fights_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_fights_t"),
+      (args: Seq[Expression]) => fightsTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_tube_tests_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_tube_tests_t"),
+      (args: Seq[Expression]) => tubeTablePlan(args))
     spark.udf.register("graft_sessionize",
       (times: Seq[Long], gapUs: Long) => {
         var sid = 0L
@@ -136,6 +150,91 @@ object GraftSql {
     case Literal(v, StringType) if v != null => v.toString
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be a string literal, got $other")
+  }
+
+  private def dblLit(e: Expression, fn: String, what: String): Double = e match {
+    case l: Literal if l.value != null => l.dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        l.value.toString.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got $e")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a numeric literal, got $other")
+  }
+
+  /** Parse `'nose=nose,head=head,centroid=spine2,tail_base=spine4'`;
+    * '' = identity mapping over the 4 logical skeleton parts. */
+  private def partsMap(csv: String, fn: String): Map[String, String] = {
+    val logical = Seq("nose", "head", "centroid", "tail_base")
+    if (csv.trim.isEmpty) logical.map(p => p -> p).toMap
+    else {
+      val m = csv.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=").map(_.trim) match {
+          case Array(k, v) => k -> v
+          case _ => throw new IllegalArgumentException(
+            s"$fn: parts mapping entry '$kv' is not logical=physical")
+        }
+      }.toMap
+      require(logical.forall(m.contains),
+        s"$fn: parts mapping must cover ${logical.mkString(", ")}")
+      m
+    }
+  }
+
+  private def idsOpt(csv: String): Option[Seq[String]] = {
+    val ids = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (ids.isEmpty) None else Some(ids)
+  }
+
+  /** Build the `graft_fights_t` table-function plan:
+    * `graft_fights_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[, 'blobView']]]])`
+    * runs the full batch fight detector ([[graft.behavior.Detectors.detectFights]])
+    * over the named view — the flagship pipeline from pure SQL. Pass the
+    * identity pair to keep resolution fully lazy (without it the detector
+    * resolves the 2-identity domain with one small job at plan build, like
+    * the typed API). `''` parts = identity skeleton mapping; a non-empty
+    * 5th argument joins the named blob view for the speed condition. */
+  private def fightsTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_fights_t"
+    require(args.nonEmpty && args.length <= 5,
+      s"usage: $fn('view'[, 'nose=..,head=..,centroid=..,tail_base=..'[, 'idA,idB'[, fps[, 'blobView']]]])")
+    val view = strLit(args(0), fn, "view name")
+    val parts = partsMap(if (args.length >= 2) strLit(args(1), fn, "parts mapping") else "", fn)
+    val ids = if (args.length >= 3) idsOpt(strLit(args(2), fn, "identities")) else None
+    val fps = if (args.length >= 4) dblLit(args(3), fn, "fps") else 50.0
+    val blob = (if (args.length >= 5) Some(strLit(args(4), fn, "blob view")) else None)
+      .filter(_.trim.nonEmpty)
+    val spark = SparkSession.active
+    graft.behavior.Detectors.detectFights(spark.table(view),
+        blob.map(spark.table), parts,
+        graft.behavior.Detectors.FightParams(fps = fps), knownIds = ids)
+      .toDF().queryExecution.logical
+  }
+
+  /** Build the `graft_tube_tests_t` table-function plan:
+    * `graft_tube_tests_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])`
+    * — the batch tube-test detector from pure SQL; the optional 5th
+    * argument is the annulus ROI (nest/gate exclusions need the typed
+    * [[graft.behavior.Detectors.Roi]] API). */
+  private def tubeTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_tube_tests_t"
+    require(args.nonEmpty && args.length <= 5,
+      s"usage: $fn('view'[, 'nose=..,head=..,centroid=..,tail_base=..'[, 'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])")
+    val view = strLit(args(0), fn, "view name")
+    val parts = partsMap(if (args.length >= 2) strLit(args(1), fn, "parts mapping") else "", fn)
+    val ids = if (args.length >= 3) idsOpt(strLit(args(2), fn, "identities")) else None
+    val fps = if (args.length >= 4) dblLit(args(3), fn, "fps") else 50.0
+    val roi = (if (args.length >= 5) Some(strLit(args(4), fn, "roi")) else None)
+      .filter(_.trim.nonEmpty).map { csv =>
+        val xs = csv.split(",").map(_.trim.toDouble)
+        require(xs.length == 4, s"$fn: roi must be 'cx,cy,innerR,outerR'")
+        graft.behavior.Detectors.Roi(xs(0), xs(1), xs(2), xs(3))
+      }
+    val spark = SparkSession.active
+    graft.behavior.Detectors.detectTubeTests(spark.table(view), parts,
+        graft.behavior.Detectors.TubeParams(fps = fps), roi = roi, knownIds = ids)
+      .toDF().queryExecution.logical
   }
 
   /** Build the `graft_assign_t` table-function plan:

@@ -117,6 +117,73 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql.contains((1L, 10L, "b", Some(0.1))))
   }
 
+  test("graft_fights_t and graft_tube_tests_t run the detectors from pure SQL") {
+    import spark.implicits._
+    import graft.behavior.Detectors
+    GraftSql.registerFunctions(spark)
+    val parts = Map("nose" -> "nose", "head" -> "head",
+      "centroid" -> "spine2", "tail_base" -> "spine4")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def mouse(f: Int, id: String, cx: Double, cy: Double, dir: Double,
+        noseHead: Double = 2.0) = Seq(
+      (f, id, "nose", cx + dir * (8 + noseHead), cy),
+      (f, id, "head", cx + dir * 8, cy),
+      (f, id, "spine2", cx, cy),
+      (f, id, "spine4", cx - dir * 10, cy))
+    def poseDf(rows: Seq[(Int, String, String, Double, Double)]) =
+      rows.map { case (f, id, part, x, y) =>
+        (new java.sql.Timestamp(t0.getTime + f * 20L), id, part, x, y)
+      }.toDF("time", "identity", "part", "x", "y")
+    // fight fixture (DetectorSpec golden): close fast contorted 100–200
+    val fightRows = (0 to 260).flatMap { f =>
+      if (f >= 100 && f <= 200) {
+        val x = 100.0 + (f - 100) * 10.0
+        mouse(f, "A", x, 100, 1, noseHead = 10.0) ++
+          mouse(f, "B", x + 3, 104, 1, noseHead = 10.0)
+      } else mouse(f, "A", 100, 100, 1) ++ mouse(f, "B", 400, 400, 1)
+    }
+    poseDf(fightRows).createOrReplaceTempView("sql_fight_pose")
+    val sqlFights = spark.sql(
+      "SELECT * FROM graft_fights_t('sql_fight_pose', " +
+        "'nose=nose,head=head,centroid=spine2,tail_base=spine4', 'A,B')")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val typedFights = Detectors.detectFights(poseDf(fightRows), None, parts,
+        Detectors.FightParams())
+      .collect().map(e => (e.start_ts.getTime, e.end_ts.getTime,
+        e.duration_sec, e.end_x, e.end_y)).toSet
+    assert(typedFights.size === 1)
+    assert(sqlFights === typedFights)
+    // tube fixture (DetectorSpec golden): stand-off then B retreats
+    val tubeRows = (0 to 69).flatMap { f =>
+      if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)
+      else mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140.0 + 3 * (f - 19), 50, 1)
+    }
+    poseDf(tubeRows).createOrReplaceTempView("sql_tube_pose")
+    val sqlTubes = spark.sql(
+      "SELECT * FROM graft_tube_tests_t('sql_tube_pose', '" +
+        "nose=nose,head=head,centroid=spine2,tail_base=spine4', 'A,B', 50.0, " +
+        "'0,50,50,400')")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2))).toSet
+    val typedTubes = Detectors.detectTubeTests(poseDf(tubeRows), parts,
+        Detectors.TubeParams(), roi = Some(Detectors.Roi(0.0, 50.0, 50.0, 400.0)))
+      .collect().map(e => (e.start_ts.getTime, e.end_ts.getTime,
+        e.winner_identity)).toSet
+    assert(typedTubes.size === 1 && typedTubes.head._3 === "A")
+    assert(sqlTubes === typedTubes)
+    // identity parts mapping default: '' resolves nose/head/centroid/tail_base
+    poseDf(tubeRows).withColumn("part",
+        org.apache.spark.sql.functions.expr(
+          "CASE part WHEN 'spine2' THEN 'centroid' WHEN 'spine4' THEN 'tail_base' ELSE part END"))
+      .createOrReplaceTempView("sql_tube_pose_ident")
+    val sqlDefault = spark.sql(
+      "SELECT * FROM graft_tube_tests_t('sql_tube_pose_ident')")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2))).toSet
+    assert(sqlDefault === typedTubes)
+  }
+
   test("graft_assign drops NULL l/r/cost rows as infeasible, like the Scala API") {
     GraftSql.registerFunctions(spark)
     val values =
