@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.behavior.Detectors
-import graft.streaming.FightStream
+import graft.streaming.{FightStream, TubeStream}
 
 /** Streaming fight-detector scale probe (SURVEY §8): replays the
   * reference's operational cadence — four 30-minute polls over a 2-hour
@@ -91,6 +91,57 @@ object StreamProbe {
       f"pollSecs=[${times.map(t => f"$t%.1f").mkString(",")}] flush=$flushS%.1fs")
     require(events.length == nPolls,
       s"expected $nPolls planted fights, got ${events.length}")
+
+    // ---- tube-test poller at the same cadence: one stand-off + retreat
+    // planted per poll window (frames [k·90000+1000, +1019] stand-off,
+    // [+1020, +1069] retreat)
+    val tubeWork = s"$base/tube_work"; val tubePoseDir = s"$base/tube_pose"
+    val tp = Detectors.TubeParams()
+    def tubeChunk(k: Long) = {
+      val lo = k * framesPerPoll
+      val frames = spark.range(lo, lo + framesPerPoll).select(col("id").as("frame"))
+        .withColumn("inStand", col("frame").between(lo + 1000, lo + 1019))
+        .withColumn("inRetreat", col("frame").between(lo + 1020, lo + 1069))
+      val mice = array(
+        (for (m <- Seq(0, 1); part <- Seq("nose", "head", "spine2", "spine4")) yield {
+          val id = if (m == 0) "A" else "B"
+          val cx =
+            if (m == 0) lit(100.0)
+            else when(col("inStand"), lit(140.0))
+              .when(col("inRetreat"), lit(140.0) + (col("frame") - lo - 1019) * 3.0)
+              .otherwise(lit(3000.0))
+          val cy =
+            if (m == 0) lit(50.0)
+            else when(col("inStand") || col("inRetreat"), lit(50.0))
+              .otherwise(lit(3000.0))
+          val dir = if (m == 0) lit(1.0) else when(col("inStand"), lit(-1.0)).otherwise(lit(1.0))
+          val dx = part match {
+            case "nose" => dir * 10.0; case "head" => dir * 8.0
+            case "spine2" => lit(0.0); case _ => dir * -10.0
+          }
+          struct(lit(id).as("identity"), lit(part).as("part"),
+            (cx + dx).as("x"), cy.as("y"))
+        }): _*)
+      frames.select(col("frame"), explode(mice).as("m"))
+        .select(timestamp_micros(lit(t0us) + col("frame") * 20000L).as("time"),
+          col("m.identity"), col("m.part"), col("m.x"), col("m.y"))
+    }
+    val tubeTimes = (0L until nPolls).map { k =>
+      tubeChunk(k).write.parquet(s"$tubePoseDir/chunk$k")
+      val upTo = t0us + ((k + 1) * framesPerPoll) * 20000L
+      val t0 = System.nanoTime()
+      TubeStream.pollTubeTests(spark, s"$tubePoseDir/*", tubeWork, parts, tp,
+        t0us, Seq("A", "B"), upTo)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tubeEvents = TubeStream.tubeEvents(spark, tubeWork).collect()
+    println(f"TUBE_STREAM_PROBE polls=$nPolls framesPerPoll=$framesPerPoll " +
+      f"events=${tubeEvents.length} " +
+      f"pollSecs=[${tubeTimes.map(t => f"$t%.1f").mkString(",")}]")
+    require(tubeEvents.length == nPolls,
+      s"expected $nPolls planted tube tests, got ${tubeEvents.length}")
+    require(tubeEvents.forall(_.winner_identity == "A"),
+      "every planted tube test is won by A")
     spark.stop()
   }
 }
