@@ -87,6 +87,56 @@ object EpochProbe {
     println(f"EPOCH_PROBE epochs=$nEpochs poseRows=${nEpochs * framesPerEpoch * 8} " +
       f"events=${events.length} analysisSingle=$analysisNew%.2fs execSingle=$wallNew%.1fs " +
       f"analysisUnion20=$analysisOld%.1fs")
+    require(events.length == nEpochs,
+      s"expected $nEpochs planted fights, got ${events.length}")
+
+    // --- tube tests over the same corpus shape: one stand-off (frames
+    // 1000-1019) + retreat (1020-1069) per epoch, single-plan all-epochs ---
+    val tubeBase = spark.range(nEpochs * framesPerEpoch)
+      .select((col("id") / framesPerEpoch).cast("int").as("ep"),
+        (col("id") % framesPerEpoch).as("frame"))
+      .withColumn("inStand", col("frame").between(1000, 1019))
+      .withColumn("inRetreat", col("frame").between(1020, 1069))
+    val tubeMice = array(
+      (for (m <- Seq(0, 1); p <- Seq("nose", "head", "spine2", "spine4")) yield {
+        val id = if (m == 0) "A" else "B"
+        val cx =
+          if (m == 0) lit(100.0)
+          else when(col("inStand"), lit(140.0))
+            .when(col("inRetreat"), lit(140.0) + (col("frame") - 1019) * 3.0)
+            .otherwise(lit(3000.0))
+        val cy =
+          if (m == 0) lit(50.0)
+          else when(col("inStand") || col("inRetreat"), lit(50.0)).otherwise(lit(3000.0))
+        val dir = if (m == 0) lit(1.0) else when(col("inStand"), lit(-1.0)).otherwise(lit(1.0))
+        val dx = p match {
+          case "nose" => dir * 10.0; case "head" => dir * 8.0
+          case "spine2" => lit(0.0); case _ => dir * -10.0
+        }
+        struct(lit(id).as("identity"), lit(p).as("part"),
+          (cx + dx).as("x"), cy.as("y"))
+      }): _*)
+    val tubePose = tubeBase
+      .select(col("ep"), col("frame"), explode(tubeMice).as("m"))
+      .select(
+        timestamp_micros(lit(t0us) + col("ep") * 86400000000L + col("frame") * 20000L).as("time"),
+        concat(lit("ep"), format_string("%02d", col("ep"))).as("epoch"),
+        col("m.identity"), col("m.part"), col("m.x"), col("m.y"))
+      .localCheckpoint()
+    val tp = Detectors.TubeParams()
+    val tT0 = System.nanoTime()
+    val tubeUnified = Detectors.detectTubeTestsAllEpochs(tubePose, parts, tp)
+    tubeUnified.queryExecution.assertAnalyzed()
+    val tubeAnalysis = (System.nanoTime() - tT0) / 1e9
+    val tT1 = System.nanoTime()
+    val tubeEvents = tubeUnified.collect()
+    val tubeWall = (System.nanoTime() - tT1) / 1e9
+    println(f"TUBE_EPOCH_PROBE epochs=$nEpochs events=${tubeEvents.length} " +
+      f"analysisSingle=$tubeAnalysis%.2fs execSingle=$tubeWall%.1fs")
+    require(tubeEvents.length == nEpochs,
+      s"expected $nEpochs planted tube tests, got ${tubeEvents.length}")
+    require(tubeEvents.forall(_.getAs[String]("winner_identity") == "A"),
+      "every planted tube test is won by A")
     spark.stop()
   }
 }
