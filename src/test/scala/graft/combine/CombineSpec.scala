@@ -173,4 +173,141 @@ class CombineSpec extends AnyFunSuite {
     assert(got() === (want1 ++ want2 ++ want3), "c4 finalized empty")
     assert(new java.io.File(s"$work/out/c4").exists, "c4 has an (empty) output dir")
   }
+
+  test("randomized differential: combineChunk ≡ brute-force per-tick model") {
+    import scala.util.Random
+    val periodUs = 20000L; val tolUs = 5000L; val maxDist = 40.0
+    // max-cardinality then min-total-cost matching over feasible cells
+    // (the JV solver's BIG-padding semantics), brute-forced for ≤4×4
+    def bruteAssign(cost: Array[Array[Double]]): Array[Int] = {
+      val n = cost.length; val m = if (n == 0) 0 else cost(0).length
+      var bestCard = -1; var bestCost = 0.0; var bestAsg = Array.fill(n)(-1)
+      def rec(i: Int, used: Set[Int], acc: List[Int], card: Int, c: Double): Unit =
+        if (i == n) {
+          if (card > bestCard || (card == bestCard && c < bestCost - 1e-12)) {
+            bestCard = card; bestCost = c; bestAsg = acc.reverse.toArray
+          }
+        } else {
+          rec(i + 1, used, -1 :: acc, card, c)
+          var j = 0
+          while (j < m) {
+            if (!used(j) && !cost(i)(j).isPosInfinity)
+              rec(i + 1, used + j, j :: acc, card + 1, c + cost(i)(j))
+            j += 1
+          }
+        }
+      rec(0, Set.empty, Nil, 0, 0.0)
+      bestAsg
+    }
+    for (seed <- Seq(3, 17, 41)) {
+      val rnd = new Random(seed)
+      case class Anchor(tUs: Long, poseId: Long, x: Double, y: Double)
+      case class Det(tUs: Long, ident: String, lik: Map[String, Double],
+        x: Double, y: Double)
+      val anchors = scala.collection.mutable.ArrayBuffer.empty[Anchor]
+      val extraParts = scala.collection.mutable.ArrayBuffer.empty[Anchor] // "body" rows
+      val dets = scala.collection.mutable.ArrayBuffer.empty[Det]
+      val nTicks = 40
+      var poseId = 0L
+      // pin the grid: anchors exactly on the first and last tick
+      anchors += Anchor(0L, { poseId += 1; poseId }, 10.0, 10.0)
+      anchors += Anchor((nTicks - 1) * periodUs, { poseId += 1; poseId }, 20.0, 20.0)
+      for (k <- 1 until nTicks - 1) {
+        val tick = k * periodUs
+        val nP = rnd.nextInt(4); val nI = rnd.nextInt(4)
+        val tickPoses = (0 until nP).map { idx =>
+          poseId += 1
+          // ms-aligned jitter: the ts() helper truncates µs to ms, so the
+          // model and the engine must see the same instant. Anchors ≥80 px
+          // apart: the reference cost is likelihood-only, so one detection
+          // feasible for TWO anchors is a structural assignment tie (the
+          // engine resolves it deterministically, the brute-force model
+          // arbitrarily) — keep each detection near at most one anchor
+          val a = Anchor(tick + (rnd.nextInt(9) - 4) * 1000L,
+            poseId, idx * 100.0 + rnd.nextDouble() * 20, rnd.nextDouble() * 200)
+          anchors += a
+          if (rnd.nextDouble() < 0.3) extraParts += a
+          a
+        }
+        var usedMissingKey = false
+        (0 until nI).foreach { _ =>
+          val ident = Seq("A", "B", "C")(rnd.nextInt(3))
+          val near = tickPoses.nonEmpty && rnd.nextDouble() < 0.6
+          val (dx, dy) =
+            if (near) { val b = tickPoses(rnd.nextInt(tickPoses.length))
+              (b.x + rnd.nextDouble() * 20 - 10, b.y + rnd.nextDouble() * 20 - 10) }
+            else (rnd.nextDouble() * 200 + 500, rnd.nextDouble() * 200 + 500)
+          // at most one missing-own-key det per tick, never a duplicated
+          // identity (keeps the optimum unique — see cost ties note)
+          val dropOwnKey = !usedMissingKey && rnd.nextDouble() < 0.1 &&
+            !dets.exists(d => math.abs(d.tUs - tick) <= tolUs && d.ident == ident)
+          if (dropOwnKey) usedMissingKey = true
+          val lik = (if (dropOwnKey) Map.empty[String, Double]
+            else Map(ident -> rnd.nextDouble())) ++
+            Map("other" -> rnd.nextDouble())
+          dets += Det(tick + (rnd.nextInt(9) - 4) * 1000L, ident, lik, dx, dy)
+        }
+        // orphan anchor halfway between ticks: outside every band
+        if (rnd.nextDouble() < 0.2 && k < nTicks - 2) {
+          poseId += 1
+          anchors += Anchor(tick + periodUs / 2, poseId,
+            rnd.nextDouble() * 200, rnd.nextDouble() * 200)
+        }
+      }
+      // ---- in-memory model ----
+      val allPoseTs = (anchors ++ extraParts).map(_.tUs)
+      val t0m = allPoseTs.min; val t1m = allPoseTs.max
+      val ticksM = (t0m to t1m by periodUs).toSeq
+      val expected = scala.collection.mutable.Map.empty[Long, (String, Option[Map[String, Double]])]
+      ticksM.foreach { tick =>
+        val as = anchors.filter(a => math.abs(a.tUs - tick) <= tolUs).toArray
+        val ds = dets.filter(d => math.abs(d.tUs - tick) <= tolUs).toArray
+        if (as.nonEmpty && ds.nonEmpty) {
+          val idents = ds.map(_.ident).distinct
+          val cost = Array.fill(as.length, idents.length)(Double.PositiveInfinity)
+          val bestDet = Array.fill[Det](as.length, idents.length)(null)
+          for (i <- as.indices; d <- ds) {
+            val j = idents.indexOf(d.ident)
+            val dist = math.hypot(as(i).x - d.x, as(i).y - d.y)
+            val c = if (dist <= maxDist) -d.lik.getOrElse(d.ident, 0.0)
+              else Double.PositiveInfinity
+            if (c < cost(i)(j)) { cost(i)(j) = c; bestDet(i)(j) = d }
+          }
+          val m = bruteAssign(cost)
+          m.zipWithIndex.foreach { case (j, i) =>
+            if (j >= 0)
+              expected(as(i).poseId) = (idents(j), Some(bestDet(i)(j).lik))
+          }
+          val unL = as.indices.filter(m(_) < 0)
+          val asgJ = m.filter(_ >= 0).toSet
+          val unR = idents.indices.filterNot(asgJ)
+          if (unL.size == 1 && unR.size == 1)
+            expected(as(unL.head).poseId) = (idents(unR.head), None)
+        }
+      }
+      // ---- engine ----
+      val poseDf = (anchors.map(a => (ts(a.tUs), a.poseId, "anchor_spine2", a.x, a.y)) ++
+        extraParts.map(a => (ts(a.tUs), a.poseId, "body", a.x + 1, a.y + 1)))
+        .toSeq.toDF("time", "pose_id", "part", "x", "y")
+      val idsDf = dets.map(d => (ts(d.tUs), d.ident, d.lik, d.x, d.y))
+        .toSeq.toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+      val out = Combine.combineChunk(poseDf, idsDf,
+          Combine.Params(fps = 50, maxDistance = maxDist))
+        .select("pose_id", "part", "identity", "identity_likelihood")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getMap[String, Double](3).toMap)))
+      val gotByPose = out.groupBy(_._1)
+      assert(gotByPose.keySet === expected.keySet.toSet,
+        s"seed=$seed matched pose set differs")
+      expected.foreach { case (pid, (ident, lik)) =>
+        val rows = gotByPose(pid)
+        assert(rows.forall(_._3 == ident), s"seed=$seed pose=$pid identity")
+        assert(rows.forall(_._4 == lik), s"seed=$seed pose=$pid likelihood map")
+        // every part row of a matched pose instance is written back
+        val nParts = 1 + extraParts.count(_.poseId == pid)
+        assert(rows.length === nParts, s"seed=$seed pose=$pid part fanout")
+      }
+    }
+  }
 }
