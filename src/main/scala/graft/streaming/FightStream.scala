@@ -1,12 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
-import graft.behavior.{Detectors, Kernels}
+import graft.behavior.Detectors
 import graft.behavior.Detectors.{FightEvent, FightParams}
-import graft.functions.Cols
 
 /** End-to-end INCREMENTAL fight detection — the reference's operational
   * mode (`combine_pose_id_automated.py:149-185`: a 30-minute polling loop
@@ -58,9 +57,10 @@ import graft.functions.Cols
   *
   * Scale: stage 1 and 3a are keyed stateful aggregations (parallel across
   * frame slots / sessions); stage 2's sequential carry is inherently
-  * serial PER EPOCH — one group key per epoch stream, so a multi-epoch
-  * deployment runs one carry chain per epoch in parallel, state one
-  * (frame, cdist) pair per key. Multiple silver files per poll land in ONE
+  * serial PER EPOCH. A multi-epoch deployment runs ONE POLLER PER EPOCH
+  * (separate `workDir`s — each epoch has its own frame grid `t0us`, like
+  * the reference's per-session jobs); within one poller the carry state is
+  * a single (frame, cdist) pair. Multiple silver files per poll land in ONE
   * micro-batch (AvailableNow, no maxFilesPerTrigger) and are ordered
   * inside the stateful closure, so shuffle-randomized file layout cannot
   * reorder the carry. Stage 3b's slice read prunes the filled sink to the
