@@ -11,13 +11,15 @@ import scala.collection.mutable
   * scale-factor tables as temp views AND expose the typed operator kernels
   * to `spark.sql(...)` so a SQL-only user can run them:
   *
-  *   - `graft_sessionize_t('view', 'orderCol', gapUs[, bucketSize])` — a
-  *     TABLE function (registered in the session's TableFunctionRegistry):
+  *   - `graft_sessionize_t('view', 'orderCol', gapUs[, bucketSize[,
+  *     'grp1,grp2']])` — a TABLE function (registered in the session's
+  *     TableFunctionRegistry):
   *     `SELECT * FROM graft_sessionize_t('events_v', 'ts', 86400000000)`
   *     returns the view's rows plus `session_id`, running the same
   *     distributed plan as the typed [[graft.operators.Sessionize]] — use
   *     this for large keyless tables; with `bucketSize` set the plan has no
-  *     single-partition sort at any size;
+  *     single-partition sort at any size; the optional group-column CSV
+  *     sessionizes per key (bucketSize 0 = unbucketed);
   *   - `graft_sessionize(sort_array(collect_list(us)), gapUs)` → per-element
   *     session ids for an ascending epoch-micros array (the G1 gap rule);
   *     pair back with `arrays_zip` + `inline`. GROUP-SIZE CONTRACT: the
@@ -33,6 +35,9 @@ import scala.collection.mutable
   *   - `graft_assign_t('view', 'grp1,grp2', 'l', 'r', 'cost')` — TABLE
   *     function form of the same operator: groups distributed across the
   *     cluster, no caller-side `collect_list`/`GROUP BY` assembly;
+  *   - `graft_asof_t('leftV', 'rightV', 'time', 'by1,by2',
+  *     'backward|forward|nearest'[, tolUs[, bucketUs]])` — pandas
+  *     `merge_asof` (J2/J11) from pure SQL, distributed;
   *   - `graft_fights_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[,
   *     'blobView']]]])` and `graft_tube_tests_t('poseView'[, 'partsCsv'[,
   *     'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])` — the full batch
@@ -67,6 +72,10 @@ object GraftSql {
       FunctionIdentifier("graft_assign_t"),
       new ExpressionInfo("graft.GraftSql", "graft_assign_t"),
       (args: Seq[Expression]) => assignTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_asof_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_asof_t"),
+      (args: Seq[Expression]) => asofTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_fights_t"),
       new ExpressionInfo("graft.GraftSql", "graft_fights_t"),
@@ -122,10 +131,13 @@ object GraftSql {
     * view in the ACTIVE session and wrap it in the distributed Sessionize
     * plan — no per-group array ever materializes, so the function scales to
     * keyless tables of any size (pass `bucketSize` to also avoid the single
-    * global sort; see [[graft.operators.Sessionize.sessionize]]). */
+    * global sort; see [[graft.operators.Sessionize.sessionize]]). An
+    * optional 5th argument gives per-key sessionization from SQL:
+    * `graft_sessionize_t('v', 'ts', gap, 0, 'user_id')` (bucketSize 0 =
+    * unbucketed; group keys already distribute the sort). */
   private def sessionizeTablePlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 3 || args.length == 4,
-      "usage: graft_sessionize_t('view', 'orderCol', gapUs[, bucketSize])")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: graft_sessionize_t('view', 'orderCol', gapUs[, bucketSize[, 'grp1,grp2']])")
     def str(e: Expression, what: String): String =
       strLit(e, "graft_sessionize_t", what)
     def lng(e: Expression, what: String): Long = e match {
@@ -139,10 +151,13 @@ object GraftSql {
     val view = str(args(0), "view name")
     val orderCol = str(args(1), "order column")
     val gap = lng(args(2), "gap")
-    val bucket = if (args.length == 4) Some(lng(args(3), "bucketSize")) else None
+    val bucket = (if (args.length >= 4) Some(lng(args(3), "bucketSize")) else None)
+      .filter(_ > 0)
+    val by = (if (args.length == 5) str(args(4), "group columns") else "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.active
     graft.operators.Sessionize
-      .sessionize(spark.table(view), orderCol, Nil, gap, bucketSize = bucket)
+      .sessionize(spark.table(view), orderCol, by, gap, bucketSize = bucket)
       .queryExecution.logical
   }
 
@@ -150,6 +165,15 @@ object GraftSql {
     case Literal(v, StringType) if v != null => v.toString
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be a string literal, got $other")
+  }
+
+  private def lngLit(e: Expression, fn: String, what: String): Long = e match {
+    case l: Literal if l.value != null && (l.dataType == org.apache.spark.sql.types.LongType ||
+        l.dataType == org.apache.spark.sql.types.IntegerType ||
+        l.dataType == org.apache.spark.sql.types.ShortType) =>
+      l.value.asInstanceOf[Number].longValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
   }
 
   private def dblLit(e: Expression, fn: String, what: String): Double = e match {
@@ -185,6 +209,41 @@ object GraftSql {
   private def idsOpt(csv: String): Option[Seq[String]] = {
     val ids = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (ids.isEmpty) None else Some(ids)
+  }
+
+  /** Build the `graft_asof_t` table-function plan:
+    * `graft_asof_t('leftView', 'rightView', 'timeCol', 'by1,by2',
+    * 'backward|forward|nearest'[, tolUs[, bucketUs]])` — pandas
+    * `merge_asof` from pure SQL, running the distributed
+    * [[graft.operators.AsOfJoin.asofJoin]] (J2/J11). `''` by-columns =
+    * keyless; tolUs 0 = unbounded; bucketUs > 0 opts into the bucketed
+    * keyless form (no single-partition sort at any size). */
+  private def asofTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_asof_t"
+    require(args.length >= 5 && args.length <= 7,
+      s"usage: $fn('leftView', 'rightView', 'timeCol', 'by1,by2', " +
+        "'backward|forward|nearest'[, tolUs[, bucketUs]])")
+    val lv = strLit(args(0), fn, "left view")
+    val rv = strLit(args(1), fn, "right view")
+    val timeCol = strLit(args(2), fn, "time column")
+    val by = strLit(args(3), fn, "by columns")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    import graft.operators.AsOfJoin
+    val dir = strLit(args(4), fn, "direction").toLowerCase match {
+      case "backward" => AsOfJoin.Backward
+      case "forward" => AsOfJoin.Forward
+      case "nearest" => AsOfJoin.Nearest
+      case other => throw new IllegalArgumentException(
+        s"$fn: direction must be backward|forward|nearest, got '$other'")
+    }
+    val tol = (if (args.length >= 6) Some(lngLit(args(5), fn, "tolUs")) else None)
+      .filter(_ > 0)
+    val bucket = (if (args.length >= 7) Some(lngLit(args(6), fn, "bucketUs")) else None)
+      .filter(_ > 0)
+    val spark = SparkSession.active
+    AsOfJoin.asofJoin(spark.table(lv), spark.table(rv), timeCol, by, dir,
+        tolerance = tol, bucketUs = bucket)
+      .queryExecution.logical
   }
 
   /** Build the `graft_fights_t` table-function plan:

@@ -73,6 +73,59 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sessions === 1000L)
   }
 
+  test("graft_asof_t equals the typed AsOfJoin for all three directions") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    def ts(ms: Long) = new java.sql.Timestamp(1717243200000L + ms)
+    val left = Seq((ts(0), "u1", 1L), (ts(1000), "u1", 2L), (ts(2500), "u2", 3L),
+      (ts(9000), "u1", 4L))
+      .toDF("t", "uid", "lval")
+    val right = Seq((ts(100), "u1", 10.0), (ts(900), "u1", 20.0),
+      (ts(2400), "u2", 30.0), (ts(2600), "u2", 40.0), (ts(20000), "u1", 50.0))
+      .toDF("t", "uid", "rval")
+    left.createOrReplaceTempView("asof_left")
+    right.createOrReplaceTempView("asof_right")
+    for (dirName <- Seq("backward", "forward", "nearest")) {
+      val dir = dirName match {
+        case "backward" => graft.operators.AsOfJoin.Backward
+        case "forward" => graft.operators.AsOfJoin.Forward
+        case _ => graft.operators.AsOfJoin.Nearest
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))
+      val fromSql = spark.sql(
+        s"SELECT lval, rval FROM graft_asof_t('asof_left', 'asof_right', 't', 'uid', '$dirName', 2000000)")
+        .collect().map(key).toSet
+      val fromScala = graft.operators.AsOfJoin.asofJoin(left, right, "t",
+          Seq("uid"), dir, tolerance = Some(2000000L))
+        .select("lval", "rval")
+        .collect().map(key).toSet
+      assert(fromSql === fromScala, s"direction=$dirName")
+    }
+    // keyless + bucketed form from SQL
+    val fromSqlKeyless = spark.sql(
+      "SELECT lval, rval FROM graft_asof_t('asof_left', 'asof_right', 't', '', 'backward', 0, 3600000000)")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val fromScalaKeyless = graft.operators.AsOfJoin.asofJoin(left, right, "t",
+        Nil, graft.operators.AsOfJoin.Backward, bucketUs = Some(3600000000L))
+      .select("lval", "rval")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(fromSqlKeyless === fromScalaKeyless)
+  }
+
+  test("graft_sessionize_t with group columns equals the typed per-key operator") {
+    GraftSql.register(spark, TestSpark.sfDir)
+    val gap = 86400L * 1000000L
+    val fromSql = spark.sql(
+      s"SELECT event_id, session_id FROM graft_sessionize_t('events', 'ts', $gap, 0, 'user_id')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromScala = graft.operators.Sessionize.sessionize(
+        spark.table("events"), "ts", Seq("user_id"), gap)
+      .select("event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSql === fromScala)
+  }
+
   test("graft_assign from SQL equals the typed Assignment operator") {
     GraftSql.registerFunctions(spark)
     import spark.implicits._
