@@ -38,6 +38,9 @@ import scala.collection.mutable
   *   - `graft_asof_t('leftV', 'rightV', 'time', 'by1,by2',
   *     'backward|forward|nearest'[, tolUs[, bucketUs]])` — pandas
   *     `merge_asof` (J2/J11) from pure SQL, distributed;
+  *   - `graft_band_t('leftV', 'rightV', 'lt', 'rt', 'by1,by2', loUs,
+  *     hiUs)` — the bucketed tolerance band join (J1; a raw SQL BETWEEN
+  *     join plans as a nested loop, this shape shuffles on time buckets);
   *   - `graft_fights_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[,
   *     'blobView']]]])` and `graft_tube_tests_t('poseView'[, 'partsCsv'[,
   *     'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])` — the full batch
@@ -76,6 +79,10 @@ object GraftSql {
       FunctionIdentifier("graft_asof_t"),
       new ExpressionInfo("graft.GraftSql", "graft_asof_t"),
       (args: Seq[Expression]) => asofTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_band_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_band_t"),
+      (args: Seq[Expression]) => bandTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_fights_t"),
       new ExpressionInfo("graft.GraftSql", "graft_fights_t"),
@@ -243,6 +250,30 @@ object GraftSql {
     val spark = SparkSession.active
     AsOfJoin.asofJoin(spark.table(lv), spark.table(rv), timeCol, by, dir,
         tolerance = tol, bucketUs = bucket)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_band_t` table-function plan:
+    * `graft_band_t('leftV', 'rightV', 'leftTime', 'rightTime', 'by1,by2',
+    * lowerUs, upperUs)` — the bucketed tolerance band join (J1) from pure
+    * SQL. A naive SQL `JOIN ON r.t BETWEEN l.t+lo AND l.t+hi` plans as a
+    * nested-loop join; this runs the equi-bucketed
+    * [[graft.operators.BandJoin.bandJoin]] shape that survives scale. */
+  private def bandTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_band_t"
+    require(args.length == 7,
+      s"usage: $fn('leftView', 'rightView', 'leftTime', 'rightTime', 'by1,by2', lowerUs, upperUs)")
+    val lv = strLit(args(0), fn, "left view")
+    val rv = strLit(args(1), fn, "right view")
+    val lt = strLit(args(2), fn, "left time column")
+    val rt = strLit(args(3), fn, "right time column")
+    val by = strLit(args(4), fn, "by columns")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val lo = lngLit(args(5), fn, "lowerUs")
+    val hi = lngLit(args(6), fn, "upperUs")
+    val spark = SparkSession.active
+    graft.operators.BandJoin
+      .bandJoin(spark.table(lv), spark.table(rv), lt, rt, by, lo, hi)
       .queryExecution.logical
   }
 

@@ -113,6 +113,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSqlKeyless === fromScalaKeyless)
   }
 
+  test("graft_band_t equals the typed BandJoin and avoids the nested-loop plan") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    def ts(ms: Long) = new java.sql.Timestamp(1717243200000L + ms)
+    val left = Seq((ts(0), "u1", 1L), (ts(1000), "u2", 2L), (ts(5000), "u1", 3L))
+      .toDF("lt", "uid", "lval")
+    val right = Seq((ts(400), "u1", 10.0), (ts(900), "u2", 20.0),
+      (ts(1600), "u2", 30.0), (ts(9000), "u1", 40.0))
+      .toDF("rt", "uid", "rval")
+    left.createOrReplaceTempView("band_left")
+    right.createOrReplaceTempView("band_right")
+    val df = spark.sql(
+      "SELECT lval, rval FROM graft_band_t('band_left', 'band_right', 'lt', 'rt', 'uid', -500000, 700000)")
+    val fromSql = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val fromScala = graft.operators.BandJoin.bandJoin(left, right, "lt", "rt",
+        Seq("uid"), -500000L, 700000L)
+      .select("lval", "rval")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(fromSql === fromScala)
+    assert(fromSql === Set((1L, 10.0), (2L, 20.0), (2L, 30.0)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "graft_band_t must plan as an equi-bucketed join, not a nested loop")
+  }
+
   test("graft_sessionize_t with group columns equals the typed per-key operator") {
     GraftSql.register(spark, TestSpark.sfDir)
     val gap = 86400L * 1000000L
