@@ -250,6 +250,19 @@ class GraftSqlSpec extends AnyFunSuite {
         e.winner_identity)).toSet
     assert(typedTubes.size === 1 && typedTubes.head._3 === "A")
     assert(sqlTubes === typedTubes)
+    // blob view argument wires condition 3: a slow blob during the planted
+    // fight suppresses it (typed parity both with and without the view)
+    val blobSlow = (0 to 260).map { f =>
+      (new java.sql.Timestamp(t0.getTime + f * 20L), 100.0, 100.0)
+    }.toDF("time", "x", "y")
+    blobSlow.createOrReplaceTempView("sql_fight_blob")
+    val sqlBlob = spark.sql(
+      "SELECT * FROM graft_fights_t('sql_fight_pose', '', 'A,B', 50.0, 'sql_fight_blob')")
+      .collect()
+    val typedBlob = Detectors.detectFights(poseDf(fightRows), Some(blobSlow),
+      parts, Detectors.FightParams()).collect()
+    assert(typedBlob.isEmpty, "stationary blob suppresses the pseudo-fight")
+    assert(sqlBlob.isEmpty, "blob view argument must reach condition 3")
     // identity parts mapping default: '' resolves nose/head/centroid/tail_base
     poseDf(tubeRows).withColumn("part",
         org.apache.spark.sql.functions.expr(
