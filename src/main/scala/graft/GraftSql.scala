@@ -236,7 +236,8 @@ object GraftSql {
     val by = strLit(args(3), fn, "by columns")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     import graft.operators.AsOfJoin
-    val dir = strLit(args(4), fn, "direction").toLowerCase match {
+    val dir = strLit(args(4), fn, "direction")
+      .toLowerCase(java.util.Locale.ROOT) match {
       case "backward" => AsOfJoin.Backward
       case "forward" => AsOfJoin.Forward
       case "nearest" => AsOfJoin.Nearest
