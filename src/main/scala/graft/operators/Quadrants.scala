@@ -66,16 +66,19 @@ object Quadrants {
       val (cx, cy) = centers(i)
       (x - cx) * (x - cx) + (y - cy) * (y - cy)
     }
-    // nearest FOV center (ties → lower index, like the reference's sort)
-    val nearest = fovs.indices.map(i => struct(d2(i).as("d"), lit(i).as("q")))
-      .reduce((a, b) => when(b("d") < a("d"), b).otherwise(a))
-    val extended = when(size(col("possible_quadrants")) > 0,
-      col("possible_quadrants")).otherwise(array(nearest("q")))
-    // most central among the extended possibles
-    val central = fovs.indices.map(i =>
-        when(array_contains(col("_pq_ext"), i), struct(d2(i).as("d"), lit(i).as("q"))))
-      .reduce((a, b) =>
-        when(a.isNull, b).when(b.isNull, a).when(b("d") < a("d"), b).otherwise(a))
+    // nearest FOV center via least() over (distance, index) structs: struct
+    // ordering is lexicographic, so ties break to the lower index like the
+    // reference's sort. least() is deliberate — a when()-chain reduce
+    // copies both operand subtrees ~4× per nesting level, and the expanded
+    // expression blew past Janino's 64 KB method limit, silently knocking
+    // the whole stage out of codegen (~10× slower per row); least()
+    // evaluates each child once, linear generated code
+    val nearest = least(fovs.indices.map(i =>
+      struct(d2(i).as("d"), lit(i).as("q"))): _*)
+    // most central among the CONTAINING FOVs (least skips null = outside),
+    // falling back to the globally nearest when the point is inside none
+    val insideMin = least(fovs.indices.map(i =>
+      when(inside(i), struct(d2(i).as("d"), lit(i).as("q")))): _*)
     // missing coordinates (null or NaN) must propagate as null, like the
     // reference's NaN rows — otherwise the nearest-FOV reduce's
     // keep-a-on-null-comparison behavior silently resolves every missing
@@ -83,10 +86,14 @@ object Quadrants {
     val coordsOk = x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y)
     df.withColumn("possible_quadrants",
         when(coordsOk, possible).otherwise(array().cast("array<int>")))
-      .withColumn("_pq_ext", extended)
+      // membership COUNT as pure codegen'd math: consumers that only need
+      // the count (geo3) never touch the array column, so Catalyst prunes
+      // the lambda expression out of their plan entirely
+      .withColumn("n_possible_quadrants",
+        when(coordsOk, fovs.indices.map(i => inside(i).cast("int")).reduce(_ + _))
+          .otherwise(lit(0)))
       .withColumn("most_central_quadrant",
-        when(coordsOk, central("q")))
-      .drop("_pq_ext")
+        when(coordsOk, coalesce(insideMin("q"), nearest("q"))))
   }
 
   /** Per-timestamp selection over both mice (reference

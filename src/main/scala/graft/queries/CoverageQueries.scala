@@ -238,8 +238,10 @@ object CoverageQueries {
         Seq(1.0, 0, 0, 0, 1, 100, 0, 0, 1), Seq(1.0, 0, 100, 0, 1, 100, 0, 0, 1))
       val fovs = homos.map(h => graft.operators.Quadrants.fovCorners(h, 100, 100))
       val q = graft.operators.Quadrants.withQuadrants(pos, "x", "y", fovs)
+      // n_possible_quadrants, not size(array): keeps this plan free of
+      // higher-order array expressions → full whole-stage codegen
       sortAll(q.select(col("event_id"),
-        size(col("possible_quadrants")).as("n_possible"),
+        col("n_possible_quadrants").as("n_possible"),
         col("most_central_quadrant").as("most_central")))
     }),
 
