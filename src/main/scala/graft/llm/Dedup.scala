@@ -299,6 +299,60 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14 — public algorithm): converges in O(log n) rounds
+    * regardless of component DIAMETER, where min-label propagation
+    * ([[connectedComponents]]) needs diameter-many rounds — the difference
+    * between ~10 and ~thousands of shuffle rounds on the chain-shaped
+    * duplicate clusters web crawls produce. Two shuffles per round,
+    * `localCheckpoint` per round for constant lineage. Output
+    * (id, component) with component = the component's minimum id —
+    * identical to [[connectedComponents]] (equality-property-tested).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    // canonical directed edges: larger endpoint → smaller endpoint
+    var edges = pairs
+      .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: gather the full neighborhood of each center c; link
+      // every strictly-larger neighbor to m = min(N(c) ∪ {c})
+      val nbrs = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val mins = nbrs.groupBy("c").agg(min(col("n")).as("_mn"))
+        .select(col("c"), least(col("_mn"), col("c")).as("m"))
+      val large = nbrs.join(mins, "c")
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: large-star edges all point larger → smaller, so each
+      // center c's gathered neighbors are its smaller ones; link them AND
+      // c itself to m = min(N(c))
+      val smins = large.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
+      val small = large.select(col("u").as("c"), col("v").as("n"))
+        .join(smins, "c")
+        .select(col("n").as("u"), col("m").as("v"))
+        .unionByName(smins.select(col("c").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // fixed point: the edge set is unchanged (stars rooted at component
+      // minima — the paper's termination invariant)
+      converged = small.count() == edges.count() &&
+        small.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = small
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds; raise maxIter")
+    val ids = pairs.select(col("i").as("id"))
+      .unionByName(pairs.select(col("j").as("id"))).distinct()
+    ids.join(edges.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Deduplicate a corpus given its near-duplicate pairs: every document
     * keeps its component's min id as `rep_id` (documents in no pair are
     * their own representative); survivors are the rows with
@@ -307,8 +361,9 @@ object Dedup {
   def withRepresentatives(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
     // no broadcast hint: the component table scales with the number of
-    // near-duplicated docs — let AQE pick the strategy
-    val comp = connectedComponents(pairs)
+    // near-duplicated docs — let AQE pick the strategy. Star contraction:
+    // round count is O(log n) in the worst case, not O(diameter)
+    val comp = connectedComponentsStar(pairs)
       .select(col("id").as(idCol), col("component"))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("rep_id", coalesce(col("component"), col(idCol)))

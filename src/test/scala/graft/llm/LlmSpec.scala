@@ -206,6 +206,39 @@ class LlmSpec extends AnyFunSuite {
     assert(survivors === Set(1L, 10L, 20L))
   }
 
+  test("connectedComponentsStar ≡ label propagation on random graphs") {
+    import spark.implicits._
+    import scala.util.Random
+    for (seed <- Seq(5, 19, 77)) {
+      val rnd = new Random(seed)
+      val n = 60
+      // random sparse graph + a planted chain and a planted clique
+      val randomEdges = (0 until 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      val chain = (100L to 120L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val clique = for (a <- 200L to 204L; b <- 200L until a) yield (a, b)
+      val pairs = (randomEdges ++ chain ++ clique).toDF("i", "j")
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = asMap(Dedup.connectedComponentsStar(pairs))
+      val label = asMap(Dedup.connectedComponents(pairs))
+      assert(star === label, s"seed=$seed")
+    }
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a chain beyond label-prop reach") {
+    import spark.implicits._
+    // a 400-node chain: label propagation needs ~400 rounds (fails loudly
+    // at maxIter=15); star contraction closes it in ≤15
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("i", "j")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 15)
+    }
+    val comp = Dedup.connectedComponentsStar(chain, maxIter = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 400 && comp.values.forall(_ == 0L))
+  }
+
   test("cosine is symmetric, 1 on self, deterministic") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(3f, 2f, 1f)))
