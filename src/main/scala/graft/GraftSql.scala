@@ -41,6 +41,10 @@ import scala.collection.mutable
   *   - `graft_band_t('leftV', 'rightV', 'lt', 'rt', 'by1,by2', loUs,
   *     hiUs)` — the bucketed tolerance band join (J1; a raw SQL BETWEEN
   *     join plans as a nested loop, this shape shuffles on time buckets);
+  *   - `graft_neardup_t('docsV', 'id', 'text'[, n, hashes, bands, minJ])`
+  *     — the full near-dup dedup pipeline (MinHash+LSH → exact verify →
+  *     star components → survivors) from pure SQL: filter `id = rep_id`
+  *     for the deduplicated corpus;
   *   - `graft_fights_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[,
   *     'blobView']]]])` and `graft_tube_tests_t('poseView'[, 'partsCsv'[,
   *     'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])` — the full batch
@@ -83,6 +87,10 @@ object GraftSql {
       FunctionIdentifier("graft_band_t"),
       new ExpressionInfo("graft.GraftSql", "graft_band_t"),
       (args: Seq[Expression]) => bandTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_neardup_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_neardup_t"),
+      (args: Seq[Expression]) => neardupTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_fights_t"),
       new ExpressionInfo("graft.GraftSql", "graft_fights_t"),
@@ -275,6 +283,33 @@ object GraftSql {
     val spark = SparkSession.active
     graft.operators.BandJoin
       .bandJoin(spark.table(lv), spark.table(rv), lt, rt, by, lo, hi)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_neardup_t` table-function plan:
+    * `graft_neardup_t('docsView', 'idCol', 'textCol'[, n[, numHashes[,
+    * bands[, minJaccard]]]])` — the FULL near-duplicate pipeline from pure
+    * SQL: MinHash+LSH banding → exact Jaccard verification →
+    * star-contraction connected components → survivor selection. Returns
+    * the view's rows plus `rep_id`;
+    * `... WHERE idCol = rep_id` is the deduplicated corpus. Defaults:
+    * 3-gram shingles, 64 hashes, 16 bands, minJaccard 0.7. */
+  private def neardupTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_neardup_t"
+    require(args.length >= 3 && args.length <= 7,
+      s"usage: $fn('docsView', 'idCol', 'textCol'[, n[, numHashes[, bands[, minJaccard]]]])")
+    val view = strLit(args(0), fn, "docs view")
+    val idCol = strLit(args(1), fn, "id column")
+    val textCol = strLit(args(2), fn, "text column")
+    val n = if (args.length >= 4) lngLit(args(3), fn, "n").toInt else 3
+    val numHashes = if (args.length >= 5) lngLit(args(4), fn, "numHashes").toInt else 64
+    val bands = if (args.length >= 6) lngLit(args(5), fn, "bands").toInt else 16
+    val minJ = if (args.length == 7) dblLit(args(6), fn, "minJaccard") else 0.7
+    val spark = SparkSession.active
+    val docs = spark.table(view)
+    val pairs = graft.llm.Dedup.minhashDedupPairs(
+      docs, idCol, textCol, n, numHashes, bands, minJ)
+    graft.llm.Dedup.withRepresentatives(docs, idCol, pairs)
       .queryExecution.logical
   }
 

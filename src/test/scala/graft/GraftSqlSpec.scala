@@ -151,6 +151,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql === fromScala)
   }
 
+  test("graft_neardup_t runs the full dedup pipeline from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    // 3 planted near-dup groups of 4 + 8 distinct docs
+    def words(seed: Int) = (0 until 30).map(w => s"w${seed * 37 + w * 3}").mkString(" ")
+    val docs = ((0 until 12).map { i =>
+      (i.toLong, words(i / 4) + s" tail$i") // groups {0-3},{4-7},{8-11}
+    } ++ (100 until 108).map(i => (i.toLong, words(i)))).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("neardup_docs")
+    val fromSql = spark.sql(
+      "SELECT doc_id, rep_id FROM graft_neardup_t('neardup_docs', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = graft.llm.Dedup.minhashDedupPairs(
+      docs, "doc_id", "text", 3, 64, 16, 0.7)
+    val typed = graft.llm.Dedup.withRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id", "rep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fromSql === typed)
+    // the planted groups collapse to their min id; distinct docs survive
+    assert(fromSql(1L) === 0L && fromSql(5L) === 4L && fromSql(11L) === 8L)
+    assert((100L until 108L).forall(i => fromSql(i) == i))
+    val survivors = spark.sql(
+      "SELECT count(*) FROM graft_neardup_t('neardup_docs', 'doc_id', 'text') WHERE doc_id = rep_id")
+      .head.getLong(0)
+    assert(survivors === 11L)
+  }
+
   test("graft_assign from SQL equals the typed Assignment operator") {
     GraftSql.registerFunctions(spark)
     import spark.implicits._
