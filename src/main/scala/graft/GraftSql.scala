@@ -45,6 +45,8 @@ import scala.collection.mutable
   *     — the full near-dup dedup pipeline (MinHash+LSH → exact verify →
   *     star components → survivors) from pure SQL: filter `id = rep_id`
   *     for the deduplicated corpus;
+  *   - `graft_topk_t('queriesV', 'corpusV', 'id', 'vec', k)` — exact
+  *     cosine top-k similarity search over an embedding column;
   *   - `graft_fights_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[,
   *     'blobView']]]])` and `graft_tube_tests_t('poseView'[, 'partsCsv'[,
   *     'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])` — the full batch
@@ -91,6 +93,10 @@ object GraftSql {
       FunctionIdentifier("graft_neardup_t"),
       new ExpressionInfo("graft.GraftSql", "graft_neardup_t"),
       (args: Seq[Expression]) => neardupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_topk_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_topk_t"),
+      (args: Seq[Expression]) => topkTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_fights_t"),
       new ExpressionInfo("graft.GraftSql", "graft_fights_t"),
@@ -310,6 +316,26 @@ object GraftSql {
     val pairs = graft.llm.Dedup.minhashDedupPairs(
       docs, idCol, textCol, n, numHashes, bands, minJ)
     graft.llm.Dedup.withRepresentatives(docs, idCol, pairs)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_topk_t` table-function plan:
+    * `graft_topk_t('queriesView', 'corpusView', 'idCol', 'vecCol', k)` —
+    * exact brute-force cosine top-k over an embedding column from pure SQL
+    * (broadcast query side, per-partition heap pre-reduce; the capped
+    * broadcast contract of [[graft.llm.Similarity.cosineTopK]] applies). */
+  private def topkTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_topk_t"
+    require(args.length == 5,
+      s"usage: $fn('queriesView', 'corpusView', 'idCol', 'vecCol', k)")
+    val qv = strLit(args(0), fn, "queries view")
+    val cv = strLit(args(1), fn, "corpus view")
+    val idCol = strLit(args(2), fn, "id column")
+    val vecCol = strLit(args(3), fn, "vector column")
+    val k = lngLit(args(4), fn, "k").toInt
+    val spark = SparkSession.active
+    graft.llm.Similarity.cosineTopK(
+        spark.table(qv), spark.table(cv), idCol, vecCol, k)
       .queryExecution.logical
   }
 

@@ -178,6 +178,25 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(survivors === 11L)
   }
 
+  test("graft_topk_t equals the typed cosineTopK") {
+    import org.apache.spark.sql.functions.col
+    GraftSql.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("topk_queries")
+    emb.createOrReplaceTempView("topk_corpus")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val fromSql = spark.sql(
+      "SELECT query_id, neighbor_id, cos FROM graft_topk_t('topk_queries', 'topk_corpus', 'vec_id', 'embedding', 3)")
+      .collect().map(key).toSet
+    val typed = graft.llm.Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(key).toSet
+    assert(fromSql === typed)
+    assert(fromSql.size === 15)
+  }
+
   test("graft_assign from SQL equals the typed Assignment operator") {
     GraftSql.registerFunctions(spark)
     import spark.implicits._
