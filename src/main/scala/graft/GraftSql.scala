@@ -299,7 +299,11 @@ object GraftSql {
     * star-contraction connected components → survivor selection. Returns
     * the view's rows plus `rep_id`;
     * `... WHERE idCol = rep_id` is the deduplicated corpus. Defaults:
-    * 3-gram shingles, 64 hashes, 16 bands, minJaccard 0.7. */
+    * 3-gram shingles, 64 hashes, 16 bands, minJaccard 0.7. The underlying
+    * verify stage caches the hashed shingle sets (see
+    * [[graft.llm.Dedup.minhashDedupPairs]]) — call
+    * `spark.catalog.clearCache()` between repeated invocations on large
+    * corpora. */
   private def neardupTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_neardup_t"
     require(args.length >= 3 && args.length <= 7,
