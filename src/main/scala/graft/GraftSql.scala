@@ -47,6 +47,9 @@ import scala.collection.mutable
   *     for the deduplicated corpus;
   *   - `graft_topk_t('queriesV', 'corpusV', 'id', 'vec', k)` — exact
   *     cosine top-k similarity search over an embedding column;
+  *   - `graft_ffill_t('view', 'orderCol', 'cols'[, bucketSize[, 'grps']])`
+  *     — pandas ffill (W3); bucketSize > 0 = the bucketed keyless form
+  *     with no single-partition sort;
   *   - `graft_fights_t('poseView'[, 'partsCsv'[, 'idA,idB'[, fps[,
   *     'blobView']]]])` and `graft_tube_tests_t('poseView'[, 'partsCsv'[,
   *     'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])` — the full batch
@@ -97,6 +100,10 @@ object GraftSql {
       FunctionIdentifier("graft_topk_t"),
       new ExpressionInfo("graft.GraftSql", "graft_topk_t"),
       (args: Seq[Expression]) => topkTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ffill_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
+      (args: Seq[Expression]) => ffillTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_fights_t"),
       new ExpressionInfo("graft.GraftSql", "graft_fights_t"),
@@ -341,6 +348,35 @@ object GraftSql {
     graft.llm.Similarity.cosineTopK(
         spark.table(qv), spark.table(cv), idCol, vecCol, k)
       .queryExecution.logical
+  }
+
+  /** Build the `graft_ffill_t` table-function plan:
+    * `graft_ffill_t('view', 'orderCol', 'col1,col2'[, bucketSize[,
+    * 'grp1,grp2']])` — pandas `ffill` (W3) from pure SQL. With
+    * `bucketSize > 0` the keyless form runs the bucketed carry
+    * ([[graft.operators.Fill.ffillBucketed]] — exact ffill semantics, no
+    * single-partition sort at any size); the SQL-native
+    * `last_value(c, true) OVER (ORDER BY ...)` form cannot avoid that
+    * sort on a keyless table. `orderCol` must be numeric for the bucketed
+    * form (epoch micros / frame ids). */
+  private def ffillTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ffill_t"
+    require(args.length >= 3 && args.length <= 5,
+      s"usage: $fn('view', 'orderCol', 'col1,col2'[, bucketSize[, 'grp1,grp2']])")
+    val view = strLit(args(0), fn, "view name")
+    val orderCol = strLit(args(1), fn, "order column")
+    val cols = strLit(args(2), fn, "fill columns")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, s"$fn: at least one fill column required")
+    val bucket = if (args.length >= 4) lngLit(args(3), fn, "bucketSize") else 0L
+    val by = (if (args.length == 5) strLit(args(4), fn, "group columns") else "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.active
+    val df = spark.table(view)
+    val filled =
+      if (bucket > 0) graft.operators.Fill.ffillBucketed(df, cols, orderCol, bucket, by)
+      else graft.operators.Fill.ffill(df, cols, orderCol, by)
+    filled.queryExecution.logical
   }
 
   /** Build the `graft_fights_t` table-function plan:

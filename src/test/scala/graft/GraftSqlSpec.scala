@@ -197,6 +197,36 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql.size === 15)
   }
 
+  test("graft_ffill_t equals the typed Fill, plain and bucketed, no global sort when bucketed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    GraftSql.registerFunctions(spark)
+    val rows = (0L until 5000L).map(i =>
+      (i, if (i % 7 == 0) Some(i * 1.5) else None, s"g${i % 3}"))
+      .toDF("us", "v", "grp")
+    rows.createOrReplaceTempView("ffill_in")
+    def got(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+    // plain keyed form ≡ typed
+    val sqlKeyed = got("SELECT us, v FROM graft_ffill_t('ffill_in', 'us', 'v', 0, 'grp')")
+    val typedKeyed = graft.operators.Fill.ffill(rows, Seq("v"), "us", Seq("grp"))
+      .select("us", "v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+    assert(sqlKeyed === typedKeyed)
+    // bucketed keyless form ≡ plain keyless form, with no global-sort window
+    val bucketedDf = spark.sql(
+      "SELECT us, v FROM graft_ffill_t('ffill_in', 'us', 'v', 500)")
+    val sqlBucketed = bucketedDf.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+    val typedPlain = graft.operators.Fill.ffill(rows, Seq("v"), "us")
+      .select("us", "v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+    assert(sqlBucketed === typedPlain)
+    val plan = bucketedDf.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "bucketed ffill must not sort the stream on one task")
+  }
+
   test("graft_assign from SQL equals the typed Assignment operator") {
     GraftSql.registerFunctions(spark)
     import spark.implicits._
