@@ -58,6 +58,72 @@ class QuadrantsSpec extends AnyFunSuite {
     assert(out(ts(2)) === (Seq(1), Seq("CamNE")))
   }
 
+  test("randomized differential: selectQuadrant cascade ≡ in-memory model") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val cams = Seq("Q0", "Q1", "Q2", "Q3")
+    val seedTie = 42L
+    for (seed <- Seq(13, 29, 61)) {
+      val rnd = new scala.util.Random(seed)
+      def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+      // random per-timestamp mouse rows: possible ⊆ {0..3} (any size incl.
+      // empty), most_central ∈ possible or nearest, null = missing coords
+      val rows = (0 until 200).flatMap { t =>
+        val nMice = rnd.nextInt(4) // 0..3 rows at this timestamp
+        (0 until nMice).map { _ =>
+          if (rnd.nextDouble() < 0.1) (ts(t), null, null) // missing coords
+          else {
+            val poss = (0 to 3).filter(_ => rnd.nextDouble() < 0.45)
+            val central =
+              if (poss.nonEmpty) poss(rnd.nextInt(poss.length))
+              else rnd.nextInt(4) // nearest-FOV fallback
+            (ts(t), poss, Integer.valueOf(central))
+          }
+        }
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map {
+          case (t, p, c) => org.apache.spark.sql.Row(t,
+            if (p == null) Seq.empty[Int] else p, c)
+        }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("time",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("possible_quadrants",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)),
+          org.apache.spark.sql.types.StructField("most_central_quadrant",
+            org.apache.spark.sql.types.IntegerType))))
+      val got = Quadrants.selectQuadrant(df, "time", cams, seedTie).collect()
+        .map(r => r.getTimestamp(0).getTime ->
+          (r.getSeq[Int](1), r.getSeq[String](2))).toMap
+      // tie-break hash replicated via Spark itself (engine-exact murmur3)
+      val hashes = df.select(col("time")).distinct()
+        .withColumn("h", pmod(hash(col("time"), lit(seedTie)), lit(2)).cast("int"))
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getInt(1)).toMap
+      // in-memory model of the reference cascade (determine_quadrant_camera)
+      rows.groupBy(_._1.getTime).foreach { case (tMs, rs) =>
+        val n = rs.size
+        val possSets = rs.map(r => Option(r._2).getOrElse(Seq.empty[Int]).toSet)
+        val common: Set[Int] =
+          if (n < 2) Set.empty else possSets.reduce(_ intersect _)
+        val centrals = rs.flatMap(r => Option(r._3).map(_.intValue))
+        val cd = centrals.distinct.sorted
+        val inter = cd.filter(common.contains)
+        val maxC = if (cd.nonEmpty) cd.map(q => centrals.count(_ == q)).max else 0
+        val modes = cd.filter(q => centrals.count(_ == q) == maxC)
+        val expected: Seq[Int] =
+          if (common.isEmpty) cd
+          else if (common.size == 1) common.toSeq
+          else if (inter.size == 1) inter
+          else if (inter.size == 2) Seq(inter(hashes(tMs)))
+          else modes
+        val (gq, gc) = got(tMs)
+        assert(gq.sorted === expected.sorted, s"seed=$seed t=$tMs quadrants")
+        assert(gc === gq.map(cams), s"seed=$seed t=$tMs cameras")
+      }
+    }
+  }
+
   test("selectQuadrant: seeded two-way tie-break is deterministic") {
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
     // overlapping FOVs so both mice sit in BOTH fov A and fov B, each
