@@ -361,10 +361,17 @@ object Dedup {
   def withRepresentatives(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
     // no broadcast hint: the component table scales with the number of
-    // near-duplicated docs — let AQE pick the strategy. Star contraction:
-    // round count is O(log n) in the worst case, not O(diameter)
-    val comp = connectedComponentsStar(pairs)
-      .select(col("id").as(idCol), col("component"))
+    // near-duplicated docs — let AQE pick the strategy.
+    // Tiered solver: label propagation costs ~2 shuffles/round and real
+    // near-dup clusters are shallow (verified-similarity graphs are
+    // clique-ish, diameter ≲ 10), so it wins the common case; a corpus
+    // with chain-shaped components (template drift in crawls) blows its
+    // round cap and falls over to star contraction — O(log n) rounds
+    // regardless of diameter, at ~6 shuffles/round
+    val comp =
+      (try connectedComponents(pairs, maxIter = 12)
+       catch { case _: IllegalArgumentException => connectedComponentsStar(pairs) })
+        .select(col("id").as(idCol), col("component"))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("rep_id", coalesce(col("component"), col(idCol)))
       .drop("component")

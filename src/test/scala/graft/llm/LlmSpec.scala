@@ -237,6 +237,14 @@ class LlmSpec extends AnyFunSuite {
     val comp = Dedup.connectedComponentsStar(chain, maxIter = 15).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size === 400 && comp.values.forall(_ == 0L))
+    // the tiered withRepresentatives path takes the same chain end-to-end:
+    // label propagation blows its round cap, star contraction finishes
+    import spark.implicits._
+    val corpus = (0L until 400L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val reps = Dedup.withRepresentatives(corpus, "doc_id", chain)
+      .filter(col("doc_id") === col("rep_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reps === Set(0L))
   }
 
   test("cosine is symmetric, 1 on self, deterministic") {
