@@ -30,7 +30,9 @@ object Salt {
       saltFactor: Int, identityCols: Seq[String],
       joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
-    val jt = joinType.toLowerCase.replace("_", "")
+    // Locale.ROOT: "RIGHT".toLowerCase under a Turkish-locale JVM maps
+    // I→ı and would slip past the guard below
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
     require(!jt.contains("right") && !jt.contains("full") && !jt.contains("outer")
         || jt == "leftouter",
       s"saltedJoin cannot preserve unmatched small-side rows (joinType=$joinType)")
