@@ -36,6 +36,33 @@ object KernelProps extends Properties("graft.kernels") {
     pairs.size == pairsT.size && math.abs(tot - totT) < 1e-9
   }
 
+  property("solve: matches the exhaustive max-cardinality min-cost optimum") =
+    forAll(smallMatrix) { cost =>
+      val res = Assignment.solve(cost)
+      val pairs = res.zipWithIndex.collect { case (j, i) if j >= 0 => (i, j) }
+      val cardS = pairs.length
+      val totS = pairs.map { case (i, j) => cost(i)(j) }.sum
+      val n = cost.length; val m = cost(0).length
+      var bestCard = -1; var bestCost = 0.0
+      def rec(i: Int, used: Set[Int], card: Int, tot: Double): Unit =
+        if (i == n) {
+          if (card > bestCard || (card == bestCard && tot < bestCost - 1e-12)) {
+            bestCard = card; bestCost = tot
+          }
+        } else {
+          rec(i + 1, used, card, tot)
+          var j = 0
+          while (j < m) {
+            if (!used(j) && !cost(i)(j).isPosInfinity)
+              rec(i + 1, used + j, card + 1, tot + cost(i)(j))
+            j += 1
+          }
+        }
+      rec(0, Set.empty, 0, 0.0)
+      Prop(cardS == bestCard && math.abs(totS - bestCost) < 1e-9) :|
+        s"solver card=$cardS tot=$totS vs optimum card=$bestCard tot=$bestCost"
+    }
+
   private val trajectory: Gen[Array[Double]] = for {
     n <- Gen.choose(2, 30)
     xs <- Gen.listOfN(n, Gen.frequency(
