@@ -40,7 +40,7 @@ object Bench {
       val times = (1 to reps).map { _ =>
         // operators cache intermediate tables (shingle sets etc.); drop
         // them between runs so storage memory doesn't accumulate across
-        // 66 queries × reps
+        // 72 queries × reps
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {

@@ -16,7 +16,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // operators cache intermediates (shingle sets etc.); drop between
-      // queries so 67 runs don't accumulate storage memory
+      // queries so 72 runs don't accumulate storage memory
       spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
