@@ -317,6 +317,36 @@ class DetectorSpec extends AnyFunSuite {
     }
   }
 
+  test("detectTubeTestsAllEpochs: plan size constant in epoch count, all winners correct") {
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val tube = (0 to 120).flatMap { f =>
+      if (f < 20) mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140, 50, -1)
+      else if (f < 70)
+        mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 140.0 + 3 * (f - 19), 50, 1)
+      else mouse(f, "A", 100, 50, 1) ++ mouse(f, "B", 3000, 3000, -1)
+    }
+    def poseFor(n: Int) = (0 until n).flatMap { ep =>
+      tube.map { case (f, id, part, x, y) =>
+        (new java.sql.Timestamp(t0.getTime + ep * 86400000L + f * 20L),
+          id, part, x, y, f"ep$ep%02d")
+      }
+    }.toDF("time", "identity", "part", "x", "y", "epoch")
+    def planStats(n: Int): (Int, Int) = {
+      val analyzed = Detectors.detectTubeTestsAllEpochs(poseFor(n), parts,
+        Detectors.TubeParams()).queryExecution.analyzed
+      (analyzed.collect { case p => p }.length,
+        analyzed.collect { case u: Union => u }.length)
+    }
+    assert(planStats(2) === planStats(12),
+      "tube all-epochs plan grew with epoch count")
+    val events = Detectors.detectTubeTestsAllEpochs(poseFor(12), parts,
+      Detectors.TubeParams()).collect()
+    assert(events.length === 12)
+    assert(events.forall(_.getAs[String]("winner_identity") == "A"))
+    assert(events.map(_.getAs[String]("epoch")).sorted.toSeq ===
+      (0 until 12).map(ep => f"ep$ep%02d"))
+  }
+
   test("multi-epoch fights with a blob stream: epoch-tagged and epoch-less blobs both gate") {
     val fight = (0 to 260).flatMap { f =>
       if (f >= 100 && f <= 200) {
