@@ -24,10 +24,14 @@ object DedupStress {
     val nBase = 5000
     val copies = 20
     // deterministic synthetic corpus built on the cluster: base text =
-    // 40 pseudo-words from the base id; each copy mutates 2 word slots
+    // 40 pseudo-words from the base id; each copy mutates one word slot
+    // (pairwise Jaccard within a group ≈ 0.9 — near-dups, not exact dups).
+    // NOTE Spark's `/` on integer columns is FLOATING-POINT division — the
+    // copy index needs the truncating cast
     val docs = spark.range(nBase.toLong * copies)
       .select(col("id").as("doc_id"),
-        (col("id") % nBase).as("base"), (col("id") / nBase).as("copy"))
+        (col("id") % nBase).as("base"),
+        (col("id") / nBase).cast("long").as("copy"))
       .select(col("doc_id"), concat_ws(" ",
         (0 until 40).map { w =>
           val base = concat(lit("w"), ((col("base") * 41 + w * 7) % 99991).cast("string"))
@@ -48,8 +52,10 @@ object DedupStress {
     val tCluster = (System.nanoTime() - t1) / 1e9
     println(f"DEDUP_STRESS docs=${nBase * copies} pairs=$nPairs " +
       f"pairsSecs=$tPairs%.1f reps=$nReps clusterSecs=$tCluster%.1f")
-    require(nReps <= nBase * 2,
-      s"expected ~${nBase} clusters (one per base), got $nReps")
+    // EXACT cluster count: fewer = over-merge (distinct bases collapsed),
+    // more = under-merge (a planted group split) — both are failures
+    require(nReps == nBase,
+      s"expected exactly $nBase clusters (one per base), got $nReps")
     spark.stop()
   }
 }

@@ -306,11 +306,16 @@ object GraftSql {
     * star-contraction connected components → survivor selection. Returns
     * the view's rows plus `rep_id`;
     * `... WHERE idCol = rep_id` is the deduplicated corpus. Defaults:
-    * 3-gram shingles, 64 hashes, 16 bands, minJaccard 0.7. The underlying
-    * verify stage caches the hashed shingle sets (see
-    * [[graft.llm.Dedup.minhashDedupPairs]]) — call
-    * `spark.catalog.clearCache()` between repeated invocations on large
-    * corpora. */
+    * 3-gram shingles, 64 hashes, 16 bands, minJaccard 0.7.
+    *
+    * EAGER at analysis: connected components is an iterative algorithm, so
+    * the clustering RUNS when the statement is analyzed (even under
+    * EXPLAIN), once per statement referencing the function. On large
+    * corpora, materialize the result once
+    * (`CREATE TABLE deduped AS SELECT * FROM graft_neardup_t(...)`) and
+    * query the table. The verify stage also caches the hashed shingle sets
+    * (see [[graft.llm.Dedup.minhashDedupPairs]]) — call
+    * `spark.catalog.clearCache()` between invocations. */
   private def neardupTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_neardup_t"
     require(args.length >= 3 && args.length <= 7,
@@ -419,8 +424,15 @@ object GraftSql {
     val fps = if (args.length >= 4) dblLit(args(3), fn, "fps") else 50.0
     val roi = (if (args.length >= 5) Some(strLit(args(4), fn, "roi")) else None)
       .filter(_.trim.nonEmpty).map { csv =>
-        val xs = csv.split(",").map(_.trim.toDouble)
-        require(xs.length == 4, s"$fn: roi must be 'cx,cy,innerR,outerR'")
+        val parts = csv.split(",").map(_.trim)
+        val xs =
+          try parts.map(_.toDouble)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$fn: roi must be 'cx,cy,innerR,outerR' (numeric CSV), got '$csv'")
+          }
+        require(xs.length == 4,
+          s"$fn: roi must be 'cx,cy,innerR,outerR', got '$csv'")
         graft.behavior.Detectors.Roi(xs(0), xs(1), xs(2), xs(3))
       }
     val spark = SparkSession.active

@@ -370,7 +370,13 @@ object Dedup {
     // regardless of diameter, at ~6 shuffles/round
     val comp =
       (try connectedComponents(pairs, maxIter = 12)
-       catch { case _: IllegalArgumentException => connectedComponentsStar(pairs) })
+       catch {
+         // ONLY the round-cap blowout falls over to star — any other
+         // IllegalArgumentException is a real defect and must surface
+         case e: IllegalArgumentException
+             if e.getMessage != null && e.getMessage.contains("did not converge") =>
+           connectedComponentsStar(pairs)
+       })
         .select(col("id").as(idCol), col("component"))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("rep_id", coalesce(col("component"), col(idCol)))
