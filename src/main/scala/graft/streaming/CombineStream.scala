@@ -24,10 +24,15 @@ import graft.combine.Combine
   * Pose/id ingestion race: a pose chunk whose id chunk has NOT landed yet
   * is deferred (a marker under `workDir/pending/`) and retried on every
   * later poll — the pose files are already in the stream checkpoint, so
-  * without the marker the chunk would freeze as silent data loss. Passing
-  * `finalizeMissing = true` (the epoch's last poll) instead writes the
-  * empty output of the reference's no-identity-data path
-  * (`combine_pose_id_chunk.py:245-250`).
+  * without the marker the chunk would freeze as silent data loss. An id
+  * dir that EXISTS but is still being written is the same race in a worse
+  * disguise (combining against partial identities, never revisited), so by
+  * default a chunk only counts as landed once its `_SUCCESS` marker exists
+  * (Spark batch writers emit it on commit); writers that don't produce
+  * `_SUCCESS` must pass `requireIdsSuccessMarker = false` AND guarantee
+  * atomic chunk-dir appearance. Passing `finalizeMissing = true` (the
+  * epoch's last poll) instead writes the empty output of the reference's
+  * no-identity-data path (`combine_pose_id_chunk.py:245-250`).
   */
 object CombineStream {
 
@@ -51,13 +56,16 @@ object CombineStream {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Combine one chunk and write its output dir (overwrite-idempotent).
-    * Returns false when the id chunk is absent and `emptyIfMissing` is
+    * Returns false when the id chunk is absent (or present without its
+    * `_SUCCESS` commit marker, when required) and `emptyIfMissing` is
     * unset (caller defers the chunk). */
   private def combineOne(sp: SparkSession, poseDir: String, idsDir: String,
       workDir: String, c: String, p: Combine.Params, anchorPart: String,
-      emptyIfMissing: Boolean): Boolean = {
+      emptyIfMissing: Boolean, requireSuccess: Boolean): Boolean = {
     val idsPath = new Path(s"$idsDir/$c")
-    val haveIds = fs(sp, idsDir).exists(idsPath)
+    val idsFs = fs(sp, idsDir)
+    val haveIds = idsFs.exists(idsPath) &&
+      (!requireSuccess || idsFs.exists(new Path(idsPath, "_SUCCESS")))
     if (!haveIds && !emptyIfMissing) false
     else {
       val pose = sp.read.schema(poseChunkSchema).parquet(s"$poseDir/$c")
@@ -76,8 +84,24 @@ object CombineStream {
     * with the same-named id chunk. */
   def pollCombine(spark: SparkSession, poseDir: String, idsDir: String,
       workDir: String, p: Combine.Params, anchorPart: String = "anchor",
-      finalizeMissing: Boolean = false): Unit = {
+      finalizeMissing: Boolean = false,
+      requireIdsSuccessMarker: Boolean = true): Unit = {
     val pendingDir = s"$workDir/pending"
+    // deferred chunks retry BEFORE the stream: their ids may have landed
+    // since the previous poll — and running the retry first means a chunk
+    // deferred by THIS poll's micro-batch is not immediately re-probed in
+    // the same poll (a guaranteed-futile FS round-trip)
+    def retryPending(emptyIfMissing: Boolean): Unit = {
+      val pfs = fs(spark, pendingDir)
+      val pendRoot = new Path(pendingDir)
+      if (pfs.exists(pendRoot)) pfs.listStatus(pendRoot).foreach { st =>
+        val c = st.getPath.getName
+        if (combineOne(spark, poseDir, idsDir, workDir, c, p, anchorPart,
+            emptyIfMissing = emptyIfMissing, requireIdsSuccessMarker))
+          pfs.delete(st.getPath, false)
+      }
+    }
+    retryPending(emptyIfMissing = false)
     val poseFiles = spark.readStream.schema(poseChunkSchema)
       .parquet(s"$poseDir/*")
       .select(input_file_name().as("_f"))
@@ -91,22 +115,15 @@ object CombineStream {
         val pfs = fs(sp, pendingDir)
         chunks.foreach { c =>
           if (!combineOne(sp, poseDir, idsDir, workDir, c, p, anchorPart,
-              emptyIfMissing = false))
+              emptyIfMissing = false, requireIdsSuccessMarker))
             pfs.create(new Path(s"$pendingDir/$c"), true).close()
         }
         ()
       }
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    // deferred chunks retry OUTSIDE the stream: a poll with no new files
-    // produces no micro-batch, but pending chunks must still be attempted
-    val pfs = fs(spark, pendingDir)
-    val pendRoot = new Path(pendingDir)
-    if (pfs.exists(pendRoot)) pfs.listStatus(pendRoot).foreach { st =>
-      val c = st.getPath.getName
-      if (combineOne(spark, poseDir, idsDir, workDir, c, p, anchorPart,
-          emptyIfMissing = finalizeMissing))
-        pfs.delete(st.getPath, false)
-    }
+    // the epoch's LAST poll must also finalize chunks deferred by the
+    // micro-batch that just ran (their ids will never arrive)
+    if (finalizeMissing) retryPending(emptyIfMissing = true)
   }
 
   /** Combined output so far (batch read over the per-chunk output dirs).

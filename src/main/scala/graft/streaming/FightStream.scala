@@ -251,7 +251,8 @@ object FightStream {
   private def drain(df: DataFrame, outPath: String, checkpoint: String): Unit =
     Poll.drain(df, outPath, checkpoint)
 
-  private def ensureDir(path: String): Unit = Poll.ensureDir(path)
+  private def ensureDir(spark: SparkSession, path: String): Unit =
+    Poll.ensureDir(spark, path)
 
   /** Incrementally maintain the per-frame smoothed blob-speed table
     * (condition 3, reference `social_behaviour_detection.py:579-601`): the
@@ -280,13 +281,19 @@ object FightStream {
         .foldLeft(Option.empty[Long])((acc, b) => Some(acc.fold(b)(math.max(_, b))))
     val b0 = existingMax.map(_ - 1)
     val blob = spark.read.schema(blobSchema).parquet(blobDir)
-    // input TWO buckets behind the recompute floor: the floor's pass-2
-    // ghost rows come from bucket b0−1, and THAT bucket's own pass-1
-    // dt-anomaly decision for its head row needs the last row of b0−2 —
-    // one bucket of slack would let a sliced-in head row survive pass 1
-    // that the full batch computation drops
+    // input THREE buckets behind the recompute floor: the floor's ghost
+    // rows come from bucket b0−1, whose smoothing partition takes the last
+    // 6 SURVIVORS of b0−2 as its own ghosts; b0−2's survivor set needs its
+    // head row's pass-1 dt decision, which needs the last row of b0−3.
+    // (Two buckets of slack closed only one level of this chain — a
+    // sparse b0−2 whose head sat among its last-6 survivors could diverge
+    // from the batch computation. The chain terminates here because only
+    // the PRESENCE of b0−3's last row matters for b0−2's pass 1; the
+    // residual all-buckets-sparse case is excluded by the documented
+    // ≥-window-extent-rows-per-bucket precondition that blobSpeed's
+    // guardSparse enforces.)
     val sliced = b0.fold(blob)(b =>
-      blob.filter(unix_micros(col("time")) >= lit((b - 2) * bUs)))
+      blob.filter(unix_micros(col("time")) >= lit((b - 3) * bUs)))
     val sp = Detectors.blobSpeedWithBase(sliced, p.fps, p.cm2px, t0us, bucketSeconds)
       // integral div: a double round-trip could flip floor at exact
       // bucket-boundary microseconds
@@ -327,7 +334,7 @@ object FightStream {
     val filledDir = s"$workDir/filled"
     val eventsDir = s"$workDir/events"
     val speedDir = s"$workDir/speed"
-    Seq(markerDir, silverDir, filledDir, eventsDir).foreach(ensureDir)
+    Seq(markerDir, silverDir, filledDir, eventsDir).foreach(ensureDir(spark, _))
     // condition 3: refresh the incremental per-frame speed table BEFORE the
     // filled stage reads it (stream-static join below)
     blobDir.foreach(bd => updateBlobSpeeds(spark, bd, speedDir, p, t0us))

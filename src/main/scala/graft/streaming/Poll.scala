@@ -67,18 +67,21 @@ private[streaming] object Poll {
   }
 
   def drain(df: DataFrame, outPath: String, checkpoint: String): Unit = {
-    def once(): Unit =
-      df.writeStream.format("parquet")
-        .option("path", outPath).option("checkpointLocation", checkpoint)
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
     // second pass: stateful append sinks evict with the watermark advanced
     // by the FIRST pass's data, so a no-data flush run emits what the data
     // run closed — without it, emission would lag one poll behind
-    once(); once()
+    Streaming.drainToParquet(df, outPath, checkpoint)
+    Streaming.drainToParquet(df, outPath, checkpoint)
   }
 
-  def ensureDir(path: String): Unit =
-    new java.io.File(path).mkdirs()
+  /** Pre-create a work dir THROUGH the Hadoop filesystem of its path —
+    * java.io.File.mkdirs on an hdfs:///s3a:// URI would create a junk
+    * local dir and leave the real target absent. */
+  def ensureDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    ()
+  }
 
   /** Append the frontier-marker pair at (upTo − 1 frame, upTo): the pair
     * advances the watermark to exactly upTo, flushing every frame slot

@@ -117,11 +117,12 @@ object TubeStream {
     // densify each span to the batch spine: one grid row per frame in
     // [minF, min(maxF + window − 1, spineEnd)], all-NaN where the sink has
     // no slot. Spans are event-scale (bounded by the candidate run + the
-    // search window), so a per-span sequence() is safe.
+    // search window), so a per-span sequence() is safe — and span ranges
+    // are provably disjoint (consecutive spans > superGap ≥ window apart),
+    // so no dedup pass is needed on the exploded grid.
     val grid = spans.toSeq.toDF("_lo", "_hi")
       .select(explode(sequence(col("_lo"),
         least(col("_hi") + (window - 1), lit(spineEnd)))).as("frame"))
-      .distinct()
     val slice = real.filter(col("frame") >= lo && col("frame") <= hi)
     def nnc(c: String) = coalesce(col(c), lit(Double.NaN)).as(c)
     val flagged = grid.join(slice, Seq("frame"), "left")
@@ -149,7 +150,7 @@ object TubeStream {
     val markerDir = s"$workDir/markers"
     val silverDir = s"$workDir/silver"
     val eventsDir = s"$workDir/events"
-    Seq(markerDir, silverDir, eventsDir).foreach(Poll.ensureDir)
+    Seq(markerDir, silverDir, eventsDir).foreach(Poll.ensureDir(spark, _))
     Poll.writeMarkers(spark, markerDir, upToUs, durUs)
     val pose = spark.readStream.schema(Poll.poseSchema).parquet(poseDir)
       .unionByName(spark.readStream.schema(Poll.poseSchema).parquet(markerDir))
