@@ -39,7 +39,9 @@ object Bronze {
       start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
     val base = spark.read.parquet(root)
       .filter(col("camera") === camera && col("register") === register)
-    val startHourMs = start.getTime - start.getTime % 3600000L
+    // floorDiv: `t - t % h` truncates toward zero, so a pre-1970 start
+    // would round UP and the enumeration below would miss its hour
+    val startHourMs = Math.floorDiv(start.getTime, 3600000L) * 3600000L
     val hours = (end.getTime - 1 - startHourMs) / 3600000L + 1
     val pruned =
       if (hours <= 14 * 24 && hours > 0) {

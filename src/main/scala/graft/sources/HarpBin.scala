@@ -91,9 +91,13 @@ object HarpBin {
             val register = bb.get() & 0xff
             val port = bb.get() & 0xff
             val ptype = bb.get() & 0xff
-            // timestamped (0x10) Float32 (0x44) events only; len must cover
-            // address+port+type (3) + timestamp (6)
-            if ((ptype & 0x10) != 0 && (ptype & 0x4f) == 0x44 && len >= 10) {
+            // timestamped (0x10) Float32 (0x44) EVENT messages only —
+            // msgType is checked too: a device's TIMESTAMPED float
+            // write/read reply (msgType 1/2, same payload type) would
+            // otherwise be emitted and fabricate a bogus stream row.
+            // len must cover address+port+type (3) + timestamp (6)
+            if (msgType == EventType &&
+                (ptype & 0x10) != 0 && (ptype & 0x4f) == 0x44 && len >= 10) {
               val sec = bb.getInt().toLong & 0xffffffffL
               val ticks = bb.getShort().toLong & 0xffffL
               val tsUs = (HarpEpochSec + sec) * 1000000L + ticks * 32L
@@ -126,22 +130,24 @@ object HarpBin {
     } finally out.close()
   }
 
+  /** The layout's chunk-timestamp format — one shared, thread-safe
+    * instance (DateTimeFormatter is immutable; as an object field it is
+    * re-initialized executor-side rather than serialized). */
+  private val TsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss")
+  private val ChunkTsRe = """(\d{4}-\d{2}-\d{2}T\d{2}-\d{2}-\d{2})\.bin$""".r
+  private val RegisterRe = """_(\d+)_\d{4}-\d{2}-\d{2}T""".r
+
   /** Chunk-start micros parsed from `..._YYYY-MM-DDTHH-MM-SS.bin`. */
-  def chunkStartUs(fileName: String): Option[Long] = {
-    val re = """(\d{4}-\d{2}-\d{2}T\d{2}-\d{2}-\d{2})\.bin$""".r
-    re.findFirstMatchIn(fileName).map { m =>
-      java.time.LocalDateTime
-        .parse(m.group(1), java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd'T'HH-mm-ss"))
+  def chunkStartUs(fileName: String): Option[Long] =
+    ChunkTsRe.findFirstMatchIn(fileName).map { m =>
+      java.time.LocalDateTime.parse(m.group(1), TsFmt)
         .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
     }
-  }
 
   /** Register id parsed from `<Camera>_<register>_<ts>.bin`. */
-  def fileRegister(fileName: String): Option[Int] = {
-    val re = """_(\d+)_\d{4}-\d{2}-\d{2}T""".r
-    re.findFirstMatchIn(fileName).map(_.group(1).toInt)
-  }
+  def fileRegister(fileName: String): Option[Int] =
+    RegisterRe.findFirstMatchIn(fileName).map(_.group(1).toInt)
 
   /** Distributed HARP chunk-file SINK — S8 on the native format (the
     * reference writes the combined stream back as register-222 `.bin`,
@@ -169,27 +175,47 @@ object HarpBin {
       .sortWithinPartitions(col("_b"), col("tus"))
       .as[(Long, Array[Float], Long)]
       .foreachPartition { (it: Iterator[(Long, Array[Float], Long)]) =>
-        val fmt = java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd'T'HH-mm-ss") // not Serializable: build here
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(conf.value)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
-        var curBucket = Long.MinValue
-        var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        try {
-          it.foreach { case (tus, payload, b) =>
-            if (b != curBucket) {
-              if (out != null) out.close()
-              val startUs = b * chunkUs
-              val name = cameraPrefix + "_" + register + "_" +
-                java.time.Instant.ofEpochSecond(startUs / 1000000L)
-                  .atZone(java.time.ZoneOffset.UTC).format(fmt) + ".bin"
-              out = fs.create(new org.apache.hadoop.fs.Path(outDir, name), true)
-              curBucket = b
-            }
-            out.write(encodeMessage(register, 255, tus, payload))
+        // empty shuffle partitions (repartition produces many) must not
+        // build a FileSystem or issue an mkdirs RPC
+        if (it.hasNext) {
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(conf.value)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+          // task-commit protocol: encode into an attempt-unique temp file,
+          // then delete+rename into place per bucket — a speculative or
+          // zombie duplicate attempt can race, but last-rename-wins leaves
+          // a COMPLETE file either way (two attempts appending to one
+          // final path would interleave bytes)
+          val attempt = java.util.UUID.randomUUID().toString
+          var curBucket = Long.MinValue
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var tmpPath: org.apache.hadoop.fs.Path = null
+          var finalPath: org.apache.hadoop.fs.Path = null
+          def commit(): Unit = if (out != null) {
+            out.close(); out = null
+            fs.delete(finalPath, false)
+            require(fs.rename(tmpPath, finalPath),
+              s"could not commit chunk file $finalPath")
           }
-        } finally if (out != null) out.close()
+          try {
+            it.foreach { case (tus, payload, b) =>
+              if (b != curBucket) {
+                commit()
+                val startUs = b * chunkUs
+                val name = cameraPrefix + "_" + register + "_" +
+                  java.time.Instant.ofEpochSecond(startUs / 1000000L)
+                    .atZone(java.time.ZoneOffset.UTC).format(TsFmt) + ".bin"
+                finalPath = new org.apache.hadoop.fs.Path(outDir, name)
+                tmpPath = new org.apache.hadoop.fs.Path(outDir,
+                  s".$name.inprogress-$attempt")
+                out = fs.create(tmpPath, true)
+                curBucket = b
+              }
+              out.write(encodeMessage(register, 255, tus, payload))
+            }
+            commit()
+          } finally if (out != null) { out.close(); fs.delete(tmpPath, false); () }
+        }
       }
   }
 
@@ -198,27 +224,35 @@ object HarpBin {
     * (reference `find_epochs`/`find_chunks`,
     * `combine_pose_id_automated.py:19-44`, `detect_fights_all_epochs.py:12-94`):
     * one row per chunk file with parsed epoch, camera, register, and chunk
-    * start, restricted to epochs inside [startUs, endUs]. Directory listing
-    * is driver-side METADATA work (the same contract as Spark's own file
-    * index); the returned DataFrame is the query-able catalog.
+    * start, restricted to CHUNKS overlapping [startUs, endUs] (a chunk
+    * spans `chunkSeconds` from its filename timestamp). An epoch that
+    * STARTED before the window still contributes its in-window chunks — a
+    * multi-day epoch queried for its second day must not vanish. Directory
+    * listing is driver-side METADATA work (the same contract as Spark's
+    * own file index); the returned DataFrame is the query-able catalog.
     */
   def discoverChunks(spark: org.apache.spark.sql.SparkSession, root: String,
-      startUs: Long = Long.MinValue, endUs: Long = Long.MaxValue): DataFrame = {
+      startUs: Long = Long.MinValue, endUs: Long = Long.MaxValue,
+      chunkSeconds: Long = 3600): DataFrame = {
     import spark.implicits._
     val hconf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(hconf)
-    val epochFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss")
+    // saturating chunk extent: startUs = Long.MinValue must not overflow
+    val loChunk =
+      if (startUs == Long.MinValue) Long.MinValue
+      else startUs - chunkSeconds * 1000000L
     val rows = for {
       epochDir <- fs.listStatus(rootPath).toSeq if epochDir.isDirectory
       epochUs <- scala.util.Try(java.time.LocalDateTime
-        .parse(epochDir.getPath.getName, epochFmt)
+        .parse(epochDir.getPath.getName, TsFmt)
         .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L).toOption.toSeq
-      if epochUs >= startUs && epochUs <= endUs
+      if epochUs <= endUs
       camDir <- fs.listStatus(epochDir.getPath).toSeq if camDir.isDirectory
       f <- fs.listStatus(camDir.getPath).toSeq
       if f.isFile && f.getPath.getName.endsWith(".bin")
       chunkUs <- chunkStartUs(f.getPath.getName).toSeq
+      if chunkUs <= endUs && chunkUs > loChunk
     } yield (epochDir.getPath.getName, timestampFromUs(epochUs),
       camDir.getPath.getName, fileRegister(f.getPath.getName).getOrElse(-1),
       timestampFromUs(chunkUs), f.getPath.toString, f.getLen)

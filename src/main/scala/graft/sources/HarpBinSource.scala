@@ -105,6 +105,13 @@ class HarpBinScan(path: String, chunkSeconds: Long, loUs: Long, hiUs: Long,
     matched.iterator
       .filter { st =>
         val name = st.getPath.getName
+        // LAYOUT CONTRACT: a chunk file contains only rows within
+        // [chunkStart, chunkStart + chunkSeconds) of its filename
+        // timestamp (the reference's hourly writer guarantees this).
+        // Pruning is a row FILTER under that contract — a file violating
+        // it (writer clock drift, wrong chunkSeconds option) would have
+        // its out-of-window rows silently dropped, so chunkSeconds must
+        // match the writer's actual chunking.
         val timeOk = HarpBin.chunkStartUs(name).forall { cs =>
           cs <= hiUs && cs + chunkSeconds * 1000000L > loUs
         }

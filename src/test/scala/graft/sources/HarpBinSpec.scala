@@ -51,9 +51,22 @@ class HarpBinSpec extends AnyFunSuite {
       arr(arr.length - 1) = (sum & 0xff).toByte
       arr
     }
+    // a TIMESTAMPED float write reply (msgType 2, payload type 0x54 — the
+    // same payload shape as an event): must be skipped on msgType alone,
+    // or the echo fabricates a bogus stream row
+    def timestampedWriteReply(register: Int): Array[Byte] = {
+      val ev = HarpBin.encodeMessage(register, 255, alignedUs(5000), Array(9.9f))
+      ev(0) = 2.toByte // flip msgType Event → Write
+      // re-checksum after the flip
+      var sum = 0
+      for (i <- 0 until ev.length - 1) sum += ev(i) & 0xff
+      ev(ev.length - 1) = (sum & 0xff).toByte
+      ev
+    }
     val bytes = writeEcho(32) ++
       HarpBin.encodeMessage(222, 255, alignedUs(0), Array(1.0f)) ++
       writeEcho(33) ++
+      timestampedWriteReply(222) ++
       HarpBin.encodeMessage(222, 255, alignedUs(20000), Array(2.0f))
     val decoded = HarpBin.decode(bytes).toSeq
     assert(decoded.length === 2, "events decoded, echoes skipped")
