@@ -63,7 +63,7 @@ object AsOfJoin {
     val leftPayload = left.columns.filterNot(c => c == timeCol || by.contains(c)).toSeq
     val rightPayload0 = right.columns.filterNot(c => c == timeCol || by.contains(c)).toSeq
     val rename = rightPayload0.map { c =>
-      c -> (if (leftPayload.contains(c) || by.contains(c)) c + rightSuffix else c)
+      c -> (if (leftPayload.contains(c)) c + rightSuffix else c)
     }.toMap
     // fail fast on a second-order clash: right's c renamed to c+suffix while
     // the left ALREADY has a column of that name would emit two identically
@@ -74,6 +74,11 @@ object AsOfJoin {
           s"existing left column — pass a different rightSuffix")
     }
     val rightPayload = rightPayload0.map(rename)
+    // …and on a right-side SELF-collision: right holding both c and c+suffix
+    // (with only c clashing) would also emit duplicate names
+    require(rightPayload.distinct.length == rightPayload.length,
+      s"asof: renamed right columns collide among themselves " +
+        s"(${rightPayload.mkString(", ")}) — pass a different rightSuffix")
     // deterministic duplicate resolution: extra RIGHT columns appended to
     // every match ordering, so equal right timestamps within a key resolve
     // to the same row on every run (without them, last()/first() pick
@@ -92,7 +97,11 @@ object AsOfJoin {
       .withColumn(t, col(timeCol))
       .withColumn(side, lit(1))
       .withColumn("_rp", lit(null).cast(structType(right, timeCol, by, rename)))
+    // right rows with a NULL time can never be a meaningful match (pandas
+    // merge_asof raises on null merge keys; we skip them) — keeping them
+    // would let a null-sorting-first row become a bogus backward match
     val rTagged = right
+      .filter(col(timeCol).isNotNull)
       .select((by.map(col) ++ Seq(col(timeCol).as(t))) :+
         struct(col(timeCol).as("_t") +: rightPayload0.map(c => col(c).as(rename(c))): _*).as("_rp"): _*)
       .withColumn(side, lit(0))
@@ -133,7 +142,12 @@ object AsOfJoin {
         .join(summ, Seq("_ab"), "left")
         .withColumn("_cin", last(col("_bval"), ignoreNulls = true).over(wS))
         .select(col("_ab"), col("_cin"))
-      local.join(broadcast(carry), "_ab")
+      // null-safe bucket join: a left row with a NULL time has a null
+      // bucket and must SURVIVE (with a null match), not vanish in an
+      // inner equi-join
+      local.join(broadcast(carry.withColumnRenamed("_ab", "_cab")),
+          col("_ab") <=> col("_cab"))
+        .drop("_cab")
         .withColumn(outCol, coalesce(col("_loc"), col("_cin")))
         .drop("_loc", "_cin")
     }
@@ -187,7 +201,10 @@ object AsOfJoin {
         abs(unixMicros(col("_m")("_t")) - unixMicros(col(t))) <= tol
       case None => lit(true)
     }
-    val matched = when(col("_m").isNotNull && withinTol, col("_m"))
+    // a NULL-time left row matches nothing in any direction (its position
+    // in time is undefined) — without this gate the forward window / the
+    // bucket carry would hand it a bogus match
+    val matched = when(col(t).isNotNull && col("_m").isNotNull && withinTol, col("_m"))
 
     withMatches
       .filter(col(side) === 1)

@@ -23,12 +23,21 @@ import scala.collection.mutable
   */
 object Assignment {
 
-  /** Large finite stand-in for infeasible cells: padding with a uniform
-    * big cost (instead of aborting augmentation mid-way, which corrupts the
-    * dual potentials) yields the min-cost **maximum-cardinality** matching
-    * over the feasible cells, matching the reference's reduce-then-solve
-    * semantics. Finite costs must be ≪ BIG / n. */
-  private val BIG = 1e15
+  /** Finite stand-in for infeasible cells: padding with a uniform big cost
+    * (instead of aborting augmentation mid-way, which corrupts the dual
+    * potentials) yields the min-cost **maximum-cardinality** matching over
+    * the feasible cells, matching the reference's reduce-then-solve
+    * semantics. The pad is SCALED to the data (a fixed 1e15 has ulp 0.125;
+    * subtracting potentials of that magnitude erodes ~0.1 of precision per
+    * augmentation hop, enough to mis-rank finite costs that differ by
+    * less — e.g. two likelihood-derived costs 0.05 apart). */
+  private def bigFor(cost: Array[Array[Double]], n: Int): Double = {
+    var maxAbs = 0.0
+    cost.foreach(_.foreach { v =>
+      if (!v.isInfinity && !v.isNaN && math.abs(v) > maxAbs) maxAbs = math.abs(v)
+    })
+    (maxAbs + 1.0) * (n + 1)
+  }
 
   /** Solve min-cost assignment. `cost(i)(j)` may be
     * `Double.PositiveInfinity` for infeasible pairs. Returns for each row i
@@ -49,8 +58,11 @@ object Assignment {
       colToRow.zipWithIndex.foreach { case (i, j) => if (i >= 0) res(i) = j }
       return res
     }
+    // any non-finite cell = infeasible (a bare NaN would poison the delta
+    // search and crash the augmentation; a -Infinity would corrupt duals)
+    val big = bigFor(cost, math.min(nRows, nCols))
     val c = Array.tabulate(nRows, nCols)((i, j) =>
-      if (cost(i)(j).isPosInfinity) BIG else cost(i)(j))
+      if (!java.lang.Double.isFinite(cost(i)(j))) big else cost(i)(j))
     val INF = Double.PositiveInfinity
     val u = Array.fill(nRows + 1)(0.0)
     val v = Array.fill(nCols + 1)(0.0)
@@ -100,7 +112,8 @@ object Assignment {
     val res = Array.fill(nRows)(-1)
     var j = 1
     while (j <= nCols) {
-      if (p(j) > 0 && !cost(p(j) - 1)(j - 1).isPosInfinity) res(p(j) - 1) = j - 1
+      if (p(j) > 0 && java.lang.Double.isFinite(cost(p(j) - 1)(j - 1)))
+        res(p(j) - 1) = j - 1
       j += 1
     }
     res

@@ -59,6 +59,11 @@ object BandJoin {
         df.withColumnRenamed(c, c + rightSuffix)
       } else df
     }
+    // …and on a right-side SELF-collision (right holds both c and c+suffix
+    // with only c clashing): duplicate output names are ambiguous downstream
+    require(rRenamed.columns.distinct.length == rRenamed.columns.length,
+      s"bandJoin: renamed right columns collide among themselves " +
+        s"(${rRenamed.columns.mkString(", ")}) — pass a different rightSuffix")
     val rTime = if (clashes.contains(rightTime)) rightTime + rightSuffix else rightTime
     val rBy = by.map(c => if (clashes.contains(c)) c + rightSuffix else c)
     val rExp = rRenamed.withColumn("_band_bucket", floor(unix_micros(col(rTime)) / width))

@@ -64,7 +64,17 @@ object Buckets {
       .withColumn("_bidx", row_number().over(wIdx).cast("long"))
       .withColumn("_bmax", max(col("_bidx")).over(
         wPart.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val joined = df.join(broadcast(mapping), by :+ bucketCol)
+    // NULL-SAFE key join: a using-join drops rows with a null bucket
+    // (null orderCol upstream) or null by-key, which the plain
+    // window-partition path keeps as their own partition — the bucketed
+    // form must not silently lose them (groupBy above already treats null
+    // as a group, so the mapping row exists)
+    val mKeys = by :+ bucketCol
+    val mappingR = mKeys.foldLeft(mapping)((d, k) =>
+      d.withColumnRenamed(k, s"_mk_$k"))
+    val joined = df.join(broadcast(mappingR),
+        mKeys.map(k => col(k) <=> col(s"_mk_$k")).reduce(_ && _))
+      .drop(mKeys.map(k => s"_mk_$k"): _*)
     val guarded =
       if (!guardSparse) joined
       else {

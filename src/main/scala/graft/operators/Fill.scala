@@ -72,7 +72,14 @@ object Fill {
     val carry = summ.select((keys.map(col) ++ cols.map(c =>
       last(col(s"_s_$c"), ignoreNulls = true).over(wS).getField("v")
         .as(s"_carry_$c"))): _*)
-    val joined = local.join(broadcast(carry), keys)
+    // NULL-SAFE key join: a using-join would silently DROP rows whose
+    // by-key or bucket (null orderCol) is null, where the plain ffill
+    // keeps them as their own window partition — the bucketed form must
+    // not lose rows the exact form retains
+    val carryR = keys.foldLeft(carry)((d, k) => d.withColumnRenamed(k, s"_ck_$k"))
+    val joined = local.join(broadcast(carryR),
+        keys.map(k => col(k) <=> col(s"_ck_$k")).reduce(_ && _))
+      .drop(keys.map(k => s"_ck_$k"): _*)
     cols.foldLeft(joined)((d, c) =>
         d.withColumn(c, coalesce(col(c), col(s"_carry_$c"))))
       .drop("_fb" +: cols.map(c => s"_carry_$c"): _*)

@@ -41,29 +41,37 @@ object Intervals {
     val real = env
       .select(col(timeCol).cast("timestamp").as("t"), col(stateCol).as("s"))
       .filter(col("t") >= lit(rangeStart) && col("t") <= lit(rangeEnd))
-      .withColumn("_pad", lit(0))
-    // unconditional Maintenance pad at rangeEnd: when the stream already
-    // ends in Maintenance the pad dies in the state-change filter, so this
-    // equals the reference's conditional pad — declaratively
-    val endPad = Seq((rangeEnd, maintenance, 1)).toDF("t", "s", "_pad")
-    // state as second tie key: two REAL rows at one timestamp pick
-    // deterministically (the reference's keep-first depends on file order,
-    // which a distributed engine must not)
-    val dedup = real.unionByName(endPad)
+    // duplicate timestamps among REAL rows keep one deterministically
+    // (state as tie key — the reference's keep-first depends on file
+    // order, which a distributed engine must not)
+    val dedup = real
       .withColumn("_rn",
-        row_number().over(Window.partitionBy(col("t")).orderBy(col("_pad"), col("s"))))
-      .filter(col("_rn") === 1).drop("_rn", "_pad")
+        row_number().over(Window.partitionBy(col("t")).orderBy(col("s"))))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_pad", lit(0))
+    // conditional Maintenance pad at rangeEnd, added AFTER dedup: the
+    // reference appends it when the last real state is not Maintenance.
+    // It must not COMPETE with a real row at exactly rangeEnd — a real
+    // Experiment row there would displace the pad and silently drop the
+    // trailing interval; instead the pad coexists at the same timestamp,
+    // ordered after the real row (the reference's append order). The
+    // null-safe compare keeps the pad for an EMPTY stream too.
+    val lastState = dedup.agg(max_by(col("s"), col("t")).as("_ls"))
+    val endPad = Seq((rangeEnd, maintenance, 1)).toDF("t", "s", "_pad")
+      .join(broadcast(lastState), !(col("_ls") <=> lit(maintenance))).drop("_ls")
+    val padded = dedup.unionByName(endPad)
     // drop everything after the last Maintenance event
-    val endT = dedup.filter(col("s") === maintenance).agg(max("t").as("_endT"))
-    val sliced = dedup.join(broadcast(endT), col("t") <= col("_endT")).drop("_endT")
-    // keep state changes only
+    val endT = padded.filter(col("s") === maintenance).agg(max("t").as("_endT"))
+    val sliced = padded.join(broadcast(endT), col("t") <= col("_endT")).drop("_endT")
+    // keep state changes only; _pad breaks the rangeEnd timestamp tie
     val chg = sliced
-      .withColumn("_ps", lag(col("s"), 1).over(wAll.orderBy("t")))
+      .withColumn("_ps", lag(col("s"), 1).over(wAll.orderBy(col("t"), col("_pad"))))
       .filter(col("_ps").isNull || col("s") =!= col("_ps")).drop("_ps")
     // conditional Experiment pad at rangeStart (first surviving state is
     // Maintenance ⇔ experiment mode was entered before the range)
-    val firstState = chg.agg(min_by(col("s"), col("t")).as("_fs"))
-    val startPad = Seq((rangeStart, experiment)).toDF("t", "s")
+    val firstState = chg.agg(
+      min_by(col("s"), struct(col("t"), col("_pad"))).as("_fs"))
+    val startPad = Seq((rangeStart, experiment, 0)).toDF("t", "s", "_pad")
       .join(broadcast(firstState), col("_fs") === maintenance).drop("_fs")
     val fin = chg.unionByName(startPad)
     val starts = fin.filter(col("s") === experiment)

@@ -461,6 +461,24 @@ class DetectorSpec extends AnyFunSuite {
       empty, "time", "state", ts(0), ts(100)).collect()
       .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
     assert(iv2.toSeq === Seq((ts(0), ts(100))))
+    // a REAL non-Maintenance row at exactly rangeEnd must not displace the
+    // Maintenance end pad (it previously killed the trailing interval)
+    val atEnd = Seq(
+      (ts(20), "Maintenance"), (ts(50), "Experiment"), (ts(100), "Experiment")
+    ).toDF("time", "state")
+    val iv3 = graft.operators.Intervals.experimentIntervals(
+      atEnd, "time", "state", ts(0), ts(100)).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1))).sortBy(_._1.getTime)
+    assert(iv3.toSeq === Seq((ts(0), ts(20)), (ts(50), ts(100))))
+    // …and a stream with NO real Maintenance at all must still pair every
+    // start with the end pad (previously yielded zero intervals →
+    // excludeOutside dropped ALL data)
+    val noMaint = Seq((ts(50), "Experiment"), (ts(100), "Experiment"))
+      .toDF("time", "state")
+    val iv4 = graft.operators.Intervals.experimentIntervals(
+      noMaint, "time", "state", ts(0), ts(100)).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    assert(iv4.toSeq === Seq((ts(50), ts(100))))
   }
 
   test("detectFights physical plan has no unpartitioned WindowExec (scale shape)") {

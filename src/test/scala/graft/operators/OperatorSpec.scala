@@ -140,6 +140,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed forms retain null-key rows like the plain window forms") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // rows with a NULL by-key and a NULL order value: the plain window
+    // paths keep them as their own partition; the bucketed carry joins
+    // must not silently drop them
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("v", DoubleType), StructField("grp", StringType)))
+    val rows = Seq(
+      Row(0L, 1.0, "a"), Row(10L, null, "a"), Row(20L, 2.0, null),
+      Row(30L, null, null), Row(null, 9.0, "a"), Row(40L, null, "a"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    def key(r: Row) = (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))
+    val plain = graft.operators.Fill.ffill(df, Seq("v"), "us", Seq("grp"))
+      .collect().map(key).toSet
+    val bucketed = graft.operators.Fill.ffillBucketed(df, Seq("v"), "us",
+        bucketSize = 15L, by = Seq("grp"))
+      .collect().map(key).toSet
+    assert(bucketed.size === rows.size, "bucketed ffill dropped rows")
+    assert(bucketed === plain)
+    // keyless as-of, bucketed: a null-time left row survives with a null
+    // match; a null-time right row is never a match in either path
+    val left = Seq((Some(0L), 1L), (None, 2L), (Some(100L), 3L))
+      .map { case (t, v) => Row(t.map(u => new java.sql.Timestamp(u)).orNull, v) }
+    val right = Seq((Some(90L), 10.0), (None, 99.0))
+      .map { case (t, v) => Row(t.map(u => new java.sql.Timestamp(u)).orNull, v) }
+    val lDf = spark.createDataFrame(spark.sparkContext.parallelize(left, 1),
+      StructType(Seq(StructField("t", TimestampType), StructField("lv", LongType))))
+    val rDf = spark.createDataFrame(spark.sparkContext.parallelize(right, 1),
+      StructType(Seq(StructField("t", TimestampType), StructField("rv", DoubleType))))
+    def asofKeys(bucketUs: Option[Long]) =
+      graft.operators.AsOfJoin.asofJoin(lDf, rDf, "t", Nil,
+          graft.operators.AsOfJoin.Backward, bucketUs = bucketUs)
+        .select("lv", "rv").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val windowed = asofKeys(None)
+    val bucketedAsof = asofKeys(Some(3600000000L))
+    assert(windowed === Set((1L, None), (2L, None), (3L, Some(10.0))),
+      "null-time rows must neither match nor be matched")
+    assert(bucketedAsof === windowed)
+  }
+
   test("bfill mirrors ffill on the reversed sequence") {
     val df = Seq((1L, None), (2L, Some(5L)), (3L, None), (4L, Some(7L)), (5L, None))
       .map { case (t, v) => (t, v) }.toDF("t", "v")
