@@ -367,15 +367,19 @@ object Dedup {
     // clique-ish, diameter ≲ 10), so it wins the common case; a corpus
     // with chain-shaped components (template drift in crawls) blows its
     // round cap and falls over to star contraction — O(log n) rounds
-    // regardless of diameter, at ~6 shuffles/round
+    // regardless of diameter, at ~6 shuffles/round. The pairs plan is
+    // checkpointed FIRST: it is often an expensive dedup pipeline
+    // (band → candidate → verify), and the fallback must pay only the
+    // contraction rounds, not a second full pipeline run.
+    val pairsC = pairs.localCheckpoint()
     val comp =
-      (try connectedComponents(pairs, maxIter = 12)
+      (try connectedComponents(pairsC, maxIter = 12)
        catch {
          // ONLY the round-cap blowout falls over to star — any other
          // IllegalArgumentException is a real defect and must surface
          case e: IllegalArgumentException
              if e.getMessage != null && e.getMessage.contains("did not converge") =>
-           connectedComponentsStar(pairs)
+           connectedComponentsStar(pairsC)
        })
         .select(col("id").as(idCol), col("component"))
     docs.join(comp, Seq(idCol), "left")

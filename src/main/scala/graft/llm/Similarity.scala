@@ -42,6 +42,11 @@ object Similarity {
     * expressions (HOF or unrolled) evaluate interpreted per element and are
     * the wrong tool for all-pairs workloads. */
   @inline def dotKernel(a: Array[Float], b: Array[Float]): Double = {
+    // mismatched dimensions → NaN (the JVM's `cos >= t` then drops the
+    // pair): silently truncating to a.length would rank wrong similarities
+    // where the null-returning native/HOF forms drop them — the three dot
+    // implementations must not disagree (DotProduct contract)
+    if (a.length != b.length) return Double.NaN
     var d = 0.0; var k = 0
     while (k < a.length) { d += a(k).toDouble * b(k).toDouble; k += 1 }
     d
@@ -171,10 +176,21 @@ object Similarity {
   def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cell"))
-    vectors.select(col(idCol), col(vecCol).as("_v"))
-      .filter(dotNative(col("_v"), col("_v")) > 0.0)
-      .crossJoin(broadcast(centroids.select(col("cell"), col("_cv"))))
-      .withColumn("_d", cosine(col("_v"), col("_cv")))
+    // norm projected ONCE per row — and the isnan guard is load-bearing:
+    // Spark orders NaN greatest, so a NaN-component vector (failed-encode
+    // artifact) passes a bare `> 0.0`, ranks NaN-cosine-first into cell 0,
+    // and then poisons every ivfTopK query probing that cell
+    val withNorm = vectors.select(col(idCol), col(vecCol).as("_v"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_vn"))
+      .filter(!isnan(col("_vn")) && col("_vn") > 0.0)
+    // centroid norms precomputed in the broadcast table (C+1 dots per row,
+    // not ~3C)
+    val cents = centroids.select(col("cell"), col("_cv"),
+      sqrt(dotNative(col("_cv"), col("_cv"))).as("_cn"))
+    withNorm
+      .crossJoin(broadcast(cents))
+      .withColumn("_d",
+        dotNative(col("_v"), col("_cv")) / (col("_vn") * col("_cn")))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= nprobe)
       .select(col(idCol), col("cell"))
   }
@@ -213,7 +229,9 @@ object Similarity {
     * n·G vectors; compute is the inherent O(n²·dim) of an exact low-threshold
     * scan, spread over G·(G+1)/2 independent tasks. `numBlocks` = 0 picks
     * G from the corpus size so a block stays ≤ `maxRowsPerBlock` rows and
-    * there are at least ~2× defaultParallelism tasks. For thresholds high
+    * there are at least ~1× defaultParallelism tasks (G = ⌈√(2P)⌉ gives
+    * G(G+1)/2 ≈ P; raise `numBlocks` for finer straggler mitigation). For
+    * thresholds high
     * enough to imply true near-duplicates (≳0.8), prefer
     * [[lshNearDupPairs]], which prunes candidates sub-quadratically.
     */
@@ -331,7 +349,12 @@ object Similarity {
       .join(v.toDF("j", "_vj"), "j")
       .withColumn("cos", dotNative(col("_vi"), col("_vj")) /
         (sqrt(dotNative(col("_vi"), col("_vi"))) * sqrt(dotNative(col("_vj"), col("_vj")))))
-      .filter(col("cos") >= minCos)
+      // !isnan is load-bearing: Spark orders NaN greatest, so two
+      // NaN-component embeddings (identical all-zero sign bits → collide
+      // in every band) would pass a bare >= and emit a SPURIOUS pair,
+      // breaking the every-emitted-pair-truly-≥-minCos contract (the exact
+      // tier's JVM comparison drops the same pair)
+      .filter(!isnan(col("cos")) && col("cos") >= minCos)
       .select("i", "j", "cos")
   }
 
@@ -339,12 +362,15 @@ object Similarity {
     * top-k tables). One row: (n_queries, avg_recall).
     */
   def recallAgainst(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    // the exact table feeds BOTH the hit join and the per-query counts —
+    // uncached it would run the full brute-force top-k scan twice
+    val exactC = exact.cache()
+    val hits = exactC.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("_hits"))
     // denominator = the query's ACTUAL exact-neighbor count (≤ k): a query
     // with fewer than k exact neighbors (small corpus/cell) can still score
     // recall 1.0 when the index returns all of them
-    val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("_nEx"))
+    val perQuery = exactC.groupBy("query_id").agg(count(lit(1)).as("_nEx"))
       .join(hits, Seq("query_id"), "left")
       .withColumn("_recall", coalesce(col("_hits"), lit(0L)).cast("double") /
         least(col("_nEx"), lit(k.toLong)))

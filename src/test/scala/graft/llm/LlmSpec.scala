@@ -161,6 +161,26 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
     assert(Dedup.simhash(docs, "doc_id", "text").count() === 2)
+    // assignCells: a NaN-norm vector must not claim a cell (Spark orders
+    // NaN greatest, so a bare `> 0` norm filter would rank it into cell 0
+    // and poison every query probing that cell)
+    val cents = Similarity.trainCentroids(rows.filter(col("vec_id") < 3),
+      "embedding", k = 2)
+    val cells = Similarity.assignCells(rows, cents, "vec_id", "embedding", 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!cells.contains(7L) && !cells.contains(8L),
+      "NaN/null-norm vectors must not be assigned to cells")
+    // lshNearDupPairs: two NaN-component embeddings collide in every band
+    // (identical all-zero sign bits) — the verify stage must NOT emit the
+    // pair with a NaN cosine
+    val nanPair = Seq((7L, Array(Float.NaN, 1f)), (9L, Array(Float.NaN, 2f)),
+      (0L, Array(1f, 0f)), (1L, Array(0.99f, 0.14f)))
+      .toDF("vec_id", "embedding")
+    val lsh = Similarity.lshNearDupPairs(nanPair, "vec_id", "embedding",
+      minCos = 0.9).collect()
+    assert(lsh.forall(r => !r.getDouble(2).isNaN),
+      "NaN cosine must never satisfy the >= minCos contract")
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
   }
 
   test("trainCentroids ignores zero-norm vectors (no NaN-cosine cell collapse)") {
