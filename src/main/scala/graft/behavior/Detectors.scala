@@ -106,17 +106,38 @@ object Detectors {
           else (n.getDouble(0), n.getDouble(1))
         } catch { case _: org.apache.spark.sql.AnalysisException =>
           (Double.NaN, Double.NaN) }
-      val gateKeys = meta.schema.fields.find(_.name == "Devices").toSeq
-        .flatMap(_.dataType match {
-          case s: org.apache.spark.sql.types.StructType =>
-            s.fieldNames.filter(k => k.contains("Gate") && k.contains("Rfid"))
-          case _ => Array.empty[String]
-        })
-      val gates = gateKeys.map { k =>
-        val g = meta.select(col(s"Devices.`$k`.Location.X").cast("double"),
-          col(s"Devices.`$k`.Location.Y").cast("double")).head()
-        (g.getDouble(0), g.getDouble(1))
-      }
+      import org.apache.spark.sql.types.StructType
+      val devices = meta.schema.fields.find(_.name == "Devices")
+        .map(_.dataType).collect { case s: StructType => s }
+      // only keys whose schema actually carries Location.{X,Y}: a Gate+Rfid
+      // device without a Location must not fail the whole parse (schema
+      // introspection — no extra Spark job per gate)
+      def hasLocation(s: StructType, k: String): Boolean =
+        s.fields.find(_.name == k).map(_.dataType).exists {
+          case d: StructType => d.fields.find(_.name == "Location")
+            .map(_.dataType).exists {
+              case l: StructType =>
+                l.fieldNames.contains("X") && l.fieldNames.contains("Y")
+              case _ => false
+            }
+          case _ => false
+        }
+      val gateKeys = devices.toSeq.flatMap(s =>
+        s.fieldNames.filter(k => k.contains("Gate") && k.contains("Rfid") &&
+          hasLocation(s, k)))
+      // ONE combined select for all gates (was one driver job per gate);
+      // null coordinates drop that gate, like the nest fallback
+      val gates =
+        if (gateKeys.isEmpty) Nil
+        else {
+          val g = meta.select(gateKeys.flatMap(k => Seq(
+            col(s"Devices.`$k`.Location.X").cast("double"),
+            col(s"Devices.`$k`.Location.Y").cast("double"))): _*).head()
+          gateKeys.indices.flatMap { i =>
+            if (g.isNullAt(2 * i) || g.isNullAt(2 * i + 1)) None
+            else Some((g.getDouble(2 * i), g.getDouble(2 * i + 1)))
+          }
+        }
       Roi(row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
         nest._1, nest._2, gates, gateWidth)
     }
@@ -256,6 +277,11 @@ object Detectors {
     .withColumn("e_tailtail", edist(0, "tail_base", 1, "tail_base"))
     .withColumn("e2", edist(0, "tail_base", 1, "head"))
     .withColumn("e3", edist(1, "tail_base", 0, "head"))
+    // rel1 and e2 are deliberately the SAME quantity under two names — the
+    // reference computes |spine4_m0 − head_m1| both as relative_distances[1]
+    // and extremity_distances[2] (`social_behaviour_detection.py:182-189`);
+    // keeping both mirrors that, and the duplicate expression folds in
+    // whole-stage codegen's common-subexpression elimination
     .withColumn("rel0", edist(0, "tail_base", 0, "head"))
     .withColumn("rel1", edist(0, "tail_base", 1, "head"))
     .withColumn("nh0", edist(0, "nose", 0, "head"))
@@ -386,17 +412,19 @@ object Detectors {
       .agg(min("frame").as("firstF"), max("frame").as("lastF"))
       .select(col(G), col("session_id").as("ev"), col("firstF"), col("lastF"))
     // kernel over [firstF−1, lastF]; cleanup arrays exclude the last frame.
-    // The tube-only EvRow fields (o0/o1/e2/e3/cdist) ride as NaN.
+    // The tube-only EvRow fields (o0/o1/e2/e3/cdist) ride as NaN — and so
+    // does isCand ride as a constant false: the fight kernel never reads
+    // it, and joining kept1 back in would re-execute the phase-1
+    // sessionization subtree a second time just to populate a dead field.
     val e = evs.select(col(G).as("_eg"), col("ev"), col("firstF"), col("lastF"))
     val rows = flagged.join(broadcast(e), col(G) === col("_eg") &&
         col("frame") >= col("firstF") - 1 && col("frame") <= col("lastF"))
-      .join(kept1.withColumn("isCand", lit(true)), Seq(G, "frame"), "left")
       .select(col(G).as("g"), col("ev"), col("frame"), col("tsUs"),
         col("c0x"), col("c0y"), col("c1x"), col("c1y"),
         lit(Double.NaN).as("o0"), lit(Double.NaN).as("o1"),
         lit(Double.NaN).as("e2"), lit(Double.NaN).as("e3"),
         lit(Double.NaN).as("cdist"),
-        coalesce(col("isCand"), lit(false)).as("isCand"),
+        lit(false).as("isCand"),
         col("firstF"), col("lastF"))
       .as[EvRow]
     rows.groupByKey(r => (r.g, r.ev)).flatMapGroups {
