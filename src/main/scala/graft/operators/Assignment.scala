@@ -30,13 +30,23 @@ object Assignment {
     * semantics. The pad is SCALED to the data (a fixed 1e15 has ulp 0.125;
     * subtracting potentials of that magnitude erodes ~0.1 of precision per
     * augmentation hop, enough to mis-rank finite costs that differ by
-    * less — e.g. two likelihood-derived costs 0.05 apart). */
+    * less — e.g. two likelihood-derived costs 0.05 apart).
+    *
+    * The factor 2 makes the pad dominate NEGATIVE finite costs too:
+    * maximum-cardinality requires that adding one more real match always
+    * beats leaving a pad cell in the solution, i.e. big > (total finite
+    * swing) = 2·n·maxAbs. With big = 2·(maxAbs+1)·(n+1) a cardinality-k
+    * solution with one extra pad cell costs at least
+    * big - n·maxAbs > n·maxAbs ≥ any all-finite cardinality-(k+1) cost.
+    * (A pad of (maxAbs+1)·(n+1) fails on e.g. rows
+    * [[10,-10,∞],[∞,10,-10],[∞,∞,10]]: the padded 2-matching at -20+44
+    * beats the 3-matching at 30.) */
   private def bigFor(cost: Array[Array[Double]], n: Int): Double = {
     var maxAbs = 0.0
     cost.foreach(_.foreach { v =>
       if (!v.isInfinity && !v.isNaN && math.abs(v) > maxAbs) maxAbs = math.abs(v)
     })
-    (maxAbs + 1.0) * (n + 1)
+    2.0 * (maxAbs + 1.0) * (n + 1)
   }
 
   /** Solve min-cost assignment. `cost(i)(j)` may be

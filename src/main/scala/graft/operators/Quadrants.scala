@@ -56,6 +56,11 @@ object Quadrants {
     */
   def withQuadrants(df: DataFrame, xCol: String, yCol: String,
       fovs: Seq[Seq[(Double, Double)]]): DataFrame = {
+    require(fovs.nonEmpty, "withQuadrants needs at least one FOV")
+    // least() demands >= 2 children (AnalysisException otherwise), so a
+    // single-FOV rig degenerates to the lone candidate
+    def leastOf(cands: Seq[Column]): Column =
+      if (cands.size == 1) cands.head else least(cands: _*)
     val x = col(xCol); val y = col(yCol)
     val inside: Seq[Column] = fovs.map(c => Cols.inConvexPolygon(x, y, c))
     val possible = filter(
@@ -73,12 +78,12 @@ object Quadrants {
     // expression blew past Janino's 64 KB method limit, silently knocking
     // the whole stage out of codegen (~10× slower per row); least()
     // evaluates each child once, linear generated code
-    val nearest = least(fovs.indices.map(i =>
-      struct(d2(i).as("d"), lit(i).as("q"))): _*)
+    val nearest = leastOf(fovs.indices.map(i =>
+      struct(d2(i).as("d"), lit(i).as("q"))))
     // most central among the CONTAINING FOVs (least skips null = outside),
     // falling back to the globally nearest when the point is inside none
-    val insideMin = least(fovs.indices.map(i =>
-      when(inside(i), struct(d2(i).as("d"), lit(i).as("q")))): _*)
+    val insideMin = leastOf(fovs.indices.map(i =>
+      when(inside(i), struct(d2(i).as("d"), lit(i).as("q")))))
     // missing coordinates (null or NaN) must propagate as null, like the
     // reference's NaN rows — otherwise the nearest-FOV reduce's
     // keep-a-on-null-comparison behavior silently resolves every missing

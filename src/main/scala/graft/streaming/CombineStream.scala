@@ -36,6 +36,8 @@ import graft.combine.Combine
   */
 object CombineStream {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val poseChunkSchema: StructType = StructType(Seq(
     StructField("time", TimestampType), StructField("pose_id", LongType),
     StructField("part", StringType), StructField("x", DoubleType),
@@ -68,6 +70,15 @@ object CombineStream {
       (!requireSuccess || idsFs.exists(new Path(idsPath, "_SUCCESS")))
     if (!haveIds && !emptyIfMissing) false
     else {
+      // loud path for the marker-less-writer misconfiguration: the id DIR
+      // exists but never gained _SUCCESS, so finalizeMissing is about to
+      // write an EMPTY combine for a chunk that plausibly has identity
+      // data — without this signal that's silent data loss
+      if (!haveIds && idsFs.exists(idsPath))
+        log.warn(
+          s"finalizing chunk '$c' as EMPTY: id directory $idsPath exists " +
+          "but has no _SUCCESS marker — if the id writer never emits " +
+          "_SUCCESS, pass requireIdsSuccessMarker=false")
       val pose = sp.read.schema(poseChunkSchema).parquet(s"$poseDir/$c")
       val ids =
         if (haveIds) sp.read.schema(idsChunkSchema).parquet(s"$idsDir/$c")

@@ -13,7 +13,7 @@ object KernelProps extends Properties("graft.kernels") {
     n <- Gen.choose(1, 4)
     m <- Gen.choose(1, 4)
     cells <- Gen.listOfN(n * m, Gen.oneOf(
-      Gen.choose(0, 50).map(_.toDouble), Gen.const(Double.PositiveInfinity)))
+      Gen.choose(-50, 50).map(_.toDouble), Gen.const(Double.PositiveInfinity)))
   } yield cells.grouped(m).map(_.toArray).toArray
 
   property("solve: assignment is injective and feasible") = forAll(smallMatrix) { cost =>
@@ -62,6 +62,18 @@ object KernelProps extends Properties("graft.kernels") {
       Prop(cardS == bestCard && math.abs(totS - bestCost) < 1e-9) :|
         s"solver card=$cardS tot=$totS vs optimum card=$bestCard tot=$bestCost"
     }
+
+  property("solve: negative finite costs never sacrifice cardinality") = {
+    // regression: with pad = (maxAbs+1)(n+1) the padded 2-matching at
+    // -20+44 = 24 beat the cardinality-3 diagonal at 30
+    val inf = Double.PositiveInfinity
+    val cost = Array(
+      Array(10.0, -10.0, inf),
+      Array(inf, 10.0, -10.0),
+      Array(inf, inf, 10.0))
+    val res = Assignment.solve(cost)
+    Prop(res.sameElements(Array(0, 1, 2))) :| s"got ${res.mkString(",")}"
+  }
 
   private val trajectory: Gen[Array[Double]] = for {
     n <- Gen.choose(2, 30)

@@ -38,6 +38,18 @@ class QuadrantsSpec extends AnyFunSuite {
     assert(q(3L) === (Seq(), 3))
   }
 
+  test("withQuadrants: single-FOV rig (least() needs >=2 children)") {
+    val pos = Seq((1L, 50.0, 50.0), (2L, 500.0, 500.0), (3L, Double.NaN, 1.0))
+      .toDF("id", "x", "y")
+    val q = Quadrants.withQuadrants(pos, "x", "y", fovs.take(1)).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getSeq[Int](r.fieldIndex("possible_quadrants")),
+          Option(r.getAs[Any]("most_central_quadrant")))).toMap
+    assert(q(1L) === (Seq(0), Some(0)))
+    assert(q(2L) === (Seq(), Some(0))) // outside → nearest = the only FOV
+    assert(q(3L) === (Seq(), None))    // NaN coords stay null
+  }
+
   test("selectQuadrant cascade: common singleton, central intersection, ties, no-common") {
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
     val pos = Seq(
