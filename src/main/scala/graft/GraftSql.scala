@@ -313,9 +313,9 @@ object GraftSql {
     * EXPLAIN), once per statement referencing the function. On large
     * corpora, materialize the result once
     * (`CREATE TABLE deduped AS SELECT * FROM graft_neardup_t(...)`) and
-    * query the table. The verify stage also caches the hashed shingle sets
-    * (see [[graft.llm.Dedup.minhashDedupPairs]]) — call
-    * `spark.catalog.clearCache()` between invocations. */
+    * query the table. Runs the collapsed-representative scale path
+    * ([[graft.llm.Dedup.minhashRepresentatives]]): exact duplicates never
+    * expand into pairs, and no cache entry outlives the statement. */
   private def neardupTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_neardup_t"
     require(args.length >= 3 && args.length <= 7,
@@ -329,9 +329,8 @@ object GraftSql {
     val minJ = if (args.length == 7) dblLit(args(6), fn, "minJaccard") else 0.7
     val spark = SparkSession.active
     val docs = spark.table(view)
-    val pairs = graft.llm.Dedup.minhashDedupPairs(
-      docs, idCol, textCol, n, numHashes, bands, minJ)
-    graft.llm.Dedup.withRepresentatives(docs, idCol, pairs)
+    graft.llm.Dedup.minhashRepresentatives(
+        docs, idCol, textCol, n, numHashes, bands, minJ)
       .queryExecution.logical
   }
 

@@ -38,6 +38,90 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-duplicate pre-collapse shared by the near-dup pair generators:
+    * returns (membership, repDocs) where membership maps every document
+    * (`_id`) to the min-id representative of its exact-content group
+    * (`_rid`) and repDocs (`_id`, `_text`) holds one document per distinct
+    * content. Banding / indexing ONLY representatives removes the
+    * hot-bucket quadratic: B byte-identical documents (the NORM in crawl
+    * corpora — boilerplate, mirrors, reposts) would otherwise put B copies
+    * into every band bucket and push B² candidate pairs through the band
+    * self-join before any `distinct` can drop them. After collapse a group
+    * contributes ONE row per bucket; member pairs re-expand afterwards at
+    * output-proportional cost ([[expandMemberPairs]]). Only 8-byte ids and
+    * 32-byte content hashes shuffle here, never documents.
+    */
+  private[graft] def collapseExactDups(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+      .filter(col("_id").isNotNull && col("_text").isNotNull)
+    val members = base.select(col("_id"), sha2(col("_text"), 256).as("_ch"))
+    val groups = members.groupBy("_ch").agg(min("_id").as("_rid"))
+    val m = members.join(groups, "_ch").select(col("_id"), col("_rid"))
+    val repDocs = base.join(m.filter(col("_id") === col("_rid")).select("_id"),
+      Seq("_id"), "left_semi")
+    (m, repDocs)
+  }
+
+  /** Representatives whose content actually produces shingles (≥ n
+    * tokens) — the only groups whose members can appear in a pair table
+    * (a document with no shingles never bands and never becomes a
+    * candidate, so exact copies of it must NOT pair either). */
+  private def bandableReps(repDocs: DataFrame, n: Int): DataFrame =
+    repDocs.filter(size(split(lower(col("_text")), " ")) >= n)
+      .select(col("_id").as("_rid"))
+
+  /** Expand representative-level pairs back to member-level pairs.
+    * Cross-group member pairs inherit their rep pair's value columns
+    * verbatim (identical content ⇒ identical similarity to everything);
+    * within-group pairs (exact duplicates of each other) take the value
+    * columns carried on `withinGroups` (`_rid` + value columns — pass only
+    * groups that should self-pair). Cost is proportional to the OUTPUT
+    * pair count, which is the inherent size of a member-level pair table;
+    * consumers that only need clusters should use
+    * [[minhashRepresentatives]] and skip this expansion entirely.
+    */
+  private[llm] def expandMemberPairs(repPairs: DataFrame, m: DataFrame,
+      withinGroups: DataFrame, valueCols: Seq[String]): DataFrame = {
+    val vals = valueCols.map(col)
+    val rp = repPairs.select(col("i").as("_ri") +: col("j").as("_rj") +: vals: _*)
+    val cross = rp
+      .join(m.select(col("_rid").as("_ri"), col("_id").as("_a")), "_ri")
+      .join(m.select(col("_rid").as("_rj"), col("_id").as("_b")), "_rj")
+      .select(least(col("_a"), col("_b")).as("i") +:
+        greatest(col("_a"), col("_b")).as("j") +: vals: _*)
+    val within = m.join(withinGroups, "_rid")
+      .select(col("_rid") +: col("_id").as("_a") +: vals: _*)
+      .join(m.select(col("_rid"), col("_id").as("_b")), "_rid")
+      .filter(col("_a") < col("_b"))
+      .select(col("_a").as("i") +: col("_b").as("j") +: vals: _*)
+    cross.unionByName(within)
+  }
+
+  /** Loud band-bucket cap: when `cap` > 0, buckets holding more than `cap`
+    * DISTINCT fingerprints are dropped from candidate generation — a B-row
+    * bucket inherently feeds B² pairs through the band self-join, which no
+    * optimizer can split — with a WARN naming the count (recall loss must
+    * be loud, never silent). 0 disables the cap (exact semantics — the
+    * oracle-differential setting). Callers collapse exact duplicates
+    * first, so only a bucket of genuinely DIVERSE near-identical contents
+    * can trip it.
+    */
+  private[graft] def capBandBuckets(bt: DataFrame, keys: Seq[String],
+      cap: Long, what: String): DataFrame =
+    if (cap <= 0L) bt
+    else {
+      val hot = bt.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > cap)
+        .select(keys.map(col): _*)
+      val nHot = hot.count()
+      if (nHot > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$what: dropping $nHot band bucket(s) exceeding maxBandBucket=$cap " +
+            "distinct fingerprints — near-duplicate recall is reduced for their members")
+      bt.join(broadcast(hot), keys, "left_anti")
+    }
+
   /** (id, shingle) long table, distinct per document. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("shingle"))
@@ -123,11 +207,19 @@ object Dedup {
     * exact. Candidates are then verified with true set intersection.
     *
     * `maxShingleDf` additionally drops prefix shingles present in more than
-    * that many documents (stopword-shingle skew guard). 0 = keep all, which
-    * preserves exactness — the setting used for oracle differential tests.
+    * that many DISTINCT contents (stopword-shingle skew guard; exact
+    * duplicates are pre-collapsed before the index is built, so the count
+    * is duplicate-robust). 0 = keep all, which preserves exactness — the
+    * setting used for oracle differential tests.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDf: Long = 0L): DataFrame = {
+    // Exact-duplicate pre-collapse: index, candidate join, and
+    // verification all run over DISTINCT contents only (B copies of a
+    // boilerplate page contribute ONE set of prefix probes, not B copies
+    // in every probe bucket → B² candidates); member pairs re-expand at
+    // output-proportional cost at the end.
+    val (m, repDocs) = collapseExactDups(docs, idCol, textCol)
     // Shingles travel as 64-bit hashes: 3× less shuffle than strings and
     // integer equi-joins; a collision would need ~10⁹ distinct shingles in
     // one corpus to matter (birthday bound).
@@ -136,12 +228,15 @@ object Dedup {
     // prefix membership from vocabulary frequency — a lexicographic order
     // puts the same hot shingles in every prefix and regenerates the n²
     // candidate blow-up — and (ii) needs NO global document-frequency pass.
-    // Cached: the DAG below consumes it three times (prefix probes + both
-    // verify sides). Plans returned by this function hold the cache ref;
-    // batch drivers running many queries should clearCache() between them.
-    val sets = hashedShingleSets(docs, idCol, textCol, n)
+    // localCheckpoint, not cache(): the DAG below consumes it three times
+    // (prefix probes + both verify sides); eager localCheckpoint
+    // materializes once WITHOUT registering in the CacheManager, so blocks
+    // are freed by the ContextCleaner when the plan is GC'd — a bare
+    // .cache() here leaked storage in long-running services until an
+    // explicit clearCache().
+    val sets = hashedShingleSets(repDocs, "_id", "_text", n)
       .filter(size(col("_sh")) > 0)
-      .cache()
+      .localCheckpoint()
     val prefLen = (size(col("_sh")) - ceil(size(col("_sh")) * minJaccard) + 1).cast("int")
     // probes are (id, shingle) ONLY — the full set never rides through the
     // inverted-index join, so per-match shuffle is 16 bytes, not an array.
@@ -160,7 +255,13 @@ object Dedup {
       .join(probes.select(col("_id").as("j"), col("shingle")), "shingle")
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    verifyJaccard(cand, sets, minJaccard)
+    val repPairs = verifyJaccard(cand, sets, minJaccard)
+    // within-group (exact-duplicate) pairs have Jaccard exactly 1.0; only
+    // groups that produce shingles self-pair (`sets` is already filtered)
+    expandMemberPairs(repPairs, m,
+      sets.select(col("_id").as("_rid"), lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= minJaccard),
+      Seq("jaccard"))
   }
 
   /** MinHash signature: k column mins over one shingle explode.
@@ -239,21 +340,102 @@ object Dedup {
       }.toDF("_id", "band", "bh")
   }
 
+  /** Band-join candidate pairs among REPRESENTATIVE documents only (one
+    * per distinct content — callers run [[collapseExactDups]] first). The
+    * self-join key space is distinct contents, so a duplicate-heavy corpus
+    * cannot inflate any bucket; `maxBandBucket` > 0 additionally drops
+    * (loudly) buckets of more than that many distinct fingerprints.
+    * Exposed package-private as the stress-test observation point: specs
+    * assert the candidate count stays bounded under planted mass
+    * duplication. */
+  private[graft] def minhashRepCandidates(repDocs: DataFrame, n: Int,
+      numHashes: Int, bands: Int, maxBandBucket: Long): DataFrame = {
+    val bt = capBandBuckets(
+      minhashBandTable(repDocs, "_id", "_text", n, numHashes, bands),
+      Seq("band", "bh"), maxBandBucket, "minhashDedupPairs")
+    bt.alias("a").join(bt.alias("b"), Seq("band", "bh"))
+      .filter(col("a._id") < col("b._id"))
+      .select(col("a._id").as("i"), col("b._id").as("j")).distinct()
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified: band candidates are checked
     * with true shingle-set Jaccard (array intersect on the two docs' shingle
     * sets), so emitted pairs are exactly those ≥ minJaccard that banding
     * surfaced. Verification joins only candidate ids — no second index pass.
+    *
+    * Exact duplicates are PRE-COLLAPSED before banding ([[collapseExactDups]]):
+    * banding, candidate generation, and verification see one representative
+    * per distinct content, and member pairs re-expand afterwards (cross-group
+    * pairs inherit the rep pair's Jaccard — identical content ⇒ identical
+    * similarity; within-group pairs are exactly 1.0). This kills the
+    * hot-bucket quadratic (B identical docs → B² candidates in one bucket)
+    * while leaving the emitted pair set bit-identical. `maxBandBucket` > 0
+    * drops oversized DISTINCT-content buckets with a loud WARN (0 = exact,
+    * the oracle setting). Consumers that only need clusters should prefer
+    * [[minhashRepresentatives]], which skips the (output-inherent)
+    * member-pair expansion entirely.
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
-    val bt = minhashBandTable(docs, idCol, textCol, n, numHashes, bands)
-    val cand = bt.alias("a").join(bt.alias("b"), Seq("band", "bh"))
-      .filter(col("a._id") < col("b._id"))
-      .select(col("a._id").as("i"), col("b._id").as("j")).distinct()
-    // hashed shingle sets (see jaccardPairs), cached: both verify sides.
-    // Returned plans hold the cache ref; batch drivers should clearCache().
-    val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
-    verifyJaccard(cand, sets, minJaccard)
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double,
+      maxBandBucket: Long = 0L): DataFrame = {
+    val (m, repDocs) = collapseExactDups(docs, idCol, textCol)
+    val cand = minhashRepCandidates(repDocs, n, numHashes, bands, maxBandBucket)
+    // hashed shingle sets over representatives (see jaccardPairs):
+    // localCheckpoint, not cache() — both verify sides reuse it without a
+    // CacheManager entry to leak.
+    val sets = hashedShingleSets(repDocs, "_id", "_text", n).localCheckpoint()
+    val repPairs = verifyJaccard(cand, sets, minJaccard)
+    expandMemberPairs(repPairs, m,
+      bandableReps(repDocs, n).select(col("_rid"), lit(1.0).as("jaccard"))
+        .filter(lit(1.0) >= minJaccard),
+      Seq("jaccard"))
+  }
+
+  /** Tiered connected components (label propagation with star-contraction
+    * fallback — see [[withRepresentatives]] for the rationale). */
+  private def componentsTiered(pairs: DataFrame): DataFrame = {
+    val pairsC = pairs.select(col("i"), col("j")).localCheckpoint()
+    try connectedComponents(pairsC, maxIter = 12)
+    catch {
+      // ONLY the round-cap blowout falls over to star — any other
+      // IllegalArgumentException is a real defect and must surface
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("did not converge") =>
+        connectedComponentsStar(pairsC)
+    }
+  }
+
+  /** Full near-duplicate dedup (docs columns + `rep_id`) WITHOUT ever
+    * materializing the member-level pair set — the SCALE path for
+    * clustering. [[minhashDedupPairs]] → [[withRepresentatives]] must
+    * expand B byte-identical documents into B·(B−1)/2 pairs (inherent for
+    * a pair TABLE, pure waste when the goal is components: 10⁶ copies of
+    * one boilerplate page = 5·10¹¹ pairs). Here banding, verification, and
+    * connected components all run on DISTINCT contents, and members
+    * inherit their representative's component at the end — valid because
+    * each rep is the min id of its exact group, so the component min over
+    * members equals the min over reps. Documents with fewer than n tokens
+    * produce no shingles, hence no pairs, hence stay their own
+    * representative (matching the pair-table semantics exactly;
+    * equivalence is property-tested against the expanded path).
+    */
+  def minhashRepresentatives(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double,
+      maxBandBucket: Long = 0L): DataFrame = {
+    val (m, repDocs) = collapseExactDups(docs, idCol, textCol)
+    val cand = minhashRepCandidates(repDocs, n, numHashes, bands, maxBandBucket)
+    val sets = hashedShingleSets(repDocs, "_id", "_text", n).localCheckpoint()
+    val repPairs = verifyJaccard(cand, sets, minJaccard)
+    val comp = componentsTiered(repPairs)
+    val inherit =
+      if (minJaccard > 1.0) m.filter(lit(false)) // within-group Jaccard 1.0 < threshold
+      else m.join(bandableReps(repDocs, n), "_rid")
+    val repComp = inherit
+      .join(comp.select(col("id").as("_rid"), col("component")), Seq("_rid"), "left")
+      .select(col("_id"), coalesce(col("component"), col("_rid")).as("_comp"))
+    docs.join(repComp, docs(idCol).cast("long") === repComp("_id"), "left")
+      .withColumn("rep_id", coalesce(col("_comp"), docs(idCol).cast("long")))
+      .drop("_id", "_comp")
   }
 
   /** Connected components over a near-duplicate pair table — the step that
@@ -371,17 +553,8 @@ object Dedup {
     // checkpointed FIRST: it is often an expensive dedup pipeline
     // (band → candidate → verify), and the fallback must pay only the
     // contraction rounds, not a second full pipeline run.
-    val pairsC = pairs.localCheckpoint()
-    val comp =
-      (try connectedComponents(pairsC, maxIter = 12)
-       catch {
-         // ONLY the round-cap blowout falls over to star — any other
-         // IllegalArgumentException is a real defect and must surface
-         case e: IllegalArgumentException
-             if e.getMessage != null && e.getMessage.contains("did not converge") =>
-           connectedComponentsStar(pairsC)
-       })
-        .select(col("id").as(idCol), col("component"))
+    val comp = componentsTiered(pairs)
+      .select(col("id").as(idCol), col("component"))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("rep_id", coalesce(col("component"), col(idCol)))
       .drop("component")
@@ -431,23 +604,44 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance ≤ maxDist via band
     * blocking over `bands` disjoint bit ranges. Exact-complete when
     * maxDist < bands (pigeonhole), so no recall loss at maxDist ≤ bands−1.
+    *
+    * Identical documents have identical signatures, so signatures are
+    * PRE-COLLAPSED to one representative per distinct value before
+    * banding (the hot-bucket guard: B identical docs would otherwise
+    * collide in every band and feed B² rows through the self-join).
+    * Members re-expand afterwards — cross-group hamming is a pure
+    * function of the two signatures, so every member pair inherits its
+    * rep pair's distance verbatim; within-group distance is 0.
+    * `maxBandBucket` > 0 drops oversized distinct-signature buckets with
+    * a loud WARN (0 = exact, the oracle setting).
     */
-  def simhashPairs(sig: DataFrame, maxDist: Int, bands: Int = 4): DataFrame = {
+  def simhashPairs(sig: DataFrame, maxDist: Int, bands: Int = 4,
+      maxBandBucket: Long = 0L): DataFrame = {
     require(maxDist < bands, "band blocking is only exact for maxDist < bands")
+    val s = sig.select(col("_id").cast("long").as("_id"), col("simhash"))
+      .filter(col("_id").isNotNull && col("simhash").isNotNull)
+    val groups = s.groupBy("simhash").agg(min("_id").as("_rid"))
+    val m = s.join(groups, "simhash").select(col("_id"), col("_rid"))
     val width = 64 / bands
     val mask = (1L << width) - 1
     val bandStructs = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         shiftright(col("simhash"), bi * width).bitwiseAND(lit(mask)).as("bv"))
     }
-    val exploded = sig.select(col("_id"), col("simhash"),
+    val exploded = groups.select(col("_rid").as("_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    exploded.alias("a").join(exploded.alias("b"), Seq("band", "bv"))
+    val capped = capBandBuckets(exploded, Seq("band", "bv"), maxBandBucket,
+      "simhashPairs")
+    val repPairs = capped.alias("a").join(capped.alias("b"), Seq("band", "bv"))
       .filter(col("a._id") < col("b._id"))
       .select(col("a._id").as("i"), col("b._id").as("j"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    expandMemberPairs(repPairs, m,
+      groups.select(col("_rid"), lit(0L).as("hamming"))
+        .filter(lit(0) <= maxDist),
+      Seq("hamming"))
   }
 }

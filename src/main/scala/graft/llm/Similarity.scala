@@ -315,15 +315,30 @@ object Similarity {
     * and c = 0.95, < 1e-8.
     */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      minCos: Double, numBits: Int = 128, bands: Int = 16): DataFrame = {
+      minCos: Double, numBits: Int = 128, bands: Int = 16,
+      maxBandBucket: Long = 0L): DataFrame = {
     require(numBits % bands == 0, "bands must divide numBits")
     require(numBits % 64 == 0, "numBits must be a multiple of 64")
     val r = numBits / bands
     val spark = vectors.sparkSession
     import spark.implicits._
-    val v = vectors.select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-    val bandTable = v.as[(Long, Array[Float])].flatMap { case (id, vec) =>
+    val v = vectors.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .filter(col("_id").isNotNull && col("_v").isNotNull)
+    // Exact-duplicate pre-collapse (the hot-bucket guard, same discipline
+    // as Dedup.minhashDedupPairs): duplicate documents produce
+    // byte-identical embeddings, and B identical vectors would collide in
+    // every band and feed B² rows through the band self-join. Group by the
+    // VECTOR VALUE itself (exact — no fingerprint-collision risk; one
+    // window shuffle keyed by vector), band one representative per
+    // distinct vector, and re-expand member pairs afterwards — cross-group
+    // cosine is a pure function of the two vectors, so member pairs
+    // inherit their rep pair's cosine verbatim.
+    val withRep = v.withColumn("_rid",
+      min(col("_id")).over(Window.partitionBy(col("_v"))))
+    val m = withRep.select(col("_id"), col("_rid"))
+    val reps = withRep.filter(col("_id") === col("_rid"))
+      .select(col("_rid").as("_id"), col("_v"))
+    val bandTable = reps.as[(Long, Array[Float])].flatMap { case (id, vec) =>
       val bits = new Array[Boolean](numBits)
       var k = 0
       while (k < numBits) {
@@ -341,12 +356,14 @@ object Similarity {
         (id, b, digest)
       }
     }.toDF("_id", "band", "digest")
-    val cand = bandTable.alias("a").join(bandTable.alias("b"), Seq("band", "digest"))
+    val capped = Dedup.capBandBuckets(bandTable, Seq("band", "digest"),
+      maxBandBucket, "lshNearDupPairs")
+    val cand = capped.alias("a").join(capped.alias("b"), Seq("band", "digest"))
       .filter(col("a._id") < col("b._id"))
       .select(col("a._id").as("i"), col("b._id").as("j")).distinct()
-    cand
-      .join(v.toDF("i", "_vi"), "i")
-      .join(v.toDF("j", "_vj"), "j")
+    val repPairs = cand
+      .join(reps.toDF("i", "_vi"), "i")
+      .join(reps.toDF("j", "_vj"), "j")
       .withColumn("cos", dotNative(col("_vi"), col("_vj")) /
         (sqrt(dotNative(col("_vi"), col("_vi"))) * sqrt(dotNative(col("_vj"), col("_vj")))))
       // !isnan is load-bearing: Spark orders NaN greatest, so two
@@ -356,6 +373,15 @@ object Similarity {
       // tier's JVM comparison drops the same pair)
       .filter(!isnan(col("cos")) && col("cos") >= minCos)
       .select("i", "j", "cos")
+    // within-group pairs: identical vectors, cosine computed by the SAME
+    // exact formula on (v, v) — NaN for zero/NaN-component vectors (pair
+    // dropped, matching the verification filter above), ≈1.0 otherwise
+    val withinGroups = reps
+      .withColumn("cos", dotNative(col("_v"), col("_v")) /
+        (sqrt(dotNative(col("_v"), col("_v"))) * sqrt(dotNative(col("_v"), col("_v")))))
+      .filter(!isnan(col("cos")) && col("cos") >= minCos)
+      .select(col("_id").as("_rid"), col("cos"))
+    Dedup.expandMemberPairs(repPairs, m, withinGroups, Seq("cos"))
   }
 
   /** Mean recall@k of `approx` against `exact` (both (query_id, neighbor_id)
@@ -363,8 +389,10 @@ object Similarity {
     */
   def recallAgainst(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     // the exact table feeds BOTH the hit join and the per-query counts —
-    // uncached it would run the full brute-force top-k scan twice
-    val exactC = exact.cache()
+    // unmaterialized it would run the full brute-force top-k scan twice.
+    // localCheckpoint, not cache(): no CacheManager entry to leak — blocks
+    // are freed by the ContextCleaner once the plan is unreachable
+    val exactC = exact.localCheckpoint()
     val hits = exactC.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("_hits"))
     // denominator = the query's ACTUAL exact-neighbor count (≤ k): a query

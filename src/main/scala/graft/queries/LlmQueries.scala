@@ -60,9 +60,11 @@ object LlmQueries {
     // multi-member cluster (rep = min doc_id) with the member count — the
     // step that actually DROPS near-duplicates from a corpus
     "d6_neardup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text",
+      // scale path: clusters straight from collapsed representatives — the
+      // member-level pair table (quadratic in exact-dup group size) is
+      // never materialized
+      val reps = Dedup.minhashRepresentatives(docs(s, dir), "doc_id", "text",
         3, 64, 16, 0.8)
-      val reps = Dedup.withRepresentatives(docs(s, dir), "doc_id", pairs)
       sortAll(reps.groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") > 1))
     }),
