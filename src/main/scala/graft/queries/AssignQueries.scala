@@ -28,14 +28,19 @@ object AssignQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J3: per-group optimal bipartite assignment (≤3 purchases × ≤3 views
-    // per user; cost = |cents difference|)
+    // per user). Cost = SIGNED cents difference — deliberately mixed-sign:
+    // the round-5 infeasibility-pad bug (a padded lower-cardinality
+    // matching beating the max-cardinality optimum) only manifests with
+    // negative finite costs, and the original |Δ| fixture sat entirely
+    // above the oracle's floor. The combine pipeline's real costs are
+    // −likelihood (negative), so this is also the representative shape.
     "j3_assignment" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val p = ranked(e, "purchase", "p_event")
       val v = ranked(e, "view", "v_event")
       val pairs = p.join(v, "user_id")
         .withColumn("cost",
-          abs(col("p_event_cents") - col("v_event_cents")).cast("double"))
+          (col("p_event_cents") - col("v_event_cents")).cast("double"))
       val m = Assignment.assign(pairs, Seq("user_id"), "p_event", "v_event", "cost")
       sortAll(m.groupBy("user_id").agg(
         count(lit(1)).as("n_matched"),
@@ -111,7 +116,7 @@ object AssignQueries {
          |  FROM events WHERE event_type = 'view' QUALIFY ri <= 3),
          |${bruteForceSql(
              """pairs AS (
-               |  SELECT p.user_id AS g, li, ri, abs(pc - vc) AS c
+               |  SELECT p.user_id AS g, li, ri, (pc - vc) AS c
                |  FROM p JOIN v USING (user_id))""".stripMargin, "user_id")} AS total_cost
          |FROM sizes s JOIN m1 ON s.g = m1.g
          |LEFT JOIN m2 ON s.g = m2.g LEFT JOIN m3 ON s.g = m3.g

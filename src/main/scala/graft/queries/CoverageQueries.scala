@@ -107,6 +107,14 @@ object CoverageQueries {
           count(lit(1)).as("n")))
     }),
 
+    // A6: group-count matrix over two keys (reference notebook cells 3/5:
+    // groupby(["id","identity_name"]).count() — the per-(track, identity)
+    // vote matrix consumed by the identity argmax)
+    "a6_group_count" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      sortAll(e.groupBy("user_id", "event_type").agg(count(lit(1)).as("n")))
+    }),
+
     // A8: 2-D histogram stratified sampling (reference sample_n_from_bins,
     // notebook cell 1) — bin (x, y) into a 10×10 grid, keep ≤2 rows per bin
     // by a deterministic order (row_number over the bin partition).
@@ -442,6 +450,11 @@ object CoverageQueries {
          |  count(*) AS n
          |FROM events GROUP BY user_id
          |${orderBySql("user_id", "n_big", "n")}""".stripMargin,
+
+    "a6_group_count" ->
+      s"""SELECT user_id, event_type, count(*) AS n
+         |FROM events GROUP BY user_id, event_type
+         |${orderBySql("user_id", "event_type", "n")}""".stripMargin,
 
     "a8_binned_sample" ->
       s"""SELECT binx, biny, event_id FROM (
