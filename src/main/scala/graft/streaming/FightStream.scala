@@ -56,24 +56,36 @@ import graft.behavior.Detectors.{FightEvent, FightParams}
   * are exact.
   *
   * Scale: stage 1 and 3a are keyed stateful aggregations (parallel across
-  * frame slots / sessions); stage 2's sequential carry is inherently
-  * serial PER EPOCH. A multi-epoch deployment runs ONE POLLER PER EPOCH
-  * (separate `workDir`s — each epoch has its own frame grid `t0us`, like
-  * the reference's per-session jobs); within one poller the carry state is
-  * a single (frame, cdist) pair. Multiple silver files per poll land in ONE
-  * micro-batch (AvailableNow, no maxFilesPerTrigger) and are ordered
-  * inside the stateful closure, so shuffle-randomized file layout cannot
-  * reorder the carry. Stage 3b's slice read prunes the filled sink to the
-  * closed spans' frame range via parquet min/max stats before the
-  * broadcast range join.
+  * (epoch, frame slot) / (epoch, session)); stage 2's sequential carry is
+  * inherently serial PER EPOCH but parallel ACROSS epochs — every stage's
+  * state and frame grid is keyed by epoch, so a multi-rig deployment runs
+  * ONE poller over all its epochs ([[pollFightsMulti]]): one streaming
+  * query and ONE checkpoint per stage, each epoch with its own `t0us`
+  * frame grid, identity pair, and optional blob source. Multiple silver
+  * files per poll land in ONE micro-batch (AvailableNow, no
+  * maxFilesPerTrigger) and are ordered inside the stateful closure, so
+  * shuffle-randomized file layout cannot reorder the carry. Stage 3b's
+  * slice read prunes the filled sink to the closed spans' frame range via
+  * parquet min/max stats before the broadcast range join.
   */
 object FightStream {
 
-  /** Silver rows: one per observed frame slot, reference feature columns
-    * (NaN = missing, exactly like the batch wide table). `isMarker` flags
-    * frontier-marker-only slots (no real pose row landed in the slot) —
-    * they advance watermarks but carry no data. */
-  case class SilverRow(frame: Long, tsUs: Long,
+  /** One epoch (rig/session) in a multi-epoch poll: its own pose source
+    * dir, frame-grid origin `t0us`, identity pair, and optional blob
+    * source (condition 3). `epoch` keys all state and output. */
+  case class FightEpoch(epoch: String, poseDir: String, t0us: Long,
+      ids: Seq[String], blobDir: Option[String] = None)
+
+  /** [[FightEvent]] tagged with its epoch (multi-epoch gold output). */
+  case class EpochFightEvent(epoch: String,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
+      duration_sec: Double, end_x: Double, end_y: Double)
+
+  /** Silver rows: one per observed (epoch, frame slot), reference feature
+    * columns (NaN = missing, exactly like the batch wide table).
+    * `isMarker` flags frontier-marker-only slots (no real pose row landed
+    * in the slot) — they advance watermarks but carry no data. */
+  case class SilverRow(epoch: String, frame: Long, tsUs: Long,
       c0x: Double, c0y: Double, c1x: Double, c1y: Double,
       cdist: Double, nh0: Double, nh1: Double, is0: Double, is1: Double,
       isEmpty: Boolean, isMarker: Boolean)
@@ -82,7 +94,7 @@ object FightStream {
     * the stream-static speed join; `Double.MaxValue` = condition 3 disabled,
     * NaN = no blob sample for the frame → not a candidate, like batch's
     * null-left-join semantics). */
-  case class SilverSpeed(frame: Long, tsUs: Long,
+  case class SilverSpeed(epoch: String, frame: Long, tsUs: Long,
       c0x: Double, c0y: Double, c1x: Double, c1y: Double,
       cdist: Double, nh0: Double, nh1: Double, is0: Double, is1: Double,
       isEmpty: Boolean, isMarker: Boolean, speed: Double)
@@ -91,7 +103,7 @@ object FightStream {
     * candidate (`isFight`) and empty-frame bridge (`isBridge`) flags, plus
     * the synthesized dense-spine empty frames for interior slot gaps.
     * Marker rows pass through with both flags false. */
-  case class FilledRow(frame: Long, tsUs: Long,
+  case class FilledRow(epoch: String, frame: Long, tsUs: Long,
       c0x: Double, c0y: Double, c1x: Double, c1y: Double,
       isFight: Boolean, isBridge: Boolean, isMarker: Boolean)
 
@@ -106,15 +118,22 @@ object FightStream {
   private val speedSchema: StructType = StructType(Seq(
     StructField("frame", LongType), StructField("blob_speed", DoubleType)))
 
-  /** Stage 1 plan: pose stream → per-frame-slot wide pivot + features.
-    * The watermark rides the frame-slot event time, so marker rows (null
-    * identity/part) advance it while aggregating to all-null (empty)
-    * frames. */
-  def silverQuery(pose: DataFrame, parts: Map[String, String], fps: Double,
-      t0us: Long, ids: Seq[String]): DataFrame = {
+  /** Stage 1 plan: N per-epoch pose streams (each unioned with its marker
+    * channel and tagged by [[Poll.prePivot]] with its OWN `t0us` grid and
+    * identity pair as literals) → ONE epoch-keyed per-frame-slot wide
+    * pivot + features. One streaming query, one checkpoint; plan size is
+    * linear in epochs (2 file sources each), state is keyed by
+    * (epoch, slot). */
+  def silverQueryMulti(spark: SparkSession, epochs: Seq[FightEpoch],
+      markerRoot: String, parts: Map[String, String], fps: Double): DataFrame = {
     import Detectors.nn
-    Poll.silverFeatures(pose, parts, fps, t0us, ids).select(
-      col("frame"), col("tsUs"),
+    val branches = epochs.zipWithIndex.map { case (e, i) =>
+      val pose = spark.readStream.schema(poseSchema).parquet(e.poseDir)
+        .unionByName(spark.readStream.schema(poseSchema).parquet(s"$markerRoot/m$i"))
+      Poll.prePivot(pose, e.epoch, parts, fps, e.t0us, e.ids)
+    }
+    Poll.pivotFeatures(branches.reduce(_.unionByName(_)), fps).select(
+      col("epoch"), col("frame"), col("tsUs"),
       nn(col("m0_centroid_x")).as("c0x"), nn(col("m0_centroid_y")).as("c0y"),
       nn(col("m1_centroid_x")).as("c1x"), nn(col("m1_centroid_y")).as("c1y"),
       nn(col("cdist")).as("cdist"),
@@ -128,8 +147,9 @@ object FightStream {
     * spine — every interior slot gap (no pose rows delivered at all)
     * becomes empty frames with the forward-filled centroid distance, so
     * camera dropouts bridge sessions exactly as the batch detector's dense
-    * frame tensor does. State = (last observed frame, last non-NaN cdist);
-    * one carry chain per stream (key per epoch at deployment scale).
+    * frame tensor does. State = (last observed frame, last non-NaN cdist)
+    * PER EPOCH (`groupByKey(_.epoch)`): the carry is sequential within an
+    * epoch, parallel across epochs.
     *
     * Marker-only slots pass through with both flags false (watermark
     * carriers, never data) and do not advance the spine: a marker slot
@@ -137,13 +157,14 @@ object FightStream {
     * the duplicate marker row is dropped by the gold-stage candidate
     * filter and the `!isMarker` slice filter. */
   def fillAndFlag(silver: Dataset[SilverSpeed], p: FightParams,
-      t0us: Long): Dataset[FilledRow] = {
+      t0ByEpoch: Map[String, Long]): Dataset[FilledRow] = {
     val spark = silver.sparkSession
     import spark.implicits._
     val durUs = frameDurUs(p.fps)
-    silver.groupByKey(_ => "")
+    silver.groupByKey(_.epoch)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[SilverSpeed], state: GroupState[(Long, Double)]) =>
+        (epoch: String, it: Iterator[SilverSpeed], state: GroupState[(Long, Double)]) =>
+          val t0us = t0ByEpoch(epoch)
           var (lastF, lastCd) =
             if (state.exists) state.get else (Long.MinValue, Double.NaN)
           // chunks of lazy iterators: synthesized gaps never materialize an
@@ -152,7 +173,7 @@ object FightStream {
           val chunks = scala.collection.mutable.ArrayBuffer.empty[Iterator[FilledRow]]
           it.toArray.sortBy(_.frame).foreach { r =>
             if (r.isMarker) {
-              chunks += Iterator.single(FilledRow(r.frame, r.tsUs,
+              chunks += Iterator.single(FilledRow(epoch, r.frame, r.tsUs,
                 Double.NaN, Double.NaN, Double.NaN, Double.NaN,
                 isFight = false, isBridge = false, isMarker = true))
             } else {
@@ -160,7 +181,7 @@ object FightStream {
                 val (f0, f1, cd) = (lastF + 1, r.frame - 1, lastCd)
                 val bridge = cd < p.maxDistance // NaN compares false
                 chunks += (f0 to f1).iterator.map(f =>
-                  FilledRow(f, t0us + f * durUs,
+                  FilledRow(epoch, f, t0us + f * durUs,
                     Double.NaN, Double.NaN, Double.NaN, Double.NaN,
                     isFight = false, isBridge = bridge, isMarker = false))
               }
@@ -173,7 +194,7 @@ object FightStream {
                 r.is0 > p.maxInterspinalDistance ||
                 r.is1 > p.maxInterspinalDistance
               val cond3 = r.speed > p.minBlobSpeed // NaN (no sample) → false
-              chunks += Iterator.single(FilledRow(r.frame, r.tsUs,
+              chunks += Iterator.single(FilledRow(epoch, r.frame, r.tsUs,
                 r.c0x, r.c0y, r.c1x, r.c1y,
                 isFight = cond1 && cond2 && cond3,
                 isBridge = cond1 && r.isEmpty, isMarker = false))
@@ -186,21 +207,24 @@ object FightStream {
       }
   }
 
-  /** Stage 3a plan: candidate∪bridge frames → closed SUPER-SESSION spans.
-    * The super gap = max(maxFrameGap, maxFrameGapWEmptyFrames) dominates
-    * both batch sessionization phases, so every set of frames that either
-    * phase could chain lands inside ONE super-session — running the exact
-    * batch tail per closed super-session is then exact. The watermark node
-    * sits BEFORE the candidate filter so every frame (markers included)
-    * advances it. Emits one (minF, maxF) span per closed super-session. */
-  def goldSessions(filled: DataFrame, p: FightParams, t0us: Long): DataFrame = {
+  /** Stage 3a plan: candidate∪bridge frames → closed SUPER-SESSION spans,
+    * keyed by epoch. The super gap = max(maxFrameGap,
+    * maxFrameGapWEmptyFrames) dominates both batch sessionization phases,
+    * so every set of frames that either phase could chain lands inside ONE
+    * super-session — running the exact batch tail per closed super-session
+    * is then exact. The watermark node sits BEFORE the candidate filter so
+    * every frame (markers included) advances it. Emits one
+    * (epoch, minF, maxF) span per closed super-session. */
+  def goldSessions(filled: DataFrame, p: FightParams,
+      t0ByEpoch: Map[String, Long]): DataFrame = {
     val durUs = frameDurUs(p.fps)
     // merge iff frame diff <= superGap, like the batch cumulative-sum form
     // (session_window splits at >= gap, so +0.5 frame)
     val superGap = math.max(p.maxFrameGap, p.maxFrameGapWEmptyFrames)
     val gapUs = math.round((superGap + 0.5) * durUs.toDouble)
+    val t0Expr = element_at(typedLit(t0ByEpoch), col("epoch"))
     filled
-      .withColumn("tFrame", timestamp_micros(lit(t0us) + col("frame") * durUs))
+      .withColumn("tFrame", timestamp_micros(t0Expr + col("frame") * durUs))
       .withWatermark("tFrame", "0 seconds")
       // The never-true third disjunct REFERENCES THE WATERMARK COLUMN, which
       // is the one thing PushPredicateThroughNonJoin refuses to push below
@@ -213,40 +237,43 @@ object FightStream {
       // optimized away.)
       .filter(col("isFight") || col("isBridge") ||
         unix_micros(col("tFrame")) < lit(Long.MinValue + 1))
-      // constant epoch key: streaming session_window requires a non-window
-      // grouping key (and a multi-epoch deployment keys by epoch here)
-      .withColumn("_ek", lit(""))
-      .groupBy(col("_ek"), session_window(col("tFrame"), s"$gapUs microseconds"))
+      .groupBy(col("epoch"), session_window(col("tFrame"), s"$gapUs microseconds"))
       .agg(min(col("frame")).as("minF"), max(col("frame")).as("maxF"))
-      .select(col("minF"), col("maxF"))
+      .select(col("epoch"), col("minF"), col("maxF"))
   }
 
   /** Stage 3b (foreachBatch body): closed super-session spans → the EXACT
     * batch tail ([[Detectors.fightsTail]] — same two-phase sessionization,
     * min-size counts, kernel span [firstF−1, lastF] and event timestamps as
-    * `detectFights`) over the filled sink sliced to the spans. Spans are
-    * ≥ superGap apart, so each is an independent shard key. */
-  def eventsFromSpans(spark: SparkSession, spans: Array[(Long, Long)],
-      filledDir: String, p: FightParams): Dataset[FightEvent] = {
+    * `detectFights`) over the filled sink sliced to the spans. ONE
+    * distributed job for all epochs' spans: the shard key is
+    * `epoch:spanStart` (spans within an epoch are ≥ superGap apart, so each
+    * is an independent shard). */
+  def eventsFromSpans(spark: SparkSession, spans: Array[(String, Long, Long)],
+      filledDir: String, p: FightParams): Dataset[EpochFightEvent] = {
     import spark.implicits._
-    val lo = spans.map(_._1).min - 1 // kernel span reaches one frame left
-    val hi = spans.map(_._2).max
-    val spanDf = spans.toSeq.toDF("_lo", "_hi")
+    val lo = spans.map(_._2).min - 1 // kernel span reaches one frame left
+    val hi = spans.map(_._3).max
+    val spanDf = spans.toSeq.toDF("_e", "_lo", "_hi")
     val slice = spark.read.schema(filledSchema).parquet(filledDir)
       .filter(!col("isMarker") && col("frame") >= lo && col("frame") <= hi)
     val flagged = slice.join(broadcast(spanDf),
-        col("frame") >= col("_lo") - 1 && col("frame") <= col("_hi"))
-      .withColumn(Detectors.G, col("_lo").cast("string"))
+        col("epoch") === col("_e") &&
+          col("frame") >= col("_lo") - 1 && col("frame") <= col("_hi"))
+      .withColumn(Detectors.G,
+        concat(col("_e"), lit(":"), col("_lo").cast("string")))
       .select(col(Detectors.G), col("frame"), col("tsUs"),
         col("c0x"), col("c0y"), col("c1x"), col("c1y"),
         col("isFight"), col("isBridge"))
-    Detectors.fightsTail(flagged, p)
-      .map(f => FightEvent(f.start_ts, f.end_ts, f.duration_sec, f.end_x, f.end_y))
+    Detectors.fightsTail(flagged, p).map { f =>
+      val epoch = f.g.substring(0, f.g.lastIndexOf(':'))
+      EpochFightEvent(epoch, f.start_ts, f.end_ts, f.duration_sec, f.end_x, f.end_y)
+    }
   }
 
   private val silverSchema = org.apache.spark.sql.Encoders.product[SilverRow].schema
   private val filledSchema = org.apache.spark.sql.Encoders.product[FilledRow].schema
-  private val eventSchema = org.apache.spark.sql.Encoders.product[FightEvent].schema
+  private val eventSchema = org.apache.spark.sql.Encoders.product[EpochFightEvent].schema
 
   private def drain(df: DataFrame, outPath: String, checkpoint: String): Unit =
     Poll.drain(df, outPath, checkpoint)
@@ -303,58 +330,82 @@ object FightStream {
       .partitionBy("_sb").parquet(speedDir)
   }
 
-  /** One incremental poll (the reference's 30-minute loop body): ingest all
-    * pose chunk files under `poseDir` with event time < `upToUs`, advance
+  /** One incremental poll over N epochs (the reference's 30-minute loop
+    * body, one poller for the whole deployment): ingest all pose chunk
+    * files under each epoch's `poseDir` with event time < `upToUs`, advance
     * every stage, and append newly-closed fight events under
-    * `workDir/events`. Re-running with no new data is a no-op (checkpoints);
-    * events are emitted exactly once.
+    * `workDir/events` tagged with their epoch. Re-running with no new data
+    * is a no-op (checkpoints); events are emitted exactly once. ONE
+    * checkpoint per stage regardless of epoch count.
     *
-    * `upToUs` is the discovery frontier: all data strictly before it must
-    * already be in `poseDir` (later-arriving rows below the frontier would
-    * be dropped as late). Events are only emitted once the frontier passes
-    * their super-session's gap horizon — on the final poll of an epoch pass
-    * `epochEndUs + (max(maxFrameGap, maxFrameGapWEmptyFrames) + 2) frames`
-    * or more.
+    * `upToUs` is the discovery frontier, GLOBAL across epochs (the
+    * event-time watermark is per-query, not per-key): all data strictly
+    * before it must already be in EVERY epoch's `poseDir` — a lagging rig
+    * holds the frontier for the whole poller, exactly like the slowest
+    * chunk holds the reference's polling loop. Later-arriving rows below
+    * the frontier would be dropped as late. Events are only emitted once
+    * the frontier passes their super-session's gap horizon — on the final
+    * poll of an epoch pass `epochEndUs + (max(maxFrameGap,
+    * maxFrameGapWEmptyFrames) + 2) frames` or more.
     *
-    * Memory contract: each poll's silver rows pass through ONE stateful
-    * task ([[fillAndFlag]]'s sequential carry), so a poll must be bounded —
-    * at the reference cadence (30 min at 50 fps ≈ 90 k slots) that is a few
-    * MB. Catching up over a LONG backlog (days of pose data) must be split
-    * into multiple polls with stepped `upToUs`, not one giant poll;
-    * `maxFilesPerTrigger` is no substitute because file discovery order
-    * within one backlog batch does not follow frame order.
-    */
-  def pollFights(spark: SparkSession, poseDir: String, workDir: String,
-      parts: Map[String, String], p: FightParams, t0us: Long,
-      ids: Seq[String], upToUs: Long, blobDir: Option[String] = None): Unit = {
+    * The epoch SET of a `workDir` is fixed for its lifetime: the stage-1
+    * query has 2 file sources per epoch, and Structured Streaming pins the
+    * source count in the checkpoint. Onboarding a new epoch = a new
+    * `workDir` (epochs are independent; old events remain readable).
+    *
+    * Memory contract: each poll's silver rows pass through one stateful
+    * task PER EPOCH ([[fillAndFlag]]'s sequential carry), so a poll must be
+    * bounded per epoch — at the reference cadence (30 min at 50 fps ≈ 90 k
+    * slots) that is a few MB. Catching up over a LONG backlog (days of
+    * pose data) must be split into multiple polls with stepped `upToUs`,
+    * not one giant poll; `maxFilesPerTrigger` is no substitute because
+    * file discovery order within one backlog batch does not follow frame
+    * order. */
+  def pollFightsMulti(spark: SparkSession, epochs: Seq[FightEpoch],
+      workDir: String, parts: Map[String, String], p: FightParams,
+      upToUs: Long): Unit = {
     import spark.implicits._
+    require(epochs.nonEmpty, "at least one epoch")
+    require(epochs.map(_.epoch).distinct.length == epochs.length,
+      "epoch keys must be unique")
     val durUs = frameDurUs(p.fps)
-    val markerDir = s"$workDir/markers"
+    val markerRoot = s"$workDir/markers"
     val silverDir = s"$workDir/silver"
     val filledDir = s"$workDir/filled"
     val eventsDir = s"$workDir/events"
-    val speedDir = s"$workDir/speed"
-    Seq(markerDir, silverDir, filledDir, eventsDir).foreach(ensureDir(spark, _))
-    // condition 3: refresh the incremental per-frame speed table BEFORE the
-    // filled stage reads it (stream-static join below)
-    blobDir.foreach(bd => updateBlobSpeeds(spark, bd, speedDir, p, t0us))
-    Poll.writeMarkers(spark, markerDir, upToUs, durUs)
-    val pose = spark.readStream.schema(poseSchema).parquet(poseDir)
-      .unionByName(spark.readStream.schema(poseSchema).parquet(markerDir))
-    drain(silverQuery(pose, parts, p.fps, t0us, ids),
+    val speedRoot = s"$workDir/speed"
+    Seq(silverDir, filledDir, eventsDir).foreach(ensureDir(spark, _))
+    val t0ByEpoch = epochs.map(e => e.epoch -> e.t0us).toMap
+    epochs.zipWithIndex.foreach { case (e, i) =>
+      ensureDir(spark, s"$markerRoot/m$i")
+      // condition 3: refresh the incremental per-frame speed table BEFORE
+      // the filled stage reads it (stream-static join below)
+      e.blobDir.foreach(bd =>
+        updateBlobSpeeds(spark, bd, s"$speedRoot/m$i", p, e.t0us))
+      Poll.writeMarkers(spark, s"$markerRoot/m$i", upToUs, durUs)
+    }
+    drain(silverQueryMulti(spark, epochs, markerRoot, parts, p.fps),
       silverDir, s"$workDir/ckpt_silver")
     val silver = spark.readStream.schema(silverSchema).parquet(silverDir)
-    // stream-static left join against the speed table (batch joins the
-    // same shape onto the dense spine); no blob source = condition 3 off
-    val withSpeed = blobDir match {
-      case Some(_) => silver.join(
-        spark.read.schema(speedSchema).parquet(speedDir)
-          .select("frame", "blob_speed"), Seq("frame"), "left")
-        .withColumn("speed", coalesce(col("blob_speed"), lit(Double.NaN)))
+    // stream-static left join against the per-epoch speed tables (batch
+    // joins the same shape onto the dense spine); an epoch with no blob
+    // source gets speed = MaxValue (condition 3 off, like blob = None),
+    // one WITH a source but no sample for a frame gets NaN (not a
+    // candidate, like batch's null left join)
+    val withSpeed = if (epochs.exists(_.blobDir.isDefined)) {
+      val speeds = epochs.zipWithIndex.flatMap { case (e, i) =>
+        e.blobDir.map(_ => spark.read.schema(speedSchema)
+          .parquet(s"$speedRoot/m$i")
+          .select(lit(e.epoch).as("epoch"), col("frame"), col("blob_speed")))
+      }.reduce(_.unionByName(_))
+      val defaults = epochs.map(e =>
+        e.epoch -> (if (e.blobDir.isDefined) Double.NaN else Double.MaxValue)).toMap
+      silver.join(speeds, Seq("epoch", "frame"), "left")
+        .withColumn("speed", coalesce(col("blob_speed"),
+          element_at(typedLit(defaults), col("epoch"))))
         .drop("blob_speed")
-      case None => silver.withColumn("speed", lit(Double.MaxValue))
-    }
-    drain(fillAndFlag(withSpeed.as[SilverSpeed], p, t0us).toDF(),
+    } else silver.withColumn("speed", lit(Double.MaxValue))
+    drain(fillAndFlag(withSpeed.as[SilverSpeed], p, t0ByEpoch).toDF(),
       filledDir, s"$workDir/ckpt_filled")
     val filled = spark.readStream.schema(filledSchema).parquet(filledDir)
     // gold: closed super-session spans → exact batch tail over the filled
@@ -362,12 +413,12 @@ object FightStream {
     // overwrite of the same subdir makes checkpoint replays idempotent
     // (exactly-once events without relying on sink transactionality)
     def goldOnce(): Unit =
-      goldSessions(filled, p, t0us).writeStream
+      goldSessions(filled, p, t0ByEpoch).writeStream
         .option("checkpointLocation", s"$workDir/ckpt_gold")
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val spans = batch.select("minF", "maxF").collect()
-            .map(r => (r.getLong(0), r.getLong(1)))
+          val spans = batch.select("epoch", "minF", "maxF").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
           if (spans.nonEmpty)
             eventsFromSpans(batch.sparkSession, spans, filledDir, p).toDF()
               .write.mode("overwrite").parquet(s"$eventsDir/b$batchId")
@@ -377,11 +428,28 @@ object FightStream {
     goldOnce(); goldOnce()
   }
 
-  /** Events emitted so far (batch read of the per-micro-batch gold dirs). */
-  def fightEvents(spark: SparkSession, workDir: String): Dataset[FightEvent] = {
+  /** Single-epoch poll (epoch key `""`): the multi-epoch poller with one
+    * [[FightEpoch]]. */
+  def pollFights(spark: SparkSession, poseDir: String, workDir: String,
+      parts: Map[String, String], p: FightParams, t0us: Long,
+      ids: Seq[String], upToUs: Long, blobDir: Option[String] = None): Unit =
+    pollFightsMulti(spark, Seq(FightEpoch("", poseDir, t0us, ids, blobDir)),
+      workDir, parts, p, upToUs)
+
+  /** Events emitted so far, tagged by epoch (batch read of the
+    * per-micro-batch gold dirs). */
+  def fightEventsByEpoch(spark: SparkSession,
+      workDir: String): Dataset[EpochFightEvent] = {
     import spark.implicits._
     val dirs = Poll.eventParquetDirs(spark, workDir)
-    if (dirs.isEmpty) spark.emptyDataset[FightEvent]
-    else spark.read.schema(eventSchema).parquet(dirs: _*).as[FightEvent]
+    if (dirs.isEmpty) spark.emptyDataset[EpochFightEvent]
+    else spark.read.schema(eventSchema).parquet(dirs: _*).as[EpochFightEvent]
+  }
+
+  /** Events emitted so far (single-epoch form, epoch column dropped). */
+  def fightEvents(spark: SparkSession, workDir: String): Dataset[FightEvent] = {
+    import spark.implicits._
+    fightEventsByEpoch(spark, workDir)
+      .map(e => FightEvent(e.start_ts, e.end_ts, e.duration_sec, e.end_x, e.end_y))
   }
 }

@@ -28,20 +28,25 @@ private[streaming] object Poll {
     d
   }
 
-  /** Pose stream → per-frame-slot wide pivot + ALL batch feature columns
-    * (plus `frame`, `tsUs`, `nReal`); the watermark rides the frame-slot
-    * grid time. Marker rows (null identity/part) advance the watermark,
-    * aggregate to all-null (`nReal = 0`) slots, and never contribute to a
-    * slot's `tsUs`. Callers select their detector's columns. */
-  def silverFeatures(pose: DataFrame, parts: Map[String, String], fps: Double,
-      t0us: Long, ids: Seq[String]): DataFrame = {
+  /** Per-epoch pre-pivot branch: tags the rows with the epoch key and
+    * computes everything that depends on per-epoch configuration (`t0us`
+    * frame grid, identity→mouse assignment) as PLAIN LITERALS, so a
+    * multi-epoch poller can union N such branches into ONE streaming query
+    * with per-epoch grids and identity pairs and no per-row map lookups.
+    * `slotTsUs` is the slot-grid synthetic timestamp (constant within a
+    * slot) the pivot falls back to for marker-only/empty slots. */
+  private[streaming] def prePivot(pose: DataFrame, epoch: String,
+      parts: Map[String, String], fps: Double, t0us: Long,
+      ids: Seq[String]): DataFrame = {
     val sorted = ids.sorted
-    require(sorted.length == 2, s"expected exactly 2 identities, got ${sorted.length}")
+    require(sorted.length == 2,
+      s"epoch '$epoch': expected exactly 2 identities, got ${sorted.length}")
     val durUs = frameDurUs(fps)
-    val withT = pose
+    pose
+      .withColumn("epoch", lit(epoch))
       .withColumn("frame", Cols.frameId(col("time"), lit(t0us), fps))
       .withColumn("tFrame", timestamp_micros(lit(t0us) + col("frame") * durUs))
-      .withWatermark("tFrame", "0 seconds")
+      .withColumn("slotTsUs", lit(t0us) + col("frame") * durUs)
       .withColumn("mouse", Detectors.mouseCol(lit(sorted.head)))
       .withColumn("lpart", Detectors.lpartCol(parts))
       // batch wideFramesG filters to the skeleton parts BEFORE aggregating,
@@ -49,22 +54,42 @@ private[streaming] object Poll {
       // landing earliest in a slot must not shift event timestamps. Marker
       // rows (null identity) stay — they only advance the watermark.
       .filter(col("identity").isNull || col("lpart").isNotNull)
+  }
+
+  /** Shared pivot tail over one or more unioned [[prePivot]] branches:
+    * per-(epoch, frame-slot) wide pivot + ALL batch feature columns (plus
+    * `epoch`, `frame`, `tsUs`, `nReal`); the watermark rides the frame-slot
+    * grid time, GLOBAL across epochs (same wall clock — see the poll
+    * contract in [[FightStream.pollFightsMulti]]). Marker rows (null
+    * identity/part) advance the watermark, aggregate to all-null
+    * (`nReal = 0`) slots, and never contribute to a slot's `tsUs`. Callers
+    * select their detector's columns. */
+  private[streaming] def pivotFeatures(tagged: DataFrame, fps: Double): DataFrame = {
+    val durUs = frameDurUs(fps)
+    val withT = tagged.withWatermark("tFrame", "0 seconds")
     // tsUs excludes marker rows (null identity): a marker landing in a live
     // slot must not replace the slot's real min pose timestamp (event
     // start/end times come from tsUs); marker-only slots synthesize the
     // slot-grid time, like the batch dense spine does for empty frames
     val allAggs = Seq(min(col("frame")).as("frame"),
       min(when(col("identity").isNotNull, unix_micros(col("time")))).as("tsUs0"),
-      count(when(col("identity").isNotNull, lit(1))).as("nReal")) ++
+      count(when(col("identity").isNotNull, lit(1))).as("nReal"),
+      min(col("slotTsUs")).as("slotTsUs")) ++
       Detectors.pivotAggs
     val wide = Detectors.expandPivot(withT
-      .groupBy(window(col("tFrame"), s"$durUs microseconds"))
+      .groupBy(col("epoch"), window(col("tFrame"), s"$durUs microseconds"))
       .agg(allAggs.head, allAggs.tail: _*)
       .drop("window"))
-      .withColumn("tsUs", coalesce(col("tsUs0"), lit(t0us) + col("frame") * durUs))
-      .drop("tsUs0")
+      .withColumn("tsUs", coalesce(col("tsUs0"), col("slotTsUs")))
+      .drop("tsUs0", "slotTsUs")
     Detectors.withFeatures(wide)
   }
+
+  /** Single-epoch form (epoch key `""`): the exact pre-refactor plan shape,
+    * used by the one-epoch pollers. */
+  def silverFeatures(pose: DataFrame, parts: Map[String, String], fps: Double,
+      t0us: Long, ids: Seq[String]): DataFrame =
+    pivotFeatures(prePivot(pose, "", parts, fps, t0us, ids), fps)
 
   def drain(df: DataFrame, outPath: String, checkpoint: String): Unit = {
     // second pass: stateful append sinks evict with the watermark advanced
