@@ -195,11 +195,37 @@ object Similarity {
       .select(col(idCol), col("cell"))
   }
 
+  /** Per-cell occupancy of an IVF corpus assignment — the skew diagnostic
+    * for [[ivfTopK]]'s scoring join. Input: any (…, cell) assignment
+    * (e.g. [[assignCells]] output); output: one row per cell
+    * (cell, n, frac), frac descending. Cells are few (the centroid count),
+    * so the result is driver-scale; a deployment should alert when
+    * `max(frac)` approaches 1 — a 90 %-one-cell corpus makes that cell's
+    * scoring-join task a straggler unless [[ivfTopK]] is salted (or AQE
+    * skew-join splits it). */
+  def cellStats(cells: DataFrame): DataFrame =
+    cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .withColumn("frac", round(col("n") / sum(col("n")).over(), 4))
+      .orderBy(col("frac").desc, col("cell"))
+
   /** IVF top-k: corpus sharded by nearest cell (1 cell each), queries probe
     * their `nprobe` nearest cells; exact re-scoring within probed cells.
-    */
+    *
+    * `salt` > 1 splits each cell's corpus rows into `salt` deterministic
+    * sub-buckets and replicates each (query, probed cell) row across them,
+    * so a dominant cell's scoring work spreads over `salt` tasks instead
+    * of one straggler — exactness is unchanged (every corpus row lands in
+    * exactly one sub-bucket, so each (query, neighbor) pair is still
+    * scored exactly once; cost = query-side fan-out ×salt, which is the
+    * small side). The default 1 keeps the plan identical to the unsalted
+    * form. Diagnose first with [[cellStats]]; AQE's skew-join split covers
+    * moderate skew at runtime, the salt covers the degenerate
+    * nearly-all-one-cell corpus where one reducer would hold most of the
+    * table. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val corpusCells = assignCells(corpus, centroids, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
     val queryCells = assignCells(queries, centroids, idCol, vecCol, nprobe)
@@ -210,7 +236,14 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"))
       .join(queryCells, "query_id")
-    val scored = q.join(c, "cell")
+    val scored = (if (salt == 1) q.join(c, "cell")
+      else {
+        val qs = q.withColumn("_salt",
+          explode(array((0 until salt).map(lit): _*)))
+        val cs = c.withColumn("_salt",
+          pmod(hash(col("neighbor_id")), lit(salt)))
+        qs.join(cs, Seq("cell", "_salt"))
+      })
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))

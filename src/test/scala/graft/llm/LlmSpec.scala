@@ -51,6 +51,39 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 = $recall below floor")
   }
 
+  test("IVF cell skew: cellStats reports the hot cell; salted scoring join is exact") {
+    import spark.implicits._
+    // 90 %-one-cell corpus: 900 vectors in a tight cluster around e0, 100
+    // spread around e1 — the degenerate shape where the scoring join's
+    // hot-cell reducer dominates unless salted
+    val dim = 8
+    def vec(base: Int, wobble: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(base) = 1.0f
+      a((base + 1) % dim) = 0.001f * (wobble % 97)
+      a
+    }
+    val corpus = (0L until 1000L).map(i =>
+      (i, vec(if (i < 900) 0 else 1, i.toInt))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(0, 0)), (1L, vec(1, 0)))
+      .toDF("cell", "_cv")
+    val assigned = Similarity.assignCells(corpus, cents, "vec_id", "embedding", 1)
+    val stats = Similarity.cellStats(assigned).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(stats.head._2 === 900L && stats.head._3 === 0.9,
+      s"diagnostic must surface the hot cell: $stats")
+    val q = corpus.filter(col("vec_id") % 50 === 0)
+    def res(salt: Int) =
+      Similarity.ivfTopK(q, corpus, cents, "vec_id", "embedding",
+          k = 5, nprobe = 1, salt = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = res(1)
+    assert(unsalted.nonEmpty)
+    // exactness under salting: every corpus row lands in exactly one
+    // sub-bucket, so the salted join scores the same pair set
+    assert(res(8) === unsalted)
+  }
+
   test("k-means-trained centroids: deterministic, and recall not worse than the naive picker") {
     val q = embs.filter(col("vec_id") < 50)
     val naive = embs.filter(col("vec_id") < 8)
