@@ -12,6 +12,8 @@ import graft.llm.Dedup
   * connected-components survivor selection (star contraction).
   *
   * Prints one summary line; run with `sbt "runMain graft.DedupStress"`.
+  * `SPARK_GRAFT_STRESS_BASE` scales the corpus (base-text count; docs =
+  * 20×that — 50000 gives the 1 M-doc 10× probe recorded in SURVEY §8).
   */
 object DedupStress {
   def main(args: Array[String]): Unit = {
@@ -21,11 +23,18 @@ object DedupStress {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val nBase = 5000
+    val nBase = sys.env.getOrElse("SPARK_GRAFT_STRESS_BASE", "5000").toInt
     val copies = 20
     // deterministic synthetic corpus built on the cluster: base text =
     // 40 pseudo-words from the base id; each copy mutates one word slot
     // (pairwise Jaccard within a group ≈ 0.9 — near-dups, not exact dups).
+    // Word ids are NAMESPACED PER BASE (base·40 + slot): cross-base texts
+    // share zero words by construction, so the planted groups are the
+    // ONLY near-dup structure at any nBase. (The earlier modular generator
+    // `(base·41 + 7w) mod 99991` wrapped at nBase ≳ 2400: base pairs at
+    // offset 41⁻¹·7 shared 39/40 words, chaining the whole corpus into
+    // one component — a fixture artifact, caught by the exact-cluster
+    // assertion when this probe first ran at 10×.)
     // NOTE Spark's `/` on integer columns is FLOATING-POINT division — the
     // copy index needs the truncating cast
     val docs = spark.range(nBase.toLong * copies)
@@ -34,8 +43,8 @@ object DedupStress {
         (col("id") / nBase).cast("long").as("copy"))
       .select(col("doc_id"), concat_ws(" ",
         (0 until 40).map { w =>
-          val base = concat(lit("w"), ((col("base") * 41 + w * 7) % 99991).cast("string"))
-          // copy-specific mutation on two slots
+          val base = concat(lit("w"), (col("base") * 40 + w).cast("string"))
+          // copy-specific mutation on one slot
           when(lit(w) === col("copy") % 40,
             concat(lit("m"), col("copy"), lit("_"), base)).otherwise(base)
         }: _*).as("text"))
@@ -51,7 +60,8 @@ object DedupStress {
     val nReps = reps.filter(col("doc_id") === col("rep_id")).count()
     val tCluster = (System.nanoTime() - t1) / 1e9
     println(f"DEDUP_STRESS docs=${nBase * copies} pairs=$nPairs " +
-      f"pairsSecs=$tPairs%.1f reps=$nReps clusterSecs=$tCluster%.1f")
+      f"pairsSecs=$tPairs%.1f reps=$nReps clusterSecs=$tCluster%.1f " +
+      f"peakHeapMb=${Probe.peakHeapMb}")
     // EXACT cluster count: fewer = over-merge (distinct bases collapsed),
     // more = under-merge (a planted group split) — both are failures
     require(nReps == nBase,

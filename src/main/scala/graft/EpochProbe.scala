@@ -25,8 +25,11 @@ object EpochProbe {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_FRAMES=500000 gives the 80 M-pose-row 10× probe
+    // recorded in SURVEY §8 (20 epochs × 500k frames × 8 rows/frame)
     val nEpochs = 20
-    val framesPerEpoch = 50000L
+    val framesPerEpoch =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_FRAMES", "50000").toLong
     val t0us = 1717243200000000L
     val parts = Map("nose" -> "nose", "head" -> "head",
       "centroid" -> "spine2", "tail_base" -> "spine4")
@@ -86,7 +89,7 @@ object EpochProbe {
 
     println(f"EPOCH_PROBE epochs=$nEpochs poseRows=${nEpochs * framesPerEpoch * 8} " +
       f"events=${events.length} analysisSingle=$analysisNew%.2fs execSingle=$wallNew%.1fs " +
-      f"analysisUnion20=$analysisOld%.1fs")
+      f"analysisUnion20=$analysisOld%.1fs peakHeapMb=${Probe.peakHeapMb}")
     require(events.length == nEpochs,
       s"expected $nEpochs planted fights, got ${events.length}")
 
@@ -132,7 +135,8 @@ object EpochProbe {
     val tubeEvents = tubeUnified.collect()
     val tubeWall = (System.nanoTime() - tT1) / 1e9
     println(f"TUBE_EPOCH_PROBE epochs=$nEpochs events=${tubeEvents.length} " +
-      f"analysisSingle=$tubeAnalysis%.2fs execSingle=$tubeWall%.1fs")
+      f"analysisSingle=$tubeAnalysis%.2fs execSingle=$tubeWall%.1fs " +
+      f"peakHeapMb=${Probe.peakHeapMb}")
     require(tubeEvents.length == nEpochs,
       s"expected $nEpochs planted tube tests, got ${tubeEvents.length}")
     require(tubeEvents.forall(_.getAs[String]("winner_identity") == "A"),
