@@ -33,13 +33,17 @@ object StreamProbe {
     val base = java.nio.file.Files.createTempDirectory("graft_streamprobe").toString
     val poseDir = s"$base/pose"; val blobDir = s"$base/blob"; val work = s"$base/work"
 
-    // one planted fight per poll window: frames [k·90000+1000, +1150]
-    def chunk(k: Long) = {
-      val lo = k * framesPerPoll
-      val frames = spark.range(lo, lo + framesPerPoll).select(col("id").as("frame"))
-        .withColumn("inFight",
-          col("frame").between(lo + 1000, lo + 1150))
-        .withColumn("fx", lit(100.0) + (col("frame") - lo - 1000) * 10.0)
+    // one planted fight per poll window: frames [k·90000+1000, +1150];
+    // [loF, hiF) lets the multi-epoch section cut deliveries at the WALL
+    // CLOCK (the poll contract: nothing at-or-after the frontier may have
+    // landed — early rows would advance the global watermark past it)
+    def chunkRange(loF: Long, hiF: Long, t0: Long) = {
+      // fight position computed from the frame's OWN poll window (a range
+      // may span windows when deliveries are wall-clock-cut)
+      val inWin = col("frame") % framesPerPoll
+      val frames = spark.range(loF, hiF).select(col("id").as("frame"))
+        .withColumn("inFight", inWin.between(1000, 1150))
+        .withColumn("fx", lit(100.0) + (inWin - 1000) * 10.0)
       val mice = array(
         (for (m <- Seq(0, 1); part <- Seq("nose", "head", "spine2", "spine4")) yield {
           val id = if (m == 0) "A" else "B"
@@ -56,7 +60,7 @@ object StreamProbe {
             (cx + dx).as("x"), cy.as("y"))
         }): _*)
       frames.select(col("frame"), col("inFight"), col("fx"), explode(mice).as("m"))
-        .select(timestamp_micros(lit(t0us) + col("frame") * 20000L).as("time"),
+        .select(timestamp_micros(lit(t0) + col("frame") * 20000L).as("time"),
           col("m.identity"), col("m.part"), col("m.x"), col("m.y"))
     }
     def blobChunk(k: Long) = {
@@ -68,6 +72,9 @@ object StreamProbe {
             .otherwise(lit(500.0))).as("x"),
           lit(100.0).as("y"))
     }
+
+    def chunk(k: Long, t0: Long = t0us) =
+      chunkRange(k * framesPerPoll, (k + 1) * framesPerPoll, t0)
 
     val times = (0L until nPolls).map { k =>
       chunk(k).write.parquet(s"$poseDir/chunk$k")
@@ -91,6 +98,61 @@ object StreamProbe {
       f"pollSecs=[${times.map(t => f"$t%.1f").mkString(",")}] flush=$flushS%.1fs")
     require(events.length == nPolls,
       s"expected $nPolls planted fights, got ${events.length}")
+
+    // ---- ONE poller over N epochs (pollFightsMulti): same cadence, every
+    // epoch its own pose dir and frame grid (offsets NOT multiples of the
+    // frame duration), one planted fight per epoch per poll window. The
+    // operational question: does the one-poller-for-the-deployment design
+    // keep per-poll wall far under the cadence as epochs multiply?
+    val nEpochs = sys.env.getOrElse("SPARK_GRAFT_PROBE_EPOCHS", "8").toInt
+    val mPolls = 2
+    val mWork = s"$base/multi_work"
+    val mEpochs = (0 until nEpochs).map { i =>
+      FightStream.FightEpoch(f"rig$i%02d", s"$base/mpose$i/*",
+        t0us + i * 7777L * 1000L, Seq("A", "B"))
+    }
+    val totalF = mPolls * framesPerPoll
+    // deliveries are WALL-CLOCK-CUT per epoch: a poll at frontier `upTo`
+    // must have landed ALL rows below it and NO rows at-or-after it (early
+    // rows would advance the global watermark past the frontier and turn
+    // other epochs' later deliveries late) — the multi-epoch poll contract
+    val delivered = scala.collection.mutable.Map(
+      mEpochs.map(_.epoch -> 0L).toSeq: _*)
+    def deliverUpTo(upTo: Long, tag: String): Unit =
+      mEpochs.zipWithIndex.foreach { case (e, i) =>
+        val hi = math.min(totalF, math.max(0L,
+          Math.floorDiv(upTo - e.t0us - 1, 20000L) + 1))
+        if (hi > delivered(e.epoch)) {
+          chunkRange(delivered(e.epoch), hi, e.t0us)
+            .write.parquet(s"$base/mpose$i/chunk_$tag")
+          delivered(e.epoch) = hi
+        }
+      }
+    val mTimes = (0L until mPolls).map { k =>
+      val upTo = t0us + ((k + 1) * framesPerPoll) * 20000L
+      deliverUpTo(upTo, s"p$k")
+      val t0 = System.nanoTime()
+      FightStream.pollFightsMulti(spark, mEpochs, mWork, parts, p, upTo)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val flushUpTo = mEpochs.map(_.t0us).max +
+      (totalF + p.maxFrameGap + 5) * 20000L
+    deliverUpTo(flushUpTo, "flush")
+    val tM0 = System.nanoTime()
+    FightStream.pollFightsMulti(spark, mEpochs, mWork, parts, p, flushUpTo)
+    val mFlushS = (System.nanoTime() - tM0) / 1e9
+    val mEvents = FightStream.fightEventsByEpoch(spark, mWork).collect()
+    println(f"MULTI_STREAM_PROBE epochs=$nEpochs polls=$mPolls " +
+      f"framesPerPollPerEpoch=$framesPerPoll " +
+      f"poseRowsPerPoll=${framesPerPoll * 8 * nEpochs} " +
+      f"events=${mEvents.length} " +
+      f"pollSecs=[${mTimes.map(t => f"$t%.1f").mkString(",")}] " +
+      f"flush=$mFlushS%.1fs peakHeapMb=${Probe.peakHeapMb}")
+    require(mEvents.length == nEpochs * mPolls,
+      s"expected ${nEpochs * mPolls} planted fights, got ${mEvents.length}")
+    val perEpoch = mEvents.groupBy(_.epoch).view.mapValues(_.length).toMap
+    require(mEpochs.forall(e => perEpoch.getOrElse(e.epoch, 0) == mPolls),
+      s"per-epoch event counts off: $perEpoch")
 
     // ---- tube-test poller at the same cadence: one stand-off + retreat
     // planted per poll window (frames [k·90000+1000, +1019] stand-off,

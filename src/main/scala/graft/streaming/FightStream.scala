@@ -343,7 +343,14 @@ object FightStream {
     * before it must already be in EVERY epoch's `poseDir` — a lagging rig
     * holds the frontier for the whole poller, exactly like the slowest
     * chunk holds the reference's polling loop. Later-arriving rows below
-    * the frontier would be dropped as late. Events are only emitted once
+    * the frontier would be dropped as late. The converse also binds, and
+    * binds harder with many epochs: NO row at-or-after the frontier may
+    * have landed yet — the watermark rides the max event time seen, so one
+    * rig's early rows push it past the frontier and turn every other
+    * rig's still-in-flight rows below that point late. Deliveries must be
+    * wall-clock-cut across epochs; pick `upToUs` = the earliest event
+    * time that could still arrive OR already sits undelivered, over all
+    * epochs. Events are only emitted once
     * the frontier passes their super-session's gap horizon — on the final
     * poll of an epoch pass `epochEndUs + (max(maxFrameGap,
     * maxFrameGapWEmptyFrames) + 2) frames` or more.
