@@ -111,7 +111,16 @@ object Dedup {
       cap: Long, what: String): DataFrame =
     if (cap <= 0L) bt
     else {
-      val hot = bt.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      // materialize the band table ONCE: the hot-bucket count below is an
+      // eager separate job, and the caller then feeds the capped result
+      // into both sides of a self-join — without this, the full band
+      // computation (a typed flatMap over every representative document)
+      // would run once for the count and again per consumer, since
+      // cross-job plans share no exchange reuse. localCheckpoint (not
+      // cache): no CacheManager entry to leak, blocks are narrow
+      // (id + band + digest) and freed by the ContextCleaner.
+      val mat = bt.localCheckpoint()
+      val hot = mat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
         .filter(col("_n") > cap)
         .select(keys.map(col): _*)
       val nHot = hot.count()
@@ -119,7 +128,7 @@ object Dedup {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"$what: dropping $nHot band bucket(s) exceeding maxBandBucket=$cap " +
             "distinct fingerprints — near-duplicate recall is reduced for their members")
-      bt.join(broadcast(hot), keys, "left_anti")
+      mat.join(broadcast(hot), keys, "left_anti")
     }
 
   /** (id, shingle) long table, distinct per document. */
@@ -233,7 +242,14 @@ object Dedup {
     // materializes once WITHOUT registering in the CacheManager, so blocks
     // are freed by the ContextCleaner when the plan is GC'd — a bare
     // .cache() here leaked storage in long-running services until an
-    // explicit clearCache().
+    // explicit clearCache(). Known tradeoffs (they apply to every
+    // localCheckpoint in this module): (i) materialization is EAGER —
+    // CONSTRUCTING this DataFrame runs the shingle job even if the caller
+    // never executes the result; (ii) checkpointed blocks carry no
+    // lineage, so an executor lost while holding them fails the query
+    // instead of recomputing — on clusters with dynamic allocation /
+    // spot executors, disable executor decommission for these jobs or
+    // swap in reliable checkpoint() to an HDFS dir.
     val sets = hashedShingleSets(repDocs, "_id", "_text", n)
       .filter(size(col("_sh")) > 0)
       .localCheckpoint()

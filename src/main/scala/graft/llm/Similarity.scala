@@ -366,11 +366,18 @@ object Similarity {
     // distinct vector, and re-expand member pairs afterwards — cross-group
     // cosine is a pure function of the two vectors, so member pairs
     // inherit their rep pair's cosine verbatim.
-    val withRep = v.withColumn("_rid",
-      min(col("_id")).over(Window.partitionBy(col("_v"))))
-    val m = withRep.select(col("_id"), col("_rid"))
-    val reps = withRep.filter(col("_id") === col("_rid"))
-      .select(col("_rid").as("_id"), col("_v"))
+    // The window shuffles the FULL vector column; its (id, rid) projection
+    // is consumed four times downstream (both expandMemberPairs sides, the
+    // rep filter, and transitively every reps consumer) — localCheckpoint
+    // the 16-byte projection so the vector-keyed shuffle runs ONCE, then
+    // recover rep vectors with a cheap id-only semi-join against the
+    // source. (Same lifecycle discipline as Dedup: no CacheManager entry.)
+    val m = v.withColumn("_rid",
+        min(col("_id")).over(Window.partitionBy(col("_v"))))
+      .select(col("_id"), col("_rid"))
+      .localCheckpoint()
+    val reps = v.join(m.filter(col("_id") === col("_rid")).select("_id"),
+        Seq("_id"), "left_semi")
     val bandTable = reps.as[(Long, Array[Float])].flatMap { case (id, vec) =>
       val bits = new Array[Boolean](numBits)
       var k = 0

@@ -125,11 +125,11 @@ object FightStream {
     * linear in epochs (2 file sources each), state is keyed by
     * (epoch, slot). */
   def silverQueryMulti(spark: SparkSession, epochs: Seq[FightEpoch],
-      markerRoot: String, parts: Map[String, String], fps: Double): DataFrame = {
+      markerDirs: Seq[String], parts: Map[String, String], fps: Double): DataFrame = {
     import Detectors.nn
-    val branches = epochs.zipWithIndex.map { case (e, i) =>
+    val branches = epochs.zip(markerDirs).map { case (e, md) =>
       val pose = spark.readStream.schema(poseSchema).parquet(e.poseDir)
-        .unionByName(spark.readStream.schema(poseSchema).parquet(s"$markerRoot/m$i"))
+        .unionByName(spark.readStream.schema(poseSchema).parquet(md))
       Poll.prePivot(pose, e.epoch, parts, fps, e.t0us, e.ids)
     }
     Poll.pivotFeatures(branches.reduce(_.unionByName(_)), fps).select(
@@ -164,7 +164,15 @@ object FightStream {
     silver.groupByKey(_.epoch)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (epoch: String, it: Iterator[SilverSpeed], state: GroupState[(Long, Double)]) =>
-          val t0us = t0ByEpoch(epoch)
+          // fail with the CONTRACT, not a bare NoSuchElementException deep
+          // in a task: a sink row keyed by an epoch outside the configured
+          // set means the fixed-epoch-set contract was broken (an epoch
+          // was dropped from the Seq, or a foreign file landed in the sink)
+          val t0us = t0ByEpoch.getOrElse(epoch, throw new IllegalStateException(
+            s"silver sink contains rows for epoch '$epoch', which is not in " +
+              s"this poll's epoch set ${t0ByEpoch.keys.mkString("[", ", ", "]")}" +
+              " — the epoch set of a workDir is fixed for its lifetime " +
+              "(removing an epoch requires a new workDir)"))
           var (lastF, lastCd) =
             if (state.exists) state.get else (Long.MinValue, Double.NaN)
           // chunks of lazy iterators: synthesized gaps never materialize an
@@ -256,6 +264,10 @@ object FightStream {
     val hi = spans.map(_._3).max
     val spanDf = spans.toSeq.toDF("_e", "_lo", "_hi")
     val slice = spark.read.schema(filledSchema).parquet(filledDir)
+      // rows written before the epoch column existed read back as null =
+      // the single-epoch key "" — null === "" would silently drop a
+      // legacy deployment's pre-upgrade frames from the slice
+      .withColumn("epoch", coalesce(col("epoch"), lit("")))
       .filter(!col("isMarker") && col("frame") >= lo && col("frame") <= hi)
     val flagged = slice.join(broadcast(spanDf),
         col("epoch") === col("_e") &&
@@ -359,6 +371,9 @@ object FightStream {
     * query has 2 file sources per epoch, and Structured Streaming pins the
     * source count in the checkpoint. Onboarding a new epoch = a new
     * `workDir` (epochs are independent; old events remain readable).
+    * ENFORCED: the ordered epoch list is persisted to `workDir/epochs.txt`
+    * on the first poll and must match exactly (same keys, same ORDER — the
+    * source slots and per-epoch dirs are positional) on every later poll.
     *
     * Memory contract: each poll's silver rows pass through one stateful
     * task PER EPOCH ([[fillAndFlag]]'s sequential carry), so a poll must be
@@ -375,25 +390,39 @@ object FightStream {
     require(epochs.nonEmpty, "at least one epoch")
     require(epochs.map(_.epoch).distinct.length == epochs.length,
       "epoch keys must be unique")
+    // the stage checkpoints and per-epoch dirs are positional — the epoch
+    // sequence must be byte-identical on every poll of this workDir
+    Poll.checkEpochManifest(spark, workDir, epochs.map(_.epoch))
     val durUs = frameDurUs(p.fps)
     val markerRoot = s"$workDir/markers"
     val silverDir = s"$workDir/silver"
     val filledDir = s"$workDir/filled"
     val eventsDir = s"$workDir/events"
     val speedRoot = s"$workDir/speed"
+    // single-epoch workDirs keep the pre-multi layout (markers/ and speed/
+    // directly under workDir): the stage-1 checkpoint pins its source
+    // PATHS and the speed table is incrementally maintained in place, so a
+    // layout change would orphan a live deployment's seen-file logs and
+    // hour buckets and recompute its whole speed history in one poll
+    val single = epochs.lengthCompare(1) == 0
+    def slotDir(root: String, i: Int): String =
+      if (single) root else s"$root/m$i"
     Seq(silverDir, filledDir, eventsDir).foreach(ensureDir(spark, _))
     val t0ByEpoch = epochs.map(e => e.epoch -> e.t0us).toMap
+    val markerDirs = epochs.indices.map(i => slotDir(markerRoot, i))
     epochs.zipWithIndex.foreach { case (e, i) =>
-      ensureDir(spark, s"$markerRoot/m$i")
+      ensureDir(spark, markerDirs(i))
       // condition 3: refresh the incremental per-frame speed table BEFORE
       // the filled stage reads it (stream-static join below)
       e.blobDir.foreach(bd =>
-        updateBlobSpeeds(spark, bd, s"$speedRoot/m$i", p, e.t0us))
-      Poll.writeMarkers(spark, s"$markerRoot/m$i", upToUs, durUs)
+        updateBlobSpeeds(spark, bd, slotDir(speedRoot, i), p, e.t0us))
+      Poll.writeMarkers(spark, markerDirs(i), upToUs, durUs)
     }
-    drain(silverQueryMulti(spark, epochs, markerRoot, parts, p.fps),
+    drain(silverQueryMulti(spark, epochs, markerDirs, parts, p.fps),
       silverDir, s"$workDir/ckpt_silver")
     val silver = spark.readStream.schema(silverSchema).parquet(silverDir)
+      // pre-epoch-column rows read back as null = the single-epoch key ""
+      .withColumn("epoch", coalesce(col("epoch"), lit("")))
     // stream-static left join against the per-epoch speed tables (batch
     // joins the same shape onto the dense spine); an epoch with no blob
     // source gets speed = MaxValue (condition 3 off, like blob = None),
@@ -402,7 +431,7 @@ object FightStream {
     val withSpeed = if (epochs.exists(_.blobDir.isDefined)) {
       val speeds = epochs.zipWithIndex.flatMap { case (e, i) =>
         e.blobDir.map(_ => spark.read.schema(speedSchema)
-          .parquet(s"$speedRoot/m$i")
+          .parquet(slotDir(speedRoot, i))
           .select(lit(e.epoch).as("epoch"), col("frame"), col("blob_speed")))
       }.reduce(_.unionByName(_))
       val defaults = epochs.map(e =>
@@ -415,6 +444,7 @@ object FightStream {
     drain(fillAndFlag(withSpeed.as[SilverSpeed], p, t0ByEpoch).toDF(),
       filledDir, s"$workDir/ckpt_filled")
     val filled = spark.readStream.schema(filledSchema).parquet(filledDir)
+      .withColumn("epoch", coalesce(col("epoch"), lit("")))
     // gold: closed super-session spans → exact batch tail over the filled
     // sink slice, written per micro-batch under an id-keyed subdir —
     // overwrite of the same subdir makes checkpoint replays idempotent
@@ -450,7 +480,10 @@ object FightStream {
     import spark.implicits._
     val dirs = Poll.eventParquetDirs(spark, workDir)
     if (dirs.isEmpty) spark.emptyDataset[EpochFightEvent]
-    else spark.read.schema(eventSchema).parquet(dirs: _*).as[EpochFightEvent]
+    else spark.read.schema(eventSchema).parquet(dirs: _*)
+      // pre-epoch-column events read back as the single-epoch key ""
+      .withColumn("epoch", coalesce(col("epoch"), lit("")))
+      .as[EpochFightEvent]
   }
 
   /** Events emitted so far (single-epoch form, epoch column dropped). */

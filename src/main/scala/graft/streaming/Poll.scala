@@ -127,6 +127,46 @@ private[streaming] object Poll {
       .write.mode("append").parquet(markerDir)
   }
 
+  /** Persist and validate the ORDERED epoch list of a multi-epoch
+    * `workDir`. The stage-1 streaming sources and the per-epoch
+    * marker/speed dirs are POSITIONAL (slot i of the source union, dir
+    * `m$i`), and Structured Streaming's per-source seen-file logs are
+    * keyed by that position — so the epoch sequence must be byte-stable
+    * across polls of the same `workDir`. The first poll writes
+    * `workDir/epochs.txt` (one key per line, in order); every later poll
+    * requires exact equality. A caller that rebuilds its epoch Seq from a
+    * Map or a directory listing and gets a different order fails HERE,
+    * loudly, instead of silently crediting one epoch's files to another
+    * epoch's source slot (which would re-ingest already-seen files as new
+    * and join the wrong speed table). */
+  def checkEpochManifest(spark: SparkSession, workDir: String,
+      epochs: Seq[String]): Unit = {
+    require(epochs.forall(e => !e.contains("\n") && !e.contains("\r")),
+      "epoch keys must not contain line breaks")
+    val p = new org.apache.hadoop.fs.Path(s"$workDir/epochs.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // file ends with one trailing \n; split -1 keeps interior empties
+      // (the single-epoch key is ""), init drops the trailing one
+      val prior = content.split("\n", -1).toSeq.init
+      require(prior == epochs,
+        s"epoch list of workDir '$workDir' changed: the checkpointed " +
+          s"stages are positional, so the epoch Seq must be identical " +
+          s"(same keys, same order) on every poll. Recorded: " +
+          s"${prior.mkString("[", ", ", "]")}; got: " +
+          s"${epochs.mkString("[", ", ", "]")}. Onboarding or removing " +
+          "an epoch requires a new workDir.")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(epochs.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** The per-micro-batch gold event dirs under `workDir/events`. */
   def eventParquetDirs(spark: SparkSession, workDir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(s"$workDir/events")

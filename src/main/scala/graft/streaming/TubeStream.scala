@@ -71,12 +71,12 @@ object TubeStream {
     * when-chain over N literal-ROI conditions (constant-folded per row;
     * the conditions share every feature subexpression via codegen CSE). */
   def silverQueryMulti(spark: SparkSession, epochs: Seq[TubeEpoch],
-      markerRoot: String, parts: Map[String, String], p: TubeParams): DataFrame = {
+      markerDirs: Seq[String], parts: Map[String, String], p: TubeParams): DataFrame = {
     import Detectors.nn
-    val branches = epochs.zipWithIndex.map { case (e, i) =>
+    val branches = epochs.zip(markerDirs).map { case (e, md) =>
       val pose = spark.readStream.schema(Poll.poseSchema).parquet(e.poseDir)
         .unionByName(
-          spark.readStream.schema(Poll.poseSchema).parquet(s"$markerRoot/m$i"))
+          spark.readStream.schema(Poll.poseSchema).parquet(md))
       Poll.prePivot(pose, e.epoch, parts, p.fps, e.t0us, e.ids)
     }
     val cand = epochs.foldLeft(lit(false)) { (acc, e) =>
@@ -139,6 +139,10 @@ object TubeStream {
     val durUs = Poll.frameDurUs(p.fps)
     val window = math.ceil(p.fps * p.searchWindowSeconds).toLong
     val real = spark.read.schema(silverSchema).parquet(silverDir)
+      // rows written before the epoch column existed read back as null =
+      // the single-epoch key "" — null would silently drop a legacy
+      // deployment's pre-upgrade frames from the spine and slice
+      .withColumn("epoch", coalesce(col("epoch"), lit("")))
       .filter(!col("isMarker"))
     // batch spine end = the sink's last real frame PER EPOCH (footer
     // min/max scan, one row per epoch): span frames beyond it would be
@@ -193,19 +197,29 @@ object TubeStream {
     require(epochs.nonEmpty, "at least one epoch")
     require(epochs.map(_.epoch).distinct.length == epochs.length,
       "epoch keys must be unique")
+    // the stage checkpoints and per-epoch dirs are positional — the epoch
+    // sequence must be byte-identical on every poll of this workDir
+    Poll.checkEpochManifest(spark, workDir, epochs.map(_.epoch))
     val durUs = Poll.frameDurUs(p.fps)
     val markerRoot = s"$workDir/markers"
     val silverDir = s"$workDir/silver"
     val eventsDir = s"$workDir/events"
+    // single-epoch workDirs keep the pre-multi layout (markers/ directly
+    // under workDir): the stage-1 checkpoint pins its source PATHS
+    val markerDirs =
+      if (epochs.lengthCompare(1) == 0) Seq(markerRoot)
+      else epochs.indices.map(i => s"$markerRoot/m$i")
     Seq(silverDir, eventsDir).foreach(Poll.ensureDir(spark, _))
     val t0ByEpoch = epochs.map(e => e.epoch -> e.t0us).toMap
-    epochs.zipWithIndex.foreach { case (_, i) =>
-      Poll.ensureDir(spark, s"$markerRoot/m$i")
-      Poll.writeMarkers(spark, s"$markerRoot/m$i", upToUs, durUs)
+    markerDirs.foreach { md =>
+      Poll.ensureDir(spark, md)
+      Poll.writeMarkers(spark, md, upToUs, durUs)
     }
-    Poll.drain(silverQueryMulti(spark, epochs, markerRoot, parts, p),
+    Poll.drain(silverQueryMulti(spark, epochs, markerDirs, parts, p),
       silverDir, s"$workDir/ckpt_silver")
     val silver = spark.readStream.schema(silverSchema).parquet(silverDir)
+      // pre-epoch-column rows read back as the single-epoch key ""
+      .withColumn("epoch", coalesce(col("epoch"), lit("")))
     // gold: closed spans → exact batch tail over the densified silver
     // slice, written per micro-batch under an id-keyed subdir — overwrite
     // of the same subdir makes checkpoint replays idempotent
@@ -241,7 +255,10 @@ object TubeStream {
     import spark.implicits._
     val dirs = Poll.eventParquetDirs(spark, workDir)
     if (dirs.isEmpty) spark.emptyDataset[EpochTubeEvent]
-    else spark.read.schema(eventSchema).parquet(dirs: _*).as[EpochTubeEvent]
+    else spark.read.schema(eventSchema).parquet(dirs: _*)
+      // pre-epoch-column events read back as the single-epoch key ""
+      .withColumn("epoch", coalesce(col("epoch"), lit("")))
+      .as[EpochTubeEvent]
   }
 
   /** Events emitted so far (single-epoch form, epoch column dropped). */

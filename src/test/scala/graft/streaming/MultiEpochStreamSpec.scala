@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import java.nio.file.Files
 import graft.TestSpark
 import graft.behavior.Detectors
@@ -142,5 +143,67 @@ class MultiEpochStreamSpec extends AnyFunSuite {
     assert(wantB.isEmpty, "rig B's candidates are gate-rejected")
     assert(got === Map("rig:A" -> wantA))
     assert(ckptDirs(work) === Seq("ckpt_gold", "ckpt_silver"))
+  }
+
+  test("epoch manifest: the ordered epoch list is pinned per workDir") {
+    val work = Files.createTempDirectory("graft_manifest").toString
+    Poll.checkEpochManifest(spark, work, Seq("rigA", "rig:B"))
+    // identical list: fine (every later poll)
+    Poll.checkEpochManifest(spark, work, Seq("rigA", "rig:B"))
+    // REORDERED list: the positional source slots would swap dirs — must
+    // fail loudly, not silently corrupt
+    val e1 = intercept[IllegalArgumentException] {
+      Poll.checkEpochManifest(spark, work, Seq("rig:B", "rigA"))
+    }
+    assert(e1.getMessage.contains("positional"))
+    // changed membership: same failure
+    intercept[IllegalArgumentException] {
+      Poll.checkEpochManifest(spark, work, Seq("rigA"))
+    }
+    // the single-epoch key "" round-trips through the manifest file
+    val work1 = Files.createTempDirectory("graft_manifest1").toString
+    Poll.checkEpochManifest(spark, work1, Seq(""))
+    Poll.checkEpochManifest(spark, work1, Seq(""))
+    intercept[IllegalArgumentException] {
+      Poll.checkEpochManifest(spark, work1, Seq("x"))
+    }
+  }
+
+  test("pre-epoch-column sink rows read back as the single-epoch key") {
+    // a workDir written before the epoch column existed holds filled/event
+    // rows WITHOUT it; the batch tail and event readers must treat those
+    // as epoch "" (the single-epoch key), not drop them on null === ""
+    val p = Detectors.FightParams()
+    val base = Files.createTempDirectory("graft_legacy").toString
+    def filledRows(lo: Int, hi: Int) = (lo to hi).map { f =>
+      (f.toLong, t0Aus + f * durUs,
+        100.0 + f * 10.0, 100.0, 103.0 + f * 10.0, 104.0,
+        true, false, false)
+    }
+    val newCols = Seq("frame", "tsUs", "c0x", "c0y", "c1x", "c1y",
+      "isFight", "isBridge", "isMarker")
+    // legacy half (no epoch column) + post-upgrade half (epoch = ""),
+    // appended into ONE flat dir like the streaming sink writes
+    filledRows(0, 75).toDF(newCols: _*)
+      .write.mode("append").parquet(s"$base/mixed")
+    filledRows(76, 150).toDF(newCols: _*).withColumn("epoch", lit(""))
+      .write.mode("append").parquet(s"$base/mixed")
+    filledRows(0, 150).toDF(newCols: _*).withColumn("epoch", lit(""))
+      .write.parquet(s"$base/all_new")
+    val spans = Array(("", 0L, 150L))
+    val got = FightStream.eventsFromSpans(spark, spans, s"$base/mixed", p)
+      .collect().map(e => (e.start_ts.getTime, e.end_ts.getTime)).toSet
+    val want = FightStream.eventsFromSpans(spark, spans, s"$base/all_new", p)
+      .collect().map(e => (e.start_ts.getTime, e.end_ts.getTime)).toSet
+    assert(want.nonEmpty, "fixture: the all-new baseline must emit an event")
+    assert(got === want,
+      "legacy (epoch-less) filled rows must contribute to the slice")
+    // legacy events (no epoch column) surface under epoch ""
+    filledRows(0, 0).map(_ => (new java.sql.Timestamp(0L),
+        new java.sql.Timestamp(1000L), 1.0, 2.0, 3.0))
+      .toDF("start_ts", "end_ts", "duration_sec", "end_x", "end_y")
+      .write.parquet(s"$base/evwork/events/b0")
+    val evs = FightStream.fightEventsByEpoch(spark, s"$base/evwork").collect()
+    assert(evs.map(_.epoch).toSeq === Seq(""))
   }
 }
