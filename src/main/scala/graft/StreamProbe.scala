@@ -159,18 +159,20 @@ object StreamProbe {
     // [+1020, +1069] retreat)
     val tubeWork = s"$base/tube_work"; val tubePoseDir = s"$base/tube_pose"
     val tp = Detectors.TubeParams()
-    def tubeChunk(k: Long) = {
-      val lo = k * framesPerPoll
-      val frames = spark.range(lo, lo + framesPerPoll).select(col("id").as("frame"))
-        .withColumn("inStand", col("frame").between(lo + 1000, lo + 1019))
-        .withColumn("inRetreat", col("frame").between(lo + 1020, lo + 1069))
+    def tubeChunkRange(loF: Long, hiF: Long, t0: Long) = {
+      // stand-off/retreat position from the frame's OWN poll window (see
+      // chunkRange: ranges may span windows under wall-clock-cut delivery)
+      val inWin = col("frame") % framesPerPoll
+      val frames = spark.range(loF, hiF).select(col("id").as("frame"))
+        .withColumn("inStand", inWin.between(1000, 1019))
+        .withColumn("inRetreat", inWin.between(1020, 1069))
       val mice = array(
         (for (m <- Seq(0, 1); part <- Seq("nose", "head", "spine2", "spine4")) yield {
           val id = if (m == 0) "A" else "B"
           val cx =
             if (m == 0) lit(100.0)
             else when(col("inStand"), lit(140.0))
-              .when(col("inRetreat"), lit(140.0) + (col("frame") - lo - 1019) * 3.0)
+              .when(col("inRetreat"), lit(140.0) + (inWin - 1019) * 3.0)
               .otherwise(lit(3000.0))
           val cy =
             if (m == 0) lit(50.0)
@@ -185,9 +187,11 @@ object StreamProbe {
             (cx + dx).as("x"), cy.as("y"))
         }): _*)
       frames.select(col("frame"), explode(mice).as("m"))
-        .select(timestamp_micros(lit(t0us) + col("frame") * 20000L).as("time"),
+        .select(timestamp_micros(lit(t0) + col("frame") * 20000L).as("time"),
           col("m.identity"), col("m.part"), col("m.x"), col("m.y"))
     }
+    def tubeChunk(k: Long) =
+      tubeChunkRange(k * framesPerPoll, (k + 1) * framesPerPoll, t0us)
     val tubeTimes = (0L until nPolls).map { k =>
       tubeChunk(k).write.parquet(s"$tubePoseDir/chunk$k")
       val upTo = t0us + ((k + 1) * framesPerPoll) * 20000L
@@ -204,6 +208,56 @@ object StreamProbe {
       s"expected $nPolls planted tube tests, got ${tubeEvents.length}")
     require(tubeEvents.forall(_.winner_identity == "A"),
       "every planted tube test is won by A")
+
+    // ---- ONE tube poller over N epochs (pollTubeTestsMulti): same shape
+    // as the fight section — per-epoch pose dirs and offset frame grids,
+    // wall-clock-cut deliveries, one planted stand-off + retreat per epoch
+    // per poll window
+    val tWork = s"$base/tube_multi_work"
+    val tEpochs = (0 until nEpochs).map { i =>
+      TubeStream.TubeEpoch(f"rig$i%02d", s"$base/tpose$i/*",
+        t0us + i * 7777L * 1000L, Seq("A", "B"))
+    }
+    val tDelivered = scala.collection.mutable.Map(
+      tEpochs.map(_.epoch -> 0L).toSeq: _*)
+    def tDeliverUpTo(upTo: Long, tag: String): Unit =
+      tEpochs.zipWithIndex.foreach { case (e, i) =>
+        val hi = math.min(totalF, math.max(0L,
+          Math.floorDiv(upTo - e.t0us - 1, 20000L) + 1))
+        if (hi > tDelivered(e.epoch)) {
+          tubeChunkRange(tDelivered(e.epoch), hi, e.t0us)
+            .write.parquet(s"$base/tpose$i/chunk_$tag")
+          tDelivered(e.epoch) = hi
+        }
+      }
+    val tTimes = (0L until mPolls).map { k =>
+      val upTo = t0us + ((k + 1) * framesPerPoll) * 20000L
+      tDeliverUpTo(upTo, s"p$k")
+      val t0 = System.nanoTime()
+      TubeStream.pollTubeTestsMulti(spark, tEpochs, tWork, parts, tp, upTo)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tubeGap = math.max(tp.maxFrameGap,
+      math.ceil(tp.fps * tp.searchWindowSeconds).toLong)
+    val tFlushUpTo = tEpochs.map(_.t0us).max + (totalF + tubeGap + 5) * 20000L
+    tDeliverUpTo(tFlushUpTo, "flush")
+    val tMF0 = System.nanoTime()
+    TubeStream.pollTubeTestsMulti(spark, tEpochs, tWork, parts, tp, tFlushUpTo)
+    val tFlushS = (System.nanoTime() - tMF0) / 1e9
+    val tEvents = TubeStream.tubeEventsByEpoch(spark, tWork).collect()
+    println(f"MULTI_TUBE_PROBE epochs=$nEpochs polls=$mPolls " +
+      f"framesPerPollPerEpoch=$framesPerPoll " +
+      f"poseRowsPerPoll=${framesPerPoll * 8 * nEpochs} " +
+      f"events=${tEvents.length} " +
+      f"pollSecs=[${tTimes.map(t => f"$t%.1f").mkString(",")}] " +
+      f"flush=$tFlushS%.1fs peakHeapMb=${Probe.peakHeapMb}")
+    require(tEvents.length == nEpochs * mPolls,
+      s"expected ${nEpochs * mPolls} planted tube tests, got ${tEvents.length}")
+    require(tEvents.forall(_.winner_identity == "A"),
+      "every planted tube test is won by A")
+    val tPerEpoch = tEvents.groupBy(_.epoch).view.mapValues(_.length).toMap
+    require(tEpochs.forall(e => tPerEpoch.getOrElse(e.epoch, 0) == mPolls),
+      s"per-epoch tube event counts off: $tPerEpoch")
     spark.stop()
   }
 }

@@ -58,7 +58,9 @@ object Dedup {
     val members = base.select(col("_id"), sha2(col("_text"), 256).as("_ch"))
     val groups = members.groupBy("_ch").agg(min("_id").as("_rid"))
     val m = members.join(groups, "_ch").select(col("_id"), col("_rid"))
-    val repDocs = base.join(m.filter(col("_id") === col("_rid")).select("_id"),
+    // reps come straight off the per-group aggregate — one row per distinct
+    // content — rather than re-filtering the member table
+    val repDocs = base.join(groups.select(col("_rid").as("_id")),
       Seq("_id"), "left_semi")
     (m, repDocs)
   }
