@@ -258,6 +258,66 @@ object StreamProbe {
     val tPerEpoch = tEvents.groupBy(_.epoch).view.mapValues(_.length).toMap
     require(tEpochs.forall(e => tPerEpoch.getOrElse(e.epoch, 0) == mPolls),
       s"per-epoch tube event counts off: $tPerEpoch")
+
+    // ---- ONE combine poller over N epochs (pollCombineMulti): per poll,
+    // every rig lands one 30-minute chunk (90 k ticks × 2 mice × 2 parts =
+    // 360 k pose rows + 180 k id rows); chunks run as concurrent Spark
+    // jobs inside the micro-batch. Identities are rig-specific so any
+    // cross-epoch pose/id pairing would be caught by the identity assert.
+    import graft.combine.Combine
+    import graft.streaming.CombineStream
+    val cWork = s"$base/combine_work"
+    val cp = Combine.Params(fps = 50.0, maxDistance = 40.0)
+    val cEpochs = (0 until nEpochs).map { i =>
+      CombineStream.CombineEpoch(f"rig$i%02d", s"$base/cpose$i", s"$base/cids$i")
+    }
+    def combChunk(i: Int, k: Long): Unit = {
+      val loF = k * framesPerPoll
+      val frames = spark.range(loF, loF + framesPerPoll)
+        .select(col("id").as("frame"))
+      val mice = array((for (mId <- Seq(0, 1); part <- Seq("anchor_spine2", "head")) yield
+        struct(lit(mId.toLong).as("pid"), lit(part).as("part"),
+          lit(100.0 + mId * 200.0).as("bx"), lit(100.0).as("by"))): _*)
+      frames.select(col("frame"), explode(mice).as("m"))
+        .select(timestamp_micros(lit(t0us) + col("frame") * 20000L).as("time"),
+          (col("frame") * 2 + col("m.pid")).as("pose_id"), col("m.part").as("part"),
+          (col("m.bx") + (col("frame") % 7) * 0.5).as("x"), col("m.by").as("y"))
+        .write.parquet(s"$base/cpose$i/h$k")
+      val idents = array(
+        struct(lit(s"A$i").as("identity"), lit(100.0).as("ix")),
+        struct(lit(s"B$i").as("identity"), lit(300.0).as("ix")))
+      frames.select(col("frame"), explode(idents).as("d"))
+        .select(timestamp_micros(lit(t0us) + col("frame") * 20000L).as("time"),
+          col("d.identity"),
+          map(col("d.identity"), lit(0.9)).as("identity_likelihood"),
+          (col("d.ix") + (col("frame") % 5) * 0.5).as("x_top"), lit(100.0).as("y_top"))
+        .write.parquet(s"$base/cids$i/h$k")
+    }
+    val cTimes = (0L until mPolls).map { k =>
+      cEpochs.indices.foreach(i => combChunk(i, k))
+      val t0 = System.nanoTime()
+      CombineStream.pollCombineMulti(spark, cEpochs, cWork, cp,
+        anchorPart = "anchor")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val combined = CombineStream.combinedByEpoch(spark, cEpochs, cWork)
+      .select(col("epoch"), col("identity")).groupBy("epoch", "identity")
+      .count().collect()
+    val cByEpoch = combined.groupBy(_.getString(0))
+    println(f"MULTI_COMBINE_PROBE epochs=$nEpochs polls=$mPolls " +
+      f"poseRowsPerPoll=${framesPerPoll * 4 * nEpochs} " +
+      f"idRowsPerPoll=${framesPerPoll * 2 * nEpochs} " +
+      f"pollSecs=[${cTimes.map(t => f"$t%.1f").mkString(",")}] " +
+      f"peakHeapMb=${Probe.peakHeapMb}")
+    cEpochs.zipWithIndex.foreach { case (e, i) =>
+      val rows = cByEpoch.getOrElse(e.epoch, Array.empty)
+      val idents = rows.map(_.getString(1)).toSet
+      require(idents == Set(s"A$i", s"B$i"),
+        s"epoch ${e.epoch}: identities $idents — cross-epoch pairing or lost matches")
+      val n = rows.map(_.getLong(2)).sum
+      require(n == mPolls * framesPerPoll * 4,
+        s"epoch ${e.epoch}: expected ${mPolls * framesPerPoll * 4} combined rows, got $n")
+    }
     spark.stop()
   }
 }

@@ -57,10 +57,16 @@ object Dedup {
       .filter(col("_id").isNotNull && col("_text").isNotNull)
     val members = base.select(col("_id"), sha2(col("_text"), 256).as("_ch"))
     val groups = members.groupBy("_ch").agg(min("_id").as("_rid"))
+    // the membership table is consumed by several separate JOBS of every
+    // caller (the eager shingle-set checkpoint, the candidate/verify query,
+    // the member re-expansion) and cross-job plans share no exchange reuse
+    // — without materialization the full-content sha2 shuffle re-runs once
+    // per job. localCheckpoint pins the 16-byte (id, rid) rows once; the
+    // representative filter below is then a block read, not a second
+    // aggregation over the corpus.
     val m = members.join(groups, "_ch").select(col("_id"), col("_rid"))
-    // reps come straight off the per-group aggregate — one row per distinct
-    // content — rather than re-filtering the member table
-    val repDocs = base.join(groups.select(col("_rid").as("_id")),
+      .localCheckpoint()
+    val repDocs = base.join(m.filter(col("_id") === col("_rid")).select("_id"),
       Seq("_id"), "left_semi")
     (m, repDocs)
   }

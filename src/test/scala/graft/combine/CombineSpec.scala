@@ -174,6 +174,60 @@ class CombineSpec extends AnyFunSuite {
     assert(new java.io.File(s"$work/out/c4").exists, "c4 has an (empty) output dir")
   }
 
+  test("pollCombineMulti: 2 epochs through ONE poller ≡ per-chunk batch, deferral per epoch") {
+    import graft.streaming.CombineStream
+    import graft.streaming.CombineStream.CombineEpoch
+    val base = java.nio.file.Files.createTempDirectory("graft_combmulti").toString
+    val work = s"$base/work"
+    val p = Combine.Params(fps = 50, maxDistance = 40)
+    def poseChunk(off: Long) = Seq(
+      (ts(off + 2000), off + 1L, "anchor_spine2", 10.0, 10.0),
+      (ts(off + 2000), off + 1L, "head", 11.0, 12.0),
+      (ts(off + 2000), off + 2L, "anchor_spine2", 100.0, 100.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    def idsChunk(off: Long, who: String) = Seq(
+      (ts(off + 1000), who, Map(who -> 0.9), 12.0, 10.0),
+      (ts(off + 1000), "bob", Map("bob" -> 0.8), 98.0, 102.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+    val epochs = Seq(
+      CombineEpoch("rigA", s"$base/poseA", s"$base/idsA"),
+      CombineEpoch("rigB", s"$base/poseB", s"$base/idsB"))
+    def got() = CombineStream.combinedByEpoch(spark, epochs, work)
+      .select("epoch", "pose_id", "identity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    def want(epoch: String, off: Long, who: String) =
+      Combine.combineChunk(poseChunk(off), idsChunk(off, who), p)
+        .select("pose_id", "identity").collect()
+        .map(r => (epoch, r.getLong(0), r.getString(1))).toSet
+    // poll 1: rigA lands c1 paired; rigB lands c1 WITHOUT ids (race)
+    poseChunk(0).write.parquet(s"$base/poseA/c1")
+    idsChunk(0, "alice").write.parquet(s"$base/idsA/c1")
+    poseChunk(0).write.parquet(s"$base/poseB/c1")
+    CombineStream.pollCombineMulti(spark, epochs, work, p)
+    assert(got() === want("rigA", 0, "alice"),
+      "rigB's unpaired chunk deferred, rigA's combined")
+    // poll 2: rigB's ids arrive late (same-named chunk, DIFFERENT identity
+    // so cross-epoch pairing would be caught); rigA lands c2 paired
+    idsChunk(0, "carol").write.parquet(s"$base/idsB/c1")
+    poseChunk(3600L * 1000000L).write.parquet(s"$base/poseA/c2")
+    idsChunk(3600L * 1000000L, "alice").write.parquet(s"$base/idsA/c2")
+    CombineStream.pollCombineMulti(spark, epochs, work, p)
+    val all = want("rigA", 0, "alice") ++
+      want("rigA", 3600L * 1000000L, "alice") ++ want("rigB", 0, "carol")
+    assert(got() === all, "late ids recovered within the right epoch")
+    // idempotent empty re-poll
+    CombineStream.pollCombineMulti(spark, epochs, work, p)
+    assert(got() === all)
+    // exactly ONE streaming checkpoint for both epochs
+    assert(new java.io.File(s"$work/ckpt_combine").exists)
+    assert(!new java.io.File(s"$work/ckpt_combine_1").exists)
+    // the epoch list is manifest-pinned: a reorder must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      CombineStream.pollCombineMulti(spark, epochs.reverse, work, p)
+    }
+    assert(ex.getMessage.contains("epoch list"))
+  }
+
   test("randomized differential: combineChunk ≡ brute-force per-tick model") {
     import scala.util.Random
     val periodUs = 20000L; val tolUs = 5000L; val maxDist = 40.0
