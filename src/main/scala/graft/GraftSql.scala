@@ -47,6 +47,11 @@ import scala.collection.mutable
   *     for the deduplicated corpus;
   *   - `graft_topk_t('queriesV', 'corpusV', 'id', 'vec', k)` — exact
   *     cosine top-k similarity search over an embedding column;
+  *   - `graft_ivf_topk_t('queriesV', 'corpusV', 'id', 'vec', k, nlist,
+  *     nprobe[, seed[, salt]])` — IVF approximate top-k: seeded k-means
+  *     centroids trained on the corpus at plan build, then the
+  *     nprobe-cell scored join (distributed query side — the scale path
+  *     when the query set outgrows graft_topk_t's broadcast cap);
   *   - `graft_ffill_t('view', 'orderCol', 'cols'[, bucketSize[, 'grps']])`
   *     — pandas ffill (W3); bucketSize > 0 = the bucketed keyless form
   *     with no single-partition sort;
@@ -55,7 +60,11 @@ import scala.collection.mutable
   *     'idA,idB'[, fps[, 'cx,cy,innerR,outerR']]]])` — the full batch
   *     behavior detectors as table functions: a SQL-only user runs the
   *     flagship pipelines end-to-end
-  *     (`SELECT * FROM graft_fights_t('pose_v', '', 'A,B')`).
+  *     (`SELECT * FROM graft_fights_t('pose_v', '', 'A,B')`);
+  *   - `graft_combine_t('poseV', 'idsV'[, fps[, maxDistance[,
+  *     'anchorPart']]])` — the combine kernel (tick grid, band-join
+  *     anchoring, per-tick optimal assignment, gated writeback) from
+  *     pure SQL.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -100,6 +109,14 @@ object GraftSql {
       FunctionIdentifier("graft_topk_t"),
       new ExpressionInfo("graft.GraftSql", "graft_topk_t"),
       (args: Seq[Expression]) => topkTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_combine_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_combine_t"),
+      (args: Seq[Expression]) => combineTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_topk_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_t"),
+      (args: Seq[Expression]) => ivfTopkTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -351,6 +368,63 @@ object GraftSql {
     val spark = SparkSession.active
     graft.llm.Similarity.cosineTopK(
         spark.table(qv), spark.table(cv), idCol, vecCol, k)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_combine_t` table-function plan:
+    * `graft_combine_t('poseView', 'idsView'[, fps[, maxDistance[,
+    * 'anchorPart']]])` — the full combine kernel
+    * ([[graft.combine.Combine.combineChunk]]: tick grid, band-join
+    * anchoring, per-tick optimal assignment, feasibility-gated writeback)
+    * from pure SQL. `poseView` carries (time, pose_id, part, x, y);
+    * `idsView` carries (time, identity, identity_likelihood, x_top,
+    * y_top). Output = pose columns + (identity, identity_likelihood) for
+    * matched pose instances. */
+  private def combineTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_combine_t"
+    require(args.length >= 2 && args.length <= 5,
+      s"usage: $fn('poseView', 'idsView'[, fps[, maxDistance[, 'anchorPart']]])")
+    val pv = strLit(args(0), fn, "pose view")
+    val iv = strLit(args(1), fn, "ids view")
+    val fps = if (args.length >= 3) dblLit(args(2), fn, "fps") else 50.0
+    val maxDist = if (args.length >= 4) dblLit(args(3), fn, "maxDistance") else 40.0
+    val anchor = if (args.length == 5) strLit(args(4), fn, "anchor part") else "anchor"
+    val spark = SparkSession.active
+    graft.combine.Combine.combineChunk(spark.table(pv), spark.table(iv),
+        graft.combine.Combine.Params(fps = fps, maxDistance = maxDist), anchor)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_topk_t` table-function plan:
+    * `graft_ivf_topk_t('queriesView', 'corpusView', 'idCol', 'vecCol', k,
+    * nlist, nprobe[, seed[, salt]])` — IVF approximate nearest neighbors
+    * from pure SQL. Seeded k-means centroids (`nlist` cells) are trained
+    * on the corpus AT PLAN BUILD — an eager analysis-time job, the same
+    * documented eagerness as `graft_neardup_t` — then queries fan out to
+    * their `nprobe` nearest cells for the scored join
+    * ([[graft.llm.Similarity.ivfTopK]]); `salt` > 1 spreads each cell's
+    * corpus rows over that many sub-buckets (hot-cell skew relief, result
+    * set unchanged). Unlike `graft_topk_t` the query side is distributed —
+    * no broadcast cap. */
+  private def ivfTopkTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_topk_t"
+    require(args.length >= 7 && args.length <= 9,
+      s"usage: $fn('queriesView', 'corpusView', 'idCol', 'vecCol', k, nlist, nprobe[, seed[, salt]])")
+    val qv = strLit(args(0), fn, "queries view")
+    val cv = strLit(args(1), fn, "corpus view")
+    val idCol = strLit(args(2), fn, "id column")
+    val vecCol = strLit(args(3), fn, "vector column")
+    val k = lngLit(args(4), fn, "k").toInt
+    val nlist = lngLit(args(5), fn, "nlist").toInt
+    val nprobe = lngLit(args(6), fn, "nprobe").toInt
+    val seed = if (args.length >= 8) lngLit(args(7), fn, "seed") else 42L
+    val salt = if (args.length == 9) lngLit(args(8), fn, "salt").toInt else 1
+    val spark = SparkSession.active
+    val corpus = spark.table(cv)
+    val centroids = graft.llm.Similarity.trainCentroids(
+      corpus, vecCol, nlist, seed = seed)
+    graft.llm.Similarity.ivfTopK(spark.table(qv), corpus, centroids,
+        idCol, vecCol, k, nprobe, salt)
       .queryExecution.logical
   }
 

@@ -197,6 +197,61 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql.size === 15)
   }
 
+  test("graft_combine_t equals the typed combineChunk") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val pose = Seq(
+      (ts(2000), 1L, "anchor_spine2", 10.0, 10.0),
+      (ts(2000), 1L, "head", 11.0, 12.0),
+      (ts(2000), 2L, "anchor_spine2", 100.0, 100.0),
+      (ts(22000), 3L, "anchor_spine2", 10.5, 10.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    val ids = Seq(
+      (ts(1000), "alice", Map("alice" -> 0.9), 12.0, 10.0),
+      (ts(1000), "bob", Map("bob" -> 0.8), 98.0, 102.0),
+      (ts(21000), "alice", Map("alice" -> 0.7), 11.0, 10.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+    pose.createOrReplaceTempView("comb_pose")
+    ids.createOrReplaceTempView("comb_ids")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getString(3))
+    val fromSql = spark.sql(
+      "SELECT time, pose_id, part, identity FROM graft_combine_t('comb_pose', 'comb_ids', 50.0, 40.0, 'anchor')")
+      .collect().map(key).toSet
+    val typed = graft.combine.Combine.combineChunk(pose, ids,
+        graft.combine.Combine.Params(fps = 50, maxDistance = 40))
+      .select("time", "pose_id", "part", "identity")
+      .collect().map(key).toSet
+    assert(fromSql === typed)
+    assert(fromSql.nonEmpty)
+  }
+
+  test("graft_ivf_topk_t equals the typed trainCentroids+ivfTopK, salted included") {
+    import org.apache.spark.sql.functions.col
+    GraftSql.register(spark, TestSpark.sfDir)
+    val emb = spark.table("embeddings")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("ivf_queries")
+    emb.createOrReplaceTempView("ivf_corpus")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val fromSql = spark.sql(
+      "SELECT query_id, neighbor_id, cos FROM graft_ivf_topk_t('ivf_queries', 'ivf_corpus', 'vec_id', 'embedding', 3, 4, 2)")
+      .collect().map(key).toSet
+    val cents = graft.llm.Similarity.trainCentroids(emb, "embedding", 4, seed = 42L)
+    val typed = graft.llm.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, cents, "vec_id", "embedding", 3, 2)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(key).toSet
+    assert(fromSql === typed)
+    assert(fromSql.nonEmpty)
+    // salted form returns the identical result set
+    val salted = spark.sql(
+      "SELECT query_id, neighbor_id, cos FROM graft_ivf_topk_t('ivf_queries', 'ivf_corpus', 'vec_id', 'embedding', 3, 4, 2, 42, 3)")
+      .collect().map(key).toSet
+    assert(salted === fromSql)
+  }
+
   test("graft_ffill_t equals the typed Fill, plain and bucketed, no global sort when bucketed") {
     import spark.implicits._
     import org.apache.spark.sql.execution.window.WindowExec

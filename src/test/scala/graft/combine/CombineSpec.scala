@@ -228,6 +228,41 @@ class CombineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("epoch list"))
   }
 
+  test("pollCombine catch-up: 6 chunks in ONE micro-batch through the concurrent pool ≡ serial") {
+    import graft.streaming.CombineStream
+    val base = java.nio.file.Files.createTempDirectory("graft_combcatchup").toString
+    val poseDir = s"$base/pose"; val idsDir = s"$base/ids"
+    val p = Combine.Params(fps = 50, maxDistance = 40)
+    def poseChunk(off: Long) = Seq(
+      (ts(off + 2000), off + 1L, "anchor_spine2", 10.0, 10.0),
+      (ts(off + 2000), off + 2L, "anchor_spine2", 100.0, 100.0))
+      .toDF("time", "pose_id", "part", "x", "y")
+    def idsChunk(off: Long) = Seq(
+      (ts(off + 1000), "alice", Map("alice" -> 0.9), 12.0, 10.0),
+      (ts(off + 1000), "bob", Map("bob" -> 0.8), 98.0, 102.0))
+      .toDF("time", "identity", "identity_likelihood", "x_top", "y_top")
+    val offs = (0 until 6).map(_ * 3600L * 1000000L)
+    offs.zipWithIndex.foreach { case (off, i) =>
+      poseChunk(off).write.parquet(s"$poseDir/c$i")
+      idsChunk(off).write.parquet(s"$idsDir/c$i")
+    }
+    // all 6 discovered in one AvailableNow micro-batch, pool of 3
+    CombineStream.pollCombineMulti(spark,
+      Seq(CombineStream.CombineEpoch("", poseDir, idsDir)),
+      s"$base/work_par", p, maxConcurrentChunks = 3)
+    // serial reference over the same chunks
+    CombineStream.pollCombineMulti(spark,
+      Seq(CombineStream.CombineEpoch("", poseDir, idsDir)),
+      s"$base/work_ser", p, maxConcurrentChunks = 1)
+    def all(work: String) = CombineStream.combined(spark, work)
+      .select("time", "pose_id", "identity").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSet
+    val par = all(s"$base/work_par")
+    assert(par === all(s"$base/work_ser"), "pool ≡ serial")
+    assert(par.map(_._2) === offs.flatMap(o => Seq(o + 1L, o + 2L)).toSet,
+      "every chunk's pose ids combined exactly once")
+  }
+
   test("randomized differential: combineChunk ≡ brute-force per-tick model") {
     import scala.util.Random
     val periodUs = 20000L; val tolUs = 5000L; val maxDist = 40.0
