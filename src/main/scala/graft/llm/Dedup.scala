@@ -194,7 +194,7 @@ object Dedup {
     * same math measured ~20× slower here — the UDF forces the verify stage
     * out of codegen into per-row interpreted evaluation.)
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+  private[graft] def verifyJaccard(cand: DataFrame, sets: DataFrame,
       minJaccard: Double): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._

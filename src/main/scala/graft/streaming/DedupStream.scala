@@ -1,0 +1,233 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.Path
+import graft.llm.Dedup
+
+/** Ingest-time NEAR-duplicate dedup: a checkpointed poller that assigns
+  * every newly-landed document to a cluster representative, deduplicating
+  * each poll's chunk against the ENTIRE accumulated corpus — the operation
+  * a training-data pipeline runs on every crawl delivery ("is this new
+  * page a near-copy of anything we already hold?"). Extends the exact
+  * content-hash ingest dedup ([[graft.IngestProbe]],
+  * `dropDuplicatesWithinWatermark`) to MinHash+LSH near-duplicates with
+  * UNBOUNDED lookback: state lives on disk as two parquet tables, not in
+  * watermark-bounded executor state.
+  *
+  * Persistent state mirrors exactly what BATCH banding sees, so the
+  * stream's attach decision uses the identical edge predicate as the
+  * batch pipeline ([[Dedup.minhashRepresentatives]]):
+  *   - `contents`: one row per distinct content ever seen — (cid = min
+  *     doc id of that content, rep_id = its cluster representative,
+  *     content hash, hashed shingle set);
+  *   - `index`: the LSH band table over those contents — (band, bh, cid).
+  *
+  * Per micro-batch (all DataFrame ops, no driver-side loops):
+  *   1. the batch is clustered AGAINST ITSELF with full batch semantics
+  *      (exact-dup collapse, banding over distinct contents, exact-Jaccard
+  *      verification, connected components) — in-batch chains merge
+  *      exactly as in batch;
+  *   2. each of the batch's shingle-bearing distinct contents probes the
+  *      state: content hash against `contents` (exact tier), band digests
+  *      against `index` with the BATCH side broadcast (the poll chunk is
+  *      the small side; the corpus-scale index never moves), candidates
+  *      exact-Jaccard-verified against the stored shingle sets — banding
+  *      adds no false positives. Documents under n tokens stay their own
+  *      representative even across exact copies, exactly as in the batch
+  *      operator (no shingles → no pairs → own rep);
+  *   3. every in-batch cluster adopts the MINIMUM stored rep its member
+  *      contents matched (deterministic under multi-match); clusters with
+  *      no match keep their batch-local rep as a NEW global rep;
+  *   4. the batch's distinct contents append to `contents`/`index` under
+  *      their final rep (a content already stored under the same rep is
+  *      skipped, so popular boilerplate re-deliveries add no state), and
+  *      (doc_id, rep_id) rows for the whole batch land under `assign/`.
+  *
+  * Exactly-once: every state/output write goes to a per-batch directory
+  * (`…/b<batchId>`, overwrite mode), and a replayed micro-batch reads only
+  * state from batches BELOW its own id — a crash between the state write
+  * and the checkpoint commit replays to bit-identical directories instead
+  * of matching the batch against its own half-committed state.
+  *
+  * Incremental contract (the standard streaming-dedup deviation from
+  * batch, documented and spec-pinned): clusters NEVER MERGE across
+  * batches. A later "bridge" content similar to contents of two existing
+  * distinct clusters is assigned to the min-id rep; batch connected
+  * components over the same corpus would merge all three. When no such
+  * cross-cluster bridge exists (near-identical boilerplate / mirror
+  * groups — the dominant crawl shape) stream ≡ batch exactly.
+  *
+  * 100 TB posture: per-poll work is (batch size) + (candidate count) —
+  * banding probes are an equi-join of the broadcast batch band table
+  * against a disk-resident index scan; only candidate contents' shingle
+  * sets shuffle for verification. State grows with DISTINCT contents (the
+  * inherent corpus fingerprint, parquet-compressed); per-batch state dirs
+  * are append-only and compactable offline like any streaming sink.
+  * Documents must carry globally-unique non-null ids (they name reps);
+  * null-id/null-text rows are dropped at entry like the batch operators.
+  */
+object DedupStream {
+
+  /** MinHash/LSH parameters shared with the batch operators. */
+  case class Params(n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.8, maxBandBucket: Long = 0L)
+
+  val landingSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private val contentsSchema = StructType(Seq(
+    StructField("cid", LongType), StructField("rep_id", LongType),
+    StructField("_ch", StringType), StructField("_sh", ArrayType(LongType))))
+  private val indexSchema = StructType(Seq(
+    StructField("band", IntegerType), StructField("bh", LongType),
+    StructField("cid", LongType)))
+  private val assignSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("rep_id", LongType)))
+
+  private def fs(sp: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(sp.sparkContext.hadoopConfiguration)
+
+  /** Union of the per-batch state dirs `root/b<i>` with i < below (a
+    * replayed batch must not see its own crashed half-commit); empty
+    * DataFrame of `schema` when none exist yet. */
+  private def readState(sp: SparkSession, root: String, schema: StructType,
+      below: Long): DataFrame = {
+    val f = fs(sp, root)
+    val rootPath = new Path(root)
+    val dirs =
+      if (!f.exists(rootPath)) Array.empty[String]
+      else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+        .filter { q =>
+          val name = q.getName
+          name.startsWith("b") && name.drop(1).toLongOption.exists(_ < below)
+        }
+        .map(_.toString)
+    if (dirs.isEmpty)
+      sp.createDataFrame(sp.sparkContext.emptyRDD[Row], schema)
+    else sp.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+  }
+
+  /** One incremental poll: cluster every document file new to the
+    * checkpoint against the corpus state under `workDir`. Landing layout:
+    * parquet files of [[landingSchema]] one level below `landingDir`. */
+  def pollNearDedup(spark: SparkSession, landingDir: String, workDir: String,
+      p: Params = Params()): Unit = {
+    spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
+      .writeStream.option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, workDir, p, batchId)
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+  }
+
+  /** The accumulated (doc_id, rep_id) assignment table. */
+  def assignments(spark: SparkSession, workDir: String): DataFrame =
+    readState(spark, s"$workDir/assign", assignSchema, Long.MaxValue)
+
+  /** The accumulated distinct-content state (cid, rep_id, _ch, _sh). */
+  def contents(spark: SparkSession, workDir: String): DataFrame =
+    readState(spark, s"$workDir/contents", contentsSchema, Long.MaxValue)
+
+  private[streaming] def processBatch(sp: SparkSession, batch: DataFrame,
+      workDir: String, p: Params, batchId: Long): Unit = {
+    val docs = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    // 1. in-batch clustering, full batch semantics. localCheckpoint: the
+    // result feeds several separate jobs below (content extraction, state
+    // writes, assignment write) — without materialization the whole
+    // collapse/band/verify/CC pipeline re-runs per job.
+    val local = Dedup.minhashRepresentatives(docs, "doc_id", "text",
+        p.n, p.numHashes, p.bands, p.minJaccard, p.maxBandBucket)
+      .select(col("doc_id"), col("text"), col("rep_id").as("_lrep"))
+      .localCheckpoint()
+    // the batch's distinct contents (cid = min doc id per content — the
+    // same rule as the batch collapse; one hash-only shuffle). The
+    // in-batch pipeline above computed this internally too — one extra
+    // pass over the SMALL (poll-chunk) side buys reusing the batch
+    // operator unmodified.
+    // min() (not first()) keeps the row deterministic: a shingle-less
+    // content duplicated WITHIN the batch spans several local singleton
+    // clusters (batch semantics below), so its _lrep is not unique
+    val cdocs = local
+      .select(col("doc_id"), col("text"), col("_lrep"),
+        sha2(col("text"), 256).as("_ch"))
+      .groupBy("_ch")
+      .agg(min("doc_id").as("_id"), min("text").as("_text"),
+        min("_lrep").as("_lrep"))
+      .localCheckpoint()
+    val csets = cdocs.select(col("_id"), col("_ch"), col("_lrep"))
+      .join(Dedup.hashedShingleSets(cdocs, "_id", "_text", p.n), Seq("_id"))
+      .localCheckpoint()
+    val cbands = Dedup.minhashBandTable(
+      cdocs, "_id", "_text", p.n, p.numHashes, p.bands).localCheckpoint()
+
+    val prevC = readState(sp, s"$workDir/contents", contentsSchema, batchId)
+    val prevIx = readState(sp, s"$workDir/index", indexSchema, batchId)
+
+    // 2a. exact tier: a stored content with the identical hash. Restricted
+    // to shingle-BEARING contents to mirror the batch operator exactly: a
+    // document under n tokens produces no shingles, hence no pairs, hence
+    // stays its own representative in the batch pipeline — even for exact
+    // copies — and the stream must agree (spec-pinned).
+    val exactM = csets.filter(size(col("_sh")) > 0)
+      .select(col("_id"), col("_ch"))
+      .join(prevC.select(col("_ch"), col("rep_id")), Seq("_ch"))
+      .select(col("_id"), col("rep_id"))
+    // 2b. near tier: band-digest probes into the stored index — broadcast
+    // the poll side, stream the corpus-scale index under it
+    val cand = prevIx.join(broadcast(cbands), Seq("band", "bh"))
+      .select(col("_id").as("i"), col("cid").as("j")).distinct()
+    // exact-Jaccard verify: batch sets ∪ stored sets under one id space
+    // (cids are doc ids and doc ids are globally unique — collision-free)
+    val sets = csets.select(col("_id"), col("_sh"))
+      .unionByName(prevC.select(col("cid").as("_id"), col("_sh")))
+    val nearM = Dedup.verifyJaccard(cand, sets, p.minJaccard)
+      .select(col("i").as("_id"), col("j").as("cid"))
+      .join(prevC.select(col("cid"), col("rep_id")), Seq("cid"))
+      .select(col("_id"), col("rep_id"))
+    // 3. per in-batch CLUSTER: adopt the min stored rep any member content
+    // matched; no match → the batch-local rep becomes a new global rep
+    val clusterM = exactM.unionByName(nearM)
+      .join(csets.select(col("_id"), col("_lrep")), Seq("_id"))
+      .groupBy("_lrep").agg(min("rep_id").as("_g"))
+    // keyed by ALL local cluster reps (from `local`, not `csets`): a
+    // shingle-less content duplicated within the batch has one contents
+    // row but SEVERAL local singleton clusters, and every one of them
+    // needs an assignment row
+    val repOf = local.select(col("_lrep")).distinct()
+      .join(clusterM, Seq("_lrep"), "left")
+      .select(col("_lrep"), coalesce(col("_g"), col("_lrep")).as("_rep"))
+      .localCheckpoint()
+
+    // 4. state append: every distinct content under its final rep. A
+    // content whose hash is already stored UNDER THE SAME final rep is
+    // skipped (the common re-delivery case — popular boilerplate must not
+    // re-append a row per delivery); when the final rep DIFFERS (this
+    // batch's cluster bridged two stored clusters — the documented
+    // no-merge case), the content is appended under the new rep so later
+    // copies of it resolve (min rule) to the same rep its docs just got.
+    val exactSame = csets.join(repOf, Seq("_lrep"))
+      .join(prevC.select(col("_ch"), col("rep_id").as("_prep")), Seq("_ch"))
+      .filter(col("_prep") === col("_rep"))
+      .select("_id").distinct()
+    val newContents = csets.join(exactSame, Seq("_id"), "left_anti")
+      .join(repOf, Seq("_lrep"))
+    newContents
+      .select(col("_id").as("cid"), col("_rep").as("rep_id"),
+        col("_ch"), col("_sh"))
+      .write.mode("overwrite").parquet(s"$workDir/contents/b$batchId")
+    cbands.join(newContents.select("_id"), Seq("_id"), "left_semi")
+      .select(col("band"), col("bh"), col("_id").as("cid"))
+      .write.mode("overwrite").parquet(s"$workDir/index/b$batchId")
+    // 5. batch assignment: doc → in-batch cluster → global rep
+    local.select(col("doc_id"), col("_lrep"))
+      .join(repOf, Seq("_lrep"))
+      .select(col("doc_id"), col("_rep").as("rep_id"))
+      .write.mode("overwrite").parquet(s"$workDir/assign/b$batchId")
+  }
+}

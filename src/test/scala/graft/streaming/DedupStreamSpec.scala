@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.llm.Dedup
+
+/** Ingest-time near-duplicate dedup: the checkpointed poller must equal
+  * the batch pipeline ([[graft.llm.Dedup.minhashRepresentatives]]) on
+  * bridge-free corpora regardless of how arrival chunks the data, stay
+  * idempotent under re-polls and micro-batch replays, and pin the one
+  * documented deviation (no cross-batch cluster merges).
+  *
+  * All hashing is deterministic (FNV/mixed minhash, no RNG), so banding
+  * outcomes — and with them every assertion here — are fixed by the
+  * fixture texts, not by luck.
+  */
+class DedupStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 8 bands of r = 2: at the fixture's within-cluster Jaccard (≈ 0.86)
+  // banding recall is ~1 − 3e-6 per pair, and any cross-cluster banding
+  // false positive is rejected by exact-Jaccard verification — so every
+  // assertion below is structurally solid, not banding-lucky. (All
+  // hashing is seeded; a given fixture is deterministic either way.)
+  private val p = DedupStream.Params(n = 3, numHashes = 16, bands = 8,
+    minJaccard = 0.8)
+
+  /** A cluster member: 42 cluster-tagged words, variant k ≠ 0 replaces
+    * position 20 — every pair of members differs in exactly that one slot,
+    * so all pairwise shingle Jaccards are 37/43 ≈ 0.86 (clique). Tags keep
+    * different clusters at Jaccard 0. */
+  private def member(tag: String, k: Int): String =
+    (0 until 42).map { i =>
+      if (i == 20 && k > 0) s"${tag}_var$k" else s"${tag}_w$i"
+    }.mkString(" ")
+
+  /** 16-doc corpus in 3 arrival chunks; ids increase with arrival so the
+    * batch min-id rep equals the stream first-arrival rep. No
+    * cross-cluster bridges → stream ≡ batch exactly. */
+  private lazy val chunks: Seq[Seq[(Long, String)]] = Seq(
+    Seq(
+      1L -> member("a", 0), 2L -> member("a", 1), 3L -> member("a", 2),
+      4L -> member("b", 0),
+      5L -> "completely unrelated singleton text number five",
+      6L -> "xy zz", // < n tokens: no shingles → always its own rep
+      7L -> member("a", 0), // exact dup in-chunk
+      8L -> "xy zz"), // tiny dup IN-batch: still its own rep (batch parity)
+    Seq(
+      11L -> member("a", 3), // near-dup cross-chunk
+      12L -> member("a", 0), // exact dup cross-chunk
+      13L -> member("b", 1),
+      14L -> member("c", 0),
+      15L -> "xy zz", // tiny dup cross-chunk: still its own rep
+      16L -> "another unrelated singleton appears here"),
+    Seq(
+      21L -> member("c", 1),
+      22L -> member("a", 4),
+      23L -> "ab cd")) // distinct tiny doc: own rep
+
+  private def allDocs = chunks.flatten
+
+  private def writeChunk(dir: String, k: Int): Unit =
+    chunks(k).toDF("doc_id", "text").write.parquet(s"$dir/chunk$k")
+
+  private def batchExpected = Dedup.minhashRepresentatives(
+      allDocs.toDF("doc_id", "text"), "doc_id", "text",
+      p.n, p.numHashes, p.bands, p.minJaccard)
+    .select("doc_id", "rep_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def streamed(work: String) =
+    DedupStream.assignments(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental polls ≡ batch on a bridge-free corpus; idempotent re-poll") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    new java.io.File(landing).mkdirs()
+    (0 until 3).foreach { k =>
+      writeChunk(landing, k)
+      DedupStream.pollNearDedup(spark, landing, work, p)
+    }
+    val got = streamed(work)
+    assert(got === batchExpected, "stream ≡ batch (doc_id, rep_id)")
+    // sanity on the fixture's intent: the expected partition really has
+    // the planted shape (a-clique under 1; every tiny "xy zz" copy its
+    // own rep — the batch no-shingles semantics)
+    assert(batchExpected === Set(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 11L -> 1L, 12L -> 1L, 22L -> 1L,
+      4L -> 4L, 13L -> 4L,
+      5L -> 5L, 6L -> 6L, 8L -> 8L, 15L -> 15L, 16L -> 16L,
+      14L -> 14L, 21L -> 14L, 23L -> 23L))
+    // re-poll with no new files: nothing changes
+    DedupStream.pollNearDedup(spark, landing, work, p)
+    assert(streamed(work) === got)
+    // state growth contract: 13 distinct contents, stored once each —
+    // EXCEPT the tiny "xy zz", whose cross-batch copy is a new cluster
+    // (batch semantics) and re-stores under its own rep → 14 rows; the
+    // bandable member("a", 0), delivered in ALL THREE batches, must
+    // appear exactly once (popular-boilerplate re-delivery adds no state)
+    val contents = spark.read.parquet(s"$work/contents/b0",
+      s"$work/contents/b1", s"$work/contents/b2")
+    assert(contents.count() === 14L)
+    val a0hash = Seq(member("a", 0)).toDF("t")
+      .select(sha2(col("t"), 256)).head().getString(0)
+    assert(contents.filter(col("_ch") === a0hash).count() === 1L)
+  }
+
+  test("single poll over everything ≡ chunked polls (chunking-invariant)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream1").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    new java.io.File(landing).mkdirs()
+    (0 until 3).foreach(writeChunk(landing, _))
+    DedupStream.pollNearDedup(spark, landing, work, p)
+    assert(streamed(work) === batchExpected)
+  }
+
+  test("micro-batch replay is bit-identical and blind to its own half-commit") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream2").toString
+    val work = s"$base/work"
+    val b0 = chunks(0).toDF("doc_id", "text")
+    val b1 = chunks(1).toDF("doc_id", "text")
+    DedupStream.processBatch(spark, b0, work, p, 0L)
+    DedupStream.processBatch(spark, b1, work, p, 1L)
+    val firstAssign = streamed(work)
+    val firstContents = spark.read.parquet(s"$work/contents/b1")
+      .collect().map(_.toString).sorted.toSeq
+    // crash-replay of batch 1: state from b1 exists on disk, but the
+    // replay must read only b0 state and overwrite b1 identically
+    DedupStream.processBatch(spark, b1, work, p, 1L)
+    assert(streamed(work) === firstAssign)
+    val replayContents = spark.read.parquet(s"$work/contents/b1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayContents === firstContents)
+  }
+
+  test("bridge contract: no cross-batch merge, min-rep rule, batch diverges") {
+    // A and B: differ in positions 5 and 10 → Jaccard 34/46 ≈ 0.74 < 0.8
+    // (distinct clusters). X matches A at position 5's replacement and B at
+    // position 10's original → 1 word from each → Jaccard ≈ 0.86 to BOTH.
+    def word(i: Int) = s"z_w$i"
+    val a = (0 until 42).map(word).mkString(" ")
+    val b = (0 until 42).map(i =>
+      if (i == 5) "z_b5" else if (i == 10) "z_b10" else word(i)).mkString(" ")
+    val x = (0 until 42).map(i =>
+      if (i == 5) "z_b5" else word(i)).mkString(" ")
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream3").toString
+    val work = s"$base/work"
+    DedupStream.processBatch(spark, Seq(100L -> a, 200L -> b)
+      .toDF("doc_id", "text"), work, p, 0L)
+    DedupStream.processBatch(spark, Seq(300L -> x)
+      .toDF("doc_id", "text"), work, p, 1L)
+    // stream: A and B stay distinct clusters; X attaches to min rep (100)
+    assert(streamed(work) === Set(100L -> 100L, 200L -> 200L, 300L -> 100L))
+    // batch over the same corpus MERGES all three through the bridge — the
+    // documented deviation this contract pins
+    val batched = Dedup.minhashRepresentatives(
+        Seq(100L -> a, 200L -> b, 300L -> x).toDF("doc_id", "text"),
+        "doc_id", "text", p.n, p.numHashes, p.bands, p.minJaccard)
+      .select("doc_id", "rep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batched === Set(100L -> 100L, 200L -> 100L, 300L -> 100L))
+  }
+
+  test("later exact copies of a bridge doc resolve to the rep its docs got") {
+    // bridge X (assigned rep 100 above) re-delivered exactly: the state
+    // append under the FINAL rep makes the copy resolve to 100, not to a
+    // stale pre-bridge rep
+    def word(i: Int) = s"q_w$i"
+    val a = (0 until 42).map(word).mkString(" ")
+    val x = (0 until 42).map(i =>
+      if (i == 5) "q_x5" else word(i)).mkString(" ")
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream4").toString
+    val work = s"$base/work"
+    DedupStream.processBatch(spark, Seq(10L -> a).toDF("doc_id", "text"),
+      work, p, 0L)
+    DedupStream.processBatch(spark, Seq(20L -> x).toDF("doc_id", "text"),
+      work, p, 1L)
+    DedupStream.processBatch(spark, Seq(30L -> x).toDF("doc_id", "text"),
+      work, p, 2L)
+    assert(streamed(work) === Set(10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+}
