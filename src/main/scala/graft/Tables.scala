@@ -6,10 +6,18 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver's synthetic tables (TESTDATA.md) and for
   * bronze pose-stream layouts (SURVEY §1.4).
   *
-  * The `events` table is written with nanosecond parquet timestamps, which
-  * Spark only reads as `LongType` (via `spark.sql.legacy.parquet.nanosAsLong`).
-  * We normalize to microsecond `TimestampType` by truncation — identical to
-  * DuckDB's ns→µs cast, so oracle comparisons agree bit-for-bit.
+  * Two non-instant timestamp encodings appear in the wild and both
+  * normalize to microsecond `TimestampType` here, at the boundary:
+  *
+  *  - nanosecond parquet timestamps, which Spark only reads as `LongType`
+  *    (via `spark.sql.legacy.parquet.nanosAsLong`) → truncated to µs,
+  *    identical to DuckDB's ns→µs cast, so oracle comparisons agree
+  *    bit-for-bit;
+  *  - µs timestamps with `isAdjustedToUTC=false` — what pandas/pyarrow
+  *    write by default (reference `combine_pose_id_chunk.py:324-331`) —
+  *    which Spark reads as `TIMESTAMP_NTZ` → wall time read as UTC
+  *    ([[graft.functions.Cols.normalizeNtz]]), value-preserving and
+  *    session-timezone-independent.
   */
 object Tables {
   /** Session settings every entry point uses. Call before first read. */
@@ -20,9 +28,11 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val nsFixed =
+      if (name == "events" && df.schema("ts").dataType.typeName == "long")
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    graft.functions.Cols.normalizeNtz(nsFixed)
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")

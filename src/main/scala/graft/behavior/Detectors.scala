@@ -222,7 +222,7 @@ object Detectors {
     val bounds = boundsOpt.getOrElse(pose.groupBy(col(G))
       .agg(min(unix_micros(col("time"))).as("t0us")))
     val framed = filtered.join(broadcast(bounds), G)
-      .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
+      .withColumn("frame", Cols.frameId(unix_micros(col("time")), col("t0us"), fps))
     val wide = expandPivot(framed.groupBy(col(G), col("frame"))
       .agg(min(unix_micros(col("time"))).as("tsUs"), pivotAggs: _*))
     // dense spine: every frame id in [0, max] exists (empty frames = NaNs),
@@ -331,8 +331,12 @@ object Detectors {
       knownIds: Option[Seq[String]] = None): Dataset[FightEvent] = {
     val spark = pose.sparkSession
     import spark.implicits._
-    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
-      .getOrElse(pose)
+    // externally-written bronze parquet (pandas default) reads as
+    // TIMESTAMP_NTZ — normalize once at the entry so the interior's
+    // unix_micros/timestamp comparisons hold
+    val poseN = Cols.normalizeNtz(pose)
+    val poseKept = intervals.map(Intervals.excludeOutside(poseN, "time", _))
+      .getOrElse(poseN)
     // identity codes: bounded 2-value domain → collect + broadcast literal
     // (callers that already know the pair pass it in — the multi-epoch
     // wrapper resolves identities once per corpus, not once per shard)
@@ -340,7 +344,8 @@ object Detectors {
       poseKept.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
     val tagged = poseKept.withColumn(G, lit("")).withColumn("_id0", lit(ids(0)))
-    fightsCore(tagged, blob.map(_.withColumn(G, lit(""))), parts, p)
+    fightsCore(tagged, blob.map(b => Cols.normalizeNtz(b).withColumn(G, lit(""))),
+        parts, p)
       .map(f => FightEvent(f.start_ts, f.end_ts, f.duration_sec, f.end_x, f.end_y))
   }
 
@@ -473,7 +478,8 @@ object Detectors {
     */
   def blobSpeed(blob: DataFrame, fps: Double, cm2px: Double,
       bucketSeconds: Long = 3600): DataFrame =
-    blobSpeedG(blob.withColumn(G, lit("")), fps, cm2px, bucketSeconds).drop(G)
+    blobSpeedG(Cols.normalizeNtz(blob).withColumn(G, lit("")), fps, cm2px,
+      bucketSeconds).drop(G)
 
   /** [[blobSpeed]] with an explicit frame-id baseline (the POSE stream's
     * start, so speed frames align with the detector's frame grid) — used by
@@ -484,8 +490,8 @@ object Detectors {
     val spark = blob.sparkSession
     import spark.implicits._
     val bounds = Seq(("", t0us)).toDF(G, "t0us")
-    blobSpeedG(blob.withColumn(G, lit("")), fps, cm2px, bucketSeconds,
-      Some(bounds)).drop(G)
+    blobSpeedG(Cols.normalizeNtz(blob).withColumn(G, lit("")), fps, cm2px,
+      bucketSeconds, Some(bounds)).drop(G)
   }
 
   /** Grouped core of [[blobSpeed]]: `blob` carries the shard key `_g`;
@@ -525,7 +531,7 @@ object Detectors {
       .withColumn("blob_speed", sum(col("speed")).over(smoothW) / 10.0)
       .filter(!col("_ghost"))
     sp.join(broadcast(bounds), G)
-      .withColumn("frame", Cols.frameId(col("time"), col("t0us"), fps))
+      .withColumn("frame", Cols.frameId(unix_micros(col("time")), col("t0us"), fps))
       .groupBy(col(G), col("frame")).agg(avg(col("blob_speed")).as("blob_speed"))
   }
 
@@ -578,10 +584,12 @@ object Detectors {
     // boundaries) must see the same rows the single-epoch entry point sees
     // — an identity present only during maintenance must not flip an epoch
     // into the skip path
-    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
-      .getOrElse(pose)
+    val poseN = Cols.normalizeNtz(pose)
+    val poseKept = intervals.map(Intervals.excludeOutside(poseN, "time", _))
+      .getOrElse(poseN)
     val (shardDf, tagged) = tagShards(poseKept, epochCol, boundaryHour)
-    fightsCore(tagged, blob.map(tagBlob(_, shardDf, epochCol)), parts, p)
+    fightsCore(tagged, blob.map(b => tagBlob(Cols.normalizeNtz(b), shardDf, epochCol)),
+        parts, p)
       .join(broadcast(shardDf.select(col(G).as("g"), col("_ep").as("epoch"),
         timestamp_micros(col("_ps")).as("period_start"))), "g")
       .select("start_ts", "end_ts", "duration_sec", "end_x", "end_y",
@@ -594,8 +602,9 @@ object Detectors {
       p: TubeParams, roi: Option[Roi] = None,
       epochCol: String = "epoch", boundaryHour: Int = 2,
       intervals: Option[DataFrame] = None): DataFrame = {
-    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
-      .getOrElse(pose)
+    val poseN = Cols.normalizeNtz(pose)
+    val poseKept = intervals.map(Intervals.excludeOutside(poseN, "time", _))
+      .getOrElse(poseN)
     val (shardDf, tagged) = tagShards(poseKept, epochCol, boundaryHour)
     tubeCore(tagged, parts, p, roi)
       .join(broadcast(shardDf.select(col(G).as("g"), col("_ep").as("epoch"),
@@ -665,8 +674,9 @@ object Detectors {
       knownIds: Option[Seq[String]] = None): Dataset[TubeTestEvent] = {
     val spark = pose.sparkSession
     import spark.implicits._
-    val poseKept = intervals.map(Intervals.excludeOutside(pose, "time", _))
-      .getOrElse(pose)
+    val poseN = Cols.normalizeNtz(pose)
+    val poseKept = intervals.map(Intervals.excludeOutside(poseN, "time", _))
+      .getOrElse(poseN)
     val ids = knownIds.getOrElse(
       poseKept.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")

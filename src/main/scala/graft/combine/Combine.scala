@@ -49,8 +49,8 @@ object Combine {
     val periodUs = math.round(1e6 / fps)
     val step = periodUs * (1L << 18)
     val par = pose.sparkSession.sparkContext.defaultParallelism
-    pose.agg(min(unix_micros(col("time"))).as("t0"),
-        max(unix_micros(col("time"))).as("t1"))
+    val tUs = Cols.micros(pose, "time")
+    pose.agg(min(tUs).as("t0"), max(tUs).as("t1"))
       .select(col("t1"), explode(sequence(col("t0"), col("t1"), lit(step))).as("c0"))
       .repartition(par, col("c0"))
       .select(explode(sequence(col("c0"),
@@ -70,8 +70,13 @@ object Combine {
     * @return pose columns + (identity, identity_likelihood) for matched
     *         pose instances
     */
-  def combineChunk(pose: DataFrame, ids: DataFrame, p: Params,
+  def combineChunk(poseRaw: DataFrame, idsRaw: DataFrame, p: Params,
       anchorPart: String = "anchor"): DataFrame = {
+    // chunk parquet written by the reference's own pipeline is
+    // pandas-default NTZ (`combine_pose_id_chunk.py:324-331`) — normalize
+    // at the entry so band-join micros and grid ticks line up
+    val pose = Cols.normalizeNtz(poseRaw)
+    val ids = Cols.normalizeNtz(idsRaw)
     val tolUs = math.round(1e6 / (4 * p.fps))
     val grid = ticks(pose, p.fps)
     // anchors of each pose instance onto their grid tick (±tol band)

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Pure-`Column` combinators for the reference's scalar math surface
   * (SURVEY §2.2, §2.8). Everything here stays inside whole-stage codegen —
@@ -57,7 +58,54 @@ object Cols {
   def isClose(a: Column, b: Column, atol: Double): Column = abs(a - b) <= lit(atol)
 
   /** Frame id from a timestamp given stream start and fps (reference
-    * `social_behaviour_detection.py:138,521`). */
-  def frameId(time: Column, startUs: Column, fps: Double): Column =
-    round((unix_micros(time) - startUs).cast("double") * fps / 1e6).cast("long")
+    * `social_behaviour_detection.py:138,521`). `timeUs` is already in
+    * microseconds — callers resolve the column type via [[micros]]. */
+  def frameId(timeUs: Column, startUs: Column, fps: Double): Column =
+    round((timeUs - startUs).cast("double") * fps / 1e6).cast("long")
+
+  // ---- time-encoding normalization ------------------------------------
+  //
+  // Parquet written by pandas/pyarrow defaults to µs timestamps with
+  // isAdjustedToUTC=false (the reference's own chunk writer,
+  // `combine_pose_id_chunk.py:324-331`), which Spark reads as
+  // TIMESTAMP_NTZ. The engine's time math is µs-since-epoch longs, so
+  // every operator that touches a time column resolves it through
+  // [[micros]] instead of calling `unix_micros` directly — `unix_micros`
+  // throws DATATYPE_MISMATCH on NTZ input.
+
+  private val EpochNtz = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+
+  /** Wall-clock microseconds since 1970-01-01T00:00 of a TIMESTAMP_NTZ
+    * column. Pure wall-clock arithmetic — independent of
+    * `spark.sql.session.timeZone`, so gap/band/tolerance math cannot
+    * compress or stretch across DST transitions of a non-UTC session. */
+  def ntzMicros(c: Column): Column = timestamp_diff("MICROSECOND", lit(EpochNtz), c)
+
+  /** Type-aware epoch/wall-clock microseconds of a time column: instant
+    * timestamps via `unix_micros`, TIMESTAMP_NTZ via wall-clock micros,
+    * integral frame-ids pass through (units stay the caller's own).
+    * Fractional types are rejected loudly — a silent cast-to-long would
+    * truncate tolerance/band math while sorts stayed exact. */
+  def micros(c: Column, dt: DataType): Column = dt match {
+    case TimestampType                             => unix_micros(c)
+    case TimestampNTZType                          => ntzMicros(c)
+    case LongType | IntegerType | ShortType | ByteType => c.cast("long")
+    case d: DecimalType if d.scale == 0            => c.cast("long")
+    case t => throw new IllegalArgumentException(
+      s"time column must be timestamp, timestamp_ntz, or integral, got ${t.simpleString}")
+  }
+
+  /** [[micros]] with the type resolved from `df`'s schema. */
+  def micros(df: DataFrame, name: String): Column = micros(df(name), df.schema(name).dataType)
+
+  /** Cast every top-level TIMESTAMP_NTZ column of `df` to an instant
+    * `TimestampType` by reading the wall time as UTC —
+    * timezone-independent (unlike a bare `cast` under a non-UTC session).
+    * Applied at every source boundary (Tables, Bronze, HarpBin readers)
+    * so the engine interior can assume `TimestampType`. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name }
+    ntz.foldLeft(df)((d, n) => d.withColumn(n, timestamp_micros(ntzMicros(col(n)))))
+  }
 }

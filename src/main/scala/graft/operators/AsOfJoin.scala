@@ -215,22 +215,15 @@ object AsOfJoin {
           col("_mok")("_t").as("_asof_time")): _*)
   }
 
-  /** Order key of a time column that may be timestamp (→ µs since epoch)
-    * or integral (frame ids — pass through; `tolerance`/`bucketUs` are then
-    * in the column's own units). Fractional types are rejected like
+  /** Order key of a time column that may be timestamp (→ µs since epoch),
+    * TIMESTAMP_NTZ (→ wall-clock µs — pandas-default parquet), or integral
+    * (frame ids — pass through; `tolerance`/`bucketUs` are then in the
+    * column's own units). Fractional types are rejected like
     * [[Sessionize.sessionize]] does: a silent cast-to-long would truncate
     * the tolerance/nearest/bucket math while the window sort stays exact.
     * Bound once per join from the left time column's type. */
-  private def timeKeyFn(dt: org.apache.spark.sql.types.DataType): Column => Column = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case TimestampType => unix_micros(_)
-      case LongType | IntegerType | ShortType | ByteType => _.cast("long")
-      case d: DecimalType if d.scale == 0 => _.cast("long") // exact integral
-      case t => throw new IllegalArgumentException(
-        s"asof: time column must be timestamp or integral, got ${t.simpleString}")
-    }
-  }
+  private def timeKeyFn(dt: org.apache.spark.sql.types.DataType): Column => Column =
+    graft.functions.Cols.micros(_: Column, dt)
 
   private def structType(right: DataFrame, timeCol: String, by: Seq[String],
       rename: Map[String, String]) = {

@@ -43,7 +43,12 @@ object BandJoin {
     require(lowerUs <= upperUs, s"band [$lowerUs, $upperUs] is empty")
     val width = math.max(upperUs - lowerUs, 1L)
 
-    val lt = unix_micros(col(leftTime))
+    // type-aware µs resolution: instant timestamp, TIMESTAMP_NTZ
+    // (pandas-default parquet), or integral frame-ids all join
+    val lMicros = graft.functions.Cols.micros(_: Column, left.schema(leftTime).dataType)
+    val rMicros = graft.functions.Cols.micros(_: Column, right.schema(rightTime).dataType)
+
+    val lt = lMicros(col(leftTime))
     val bucketLo = floor((lt + lowerUs) / width)
     val bucketHi = floor((lt + upperUs) / width)
     val lExp = left
@@ -66,12 +71,12 @@ object BandJoin {
         s"(${rRenamed.columns.mkString(", ")}) — pass a different rightSuffix")
     val rTime = if (clashes.contains(rightTime)) rightTime + rightSuffix else rightTime
     val rBy = by.map(c => if (clashes.contains(c)) c + rightSuffix else c)
-    val rExp = rRenamed.withColumn("_band_bucket", floor(unix_micros(col(rTime)) / width))
+    val rExp = rRenamed.withColumn("_band_bucket", floor(rMicros(col(rTime)) / width))
 
     val keyCond: Column = by.zip(rBy).foldLeft(lExp("_band_bucket") === rExp("_band_bucket")) {
       case (acc, (lc, rc)) => acc && lExp(lc) === rExp(rc)
     }
-    val delta = unix_micros(rExp(rTime)) - unix_micros(lExp(leftTime))
+    val delta = rMicros(rExp(rTime)) - lMicros(lExp(leftTime))
     lExp.join(rExp, keyCond && delta >= lowerUs && delta <= upperUs, "inner")
       .drop("_band_bucket")
   }

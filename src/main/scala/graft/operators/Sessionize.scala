@@ -51,22 +51,11 @@ object Sessionize {
       sessionCol: String = "session_id",
       tieBreak: Seq[String] = Nil,
       bucketSize: Option[Long] = None): DataFrame = {
-    // guard the order type: a fractional column silently truncated to long
-    // would corrupt gap comparisons
-    val ord: Column = df.schema(orderCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        unix_micros(col(orderCol))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // pure wall-clock micros: a session-tz cast would compress/stretch
-        // gaps across DST transitions and make the split depend on
-        // spark.sql.session.timeZone
-        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$orderCol`)")
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
-        col(orderCol).cast("long")
-      case t => throw new IllegalArgumentException(
-        s"sessionize order column must be integral or timestamp, got ${t.simpleString}")
-    }
+    // guard the order type via the shared type-aware µs resolver: a
+    // fractional column silently truncated to long would corrupt gap
+    // comparisons; NTZ resolves to pure wall-clock micros (a session-tz
+    // cast would compress/stretch gaps across DST transitions)
+    val ord: Column = graft.functions.Cols.micros(df, orderCol)
     bucketSize.foreach(bs => require(bs > 0, s"bucketSize must be positive, got $bs"))
     bucketSize match {
       case Some(bs) if by.isEmpty =>

@@ -58,7 +58,8 @@ object CoreQueries {
         .filter(col("event_id") < 3000)
         .crossJoin(broadcast(bounds))
         .select(col("event_id"),
-          graft.functions.Cols.frameId(col("ts"), col("_t0us"), 50.0).as("frame_id")))
+          graft.functions.Cols.frameId(unix_micros(col("ts")), col("_t0us"), 50.0)
+            .as("frame_id")))
     }),
 
     // P5: homography projection via the shared Cols combinators (the same

@@ -37,7 +37,10 @@ object Bronze {
     */
   def scan(spark: SparkSession, root: String, camera: String, register: Int,
       start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
-    val base = spark.read.parquet(root)
+    // a bronze layout populated by an external writer (pandas default)
+    // carries NTZ timestamps — normalize before the range predicates so
+    // the instant comparison below cannot coerce through the session tz
+    val base = graft.functions.Cols.normalizeNtz(spark.read.parquet(root))
       .filter(col("camera") === camera && col("register") === register)
     // floorDiv: `t - t % h` truncates toward zero, so a pre-1970 start
     // would round UP and the enumeration below would miss its hour

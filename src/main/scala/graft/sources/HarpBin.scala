@@ -169,7 +169,7 @@ object HarpBin {
     // repartition on the bucket, sort (bucket, time) within tasks, then
     // STREAM rows to one file per bucket — a task may own several hour
     // buckets but never holds more than one row in memory
-    df.select(unix_micros(col("time")).as("tus"), col("payload"))
+    df.select(graft.functions.Cols.micros(df, "time").as("tus"), col("payload"))
       .withColumn("_b", floor(col("tus") / chunkUs).cast("long"))
       .repartition(col("_b"))
       .sortWithinPartitions(col("_b"), col("tus"))

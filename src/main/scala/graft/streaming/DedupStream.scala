@@ -71,9 +71,13 @@ import graft.llm.Dedup
   */
 object DedupStream {
 
-  /** MinHash/LSH parameters shared with the batch operators. */
+  /** MinHash/LSH parameters shared with the batch operators.
+    * `compactEvery`: fold the per-batch state dirs into one snapshot every
+    * this many micro-batches (0 disables) — bounds the dir count a
+    * long-running poller's every state read must list and union. */
   case class Params(n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.8, maxBandBucket: Long = 0L)
+      minJaccard: Double = 0.8, maxBandBucket: Long = 0L,
+      compactEvery: Int = 16)
 
   val landingSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))

@@ -44,7 +44,7 @@ private[streaming] object Poll {
     val durUs = frameDurUs(fps)
     pose
       .withColumn("epoch", lit(epoch))
-      .withColumn("frame", Cols.frameId(col("time"), lit(t0us), fps))
+      .withColumn("frame", Cols.frameId(unix_micros(col("time")), lit(t0us), fps))
       .withColumn("tFrame", timestamp_micros(lit(t0us) + col("frame") * durUs))
       .withColumn("slotTsUs", lit(t0us) + col("frame") * durUs)
       .withColumn("mouse", Detectors.mouseCol(lit(sorted.head)))
