@@ -65,7 +65,9 @@ import graft.llm.Dedup
   * against a disk-resident index scan; only candidate contents' shingle
   * sets shuffle for verification. State grows with DISTINCT contents (the
   * inherent corpus fingerprint, parquet-compressed); per-batch state dirs
-  * are append-only and compactable offline like any streaming sink.
+  * fold into one snapshot every `compactEvery` micro-batches
+  * ([[compactState]]), so the dir count a long-running poller lists and
+  * unions per poll stays bounded at `compactEvery + 1`.
   * Documents must carry globally-unique non-null ids (they name reps);
   * null-id/null-text rows are dropped at entry like the batch operators.
   */
@@ -94,24 +96,99 @@ object DedupStream {
   private def fs(sp: SparkSession, dir: String) =
     new Path(dir).getFileSystem(sp.sparkContext.hadoopConfiguration)
 
-  /** Union of the per-batch state dirs `root/b<i>` with i < below (a
-    * replayed batch must not see its own crashed half-commit); empty
-    * DataFrame of `schema` when none exist yet. */
+  /** Effective state under `root`: the newest committed snapshot
+    * `snap<M>` (if any) plus the per-batch dirs `b<i>` with M < i < below.
+    * The `below` bound keeps a REPLAYED batch blind to its own crashed
+    * half-commit; the `> M` bound keeps a crashed half-deleted compaction
+    * from double-counting folded batch dirs (leftover `b<i>` with i ≤ M
+    * are ignored and swept by the next [[compactState]]). */
   private def readState(sp: SparkSession, root: String, schema: StructType,
       below: Long): DataFrame = {
-    val f = fs(sp, root)
-    val rootPath = new Path(root)
-    val dirs =
-      if (!f.exists(rootPath)) Array.empty[String]
-      else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-        .filter { q =>
-          val name = q.getName
-          name.startsWith("b") && name.drop(1).toLongOption.exists(_ < below)
-        }
-        .map(_.toString)
+    val (snap, bdirs) = stateDirs(sp, root, below)
+    val dirs = snap.map(_._2).toSeq ++ bdirs.map(_._2)
     if (dirs.isEmpty)
       sp.createDataFrame(sp.sparkContext.emptyRDD[Row], schema)
-    else sp.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+    else sp.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** (newest committed snapshot (id, path) with id < below, per-batch dirs
+    * (id, path) above that snapshot and < below). A snapshot counts only
+    * with its `_SUCCESS` marker — it was renamed into place whole, but the
+    * marker guards against a torn non-atomic rename on object stores. */
+  private def stateDirs(sp: SparkSession, root: String, below: Long)
+      : (Option[(Long, String)], Seq[(Long, String)]) = {
+    val f = fs(sp, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return (None, Nil)
+    val entries = f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+    val snaps = entries.flatMap { q =>
+      val n = q.getName
+      if (n.startsWith("snap"))
+        n.drop(4).toLongOption.filter(m => m < below &&
+          f.exists(new Path(q, "_SUCCESS"))).map(_ -> q.toString)
+      else None
+    }
+    val snap = snaps.sortBy(_._1).lastOption
+    val lo = snap.map(_._1).getOrElse(Long.MinValue)
+    val bdirs = entries.flatMap { q =>
+      val n = q.getName
+      if (n.startsWith("b"))
+        n.drop(1).toLongOption.filter(i => i > lo && i < below)
+          .map(_ -> q.toString)
+      else None
+    }
+    (snap, bdirs.sortBy(_._1).toSeq)
+  }
+
+  /** Fold every state dir below `uptoExclusive` into one snapshot
+    * `snap<uptoExclusive-1>` per state table, then sweep the folded
+    * per-batch dirs and superseded snapshots — bounding the directory
+    * count every state read must list and union (a poller that runs for
+    * weeks otherwise accumulates one dir per micro-batch,
+    * `combine_pose_id_automated.py:181-185` territory).
+    *
+    * Crash/replay-safe and idempotent:
+    *   - the snapshot is written to a dot-temp dir and RENAMED into place
+    *     (readers never see a partial snapshot; the `_SUCCESS` marker
+    *     inside survives the rename and gates [[stateDirs]]);
+    *   - a replay that re-triggers compaction finds the snapshot already
+    *     committed, skips the fold, and only re-runs the idempotent sweep;
+    *   - a crash mid-sweep leaves folded `b<i>` dirs behind — readers
+    *     ignore them (i ≤ snapshot id) and the next compaction deletes
+    *     them.
+    *
+    * Runs driver-side inside the poller's foreachBatch (single writer by
+    * the checkpoint contract — do not run concurrently with a live poll
+    * from another process). */
+  def compactState(sp: SparkSession, workDir: String,
+      uptoExclusive: Long): Unit = {
+    require(uptoExclusive > 0, s"nothing to fold below $uptoExclusive")
+    val m = uptoExclusive - 1
+    Seq("contents" -> contentsSchema, "index" -> indexSchema,
+      "assign" -> assignSchema).foreach { case (sub, schema) =>
+      val root = s"$workDir/$sub"
+      val f = fs(sp, root)
+      val target = new Path(root, s"snap$m")
+      if (!f.exists(target)) {
+        val tmp = new Path(root, s".tmpsnap$m")
+        readState(sp, root, schema, uptoExclusive)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!f.rename(tmp, target))
+          throw new java.io.IOException(s"compaction rename failed: $target")
+      }
+      // sweep: folded batch dirs, superseded snapshots, stray temps
+      val rootPath = new Path(root)
+      if (f.exists(rootPath)) f.listStatus(rootPath).map(_.getPath).foreach { q =>
+        val n = q.getName
+        val foldedB = n.startsWith("b") &&
+          n.drop(1).toLongOption.exists(_ <= m)
+        val oldSnap = n.startsWith("snap") &&
+          n.drop(4).toLongOption.exists(_ < m)
+        val staleTmp = n.startsWith(".tmpsnap") &&
+          n.drop(8).toLongOption.exists(_ <= m)
+        if (foldedB || oldSnap || staleTmp) f.delete(q, true)
+      }
+    }
   }
 
   /** One incremental poll: cluster every document file new to the
@@ -138,6 +215,12 @@ object DedupStream {
 
   private[streaming] def processBatch(sp: SparkSession, batch: DataFrame,
       workDir: String, p: Params, batchId: Long): Unit = {
+    // periodic state compaction BEFORE reading state: every dir folded
+    // here is from a checkpoint-committed batch (this batch only runs
+    // after batchId-1 committed), and a crash-replay of THIS batch
+    // re-enters through the same idempotent fold
+    if (p.compactEvery > 0 && batchId > 0 && batchId % p.compactEvery == 0)
+      compactState(sp, workDir, batchId)
     val docs = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull && col("text").isNotNull)

@@ -164,6 +164,88 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(batched === Set(100L -> 100L, 200L -> 100L, 300L -> 100L))
   }
 
+  test("compaction folds state dirs into a snapshot; answers and state content unchanged") {
+    val pc = p.copy(compactEvery = 2)
+    val baseA = java.nio.file.Files.createTempDirectory("graft_dcomp_a").toString
+    val baseB = java.nio.file.Files.createTempDirectory("graft_dcomp_b").toString
+    val batches = chunks.map(_.toDF("doc_id", "text")) :+
+      Seq(31L -> member("a", 5), 32L -> member("d", 0)).toDF("doc_id", "text")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupStream.processBatch(spark, b, s"$baseA/work", p, i.toLong) // never compacts
+      DedupStream.processBatch(spark, b, s"$baseB/work", pc, i.toLong) // folds at 2
+    }
+    def dirNames(work: String, sub: String) =
+      new java.io.File(s"$work/$sub").listFiles().map(_.getName)
+        .filterNot(_.startsWith(".")).sorted.toSeq
+    // batch 2 folded b0,b1 into snap1; b2, b3 arrived after
+    Seq("contents", "index", "assign").foreach { sub =>
+      assert(dirNames(s"$baseB/work", sub) === Seq("b2", "b3", "snap1"),
+        s"$sub dirs after one fold")
+    }
+    // assignments identical to the never-compacted run
+    assert(streamed(s"$baseB/work") === streamed(s"$baseA/work"))
+    // full state tables identical as bags of rows
+    def stateRows(work: String) = DedupStream.contents(spark, work)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stateRows(s"$baseB/work") === stateRows(s"$baseA/work"))
+  }
+
+  test("crash-replay across a compaction is bit-identical") {
+    val pc = p.copy(compactEvery = 2)
+    val ref = java.nio.file.Files.createTempDirectory("graft_dcomp_ref").toString
+    val crash = java.nio.file.Files.createTempDirectory("graft_dcomp_cr").toString
+    val b0 = chunks(0).toDF("doc_id", "text")
+    val b1 = chunks(1).toDF("doc_id", "text")
+    val b2 = chunks(2).toDF("doc_id", "text")
+    // reference run: batches 0,1,2 — batch 2 compacts then processes
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      DedupStream.processBatch(spark, b, ref, pc, i.toLong) }
+    // crashed run: batch 2's first attempt dies AFTER compaction but
+    // BEFORE its state writes; the replay re-enters processBatch(2)
+    DedupStream.processBatch(spark, b0, crash, pc, 0L)
+    DedupStream.processBatch(spark, b1, crash, pc, 1L)
+    DedupStream.compactState(spark, crash, 2L) // the half-finished attempt
+    DedupStream.processBatch(spark, b2, crash, pc, 2L) // replay
+    assert(streamed(crash) === streamed(ref))
+    def rows(work: String, sub: String) =
+      spark.read.parquet(s"$work/$sub/snap1", s"$work/$sub/b2")
+        .collect().map(_.toString).sorted.toSeq
+    Seq("contents", "index", "assign").foreach { sub =>
+      assert(rows(crash, sub) === rows(ref, sub), s"$sub state after replay")
+    }
+    // and a SECOND full replay of batch 2 (crash after state write,
+    // before checkpoint commit) stays bit-identical
+    DedupStream.processBatch(spark, b2, crash, pc, 2L)
+    assert(streamed(crash) === streamed(ref))
+    Seq("contents", "index", "assign").foreach { sub =>
+      assert(rows(crash, sub) === rows(ref, sub), s"$sub state after second replay")
+    }
+  }
+
+  test("dir count stays bounded over 50 polls (probe)") {
+    val pc = p.copy(compactEvery = 4)
+    val base = java.nio.file.Files.createTempDirectory("graft_dcomp50").toString
+    val work = s"$base/work"
+    var maxDirs = 0
+    (0 until 50).foreach { i =>
+      val docs = Seq(1000L + i * 2 -> member(s"t$i", 0),
+        1001L + i * 2 -> member(s"t$i", 1)).toDF("doc_id", "text")
+      DedupStream.processBatch(spark, docs, work, pc, i.toLong)
+      val n = new java.io.File(s"$work/contents").listFiles()
+        .count(f => !f.getName.startsWith("."))
+      maxDirs = math.max(maxDirs, n)
+    }
+    // worst case right before a fold: compactEvery fresh b-dirs + 1 snapshot
+    assert(maxDirs <= pc.compactEvery + 1, s"dir count grew to $maxDirs")
+    // every pair still clustered right through all the folds
+    val got = streamed(work)
+    assert(got.size === 100)
+    (0 until 50).foreach { i =>
+      assert(got.contains(1000L + i * 2 -> (1000L + i * 2)))
+      assert(got.contains(1001L + i * 2 -> (1000L + i * 2)))
+    }
+  }
+
   test("later exact copies of a bridge doc resolve to the rep its docs got") {
     // bridge X (assigned rep 100 above) re-delivered exactly: the state
     // append under the FINAL rep makes the copy resolve to 100, not to a
