@@ -417,7 +417,7 @@ object Dedup {
 
   /** Tiered connected components (label propagation with star-contraction
     * fallback — see [[withRepresentatives]] for the rationale). */
-  private def componentsTiered(pairs: DataFrame): DataFrame = {
+  private[graft] def componentsTiered(pairs: DataFrame): DataFrame = {
     val pairsC = pairs.select(col("i"), col("j")).localCheckpoint()
     try connectedComponents(pairsC, maxIter = 12)
     catch {

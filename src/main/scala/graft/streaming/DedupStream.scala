@@ -114,7 +114,11 @@ object DedupStream {
   /** (newest committed snapshot (id, path) with id < below, per-batch dirs
     * (id, path) above that snapshot and < below). A snapshot counts only
     * with its `_SUCCESS` marker — it was renamed into place whole, but the
-    * marker guards against a torn non-atomic rename on object stores. */
+    * marker guards against a torn non-atomic rename on object stores.
+    * Snapshots come in two flavors — `snap<id>` written by compaction and
+    * `snap<id>r` written by [[repairMerges]] — and the repaired flavor
+    * wins a same-id tie (it supersedes the plain fold it was computed
+    * from, and rename-once commit semantics forbid replacing in place). */
   private def stateDirs(sp: SparkSession, root: String, below: Long)
       : (Option[(Long, String)], Seq[(Long, String)]) = {
     val f = fs(sp, root)
@@ -122,13 +126,12 @@ object DedupStream {
     if (!f.exists(rootPath)) return (None, Nil)
     val entries = f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
     val snaps = entries.flatMap { q =>
-      val n = q.getName
-      if (n.startsWith("snap"))
-        n.drop(4).toLongOption.filter(m => m < below &&
-          f.exists(new Path(q, "_SUCCESS"))).map(_ -> q.toString)
-      else None
+      snapId(q.getName).filter { case (m, _) =>
+        m < below && f.exists(new Path(q, "_SUCCESS")) }
+        .map { case (m, repaired) => (m, repaired, q.toString) }
     }
-    val snap = snaps.sortBy(_._1).lastOption
+    // newest id; repaired flavor preferred on a tie
+    val snap = snaps.sortBy(s => (s._1, s._2)).lastOption.map(s => (s._1, s._3))
     val lo = snap.map(_._1).getOrElse(Long.MinValue)
     val bdirs = entries.flatMap { q =>
       val n = q.getName
@@ -139,6 +142,15 @@ object DedupStream {
     }
     (snap, bdirs.sortBy(_._1).toSeq)
   }
+
+  /** Parse `snap<id>` / `snap<id>r` → (id, isRepaired). */
+  private def snapId(name: String): Option[(Long, Boolean)] =
+    if (!name.startsWith("snap")) None
+    else {
+      val body = name.drop(4)
+      if (body.endsWith("r")) body.dropRight(1).toLongOption.map((_, true))
+      else body.toLongOption.map((_, false))
+    }
 
   /** Fold every state dir below `uptoExclusive` into one snapshot
     * `snap<uptoExclusive-1>` per state table, then sweep the folded
@@ -168,26 +180,38 @@ object DedupStream {
       "assign" -> assignSchema).foreach { case (sub, schema) =>
       val root = s"$workDir/$sub"
       val f = fs(sp, root)
-      val target = new Path(root, s"snap$m")
-      if (!f.exists(target)) {
+      // either flavor at id m means batches ≤ m are already folded
+      val exists = f.exists(new Path(root, s"snap$m")) ||
+        f.exists(new Path(root, s"snap${m}r"))
+      if (!exists) {
         val tmp = new Path(root, s".tmpsnap$m")
         readState(sp, root, schema, uptoExclusive)
           .write.mode("overwrite").parquet(tmp.toString)
-        if (!f.rename(tmp, target))
-          throw new java.io.IOException(s"compaction rename failed: $target")
+        if (!f.rename(tmp, new Path(root, s"snap$m")))
+          throw new java.io.IOException(s"compaction rename failed: $root/snap$m")
       }
-      // sweep: folded batch dirs, superseded snapshots, stray temps
-      val rootPath = new Path(root)
-      if (f.exists(rootPath)) f.listStatus(rootPath).map(_.getPath).foreach { q =>
-        val n = q.getName
-        val foldedB = n.startsWith("b") &&
-          n.drop(1).toLongOption.exists(_ <= m)
-        val oldSnap = n.startsWith("snap") &&
-          n.drop(4).toLongOption.exists(_ < m)
-        val staleTmp = n.startsWith(".tmpsnap") &&
-          n.drop(8).toLongOption.exists(_ <= m)
-        if (foldedB || oldSnap || staleTmp) f.delete(q, true)
-      }
+      sweep(sp, root, m)
+    }
+  }
+
+  /** Delete state dirs superseded by a committed snapshot at id `m`:
+    * folded batch dirs (i ≤ m), snapshots of lower id, a PLAIN snap<m>
+    * shadowed by a committed repaired snap<m>r, and stale temps. Safe to
+    * re-run; every deleted dir is unreachable through [[stateDirs]]. */
+  private def sweep(sp: SparkSession, root: String, m: Long): Unit = {
+    val f = fs(sp, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return
+    val rAtM = f.exists(new Path(root, s"snap${m}r/_SUCCESS"))
+    f.listStatus(rootPath).map(_.getPath).foreach { q =>
+      val n = q.getName
+      val snap = snapId(n)
+      val foldedB = n.startsWith("b") && n.drop(1).toLongOption.exists(_ <= m)
+      val oldSnap = snap.exists(_._1 < m)
+      val shadowedPlain = snap.contains((m, false)) && rAtM
+      val staleTmp = n.startsWith(".tmpsnap") &&
+        n.drop(8).stripSuffix("r").toLongOption.exists(_ <= m)
+      if (foldedB || oldSnap || shadowedPlain || staleTmp) f.delete(q, true)
     }
   }
 
@@ -212,6 +236,105 @@ object DedupStream {
   /** The accumulated distinct-content state (cid, rep_id, _ch, _sh). */
   def contents(spark: SparkSession, workDir: String): DataFrame =
     readState(spark, s"$workDir/contents", contentsSchema, Long.MaxValue)
+
+  /** Offline cross-batch cluster-merge REPAIR — closes the one documented
+    * deviation from batch semantics (clusters never merge across batches).
+    * Rebuilds the full near-dup graph over the STORED state and rewrites
+    * every rep to its connected component's true batch rep:
+    *
+    *   - edges = banding collisions among stored contents (self-join of
+    *     the stored band index — banding is content-deterministic, so this
+    *     recovers every edge the stream used PLUS the cross-batch bridges
+    *     it deliberately didn't merge on) verified by exact Jaccard over
+    *     the stored shingle sets, ∪ same-content edges among
+    *     shingle-bearing contents (the bridge re-append case stores one
+    *     content under two reps);
+    *   - component rep = min doc_id over the component's ASSIGNED docs —
+    *     exactly the batch rule (batch rep = min doc id of the component),
+    *     which also repairs a later-arriving smaller doc id taking over as
+    *     rep. Shingle-less docs have no edges and keep their own reps,
+    *     matching batch semantics.
+    *
+    * The repaired `contents` and `assign` tables are written as NEW
+    * snapshots at the current max state id (rename-committed; the stale
+    * per-batch dirs and old snapshots become unreadable the instant the
+    * snapshot lands and are swept by the closing compaction). Crash-safe
+    * by idempotence: every write targets a snapshot that either commits
+    * whole or stays absent, readers always see a complete (if possibly
+    * pre-repair) table, and re-running the repair converges — component
+    * edges are keyed by cid/content, never by the rep values being
+    * rewritten.
+    *
+    * Run with the poller STOPPED (same single-writer contract as
+    * [[compactState]]). Cost is the batch-dedup analogue over the distinct
+    * corpus — the reference's own remedy is re-running batch dedup over
+    * the accumulated corpus; this does that without re-shingling any
+    * document (sets and band digests are already stored).
+    *
+    * Equivalence spec-pinned: stream + repair ≡ batch
+    * [[Dedup.minhashRepresentatives]] on bridge-heavy corpora. One scoped
+    * exception survives by design: a band bucket overflowing
+    * `maxBandBucket` is dropped loudly here like in batch, so under a cap
+    * the two can differ exactly where batch itself loses recall. */
+  def repairMerges(sp: SparkSession, workDir: String, p: Params): Unit = {
+    val tables = Seq("contents", "index", "assign")
+    val maxId = tables.flatMap { sub =>
+      val (snap, bdirs) = stateDirs(sp, s"$workDir/$sub", Long.MaxValue)
+      snap.map(_._1).toSeq ++ bdirs.map(_._1)
+    }.maxOption.getOrElse(return)
+    val C = readState(sp, s"$workDir/contents", contentsSchema, Long.MaxValue)
+    val ix = readState(sp, s"$workDir/index", indexSchema, Long.MaxValue)
+    val A = readState(sp, s"$workDir/assign", assignSchema, Long.MaxValue)
+    // banding candidates among stored contents; the same loud cap rule as
+    // the batch operator (0 = exact)
+    val bt = Dedup.capBandBuckets(ix, Seq("band", "bh"), p.maxBandBucket,
+      "repairMerges")
+    val cand = bt.alias("a").join(bt.alias("b"), Seq("band", "bh"))
+      .filter(col("a.cid") < col("b.cid"))
+      .select(col("a.cid").as("i"), col("b.cid").as("j")).distinct()
+    val sets = C.select(col("cid").as("_id"), col("_sh")).localCheckpoint()
+    val near = Dedup.verifyJaccard(cand, sets, p.minJaccard)
+      .select(col("i"), col("j"))
+    val sb = C.filter(size(col("_sh")) > 0).select(col("_ch"), col("cid"))
+    val exact = sb.alias("a").join(sb.alias("b"), Seq("_ch"))
+      .filter(col("a.cid") < col("b.cid"))
+      .select(col("a.cid").as("i"), col("b.cid").as("j"))
+    val comp = Dedup.componentsTiered(near.unionByName(exact))
+    val compAll = C.select(col("cid"))
+      .join(comp.withColumnRenamed("id", "cid"), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("component"), col("cid")).as("_croot"))
+    // batch rep rule: min doc id over the component's docs (docs reach
+    // their component through their assigned rep — every rep of a
+    // shingle-bearing cluster is itself a stored cid)
+    val newRep = A.join(compAll.withColumnRenamed("cid", "rep_id"), Seq("rep_id"))
+      .groupBy("_croot").agg(min("doc_id").as("_nrep"))
+    val cidMap = compAll.join(newRep, Seq("_croot"))
+      .select(col("cid"), col("_nrep"))
+    val newC = C.join(cidMap, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("_nrep"), col("rep_id")).as("rep_id"),
+        col("_ch"), col("_sh"))
+    val newA = A.join(cidMap.withColumnRenamed("cid", "rep_id"), Seq("rep_id"), "left")
+      .select(col("doc_id"), coalesce(col("_nrep"), col("rep_id")).as("rep_id"))
+    // commit: write-to-temp + rename into the REPAIRED snapshot flavor
+    // snap<maxId>r (wins the same-id tie over a plain compaction fold —
+    // rename-once, never replace-in-place), skipping tables whose
+    // repaired snapshot already landed (crashed earlier run)
+    Seq("contents" -> newC, "assign" -> newA).foreach { case (sub, df) =>
+      val root = s"$workDir/$sub"
+      val f = fs(sp, root)
+      val target = new Path(root, s"snap${maxId}r")
+      if (!f.exists(target)) {
+        val tmp = new Path(root, s".tmpsnap${maxId}r")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        if (!f.rename(tmp, target))
+          throw new java.io.IOException(s"repair rename failed: $target")
+      }
+    }
+    // fold the index to the same id and sweep everything superseded
+    // (contents/assign skip their fold — the repaired flavor already
+    // covers id maxId)
+    compactState(sp, workDir, maxId + 1)
+  }
 
   private[streaming] def processBatch(sp: SparkSession, batch: DataFrame,
       workDir: String, p: Params, batchId: Long): Unit = {

@@ -246,6 +246,95 @@ class DedupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("repairMerges: stream + repair ≡ batch on a bridge-heavy corpus") {
+    // three bridge chains, delivered so every merge is cross-batch:
+    // chain k: A_k ↔ B_k distinct clusters until bridge X_k arrives later
+    def word(c: String, i: Int) = s"${c}_w$i"
+    def aDoc(c: String) = (0 until 42).map(word(c, _)).mkString(" ")
+    def bDoc(c: String) = (0 until 42).map(i =>
+      if (i == 5) s"${c}_b5" else if (i == 10) s"${c}_b10" else word(c, i))
+      .mkString(" ")
+    def xDoc(c: String) = (0 until 42).map(i =>
+      if (i == 5) s"${c}_b5" else word(c, i)).mkString(" ")
+    val corpus = Seq(
+      100L -> aDoc("u"), 200L -> bDoc("u"),
+      300L -> aDoc("v"), 400L -> bDoc("v"),
+      500L -> "lone singleton document here",
+      600L -> "xy zz",
+      // batch 2: bridges for u and v, plus fresh cluster w
+      700L -> xDoc("u"), 750L -> xDoc("v"), 800L -> aDoc("w"),
+      900L -> "xy zz", // tiny cross-batch copy: stays own rep through repair
+      // batch 3: bridge for w arrives as TWO exact copies
+      1000L -> bDoc("w"), 1100L -> xDoc("w"), 1200L -> xDoc("w"))
+    val batches = Seq(corpus.take(6), corpus.slice(6, 10), corpus.drop(10))
+    val base = java.nio.file.Files.createTempDirectory("graft_drepair").toString
+    val work = s"$base/work"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupStream.processBatch(spark, b.toDF("doc_id", "text"), work, p, i.toLong) }
+    val batchWant = Dedup.minhashRepresentatives(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        p.n, p.numHashes, p.bands, p.minJaccard)
+      .select("doc_id", "rep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pre-repair: bridges did NOT merge (the documented deviation)
+    val pre = streamed(work)
+    assert(pre !== batchWant)
+    assert(pre.contains(200L -> 200L) && pre.contains(400L -> 400L))
+    DedupStream.repairMerges(spark, work, p)
+    assert(streamed(work) === batchWant, "stream + repair ≡ batch")
+    // the merged reps really collapsed the chains
+    assert(batchWant.contains(200L -> 100L) && batchWant.contains(400L -> 300L)
+      && batchWant.contains(1000L -> 800L) && batchWant.contains(1200L -> 800L))
+    // tiny docs stayed their own reps through the repair
+    assert(streamed(work).contains(600L -> 600L))
+    assert(streamed(work).contains(900L -> 900L))
+    // idempotent: a second repair changes nothing
+    DedupStream.repairMerges(spark, work, p)
+    assert(streamed(work) === batchWant)
+    // and the stream CONTINUES correctly on repaired state: an exact copy
+    // of a merged-away doc attaches to the component's final rep
+    DedupStream.processBatch(spark, Seq(1300L -> bDoc("u"))
+      .toDF("doc_id", "text"), work, p, 3L)
+    assert(streamed(work).contains(1300L -> 100L))
+  }
+
+  test("repairMerges adopts a later-arriving smaller doc id as rep, like batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_drepair2").toString
+    val work = s"$base/work"
+    val big = member("m", 0)
+    DedupStream.processBatch(spark, Seq(900L -> big).toDF("doc_id", "text"),
+      work, p, 0L)
+    DedupStream.processBatch(spark, Seq(50L -> big).toDF("doc_id", "text"),
+      work, p, 1L)
+    // stream keeps the first-arrival rep; batch would pick min id 50
+    assert(streamed(work) === Set(900L -> 900L, 50L -> 900L))
+    DedupStream.repairMerges(spark, work, p)
+    assert(streamed(work) === Set(900L -> 50L, 50L -> 50L))
+  }
+
+  test("repairMerges composes with compaction state (snapshots + batch dirs)") {
+    val pc = p.copy(compactEvery = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_drepair3").toString
+    val work = s"$base/work"
+    def word(i: Int) = s"r_w$i"
+    val a = (0 until 42).map(word).mkString(" ")
+    val b = (0 until 42).map(i =>
+      if (i == 5) "r_b5" else if (i == 10) "r_b10" else word(i)).mkString(" ")
+    val x = (0 until 42).map(i => if (i == 5) "r_b5" else word(i)).mkString(" ")
+    val all = Seq(10L -> a, 20L -> b, 30L -> member("z", 0), 40L -> x)
+    // 3 batches → batch 2 compacts b0,b1 into snap1, then bridge lands in b2
+    DedupStream.processBatch(spark, all.take(2).toDF("doc_id", "text"), work, pc, 0L)
+    DedupStream.processBatch(spark, Seq(all(2)).toDF("doc_id", "text"), work, pc, 1L)
+    DedupStream.processBatch(spark, Seq(all(3)).toDF("doc_id", "text"), work, pc, 2L)
+    DedupStream.repairMerges(spark, work, pc)
+    val want = Dedup.minhashRepresentatives(all.toDF("doc_id", "text"),
+        "doc_id", "text", p.n, p.numHashes, p.bands, p.minJaccard)
+      .select("doc_id", "rep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed(work) === want)
+    assert(want.contains(20L -> 10L), "bridge must have merged")
+  }
+
   test("later exact copies of a bridge doc resolve to the rep its docs got") {
     // bridge X (assigned rep 100 above) re-delivered exactly: the state
     // append under the FINAL rep makes the copy resolve to 100, not to a
