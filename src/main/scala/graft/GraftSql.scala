@@ -64,7 +64,12 @@ import scala.collection.mutable
   *   - `graft_combine_t('poseV', 'idsV'[, fps[, maxDistance[,
   *     'anchorPart']]])` — the combine kernel (tick grid, band-join
   *     anchoring, per-tick optimal assignment, gated writeback) from
-  *     pure SQL.
+  *     pure SQL;
+  *   - `graft_ingest_dedup_t('landingDir', 'workDir'[, n, hashes, bands,
+  *     minJ])` — ingest-time near-dup dedup from pure SQL: polls every
+  *     document file new to `workDir`'s checkpoint against the
+  *     disk-resident corpus state ([[graft.streaming.DedupStream]]) and
+  *     returns the accumulated (doc_id, rep_id) assignment table.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -117,6 +122,10 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_topk_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_t"),
       (args: Seq[Expression]) => ivfTopkTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ingest_dedup_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ingest_dedup_t"),
+      (args: Seq[Expression]) => ingestDedupTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -392,6 +401,46 @@ object GraftSql {
     val spark = SparkSession.active
     graft.combine.Combine.combineChunk(spark.table(pv), spark.table(iv),
         graft.combine.Combine.Params(fps = fps, maxDistance = maxDist), anchor)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_ingest_dedup_t` table-function plan:
+    * `graft_ingest_dedup_t('landingDir', 'workDir'[, n[, numHashes[,
+    * bands[, minJaccard]]]])` — the round-6 flagship (ingest-time
+    * near-duplicate dedup with unbounded disk-resident LSH state) from
+    * pure SQL. EAGER at analysis with a SIDE EFFECT, by design: the call
+    * RUNS one checkpointed poll of `landingDir` against `workDir`'s
+    * corpus state ([[graft.streaming.DedupStream.pollNearDedup]] —
+    * exactly-once per landed file, idempotent when nothing new landed)
+    * and the statement then reads the accumulated (doc_id, rep_id)
+    * assignment table. Re-running the statement re-polls: the natural
+    * "land files, run the statement, read assignments" SQL loop.
+    * Defaults match [[graft.streaming.DedupStream.Params]]. */
+  private def ingestDedupTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ingest_dedup_t"
+    require(args.length >= 2 && args.length <= 6,
+      s"usage: $fn('landingDir', 'workDir'[, n[, numHashes[, bands[, minJaccard]]]])")
+    val landing = strLit(args(0), fn, "landing dir")
+    val work = strLit(args(1), fn, "work dir")
+    val defaults = graft.streaming.DedupStream.Params()
+    val p = defaults.copy(
+      n = if (args.length >= 3) lngLit(args(2), fn, "n").toInt else defaults.n,
+      numHashes = if (args.length >= 4) lngLit(args(3), fn, "numHashes").toInt
+        else defaults.numHashes,
+      bands = if (args.length >= 5) lngLit(args(4), fn, "bands").toInt
+        else defaults.bands,
+      minJaccard = if (args.length == 6) dblLit(args(5), fn, "minJaccard")
+        else defaults.minJaccard)
+    val spark = SparkSession.active
+    // the poll runs in an ISOLATED session (own SessionCatalog, shared
+    // SparkContext): this builder executes while the analyzer holds the
+    // calling session's SessionCatalog lock, and the poll's micro-batch
+    // thread must analyze its own plans — same-session would deadlock on
+    // that lock. Dedup state is entirely filesystem-resident, so the
+    // fresh session sees it all.
+    graft.streaming.DedupStream.pollNearDedup(spark.newSession(), landing,
+      work, p)
+    graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }
 

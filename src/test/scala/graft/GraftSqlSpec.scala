@@ -197,6 +197,36 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql.size === 15)
   }
 
+  test("graft_ingest_dedup_t polls landing files and returns assignments ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_ingest").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    new java.io.File(landing).mkdirs()
+    def member(tag: String, k: Int): String =
+      (0 until 42).map(i =>
+        if (i == 20 && k > 0) s"${tag}_var$k" else s"${tag}_w$i").mkString(" ")
+    val chunk1 = Seq(1L -> member("a", 0), 2L -> member("a", 1),
+      3L -> "standalone text one here")
+    val chunk2 = Seq(11L -> member("a", 2), 12L -> "standalone text two here")
+    def q = "SELECT doc_id, rep_id FROM " +
+      s"graft_ingest_dedup_t('$landing', '$work', 3, 16, 8, 0.8)"
+    chunk1.toDF("doc_id", "text").write.parquet(s"$landing/c1")
+    val got1 = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1 === Set(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // second delivery: the SAME statement re-polls and dedups against state
+    chunk2.toDF("doc_id", "text").write.parquet(s"$landing/c2")
+    val got2 = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typed = graft.streaming.DedupStream.assignments(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === Set(1L -> 1L, 2L -> 1L, 3L -> 3L, 11L -> 1L, 12L -> 12L))
+    assert(got2 === typed, "SQL ≡ DedupStream.assignments")
+    // idempotent with nothing new landed
+    assert(spark.sql(q).count() === 5L)
+  }
+
   test("graft_combine_t equals the typed combineChunk") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)
