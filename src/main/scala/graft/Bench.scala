@@ -71,8 +71,13 @@ object Bench {
     // strict number shape: "sf2.5.1" or "sf1." must not splice invalid JSON
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("-1")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":$sfNum}"""
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":$sfNum,"reps":$reps,"cpus":$cpus,"ts":${System.currentTimeMillis / 1000}}"""
+    // APPEND, never overwrite: each run is one labeled line (reps/cpus/ts),
+    // so drift disputes can compare runs instead of archaeology through
+    // git history for the previous number
+    try Files.writeString(Paths.get("bench_out.json"), line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     // raw stdout: visible as a clean line even under sbt's logger
     val raw = new java.io.PrintStream(
