@@ -69,7 +69,13 @@ import scala.collection.mutable
   *     minJ])` — ingest-time near-dup dedup from pure SQL: polls every
   *     document file new to `workDir`'s checkpoint against the
   *     disk-resident corpus state ([[graft.streaming.DedupStream]]) and
-  *     returns the accumulated (doc_id, rep_id) assignment table.
+  *     returns the accumulated (doc_id, rep_id) assignment table;
+  *   - `graft_ivf_save_t('corpusV', 'id', 'vec', 'dir', nlist[, seed])` /
+  *     `graft_ivf_topk_indexed_t('queriesV', 'dir', 'id', 'vec', k,
+  *     nprobe[, salt])` — train-once/serve-many IVF: save writes the
+  *     cell-partitioned index (and returns its centroids); the indexed
+  *     top-k serves query batches against the directory, scanning only
+  *     the probed cells' partitions.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -126,6 +132,14 @@ object GraftSql {
       FunctionIdentifier("graft_ingest_dedup_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ingest_dedup_t"),
       (args: Seq[Expression]) => ingestDedupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_save_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_save_t"),
+      (args: Seq[Expression]) => ivfSaveTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_topk_indexed_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_indexed_t"),
+      (args: Seq[Expression]) => ivfTopkIndexedTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -441,6 +455,51 @@ object GraftSql {
     graft.streaming.DedupStream.pollNearDedup(spark.newSession(), landing,
       work, p)
     graft.streaming.DedupStream.assignments(spark, work)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_save_t` table-function plan:
+    * `graft_ivf_save_t('corpusView', 'idCol', 'vecCol', 'dir', nlist[,
+    * seed])` — train-once IVF index persistence from SQL. EAGER with a
+    * SIDE EFFECT, like `graft_ingest_dedup_t`: analysis runs
+    * [[graft.llm.Similarity.saveIvfIndex]] (k-means + corpus cell
+    * assignment, written cell-partitioned under `dir`), and the statement
+    * returns the saved centroid table (cell, _cv). */
+  private def ivfSaveTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_save_t"
+    require(args.length >= 5 && args.length <= 6,
+      s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir', nlist[, seed])")
+    val cv = strLit(args(0), fn, "corpus view")
+    val idCol = strLit(args(1), fn, "id column")
+    val vecCol = strLit(args(2), fn, "vector column")
+    val dir = strLit(args(3), fn, "index dir")
+    val nlist = lngLit(args(4), fn, "nlist").toInt
+    val seed = if (args.length == 6) lngLit(args(5), fn, "seed") else 42L
+    val spark = SparkSession.active
+    graft.llm.Similarity.saveIvfIndex(spark.table(cv), idCol, vecCol, dir,
+      nlist, seed = seed)
+    spark.read.parquet(s"$dir/centroids").queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_topk_indexed_t` table-function plan:
+    * `graft_ivf_topk_indexed_t('queriesView', 'dir', 'idCol', 'vecCol',
+    * k, nprobe[, salt])` — IVF top-k served from a `graft_ivf_save_t`
+    * directory: no training, no corpus assignment, probed-cells-only scan
+    * (dynamic partition pruning over the cell-partitioned layout). */
+  private def ivfTopkIndexedTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_topk_indexed_t"
+    require(args.length >= 6 && args.length <= 7,
+      s"usage: $fn('queriesView', 'dir', 'idCol', 'vecCol', k, nprobe[, salt])")
+    val qv = strLit(args(0), fn, "queries view")
+    val dir = strLit(args(1), fn, "index dir")
+    val idCol = strLit(args(2), fn, "id column")
+    val vecCol = strLit(args(3), fn, "vector column")
+    val k = lngLit(args(4), fn, "k").toInt
+    val nprobe = lngLit(args(5), fn, "nprobe").toInt
+    val salt = if (args.length == 7) lngLit(args(6), fn, "salt").toInt else 1
+    val spark = SparkSession.active
+    graft.llm.Similarity.ivfTopKIndexed(spark.table(qv), dir, idCol, vecCol,
+        k, nprobe, salt)
       .queryExecution.logical
   }
 

@@ -225,17 +225,32 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       salt: Int = 1): DataFrame = {
-    require(salt >= 1, s"salt must be >= 1, got $salt")
     val corpusCells = assignCells(corpus, centroids, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
-    val queryCells = assignCells(queries, centroids, idCol, vecCol, nprobe)
-      .withColumnRenamed(idCol, "query_id")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
       .join(corpusCells, "neighbor_id")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+    ivfScore(probedQueries(queries, centroids, idCol, vecCol, nprobe),
+      c, k, salt)
+  }
+
+  /** Query side of the IVF scoring join: (query_id, _qv, _qn, cell) with
+    * one row per probed cell. */
+  private def probedQueries(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val queryCells = assignCells(queries, centroids, idCol, vecCol, nprobe)
+      .withColumnRenamed(idCol, "query_id")
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"))
       .join(queryCells, "query_id")
+  }
+
+  /** Shared IVF scoring tail over a prepared query side (query_id, _qv,
+    * _qn, cell) and corpus side (neighbor_id, _cv, _cn, cell) — the
+    * optionally-salted cell equi-join, exact re-scoring, per-query top-k. */
+  private def ivfScore(q: DataFrame, c: DataFrame, k: Int,
+      salt: Int): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val scored = (if (salt == 1) q.join(c, "cell")
       else {
         val qs = q.withColumn("_salt",
@@ -250,6 +265,52 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Train-once IVF index PERSISTENCE — the 100 TB operating mode: k-means
+    * training and corpus cell assignment are the expensive, corpus-wide
+    * passes, and a serving workload must not repeat them per query batch
+    * (the live [[ivfTopK]] replays both every call). `saveIvfIndex` runs
+    * them once and writes
+    *
+    *   - `dir/corpus`: (neighbor_id, _cv, _cn, cell), PARTITIONED BY
+    *     `cell` — a query batch probing `nprobe` cells then reads ONLY
+    *     those cells' files: the broadcast query side drives dynamic
+    *     partition pruning on the scoring join, which is the IVF promise
+    *     (scan the probed fraction of the corpus, not all of it) realized
+    *     at the FILE level;
+    *   - `dir/centroids`: (cell, _cv), written LAST as the commit marker —
+    *     a crashed save leaves no readable index.
+    *
+    * [[ivfTopKIndexed]] then serves any query batch against the directory:
+    * assign query cells against the tiny centroid table, join the
+    * cell-partitioned corpus, identical results to the live path
+    * (spec-pinned, salted included). Rebuild = re-run save (atomic per
+    * subdir via parquet overwrite); drift between index and corpus is the
+    * operator's retrain cadence, exactly as in any IVF serving system. */
+  def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int, sampleFraction: Double = 1.0,
+      seed: Long = 42L, maxIter: Int = 20): Unit = {
+    val cents = trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter)
+    val cells = assignCells(corpus, cents, idCol, vecCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
+      .join(cells, "neighbor_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** IVF top-k against a [[saveIvfIndex]] directory: no training, no
+    * corpus assignment, and the scoring join scans only the probed cells'
+    * partitions (dynamic partition pruning from the broadcast query side).
+    * Same contract as [[ivfTopK]] otherwise, `salt` included. */
+  def ivfTopKIndexed(queries: DataFrame, indexDir: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, salt: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val c = spark.read.parquet(s"$indexDir/corpus")
+    ivfScore(probedQueries(queries, cents, idCol, vecCol, nprobe), c, k, salt)
   }
 
   /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ minCos —

@@ -227,6 +227,30 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(q).count() === 5L)
   }
 
+  test("graft_ivf_save_t + graft_ivf_topk_indexed_t: train-once/serve-many ≡ live IVF") {
+    GraftSql.register(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_ivfidx").toString
+    val emb = spark.table("embeddings")
+    emb.filter(org.apache.spark.sql.functions.col("vec_id") % 37 === 0)
+      .createOrReplaceTempView("ivfidx_q")
+    val cents = spark.sql(
+      s"SELECT * FROM graft_ivf_save_t('embeddings', 'vec_id', 'embedding', '$dir', 8)")
+    assert(cents.count() === 8L)
+    val fromSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_indexed_t('ivfidx_q', '$dir', 'vec_id', 'embedding', 5, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val typed = graft.llm.Similarity.ivfTopKIndexed(
+        spark.table("ivfidx_q"), dir, "vec_id", "embedding", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSql === typed)
+    // and serving ≡ the live (train-per-call) path under the same seed
+    val live = graft.llm.Similarity.ivfTopK(spark.table("ivfidx_q"), emb,
+        graft.llm.Similarity.trainCentroids(emb, "embedding", 8),
+        "vec_id", "embedding", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSql === live)
+  }
+
   test("graft_combine_t equals the typed combineChunk") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)

@@ -84,6 +84,32 @@ class LlmSpec extends AnyFunSuite {
     assert(res(8) === unsalted)
   }
 
+  test("persisted IVF index serves identical results to the live path and prunes probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    val q = embs.filter(col("vec_id") % 37 === 0)
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", dir, nlist = 8)
+    val cents = Similarity.trainCentroids(embs, "embedding", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val live = rows(Similarity.ivfTopK(q, embs, cents, "vec_id", "embedding",
+      k = 5, nprobe = 3))
+    assert(live.nonEmpty)
+    val served = Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    assert(rows(served) === live, "indexed ≡ live")
+    // salted serving stays exact too
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3, salt = 4)) === live)
+    // the corpus layout is cell-partitioned (the probed-cells-only scan
+    // at the file level) and the index is rebuild-idempotent
+    val parts = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(parts.length === 8, s"expected 8 cell partitions, got ${parts.toSeq}")
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", dir, nlist = 8)
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === live)
+  }
+
   test("k-means-trained centroids: deterministic, and recall not worse than the naive picker") {
     val q = embs.filter(col("vec_id") < 50)
     val naive = embs.filter(col("vec_id") < 8)
