@@ -71,7 +71,9 @@ object Bench {
     // strict number shape: "sf2.5.1" or "sf1." must not splice invalid JSON
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("-1")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":$sfNum,"reps":$reps,"cpus":$cpus,"ts":${System.currentTimeMillis / 1000}}"""
+    // cpus is quoted: it is an env-provided STRING ("*" is a legal value
+    // for local[*]) and splicing it bare would emit invalid JSON
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":$sfNum,"reps":$reps,"cpus":"${cpus.replaceAll("[\"\\\\]", "")}","ts":${System.currentTimeMillis / 1000}}"""
     // APPEND, never overwrite: each run is one labeled line (reps/cpus/ts),
     // so drift disputes can compare runs instead of archaeology through
     // git history for the previous number

@@ -478,7 +478,7 @@ object GraftSql {
     val spark = SparkSession.active
     graft.llm.Similarity.saveIvfIndex(spark.table(cv), idCol, vecCol, dir,
       nlist, seed = seed)
-    spark.read.parquet(s"$dir/centroids").queryExecution.logical
+    graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
   }
 
   /** Build the `graft_ivf_topk_indexed_t` table-function plan:

@@ -31,20 +31,10 @@ object Tables {
     val df = spark.read.parquet(path)
     if (name == "events" && df.schema("ts").dataType.typeName == "long")
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else if (df.schema.fields.exists(_.dataType ==
-        org.apache.spark.sql.types.TimestampNTZType)) {
-      // re-read with the NTZ columns IMPOSED as instant TimestampType:
-      // the parquet reader then yields the wall-clock micros as UTC
-      // instants natively — value-identical to Cols.normalizeNtz, but
-      // with no expression layer over the scan, so time-range predicates
-      // still push down to the parquet row groups (an expression-wrapped
-      // column defeats PushedFilters — measured on s1_time_range_scan)
-      val imposed = org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
-        if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-          f.copy(dataType = org.apache.spark.sql.types.TimestampType)
-        else f))
-      spark.read.schema(imposed).parquet(path)
-    } else df
+    else
+      // NTZ columns imposed as instant TimestampType at the reader, so
+      // time predicates still push down (see Cols.readNtzAsInstant)
+      graft.functions.Cols.readNtzAsInstant(spark, path)
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")

@@ -197,10 +197,11 @@ object Detectors {
     */
   def wideFrames(pose: DataFrame, parts: Map[String, String], fps: Double,
       knownIds: Option[Seq[String]] = None): DataFrame = {
+    val poseN = Cols.normalizeNtz(pose) // same NTZ acceptance as detectFights
     val ids = knownIds.getOrElse(
-      pose.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
+      poseN.select("identity").distinct().collect().map(_.getString(0)).toSeq).sorted
     require(ids.length == 2, s"expected exactly 2 identities, got ${ids.length}")
-    wideFramesG(pose.withColumn(G, lit("")).withColumn("_id0", lit(ids(0))),
+    wideFramesG(poseN.withColumn(G, lit("")).withColumn("_id0", lit(ids(0))),
       parts, fps).drop(G)
   }
 

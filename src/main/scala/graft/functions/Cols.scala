@@ -98,6 +98,21 @@ object Cols {
   /** [[micros]] with the type resolved from `df`'s schema. */
   def micros(df: DataFrame, name: String): Column = micros(df(name), df.schema(name).dataType)
 
+  /** Coarse unit category of a time column — instant timestamps, wall-clock
+    * NTZ, and integral frame-ids all resolve through [[micros]], but their
+    * VALUES live on different axes (epoch micros / wall micros / frame
+    * counts). Two-sided operators (as-of, band join) must reject a
+    * cross-category pair loudly: the per-side resolution would otherwise
+    * produce silently disjoint or session-tz-shifted matches. */
+  def timeCategory(dt: DataType): String = dt match {
+    case TimestampType    => "instant timestamp"
+    case TimestampNTZType => "wall-clock timestamp_ntz"
+    case LongType | IntegerType | ShortType | ByteType => "integral"
+    case d: DecimalType if d.scale == 0                => "integral"
+    case t => throw new IllegalArgumentException(
+      s"time column must be timestamp, timestamp_ntz, or integral, got ${t.simpleString}")
+  }
+
   /** Cast every top-level TIMESTAMP_NTZ column of `df` to an instant
     * `TimestampType` by reading the wall time as UTC —
     * timezone-independent (unlike a bare `cast` under a non-UTC session).
@@ -107,5 +122,24 @@ object Cols {
     val ntz = df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name }
     ntz.foldLeft(df)((d, n) => d.withColumn(n, timestamp_micros(ntzMicros(col(n)))))
+  }
+
+  /** Read a parquet path with every TIMESTAMP_NTZ column IMPOSED as
+    * instant `TimestampType` in the reader schema: the parquet reader then
+    * yields the wall-clock micros as UTC instants natively — value-
+    * identical to [[normalizeNtz]], but with no expression layer over the
+    * scan, so time predicates still push down to the parquet row groups
+    * (an expression-wrapped column defeats PushedFilters — measured on
+    * s1_time_range_scan; `graft.PushProbe` re-checks it). The PATH-level
+    * boundary form; [[normalizeNtz]] covers frames received as
+    * DataFrames. */
+  def readNtzAsInstant(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val probe = spark.read.parquet(path)
+    if (!probe.schema.fields.exists(_.dataType == TimestampNTZType)) probe
+    else spark.read.schema(StructType(probe.schema.fields.map(f =>
+        if (f.dataType == TimestampNTZType) f.copy(dataType = TimestampType)
+        else f)))
+      .parquet(path)
   }
 }

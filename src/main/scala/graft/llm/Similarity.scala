@@ -271,45 +271,92 @@ object Similarity {
     * training and corpus cell assignment are the expensive, corpus-wide
     * passes, and a serving workload must not repeat them per query batch
     * (the live [[ivfTopK]] replays both every call). `saveIvfIndex` runs
-    * them once and writes
+    * them once and writes a VERSION directory `dir/v<n>/`:
     *
-    *   - `dir/corpus`: (neighbor_id, _cv, _cn, cell), PARTITIONED BY
+    *   - `v<n>/corpus`: (neighbor_id, _cv, _cn, cell), PARTITIONED BY
     *     `cell` — a query batch probing `nprobe` cells then reads ONLY
     *     those cells' files: the broadcast query side drives dynamic
     *     partition pruning on the scoring join, which is the IVF promise
     *     (scan the probed fraction of the corpus, not all of it) realized
     *     at the FILE level;
-    *   - `dir/centroids`: (cell, _cv), written LAST as the commit marker —
-    *     a crashed save leaves no readable index.
+    *   - `v<n>/centroids`: (cell, _cv);
+    *   - `v<n>/_COMMIT`: created LAST — readers resolve the HIGHEST
+    *     committed version, so a rebuild is never visible half-done: a
+    *     crash mid-save leaves an uncommitted v-dir that readers skip and
+    *     the next successful save sweeps, and the old version keeps
+    *     serving consistent centroids+corpus throughout (an in-place
+    *     overwrite would pair old committed centroids with new corpus
+    *     partitions — wrong cells probed, silent recall loss).
     *
     * [[ivfTopKIndexed]] then serves any query batch against the directory:
     * assign query cells against the tiny centroid table, join the
     * cell-partitioned corpus, identical results to the live path
-    * (spec-pinned, salted included). Rebuild = re-run save (atomic per
-    * subdir via parquet overwrite); drift between index and corpus is the
-    * operator's retrain cadence, exactly as in any IVF serving system. */
+    * (spec-pinned, salted included). Retrain cadence vs corpus drift is
+    * the operator's call, exactly as in any IVF serving system. */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int, sampleFraction: Double = 1.0,
       seed: Long = 42L, maxIter: Int = 20): Unit = {
+    val spark = corpus.sparkSession
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = ivfVersions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1
+    val vdir = s"$dir/v$n"
     val cents = trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter)
     val cells = assignCells(corpus, cents, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
       .join(cells, "neighbor_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
+    cents.write.mode("overwrite").parquet(s"$vdir/centroids")
+    f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
+    // sweep superseded and crashed-uncommitted versions
+    ivfVersions(spark, dir).filter(_._1 < n)
+      .foreach(v => f.delete(new org.apache.hadoop.fs.Path(v._2), true))
   }
 
-  /** IVF top-k against a [[saveIvfIndex]] directory: no training, no
-    * corpus assignment, and the scoring join scans only the probed cells'
-    * partitions (dynamic partition pruning from the broadcast query side).
-    * Same contract as [[ivfTopK]] otherwise, `salt` included. */
+  /** All `v<n>` version dirs under an index root (committed or not). */
+  private def ivfVersions(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).filter(_.isDirectory).toSeq.flatMap { s =>
+      val nm = s.getPath.getName
+      if (nm.startsWith("v")) nm.drop(1).toLongOption.map(_ -> s.getPath.toString)
+      else None
+    }
+  }
+
+  /** Highest COMMITTED version dir of a [[saveIvfIndex]] root. */
+  private def latestIvfVersion(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfVersions(spark, dir)
+      .filter(v => f.exists(new org.apache.hadoop.fs.Path(v._2, "_COMMIT")))
+      .sortBy(_._1).lastOption.map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed IVF index under $dir — run saveIvfIndex first"))
+  }
+
+  /** The saved centroid table (cell, _cv) of an index root's highest
+    * committed version. */
+  def ivfCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"${latestIvfVersion(spark, indexDir)}/centroids")
+
+  /** IVF top-k against a [[saveIvfIndex]] directory (highest committed
+    * version): no training, no corpus assignment, and the scoring join
+    * scans only the probed cells' partitions (dynamic partition pruning
+    * from the broadcast query side). Same contract as [[ivfTopK]]
+    * otherwise, `salt` included. */
   def ivfTopKIndexed(queries: DataFrame, indexDir: String, idCol: String,
       vecCol: String, k: Int, nprobe: Int, salt: Int = 1): DataFrame = {
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-    val c = spark.read.parquet(s"$indexDir/corpus")
+    val vdir = latestIvfVersion(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val c = spark.read.parquet(s"$vdir/corpus")
     ivfScore(probedQueries(queries, cents, idCol, vecCol, nprobe), c, k, salt)
   }
 

@@ -89,7 +89,20 @@ object AsOfJoin {
       if (tieBreak.isEmpty) base
       else struct(base +: tieBreak.map(c => rp.getField(rename.getOrElse(c, c))): _*)
 
-    val unixMicros: Column => Column = timeKeyFn(left.schema(timeCol).dataType)
+    // the resolver binds from the LEFT time type and is applied to the
+    // UNIONED time column — a right side of a different kind would be
+    // silently coerced by the union (an instant right under an NTZ left
+    // shifts by the session tz offset), so a cross-kind pair is rejected
+    // loudly like the pre-NTZ code rejected NTZ outright
+    val lDt = left.schema(timeCol).dataType
+    val rDt = right.schema(timeCol).dataType
+    require(graft.functions.Cols.timeCategory(lDt) ==
+        graft.functions.Cols.timeCategory(rDt),
+      s"asof: time columns disagree in kind — left '$timeCol' is " +
+        s"${graft.functions.Cols.timeCategory(lDt)} (${lDt.simpleString}), right is " +
+        s"${graft.functions.Cols.timeCategory(rDt)} (${rDt.simpleString}); " +
+        "normalize one side (Cols.normalizeNtz / a frame-id projection) before joining")
+    val unixMicros: Column => Column = timeKeyFn(lDt)
 
     val t = "_asof_t"
     val side = "_asof_side" // 0 = right (build), 1 = left (probe)

@@ -44,9 +44,20 @@ object BandJoin {
     val width = math.max(upperUs - lowerUs, 1L)
 
     // type-aware µs resolution: instant timestamp, TIMESTAMP_NTZ
-    // (pandas-default parquet), or integral frame-ids all join
-    val lMicros = graft.functions.Cols.micros(_: Column, left.schema(leftTime).dataType)
-    val rMicros = graft.functions.Cols.micros(_: Column, right.schema(rightTime).dataType)
+    // (pandas-default parquet), or integral frame-ids all join — but only
+    // against the SAME category on the other side (epoch micros vs frame
+    // counts vs wall micros silently never land in the band)
+    val lDt = left.schema(leftTime).dataType
+    val rDt = right.schema(rightTime).dataType
+    require(graft.functions.Cols.timeCategory(lDt) ==
+        graft.functions.Cols.timeCategory(rDt),
+      s"bandJoin: time columns disagree in kind — left '$leftTime' is " +
+        s"${graft.functions.Cols.timeCategory(lDt)} (${lDt.simpleString}), right " +
+        s"'$rightTime' is ${graft.functions.Cols.timeCategory(rDt)} " +
+        s"(${rDt.simpleString}); normalize one side (Cols.normalizeNtz / " +
+        "a frame-id projection) before joining")
+    val lMicros = graft.functions.Cols.micros(_: Column, lDt)
+    val rMicros = graft.functions.Cols.micros(_: Column, rDt)
 
     val lt = lMicros(col(leftTime))
     val bucketLo = floor((lt + lowerUs) / width)

@@ -38,22 +38,11 @@ object Bronze {
   def scan(spark: SparkSession, root: String, camera: String, register: Int,
       start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
     // a bronze layout populated by an external writer (pandas default)
-    // carries NTZ timestamps — re-read with the NTZ columns IMPOSED as
-    // instant TimestampType (wall clock as UTC, like Cols.normalizeNtz)
-    // rather than wrapping them in a cast expression: the range predicate
-    // below must reach the parquet row groups as a PushedFilter, and an
-    // expression layer over the scan defeats that
-    val probe = spark.read.parquet(root)
-    val raw =
-      if (probe.schema.fields.exists(_.dataType ==
-          org.apache.spark.sql.types.TimestampNTZType)) {
-        val imposed = org.apache.spark.sql.types.StructType(probe.schema.fields.map(f =>
-          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-            f.copy(dataType = org.apache.spark.sql.types.TimestampType)
-          else f))
-        spark.read.schema(imposed).parquet(root)
-      } else probe
-    val base = raw
+    // carries NTZ timestamps — imposed as instant TimestampType at the
+    // reader (wall clock as UTC) rather than wrapped in a cast expression,
+    // so the range predicate below reaches the parquet row groups as a
+    // PushedFilter (see Cols.readNtzAsInstant)
+    val base = graft.functions.Cols.readNtzAsInstant(spark, root)
       .filter(col("camera") === camera && col("register") === register)
     // floorDiv: `t - t % h` truncates toward zero, so a pre-1970 start
     // would round UP and the enumeration below would miss its hour

@@ -278,13 +278,25 @@ object DedupStream {
     * the two can differ exactly where batch itself loses recall. */
   def repairMerges(sp: SparkSession, workDir: String, p: Params): Unit = {
     val tables = Seq("contents", "index", "assign")
-    val maxId = tables.flatMap { sub =>
+    val dirMax = tables.flatMap { sub =>
       val (snap, bdirs) = stateDirs(sp, s"$workDir/$sub", Long.MaxValue)
       snap.map(_._1).toSeq ++ bdirs.map(_._1)
     }.maxOption.getOrElse(return)
-    val C = readState(sp, s"$workDir/contents", contentsSchema, Long.MaxValue)
-    val ix = readState(sp, s"$workDir/index", indexSchema, Long.MaxValue)
-    val A = readState(sp, s"$workDir/assign", assignSchema, Long.MaxValue)
+    // fold only CHECKPOINT-COMMITTED batches: a poller killed mid-batch
+    // leaves half-written b<k> dirs for a batch the checkpoint never
+    // committed — baking those into the repaired snapshot (and sweeping
+    // the b-dirs) would make the inevitable replay of batch k read state
+    // it can't see (snapshot id ≥ its own id) and write assignment dirs
+    // forever shadowed by the snapshot. Cap the fold at the checkpoint's
+    // committed frontier; uncommitted dirs stay for the replay to
+    // overwrite. (Direct processBatch callers — the specs — have no
+    // checkpoint; for them every written dir IS committed, so the dir max
+    // stands.)
+    val maxId = committedFrontier(sp, workDir).getOrElse(dirMax).min(dirMax)
+    val below = maxId + 1
+    val C = readState(sp, s"$workDir/contents", contentsSchema, below)
+    val ix = readState(sp, s"$workDir/index", indexSchema, below)
+    val A = readState(sp, s"$workDir/assign", assignSchema, below)
     // banding candidates among stored contents; the same loud cap rule as
     // the batch operator (0 = exact)
     val bt = Dedup.capBandBuckets(ix, Seq("band", "bh"), p.maxBandBucket,
@@ -334,6 +346,17 @@ object DedupStream {
     // (contents/assign skip their fold — the repaired flavor already
     // covers id maxId)
     compactState(sp, workDir, maxId + 1)
+  }
+
+  /** Highest micro-batch id the streaming checkpoint has COMMITTED, from
+    * the checkpoint's `commits/` log; None when no checkpoint exists
+    * (state driven through [[processBatch]] directly). */
+  private def committedFrontier(sp: SparkSession, workDir: String): Option[Long] = {
+    val commits = new Path(s"$workDir/ckpt/commits")
+    val f = fs(sp, s"$workDir/ckpt")
+    if (!f.exists(commits)) None
+    else f.listStatus(commits).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption).maxOption
   }
 
   private[streaming] def processBatch(sp: SparkSession, batch: DataFrame,

@@ -101,13 +101,23 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
       k = 5, nprobe = 3, salt = 4)) === live)
     // the corpus layout is cell-partitioned (the probed-cells-only scan
-    // at the file level) and the index is rebuild-idempotent
-    val parts = new java.io.File(s"$dir/corpus").listFiles()
+    // at the file level)
+    val parts = new java.io.File(s"$dir/v1/corpus").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
     assert(parts.length === 8, s"expected 8 cell partitions, got ${parts.toSeq}")
+    // a crashed rebuild (uncommitted version dir, no _COMMIT) is invisible
+    // to readers — the old version keeps serving consistent results
+    val crashed = new java.io.File(s"$dir/v2/corpus"); crashed.mkdirs()
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === live)
+    // a completed rebuild commits v3, serves identically, and sweeps both
+    // the crashed v2 and the superseded v1
     Similarity.saveIvfIndex(embs, "vec_id", "embedding", dir, nlist = 8)
     assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
       k = 5, nprobe = 3)) === live)
+    val vdirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(vdirs === Seq("v3"), s"superseded/crashed versions must sweep: $vdirs")
   }
 
   test("k-means-trained centroids: deterministic, and recall not worse than the naive picker") {

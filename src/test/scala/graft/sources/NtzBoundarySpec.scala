@@ -165,6 +165,28 @@ class NtzBoundarySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === want)
   }
 
+  test("band/as-of joins reject cross-kind time columns loudly") {
+    import org.apache.spark.sql.functions.col
+    val inst = Seq((new java.sql.Timestamp(t0.getTime), 1L)).toDF("t", "v")
+    val ntz = inst.withColumn("t", col("t").cast(TimestampNTZType))
+    val frames = Seq((7L, 1L)).toDF("t", "v")
+    // NTZ × instant: wall micros vs epoch micros — session-tz-shifted
+    // matches if allowed through (the union coerces silently)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.BandJoin.bandJoin(ntz, inst, "t", "t",
+        lowerUs = -1000L, upperUs = 1000L)
+    }
+    assert(e1.getMessage.contains("disagree in kind"))
+    // integral frame-ids × instant: epoch micros never land in any band
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asofJoin(frames, inst, "t", Nil)
+    }
+    assert(e2.getMessage.contains("disagree in kind"))
+    // same-kind inputs still join fine after normalization
+    assert(graft.operators.BandJoin.bandJoin(Cols.normalizeNtz(ntz), inst,
+      "t", "t", lowerUs = -1000L, upperUs = 1000L).count() === 1L)
+  }
+
   test("Cols.micros: NTZ wall-clock micros are session-timezone-independent") {
     val df = Seq(new java.sql.Timestamp(t0.getTime)).toDF("t")
       .withColumn("t", col("t").cast(TimestampNTZType))

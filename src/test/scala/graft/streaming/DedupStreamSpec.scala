@@ -298,6 +298,39 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(streamed(work).contains(1300L -> 100L))
   }
 
+  test("repairMerges folds only checkpoint-committed batches, sparing a crashed half-commit") {
+    val base = java.nio.file.Files.createTempDirectory("graft_drepair_fr").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    new java.io.File(landing).mkdirs()
+    (0 until 2).foreach { k =>
+      writeChunk(landing, k)
+      DedupStream.pollNearDedup(spark, landing, work, p)
+    }
+    val committed = streamed(work)
+    // simulate a poller killed mid-batch: state dirs written for a batch
+    // id the checkpoint never committed (commits cover batches 0 and 1)
+    Seq("contents", "index", "assign").foreach { sub =>
+      spark.read.parquet(s"$work/$sub/b0").limit(0)
+        .write.parquet(s"$work/$sub/b5")
+    }
+    DedupStream.repairMerges(spark, work, p)
+    // the repaired snapshot stops at the committed frontier and the
+    // uncommitted half-commit SURVIVES for its replay to overwrite
+    Seq("contents", "index", "assign").foreach { sub =>
+      val names = new java.io.File(s"$work/$sub").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+      assert(names.contains("b5"), s"$sub: uncommitted dir must survive repair")
+      assert(!names.exists(n => n.startsWith("snap5")),
+        s"$sub: snapshot must not reach the uncommitted id: $names")
+    }
+    assert(streamed(work) === committed)
+    // the replay (the next poll re-delivers batch 2 as the stream's own
+    // id) still reads complete state and lands correctly
+    writeChunk(landing, 2)
+    DedupStream.pollNearDedup(spark, landing, work, p)
+    assert(streamed(work).size === allDocs.length)
+  }
+
   test("repairMerges adopts a later-arriving smaller doc id as rep, like batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_drepair2").toString
     val work = s"$base/work"
