@@ -70,6 +70,10 @@ import scala.collection.mutable
   *     document file new to `workDir`'s checkpoint against the
   *     disk-resident corpus state ([[graft.streaming.DedupStream]]) and
   *     returns the accumulated (doc_id, rep_id) assignment table;
+  *   - `graft_ingest_repair_t('workDir'[, minJaccard[, maxBandBucket]])`
+  *     — the offline cross-batch bridge-merge repair over a
+  *     `graft_ingest_dedup_t` state dir (run with the poller stopped);
+  *     returns the repaired assignment table;
   *   - `graft_ivf_save_t('corpusV', 'id', 'vec', 'dir', nlist[, seed])` /
   *     `graft_ivf_topk_indexed_t('queriesV', 'dir', 'id', 'vec', k,
   *     nprobe[, salt])` — train-once/serve-many IVF: save writes the
@@ -132,6 +136,10 @@ object GraftSql {
       FunctionIdentifier("graft_ingest_dedup_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ingest_dedup_t"),
       (args: Seq[Expression]) => ingestDedupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ingest_repair_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ingest_repair_t"),
+      (args: Seq[Expression]) => ingestRepairTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ivf_save_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_save_t"),
@@ -454,6 +462,35 @@ object GraftSql {
     // fresh session sees it all.
     graft.streaming.DedupStream.pollNearDedup(spark.newSession(), landing,
       work, p)
+    graft.streaming.DedupStream.assignments(spark, work)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_ingest_repair_t` table-function plan:
+    * `graft_ingest_repair_t('workDir'[, minJaccard[, maxBandBucket]])` —
+    * [[graft.streaming.DedupStream.repairMerges]] from SQL: rebuilds the
+    * near-dup graph over the stored state and merges the cross-batch
+    * bridge clusters the stream deliberately left split, then returns the
+    * repaired (doc_id, rep_id) table. EAGER side effect like
+    * `graft_ingest_dedup_t`; run with the poller STOPPED (the repair's
+    * single-writer contract). Only the verify threshold and band-bucket
+    * cap matter to the repair — shingles and band digests come from the
+    * stored state. */
+  private def ingestRepairTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ingest_repair_t"
+    require(args.length >= 1 && args.length <= 3,
+      s"usage: $fn('workDir'[, minJaccard[, maxBandBucket]])")
+    val work = strLit(args(0), fn, "work dir")
+    val defaults = graft.streaming.DedupStream.Params()
+    val p = defaults.copy(
+      minJaccard = if (args.length >= 2) dblLit(args(1), fn, "minJaccard")
+        else defaults.minJaccard,
+      maxBandBucket = if (args.length == 3) lngLit(args(2), fn, "maxBandBucket")
+        else defaults.maxBandBucket)
+    val spark = SparkSession.active
+    // same isolation rationale as graft_ingest_dedup_t: keep the repair's
+    // jobs off the calling session's analyzer state
+    graft.streaming.DedupStream.repairMerges(spark.newSession(), work, p)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }

@@ -225,6 +225,12 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got2 === typed, "SQL ≡ DedupStream.assignments")
     // idempotent with nothing new landed
     assert(spark.sql(q).count() === 5L)
+    // bridge repair from SQL: this corpus is bridge-free, so the repair
+    // must be an exact no-op ≡ the typed repairMerges contract
+    val repaired = spark.sql(
+      s"SELECT doc_id, rep_id FROM graft_ingest_repair_t('$work', 0.8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repaired === got2)
   }
 
   test("graft_ivf_save_t + graft_ivf_topk_indexed_t: train-once/serve-many ≡ live IVF") {
