@@ -73,13 +73,23 @@ object Cols {
   // [[micros]] instead of calling `unix_micros` directly — `unix_micros`
   // throws DATATYPE_MISMATCH on NTZ input.
 
-  private val EpochNtz = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
-
   /** Wall-clock microseconds since 1970-01-01T00:00 of a TIMESTAMP_NTZ
-    * column. Pure wall-clock arithmetic — independent of
-    * `spark.sql.session.timeZone`, so gap/band/tolerance math cannot
-    * compress or stretch across DST transitions of a non-UTC session. */
-  def ntzMicros(c: Column): Column = timestamp_diff("MICROSECOND", lit(EpochNtz), c)
+    * column. Built from WALL FIELDS (date diff + hour/minute/fractional
+    * second), never from a timestamp conversion: `timestampdiff` resolves
+    * NTZ operands through the session zone, so a wall that does not exist
+    * there (a DST spring-forward gap, e.g. 2024-03-10T02:30 in
+    * US/Eastern) silently gap-adjusts one hour — measured, and pinned by
+    * NtzBoundarySpec's round-trip grid. Field extraction on NTZ is
+    * defined on the wall clock alone, so this form is independent of
+    * `spark.sql.session.timeZone` for EVERY wall value, and gap/band/
+    * tolerance math cannot compress or stretch across DST transitions of
+    * a non-UTC session. All terms stay inside whole-stage codegen. */
+  def ntzMicros(c: Column): Column =
+    datediff(c.cast("date"), lit(java.sql.Date.valueOf("1970-01-01")))
+      .cast("long") * 86400000000L +
+      hour(c).cast("long") * 3600000000L +
+      minute(c).cast("long") * 60000000L +
+      (date_part(lit("SECOND"), c) * 1000000).cast("long")
 
   /** Type-aware epoch/wall-clock microseconds of a time column: instant
     * timestamps via `unix_micros`, TIMESTAMP_NTZ via wall-clock micros,

@@ -187,6 +187,38 @@ class NtzBoundarySpec extends AnyFunSuite {
       "t", "t", lowerUs = -1000L, upperUs = 1000L).count() === 1L)
   }
 
+  test("micros/normalizeNtz round-trip: pre-1970, DST boundaries, odd offsets") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // wall instants chosen to straddle the awkward spots: negative epoch,
+    // epoch zero, a US DST spring-forward, a half-hour-offset zone's
+    // midnight, sub-second micros, far future
+    val walls = Seq(
+      "1899-12-31T23:59:59.123456", "1969-07-20T20:17:40",
+      "1970-01-01T00:00:00", "2024-03-10T02:30:00", // nonexistent in US/Eastern
+      "2024-06-01T12:00:00.000001", "2262-04-11T23:47:16.854775")
+      .map(java.time.LocalDateTime.parse)
+    val df = walls.map(Tuple1(_)).toDF("t") // LocalDateTime → TIMESTAMP_NTZ
+    assert(df.schema("t").dataType === TimestampNTZType)
+    val wantUs = walls.map(w =>
+      w.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + w.getNano / 1000L)
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (z <- Seq("UTC", "US/Eastern", "Asia/Kathmandu", "Australia/Eucla")) {
+        spark.conf.set("spark.sql.session.timeZone", z)
+        // NTZ wall micros: identical under every session zone, even for
+        // walls that don't EXIST in that zone (DST spring-forward)
+        val got = df.select(Cols.micros(df, "t")).collect().map(_.getLong(0)).toSeq
+        assert(got === wantUs, s"wall micros drifted under zone $z")
+        // normalizeNtz: the instant's epoch micros equal the wall micros
+        // (wall read as UTC), under every session zone
+        val inst = Cols.normalizeNtz(df)
+        assert(inst.schema("t").dataType === TimestampType)
+        assert(inst.select(unix_micros(col("t"))).collect()
+          .map(_.getLong(0)).toSeq === wantUs, s"normalizeNtz drifted under $z")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("Cols.micros: NTZ wall-clock micros are session-timezone-independent") {
     val df = Seq(new java.sql.Timestamp(t0.getTime)).toDF("t")
       .withColumn("t", col("t").cast(TimestampNTZType))
