@@ -79,7 +79,11 @@ import scala.collection.mutable
   *     nprobe[, salt])` — train-once/serve-many IVF: save writes the
   *     cell-partitioned index (and returns its centroids); the indexed
   *     top-k serves query batches against the directory, scanning only
-  *     the probed cells' partitions.
+  *     the probed cells' partitions;
+  *   - `graft_ivf_append_t('newV', 'id', 'vec', 'dir'[, compact])` —
+  *     incremental index growth: new vectors assigned against the stored
+  *     centroids land as a `_COMMIT`-gated delta (no retrain); `compact =
+  *     true` folds base + deltas into one new version afterwards.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -148,6 +152,10 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_topk_indexed_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_indexed_t"),
       (args: Seq[Expression]) => ivfTopkIndexedTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_append_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_append_t"),
+      (args: Seq[Expression]) => ivfAppendTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -250,6 +258,12 @@ object GraftSql {
       l.value.asInstanceOf[Number].longValue()
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be an integer literal, got $other")
+  }
+
+  private def boolLit(e: Expression, fn: String, what: String): Boolean = e match {
+    case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a boolean literal, got $other")
   }
 
   private def dblLit(e: Expression, fn: String, what: String): Double = e match {
@@ -515,6 +529,29 @@ object GraftSql {
     val spark = SparkSession.active
     graft.llm.Similarity.saveIvfIndex(spark.table(cv), idCol, vecCol, dir,
       nlist, seed = seed)
+    graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_append_t` table-function plan:
+    * `graft_ivf_append_t('newVectorsView', 'idCol', 'vecCol', 'dir'[,
+    * compact])` — incremental index growth from SQL: assigns ONLY the new
+    * vectors against the stored centroids and lands a `_COMMIT`-gated
+    * delta (no retrain, no base rewrite); `compact = true` additionally
+    * folds base + deltas into one new committed version afterwards.
+    * EAGER with a side effect, like `graft_ivf_save_t`; returns the
+    * served centroid table (cell, _cv). */
+  private def ivfAppendTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_append_t"
+    require(args.length >= 4 && args.length <= 5,
+      s"usage: $fn('newVectorsView', 'idCol', 'vecCol', 'dir'[, compact])")
+    val nv = strLit(args(0), fn, "new-vectors view")
+    val idCol = strLit(args(1), fn, "id column")
+    val vecCol = strLit(args(2), fn, "vector column")
+    val dir = strLit(args(3), fn, "index dir")
+    val compact = args.length == 5 && boolLit(args(4), fn, "compact")
+    val spark = SparkSession.active
+    graft.llm.Similarity.appendIvfIndex(spark.table(nv), idCol, vecCol, dir)
+    if (compact) graft.llm.Similarity.compactIvfIndex(spark, dir)
     graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
   }
 

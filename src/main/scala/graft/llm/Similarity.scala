@@ -356,8 +356,114 @@ object Similarity {
     val spark = queries.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
     val cents = spark.read.parquet(s"$vdir/centroids")
-    val c = spark.read.parquet(s"$vdir/corpus")
-    ivfScore(probedQueries(queries, cents, idCol, vecCol, nprobe), c, k, salt)
+    ivfScore(probedQueries(queries, cents, idCol, vecCol, nprobe),
+      ivfCorpus(spark, vdir), k, salt)
+  }
+
+  /** The serving corpus of a version dir: the base cell-partitioned
+    * corpus unioned with every COMMITTED delta (see [[appendIvfIndex]]).
+    * Each path is read as its OWN partition-discovery root (one
+    * multi-path read would fail on "conflicting directory structures":
+    * base and delta leaves sit at different depths under their common
+    * ancestor) — probed-cell partition pruning applies per branch of the
+    * union, so the probed-fraction file-scan promise holds for base and
+    * deltas alike. */
+  private def ivfCorpus(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): DataFrame = {
+    val paths = s"$vdir/corpus" +:
+      committedDeltas(spark, vdir).map(d => s"${d._2}/corpus")
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** All `delta<d>` dirs of a version dir (committed or not). */
+  private def deltaDirs(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(vdir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).filter(_.isDirectory).toSeq.flatMap { s =>
+      val nm = s.getPath.getName
+      if (nm.startsWith("delta"))
+        nm.drop(5).toLongOption.map(_ -> s.getPath.toString)
+      else None
+    }
+  }
+
+  private def committedDeltas(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Seq[(Long, String)] = {
+    val f = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deltaDirs(spark, vdir)
+      .filter(d => f.exists(new org.apache.hadoop.fs.Path(d._2, "_COMMIT")))
+      .sortBy(_._1)
+  }
+
+  /** Incremental corpus growth for a persisted index — the serving-time
+    * complement of [[saveIvfIndex]]: a 100 TB corpus grows continuously,
+    * and re-running k-means + full corpus assignment per delivery would
+    * make index freshness cost corpus-proportional work. `appendIvfIndex`
+    * assigns ONLY the new vectors against the stored centroids (no
+    * retraining, no base rewrite) and lands them as a cell-partitioned
+    * `delta<d>/` dir inside the current version, `_COMMIT`-gated like the
+    * versions themselves: a crashed append is invisible to readers and is
+    * swept by the next successful append. Readers union base + committed
+    * deltas with identical probed-cell pruning, so served results after an
+    * append are exactly the live [[ivfTopK]] over the grown corpus with
+    * the stored centroids (spec-pinned).
+    *
+    * Contracts: ids in `newVectors` must be new to the index (the reader
+    * does not dedup — same as appending to any corpus table); writers are
+    * single-threaded (same as [[saveIvfIndex]]); centroids go stale as the
+    * appended distribution drifts from the trained one — [[cellStats]]
+    * over the served corpus diagnoses drift, a [[saveIvfIndex]] rebuild
+    * (full retrain, version-swap, old version serves throughout) repairs
+    * it. Delta-dir count is bounded by [[compactIvfIndex]] cadence. */
+  def appendIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val vdir = latestIvfVersion(spark, indexDir)
+    val f = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val d = deltaDirs(spark, vdir).map(_._1).maxOption.getOrElse(0L) + 1
+    val ddir = s"$vdir/delta$d"
+    val cells = assignCells(newVectors, cents, idCol, vecCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+    newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
+      .join(cells, "neighbor_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$ddir/corpus")
+    f.create(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), true).close()
+    // sweep crashed (uncommitted) older deltas — unreadable leftovers
+    val committed = committedDeltas(spark, vdir).map(_._1).toSet
+    deltaDirs(spark, vdir).filter(x => x._1 < d && !committed(x._1))
+      .foreach(x => f.delete(new org.apache.hadoop.fs.Path(x._2), true))
+  }
+
+  /** Fold base + committed deltas into ONE new committed version with the
+    * SAME centroids (no retrain — compaction changes file layout, never
+    * results): long-running append cadence would otherwise accumulate one
+    * dir + one file-listing round per append forever. Rides the version
+    * commit protocol, so a crashed compaction leaves an uncommitted v-dir
+    * that readers skip and the next save/compaction sweeps, while the old
+    * version (its deltas included) serves throughout. No-op when the
+    * current version has no committed deltas. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val vdir = latestIvfVersion(spark, indexDir)
+    if (committedDeltas(spark, vdir).nonEmpty) {
+      val f = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val n = ivfVersions(spark, indexDir).map(_._1).max + 1
+      val vnew = s"$indexDir/v$n"
+      ivfCorpus(spark, vdir)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
+      spark.read.parquet(s"$vdir/centroids")
+        .write.mode("overwrite").parquet(s"$vnew/centroids")
+      f.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
+      ivfVersions(spark, indexDir).filter(_._1 < n)
+        .foreach(v => f.delete(new org.apache.hadoop.fs.Path(v._2), true))
+    }
   }
 
   /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ minCos —

@@ -257,6 +257,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql === live)
   }
 
+  test("graft_ivf_append_t: incremental growth from SQL ≡ typed append; compact flag folds") {
+    GraftSql.register(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_ivfapp").toString
+    val emb = spark.table("embeddings")
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    emb.filter(vid % 5 =!= 0).createOrReplaceTempView("ivfapp_base")
+    emb.filter(vid % 5 === 0).createOrReplaceTempView("ivfapp_new")
+    emb.filter(vid % 37 === 0).createOrReplaceTempView("ivfapp_q")
+    spark.sql(
+      s"SELECT * FROM graft_ivf_save_t('ivfapp_base', 'vec_id', 'embedding', '$dir', 8)").count()
+    assert(spark.sql("SELECT * FROM graft_ivf_append_t(" +
+      s"'ivfapp_new', 'vec_id', 'embedding', '$dir', true)").count() === 8L)
+    val fromSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_indexed_t('ivfapp_q', '$dir', 'vec_id', 'embedding', 5, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // live reference over the grown corpus with the STORED centroids
+    val live = graft.llm.Similarity.ivfTopK(spark.table("ivfapp_q"), emb,
+        graft.llm.Similarity.ivfCentroids(spark, dir),
+        "vec_id", "embedding", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSql === live)
+    // compact=true folded the delta into a fresh version
+    val v = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(v === Seq("v2"), s"expected one compacted version, got $v")
+    assert(new java.io.File(s"$dir/v2").listFiles().map(_.getName)
+      .count(_.startsWith("delta")) === 0)
+  }
+
   test("graft_combine_t equals the typed combineChunk") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)

@@ -120,6 +120,59 @@ class LlmSpec extends AnyFunSuite {
     assert(vdirs === Seq("v3"), s"superseded/crashed versions must sweep: $vdirs")
   }
 
+  test("IVF append: served ≡ live over the grown corpus; crash-safe deltas; compaction folds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val growth1 = embs.filter(col("vec_id") % 5 === 0 && col("vec_id") % 10 =!= 0)
+    val growth2 = embs.filter(col("vec_id") % 10 === 0)
+    val q = embs.filter(col("vec_id") % 37 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Similarity.saveIvfIndex(base, "vec_id", "embedding", dir, nlist = 8)
+    // live reference: the full grown corpus scored against the STORED
+    // centroids (append never retrains)
+    val cents = Similarity.ivfCentroids(spark, dir)
+    def live(corpus: org.apache.spark.sql.DataFrame) = rows(
+      Similarity.ivfTopK(q, corpus, cents, "vec_id", "embedding", k = 5, nprobe = 3))
+    Similarity.appendIvfIndex(growth1, "vec_id", "embedding", dir)
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === live(base.union(growth1)), "after first append")
+    // a crashed append (no _COMMIT) is invisible to readers
+    val crashed = new java.io.File(s"$dir/v1/delta2/corpus"); crashed.mkdirs()
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === live(base.union(growth1)))
+    // the next append sweeps it and serves the further-grown corpus
+    Similarity.appendIvfIndex(growth2, "vec_id", "embedding", dir)
+    val full = live(base.union(growth1).union(growth2))
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === full, "after second append")
+    assert(!new java.io.File(s"$dir/v1/delta2").exists(),
+      "crashed delta must be swept by the next successful append")
+    assert(new java.io.File(s"$dir/v1").listFiles().map(_.getName)
+      .count(_.startsWith("delta")) === 2)
+    // salted serving over base+deltas stays exact
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3, salt = 4)) === full)
+    // a crashed compaction (uncommitted version) is invisible
+    new java.io.File(s"$dir/v2/corpus").mkdirs()
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === full)
+    // compaction folds deltas into one new committed version, same
+    // centroids, identical results; old version + crashed v2 swept
+    Similarity.compactIvfIndex(spark, dir)
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === full, "after compaction")
+    val vdirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(vdirs === Seq("v3"), s"compaction must sweep old versions: $vdirs")
+    assert(new java.io.File(s"$dir/v3").listFiles().map(_.getName)
+      .count(_.startsWith("delta")) === 0)
+    // compaction with no deltas is a no-op (no new version)
+    Similarity.compactIvfIndex(spark, dir)
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq === Seq("v3"))
+  }
+
   test("k-means-trained centroids: deterministic, and recall not worse than the naive picker") {
     val q = embs.filter(col("vec_id") < 50)
     val naive = embs.filter(col("vec_id") < 8)
