@@ -375,27 +375,45 @@ object Similarity {
     paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
-  /** All `delta<d>` dirs of a version dir (committed or not). */
+  /** All `delta<name>` dirs of a version dir (committed or not), as
+    * (name, path). Anonymous appends use numeric names; streaming appends
+    * use their micro-batch id (`b<id>`) so replays are idempotent. */
   private def deltaDirs(spark: org.apache.spark.sql.SparkSession,
-      vdir: String): Seq[(Long, String)] = {
+      vdir: String): Seq[(String, String)] = {
     val root = new org.apache.hadoop.fs.Path(vdir)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) Nil
     else f.listStatus(root).filter(_.isDirectory).toSeq.flatMap { s =>
       val nm = s.getPath.getName
-      if (nm.startsWith("delta"))
-        nm.drop(5).toLongOption.map(_ -> s.getPath.toString)
+      if (nm.startsWith("delta") && nm.length > 5)
+        Some(nm.drop(5) -> s.getPath.toString)
       else None
     }
   }
 
   private def committedDeltas(spark: org.apache.spark.sql.SparkSession,
-      vdir: String): Seq[(Long, String)] = {
+      vdir: String): Seq[(String, String)] = {
     val f = new org.apache.hadoop.fs.Path(vdir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     deltaDirs(spark, vdir)
       .filter(d => f.exists(new org.apache.hadoop.fs.Path(d._2, "_COMMIT")))
       .sortBy(_._1)
+  }
+
+  /** Delta names already folded into this version by [[compactIvfIndex]]
+    * (the `_FOLDED` ledger) — a replayed streaming append whose delta was
+    * folded must be a no-op, or its rows would land twice. */
+  private def foldedDeltas(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(vdir, "_FOLDED")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
   }
 
   /** Incremental corpus growth for a persisted index — the serving-time
@@ -417,27 +435,44 @@ object Similarity {
     * appended distribution drifts from the trained one — [[cellStats]]
     * over the served corpus diagnoses drift, a [[saveIvfIndex]] rebuild
     * (full retrain, version-swap, old version serves throughout) repairs
-    * it. Delta-dir count is bounded by [[compactIvfIndex]] cadence. */
+    * it. Delta-dir count is bounded by [[compactIvfIndex]] cadence.
+    *
+    * `deltaName` keys the delta for IDEMPOTENT replay (streaming pollers
+    * pass their micro-batch id): re-appending an existing name rewrites
+    * the same dir from the same deterministic input, and a name already
+    * folded into the version by [[compactIvfIndex]] (the `_FOLDED`
+    * ledger) is a no-op — without either, a crash-replay straddling an
+    * append or a compaction would land the delivery's rows twice.
+    * Anonymous appends are auto-numbered and never no-op. */
   def appendIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, deltaName: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
-    val f = new org.apache.hadoop.fs.Path(vdir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cents = spark.read.parquet(s"$vdir/centroids")
-    val d = deltaDirs(spark, vdir).map(_._1).maxOption.getOrElse(0L) + 1
-    val ddir = s"$vdir/delta$d"
-    val cells = assignCells(newVectors, cents, idCol, vecCol, 1)
-      .withColumnRenamed(idCol, "neighbor_id")
-    newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
-      .join(cells, "neighbor_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$ddir/corpus")
-    f.create(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), true).close()
-    // sweep crashed (uncommitted) older deltas — unreadable leftovers
-    val committed = committedDeltas(spark, vdir).map(_._1).toSet
-    deltaDirs(spark, vdir).filter(x => x._1 < d && !committed(x._1))
-      .foreach(x => f.delete(new org.apache.hadoop.fs.Path(x._2), true))
+    if (!deltaName.exists(foldedDeltas(spark, vdir))) {
+      val f = new org.apache.hadoop.fs.Path(vdir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cents = spark.read.parquet(s"$vdir/centroids")
+      val d = deltaName.getOrElse(
+        (deltaDirs(spark, vdir).flatMap(_._1.toLongOption)
+          .maxOption.getOrElse(0L) + 1).toString)
+      val ddir = s"$vdir/delta$d"
+      // a replayed named delta may already be committed: drop the marker
+      // FIRST, so a crash mid-rewrite cannot leave half-written files
+      // behind a stale commit
+      f.delete(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), false)
+      val cells = assignCells(newVectors, cents, idCol, vecCol, 1)
+        .withColumnRenamed(idCol, "neighbor_id")
+      newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+          sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
+        .join(cells, "neighbor_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$ddir/corpus")
+      f.create(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), true).close()
+      // sweep crashed (uncommitted) other deltas — unreadable leftovers
+      // (single-writer contract: no concurrent append can be mid-write)
+      val committed = committedDeltas(spark, vdir).map(_._1).toSet
+      deltaDirs(spark, vdir).filter(x => x._1 != d && !committed(x._1))
+        .foreach(x => f.delete(new org.apache.hadoop.fs.Path(x._2), true))
+    }
   }
 
   /** Fold base + committed deltas into ONE new committed version with the
@@ -451,7 +486,8 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val vdir = latestIvfVersion(spark, indexDir)
-    if (committedDeltas(spark, vdir).nonEmpty) {
+    val folding = committedDeltas(spark, vdir)
+    if (folding.nonEmpty) {
       val f = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val n = ivfVersions(spark, indexDir).map(_._1).max + 1
@@ -460,6 +496,13 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
       spark.read.parquet(s"$vdir/centroids")
         .write.mode("overwrite").parquet(s"$vnew/centroids")
+      // the cumulative folded ledger (before _COMMIT): every delta name
+      // ever folded, carried across versions, so a replayed streaming
+      // append of a long-folded batch stays a no-op
+      val ledger = (foldedDeltas(spark, vdir) ++ folding.map(_._1)).toSeq.sorted
+      val out = f.create(new org.apache.hadoop.fs.Path(vnew, "_FOLDED"), true)
+      try out.write((ledger.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
       f.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
       ivfVersions(spark, indexDir).filter(_._1 < n)
         .foreach(v => f.delete(new org.apache.hadoop.fs.Path(v._2), true))
