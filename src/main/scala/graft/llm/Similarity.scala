@@ -295,20 +295,27 @@ object Similarity {
     * the operator's call, exactly as in any IVF serving system. */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int, sampleFraction: Double = 1.0,
-      seed: Long = 42L, maxIter: Int = 20): Unit = {
+      seed: Long = 42L, maxIter: Int = 20,
+      centroids: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = ivfVersions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1
     val vdir = s"$dir/v$n"
-    val cents = trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter)
+    // `centroids` (cell, _cv) injects an externally-trained codebook —
+    // offline training on a sample, or a deterministic picker a
+    // differential oracle can replay — and skips the k-means fit
+    // (`nlist`/`sampleFraction`/`seed`/`maxIter` unused then)
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
     val cells = assignCells(corpus, cents, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
       .join(cells, "neighbor_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
-    cents.write.mode("overwrite").parquet(s"$vdir/centroids")
+    cents.select(col("cell"), col("_cv"))
+      .write.mode("overwrite").parquet(s"$vdir/centroids")
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     // sweep superseded and crashed-uncommitted versions
     ivfVersions(spark, dir).filter(_._1 < n)
@@ -482,9 +489,16 @@ object Similarity {
     * commit protocol, so a crashed compaction leaves an uncommitted v-dir
     * that readers skip and the next save/compaction sweeps, while the old
     * version (its deltas included) serves throughout. No-op when the
-    * current version has no committed deltas. */
+    * current version has no committed deltas.
+    *
+    * `retain` keeps that many previous COMMITTED versions on disk
+    * (default 0 = sweep all): a serving deployment sets `retain = 1` so a
+    * query batch that resolved the version just before the fold finishes
+    * its scan against files that still exist — the retained version is
+    * swept by the NEXT compaction, by which time in-flight readers of it
+    * are long gone. Uncommitted (crashed) versions are always swept. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, retain: Int = 0): Unit = {
     val vdir = latestIvfVersion(spark, indexDir)
     val folding = committedDeltas(spark, vdir)
     if (folding.nonEmpty) {
@@ -504,7 +518,11 @@ object Similarity {
       try out.write((ledger.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       f.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
-      ivfVersions(spark, indexDir).filter(_._1 < n)
+      val keep = ivfVersions(spark, indexDir)
+        .filter(v => v._1 < n &&
+          f.exists(new org.apache.hadoop.fs.Path(v._2, "_COMMIT")))
+        .sortBy(-_._1).take(retain).map(_._1).toSet
+      ivfVersions(spark, indexDir).filter(v => v._1 < n && !keep(v._1))
         .foreach(v => f.delete(new org.apache.hadoop.fs.Path(v._2), true))
     }
   }

@@ -173,6 +173,31 @@ class LlmSpec extends AnyFunSuite {
       .filter(_.startsWith("v")).sorted.toSeq === Seq("v3"))
   }
 
+  test("compaction retain=1 keeps exactly one previous committed version until the next fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfret").toString
+    val vid = col("vec_id")
+    def versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    Similarity.saveIvfIndex(embs.filter(vid % 3 === 0), "vec_id", "embedding",
+      dir, nlist = 8)
+    Similarity.appendIvfIndex(embs.filter(vid % 3 === 1), "vec_id", "embedding", dir)
+    Similarity.compactIvfIndex(spark, dir, retain = 1)
+    assert(versions === Seq("v1", "v2"),
+      "the pre-fold version must survive for in-flight readers")
+    // serving resolves the newest committed version regardless
+    val q = embs.filter(vid % 37 === 0)
+    val cents = Similarity.ivfCentroids(spark, dir).localCheckpoint(true)
+    val grown = embs.filter(vid % 3 === 0).union(embs.filter(vid % 3 === 1))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding", 5, 3))
+      === rows(Similarity.ivfTopK(q, grown, cents, "vec_id", "embedding", 5, 3)))
+    // the next fold retains v2 and sweeps v1
+    Similarity.appendIvfIndex(embs.filter(vid % 3 === 2), "vec_id", "embedding", dir)
+    Similarity.compactIvfIndex(spark, dir, retain = 1)
+    assert(versions === Seq("v2", "v3"))
+  }
+
   test("k-means-trained centroids: deterministic, and recall not worse than the naive picker") {
     val q = embs.filter(col("vec_id") < 50)
     val naive = embs.filter(col("vec_id") < 8)
