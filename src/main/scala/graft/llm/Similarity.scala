@@ -473,7 +473,17 @@ object Similarity {
           sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
         .join(cells, "neighbor_id")
         .write.mode("overwrite").partitionBy("cell").parquet(s"$ddir/corpus")
-      f.create(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), true).close()
+      // an all-rows-excluded delivery (empty batch, or every vector
+      // zero/NaN-norm — assignCells drops those by contract) writes a
+      // partitioned dir with NO cell= children, which parquet schema
+      // inference cannot read and which would poison every union read:
+      // leave NO delta rather than an unreadable one (replays converge
+      // to the same nothing)
+      val wroteRows = f.exists(new org.apache.hadoop.fs.Path(s"$ddir/corpus")) &&
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$ddir/corpus"))
+          .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      if (!wroteRows) f.delete(new org.apache.hadoop.fs.Path(ddir), true)
+      else f.create(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), true).close()
       // sweep crashed (uncommitted) other deltas — unreadable leftovers
       // (single-writer contract: no concurrent append can be mid-write)
       val committed = committedDeltas(spark, vdir).map(_._1).toSet

@@ -45,9 +45,13 @@ object IvfStream {
   /** One incremental poll: append every embedding file new to the
     * checkpoint to the index, compacting every `compactEvery` batches
     * (0 disables compaction). The index must exist —
-    * [[graft.llm.Similarity.saveIvfIndex]] seeds it. */
+    * [[graft.llm.Similarity.saveIvfIndex]] seeds it. `retain` previous
+    * committed versions survive each fold
+    * ([[graft.llm.Similarity.compactIvfIndex]]) — set 1 when query
+    * batches are served concurrently with the poller, so a reader that
+    * resolved its version just before a fold finishes its scan. */
   def pollAppend(spark: SparkSession, landingDir: String, indexDir: String,
-      workDir: String, compactEvery: Int = 16): Unit = {
+      workDir: String, compactEvery: Int = 16, retain: Int = 0): Unit = {
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
@@ -57,7 +61,7 @@ object IvfStream {
           Similarity.appendIvfIndex(batch, "vec_id", "embedding", indexDir,
             Some(s"b$batchId"))
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          Similarity.compactIvfIndex(sp, indexDir)
+          Similarity.compactIvfIndex(sp, indexDir, retain)
       }
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
   }

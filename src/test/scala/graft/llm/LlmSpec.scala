@@ -173,6 +173,26 @@ class LlmSpec extends AnyFunSuite {
       .filter(_.startsWith("v")).sorted.toSeq === Seq("v3"))
   }
 
+  test("appending an all-excluded delivery leaves NO delta (an empty partitioned dir would poison union reads)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfempty").toString
+    Similarity.saveIvfIndex(embs.limit(100), "vec_id", "embedding", dir, nlist = 4)
+    val q = embs.filter(col("vec_id") % 37 === 0)
+    def rows() = Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding", 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = rows()
+    // every vector zero-norm → assignCells drops all rows by contract
+    val allZero = Seq((9001L, Array.fill(8)(0.0f)), (9002L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(allZero, "vec_id", "embedding", dir, Some("bz"))
+    assert(new java.io.File(s"$dir/v1").listFiles().map(_.getName)
+      .count(_.startsWith("delta")) === 0, "no unreadable empty delta")
+    assert(rows() === before, "serving unchanged and readable")
+    // replay converges to the same nothing
+    Similarity.appendIvfIndex(allZero, "vec_id", "embedding", dir, Some("bz"))
+    assert(rows() === before)
+  }
+
   test("compaction retain=1 keeps exactly one previous committed version until the next fold") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfret").toString
     val vid = col("vec_id")
