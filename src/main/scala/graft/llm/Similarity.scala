@@ -247,10 +247,22 @@ object Similarity {
 
   /** Shared IVF scoring tail over a prepared query side (query_id, _qv,
     * _qn, cell) and corpus side (neighbor_id, _cv, _cn, cell) — the
-    * optionally-salted cell equi-join, exact re-scoring, per-query top-k. */
+    * optionally-salted cell equi-join, exact re-scoring, then per-query
+    * top-k with a per-partition bounded k-heap PRE-REDUCE (same contract
+    * as [[cosineTopK]]'s): the shuffle into the final per-query window
+    * carries ≤ partitions·k rows per query instead of every scored pair —
+    * at a probed-cell population of millions, the window would otherwise
+    * sort the entire scoring join output. Heap memory is (queries seen in
+    * the partition)·k entries, the same order as the query batch itself;
+    * eviction mirrors the window tie-break (cos desc, neighbor asc), so
+    * the reduced set contains exactly the window's winners. NaN cosines
+    * cannot occur here: both sides pass [[assignCells]], which drops
+    * zero/NaN-norm vectors by contract. */
   private def ivfScore(q: DataFrame, c: DataFrame, k: Int,
       salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    val spark = q.sparkSession
+    import spark.implicits._
     val scored = (if (salt == 1) q.join(c, "cell")
       else {
         val qs = q.withColumn("_salt",
@@ -260,10 +272,30 @@ object Similarity {
         qs.join(cs, Seq("cell", "_salt"))
       })
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+          .as("cos"))
+    val reduced = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, nid, cos) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by((t: (Double, Long)) => (-t._1, t._2))))
+        if (h.size < k) h.enqueue((cos, nid))
+        else {
+          val worst = h.head
+          if (cos > worst._1 || (cos == worst._1 && nid < worst._2)) {
+            h.dequeue(); h.enqueue((cos, nid))
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, nid) => (qid, nid, cos) }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    reduced.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "cos")
   }
 
