@@ -80,6 +80,10 @@ import scala.collection.mutable
   *     cell-partitioned index (and returns its centroids); the indexed
   *     top-k serves query batches against the directory, scanning only
   *     the probed cells' partitions;
+  *   - `graft_ingest_pipeline_t('landing', 'work', 'index'[, minJ])` —
+  *     the composed dedup→index ingest poll: dedup each landed
+  *     (doc_id, text, embedding) delivery against the full corpus state,
+  *     then index only the new cluster representatives' embeddings;
   *   - `graft_ivf_append_t('newV', 'id', 'vec', 'dir'[, compact])` —
   *     incremental index growth: new vectors assigned against the stored
   *     centroids land as a `_COMMIT`-gated delta (no retrain); `compact =
@@ -144,6 +148,10 @@ object GraftSql {
       FunctionIdentifier("graft_ingest_repair_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ingest_repair_t"),
       (args: Seq[Expression]) => ingestRepairTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ingest_pipeline_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ingest_pipeline_t"),
+      (args: Seq[Expression]) => ingestPipelineTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ivf_save_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_save_t"),
@@ -476,6 +484,33 @@ object GraftSql {
     // fresh session sees it all.
     graft.streaming.DedupStream.pollNearDedup(spark.newSession(), landing,
       work, p)
+    graft.streaming.DedupStream.assignments(spark, work)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_ingest_pipeline_t` table-function plan:
+    * `graft_ingest_pipeline_t('landingDir', 'workDir', 'indexDir'[,
+    * minJaccard])` — the composed dedup→index ingest loop
+    * ([[graft.streaming.PipelineStream]]) from SQL: one checkpointed poll
+    * dedups every newly-landed (doc_id, text, embedding) file against the
+    * full corpus state and appends only NEW cluster representatives'
+    * embeddings to the persisted IVF index. EAGER side effect; isolated
+    * session for the same deadlock reason as `graft_ingest_dedup_t`;
+    * returns the accumulated (doc_id, rep_id) assignment table. */
+  private def ingestPipelineTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ingest_pipeline_t"
+    require(args.length >= 3 && args.length <= 4,
+      s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard])")
+    val landing = strLit(args(0), fn, "landing dir")
+    val work = strLit(args(1), fn, "work dir")
+    val index = strLit(args(2), fn, "index dir")
+    val defaults = graft.streaming.DedupStream.Params()
+    val p = if (args.length == 4)
+      defaults.copy(minJaccard = dblLit(args(3), fn, "minJaccard"))
+    else defaults
+    val spark = SparkSession.active
+    graft.streaming.PipelineStream.pollIngest(spark.newSession(), landing,
+      work, index, p)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }

@@ -411,7 +411,29 @@ object Similarity {
       vdir: String): DataFrame = {
     val paths = s"$vdir/corpus" +:
       committedDeltas(spark, vdir).map(d => s"${d._2}/corpus")
-    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val f = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a corpus written from zero rows has no cell= children and no
+    // readable schema — skip such paths (an index seeded EMPTY with
+    // external centroids, to be grown purely by appends, is legal)
+    val readable = paths.filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      f.exists(hp) && f.listStatus(hp)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    }
+    if (readable.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("_cn",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType))))
+    else readable.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
   /** All `delta<name>` dirs of a version dir (committed or not), as

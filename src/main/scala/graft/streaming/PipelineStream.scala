@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.llm.Similarity
+
+/** The composed training-data ingest loop: documents and their embeddings
+  * land together, every delivery is near-dup deduped against the ENTIRE
+  * accumulated corpus ([[DedupStream]] state), and ONLY the embeddings of
+  * documents that become NEW cluster representatives enter the persisted
+  * ANN index ([[graft.llm.Similarity.appendIvfIndex]]) — the index serves
+  * a deduplicated corpus by construction: one vector per near-dup
+  * cluster, re-deliveries and near-copies never inflate it.
+  *
+  * Per micro-batch, inside ONE checkpointed stream:
+  *   1. [[DedupStream.processBatch]] clusters the delivery against state
+  *      (its own exactly-once story: per-batch state dirs, replays
+  *      rewrite bit-identically, snapshot compaction);
+  *   2. the batch's assignment table (`assign/b<id>`) names the new reps:
+  *      `rep_id = doc_id` — a doc attaching to any stored cluster gets
+  *      the stored (smaller-id) rep instead;
+  *   3. those docs' embeddings append to the index as delta `b<id>`
+  *      ([[graft.llm.Similarity.appendIvfIndex]]'s replay/fold-ledger
+  *      idempotence; a delivery with no new reps appends nothing).
+  *
+  * A crash between (1) and (3) replays the whole batch: (1) rewrites the
+  * same state dirs, (2) reads the same rewritten assignment, (3) rewrites
+  * the same delta or no-ops via the `_FOLDED` ledger — convergent at
+  * every cut point.
+  *
+  * Seed the index before the first poll — with a corpus, or EMPTY with
+  * externally-trained centroids (`saveIvfIndex(centroids = Some(...))`
+  * over zero rows) to grow purely by ingest.
+  *
+  * Documented deviation, inherited from [[DedupStream]]: clusters never
+  * merge across batches, so a later bridge doc attaches to ONE stored rep
+  * while batch semantics would merge two clusters — after an offline
+  * [[DedupStream.repairMerges]], reps rewritten away remain in the index
+  * until the next operator-initiated full rebuild (`saveIvfIndex` over
+  * the repaired representative corpus, poller stopped): the index is a
+  * superset of the repaired representative set, never missing one.
+  *
+  * Landing layout: parquet files of [[landingSchema]] one level below
+  * `landingDir`.
+  */
+object PipelineStream {
+  val landingSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** One incremental poll over doc+embedding deliveries: dedup against
+    * the full corpus state under `workDir`, then index only the new
+    * representatives. `compactEvery`/`retain` control the INDEX fold
+    * cadence ([[IvfStream.pollAppend]] semantics); the dedup state
+    * compacts on `p.compactEvery` as always. */
+  def pollIngest(spark: SparkSession, landingDir: String, workDir: String,
+      indexDir: String, p: DedupStream.Params = DedupStream.Params(),
+      compactEvery: Int = 16, retain: Int = 0): Unit = {
+    spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
+      .writeStream.option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        DedupStream.processBatch(sp, batch.select("doc_id", "text"),
+          workDir, p, batchId)
+        val assigned = sp.read.parquet(s"$workDir/assign/b$batchId")
+        val newReps = assigned.filter(col("rep_id") === col("doc_id"))
+          .select(col("doc_id").as("vec_id"))
+        val newVecs = batch
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(newReps, "vec_id")
+        Similarity.appendIvfIndex(newVecs, "vec_id", "embedding", indexDir,
+          Some(s"b$batchId"))
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          Similarity.compactIvfIndex(sp, indexDir, retain)
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+  }
+}

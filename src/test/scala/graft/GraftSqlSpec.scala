@@ -233,6 +233,45 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(repaired === got2)
   }
 
+  test("graft_ingest_pipeline_t: dedup→index loop from SQL, index holds only representatives") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_pipe").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    val index = s"$base/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    graft.llm.Similarity.saveIvfIndex(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", index, nlist = 4, centroids = Some(cents))
+    def vec(id: Long) = { val a = new Array[Float](8); a((id % 8).toInt) = 1.0f; a }
+    def land(name: String, rows: (Long, String)*): Unit =
+      rows.map { case (id, t) => (id, t, vec(id)) }
+        .toDF("doc_id", "text", "embedding").write.parquet(s"$landing/$name")
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = graft.llm.Similarity.ivfTopKIndexed(probe, index,
+        "vec_id", "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    def q = "SELECT doc_id, rep_id FROM " +
+      s"graft_ingest_pipeline_t('$landing', '$work', '$index')"
+    land("c1", 1L -> "alpha text body one", 2L -> "alpha text body one",
+      3L -> "beta text body two")
+    assert(spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(indexedIds() === Set(1L, 3L), "one vector per cluster")
+    // second delivery through the SAME statement: exact re-delivery
+    // attaches without indexing, a new doc indexes
+    land("c2", 11L -> "alpha text body one", 12L -> "gamma text body three")
+    assert(spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set(1L -> 1L, 2L -> 1L, 3L -> 3L, 11L -> 1L, 12L -> 12L))
+    assert(indexedIds() === Set(1L, 3L, 12L))
+    // idempotent with nothing new landed
+    assert(spark.sql(q).count() === 5L)
+    assert(indexedIds() === Set(1L, 3L, 12L))
+  }
+
   test("graft_ivf_save_t + graft_ivf_topk_indexed_t: train-once/serve-many ≡ live IVF") {
     GraftSql.register(spark, TestSpark.sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_sql_ivfidx").toString

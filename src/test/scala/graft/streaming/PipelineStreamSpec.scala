@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.llm.Similarity
+
+/** The composed dedup→index ingest loop: after every poll the ANN index
+  * must contain EXACTLY the cluster representatives accumulated so far —
+  * near-dup and exact re-deliveries never add vectors, new clusters
+  * always do — and stay consistent across an empty-seeded index, empty
+  * re-polls, and a replay of the last batch. */
+class PipelineStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val p = DedupStream.Params(n = 3, numHashes = 16, bands = 8,
+    minJaccard = 0.8)
+
+  /** Same clique fixture as DedupStreamSpec: 42 tagged words, variant k
+    * replaces slot 20 — within-cluster Jaccard ≈ 0.86, cross-cluster 0. */
+  private def member(tag: String, k: Int): String =
+    (0 until 42).map { i =>
+      if (i == 20 && k > 0) s"${tag}_var$k" else s"${tag}_w$i"
+    }.mkString(" ")
+
+  private def vec(id: Long): Array[Float] = {
+    val a = new Array[Float](8)
+    a((id % 8).toInt) = 1.0f
+    a(((id + 3) % 8).toInt) = 0.01f * (id % 97)
+    a
+  }
+
+  private def delivery(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, vec(id)) }
+      .toDF("doc_id", "text", "embedding")
+
+  test("index contains exactly the accumulated representatives after every poll") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    // empty-seeded index: externally-trained centroids, zero corpus rows
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select("doc_id", "embedding")
+        .withColumnRenamed("doc_id", "vec_id"),
+      "vec_id", "embedding", index, nlist = 4, centroids = Some(cents))
+
+    // all indexed ids, via a full-probe serve (k and nprobe large enough
+    // to return the whole corpus)
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    assert(indexedIds() === Set.empty, "empty-seeded index serves empty")
+
+    // poll 1: clusters a (3 members) and b (1), one exact dup of a's rep
+    delivery(1L -> member("a", 0), 2L -> member("a", 1), 3L -> member("b", 0),
+      4L -> member("a", 0)).write.parquet(s"$landing/d0")
+    PipelineStream.pollIngest(spark, landing, work, index, p, compactEvery = 2)
+    assert(indexedIds() === Set(1L, 3L),
+      "index = one vector per cluster: a's rep 1, b's rep 3")
+
+    // poll 2: near-dups of a and b (attach, no index growth) + new
+    // cluster c (grows) — batch id 1 also triggers the fold
+    delivery(11L -> member("a", 2), 12L -> member("b", 1),
+      13L -> member("c", 0)).write.parquet(s"$landing/d1")
+    PipelineStream.pollIngest(spark, landing, work, index, p, compactEvery = 2)
+    assert(indexedIds() === Set(1L, 3L, 13L),
+      "re-deliveries attach without indexing; new cluster c indexed")
+    assert(new java.io.File(index).listFiles().map(_.getName)
+      .count(_.startsWith("v")) === 1, "fold swept the pre-fold version")
+
+    // dedup assignments agree with what the index serves
+    val reps = DedupStream.assignments(spark, work)
+      .filter(col("rep_id") === col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reps === Set(1L, 3L, 13L))
+
+    // idempotent empty re-poll
+    PipelineStream.pollIngest(spark, landing, work, index, p, compactEvery = 2)
+    assert(indexedIds() === Set(1L, 3L, 13L))
+
+    // replay of the last batch (a restarted poller re-running batch 1):
+    // dedup state rewrites bit-identically, the index append no-ops via
+    // the _FOLDED ledger (batch 1's delta was folded)
+    DedupStream.processBatch(spark, delivery(11L -> member("a", 2),
+        12L -> member("b", 1), 13L -> member("c", 0))
+      .select("doc_id", "text"), work, p, 1L)
+    Similarity.appendIvfIndex(
+      delivery(13L -> member("c", 0)).select(col("doc_id").as("vec_id"),
+        col("embedding")), "vec_id", "embedding", index, Some("b1"))
+    assert(indexedIds() === Set(1L, 3L, 13L), "replay converges")
+    assert(DedupStream.assignments(spark, work).count() === 7L)
+  }
+}
