@@ -222,6 +222,9 @@ object Similarity {
     * moderate skew at runtime, the salt covers the degenerate
     * nearly-all-one-cell corpus where one reducer would hold most of the
     * table. */
+  /** Id columns must be NUMERIC (cast to long in the output) — same
+    * contract as [[cosineTopK]]; the scoring tail's per-partition top-k
+    * pre-reduce runs over typed (long, long, double) rows. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       salt: Int = 1): DataFrame = {

@@ -117,6 +117,27 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // Incremental-growth parity: index HALF the corpus, append the other
+    // half against the stored centroids, serve — cell assignment per
+    // vector is independent of arrival, so the result must hash-equal
+    // ann3's full-save serve (same oracle SQL) — the append path gated by
+    // the driver differential, not just ScalaTest.
+    "ann4_ivf_appended" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann4").toString
+      Similarity.saveIvfIndex(e.filter(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", idx, nlist = 8, centroids = Some(cents))
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", idx)
+      val q = e.filter(col("vec_id") < 50)
+      sortAll(Similarity.ivfTopKIndexed(q, idx, "vec_id", "embedding",
+          k = 5, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos")))
+    }),
+
     // Token counting: whitespace + BPE-ish regex estimate
     "tx1_token_stats" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -305,6 +326,40 @@ object LlmQueries {
     // the probed-cell scoring replay of ann2, emitting the served top-5
     // rows themselves (indexed path ≡ live path ≡ this SQL)
     "ann3_ivf_indexed" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM $embsPq WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM $embsPq),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
+         |         FROM $embsPq WHERE vec_id < 8),
+         |ca AS (SELECT neighbor_id, cell FROM (
+         |         SELECT c.neighbor_id, cent.cell,
+         |           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+         |             list_inner_product(cv, ev)
+         |               / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(ev, ev)))
+         |             DESC, cent.cell) AS rn
+         |         FROM c, cent) WHERE rn <= 1),
+         |qa AS (SELECT query_id, cell FROM (
+         |         SELECT q.query_id, cent.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             list_inner_product(qv, ev)
+         |               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(ev, ev)))
+         |             DESC, cent.cell) AS rn
+         |         FROM q, cent) WHERE rn <= 3),
+         |sa AS (SELECT q.query_id, c.neighbor_id,
+         |         list_inner_product(qv, cv)
+         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+         |       FROM q JOIN qa USING (query_id)
+         |       JOIN ca USING (cell)
+         |       JOIN c USING (neighbor_id)
+         |       WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rn FROM sa)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
+         |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin,
+
+    // arrival order cannot change cell assignment → identical replay
+    "ann4_ivf_appended" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM $embsPq WHERE vec_id < 50),
          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
