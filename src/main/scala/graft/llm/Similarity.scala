@@ -549,6 +549,43 @@ object Similarity {
     }
   }
 
+  /** Rewrite the serving corpus of an index through `f` (a filter /
+    * projection over (neighbor_id, _cv, _cn, cell) — cell assignments and
+    * vector payloads must be preserved) into ONE new committed version
+    * with the SAME centroids, riding the version-swap protocol: a crashed
+    * rewrite leaves an uncommitted v-dir readers skip, and the old
+    * version serves throughout. The `_FOLDED` ledger is carried forward,
+    * so streaming replays of folded batches still no-op afterwards.
+    * Single-writer, like every index mutation here. The load-bearing use:
+    * pruning absorbed ex-representatives after an offline
+    * [[graft.streaming.DedupStream.repairMerges]]. */
+  def rewriteIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, retain: Int = 0)(f: DataFrame => DataFrame): Unit = {
+    val vdir = latestIvfVersion(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = ivfVersions(spark, indexDir).map(_._1).max + 1
+    val vnew = s"$indexDir/v$n"
+    f(ivfCorpus(spark, vdir))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
+    spark.read.parquet(s"$vdir/centroids")
+      .write.mode("overwrite").parquet(s"$vnew/centroids")
+    val ledger = (foldedDeltas(spark, vdir) ++
+      committedDeltas(spark, vdir).map(_._1)).toSeq.sorted
+    if (ledger.nonEmpty) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(vnew, "_FOLDED"), true)
+      try out.write((ledger.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
+    val keep = ivfVersions(spark, indexDir)
+      .filter(v => v._1 < n &&
+        fs.exists(new org.apache.hadoop.fs.Path(v._2, "_COMMIT")))
+      .sortBy(-_._1).take(retain).map(_._1).toSet
+    ivfVersions(spark, indexDir).filter(v => v._1 < n && !keep(v._1))
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(v._2), true))
+  }
+
   /** Fold base + committed deltas into ONE new committed version with the
     * SAME centroids (no retrain — compaction changes file layout, never
     * results): long-running append cadence would otherwise accumulate one

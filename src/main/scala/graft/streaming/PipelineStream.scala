@@ -81,4 +81,30 @@ object PipelineStream {
       }
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
   }
+
+  /** Close the cross-batch deviation END TO END, offline (poller
+    * stopped): run [[DedupStream.repairMerges]] — bridge clusters the
+    * stream left split merge to their true component reps — then PRUNE
+    * the index to exactly the repaired representative set. Every
+    * post-repair rep is an EXISTING rep (a merged component's rep is the
+    * min assigned doc id = the min of its sub-clusters' reps, and every
+    * sub-cluster rep was indexed when it appeared), so pruning the stored
+    * corpus is sufficient: no embedding needs to be re-landed, and
+    * afterwards the index holds one vector per REPAIRED cluster — the
+    * state a batch pipeline over the full corpus would have produced.
+    * Rides the index version protocol ([[graft.llm.Similarity
+    * .rewriteIvfIndex]]): crash-safe, `_FOLDED` ledger carried, resuming
+    * the poller afterwards is the documented single-writer hand-back. */
+  def repairAndPrune(spark: SparkSession, workDir: String, indexDir: String,
+      p: DedupStream.Params = DedupStream.Params(), retain: Int = 0): Unit = {
+    DedupStream.repairMerges(spark, workDir, p)
+    val reps = DedupStream.assignments(spark, workDir)
+      .filter(col("rep_id") === col("doc_id"))
+      .select(col("doc_id").as("neighbor_id"))
+    // plain semi-join: the representative set IS the deduplicated corpus
+    // (huge at scale) — no broadcast hint; AQE may still choose one when
+    // it fits
+    Similarity.rewriteIvfIndex(spark, indexDir, retain)(
+      _.join(reps, Seq("neighbor_id"), "left_semi"))
+  }
 }

@@ -96,4 +96,52 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(indexedIds() === Set(1L, 3L, 13L), "replay converges")
     assert(DedupStream.assignments(spark, work).count() === 7L)
   }
+
+  test("repairAndPrune: after offline bridge repair the index holds exactly the repaired reps") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe_rep").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+        col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    // DedupStreamSpec's bridge-chain corpus: A_k/B_k distinct until
+    // bridge X_k lands in a LATER batch (all merges cross-batch)
+    def word(c: String, i: Int) = s"${c}_w$i"
+    def aDoc(c: String) = (0 until 42).map(word(c, _)).mkString(" ")
+    def bDoc(c: String) = (0 until 42).map(i =>
+      if (i == 5) s"${c}_b5" else if (i == 10) s"${c}_b10" else word(c, i))
+      .mkString(" ")
+    def xDoc(c: String) = (0 until 42).map(i =>
+      if (i == 5) s"${c}_b5" else word(c, i)).mkString(" ")
+    delivery(100L -> aDoc("u"), 200L -> bDoc("u"), 500L -> "lone text here")
+      .write.parquet(s"$landing/d0")
+    PipelineStream.pollIngest(spark, landing, work, index, p)
+    delivery(700L -> xDoc("u"), 800L -> aDoc("w")).write.parquet(s"$landing/d1")
+    PipelineStream.pollIngest(spark, landing, work, index, p)
+    // pre-repair: u's two clusters are both represented (the deviation)
+    assert(indexedIds() === Set(100L, 200L, 500L, 800L))
+    PipelineStream.repairAndPrune(spark, work, index, p)
+    // the bridge merged 200's cluster into 100's; its vector is pruned
+    val repaired = DedupStream.assignments(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repaired === Set(100L -> 100L, 200L -> 100L, 500L -> 500L,
+      700L -> 100L, 800L -> 800L))
+    assert(indexedIds() === Set(100L, 500L, 800L),
+      "index = exactly the repaired representative set")
+    // the poller resumes on repaired state: a near-copy of the absorbed
+    // cluster attaches to the merged rep, index unchanged
+    delivery(900L -> bDoc("u")).write.parquet(s"$landing/d2")
+    PipelineStream.pollIngest(spark, landing, work, index, p)
+    assert(DedupStream.assignments(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.contains(900L -> 100L))
+    assert(indexedIds() === Set(100L, 500L, 800L))
+  }
 }
