@@ -388,6 +388,16 @@ object Similarity {
       indexDir: String): DataFrame =
     spark.read.parquet(s"${latestIvfVersion(spark, indexDir)}/centroids")
 
+  /** Per-cell occupancy of a persisted index's SERVING corpus (base +
+    * committed deltas) — [[cellStats]] over what queries actually scan.
+    * The centroid-drift / hot-cell diagnostic for a long-running
+    * append-grown index: alert when `max(frac)` approaches 1 (salt the
+    * serve or rebuild), or when occupancy shifts far from the trained
+    * distribution (rebuild). */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    cellStats(ivfCorpus(spark, latestIvfVersion(spark, indexDir)))
+
   /** IVF top-k against a [[saveIvfIndex]] directory (highest committed
     * version): no training, no corpus assignment, and the scoring join
     * scans only the probed cells' partitions (dynamic partition pruning
