@@ -87,7 +87,9 @@ import scala.collection.mutable
   *   - `graft_ivf_append_t('newV', 'id', 'vec', 'dir'[, compact])` —
   *     incremental index growth: new vectors assigned against the stored
   *     centroids land as a `_COMMIT`-gated delta (no retrain); `compact =
-  *     true` folds base + deltas into one new version afterwards.
+  *     true` folds base + deltas into one new version afterwards;
+  *   - `graft_ivf_stats_t('dir')` — per-cell occupancy of the serving
+  *     corpus (base + deltas): the drift/hot-cell diagnostic.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -164,6 +166,10 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_append_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_append_t"),
       (args: Seq[Expression]) => ivfAppendTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_stats_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_stats_t"),
+      (args: Seq[Expression]) => ivfStatsTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -565,6 +571,18 @@ object GraftSql {
     graft.llm.Similarity.saveIvfIndex(spark.table(cv), idCol, vecCol, dir,
       nlist, seed = seed)
     graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_stats_t` table-function plan:
+    * `graft_ivf_stats_t('dir')` — per-cell occupancy (cell, n, frac) of a
+    * persisted index's SERVING corpus (base + committed deltas): the
+    * drift/hot-cell diagnostic for append-grown indexes, from SQL. */
+  private def ivfStatsTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_stats_t"
+    require(args.length == 1, s"usage: $fn('indexDir')")
+    val dir = strLit(args(0), fn, "index dir")
+    graft.llm.Similarity.ivfIndexStats(SparkSession.active, dir)
+      .queryExecution.logical
   }
 
   /** Build the `graft_ivf_append_t` table-function plan:

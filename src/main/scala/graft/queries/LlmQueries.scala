@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
 import Q._
 
 /** LLM training-data pipeline queries over the `documents` and `embeddings`
@@ -136,6 +136,14 @@ object LlmQueries {
           k = 5, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos")))
+    }),
+
+    // Composed corpus preparation: quality floor (rounded fixed-point
+    // boundary) + predicted-language selection + exact dedup — the batch
+    // recipe a training-data pipeline runs, as ONE oracle-gated query
+    "d7_corpus_prepare" -> ((s, dir) => {
+      sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text",
+        STOPS, MARKERS, 0.5, Seq("en")))
     }),
 
     // Token counting: whitespace + BPE-ish regex estimate
@@ -391,6 +399,37 @@ object LlmQueries {
          |        ORDER BY cos DESC, neighbor_id) AS rn FROM sa)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
          |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin,
+
+    // quality expr ≡ tx2's, language CASE ≡ tx3's, dedup ≡ d1's — the
+    // composition replayed over the filtered set
+    "d7_corpus_prepare" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+         |          + (stop_hits * 1.0 / n_tokens) * 0.3
+         |          + (CASE WHEN n_chars = 0 THEN 0.0
+         |                  ELSE alpha_chars * 1.0 / n_chars END) * 0.2, 6) AS q,
+         |    CASE WHEN v_es > greatest(v_en, v_de) THEN 'es'
+         |         WHEN v_de > v_en THEN 'de' ELSE 'en' END AS pl
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
+         |      CAST(len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits,
+         |      CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS alpha_chars,
+         |      CAST(length(text) AS DOUBLE) AS n_chars,
+         |      len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('the','a','of','and'))) AS v_en,
+         |      len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('der','die','das','und'))) AS v_de,
+         |      len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('el','la','los','y'))) AS v_es
+         |    FROM $docsPq))
+         |SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |FROM f WHERE q >= 0.5 AND pl = 'en'
+         |GROUP BY text
+         |${orderBySql("rep_id", "n_copies", "n_tokens")}""".stripMargin,
 
     "tx1_token_stats" ->
       s"""SELECT doc_id,

@@ -323,6 +323,10 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(v === Seq("v2"), s"expected one compacted version, got $v")
     assert(new java.io.File(s"$dir/v2").listFiles().map(_.getName)
       .count(_.startsWith("delta")) === 0)
+    // serving-corpus stats from SQL: occupancy sums to the full corpus
+    val statN = spark.sql(s"SELECT sum(n) AS t FROM graft_ivf_stats_t('$dir')")
+      .head.getLong(0)
+    assert(statN === emb.count(), "stats cover base + appended vectors")
   }
 
   test("graft_combine_t equals the typed combineChunk") {
