@@ -68,7 +68,12 @@ object PipelineStream {
         val sp = batch.sparkSession
         DedupStream.processBatch(sp, batch.select("doc_id", "text"),
           workDir, p, batchId)
-        val assigned = sp.read.parquet(s"$workDir/assign/b$batchId")
+        // explicit schema: an all-filtered batch writes an assignment dir
+        // with zero part files, where schema inference would throw
+        val assigned = sp.read.schema(
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("rep_id", LongType))))
+          .parquet(s"$workDir/assign/b$batchId")
         val newReps = assigned.filter(col("rep_id") === col("doc_id"))
           .select(col("doc_id").as("vec_id"))
         val newVecs = batch
