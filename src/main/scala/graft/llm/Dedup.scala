@@ -668,4 +668,55 @@ object Dedup {
         .filter(lit(0) <= maxDist),
       Seq("hamming"))
   }
+
+  /** Exact substring-span duplication stats — the "duplicate text
+    * fraction" corpus-cleaning signal (cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": exact substring
+    * duplication matters independently of document-level near-dups):
+    * per document, the fraction of its `spanTokens`-token windows that
+    * appear verbatim in at least `minDocs` DISTINCT documents. Unlike
+    * the n-gram Jaccard/MinHash tier (document-level similarity), this
+    * catches boilerplate spans embedded in otherwise-unique documents.
+    *
+    * Scale shape: each document emits (n_tokens − L + 1) window keys;
+    * with `hashWindows` (the default) the key is a 64-bit `xxhash64`, so
+    * the two aggregations shuffle 8-byte hashes — never window text. The
+    * windows-per-doc blowup is L× the token count, the inherent cost of
+    * span-level granularity; both aggregations are partial-agg friendly.
+    * `hashWindows = false` keys by the window STRING — bit-replayable by
+    * a SQL oracle with no hash-function parity assumption; a spec pins
+    * hashed ≡ string-keyed on real data.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_frac) — documents
+    * shorter than `spanTokens` tokens have no windows and are absent,
+    * exactly as in the oracle replay. */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int = 2,
+      hashWindows: Boolean = true): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val tok = split(col(textCol), " ")
+    val m = size(tok) - (spanTokens - 1)
+    // sequence(1, 0) yields [1, 0] (negative-step inference), not empty —
+    // the when-guard is load-bearing for texts shorter than the span
+    val idxs = when(m < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), m))
+    val winStr = transform(idxs, p => concat_ws(" ", slice(tok, p, lit(spanTokens))))
+    val winKey = if (hashWindows)
+      transform(winStr, w => xxhash64(w)) else winStr
+    val w = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(winKey).as("_w"))
+    val dup = w.groupBy("_w")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_w")
+    w.join(dup, Seq("_w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      .join(w.groupBy("doc_id").agg(count(lit(1)).as("n_windows")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)) /
+          col("n_windows"), 6).as("dup_frac"))
+  }
 }

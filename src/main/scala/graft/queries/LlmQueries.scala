@@ -138,6 +138,15 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // Exact substring-span duplication: per-doc fraction of 5-token
+    // windows appearing verbatim in ≥2 distinct documents. String-keyed
+    // here so DuckDB replays with no hash-parity assumption; the hashed
+    // scale path is pinned ≡ string-keyed in LlmSpec.
+    "d8_span_dups" -> ((s, dir) => {
+      sortAll(Dedup.spanDupStats(docs(s, dir), "doc_id", "text",
+        spanTokens = 5, hashWindows = false))
+    }),
+
     // Composed corpus preparation: quality floor (rounded fixed-point
     // boundary) + predicted-language selection + exact dedup — the batch
     // recipe a training-data pipeline runs, as ONE oracle-gated query
@@ -399,6 +408,22 @@ object LlmQueries {
          |        ORDER BY cos DESC, neighbor_id) AS rn FROM sa)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
          |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin,
+
+    // same 5-token windows, string-keyed, replayed with list slicing
+    "d8_span_dups" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM $docsPq),
+         |w AS (SELECT doc_id,
+         |        array_to_string(tok[p : p + 4], ' ') AS ws
+         |      FROM t, UNNEST(range(1, greatest(len(tok) - 4, 0) + 1)) AS u(p)),
+         |d AS (SELECT ws FROM w GROUP BY ws HAVING count(DISTINCT doc_id) >= 2),
+         |n AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY 1),
+         |k AS (SELECT doc_id, count(*) AS n_dup
+         |      FROM w JOIN d USING (ws) GROUP BY 1)
+         |SELECT doc_id, n_windows,
+         |  coalesce(n_dup, 0) AS n_dup_windows,
+         |  round(coalesce(n_dup, 0) * 1.0 / n_windows, 6) AS dup_frac
+         |FROM n LEFT JOIN k USING (doc_id)
+         |${orderBySql("doc_id", "n_windows", "n_dup_windows", "dup_frac")}""".stripMargin,
 
     // quality expr ≡ tx2's, language CASE ≡ tx3's, dedup ≡ d1's — the
     // composition replayed over the filtered set

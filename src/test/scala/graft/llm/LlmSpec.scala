@@ -32,6 +32,35 @@ class LlmSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("span-dup stats: hashed scale path ≡ string-keyed oracle path; planted spans detected") {
+    import spark.implicits._
+    // real-data parity: 64-bit hashing must not change any count
+    val hashed = Dedup.spanDupStats(docs, "doc_id", "text", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strKeyed = Dedup.spanDupStats(docs, "doc_id", "text", 5,
+        hashWindows = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed === strKeyed)
+    // planted fixture: a 5-token boilerplate span embedded in two
+    // otherwise-unique documents; a third document shares nothing
+    val boiler = "one two three four five"
+    val fix = Seq(
+      1L -> s"aa bb cc $boiler dd ee",
+      2L -> s"zz yy $boiler xx ww vv",
+      3L -> "qq rr ss tt uu pp oo nn").toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(fix, "doc_id", "text", 5).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 10 tokens → 6 windows, exactly 1 of them is the boiler span
+    assert(out(1L) === ((6L, 1L)))
+    assert(out(2L) === ((6L, 1L)))
+    assert(out(3L) === ((4L, 0L)), "no cross-doc span → zero dup windows")
+    // a doc shorter than the span has no windows and is absent
+    val short = Dedup.spanDupStats(
+      Seq(9L -> "just four tokens here").toDF("doc_id", "text"),
+      "doc_id", "text", 5)
+    assert(short.count() === 0L)
+  }
+
   test("exact dedup groups by content, representative = min id") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
     val nDocs = docs.count()
