@@ -139,12 +139,14 @@ object LlmQueries {
     }),
 
     // Exact substring-span duplication: per-doc fraction of 5-token
-    // windows appearing verbatim in ≥2 distinct documents. String-keyed
-    // here so DuckDB replays with no hash-parity assumption; the hashed
-    // scale path is pinned ≡ string-keyed in LlmSpec.
+    // windows appearing verbatim in ≥2 distinct documents. The hashed
+    // scale path (8-byte keys shuffle, not window text): the oracle
+    // compares only the per-doc COUNTS, which hashing preserves unless a
+    // 64-bit collision merges distinct windows (~1e-7 at this corpus
+    // size; LlmSpec additionally pins hashed ≡ string-keyed).
     "d8_span_dups" -> ((s, dir) => {
       sortAll(Dedup.spanDupStats(docs(s, dir), "doc_id", "text",
-        spanTokens = 5, hashWindows = false))
+        spanTokens = 5))
     }),
 
     // Composed corpus preparation: quality floor (rounded fixed-point
