@@ -55,13 +55,14 @@ object Bench {
     }
     // COMPACT line: the harness captures only the TAIL of process output
     // and json-parses the line it finds there — a line over ~2k chars gets
-    // its head truncated and parses as nothing. 3-decimal seconds keep all
-    // 72 queries in ~1.7k chars (ms resolution is below the noise floor
-    // anyway).
+    // its head truncated and parses as nothing. At 77 queries the
+    // 3-decimal form measured 1962 chars — inside the hazard margin — so
+    // per-query values print at 2 decimals (10 ms resolution, well below
+    // the 30–50 % run-to-run noise floor).
     // Locale.ROOT: the default-locale f-interpolator would print a comma
     // decimal separator on e.g. de_DE JVMs — invalid JSON
     def f3(v: Double) =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, -1.0) => "\"" + k + "\"" }
