@@ -262,7 +262,8 @@ object Similarity {
     * cannot occur here: both sides pass [[assignCells]], which drops
     * zero/NaN-norm vectors by contract. */
   private def ivfScore(q: DataFrame, c: DataFrame, k: Int,
-      salt: Int): DataFrame = {
+      salt: Int, score: Column = dotNative(col("_qv"), col("_cv")) /
+        (col("_qn") * col("_cn"))): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val spark = q.sparkSession
     import spark.implicits._
@@ -275,9 +276,7 @@ object Similarity {
         qs.join(cs, Seq("cell", "_salt"))
       })
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-          .as("cos"))
+      .select(col("query_id"), col("neighbor_id"), score.as("cos"))
     val reduced = scored.as[(Long, Long, Double)].mapPartitions { it =>
       val heaps = scala.collection.mutable.LongMap
         .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
@@ -557,6 +556,76 @@ object Similarity {
       deltaDirs(spark, vdir).filter(x => x._1 != d && !committed(x._1))
         .foreach(x => f.delete(new org.apache.hadoop.fs.Path(x._2), true))
     }
+  }
+
+  /** 8-bit scalar-quantized (SQ8) IVF tier — the storage-bound serving
+    * mode: each stored vector is (offset: float, step: float, bytes:
+    * array<tinyint>), ~4× smaller than float32, so at the 100 TB shape a
+    * probed-cell scan moves a quarter of the bytes. Quantization is PURE
+    * COLUMN MATH (per-row min/max + transform round — no UDFs, stays in
+    * codegen); the true vector norm `_cn` is kept in float-precision so
+    * the cosine denominator is exact and only the dot is approximate:
+    * dot(q, v̂) = o·Σqᵢ + step·dot(q, bytes). Approximation is gated by a
+    * recall floor in the spec, not an exactness oracle — the honest
+    * contract for lossy storage. Constant-component vectors (max = min)
+    * take step 0 and reconstruct exactly.
+    *
+    * Same version layout and commit protocol as [[saveIvfIndex]] (shared
+    * `latestIvfVersion` / `ivfIndexStats`); a quantized index is
+    * save-only — [[appendIvfIndex]] writes float rows and the union read
+    * would fail LOUDLY on the mismatched schema, never silently mix. */
+  def saveIvfIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int, sampleFraction: Double = 1.0,
+      seed: Long = 42L, maxIter: Int = 20,
+      centroids: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = ivfVersions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1
+    val vdir = s"$dir/v$n"
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
+    val cells = assignCells(corpus, cents, idCol, vecCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val v = col(vecCol)
+    val lo = array_min(v)
+    val step = ((array_max(v) - array_min(v)) / lit(255.0f)).cast("float")
+    // bytes are CENTERED: b = round((x−lo)/step) − 128 ∈ [−128, 127]
+    // (tinyint cannot hold 0..255), reconstructed as v̂ = o + step·b with
+    // offset o = lo + 128·step. A constant vector (step 0) stores b = 0
+    // and o = lo — exact reconstruction.
+    corpus.select(col(idCol).as("neighbor_id"),
+        (lo + lit(128.0f) * step).as("_qoff"), step.as("_qstep"),
+        transform(v, x => when(step === 0.0f, lit(0))
+          .otherwise(round((x - lo) / step) - lit(128))
+          .cast("tinyint")).as("_cq"),
+        sqrt(dotNative(v, v)).as("_cn"))
+      .join(cells, "neighbor_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
+    cents.select(col("cell"), col("_cv"))
+      .write.mode("overwrite").parquet(s"$vdir/centroids")
+    f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
+    ivfVersions(spark, dir).filter(_._1 < n)
+      .foreach(vd => f.delete(new org.apache.hadoop.fs.Path(vd._2), true))
+  }
+
+  /** Serve a [[saveIvfIndexQuantized]] directory: exact query vectors
+    * against reconstructed corpus dots — `cos ≈ (o·Σqᵢ + step·dot(q,
+    * bytes)) / (‖q‖·‖v‖)` with the exact stored ‖v‖. Same probed-cell
+    * pruning, heap pre-reduce, and salt contract as [[ivfTopKIndexed]]. */
+  def ivfTopKQuantized(queries: DataFrame, indexDir: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, salt: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val vdir = latestIvfVersion(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val q = probedQueries(queries, cents, idCol, vecCol, nprobe)
+      .withColumn("_qs", aggregate(col("_qv"), lit(0.0d),
+        (acc, x) => acc + x.cast("double")))
+    val c = ivfCorpus(spark, vdir)
+    val recon = col("_qoff").cast("double") * col("_qs") +
+      col("_qstep").cast("double") *
+        dotNative(col("_qv"), col("_cq").cast("array<float>"))
+    ivfScore(q, c, k, salt, score = recon / (col("_qn") * col("_cn")))
   }
 
   /** Rewrite the serving corpus of an index through `f` (a filter /

@@ -222,6 +222,60 @@ class LlmSpec extends AnyFunSuite {
     assert(rows() === before)
   }
 
+  test("SQ8 quantized index: recall floor vs exact, ~4x smaller vectors, loud on mixed append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
+    val fdir = java.nio.file.Files.createTempDirectory("graft_ivff").toString
+    val q = embs.filter(col("vec_id") < 50)
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", dir, nlist = 8)
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", fdir, nlist = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+    val exact = pairs(Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5))
+    val served = pairs(Similarity.ivfTopKQuantized(q, dir, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    val recall = Similarity.recallAgainst(exact, served, 5).head.getDouble(1)
+    // IVF(float, nprobe=3) itself is the probing ceiling; quantization
+    // must not lose more than a few points below it
+    val floatServed = pairs(Similarity.ivfTopKIndexed(q, fdir, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    val floatRecall = Similarity.recallAgainst(exact, floatServed, 5)
+      .head.getDouble(1)
+    assert(recall >= floatRecall - 0.05,
+      s"SQ8 recall $recall fell too far below float-IVF recall $floatRecall")
+    // salted serving returns the identical set
+    assert(pairs(Similarity.ivfTopKQuantized(q, dir, "vec_id", "embedding",
+        5, 3, salt = 4)).collect().toSet === served.collect().toSet)
+    // storage: quantized corpus bytes well under the float corpus
+    def corpusBytes(d: String) = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(s"$d/v1/corpus"))
+    }
+    assert(corpusBytes(dir) < (corpusBytes(fdir) * 0.5),
+      s"quantized ${corpusBytes(dir)} vs float ${corpusBytes(fdir)}")
+    // constant vectors reconstruct exactly (step 0 path)
+    val const = Seq((1L, Array.fill(8)(0.25f)), (2L, Array.fill(8)(0.25f)),
+      (3L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cdir = java.nio.file.Files.createTempDirectory("graft_ivfqc").toString
+    Similarity.saveIvfIndexQuantized(const, "vec_id", "embedding", cdir,
+      nlist = 2, centroids = Some(Seq((0L, Array.fill(8)(0.25f)),
+        (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("cell", "_cv")))
+    val cServed = Similarity.ivfTopKQuantized(
+        const.filter(col("vec_id") === 1L), cdir, "vec_id", "embedding", 2, 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(cServed(2L) - 1.0) < 1e-9,
+      "identical constant vectors must score cosine 1 exactly")
+    // appending float rows to a quantized index must fail loudly, not
+    // silently serve a mixed corpus
+    Similarity.appendIvfIndex(const.filter(col("vec_id") === 3L)
+      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", dir)
+    intercept[Exception] {
+      Similarity.ivfTopKQuantized(q, dir, "vec_id", "embedding", 5, 3)
+        .collect()
+    }
+  }
+
   test("compaction retain=1 keeps exactly one previous committed version until the next fold") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfret").toString
     val vid = col("vec_id")
