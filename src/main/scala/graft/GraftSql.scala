@@ -89,7 +89,10 @@ import scala.collection.mutable
   *     centroids land as a `_COMMIT`-gated delta (no retrain); `compact =
   *     true` folds base + deltas into one new version afterwards;
   *   - `graft_ivf_stats_t('dir')` — per-cell occupancy of the serving
-  *     corpus (base + deltas): the drift/hot-cell diagnostic.
+  *     corpus (base + deltas): the drift/hot-cell diagnostic;
+  *   - `graft_ivf_save_q_t(...)` / `graft_ivf_topk_q_t(...)` — the SQ8
+  *     quantized tier (~4× smaller stored vectors, recall-floor
+  *     contract) from SQL.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -170,6 +173,14 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_stats_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_stats_t"),
       (args: Seq[Expression]) => ivfStatsTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_save_q_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_save_q_t"),
+      (args: Seq[Expression]) => ivfSaveQTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_topk_q_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_q_t"),
+      (args: Seq[Expression]) => ivfTopkQTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -571,6 +582,48 @@ object GraftSql {
     graft.llm.Similarity.saveIvfIndex(spark.table(cv), idCol, vecCol, dir,
       nlist, seed = seed)
     graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_save_q_t` table-function plan:
+    * `graft_ivf_save_q_t('corpusView', 'idCol', 'vecCol', 'dir', nlist[,
+    * seed])` — SQ8 quantized index persistence
+    * ([[graft.llm.Similarity.saveIvfIndexQuantized]]): ~4× smaller stored
+    * vectors, recall-floor contract. EAGER side effect like
+    * `graft_ivf_save_t`; returns the saved centroid table. */
+  private def ivfSaveQTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_save_q_t"
+    require(args.length >= 5 && args.length <= 6,
+      s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir', nlist[, seed])")
+    val cv = strLit(args(0), fn, "corpus view")
+    val idCol = strLit(args(1), fn, "id column")
+    val vecCol = strLit(args(2), fn, "vector column")
+    val dir = strLit(args(3), fn, "index dir")
+    val nlist = lngLit(args(4), fn, "nlist").toInt
+    val seed = if (args.length == 6) lngLit(args(5), fn, "seed") else 42L
+    val spark = SparkSession.active
+    graft.llm.Similarity.saveIvfIndexQuantized(spark.table(cv), idCol,
+      vecCol, dir, nlist, seed = seed)
+    graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_topk_q_t` table-function plan:
+    * `graft_ivf_topk_q_t('queriesView', 'dir', 'idCol', 'vecCol', k,
+    * nprobe[, salt])` — serve a quantized index
+    * ([[graft.llm.Similarity.ivfTopKQuantized]]). */
+  private def ivfTopkQTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_topk_q_t"
+    require(args.length >= 6 && args.length <= 7,
+      s"usage: $fn('queriesView', 'dir', 'idCol', 'vecCol', k, nprobe[, salt])")
+    val qv = strLit(args(0), fn, "queries view")
+    val dir = strLit(args(1), fn, "index dir")
+    val idCol = strLit(args(2), fn, "id column")
+    val vecCol = strLit(args(3), fn, "vector column")
+    val k = lngLit(args(4), fn, "k").toInt
+    val nprobe = lngLit(args(5), fn, "nprobe").toInt
+    val salt = if (args.length == 7) lngLit(args(6), fn, "salt").toInt else 1
+    graft.llm.Similarity.ivfTopKQuantized(SparkSession.active.table(qv),
+        dir, idCol, vecCol, k, nprobe, salt)
+      .queryExecution.logical
   }
 
   /** Build the `graft_ivf_stats_t` table-function plan:

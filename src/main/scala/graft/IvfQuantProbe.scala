@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+
+/** SQ8-vs-float serving probe (SURVEY §8): the same synthetic corpus as
+  * [[IvfIngestProbe]] indexed BOTH ways, the same query batch served from
+  * both directories — reports on-disk corpus bytes, serve wall, and the
+  * quantized result's recall against the float-IVF serve at identical
+  * (k, nprobe). Quantized recall is measured against float-IVF (the same
+  * probing) so the number isolates the quantization loss, not the cell
+  * probing loss.
+  *
+  * `SPARK_GRAFT_IVF_BASE` scales (default 200000; 1000000 for the 10×
+  * probe). */
+object IvfQuantProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = sys.env.getOrElse("SPARK_GRAFT_IVF_BASE", "200000").toLong
+    val dim = 64; val nlist = 16
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfquant").toString
+
+    // jitter spans ~50 of the ~255 quantization levels (per-vector range
+    // is dominated by the 1.0 one-hot → step ≈ 1/255): realistic
+    // embedding texture. The DEGENERATE variant (jitter/50000 ≈ 5 levels,
+    // i.e. discriminative signal below quantization noise) was measured
+    // too: raw SQ8 recall collapses to 0.42 and even refineFactor=8 only
+    // reaches 0.87, because the proposal stage carries no rank signal —
+    // the documented reason SQ8 is gated on recall, not exactness, and
+    // rescoring cannot rescue a signal-free proposal tier.
+    def vectors(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          (when(j === (col("id") % nlist).cast("int"), lit(1.0f))
+            .otherwise(lit(0.0f))
+            + (pmod(hash(col("id"), j), lit(1000)).cast("float") / 5000f)
+          ).cast("float")).as("embedding"))
+
+    val corpus = vectors(0, n)
+    val queries = vectors(0, 200).localCheckpoint(true)
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", s"$root/f",
+      nlist, sampleFraction = math.min(1.0, 100000.0 / n))
+    // same centroids for the quantized index, so the probed cells match
+    val cents = Similarity.ivfCentroids(spark, s"$root/f").localCheckpoint(true)
+    Similarity.saveIvfIndexQuantized(corpus, "vec_id", "embedding",
+      s"$root/q", nlist, centroids = Some(cents))
+
+    def bytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(s"$d/v1/corpus"))
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (fRes, fS) = timed(Similarity.ivfTopKIndexed(queries, s"$root/f",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val (qRes, qS) = timed(Similarity.ivfTopKQuantized(queries, s"$root/q",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val recall = Similarity.recallAgainst(fRes, qRes, 10).head.getDouble(1)
+    // refine: exact rescoring of k·8 candidates recovers the fine rank
+    // SQ8 blurs among near-tied neighbors
+    val (rRes, rS) = timed(Similarity.ivfTopKQuantizedRefined(queries,
+      s"$root/q", corpus, "vec_id", "embedding", k = 10, nprobe = 3,
+      refineFactor = 8)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val recallR = Similarity.recallAgainst(fRes, rRes, 10).head.getDouble(1)
+    val ratio = bytes(s"$root/q").toDouble / bytes(s"$root/f")
+    println(s"IVF_QUANT n=$n bytesF=${bytes(s"$root/f")} " +
+      s"bytesQ=${bytes(s"$root/q")} " +
+      f"ratio=$ratio%.2f serveF=$fS%.1fs serveQ=$qS%.1fs serveRefined=$rS%.1fs " +
+      f"recallRawQvsF=$recall%.4f recallRefinedVsF=$recallR%.4f " +
+      s"${if (recallR >= 0.95) "OK" else "FAIL"}")
+    spark.stop()
+    if (recallR < 0.95) sys.exit(1)
+  }
+}

@@ -36,6 +36,14 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Codegen'd float × int8 dot (SQ8 codes read in place — no per-pair
+    * converted-array allocation in the scoring join). */
+  def dotNativeByte(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.DotProductByte(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Primitive-array dot in index order with a double accumulator —
     * bit-identical to [[dot]], ~100× its throughput. Used inside the
     * mapPartitions scoring kernels where per-pair cost dominates; column
@@ -623,9 +631,40 @@ object Similarity {
         (acc, x) => acc + x.cast("double")))
     val c = ivfCorpus(spark, vdir)
     val recon = col("_qoff").cast("double") * col("_qs") +
-      col("_qstep").cast("double") *
-        dotNative(col("_qv"), col("_cq").cast("array<float>"))
+      col("_qstep").cast("double") * dotNativeByte(col("_qv"), col("_cq"))
     ivfScore(q, c, k, salt, score = recon / (col("_qn") * col("_cn")))
+  }
+
+  /** SQ8 + REFINE — the standard remedy for quantized rank scrambling
+    * among near-tied neighbors (quantization noise ≥ the score gaps that
+    * order them): the quantized index proposes `k·refineFactor`
+    * candidates per query (cheap, ¼-byte scan), then ONLY those
+    * candidates are re-scored exactly against a full-precision corpus
+    * and the true top-k survives. The refine join touches
+    * |queries|·k·refineFactor rows, never the corpus scan — at scale
+    * store `refineCorpus` bucketed by id so the candidate join is a
+    * bucket-pruned lookup rather than a shuffle of the corpus. */
+  def ivfTopKQuantizedRefined(queries: DataFrame, indexDir: String,
+      refineCorpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, refineFactor: Int = 4, salt: Int = 1): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val cand = ivfTopKQuantized(queries, indexDir, idCol, vecCol,
+        k * refineFactor, nprobe, salt)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_rqv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_rqn"))
+    val cv = refineCorpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("_rcv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_rcn"))
+    val rescored = cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotNative(col("_rqv"), col("_rcv")) / (col("_rqn") * col("_rcn")))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
   }
 
   /** Rewrite the serving corpus of an index through `f` (a filter /

@@ -329,6 +329,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(statN === emb.count(), "stats cover base + appended vectors")
   }
 
+  test("graft_ivf_save_q_t + graft_ivf_topk_q_t: SQ8 tier from SQL ≡ typed") {
+    GraftSql.register(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_ivfq").toString
+    spark.table("embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 37 === 0)
+      .createOrReplaceTempView("ivfq_q")
+    assert(spark.sql("SELECT * FROM graft_ivf_save_q_t(" +
+      s"'embeddings', 'vec_id', 'embedding', '$dir', 8)").count() === 8L)
+    val fromSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_q_t('ivfq_q', '$dir', 'vec_id', 'embedding', 5, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val typed = graft.llm.Similarity.ivfTopKQuantized(
+        spark.table("ivfq_q"), dir, "vec_id", "embedding", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSql === typed)
+    assert(fromSql.nonEmpty)
+  }
+
   test("graft_combine_t equals the typed combineChunk") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)
