@@ -266,6 +266,17 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     assert(math.abs(cServed(2L) - 1.0) < 1e-9,
       "identical constant vectors must score cosine 1 exactly")
+    // refine: with every cell probed and a full-width candidate set, the
+    // refined result IS the exact top-k (the quantized tier only
+    // proposes; exact rescoring decides) — and scores are exact cosines
+    val refined = Similarity.ivfTopKQuantizedRefined(q, dir, embs,
+        "vec_id", "embedding", k = 5, nprobe = 8,
+        refineFactor = embs.count().toInt / 5 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactRows = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(refined === exactRows,
+      "full-width refine must equal the exact scan, scores included")
     // appending float rows to a quantized index must fail loudly, not
     // silently serve a mixed corpus
     Similarity.appendIvfIndex(const.filter(col("vec_id") === 3L)
