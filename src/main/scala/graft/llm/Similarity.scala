@@ -529,6 +529,16 @@ object Similarity {
       indexDir: String, deltaName: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
+    // reject BEFORE writing: a committed float delta on a quantized index
+    // would brick every subsequent union read (mismatched schema) until
+    // someone hand-removes it — fail while the index is still serveable.
+    // (Try: an empty-seeded base corpus has no readable schema — float.)
+    if (scala.util.Try(spark.read.parquet(s"$vdir/corpus").schema.fieldNames.toSet)
+        .toOption.exists(_.contains("_cq")))
+      throw new IllegalArgumentException(
+        s"$indexDir is an SQ8 quantized index (save-only) — " +
+          "appendIvfIndex writes float rows; rebuild with " +
+          "saveIvfIndexQuantized instead")
     if (!deltaName.exists(foldedDeltas(spark, vdir))) {
       val f = new org.apache.hadoop.fs.Path(vdir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -277,14 +277,17 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(refined === exactRows,
       "full-width refine must equal the exact scan, scores included")
-    // appending float rows to a quantized index must fail loudly, not
-    // silently serve a mixed corpus
-    Similarity.appendIvfIndex(const.filter(col("vec_id") === 3L)
-      .select(col("vec_id"), col("embedding")), "vec_id", "embedding", dir)
-    intercept[Exception] {
-      Similarity.ivfTopKQuantized(q, dir, "vec_id", "embedding", 5, 3)
-        .collect()
+    // appending float rows to a quantized index must be rejected BEFORE
+    // anything is written — a committed float delta would brick every
+    // union read until hand-removed
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(const.filter(col("vec_id") === 3L)
+        .select(col("vec_id"), col("embedding")), "vec_id", "embedding", dir)
     }
+    assert(ex.getMessage.contains("quantized"))
+    // and the index still serves — nothing was written
+    assert(pairs(Similarity.ivfTopKQuantized(q, dir, "vec_id", "embedding",
+      5, 3)).collect().toSet === served.collect().toSet)
   }
 
   test("compaction retain=1 keeps exactly one previous committed version until the next fold") {
