@@ -680,12 +680,16 @@ object Dedup {
     *
     * Scale shape: each document emits (n_tokens − L + 1) window keys;
     * with `hashWindows` (the default) the key is a 64-bit `xxhash64`, so
-    * the two aggregations shuffle 8-byte hashes — never window text. The
-    * windows-per-doc blowup is L× the token count, the inherent cost of
-    * span-level granularity; both aggregations are partial-agg friendly.
-    * `hashWindows = false` keys by the window STRING — bit-replayable by
-    * a SQL oracle with no hash-function parity assumption; a spec pins
-    * hashed ≡ string-keyed on real data.
+    * everything downstream of the explode shuffles 8-byte hashes — never
+    * window text. The windows-per-doc blowup is L× the token count, the
+    * inherent cost of span-level granularity, and it is paid exactly ONCE:
+    * the plan is one linear pipeline (explode → group by (window, doc) →
+    * per-window distinct-doc count as a window function → per-doc
+    * aggregate), so the tokenize+slice+hash explode — the dominant cost —
+    * never re-executes for a second subtree, and nothing needs caching or
+    * checkpointing to keep it that way. `hashWindows = false` keys by the
+    * window STRING — bit-replayable by a SQL oracle with no hash-function
+    * parity assumption; a spec pins hashed ≡ string-keyed on real data.
     *
     * Output: (doc_id, n_windows, n_dup_windows, dup_frac) — documents
     * shorter than `spanTokens` tokens have no windows and are absent,
@@ -706,17 +710,18 @@ object Dedup {
     val w = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), explode(winKey).as("_w"))
-    val dup = w.groupBy("_w")
-      .agg(countDistinct(col("doc_id")).as("_nd"))
-      .filter(col("_nd") >= minDocs)
-      .select("_w")
-    w.join(dup, Seq("_w"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
-      .join(w.groupBy("doc_id").agg(count(lit(1)).as("n_windows")),
-        Seq("doc_id"), "right")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        round(coalesce(col("n_dup_windows"), lit(0L)) /
-          col("n_windows"), 6).as("dup_frac"))
+    // one row per (window, doc) with the doc's occurrence count: the rows
+    // of `g` per window ARE the window's distinct documents, so a count
+    // over the `_w` window partition replaces countDistinct — and keeps
+    // the whole computation one linear plan over a single explode
+    val g = w.groupBy("_w", "doc_id").agg(count(lit(1)).as("_c"))
+    g.withColumn("_nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_w")))
+      .groupBy("doc_id").agg(
+        sum("_c").as("n_windows"),
+        sum(when(col("_nd") >= minDocs, col("_c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows"), 6).as("dup_frac"))
   }
 }
