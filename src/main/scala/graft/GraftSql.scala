@@ -90,9 +90,12 @@ import scala.collection.mutable
   *     true` folds base + deltas into one new version afterwards;
   *   - `graft_ivf_stats_t('dir')` — per-cell occupancy of the serving
   *     corpus (base + deltas): the drift/hot-cell diagnostic;
-  *   - `graft_ivf_save_q_t(...)` / `graft_ivf_topk_q_t(...)` — the SQ8
-  *     quantized tier (~4× smaller stored vectors, recall-floor
-  *     contract) from SQL.
+  *   - `graft_ivf_save_q_t(...)` / `graft_ivf_topk_q_t(...)` /
+  *     `graft_ivf_topk_qr_t(...)` — the SQ8 quantized tier (~4× smaller
+  *     stored vectors, recall-floor contract) from SQL, including the
+  *     refined serve (quantized proposes, exact re-scoring against a
+  *     refine view decides); `graft_ivf_append_t` grows quantized
+  *     indexes too (the append follows the index's recorded flavor).
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -181,6 +184,10 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_topk_q_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_q_t"),
       (args: Seq[Expression]) => ivfTopkQTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_topk_qr_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_qr_t"),
+      (args: Seq[Expression]) => ivfTopkQrTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -623,6 +630,34 @@ object GraftSql {
     val salt = if (args.length == 7) lngLit(args(6), fn, "salt").toInt else 1
     graft.llm.Similarity.ivfTopKQuantized(SparkSession.active.table(qv),
         dir, idCol, vecCol, k, nprobe, salt)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_topk_qr_t` table-function plan:
+    * `graft_ivf_topk_qr_t('queriesView', 'dir', 'refineView', 'idCol',
+    * 'vecCol', k, nprobe[, refineFactor[, salt]])` — SQ8 + REFINE
+    * ([[graft.llm.Similarity.ivfTopKQuantizedRefined]]): the quantized
+    * index proposes k·refineFactor candidates, ONLY those are re-scored
+    * exactly against the full-precision `refineView` — the serving form
+    * you actually want when quantization noise reaches the score gaps
+    * among near-tied neighbors. */
+  private def ivfTopkQrTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_topk_qr_t"
+    require(args.length >= 7 && args.length <= 9,
+      s"usage: $fn('queriesView', 'dir', 'refineView', 'idCol', 'vecCol', " +
+        "k, nprobe[, refineFactor[, salt]])")
+    val qv = strLit(args(0), fn, "queries view")
+    val dir = strLit(args(1), fn, "index dir")
+    val rv = strLit(args(2), fn, "refine view")
+    val idCol = strLit(args(3), fn, "id column")
+    val vecCol = strLit(args(4), fn, "vector column")
+    val k = lngLit(args(5), fn, "k").toInt
+    val nprobe = lngLit(args(6), fn, "nprobe").toInt
+    val factor = if (args.length >= 8) lngLit(args(7), fn, "refineFactor").toInt else 4
+    val salt = if (args.length == 9) lngLit(args(8), fn, "salt").toInt else 1
+    val spark = SparkSession.active
+    graft.llm.Similarity.ivfTopKQuantizedRefined(spark.table(qv), dir,
+        spark.table(rv), idCol, vecCol, k, nprobe, factor, salt)
       .queryExecution.logical
   }
 

@@ -26,6 +26,15 @@ import graft.streaming.IvfStream
   * `SPARK_GRAFT_IVF_BASE` = base corpus size (default 200000; 1000000 for
   * the 10× probe), `SPARK_GRAFT_IVF_PERPOLL` = delivery size (default
   * 50000), `SPARK_GRAFT_IVF_POLLS` = delivery count (default 6).
+  *
+  * `SPARK_GRAFT_IVF_QUANT=1` runs the SQ8 flavor: quantized base save,
+  * the SAME poller (appendIvfIndex reads the `_QUANTIZED` marker and
+  * encodes deliveries per-row), quantized serve after every poll — and
+  * the exactness assert becomes served ≡ a full quantize-everything
+  * rebuild with the stored centroids (per-row encoding is arrival-order-
+  * free, so the parity is bit-exact). The rebuild is the PARITY REFERENCE
+  * only, computed outside the timed sections: poll cost stays delivery-
+  * proportional in the measured numbers.
   */
 object IvfIngestProbe {
   def main(args: Array[String]): Unit = {
@@ -55,16 +64,40 @@ object IvfIngestProbe {
             + (pmod(hash(col("id"), j), lit(1000)).cast("float") / 50000f)
           ).cast("float")).as("embedding"))
 
+    val quant = sys.env.get("SPARK_GRAFT_IVF_QUANT").contains("1")
     val t0 = System.nanoTime()
-    Similarity.saveIvfIndex(vectors(0, nBase), "vec_id", "embedding", index,
-      nlist, sampleFraction = math.min(1.0, 100000.0 / nBase))
+    if (quant)
+      Similarity.saveIvfIndexQuantized(vectors(0, nBase), "vec_id",
+        "embedding", index, nlist,
+        sampleFraction = math.min(1.0, 100000.0 / nBase))
+    else
+      Similarity.saveIvfIndex(vectors(0, nBase), "vec_id", "embedding", index,
+        nlist, sampleFraction = math.min(1.0, 100000.0 / nBase))
     val tBuild = (System.nanoTime() - t0) / 1e9
     val cents = Similarity.ivfCentroids(spark, index).localCheckpoint(true)
     val queries = vectors(0, 200).localCheckpoint(true)
 
-    def served() = Similarity.ivfTopKIndexed(queries, index, "vec_id",
-        "embedding", k = 10, nprobe = 3)
+    def served() = (if (quant)
+        Similarity.ivfTopKQuantized(queries, index, "vec_id", "embedding",
+          k = 10, nprobe = 3)
+      else Similarity.ivfTopKIndexed(queries, index, "vec_id", "embedding",
+        k = 10, nprobe = 3))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the exactness reference over the accumulated corpus: the live float
+    // path with the stored centroids, or (quant) a full SQ8 rebuild —
+    // computed OUTSIDE the timed poll/serve sections
+    def want(hi: Long) =
+      if (quant) {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivfqw").toString
+        Similarity.saveIvfIndexQuantized(vectors(0, hi), "vec_id",
+          "embedding", d, nlist, centroids = Some(cents))
+        Similarity.ivfTopKQuantized(queries, d, "vec_id", "embedding",
+            k = 10, nprobe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } else Similarity.ivfTopK(queries, vectors(0, hi), cents,
+          "vec_id", "embedding", k = 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     var mismatches = 0L
     val stats = (0 until nPolls).map { k =>
@@ -76,10 +109,7 @@ object IvfIngestProbe {
       val ts = System.nanoTime()
       val got = served()
       val serveS = (System.nanoTime() - ts) / 1e9
-      val want = Similarity.ivfTopK(queries, vectors(0, hi), cents,
-          "vec_id", "embedding", k = 10, nprobe = 3)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      if (got != want) mismatches += 1
+      if (got != want(hi)) mismatches += 1
       val vdir = new java.io.File(index).listFiles().map(_.getName)
         .filter(_.startsWith("v")).sorted.last
       val deltas = new java.io.File(s"$index/$vdir").listFiles()
@@ -89,7 +119,8 @@ object IvfIngestProbe {
     val polls = stats.map(s => f"${s._1}%.1f").mkString("/")
     val serves = stats.map(s => f"${s._2}%.1f").mkString("/")
     val maxDeltas = stats.map(_._3).max
-    println(s"IVF_INGEST base=$nBase perPoll=$perPoll polls=$nPolls " +
+    println(s"IVF_INGEST${if (quant) "_SQ8" else ""} base=$nBase " +
+      s"perPoll=$perPoll polls=$nPolls " +
       f"build=$tBuild%.1fs pollS=$polls serveS=$serves " +
       s"maxDeltas=$maxDeltas mismatchedPolls=$mismatches " +
       s"${if (mismatches == 0) "OK" else "FAIL"}")

@@ -285,6 +285,11 @@ object Similarity {
       })
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), score.as("cos"))
+      // a NULL score (dimension-mismatched query/corpus pair — DotProduct
+      // returns null by contract) is DROPPED, matching what the
+      // descending-order window did before the heap pre-reduce existed;
+      // unfiltered it would NPE inside the typed encoder below
+      .filter(col("cos").isNotNull)
     val reduced = scored.as[(Long, Long, Double)].mapPartitions { it =>
       val heaps = scala.collection.mutable.LongMap
         .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
@@ -334,11 +339,19 @@ object Similarity {
     * assign query cells against the tiny centroid table, join the
     * cell-partitioned corpus, identical results to the live path
     * (spec-pinned, salted included). Retrain cadence vs corpus drift is
-    * the operator's call, exactly as in any IVF serving system. */
+    * the operator's call, exactly as in any IVF serving system.
+    *
+    * `retain` keeps that many previous COMMITTED versions on disk after
+    * the new version commits (default 0 = sweep all) — the same in-flight-
+    * reader contract as [[compactIvfIndex]]: a serving deployment rebuilds
+    * with `retain = 1` so a query batch that resolved its version just
+    * before the swap finishes its scan; the retained version is swept by
+    * the NEXT save/compaction. Uncommitted (crashed) versions are always
+    * swept. */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int, sampleFraction: Double = 1.0,
       seed: Long = 42L, maxIter: Int = 20,
-      centroids: Option[DataFrame] = None): Unit = {
+      centroids: Option[DataFrame] = None, retain: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -352,16 +365,69 @@ object Similarity {
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
     val cells = assignCells(corpus, cents, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
+    floatRows(corpus, idCol, vecCol)
       .join(cells, "neighbor_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
     cents.select(col("cell"), col("_cv"))
       .write.mode("overwrite").parquet(s"$vdir/centroids")
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
-    // sweep superseded and crashed-uncommitted versions
-    ivfVersions(spark, dir).filter(_._1 < n)
+    sweepOldVersions(spark, dir, n, retain)
+  }
+
+  /** The float serving projection (neighbor_id, _cv, _cn) — shared by
+    * [[saveIvfIndex]] and the float branch of [[appendIvfIndex]]. */
+  private def floatRows(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
+
+  /** The SQ8 serving projection (neighbor_id, _qoff, _qstep, _cq, _cn) —
+    * shared by [[saveIvfIndexQuantized]] and the quantized branch of
+    * [[appendIvfIndex]]. Quantization params are PER ROW, so encoding a
+    * delivery needs nothing from the stored corpus — what makes quantized
+    * append delivery-proportional. Bytes are CENTERED: b = round((x −
+    * lo)/step) − 128 ∈ [−128, 127] (tinyint cannot hold 0..255),
+    * reconstructed as v̂ = o + step·b with offset o = lo + 128·step. A
+    * constant vector (step 0) stores b = 0 and o = lo — exact
+    * reconstruction. Pure column math — stays in codegen. */
+  private def quantizedRows(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val lo = array_min(v)
+    val step = ((array_max(v) - array_min(v)) / lit(255.0f)).cast("float")
+    vectors.select(col(idCol).as("neighbor_id"),
+      (lo + lit(128.0f) * step).as("_qoff"), step.as("_qstep"),
+      transform(v, x => when(step === 0.0f, lit(0))
+        .otherwise(round((x - lo) / step) - lit(128))
+        .cast("tinyint")).as("_cq"),
+      sqrt(dotNative(v, v)).as("_cn"))
+  }
+
+  /** Sweep version dirs older than `n`, keeping the newest `retain`
+    * COMMITTED ones (uncommitted/crashed versions are always swept) —
+    * the shared tail of every version-writing mutation. */
+  private def sweepOldVersions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, n: Long, retain: Int): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = ivfVersions(spark, dir)
+      .filter(v => v._1 < n &&
+        f.exists(new org.apache.hadoop.fs.Path(v._2, "_COMMIT")))
+      .sortBy(-_._1).take(retain).map(_._1).toSet
+    ivfVersions(spark, dir).filter(v => v._1 < n && !keep(v._1))
       .foreach(v => f.delete(new org.apache.hadoop.fs.Path(v._2), true))
+  }
+
+  /** Whether a version dir holds SQ8 rows — recorded EXPLICITLY by the
+    * `_QUANTIZED` marker [[saveIvfIndexQuantized]] writes (and
+    * compaction/rewrite carry forward), never inferred from the corpus
+    * schema: an index seeded EMPTY with external centroids has no
+    * readable corpus schema, and inferring would misread it as float —
+    * exactly the append that bricks every subsequent quantized read. */
+  private def isQuantizedVersion(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** All `v<n>` version dirs under an index root (committed or not). */
@@ -441,18 +507,19 @@ object Similarity {
       f.exists(hp) && f.listStatus(hp)
         .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
     }
-    if (readable.isEmpty)
+    if (readable.isEmpty) {
+      import org.apache.spark.sql.types._
+      // empty-seeded index: the schema comes from the version's recorded
+      // flavor (the `_QUANTIZED` marker), matching what appends will write
+      val payload =
+        if (isQuantizedVersion(spark, vdir)) Seq(
+          StructField("_qoff", FloatType), StructField("_qstep", FloatType),
+          StructField("_cq", ArrayType(ByteType)))
+        else Seq(StructField("_cv", ArrayType(FloatType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("neighbor_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("_cv",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("_cn",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType))))
+        StructType(StructField("neighbor_id", LongType) +: payload :+
+          StructField("_cn", DoubleType) :+ StructField("cell", IntegerType)))
+    }
     else readable.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
@@ -524,21 +591,21 @@ object Similarity {
     * folded into the version by [[compactIvfIndex]] (the `_FOLDED`
     * ledger) is a no-op — without either, a crash-replay straddling an
     * append or a compaction would land the delivery's rows twice.
-    * Anonymous appends are auto-numbered and never no-op. */
+    * Anonymous appends are auto-numbered and never no-op.
+    *
+    * The delta's row format FOLLOWS THE INDEX FLAVOR (the version's
+    * `_QUANTIZED` marker): on an SQ8 index the delivery is quantized
+    * per-row before landing — quantization params are per-row
+    * ([[quantizedRows]]), so nothing corpus-proportional happens and the
+    * cheapest serving tier stays fresh by the same delivery-proportional
+    * appends as the float tier. Served results after a quantized append
+    * are exactly [[saveIvfIndexQuantized]] over the grown corpus with the
+    * stored centroids (spec-pinned across compaction and crash replay):
+    * per-row encoding cannot depend on arrival order. */
   def appendIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, deltaName: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
-    // reject BEFORE writing: a committed float delta on a quantized index
-    // would brick every subsequent union read (mismatched schema) until
-    // someone hand-removes it — fail while the index is still serveable.
-    // (Try: an empty-seeded base corpus has no readable schema — float.)
-    if (scala.util.Try(spark.read.parquet(s"$vdir/corpus").schema.fieldNames.toSet)
-        .toOption.exists(_.contains("_cq")))
-      throw new IllegalArgumentException(
-        s"$indexDir is an SQ8 quantized index (save-only) — " +
-          "appendIvfIndex writes float rows; rebuild with " +
-          "saveIvfIndexQuantized instead")
     if (!deltaName.exists(foldedDeltas(spark, vdir))) {
       val f = new org.apache.hadoop.fs.Path(vdir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -553,9 +620,11 @@ object Similarity {
       f.delete(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), false)
       val cells = assignCells(newVectors, cents, idCol, vecCol, 1)
         .withColumnRenamed(idCol, "neighbor_id")
-      newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-          sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
-        .join(cells, "neighbor_id")
+      val rows =
+        if (isQuantizedVersion(spark, vdir))
+          quantizedRows(newVectors, idCol, vecCol)
+        else floatRows(newVectors, idCol, vecCol)
+      rows.join(cells, "neighbor_id")
         .write.mode("overwrite").partitionBy("cell").parquet(s"$ddir/corpus")
       // an all-rows-excluded delivery (empty batch, or every vector
       // zero/NaN-norm — assignCells drops those by contract) writes a
@@ -589,13 +658,16 @@ object Similarity {
     * take step 0 and reconstruct exactly.
     *
     * Same version layout and commit protocol as [[saveIvfIndex]] (shared
-    * `latestIvfVersion` / `ivfIndexStats`); a quantized index is
-    * save-only — [[appendIvfIndex]] writes float rows and the union read
-    * would fail LOUDLY on the mismatched schema, never silently mix. */
+    * `latestIvfVersion` / `ivfIndexStats`), plus a `_QUANTIZED` marker
+    * recording the version's flavor explicitly (written before `_COMMIT`,
+    * carried forward by compaction/rewrite): [[appendIvfIndex]] reads the
+    * marker and quantizes deliveries per-row, so the SQ8 tier grows by
+    * the same delivery-proportional appends as the float tier — never a
+    * silent float/byte schema mix. `retain` as in [[saveIvfIndex]]. */
   def saveIvfIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int, sampleFraction: Double = 1.0,
       seed: Long = 42L, maxIter: Int = 20,
-      centroids: Option[DataFrame] = None): Unit = {
+      centroids: Option[DataFrame] = None, retain: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -605,26 +677,14 @@ object Similarity {
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
     val cells = assignCells(corpus, cents, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
-    val v = col(vecCol)
-    val lo = array_min(v)
-    val step = ((array_max(v) - array_min(v)) / lit(255.0f)).cast("float")
-    // bytes are CENTERED: b = round((x−lo)/step) − 128 ∈ [−128, 127]
-    // (tinyint cannot hold 0..255), reconstructed as v̂ = o + step·b with
-    // offset o = lo + 128·step. A constant vector (step 0) stores b = 0
-    // and o = lo — exact reconstruction.
-    corpus.select(col(idCol).as("neighbor_id"),
-        (lo + lit(128.0f) * step).as("_qoff"), step.as("_qstep"),
-        transform(v, x => when(step === 0.0f, lit(0))
-          .otherwise(round((x - lo) / step) - lit(128))
-          .cast("tinyint")).as("_cq"),
-        sqrt(dotNative(v, v)).as("_cn"))
+    quantizedRows(corpus, idCol, vecCol)
       .join(cells, "neighbor_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
     cents.select(col("cell"), col("_cv"))
       .write.mode("overwrite").parquet(s"$vdir/centroids")
+    f.create(new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
-    ivfVersions(spark, dir).filter(_._1 < n)
-      .foreach(vd => f.delete(new org.apache.hadoop.fs.Path(vd._2), true))
+    sweepOldVersions(spark, dir, n, retain)
   }
 
   /** Serve a [[saveIvfIndexQuantized]] directory: exact query vectors
@@ -653,24 +713,32 @@ object Similarity {
     * and the true top-k survives. The refine join touches
     * |queries|·k·refineFactor rows, never the corpus scan — at scale
     * store `refineCorpus` bucketed by id so the candidate join is a
-    * bucket-pruned lookup rather than a shuffle of the corpus. */
+    * bucket-pruned lookup rather than a shuffle of the corpus.
+    *
+    * `refineCorpus` should cover every indexed id; a candidate ABSENT
+    * from it keeps its quantized score instead of being silently dropped
+    * (a freshly-appended delivery whose full-precision rows haven't
+    * landed in the refine store yet must not shrink result sets below k
+    * with no signal). */
   def ivfTopKQuantizedRefined(queries: DataFrame, indexDir: String,
       refineCorpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, refineFactor: Int = 4, salt: Int = 1): DataFrame = {
     require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
     val cand = ivfTopKQuantized(queries, indexDir, idCol, vecCol,
         k * refineFactor, nprobe, salt)
-      .select("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("_qcos"))
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("_rqv"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_rqn"))
     val cv = refineCorpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("_rcv"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_rcn"))
-    val rescored = cand.join(qv, "query_id").join(cv, "neighbor_id")
+    val rescored = cand.join(qv, "query_id")
+      .join(cv, Seq("neighbor_id"), "left")
       .select(col("query_id"), col("neighbor_id"),
-        (dotNative(col("_rqv"), col("_rcv")) / (col("_rqn") * col("_rcn")))
-          .as("cos"))
+        coalesce(
+          dotNative(col("_rqv"), col("_rcv")) / (col("_rqn") * col("_rcn")),
+          col("_qcos")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     rescored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
@@ -678,7 +746,9 @@ object Similarity {
   }
 
   /** Rewrite the serving corpus of an index through `f` (a filter /
-    * projection over (neighbor_id, _cv, _cn, cell) — cell assignments and
+    * projection over the version's serving columns — (neighbor_id, _cv,
+    * _cn, cell) float / (neighbor_id, _qoff, _qstep, _cq, _cn, cell)
+    * SQ8, flavor marker carried forward — cell assignments and
     * vector payloads must be preserved) into ONE new committed version
     * with the SAME centroids, riding the version-swap protocol: a crashed
     * rewrite leaves an uncommitted v-dir readers skip, and the old
@@ -705,13 +775,10 @@ object Similarity {
       try out.write((ledger.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
+    if (isQuantizedVersion(spark, vdir))
+      fs.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
     fs.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
-    val keep = ivfVersions(spark, indexDir)
-      .filter(v => v._1 < n &&
-        fs.exists(new org.apache.hadoop.fs.Path(v._2, "_COMMIT")))
-      .sortBy(-_._1).take(retain).map(_._1).toSet
-    ivfVersions(spark, indexDir).filter(v => v._1 < n && !keep(v._1))
-      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(v._2), true))
+    sweepOldVersions(spark, indexDir, n, retain)
   }
 
   /** Fold base + committed deltas into ONE new committed version with the
@@ -749,13 +816,10 @@ object Similarity {
       val out = f.create(new org.apache.hadoop.fs.Path(vnew, "_FOLDED"), true)
       try out.write((ledger.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
+      if (isQuantizedVersion(spark, vdir))
+        f.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
       f.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
-      val keep = ivfVersions(spark, indexDir)
-        .filter(v => v._1 < n &&
-          f.exists(new org.apache.hadoop.fs.Path(v._2, "_COMMIT")))
-        .sortBy(-_._1).take(retain).map(_._1).toSet
-      ivfVersions(spark, indexDir).filter(v => v._1 < n && !keep(v._1))
-        .foreach(v => f.delete(new org.apache.hadoop.fs.Path(v._2), true))
+      sweepOldVersions(spark, indexDir, n, retain)
     }
   }
 

@@ -138,6 +138,32 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // Quantized tier END TO END through the driver differential: SQ8-save
+    // half the corpus, append the other half (the _QUANTIZED marker makes
+    // the append quantize per-row), then serve REFINED at full candidate
+    // width — every probed pair is exactly re-scored, so the result is the
+    // exact probed-cell top-5 and replays in DuckDB like ann3. The refine
+    // contract ("quantized proposes, exact re-scoring decides") is the
+    // documented serving mode; the lossy raw-SQ8 ranking itself stays
+    // recall-gated in ScalaTest, as befits a lossy tier.
+    "ann5_ivf_quantized_appended" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann5").toString
+      Similarity.saveIvfIndexQuantized(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 8, centroids = Some(cents))
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", idx)
+      val q = e.filter(col("vec_id") < 50)
+      // factor sized so k·factor ≥ corpus: candidates = ALL probed pairs
+      val factor = (e.count() / 5 + 1).toInt
+      sortAll(Similarity.ivfTopKQuantizedRefined(q, idx, e, "vec_id",
+          "embedding", k = 5, nprobe = 3, refineFactor = factor)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos")))
+    }),
+
     // Exact substring-span duplication: per-doc fraction of 5-token
     // windows appearing verbatim in ≥2 distinct documents. The hashed
     // scale path (8-byte keys shuffle, not window text): the oracle
@@ -220,6 +246,43 @@ object LlmQueries {
     s"""WITH $shingleCte
        |SELECT i, j, round(jaccard, 6) AS jac FROM jac WHERE jaccard >= 0.8
        |${orderBySql("i", "j", "jac")}""".stripMargin
+
+  /** Shared probed-cell IVF replay: nearest-cell corpus sharding
+    * (nprobe=1), 3-cell query probes, exact top-5 within probed cells —
+    * the served result of ann3 (indexed), ann4 (float append), and ann5
+    * (quantized append + full-width refine) alike. */
+  private val probedCellTop5Oracle =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM $embsPq WHERE vec_id < 50),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |      FROM $embsPq),
+       |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
+       |         FROM $embsPq WHERE vec_id < 8),
+       |ca AS (SELECT neighbor_id, cell FROM (
+       |         SELECT c.neighbor_id, cent.cell,
+       |           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+       |             list_inner_product(cv, ev)
+       |               / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(ev, ev)))
+       |             DESC, cent.cell) AS rn
+       |         FROM c, cent) WHERE rn <= 1),
+       |qa AS (SELECT query_id, cell FROM (
+       |         SELECT q.query_id, cent.cell,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             list_inner_product(qv, ev)
+       |               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(ev, ev)))
+       |             DESC, cent.cell) AS rn
+       |         FROM q, cent) WHERE rn <= 3),
+       |sa AS (SELECT q.query_id, c.neighbor_id,
+       |         list_inner_product(qv, cv)
+       |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+       |       FROM q JOIN qa USING (query_id)
+       |       JOIN ca USING (cell)
+       |       JOIN c USING (neighbor_id)
+       |       WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rn FROM sa)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
+       |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -344,72 +407,14 @@ object LlmQueries {
 
     // the probed-cell scoring replay of ann2, emitting the served top-5
     // rows themselves (indexed path ≡ live path ≡ this SQL)
-    "ann3_ivf_indexed" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |           FROM $embsPq WHERE vec_id < 50),
-         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-         |      FROM $embsPq),
-         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
-         |         FROM $embsPq WHERE vec_id < 8),
-         |ca AS (SELECT neighbor_id, cell FROM (
-         |         SELECT c.neighbor_id, cent.cell,
-         |           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-         |             list_inner_product(cv, ev)
-         |               / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(ev, ev)))
-         |             DESC, cent.cell) AS rn
-         |         FROM c, cent) WHERE rn <= 1),
-         |qa AS (SELECT query_id, cell FROM (
-         |         SELECT q.query_id, cent.cell,
-         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |             list_inner_product(qv, ev)
-         |               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(ev, ev)))
-         |             DESC, cent.cell) AS rn
-         |         FROM q, cent) WHERE rn <= 3),
-         |sa AS (SELECT q.query_id, c.neighbor_id,
-         |         list_inner_product(qv, cv)
-         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
-         |       FROM q JOIN qa USING (query_id)
-         |       JOIN ca USING (cell)
-         |       JOIN c USING (neighbor_id)
-         |       WHERE query_id <> neighbor_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rn FROM sa)
-         |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
-         |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin,
+    "ann3_ivf_indexed" -> probedCellTop5Oracle,
 
     // arrival order cannot change cell assignment → identical replay
-    "ann4_ivf_appended" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |           FROM $embsPq WHERE vec_id < 50),
-         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-         |      FROM $embsPq),
-         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
-         |         FROM $embsPq WHERE vec_id < 8),
-         |ca AS (SELECT neighbor_id, cell FROM (
-         |         SELECT c.neighbor_id, cent.cell,
-         |           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-         |             list_inner_product(cv, ev)
-         |               / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(ev, ev)))
-         |             DESC, cent.cell) AS rn
-         |         FROM c, cent) WHERE rn <= 1),
-         |qa AS (SELECT query_id, cell FROM (
-         |         SELECT q.query_id, cent.cell,
-         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |             list_inner_product(qv, ev)
-         |               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(ev, ev)))
-         |             DESC, cent.cell) AS rn
-         |         FROM q, cent) WHERE rn <= 3),
-         |sa AS (SELECT q.query_id, c.neighbor_id,
-         |         list_inner_product(qv, cv)
-         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
-         |       FROM q JOIN qa USING (query_id)
-         |       JOIN ca USING (cell)
-         |       JOIN c USING (neighbor_id)
-         |       WHERE query_id <> neighbor_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rn FROM sa)
-         |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
-         |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin,
+    "ann4_ivf_appended" -> probedCellTop5Oracle,
+
+    // full-width refine re-scores every probed pair exactly → the same
+    // probed-cell exact replay gates the quantized save→append→serve loop
+    "ann5_ivf_quantized_appended" -> probedCellTop5Oracle,
 
     // same 5-token windows, string-keyed, replayed with list slicing
     "d8_span_dups" ->

@@ -35,6 +35,13 @@ import graft.llm.Similarity
   * Landing layout: parquet files of (vec_id bigint, embedding
   * array<float>) one level below `landingDir`, mirroring
   * [[DedupStream.pollNearDedup]]'s landing contract.
+  *
+  * The poller is FLAVOR-AGNOSTIC: deliveries land in whatever format the
+  * index records ([[graft.llm.Similarity.appendIvfIndex]] reads the
+  * version's `_QUANTIZED` marker and quantizes per-row), so an SQ8 index
+  * — the cheapest serving tier — stays fresh by the same delivery-
+  * proportional polls as a float one (spec-pinned: served ≡ a full
+  * quantize-everything rebuild, across compaction and crash replay).
   */
 object IvfStream {
   val landingSchema: StructType = StructType(Seq(

@@ -76,8 +76,12 @@ object PipelineStream {
           .parquet(s"$workDir/assign/b$batchId")
         val newReps = assigned.filter(col("rep_id") === col("doc_id"))
           .select(col("doc_id").as("vec_id"))
+        // dropDuplicates: a doc_id landing twice in one delivery (double-
+        // landed file rows) must still append ONE vector — readers never
+        // re-check the one-vector-per-representative invariant
         val newVecs = batch
           .select(col("doc_id").as("vec_id"), col("embedding"))
+          .dropDuplicates("vec_id")
           .join(newReps, "vec_id")
         Similarity.appendIvfIndex(newVecs, "vec_id", "embedding", indexDir,
           Some(s"b$batchId"))

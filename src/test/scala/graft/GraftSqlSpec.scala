@@ -347,6 +347,44 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("graft_ivf_topk_qr_t: refined quantized serve from SQL ≡ typed on the degenerate fixture") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_ivfqr").toString
+    // the fixture where refine MATTERS: per-vector range is dominated by
+    // the 1.0 one-hot (step ≈ 1/255 ≈ 0.004) while the discriminative
+    // jitter is ~100× smaller — raw SQ8 ranking is signal-free among
+    // same-axis neighbors and only the exact re-score orders them
+    def vec(id: Long): Array[Float] = {
+      val a = new Array[Float](16)
+      a((id % 4).toInt) = 1.0f
+      (0 until 16).foreach(j => a(j) = a(j) + ((id * 31 + j * 7) % 11).toFloat * 4e-6f)
+      a
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    corpus.createOrReplaceTempView("ivfqr_c")
+    corpus.filter($"vec_id" < 20).createOrReplaceTempView("ivfqr_q")
+    spark.sql("SELECT * FROM graft_ivf_save_q_t(" +
+      s"'ivfqr_c', 'vec_id', 'embedding', '$dir', 4)").collect()
+    val fromSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_qr_t('ivfqr_q', '$dir', 'ivfqr_c', 'vec_id', " +
+      "'embedding', 5, 2, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val typed = graft.llm.Similarity.ivfTopKQuantizedRefined(
+        spark.table("ivfqr_q"), dir, spark.table("ivfqr_c"), "vec_id",
+        "embedding", 5, 2, refineFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSql === typed)
+    assert(fromSql.nonEmpty)
+    // and the refined ranks really differ from the raw quantized ranks
+    // here (the reason this serving form exists)
+    val raw = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_q_t('ivfqr_q', '$dir', 'vec_id', 'embedding', 5, 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSql.map(t => (t._1, t._2)) !== raw,
+      "degenerate fixture: exact re-scoring must reorder the top-k")
+  }
+
   test("graft_combine_t equals the typed combineChunk") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)

@@ -222,7 +222,7 @@ class LlmSpec extends AnyFunSuite {
     assert(rows() === before)
   }
 
-  test("SQ8 quantized index: recall floor vs exact, ~4x smaller vectors, loud on mixed append") {
+  test("SQ8 quantized index: recall floor vs exact, ~4x smaller vectors, append-grown ≡ full save across fold and replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
     val fdir = java.nio.file.Files.createTempDirectory("graft_ivff").toString
@@ -277,17 +277,99 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(refined === exactRows,
       "full-width refine must equal the exact scan, scores included")
-    // appending float rows to a quantized index must be rejected BEFORE
-    // anything is written — a committed float delta would brick every
-    // union read until hand-removed
-    val ex = intercept[IllegalArgumentException] {
-      Similarity.appendIvfIndex(const.filter(col("vec_id") === 3L)
-        .select(col("vec_id"), col("embedding")), "vec_id", "embedding", dir)
-    }
-    assert(ex.getMessage.contains("quantized"))
-    // and the index still serves — nothing was written
-    assert(pairs(Similarity.ivfTopKQuantized(q, dir, "vec_id", "embedding",
-      5, 3)).collect().toSet === served.collect().toSet)
+    // appending to a quantized index quantizes the delivery per-row (the
+    // _QUANTIZED marker, not corpus-schema sniffing, selects the format):
+    // an index grown by appends serves BIT-IDENTICALLY to a full
+    // quantize-everything save with the same centroids — per-row encoding
+    // and cell assignment cannot depend on arrival order
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 =!= 0)
+    val cents8 = Similarity.ivfCentroids(spark, dir).localCheckpoint(true)
+    val gdir = java.nio.file.Files.createTempDirectory("graft_ivfqg").toString
+    Similarity.saveIvfIndexQuantized(half1, "vec_id", "embedding", gdir,
+      nlist = 8, centroids = Some(cents8))
+    Similarity.appendIvfIndex(half2, "vec_id", "embedding", gdir, Some("b7"))
+    def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grownServed = full(Similarity.ivfTopKQuantized(q, gdir, "vec_id",
+      "embedding", k = 5, nprobe = 3))
+    assert(grownServed === full(Similarity.ivfTopKQuantized(q, dir, "vec_id",
+      "embedding", k = 5, nprobe = 3)),
+      "append-grown quantized index must serve exactly the full-save result")
+    // replaying the named delta converges (same dir rewritten)
+    Similarity.appendIvfIndex(half2, "vec_id", "embedding", gdir, Some("b7"))
+    assert(full(Similarity.ivfTopKQuantized(q, gdir, "vec_id", "embedding",
+      5, 3)) === grownServed)
+    // compaction folds the quantized delta and carries the flavor marker:
+    // a post-fold append must still quantize (not land float rows)
+    Similarity.compactIvfIndex(spark, gdir)
+    assert(new java.io.File(s"$gdir/v2/_QUANTIZED").exists(),
+      "compaction must carry the _QUANTIZED marker forward")
+    assert(full(Similarity.ivfTopKQuantized(q, gdir, "vec_id", "embedding",
+      5, 3)) === grownServed, "across the fold")
+    // a replay of the folded delta no-ops via the _FOLDED ledger
+    Similarity.appendIvfIndex(half2, "vec_id", "embedding", gdir, Some("b7"))
+    assert(full(Similarity.ivfTopKQuantized(q, gdir, "vec_id", "embedding",
+      5, 3)) === grownServed, "folded replay must no-op")
+  }
+
+  test("empty-seeded quantized index: marker (not schema) records the flavor, appends quantize") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfqe").toString
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      .localCheckpoint(true)
+    // zero rows + external centroids: no readable corpus schema — the
+    // case where schema inference would misread the index as float and a
+    // committed float delta would brick every later quantized read
+    Similarity.saveIvfIndexQuantized(embs.limit(0), "vec_id", "embedding",
+      dir, nlist = 8, centroids = Some(cents))
+    Similarity.appendIvfIndex(embs, "vec_id", "embedding", dir, Some("b0"))
+    val fdir = java.nio.file.Files.createTempDirectory("graft_ivfqf").toString
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", fdir,
+      nlist = 8, centroids = Some(cents))
+    val q = embs.filter(col("vec_id") < 50)
+    def full(d: String) = Similarity.ivfTopKQuantized(q, d, "vec_id",
+        "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full(dir) === full(fdir),
+      "grown-from-empty must serve exactly the full quantized save")
+  }
+
+  test("save paths honor retain: the previous committed version survives one rebuild, swept by the next") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsret").toString
+    def versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    val vid = col("vec_id")
+    Similarity.saveIvfIndex(embs.filter(vid % 2 === 0), "vec_id", "embedding",
+      dir, nlist = 8)
+    // rebuild with retain=1: the version a concurrent query batch may
+    // still be scanning survives until the NEXT save
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", dir, nlist = 8,
+      retain = 1)
+    assert(versions === Seq("v1", "v2"), s"retain=1 must keep v1: $versions")
+    // serving resolves the newest committed version
+    val q = embs.filter(vid % 37 === 0)
+    val v2Rows = Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.ivfCentroids(spark, dir).localCheckpoint(true)
+    val live = Similarity.ivfTopK(q, embs, cents, "vec_id", "embedding", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v2Rows === live, "serve-newest must hold with retained versions")
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", dir, nlist = 8,
+      retain = 1)
+    assert(versions === Seq("v2", "v3"), s"next save must sweep v1: $versions")
+    // quantized save path: same contract
+    val qdir = java.nio.file.Files.createTempDirectory("graft_ivfqret").toString
+    def qversions = new java.io.File(qdir).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", qdir, nlist = 8)
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", qdir,
+      nlist = 8, retain = 1)
+    assert(qversions === Seq("v1", "v2"))
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", qdir,
+      nlist = 8, retain = 1)
+    assert(qversions === Seq("v2", "v3"))
   }
 
   test("compaction retain=1 keeps exactly one previous committed version until the next fold") {

@@ -82,4 +82,59 @@ class IvfStreamSpec extends AnyFunSuite {
       Some("b0"))
     assert(served() === full, "ledger survives subsequent compactions")
   }
+
+  test("quantized index stays fresh through the same poller: served ≡ quantize-everything rebuild across fold and crash replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfqstream").toString
+    val landing = s"$root/landing"; val index = s"$root/index"
+    val work = s"$root/work"
+    new java.io.File(landing).mkdirs()
+    val embs = Tables.embeddings(spark, TestSpark.sfDir)
+    val vid = col("vec_id")
+    val base = embs.filter(vid % 4 === 0)
+    val deliveries = (1 to 3).map(m => embs.filter(vid % 4 === m))
+    val q = embs.filter(vid % 37 === 0)
+    Similarity.saveIvfIndexQuantized(base, "vec_id", "embedding", index,
+      nlist = 8)
+    val cents = Similarity.ivfCentroids(spark, index).localCheckpoint(true)
+    // the parity reference: quantize the WHOLE accumulated corpus in one
+    // save with the same centroids, serve that — per-row encoding and
+    // cell assignment are arrival-order-free, so the poller-grown index
+    // must serve bit-identically
+    def rebuilt(corpus: org.apache.spark.sql.DataFrame) = {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfqref").toString
+      Similarity.saveIvfIndexQuantized(corpus, "vec_id", "embedding", d,
+        nlist = 8, centroids = Some(cents))
+      rows(Similarity.ivfTopKQuantized(q, d, "vec_id", "embedding", 5, 3))
+    }
+    def served() = rows(
+      Similarity.ivfTopKQuantized(q, index, "vec_id", "embedding", 5, 3))
+
+    deliveries(0).write.parquet(s"$landing/d0")
+    IvfStream.pollAppend(spark, landing, index, work, compactEvery = 2)
+    assert(served() === rebuilt(base.union(deliveries(0))), "after poll 1")
+
+    // poll 2 folds (batch id 1, compactEvery = 2) — marker must carry
+    deliveries(1).write.parquet(s"$landing/d1")
+    IvfStream.pollAppend(spark, landing, index, work, compactEvery = 2)
+    val afterTwo = rebuilt(base.union(deliveries(0)).union(deliveries(1)))
+    assert(served() === afterTwo, "across the compaction boundary")
+    assert(new java.io.File(s"$index/v2/_QUANTIZED").exists(),
+      "fold must carry the flavor marker")
+
+    // poll 3 lands a live delta on the folded version
+    deliveries(2).write.parquet(s"$landing/d2")
+    IvfStream.pollAppend(spark, landing, index, work, compactEvery = 2)
+    val full = rebuilt(base.union(deliveries(0)).union(deliveries(1))
+      .union(deliveries(2)))
+    assert(served() === full, "after poll 3")
+
+    // crash replay of the live quantized delta converges bit-stable
+    Similarity.appendIvfIndex(deliveries(2), "vec_id", "embedding", index,
+      Some("b2"))
+    assert(served() === full, "replayed un-folded quantized batch converges")
+    // crash replay of a FOLDED batch no-ops via the ledger
+    Similarity.appendIvfIndex(deliveries(1), "vec_id", "embedding", index,
+      Some("b1"))
+    assert(served() === full, "replayed folded quantized batch must no-op")
+  }
 }

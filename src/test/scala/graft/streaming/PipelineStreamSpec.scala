@@ -97,6 +97,53 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(DedupStream.assignments(spark, work).count() === 7L)
   }
 
+  test("quantized-seeded pipeline: ingest grows the SQ8 index by representatives only, flavor survives fold and prune") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipeq").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    // empty-seeded QUANTIZED index: the marker (written over zero corpus
+    // rows) is the only record of the flavor — ingest must quantize
+    Similarity.saveIvfIndexQuantized(delivery().select(
+        col("doc_id").as("vec_id"), col("embedding")),
+      "vec_id", "embedding", index, nlist = 4, centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKQuantized(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(indexedIds() === Set.empty, "empty-seeded quantized index serves empty")
+
+    delivery(1L -> member("a", 0), 2L -> member("a", 1), 3L -> member("b", 0))
+      .write.parquet(s"$landing/d0")
+    PipelineStream.pollIngest(spark, landing, work, index, p, compactEvery = 2)
+    assert(indexedIds() === Set(1L, 3L))
+
+    // poll 2 folds (batch id 1): flavor must carry, ingest keeps quantizing
+    delivery(11L -> member("a", 2), 13L -> member("c", 0))
+      .write.parquet(s"$landing/d1")
+    PipelineStream.pollIngest(spark, landing, work, index, p, compactEvery = 2)
+    assert(indexedIds() === Set(1L, 3L, 13L))
+    val latest = new java.io.File(index).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.last
+    assert(new java.io.File(s"$index/$latest/_QUANTIZED").exists(),
+      "flavor marker must survive the fold")
+    // the stored rows really are SQ8 (bytes), not float
+    val schema = spark.read.parquet(s"$index/$latest/corpus").schema.fieldNames
+    assert(schema.contains("_cq") && !schema.contains("_cv"),
+      s"folded quantized corpus must hold byte codes: ${schema.mkString(",")}")
+
+    // prune path (rewriteIvfIndex) keeps the flavor too
+    PipelineStream.repairAndPrune(spark, work, index, p)
+    val afterPrune = new java.io.File(index).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.last
+    assert(new java.io.File(s"$index/$afterPrune/_QUANTIZED").exists(),
+      "flavor marker must survive repairAndPrune")
+    assert(indexedIds() === Set(1L, 3L, 13L), "no bridges here: prune is a no-op")
+  }
+
   test("repairAndPrune: after offline bridge repair the index holds exactly the repaired reps") {
     val root = java.nio.file.Files.createTempDirectory("graft_pipe_rep").toString
     val landing = s"$root/landing"; val work = s"$root/work"

@@ -23,6 +23,14 @@ def main(sf_dir, out_dir):
     for k, v in sorted(times.items(), key=lambda x: -x[1])[:8]:
         print(f"{v:8.2f}  {k}")
     print(f"TOTAL {total:.1f}s over {len(times)} queries")
+    # flat per-query map for graft.Bench to splice into bench_out.json as
+    # the "oracle" field — per-query >2x adjudication against the SAME-box
+    # DuckDB run instead of a stale total. Written to the cwd, like
+    # bench_out.json itself.
+    with open("oracle_bench.json", "w") as f:
+        f.write("{" + ",".join(
+            f'"{k}":{v:.2f}' for k, v in sorted(times.items()) if v == v)
+            + "}\n")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
