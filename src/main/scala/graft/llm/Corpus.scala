@@ -17,12 +17,31 @@ object Corpus {
     * aggregation shuffles only 32-byte hashes and counters — documents
     * themselves never shuffle. Output: (rep_id, n_copies, n_tokens) per
     * distinct surviving content. Near-dup collapse beyond exact content
-    * is [[Dedup.minhashRepresentatives]] composed downstream. */
+    * is [[Dedup.minhashRepresentatives]] composed downstream.
+    *
+    * `spanTokens > 0` additionally applies the span-duplication floor
+    * (the [[Dedup.spanDupStats]] signal as a THRESHOLD DROP, the
+    * document-level form of the Lee-et-al recipe): documents whose
+    * fraction of `spanTokens`-token windows duplicated in ≥ `spanMinDocs`
+    * distinct documents exceeds `maxDupFrac` are dropped before the
+    * quality/language/dedup composition. The span stats join shuffles
+    * only (doc_id, three counters); docs shorter than the span have no
+    * windows and always pass. Span-level EXCISION (clean the spans, keep
+    * the doc) is [[Dedup.removeDupSpans]] composed upstream instead. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       stops: Seq[String], markers: Seq[(String, Seq[String])],
-      minQuality: Double, langs: Seq[String]): DataFrame = {
+      minQuality: Double, langs: Seq[String],
+      spanTokens: Int = 0, maxDupFrac: Double = 1.0,
+      spanMinDocs: Int = 2): DataFrame = {
     val t: Column = col(textCol)
-    docs
+    val base =
+      if (spanTokens <= 0) docs
+      else docs.join(
+        Dedup.spanDupStats(docs, idCol, textCol, spanTokens, spanMinDocs)
+          .filter(col("dup_frac") > maxDupFrac)
+          .select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    base
       .filter(round(TextStats.qualityScore(t, stops), 6) >= minQuality &&
         TextStats.langId(t, markers).isin(langs: _*))
       .select(col(idCol), TextStats.tokenCount(t).as("_nt"),

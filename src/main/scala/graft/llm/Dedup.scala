@@ -724,4 +724,65 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         round(col("n_dup_windows") / col("n_windows"), 6).as("dup_frac"))
   }
+
+  /** Span-level duplicate REMOVAL — the cleaning action behind
+    * [[spanDupStats]]'s signal (the Lee-et-al exact-substring recipe:
+    * excise the duplicated spans themselves, not whole documents): every
+    * token covered by ANY `spanTokens`-token window appearing verbatim in
+    * ≥ `minDocs` distinct documents is removed, the survivors re-joined
+    * by single spaces. Overlapping duplicated spans merge naturally
+    * (coverage is per token position), and documents shorter than the
+    * span — or with no duplicated window — pass through unchanged.
+    *
+    * Scale shape mirrors [[spanDupStats]]: ONE linear plan — posexplode
+    * window keys with their 1-based start positions, group by (window,
+    * doc) carrying the position list (one shuffle of 8-byte keys + small
+    * int arrays), per-window distinct-doc count as a window function,
+    * re-expand only the DUPLICATED positions, per-doc sorted start list —
+    * then one join back to the source by doc_id to rebuild the text. The
+    * L×-token explode runs once; window text never shuffles when
+    * `hashWindows` (the default; `false` keys by window string for the
+    * no-hash-parity oracle replay, spec-pinned equal on real data).
+    *
+    * Output: (doc_id, clean_text, n_removed) for EVERY input document
+    * (n_removed = tokens excised, 0 for untouched docs). A doc whose
+    * every token is covered keeps an empty clean_text row — dropping it
+    * silently would make the output unusable as a corpus rewrite. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int = 2,
+      hashWindows: Boolean = true): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val tok = split(col("_text"), " ")
+    val m = size(tok) - (spanTokens - 1)
+    val idxs = when(m < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), m))
+    val winStr = transform(idxs, p => concat_ws(" ", slice(tok, p, lit(spanTokens))))
+    val winKey = if (hashWindows)
+      transform(winStr, w => xxhash64(w)) else winStr
+    // (doc_id, start, key) — posexplode gives the 0-based array index,
+    // +1 makes it the window's 1-based token start
+    val w = base.select(col("doc_id"),
+        posexplode(winKey).as(Seq("_p0", "_w")))
+      .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_w"))
+    val g = w.groupBy("_w", "doc_id")
+      .agg(collect_list(col("_pos")).as("_poss"))
+    val dupStarts = g.withColumn("_nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_w")))
+      .filter(col("_nd") >= minDocs)
+      .groupBy("doc_id")
+      .agg(array_sort(flatten(collect_list(col("_poss")))).as("_starts"))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("_text"), " ").as("_tok"),
+        flatten(transform(
+          coalesce(col("_starts"), array().cast("array<int>")),
+          s => sequence(s, s + (spanTokens - 1)))).as("_covered"))
+      .select(col("doc_id"), col("_tok"),
+        filter(col("_tok"),
+          (t, i) => !array_contains(col("_covered"), i + 1)).as("_kept"))
+      .select(col("doc_id"), concat_ws(" ", col("_kept")).as("clean_text"),
+        (size(col("_tok")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
 }

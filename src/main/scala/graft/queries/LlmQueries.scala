@@ -183,6 +183,25 @@ object LlmQueries {
         STOPS, MARKERS, 0.5, Seq("en")))
     }),
 
+    // Span-dup REMOVAL — the cleaning action behind d8's signal: excise
+    // every token covered by a 5-token window duplicated in ≥2 distinct
+    // docs, survivors re-joined. String-keyed here so the DuckDB replay
+    // needs no hash-parity assumption (the hashed scale path is
+    // spec-pinned equal in LlmSpec, like d8's).
+    "d9_span_removal" -> ((s, dir) => {
+      sortAll(Dedup.removeDupSpans(docs(s, dir), "doc_id", "text",
+        spanTokens = 5, minDocs = 2, hashWindows = false))
+    }),
+
+    // d7's composition with the span-duplication floor in front: docs
+    // whose duplicate-window fraction exceeds 0.2 are dropped before
+    // quality/language/dedup — the threshold-drop form of the Lee-et-al
+    // recipe, composed and oracle-gated as one query
+    "d10_prepare_span_floor" -> ((s, dir) => {
+      sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text",
+        STOPS, MARKERS, 0.5, Seq("en"), spanTokens = 5, maxDupFrac = 0.2))
+    }),
+
     // Token counting: whitespace + BPE-ish regex estimate
     "tx1_token_stats" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -246,6 +265,39 @@ object LlmQueries {
     s"""WITH $shingleCte
        |SELECT i, j, round(jaccard, 6) AS jac FROM jac WHERE jaccard >= 0.8
        |${orderBySql("i", "j", "jac")}""".stripMargin
+
+  /** The d7 corpus-preparation replay (quality floor + language CASE +
+    * exact dedup), parameterized over the document source so the
+    * span-floored variant (d10) prepends its drop-list CTEs and swaps in
+    * the survivor subquery. */
+  private def prepareOracle(extraCtes: String, fromSource: String): String =
+    s"""WITH ${extraCtes}f AS (
+       |  SELECT doc_id, text,
+       |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+       |          + (stop_hits * 1.0 / n_tokens) * 0.3
+       |          + (CASE WHEN n_chars = 0 THEN 0.0
+       |                  ELSE alpha_chars * 1.0 / n_chars END) * 0.2, 6) AS q,
+       |    CASE WHEN v_es > greatest(v_en, v_de) THEN 'es'
+       |         WHEN v_de > v_en THEN 'de' ELSE 'en' END AS pl
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |        t -> t IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits,
+       |      CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS alpha_chars,
+       |      CAST(length(text) AS DOUBLE) AS n_chars,
+       |      len(list_filter(string_split(lower(text), ' '),
+       |        t -> t IN ('the','a','of','and'))) AS v_en,
+       |      len(list_filter(string_split(lower(text), ' '),
+       |        t -> t IN ('der','die','das','und'))) AS v_de,
+       |      len(list_filter(string_split(lower(text), ' '),
+       |        t -> t IN ('el','la','los','y'))) AS v_es
+       |    FROM $fromSource))
+       |SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |FROM f WHERE q >= 0.5 AND pl = 'en'
+       |GROUP BY text
+       |${orderBySql("rep_id", "n_copies", "n_tokens")}""".stripMargin
 
   /** Shared probed-cell IVF replay: nearest-cell corpus sharding
     * (nprobe=1), 3-cell query probes, exact top-5 within probed cells —
@@ -434,34 +486,50 @@ object LlmQueries {
 
     // quality expr ≡ tx2's, language CASE ≡ tx3's, dedup ≡ d1's — the
     // composition replayed over the filtered set
-    "d7_corpus_prepare" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, text,
-         |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
-         |          + (stop_hits * 1.0 / n_tokens) * 0.3
-         |          + (CASE WHEN n_chars = 0 THEN 0.0
-         |                  ELSE alpha_chars * 1.0 / n_chars END) * 0.2, 6) AS q,
-         |    CASE WHEN v_es > greatest(v_en, v_de) THEN 'es'
-         |         WHEN v_de > v_en THEN 'de' ELSE 'en' END AS pl
-         |  FROM (
-         |    SELECT doc_id, text,
-         |      CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
-         |      CAST(len(list_filter(string_split(lower(text), ' '),
-         |        t -> t IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits,
-         |      CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS alpha_chars,
-         |      CAST(length(text) AS DOUBLE) AS n_chars,
-         |      len(list_filter(string_split(lower(text), ' '),
-         |        t -> t IN ('the','a','of','and'))) AS v_en,
-         |      len(list_filter(string_split(lower(text), ' '),
-         |        t -> t IN ('der','die','das','und'))) AS v_de,
-         |      len(list_filter(string_split(lower(text), ' '),
-         |        t -> t IN ('el','la','los','y'))) AS v_es
-         |    FROM $docsPq))
-         |SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |FROM f WHERE q >= 0.5 AND pl = 'en'
-         |GROUP BY text
-         |${orderBySql("rep_id", "n_copies", "n_tokens")}""".stripMargin,
+    "d7_corpus_prepare" -> prepareOracle("", docsPq),
+
+    // same 5-token windows WITH positions, string-keyed: excise every
+    // token position covered by a window in ≥2 distinct docs (list
+    // comprehension over 1-based token indexes mirrors Spark's
+    // index-aware filter), re-join by spaces
+    "d9_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM $docsPq),
+         |w AS (SELECT doc_id, p, array_to_string(tok[p : p + 4], ' ') AS ws
+         |      FROM t, UNNEST(range(1, greatest(len(tok) - 4, 0) + 1)) AS u(p)),
+         |g AS (SELECT ws, doc_id, list(p) AS ps FROM w GROUP BY 1, 2),
+         |d AS (SELECT ws FROM g GROUP BY ws HAVING count(*) >= 2),
+         |s AS (SELECT doc_id, flatten(list(ps)) AS starts
+         |      FROM g JOIN d USING (ws) GROUP BY 1),
+         |c AS (SELECT doc_id,
+         |        flatten(list_transform(starts, x -> range(x, x + 5))) AS cov
+         |      FROM s),
+         |k AS (SELECT t.doc_id, tok,
+         |        [tok[i] FOR i IN range(1, len(tok) + 1)
+         |         IF cov IS NULL OR NOT list_contains(cov, i)] AS kept
+         |      FROM t LEFT JOIN c USING (doc_id))
+         |SELECT doc_id,
+         |  -- empty kept-list: DuckDB array_to_string gives NULL, Spark
+         |  -- concat_ws gives '' — coalesce to the Spark semantics
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+         |  CAST(len(tok) - len(kept) AS BIGINT) AS n_removed
+         |FROM k
+         |${orderBySql("doc_id", "clean_text", "n_removed")}""".stripMargin,
+
+    // d7's replay over the span-floored survivor set: the drop list is
+    // d8's dup_frac computation (string-keyed) thresholded at 0.2
+    "d10_prepare_span_floor" -> prepareOracle(
+      s"""wt AS (SELECT doc_id, string_split(text, ' ') AS tok FROM $docsPq),
+         |wspan AS (SELECT doc_id, array_to_string(tok[p : p + 4], ' ') AS ws
+         |          FROM wt, UNNEST(range(1, greatest(len(tok) - 4, 0) + 1)) AS u(p)),
+         |wdup AS (SELECT ws FROM wspan GROUP BY ws HAVING count(DISTINCT doc_id) >= 2),
+         |wn AS (SELECT doc_id, count(*) AS nw FROM wspan GROUP BY 1),
+         |wk AS (SELECT doc_id, count(*) AS nd
+         |       FROM wspan JOIN wdup USING (ws) GROUP BY 1),
+         |wdrop AS (SELECT doc_id FROM wn LEFT JOIN wk USING (doc_id)
+         |          WHERE round(coalesce(nd, 0) * 1.0 / nw, 6) > 0.2),
+         |""".stripMargin,
+      s"""(SELECT doc_id, text FROM $docsPq
+         |     WHERE doc_id NOT IN (SELECT doc_id FROM wdrop))""".stripMargin),
 
     "tx1_token_stats" ->
       s"""SELECT doc_id,

@@ -61,6 +61,69 @@ class LlmSpec extends AnyFunSuite {
     assert(short.count() === 0L)
   }
 
+  test("span-dup removal: excised boilerplate, merged overlaps, untouched docs pass through, cleaned corpus re-scores dup-free") {
+    import spark.implicits._
+    val boiler = "one two three four five"
+    val fix = Seq(
+      1L -> s"aa bb cc $boiler dd ee",
+      2L -> s"zz yy $boiler xx ww vv",
+      // doc 4 repeats the boiler twice back-to-back: overlapping covered
+      // spans must merge (coverage is per token position, not per span)
+      4L -> s"$boiler $boiler kk",
+      3L -> "qq rr ss tt uu pp oo nn",
+      // shorter than the span → no windows → untouched
+      9L -> "just four tokens here").toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(fix, "doc_id", "text", 5).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("aa bb cc dd ee", 5L)))
+    assert(out(2L) === (("zz yy xx ww vv", 5L)))
+    assert(out(4L) === (("kk", 10L)), "back-to-back duplicated spans merge")
+    assert(out(3L) === (("qq rr ss tt uu pp oo nn", 0L)), "untouched")
+    assert(out(9L) === (("just four tokens here", 0L)), "shorter than span")
+    // the advertised closure: re-running the stats on the cleaned corpus
+    // finds NO duplicated window (excision cannot leave the signal behind
+    // on this fixture, and re-joining does not create a new shared span)
+    val cleaned = Dedup.removeDupSpans(fix, "doc_id", "text", 5)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val re = Dedup.spanDupStats(cleaned, "doc_id", "text", 5)
+    assert(re.agg(sum("n_dup_windows")).head.getLong(0) === 0L,
+      "cleaned corpus must re-score dup_frac 0")
+    // a document whose EVERY token is covered keeps an empty-text row —
+    // removal is a corpus rewrite, rows must not vanish
+    val allDup = Seq(5L -> boiler, 6L -> boiler).toDF("doc_id", "text")
+    val gone = Dedup.removeDupSpans(allDup, "doc_id", "text", 5).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(gone(5L) === (("", 5L)) && gone(6L) === (("", 5L)))
+    // hashed scale path ≡ string-keyed oracle path on the real table
+    def rows(hw: Boolean) = Dedup.removeDupSpans(docs, "doc_id", "text", 5,
+        hashWindows = hw).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(true) === rows(false))
+  }
+
+  test("Corpus.prepare span floor drops high-dup-fraction docs before the composition") {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of", "and", "to")
+    val markers = Seq("en" -> Seq("the", "a", "of", "and"))
+    // both docs pass quality+lang; the boilerplate-heavy one must fall to
+    // the span floor (its windows are all shared with doc 2)
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val fix = Seq(
+      1L -> s"the a of and to $boiler",
+      2L -> s"the of a and to $boiler",
+      3L -> ("the a of and to " + (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = Corpus.prepare(fix, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), spanTokens = 5, maxDupFrac = 0.2)
+      .select("rep_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L),
+      s"docs 1/2 share a 30-token span (dup_frac > 0.2) and must drop: $kept")
+    // default params leave the composition unchanged (no span filtering)
+    val all = Corpus.prepare(fix, "doc_id", "text", stops, markers,
+      0.0, Seq("en")).count()
+    assert(all === 3L)
+  }
+
   test("exact dedup groups by content, representative = min id") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
     val nDocs = docs.count()
