@@ -93,7 +93,7 @@ object DedupStream {
   private val assignSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("rep_id", LongType)))
 
-  private def fs(sp: SparkSession, dir: String) =
+  private[streaming] def fs(sp: SparkSession, dir: String) =
     new Path(dir).getFileSystem(sp.sparkContext.hadoopConfiguration)
 
   /** Effective state under `root`: the newest committed snapshot
@@ -102,7 +102,7 @@ object DedupStream {
     * half-commit; the `> M` bound keeps a crashed half-deleted compaction
     * from double-counting folded batch dirs (leftover `b<i>` with i ≤ M
     * are ignored and swept by the next [[compactState]]). */
-  private def readState(sp: SparkSession, root: String, schema: StructType,
+  private[streaming] def readState(sp: SparkSession, root: String, schema: StructType,
       below: Long): DataFrame = {
     val (snap, bdirs) = stateDirs(sp, root, below)
     val dirs = snap.map(_._2).toSeq ++ bdirs.map(_._2)
@@ -119,7 +119,7 @@ object DedupStream {
     * `snap<id>r` written by [[repairMerges]] — and the repaired flavor
     * wins a same-id tie (it supersedes the plain fold it was computed
     * from, and rename-once commit semantics forbid replacing in place). */
-  private def stateDirs(sp: SparkSession, root: String, below: Long)
+  private[streaming] def stateDirs(sp: SparkSession, root: String, below: Long)
       : (Option[(Long, String)], Seq[(Long, String)]) = {
     val f = fs(sp, root)
     val rootPath = new Path(root)
@@ -198,7 +198,7 @@ object DedupStream {
     * folded batch dirs (i ≤ m), snapshots of lower id, a PLAIN snap<m>
     * shadowed by a committed repaired snap<m>r, and stale temps. Safe to
     * re-run; every deleted dir is unreachable through [[stateDirs]]. */
-  private def sweep(sp: SparkSession, root: String, m: Long): Unit = {
+  private[streaming] def sweep(sp: SparkSession, root: String, m: Long): Unit = {
     val f = fs(sp, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.Path
+
+/** Ingest-time SPAN-duplication scoring: a checkpointed poller that
+  * computes every newly-landed document's duplicate-text fraction
+  * ([[graft.llm.Dedup.spanDupStats]]'s Lee-et-al signal — the fraction of
+  * its `spanTokens`-token windows appearing verbatim in ≥ `minDocs`
+  * distinct documents) against the ENTIRE accumulated corpus, at the
+  * moment the document lands — the quality gate
+  * [[graft.llm.Corpus.prepare]]'s span floor applies in batch, available
+  * per delivery so boilerplate-heavy documents can be floored at ingest
+  * instead of in a later corpus-wide pass.
+  *
+  * Disk-resident state (the [[DedupStream]] machinery: per-batch dirs
+  * `b<id>`, replays rewrite bit-identically, snapshot compaction):
+  *   - `wins/b<id>`: (window key, distinct-doc count) — this delivery's
+  *     contribution to each window's corpus-wide document frequency. Doc
+  *     ids are globally unique and land once (the [[DedupStream]] landing
+  *     contract), so corpus-wide distinct-docs-per-window = the SUM of
+  *     per-delivery distinct counts — state folds by aggregation.
+  *   - `stats/b<id>`: the delivery's (doc_id, n_windows, n_dup_windows,
+  *     dup_frac) rows, scored against corpus-so-far (this delivery
+  *     included).
+  *
+  * Per micro-batch, all DataFrame ops: ONE explode of the delivery into
+  * hashed window keys (the [[graft.llm.Dedup.spanDupStats]] scale path —
+  * 8-byte `xxhash64` keys, window text never shuffles), one (window, doc)
+  * aggregation, then the accumulated `wins` state is probed with the
+  * delivery's window set BROADCAST (the poll chunk is the small side —
+  * the corpus-scale state is scanned, never shuffled), exactly
+  * [[DedupStream]]'s index-probe shape. Per-poll work = delivery size +
+  * matched state rows + one sequential state scan.
+  *
+  * Incremental contract (the inherent streaming deviation, same shape as
+  * [[DedupStream]]'s no-cross-batch-merge): a document's stats are FINAL
+  * at its landing time — a LATER delivery that pushes one of its windows
+  * over the `minDocs` threshold does not retroactively re-score it.
+  * Stream ≡ batch exactly when no window crosses the threshold via a
+  * later delivery (boilerplate duplicated within or before its holders'
+  * deliveries — the dominant crawl shape, spec-pinned); the batch
+  * operator over the full corpus remains the repair for the rest.
+  */
+object SpanDupStream {
+
+  /** `compactEvery`: fold per-batch state dirs every this many
+    * micro-batches (0 disables) — [[DedupStream.Params]] semantics. */
+  case class Params(spanTokens: Int = 5, minDocs: Int = 2,
+      compactEvery: Int = 16)
+
+  val landingSchema: StructType = DedupStream.landingSchema
+
+  private val winsSchema = StructType(Seq(
+    StructField("_w", LongType), StructField("nd", LongType)))
+  private val statsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_windows", LongType),
+    StructField("n_dup_windows", LongType), StructField("dup_frac", DoubleType)))
+
+  /** One incremental poll: score every document file new to the
+    * checkpoint against the accumulated window state under `workDir`.
+    * Landing layout: parquet files of [[landingSchema]] one level below
+    * `landingDir`. */
+  def pollSpanDup(spark: SparkSession, landingDir: String, workDir: String,
+      p: Params = Params()): Unit = {
+    spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
+      .writeStream.option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, workDir, p, batchId)
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+  }
+
+  /** The accumulated per-document stats — each row scored as of its
+    * delivery (see the incremental contract above). */
+  def stats(spark: SparkSession, workDir: String): DataFrame =
+    DedupStream.readState(spark, s"$workDir/stats", statsSchema, Long.MaxValue)
+
+  /** Fold every state dir below `uptoExclusive` into one snapshot per
+    * table and sweep the folded dirs — [[DedupStream.compactState]]'s
+    * rename-committed, replay-idempotent protocol. `wins` folds BY
+    * AGGREGATION (summing each window's per-delivery counts — the only
+    * consumer is a sum, so the fold shrinks state to one row per distinct
+    * window); `stats` folds by plain union. */
+  def compactState(sp: SparkSession, workDir: String,
+      uptoExclusive: Long): Unit = {
+    require(uptoExclusive > 0, s"nothing to fold below $uptoExclusive")
+    val m = uptoExclusive - 1
+    Seq(
+      ("wins", winsSchema,
+        (df: DataFrame) => df.groupBy("_w").agg(sum("nd").as("nd"))),
+      ("stats", statsSchema, identity[DataFrame] _)
+    ).foreach { case (sub, schema, fold) =>
+      val root = s"$workDir/$sub"
+      val f = DedupStream.fs(sp, root)
+      if (!f.exists(new Path(root, s"snap$m"))) {
+        val tmp = new Path(root, s".tmpsnap$m")
+        fold(DedupStream.readState(sp, root, schema, uptoExclusive))
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!f.rename(tmp, new Path(root, s"snap$m")))
+          throw new java.io.IOException(s"compaction rename failed: $root/snap$m")
+      }
+      DedupStream.sweep(sp, root, m)
+    }
+  }
+
+  private[streaming] def processBatch(sp: SparkSession, batch: DataFrame,
+      workDir: String, p: Params, batchId: Long): Unit = {
+    if (p.compactEvery > 0 && batchId > 0 && batchId % p.compactEvery == 0)
+      compactState(sp, workDir, batchId)
+    val docs = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    // the spanDupStats hashed-path window expressions, verbatim
+    val tok = split(col("text"), " ")
+    val m = size(tok) - (p.spanTokens - 1)
+    val idxs = when(m < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), m))
+    val winKey = transform(idxs,
+      q => xxhash64(concat_ws(" ", slice(tok, q, lit(p.spanTokens)))))
+    // (window, doc, occurrences) — localCheckpoint: feeds the state write,
+    // the probe, and the stats aggregation (three jobs; the explode is
+    // the dominant cost and must run once). The delivery is the SMALL
+    // side — bounded by the poll chunk.
+    val g = docs.select(col("doc_id"), explode(winKey).as("_w"))
+      .groupBy("_w", "doc_id").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    // this delivery's distinct-doc count per window (= the state delta)
+    val gcnt = g.groupBy("_w").agg(count(lit(1)).as("nd")).localCheckpoint()
+    // probe the accumulated state with the delivery's window set
+    // BROADCAST — the corpus-scale wins table is scanned under it, never
+    // shuffled; only matched rows aggregate
+    val prevNd = DedupStream
+      .readState(sp, s"$workDir/wins", winsSchema, batchId)
+      .join(broadcast(gcnt.select("_w")), Seq("_w"), "left_semi")
+      .groupBy("_w").agg(sum("nd").as("_ndPrev"))
+    val tot = gcnt.join(prevNd, Seq("_w"), "left")
+      .select(col("_w"),
+        (col("nd") + coalesce(col("_ndPrev"), lit(0L))).as("_nd"))
+    g.join(tot, Seq("_w"))
+      .groupBy("doc_id").agg(
+        sum("_c").as("n_windows"),
+        sum(when(col("_nd") >= p.minDocs, col("_c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows"), 6).as("dup_frac"))
+      .write.mode("overwrite").parquet(s"$workDir/stats/b$batchId")
+    gcnt.write.mode("overwrite").parquet(s"$workDir/wins/b$batchId")
+  }
+}
