@@ -669,6 +669,14 @@ object Dedup {
       Seq("hamming"))
   }
 
+  /** [[graft.expressions.CollectCapped]] as a Column — see the span
+    * operators below for why a capped collect is the skew-proof shape. */
+  private def collectCapped(e: Column, cap: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CollectCapped(
+        org.apache.spark.sql.graft.ColumnBridge.expression(e), cap)
+        .toAggregateExpression())
+
   /** Exact substring-span duplication stats — the "duplicate text
     * fraction" corpus-cleaning signal (cf. Lee et al., "Deduplicating
     * Training Data Makes Language Models Better": exact substring
@@ -682,14 +690,30 @@ object Dedup {
     * with `hashWindows` (the default) the key is a 64-bit `xxhash64`, so
     * everything downstream of the explode shuffles 8-byte hashes — never
     * window text. The windows-per-doc blowup is L× the token count, the
-    * inherent cost of span-level granularity, and it is paid exactly ONCE:
-    * the plan is one linear pipeline (explode → group by (window, doc) →
-    * per-window distinct-doc count as a window function → per-doc
-    * aggregate), so the tokenize+slice+hash explode — the dominant cost —
-    * never re-executes for a second subtree, and nothing needs caching or
-    * checkpointing to keep it that way. `hashWindows = false` keys by the
+    * inherent cost of span-level granularity, and it is paid exactly
+    * ONCE, in a single linear plan with NO hot key anywhere: the insight
+    * is the COMPLEMENT — a window that fails the `minDocs` threshold
+    * appears in at most `minDocs − 1` documents BY DEFINITION, so only
+    * non-duplicated windows ever need their (doc, occurrences) pairs
+    * carried, via [[graft.expressions.CollectCapped]] (a partial-agg
+    * typed aggregate whose per-key buffer is capped at `minDocs − 1` —
+    * a viral license-header key present in 10⁷⁺ documents costs every
+    * task a bounded buffer and ships ≤ cap+1 elements per map task).
+    * Per doc, n_windows is a per-row expression on the source text and
+    * n_dup_windows = n_windows − Σ occurrences over non-dup windows.
+    * No join on the window key, no window function, nothing a skewed
+    * key can stall ([[graft.SpanSkewProbe]] measures max rows per task
+    * against the window-function form on a planted viral span; the
+    * count-join-back alternative was rejected during development — its
+    * sort-merge join sorts the viral probe partition unless both sides
+    * are materialized bare for AQE's OptimizeSkewedJoin, and a
+    * shuffle_hash hint OOMs building the distinct-window table).
+    * `hashWindows = false` keys by the
     * window STRING — bit-replayable by a SQL oracle with no hash-function
     * parity assumption; a spec pins hashed ≡ string-keyed on real data.
+    *
+    * Doc ids are assumed unique (the corpus/landing contract shared
+    * with [[graft.streaming.DedupStream]]).
     *
     * Output: (doc_id, n_windows, n_dup_windows, dup_frac) — documents
     * shorter than `spanTokens` tokens have no windows and are absent,
@@ -707,19 +731,38 @@ object Dedup {
     val winStr = transform(idxs, p => concat_ws(" ", slice(tok, p, lit(spanTokens))))
     val winKey = if (hashWindows)
       transform(winStr, w => xxhash64(w)) else winStr
-    val w = docs
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), explode(winKey).as("_w"))
-    // one row per (window, doc) with the doc's occurrence count: the rows
-    // of `g` per window ARE the window's distinct documents, so a count
-    // over the `_w` window partition replaces countDistinct — and keeps
-    // the whole computation one linear plan over a single explode
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val w = base.select(col(idCol).as("doc_id"), explode(winKey).as("_w"))
+    // one row per (window, doc) with the doc's occurrence count — keys
+    // are (window, doc), uniform even for viral windows
     val g = w.groupBy("_w", "doc_id").agg(count(lit(1)).as("_c"))
-    g.withColumn("_nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_w")))
-      .groupBy("doc_id").agg(
-        sum("_c").as("n_windows"),
-        sum(when(col("_nd") >= minDocs, col("_c")).otherwise(lit(0L)))
+    // per window: distinct-doc count + the (doc, occurrences) pairs of
+    // keys that can still be non-duplicated. Only rows with
+    // _nd < minDocs are read, and those hold at most minDocs−1 docs —
+    // always complete under the cap; a viral key's truncated set is
+    // never consumed. For the dominant minDocs = 2 (and the degenerate
+    // 1), "at most one doc" degenerates to plain min over two longs —
+    // fixed-width agg buffers, whole-stage codegen end to end; the
+    // general case rides the capped typed aggregate
+    val nonDup = if (minDocs <= 2)
+      g.groupBy("_w").agg(count(lit(1)).as("_nd"),
+          min(col("doc_id")).as("_doc"), min(col("_c")).as("_c1"))
+        .filter(col("_nd") < minDocs)
+        .groupBy(col("_doc").as("doc_id"))
+        .agg(sum(col("_c1")).as("_nonDup"))
+    else
+      g.groupBy("_w").agg(count(lit(1)).as("_nd"),
+          collectCapped(struct(col("doc_id"), col("_c")), minDocs - 1)
+            .as("_ds"))
+        .filter(col("_nd") < minDocs)
+        .select(explode(col("_ds")).as("_d"))
+        .groupBy(col("_d.doc_id").as("doc_id"))
+        .agg(sum(col("_d._c")).as("_nonDup"))
+    base.select(col(idCol).as("doc_id"), m.cast("long").as("n_windows"))
+      .filter(col("n_windows") >= 1L)
+      .join(nonDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        (col("n_windows") - coalesce(col("_nonDup"), lit(0L)))
           .as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         round(col("n_dup_windows") / col("n_windows"), 6).as("dup_frac"))
@@ -734,15 +777,24 @@ object Dedup {
     * (coverage is per token position), and documents shorter than the
     * span — or with no duplicated window — pass through unchanged.
     *
-    * Scale shape mirrors [[spanDupStats]]: ONE linear plan — posexplode
+    * Scale shape mirrors [[spanDupStats]]'s complement trick: posexplode
     * window keys with their 1-based start positions, group by (window,
     * doc) carrying the position list (one shuffle of 8-byte keys + small
-    * int arrays), per-window distinct-doc count as a window function,
-    * re-expand only the DUPLICATED positions, per-doc sorted start list —
-    * then one join back to the source by doc_id to rebuild the text. The
-    * L×-token explode runs once; window text never shuffles when
+    * int arrays), then per window a distinct-doc count plus the CAPPED
+    * (doc, positions) set ([[graft.expressions.CollectCapped]],
+    * `minDocs − 1` entries — complete exactly for the NON-duplicated
+    * windows, which are the only ones read). Per doc, the duplicated
+    * start set is the COMPLEMENT `array_except(all starts, non-dup
+    * starts)` — so no join on the window key, no window function, and
+    * a viral boilerplate key costs every task a bounded buffer. One
+    * join back to the source by doc_id (uniform) rebuilds the text.
+    * Window text never shuffles when
     * `hashWindows` (the default; `false` keys by window string for the
     * no-hash-parity oracle replay, spec-pinned equal on real data).
+    * Coverage is tested against MERGED DISJOINT INTERVALS built from the
+    * sorted starts — a heavily-duplicated doc's overlapping spans
+    * collapse (a fully-duplicated doc is ONE interval), so the per-token
+    * filter is O(tokens × intervals), not O(tokens × spans × spanTokens).
     *
     * Output: (doc_id, clean_text, n_removed) for EVERY input document
     * (n_removed = tokens excised, 0 for untouched docs). A doc whose
@@ -769,19 +821,46 @@ object Dedup {
       .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_w"))
     val g = w.groupBy("_w", "doc_id")
       .agg(collect_list(col("_pos")).as("_poss"))
-    val dupStarts = g.withColumn("_nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_w")))
-      .filter(col("_nd") >= minDocs)
-      .groupBy("doc_id")
-      .agg(array_sort(flatten(collect_list(col("_poss")))).as("_starts"))
-    base.join(dupStarts, Seq("doc_id"), "left")
+    // the complement trick (see spanDupStats): only NON-duplicated
+    // windows — which hold at most minDocs−1 docs by definition — carry
+    // their (doc, positions) pairs, capped so a viral key stays bounded
+    val perW = g.groupBy("_w").agg(
+      count(lit(1)).as("_nd"),
+      collectCapped(struct(col("doc_id"), col("_poss")), minDocs - 1)
+        .as("_ds"))
+    val nonDupStarts = perW.filter(col("_nd") < minDocs)
+      .select(explode(col("_ds")).as("_d"))
+      .groupBy(col("_d.doc_id").as("doc_id"))
+      .agg(flatten(collect_list(col("_d._poss"))).as("_nstarts"))
+    // merged disjoint coverage intervals from the sorted DUPLICATED
+    // starts — all starts minus the non-duplicated ones (array_except
+    // preserves the ascending order of its left argument): span
+    // [s, s+L-1] extends the open interval iff s ≤ hi+1 (touching counts
+    // — coverage is a position set), else opens a new one. `get` (not
+    // element_at) so the empty-accumulator probe is null, falling to the
+    // open-new-interval branch without an ANSI index error.
+    val L = spanTokens
+    base.join(nonDupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), split(col("_text"), " ").as("_tok"),
-        flatten(transform(
-          coalesce(col("_starts"), array().cast("array<int>")),
-          s => sequence(s, s + (spanTokens - 1)))).as("_covered"))
+        array_except(idxs,
+          coalesce(col("_nstarts"), array().cast("array<int>")))
+          .as("_starts"))
       .select(col("doc_id"), col("_tok"),
-        filter(col("_tok"),
-          (t, i) => !array_contains(col("_covered"), i + 1)).as("_kept"))
+        aggregate(
+          col("_starts"),
+          array().cast("array<struct<lo:int,hi:int>>"),
+          (acc, s) => {
+            val last = get(acc, size(acc) - 1)
+            when(s <= last("hi") + 1,
+              concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+                last("lo").as("lo"),
+                greatest(last("hi"), s + (L - 1)).as("hi")))))
+              .otherwise(concat(acc, array(struct(
+                s.as("lo"), (s + (L - 1)).as("hi")))))
+          }).as("_ivl"))
+      .select(col("doc_id"), col("_tok"),
+        filter(col("_tok"), (t, i) => !exists(col("_ivl"),
+          v => i + 1 >= v("lo") && i + 1 <= v("hi"))).as("_kept"))
       .select(col("doc_id"), concat_ws(" ", col("_kept")).as("clean_text"),
         (size(col("_tok")) - size(col("_kept"))).cast("long").as("n_removed"))
   }

@@ -101,6 +101,64 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(true) === rows(false))
   }
 
+  test("span-dup minDocs > 2 rides the capped-collect path and matches hand-computed stats") {
+    import spark.implicits._
+    // boiler in THREE docs (≥ minDocs=3 → duplicated); pair-only span in
+    // two docs (< 3 → NOT duplicated at this threshold, and its capped
+    // per-window doc set has exactly 2 = minDocs−1 entries — the cap
+    // boundary); repeated occurrences within one doc exercise _c > 1
+    val boiler = "one two three four five"
+    val pair = "six seven eight nine ten"
+    val fix = Seq(
+      1L -> s"aa $boiler bb",
+      2L -> s"cc $boiler dd",
+      3L -> s"$boiler $pair",
+      4L -> s"ee $pair $pair ff").toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(fix, "doc_id", "text", 5, minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((3L, 1L)))
+    assert(out(2L) === ((3L, 1L)))
+    // doc 3: 10 tokens → 6 windows; only the boiler window crosses 3 docs
+    assert(out(3L) === ((6L, 1L)))
+    // doc 4: 12 tokens → 8 windows, pair appears at 2 starts, both below
+    // the 3-doc floor → zero duplicated windows
+    assert(out(4L) === ((8L, 0L)))
+    // removal at minDocs=3: only the boiler is excised; the pair span
+    // (2 docs) survives untouched
+    val rm = Dedup.removeDupSpans(fix, "doc_id", "text", 5, minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(rm(1L) === (("aa bb", 5L)))
+    assert(rm(3L) === ((pair, 5L)))
+    assert(rm(4L) === ((s"ee $pair $pair ff", 0L)))
+    // hashed ≡ string-keyed on the same threshold
+    val hw = Dedup.spanDupStats(docs, "doc_id", "text", 5, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sw = Dedup.spanDupStats(docs, "doc_id", "text", 5, minDocs = 3,
+        hashWindows = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hw === sw)
+  }
+
+  test("span-dup removal: long fully-duplicated docs collapse to one coverage interval") {
+    import spark.implicits._
+    // two identical 4000-token docs: every window duplicated, the 3996
+    // overlapping spans must merge into a SINGLE coverage interval — the
+    // worst case for the old per-position flatten (~n·L entries probed
+    // per token); a partially-shared doc pins the interval boundaries
+    val shared = (1 to 4000).map(i => s"s$i").mkString(" ")
+    val fix = Seq(
+      1L -> shared, 2L -> shared,
+      3L -> (s"u1 u2 u3 $shared z1 z2 z3"),
+      7L -> ((1 to 50).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(fix, "doc_id", "text", 5).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("", 4000L)) && out(2L) === (("", 4000L)))
+    assert(out(3L) === (("u1 u2 u3 z1 z2 z3", 4000L)),
+      "only the shared middle is excised; the unique flanks survive")
+    assert(out(7L)._2 === 0L, "unique long doc untouched")
+  }
+
   test("Corpus.prepare span floor drops high-dup-fraction docs before the composition") {
     import spark.implicits._
     val stops = Seq("the", "a", "of", "and", "to")
