@@ -81,13 +81,29 @@ object Bench {
     // compares same-box runs, not a stale total. File line only: the
     // stdout line must stay under the harness's ~2k-char tail-parse
     // limit, and the oracle map would double it.
+    // duck_bench.py stamps {"sf":…,"ts":…,"queries":{…}} — the sf must
+    // match THIS run's, so a stale file from a different scale factor is
+    // never recorded as this run's same-box oracle; the inner queries
+    // object must be brace-shaped so malformed content cannot corrupt
+    // the appended JSON line. (Legacy un-stamped flat maps fail the sf
+    // check and are skipped — re-run duck_bench.py to refresh.)
     val oracleMap = scala.util.Try {
       val s = Files.readString(Paths.get("oracle_bench.json")).trim
-      if (s.startsWith("{") && s.endsWith("}")) Some(s) else None
+      val sfOk = """"sf":([0-9.eE+-]+)""".r.findFirstMatchIn(s)
+        .exists(_.group(1) == sfNum)
+      val ts = """"ts":([0-9]+)""".r.findFirstMatchIn(s).map(_.group(1))
+      val qStart = s.indexOf("\"queries\":")
+      val q = if (qStart < 0) "" else
+        s.substring(qStart + "\"queries\":".length).stripSuffix("}").trim
+      if (s.startsWith("{") && sfOk && ts.isDefined &&
+          q.startsWith("{") && q.endsWith("}"))
+        Some((q, ts.get))
+      else None
     }.toOption.flatten
     val fileLine = oracleMap match {
-      case Some(m) => line.stripSuffix("}") + s""","oracle":$m}"""
-      case None    => line
+      case Some((m, ots)) =>
+        line.stripSuffix("}") + s""","oracle":$m,"oracle_ts":$ots}"""
+      case None => line
     }
     // APPEND, never overwrite: each run is one labeled line (reps/cpus/ts),
     // so drift disputes can compare runs instead of archaeology through

@@ -640,7 +640,9 @@ object GraftSql {
     * index proposes k·refineFactor candidates, ONLY those are re-scored
     * exactly against the full-precision `refineView` — the serving form
     * you actually want when quantization noise reaches the score gaps
-    * among near-tied neighbors. */
+    * among near-tied neighbors. Output carries a `refined` flag:
+    * false marks candidates absent from the refine view (kept at their
+    * quantized score, ranked after every exact rescore). */
   private def ivfTopkQrTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ivf_topk_qr_t"
     require(args.length >= 7 && args.length <= 9,

@@ -421,13 +421,29 @@ object Similarity {
   /** Whether a version dir holds SQ8 rows — recorded EXPLICITLY by the
     * `_QUANTIZED` marker [[saveIvfIndexQuantized]] writes (and
     * compaction/rewrite carry forward), never inferred from the corpus
-    * schema: an index seeded EMPTY with external centroids has no
+    * schema alone: an index seeded EMPTY with external centroids has no
     * readable corpus schema, and inferring would misread it as float —
-    * exactly the append that bricks every subsequent quantized read. */
+    * exactly the append that bricks every subsequent quantized read.
+    *
+    * LEGACY read-repair: a quantized version written before the marker
+    * existed has SQ8 rows but no marker, and trusting its absence would
+    * commit a float delta onto byte rows (the same brick, from the other
+    * side). When the marker is missing, the stored corpus schema is
+    * sniffed for the `_cq` byte column and a found marker is migrated in
+    * place (idempotent empty-file create; Try-guarded because read-only
+    * serving paths also land here). An empty-seeded legacy dir cannot
+    * exist — empty seeding shipped together with the marker — so
+    * "no marker, no readable corpus" still correctly means float. */
   private def isQuantizedVersion(spark: org.apache.spark.sql.SparkSession,
       vdir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) || {
+      val legacy = scala.util.Try(spark.read.parquet(s"$vdir/corpus")
+        .schema.fieldNames.contains("_cq")).getOrElse(false)
+      if (legacy) scala.util.Try(f.create(p, true).close())
+      legacy
+    }
   }
 
   /** All `v<n>` version dirs under an index root (committed or not). */
@@ -719,7 +735,12 @@ object Similarity {
     * from it keeps its quantized score instead of being silently dropped
     * (a freshly-appended delivery whose full-precision rows haven't
     * landed in the refine store yet must not shrink result sets below k
-    * with no signal). */
+    * with no signal). Fallback rows are NOT silently mixed into the
+    * exact ranking: the output carries a `refined` flag (false = the
+    * score is the raw quantized cosine — callers detect a stale refine
+    * store by `NOT refined` rows appearing), and ranking orders exact
+    * rows ahead of fallback ones so a lossy score can never displace an
+    * exactly re-scored candidate from the top-k. */
   def ivfTopKQuantizedRefined(queries: DataFrame, indexDir: String,
       refineCorpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, refineFactor: Int = 4, salt: Int = 1): DataFrame = {
@@ -738,11 +759,12 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         coalesce(
           dotNative(col("_rqv"), col("_rcv")) / (col("_rqn") * col("_rcn")),
-          col("_qcos")).as("cos"))
+          col("_qcos")).as("cos"),
+        col("_rcv").isNotNull.as("refined"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(col("refined").desc, col("cos").desc, col("neighbor_id"))
     rescored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+      .select("query_id", "neighbor_id", "cos", "refined")
   }
 
   /** Rewrite the serving corpus of an index through `f` (a filter /

@@ -434,6 +434,67 @@ class LlmSpec extends AnyFunSuite {
       5, 3)) === grownServed, "folded replay must no-op")
   }
 
+  test("stale refine store: fallback rows flagged refined=false and ranked after exact rescores") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfqs").toString
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", dir,
+      nlist = 8, centroids = Some(cents))
+    val q = embs.filter(col("vec_id") < 10)
+    // refine store covering fewer rows than k — exact rescores rank
+    // first (absent candidates can never displace them), so fallback
+    // rows only surface to FILL the k; with 3 refinable ids and k = 5
+    // every query must show both kinds, flagged
+    val stale = embs.filter(col("vec_id") < 3)
+    val out = Similarity.ivfTopKQuantizedRefined(q, dir, stale,
+        "vec_id", "embedding", k = 5, nprobe = 8,
+        refineFactor = embs.count().toInt / 5 + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.exists(!_._4), "odd-id neighbors must surface as fallback")
+    assert(out.exists(_._4))
+    // within every query's k, no fallback row ranks above an exact one
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val ordered = rows.sortBy(r => (!r._4, -r._3, r._2))
+      assert(ordered.map(_._4).dropWhile(identity).forall(!_),
+        s"query $qid mixes fallback rows into the exact prefix")
+    }
+    // full-coverage refine flags every row refined=true
+    val fullCov = Similarity.ivfTopKQuantizedRefined(q, dir, embs,
+        "vec_id", "embedding", k = 5, nprobe = 8,
+        refineFactor = embs.count().toInt / 5 + 1)
+      .collect().map(_.getBoolean(3))
+    assert(fullCov.nonEmpty && fullCov.forall(identity))
+  }
+
+  test("legacy quantized version without marker: schema sniff migrates it; appends still quantize") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfql").toString
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 =!= 0)
+    Similarity.saveIvfIndexQuantized(half1, "vec_id", "embedding", dir,
+      nlist = 8, centroids = Some(cents))
+    // simulate a pre-marker release's index: delete the flavor marker
+    val marker = new java.io.File(s"$dir/v1/_QUANTIZED")
+    assert(marker.delete(), "fixture must start marker-less")
+    // the append must NOT land float rows on the SQ8 corpus — the sniff
+    // recognizes _cq, migrates the marker, and quantizes the delivery
+    Similarity.appendIvfIndex(half2, "vec_id", "embedding", dir, Some("b1"))
+    assert(marker.exists(), "read-repair must restore the marker")
+    val q = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ivfqf").toString
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", fullDir,
+      nlist = 8, centroids = Some(cents))
+    assert(pairs(Similarity.ivfTopKQuantized(q, dir, "vec_id", "embedding", 5, 3))
+      === pairs(Similarity.ivfTopKQuantized(q, fullDir, "vec_id", "embedding", 5, 3)),
+      "legacy append-grown index must serve the full-save result")
+  }
+
   test("empty-seeded quantized index: marker (not schema) records the flavor, appends quantize") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfqe").toString

@@ -23,14 +23,20 @@ def main(sf_dir, out_dir):
     for k, v in sorted(times.items(), key=lambda x: -x[1])[:8]:
         print(f"{v:8.2f}  {k}")
     print(f"TOTAL {total:.1f}s over {len(times)} queries")
-    # flat per-query map for graft.Bench to splice into bench_out.json as
-    # the "oracle" field — per-query >2x adjudication against the SAME-box
+    # per-query map for graft.Bench to splice into bench_out.json as the
+    # "oracle" field — per-query >2x adjudication against the SAME-box
     # DuckDB run instead of a stale total. Written to the cwd, like
-    # bench_out.json itself.
+    # bench_out.json itself. The sf stamp (parsed from the dir name the
+    # same way Bench parses its own) lets Bench refuse a stale file from
+    # a run at a different scale factor.
+    import re
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)/?$", sf_dir)
+    sf = m.group(1) if m else "-1"
+    qmap = "{" + ",".join(
+        f'"{k}":{v:.2f}' for k, v in sorted(times.items()) if v == v) + "}"
     with open("oracle_bench.json", "w") as f:
-        f.write("{" + ",".join(
-            f'"{k}":{v:.2f}' for k, v in sorted(times.items()) if v == v)
-            + "}\n")
+        f.write('{"sf":%s,"ts":%d,"queries":%s}\n'
+                % (sf, int(time.time()), qmap))
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
