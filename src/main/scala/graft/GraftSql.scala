@@ -90,6 +90,22 @@ import scala.collection.mutable
   *     true` folds base + deltas into one new version afterwards;
   *   - `graft_ivf_stats_t('dir')` — per-cell occupancy of the serving
   *     corpus (base + deltas): the drift/hot-cell diagnostic;
+  *   - `graft_spandup_t('docsV', 'id', 'text', spanTokens[, minDocs])` —
+  *     per-document duplicate-text-fraction stats (the Lee-et-al
+  *     span-duplication signal, [[graft.llm.Dedup.spanDupStats]]) and
+  *     `graft_span_remove_t('docsV', 'id', 'text', spanTokens[,
+  *     minDocs])` — the exact-substring excision rewrite
+  *     ([[graft.llm.Dedup.removeDupSpans]]): the span-level cleaning
+  *     pair from pure SQL;
+  *   - `graft_ingest_spandup_t('landingDir', 'workDir'[, spanTokens[,
+  *     minDocs]])` — span-duplication scoring at ingest: polls every
+  *     newly-landed document file against the accumulated window state
+  *     ([[graft.streaming.SpanDupStream]]) and returns the accumulated
+  *     per-document stats table (each row scored as of its landing);
+  *     `graft_span_rescore_t('landingDir', 'workDir'[, spanTokens[,
+  *     minDocs]])` — the offline repair: re-scores every stored doc
+  *     against the final corpus and commits the corrected snapshot
+  *     (run with the poller stopped); returns the repaired stats;
   *   - `graft_ivf_save_q_t(...)` / `graft_ivf_topk_q_t(...)` /
   *     `graft_ivf_topk_qr_t(...)` — the SQ8 quantized tier (~4× smaller
   *     stored vectors, recall-floor contract) from SQL, including the
@@ -152,6 +168,22 @@ object GraftSql {
       FunctionIdentifier("graft_ingest_dedup_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ingest_dedup_t"),
       (args: Seq[Expression]) => ingestDedupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_spandup_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_spandup_t"),
+      (args: Seq[Expression]) => spanDupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_span_remove_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_span_remove_t"),
+      (args: Seq[Expression]) => spanRemoveTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ingest_spandup_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ingest_spandup_t"),
+      (args: Seq[Expression]) => ingestSpanDupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_span_rescore_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_span_rescore_t"),
+      (args: Seq[Expression]) => spanRescoreTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ingest_repair_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ingest_repair_t"),
@@ -509,6 +541,104 @@ object GraftSql {
     graft.streaming.DedupStream.pollNearDedup(spark.newSession(), landing,
       work, p)
     graft.streaming.DedupStream.assignments(spark, work)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_spandup_t` table-function plan:
+    * `graft_spandup_t('docsV', 'id', 'text', spanTokens[, minDocs])` —
+    * [[graft.llm.Dedup.spanDupStats]] from SQL: per document, the
+    * fraction of its spanTokens-token windows appearing verbatim in
+    * ≥ minDocs distinct documents. */
+  private def spanDupTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_spandup_t"
+    require(args.length >= 4 && args.length <= 5,
+      s"usage: $fn('docsView', 'idCol', 'textCol', spanTokens[, minDocs])")
+    val (dv, idCol, textCol, span, minDocs) = spanArgs(args, fn)
+    graft.llm.Dedup.spanDupStats(SparkSession.active.table(dv), idCol,
+      textCol, span, minDocs).queryExecution.logical
+  }
+
+  /** Build the `graft_span_remove_t` table-function plan:
+    * `graft_span_remove_t('docsV', 'id', 'text', spanTokens[, minDocs])`
+    * — [[graft.llm.Dedup.removeDupSpans]] from SQL: every token covered
+    * by a window duplicated in ≥ minDocs distinct documents excised,
+    * one (doc_id, clean_text, n_removed) row per input document. */
+  private def spanRemoveTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_span_remove_t"
+    require(args.length >= 4 && args.length <= 5,
+      s"usage: $fn('docsView', 'idCol', 'textCol', spanTokens[, minDocs])")
+    val (dv, idCol, textCol, span, minDocs) = spanArgs(args, fn)
+    graft.llm.Dedup.removeDupSpans(SparkSession.active.table(dv), idCol,
+      textCol, span, minDocs).queryExecution.logical
+  }
+
+  private def spanArgs(args: Seq[Expression],
+      fn: String): (String, String, String, Int, Int) = (
+    strLit(args(0), fn, "docs view"),
+    strLit(args(1), fn, "id column"),
+    strLit(args(2), fn, "text column"),
+    lngLit(args(3), fn, "spanTokens").toInt,
+    if (args.length == 5) lngLit(args(4), fn, "minDocs").toInt else 2)
+
+  /** Build the `graft_ingest_spandup_t` table-function plan:
+    * `graft_ingest_spandup_t('landingDir', 'workDir'[, spanTokens[,
+    * minDocs]])` — [[graft.streaming.SpanDupStream]] from SQL: one
+    * checkpointed poll scores every newly-landed document's
+    * duplicate-text fraction against the accumulated corpus window
+    * state, then the statement reads the accumulated stats table (each
+    * row final as of its landing — the documented streaming deviation;
+    * the batch `graft_spandup_t` over the full corpus is the repair).
+    * EAGER side effect in an ISOLATED session, exactly like
+    * `graft_ingest_dedup_t` (the poll's micro-batch thread must analyze
+    * its own plans while this builder holds the calling session's
+    * catalog lock). Re-running the statement re-polls; an empty re-poll
+    * is a no-op. */
+  private def ingestSpanDupTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ingest_spandup_t"
+    require(args.length >= 2 && args.length <= 4,
+      s"usage: $fn('landingDir', 'workDir'[, spanTokens[, minDocs]])")
+    val landing = strLit(args(0), fn, "landing dir")
+    val work = strLit(args(1), fn, "work dir")
+    val defaults = graft.streaming.SpanDupStream.Params()
+    val p = defaults.copy(
+      spanTokens = if (args.length >= 3) lngLit(args(2), fn, "spanTokens").toInt
+        else defaults.spanTokens,
+      minDocs = if (args.length == 4) lngLit(args(3), fn, "minDocs").toInt
+        else defaults.minDocs)
+    val spark = SparkSession.active
+    graft.streaming.SpanDupStream.pollSpanDup(spark.newSession(), landing,
+      work, p)
+    graft.streaming.SpanDupStream.stats(spark, work)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_span_rescore_t` table-function plan:
+    * `graft_span_rescore_t('landingDir', 'workDir'[, spanTokens[,
+    * minDocs]])` — [[graft.streaming.SpanDupStream.rescoreStats]] from
+    * SQL: re-scores every already-scored document against the FINAL
+    * corpus (the offline repair for the stats-final-at-landing
+    * deviation) and commits the repaired snapshot; the statement then
+    * reads the repaired stats table. Run with the poller STOPPED, like
+    * `graft_ingest_repair_t`. EAGER side effect; the repair is a plain
+    * batch job, so no isolated session is needed — but one is used
+    * anyway for symmetry with the poller forms (state is entirely
+    * filesystem-resident either way). */
+  private def spanRescoreTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_span_rescore_t"
+    require(args.length >= 2 && args.length <= 4,
+      s"usage: $fn('landingDir', 'workDir'[, spanTokens[, minDocs]])")
+    val landing = strLit(args(0), fn, "landing dir")
+    val work = strLit(args(1), fn, "work dir")
+    val defaults = graft.streaming.SpanDupStream.Params()
+    val p = defaults.copy(
+      spanTokens = if (args.length >= 3) lngLit(args(2), fn, "spanTokens").toInt
+        else defaults.spanTokens,
+      minDocs = if (args.length == 4) lngLit(args(3), fn, "minDocs").toInt
+        else defaults.minDocs)
+    val spark = SparkSession.active
+    graft.streaming.SpanDupStream.rescoreStats(spark.newSession(), landing,
+      work, p)
+    graft.streaming.SpanDupStream.stats(spark, work)
       .queryExecution.logical
   }
 

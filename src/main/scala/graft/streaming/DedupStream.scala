@@ -351,7 +351,7 @@ object DedupStream {
   /** Highest micro-batch id the streaming checkpoint has COMMITTED, from
     * the checkpoint's `commits/` log; None when no checkpoint exists
     * (state driven through [[processBatch]] directly). */
-  private def committedFrontier(sp: SparkSession, workDir: String): Option[Long] = {
+  private[streaming] def committedFrontier(sp: SparkSession, workDir: String): Option[Long] = {
     val commits = new Path(s"$workDir/ckpt/commits")
     val f = fs(sp, s"$workDir/ckpt")
     if (!f.exists(commits)) None

@@ -42,8 +42,9 @@ import org.apache.hadoop.fs.Path
   * over the `minDocs` threshold does not retroactively re-score it.
   * Stream ≡ batch exactly when no window crosses the threshold via a
   * later delivery (boilerplate duplicated within or before its holders'
-  * deliveries — the dominant crawl shape, spec-pinned); the batch
-  * operator over the full corpus remains the repair for the rest.
+  * deliveries — the dominant crawl shape, spec-pinned); [[rescoreStats]]
+  * is the offline repair that closes the rest, committing a corrected
+  * snapshot the same way [[DedupStream.repairMerges]] does.
   */
 object SpanDupStream {
 
@@ -79,6 +80,57 @@ object SpanDupStream {
     * delivery (see the incremental contract above). */
   def stats(spark: SparkSession, workDir: String): DataFrame =
     DedupStream.readState(spark, s"$workDir/stats", statsSchema, Long.MaxValue)
+
+  /** Offline repair closing the stats-final-at-landing deviation: every
+    * ALREADY-SCORED document is re-scored against the FINAL corpus and
+    * the result committed as a repaired stats snapshot (`snap<id>r` —
+    * [[DedupStream.repairMerges]]' write-to-temp + rename-once flavor,
+    * which wins the same-id tie over a plain compaction fold), so
+    * [[stats]] serves corrected rows and subsequent polls append beyond
+    * it. Run with the poller STOPPED, like every offline repair here.
+    *
+    * The re-score is the BATCH operator over the landed documents, on
+    * purpose: a per-document re-score needs each document's window SET,
+    * which the state deliberately does not store (per-doc windows are
+    * the exploded corpus — state would grow L×token-count-proportional
+    * instead of distinct-window-proportional; re-reading the landing
+    * pays that explode only when a repair actually runs). Documents
+    * restricted to those already scored (semi-join against the current
+    * stats), so files landed but not yet polled neither gain premature
+    * rows nor double up when their poll replays. `wins` is untouched —
+    * per-delivery window counts are already final at write (doc ids
+    * land once), only the scoring snapshot was time-dependent.
+    *
+    * Fold cap mirrors [[DedupStream.repairMerges]]: only
+    * checkpoint-committed batches bake into the snapshot; uncommitted
+    * b-dirs stay for their replay to overwrite. Idempotent — a crashed
+    * rescore reruns; an existing repaired snapshot short-circuits. */
+  def rescoreStats(sp: SparkSession, landingDir: String, workDir: String,
+      p: Params = Params()): Unit = {
+    val root = s"$workDir/stats"
+    val (snap, bdirs) = DedupStream.stateDirs(sp, root, Long.MaxValue)
+    val dirMax = (snap.map(_._1).toSeq ++ bdirs.map(_._1))
+      .maxOption.getOrElse(return)
+    val maxId = DedupStream.committedFrontier(sp, workDir)
+      .getOrElse(dirMax).min(dirMax)
+    val scored = DedupStream
+      .readState(sp, root, statsSchema, maxId + 1).select("doc_id")
+    val docs = sp.read.schema(landingSchema).parquet(s"$landingDir/*")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .join(scored, Seq("doc_id"), "left_semi")
+    val re = graft.llm.Dedup.spanDupStats(docs, "doc_id", "text",
+      p.spanTokens, p.minDocs)
+    val f = DedupStream.fs(sp, root)
+    val target = new Path(root, s"snap${maxId}r")
+    if (!f.exists(target)) {
+      val tmp = new Path(root, s".tmpsnap${maxId}r")
+      re.write.mode("overwrite").parquet(tmp.toString)
+      if (!f.rename(tmp, target))
+        throw new java.io.IOException(s"rescore rename failed: $target")
+    }
+    DedupStream.sweep(sp, root, maxId)
+  }
 
   /** Fold every state dir below `uptoExclusive` into one snapshot per
     * table and sweep the folded dirs — [[DedupStream.compactState]]'s

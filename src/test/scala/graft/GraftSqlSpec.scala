@@ -233,6 +233,89 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(repaired === got2)
   }
 
+  test("graft_spandup_t / graft_span_remove_t: span-dup stats and excision from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val boiler = "one two three four five"
+    Seq(
+      1L -> s"aa bb cc $boiler dd ee",
+      2L -> s"zz yy $boiler xx ww vv",
+      3L -> "qq rr ss tt uu pp oo nn",
+      9L -> "just four tokens here").toDF("doc_id", "text")
+      .createOrReplaceTempView("span_docs_v")
+    val sqlStats = spark.sql(
+      "SELECT * FROM graft_spandup_t('span_docs_v', 'doc_id', 'text', 5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val typedStats = graft.llm.Dedup.spanDupStats(
+        spark.table("span_docs_v"), "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlStats === typedStats)
+    assert(sqlStats.exists(t => t._1 == 1L && t._3 == 1L),
+      "planted boilerplate must flag a duplicated window from SQL")
+    val sqlRm = spark.sql(
+      "SELECT * FROM graft_span_remove_t('span_docs_v', 'doc_id', 'text', 5)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val typedRm = graft.llm.Dedup.removeDupSpans(
+        spark.table("span_docs_v"), "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sqlRm === typedRm)
+    assert(sqlRm.contains((1L, "aa bb cc dd ee", 5L)))
+    // explicit minDocs: a 2-doc span is NOT duplicated at minDocs=3
+    val strict = spark.sql(
+      "SELECT * FROM graft_spandup_t('span_docs_v', 'doc_id', 'text', 5, 3)")
+      .collect().map(_.getLong(2)).sum
+    assert(strict === 0L, "no window reaches 3 docs in this fixture")
+  }
+
+  test("graft_ingest_spandup_t: span scoring at ingest from SQL, re-poll idempotent ≡ typed stats") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_span").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    new java.io.File(landing).mkdirs()
+    val boiler = "one two three four five"
+    def q = "SELECT doc_id, n_windows, n_dup_windows FROM " +
+      s"graft_ingest_spandup_t('$landing', '$work', 5, 2)"
+    // delivery 1 carries the duplicated pair together (bridge-free)
+    Seq(1L -> s"aa bb cc $boiler dd ee", 2L -> s"zz yy $boiler xx ww vv")
+      .toDF("doc_id", "text").write.parquet(s"$landing/c1")
+    val got1 = spark.sql(q).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got1 === Map(1L -> ((6L, 1L)), 2L -> ((6L, 1L))))
+    // delivery 2: scored against the accumulated state — its boiler
+    // window is already over the floor
+    Seq(5L -> s"kk $boiler ll mm").toDF("doc_id", "text")
+      .write.parquet(s"$landing/c2")
+    val got2 = spark.sql(q).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got2(5L) === ((4L, 1L)),
+      "second delivery must score against the accumulated corpus")
+    // idempotent with nothing new landed, and SQL ≡ the typed stats read
+    val again = spark.sql(q).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(again === got2)
+    val typed = graft.streaming.SpanDupStream.stats(spark, work)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(again === typed)
+    // the offline repair from SQL: a late delivery reuses doc 1's left
+    // flank ("aa bb cc one two"), pushing that stored window over the
+    // floor — doc 1's row is final at landing until the rescore re-flags
+    Seq(7L -> "g1 aa bb cc one two g2").toDF("doc_id", "text")
+      .write.parquet(s"$landing/c3")
+    spark.sql(q).collect() // poll the late delivery first
+    val repaired = spark.sql(
+      "SELECT doc_id, n_windows, n_dup_windows FROM " +
+        s"graft_span_rescore_t('$landing', '$work', 5, 2)")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(repaired(7L) === ((3L, 1L)))
+    assert(repaired(1L) === ((6L, 2L)),
+      "the late-crossed stored window must be re-flagged")
+    assert(repaired === graft.streaming.SpanDupStream
+      .stats(spark, work).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap,
+      "SQL rescore ≡ typed stats read after repair")
+  }
+
   test("graft_ingest_pipeline_t: dedup→index loop from SQL, index holds only representatives") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)

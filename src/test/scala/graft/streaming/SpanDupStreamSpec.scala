@@ -86,5 +86,30 @@ class SpanDupStreamSpec extends AnyFunSuite {
     assert(after(31L)._2 > 0L, "the new doc sees the stored occurrence")
     assert(after(3L)._2 === 0L,
       "the already-scored doc is not retroactively re-flagged (by contract)")
+
+    // rescoreStats closes the deviation: stream + rescore ≡ batch over
+    // the full corpus — doc 3's window set, pushed over the threshold by
+    // d3, is now flagged
+    SpanDupStream.rescoreStats(spark, landing, work, p)
+    val repaired = rows(SpanDupStream.stats(spark, work))
+    val batchAll = rows(Dedup.spanDupStats(full.union(d3),
+      "doc_id", "text", 5))
+    assert(repaired === batchAll, "stream + rescore ≡ batch")
+    assert(repaired(3L)._2 > 0L, "the late-crossed doc is re-flagged")
+    // repaired snapshot flavor committed; idempotent re-run no-ops
+    val statDirs = new java.io.File(s"$work/stats").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(statDirs.exists(_.endsWith("r")),
+      s"repaired snapshot flavor expected: $statDirs")
+    SpanDupStream.rescoreStats(spark, landing, work, p)
+    assert(rows(SpanDupStream.stats(spark, work)) === repaired)
+    // the poller continues past the repair: a post-repair delivery is
+    // scored against the accumulated state as usual
+    val d4 = Seq(41L -> s"h1 h2 $boiler h3 h4 h5").toDF("doc_id", "text")
+    d4.write.parquet(s"$landing/d4")
+    SpanDupStream.pollSpanDup(spark, landing, work, p)
+    val cont = rows(SpanDupStream.stats(spark, work))
+    assert(cont(41L)._2 === 1L, "post-repair poll scores against state")
+    assert(cont(3L) === repaired(3L), "repaired rows survive the next poll")
   }
 }
