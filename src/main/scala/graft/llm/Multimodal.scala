@@ -70,6 +70,86 @@ object Multimodal {
       }
   }
 
+  /** 64-bit perceptual difference hash (dHash) over the payload byte
+    * stream — the public-recipe image near-dup signature (Krawetz-style
+    * dHash: sample a fixed grid, set bit i when sample i outshines its
+    * neighbor), applied to the OPAQUE binary column: 65 evenly-spaced
+    * byte samples s₀…s₆₄ at offsets ⌊i·len/65⌋, bit i = (sᵢ > sᵢ₊₁).
+    * On decoded grayscale thumbnails this is the textbook dHash; on raw
+    * bytes it is the same locality property (near-identical payloads →
+    * near-identical signatures) the banding tier needs — and unlike the
+    * decode step it needs NO codec, so it is fully real here: pure
+    * column math (substr + hex + conv + a bitwise fold), whole-stage
+    * codegen, zero UDFs, and bit-replayable by a SQL oracle.
+    *
+    * Output (_id, simhash) plugs STRAIGHT into
+    * [[Dedup.simhashPairs]] (Hamming band blocking, pigeonhole-exact
+    * for maxDist < bands, hot-bucket collapse) and from there into the
+    * connected-components clustering — byte-identical payloads collapse
+    * before banding exactly like identical documents. Empty payloads
+    * are dropped; payloads shorter than 65 bytes sample with repeats
+    * (still deterministic). Sample offsets use long arithmetic — a
+    * 2 GiB payload times 64 overflows int. */
+  def dHash(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val len = length(col(payloadCol)).cast("long")
+    val samples = transform(sequence(lit(0L), lit(64L)),
+      i => conv(hex(col(payloadCol)
+          .substr((i * len / 65L + 1L).cast("int"), lit(1))), 16, 10)
+        .cast("long"))
+    media
+      .filter(col(idCol).isNotNull && col(payloadCol).isNotNull &&
+        length(col(payloadCol)) >= 1)
+      .select(col(idCol).cast("long").as("_id"), samples.as("_s"))
+      .select(col("_id"),
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+          when(element_at(col("_s"), i + 1) > element_at(col("_s"), i + 2),
+            acc.bitwiseOR(shiftLeftCol(lit(1L), i))).otherwise(acc))
+          .as("simhash"))
+  }
+
+  /** Catalyst ShiftLeft with a COLUMN shift amount — the functions API
+    * only takes a literal Int, and the dHash fold's bit index is the
+    * lambda variable. */
+  private def shiftLeftCol(v: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        org.apache.spark.sql.graft.ColumnBridge.expression(n)))
+
+  /** Perceptual near-dup payload pairs: [[dHash]] signatures through
+    * [[Dedup.simhashPairs]]' banding — (i, j, hamming) with Hamming
+    * distance ≤ maxDist, exact-complete for maxDist < bands.
+    *
+    * The signature table is MATERIALIZED first (16 bytes a row —
+    * nothing at any scale): the banding consumes its input in several
+    * subtrees (group, member map, band explode, both join sides), and
+    * the 65-sample higher-order expression is interpreted per
+    * evaluation — inlining it re-runs the sampling once per subtree
+    * (measured ~17× slower at sf0.1). */
+  def dHashPairs(media: DataFrame, maxDist: Int, bands: Int = 4,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    Dedup.simhashPairs(dHash(media, idCol, payloadCol).localCheckpoint(),
+      maxDist, bands)
+
+  /** Perceptual near-dup CLUSTERS: the pair set through the shared
+    * connected-components machinery ([[Dedup.componentsTiered]]) — one
+    * (rep_id, n_members) row per multi-member cluster, rep = min id;
+    * the action that actually drops near-identical media payloads. */
+  def dHashClusters(media: DataFrame, maxDist: Int, bands: Int = 4,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val pairs = dHashPairs(media, maxDist, bands, idCol, payloadCol)
+      .select(col("i"), col("j"))
+    val ids = media.filter(col(idCol).isNotNull && col(payloadCol).isNotNull &&
+        length(col(payloadCol)) >= 1)
+      .select(col(idCol).cast("long").as("id"))
+    ids.join(Dedup.componentsTiered(pairs), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("rep_id"))
+      .groupBy("rep_id").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+  }
+
   case class ResizedRow(doc_id: Long, width: Int, height: Int,
       payload: Array[Byte])
   case class FrameRow(doc_id: Long, frame_idx: Long, offset: Long,

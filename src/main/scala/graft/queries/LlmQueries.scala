@@ -240,6 +240,32 @@ object LlmQueries {
       val media = Multimodal.withBinaryPayload(docs(s, dir), "doc_id", "text")
       val feats = Multimodal.decodeFeatures(media).toDF()
       sortAll(feats.select(col("doc_id"), col("n_bytes"), col("first_byte")))
+    }),
+
+    // Perceptual-hash payload dedup: 64-bit dHash over the binary column
+    // (65 evenly-spaced byte samples, bit = adjacent comparison — pure
+    // column math, no codec), Hamming ≤ 3 pairs via the shared simhash
+    // band blocking (pigeonhole-exact at 4 bands). Each document also
+    // contributes a TWIN payload with one mid-stream byte replaced —
+    // the near-identical-payload population the operator exists for
+    // (the raw table's texts are all ≥13 bits apart: document near-dups
+    // share tokens, not byte offsets) — so the gate checks one
+    // recovered pair per document, not an empty set. The oracle replays
+    // the twin construction, the byte sampling, and the bit fold in
+    // DuckDB and brute-forces the pair set — the d4_simhash
+    // differential pattern on the BINARY tier
+    "mm2_dhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"))
+      val p = greatest(lit(1), (length(col("text")) / 2).cast("int"))
+      val twin = d.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), p - 1), lit("~"),
+          col("text").substr(p + 1, length(col("text")))).as("text"))
+      val media = Multimodal.withBinaryPayload(d.unionByName(twin),
+        "doc_id", "text")
+      sortAll(Multimodal.dHashPairs(media, maxDist = 3, bands = 4))
     })
   )
 
@@ -590,6 +616,45 @@ object LlmQueries {
          |            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT
          |       END AS BIGINT) AS first_byte
          |FROM $docsPq
-         |${orderBySql("doc_id", "n_bytes", "first_byte")}""".stripMargin
+         |${orderBySql("doc_id", "n_bytes", "first_byte")}""".stripMargin,
+
+    // dHash over payload bytes (original + one-byte-replaced twin rows),
+    // replayed byte-for-byte from the blob's hex string (byte k = hex
+    // chars 2k+1..2k+2), then brute-force Hamming ≤ 3 — band blocking
+    // at 4 bands is pigeonhole-exact there
+    "mm2_dhash_pairs" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM $docsPq
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND length(text) >= 1),
+         |uni AS (
+         |  SELECT doc_id, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 10000000,
+         |    substr(text, 1, greatest(1, length(text) // 2) - 1) || '~' ||
+         |    substr(text, greatest(1, length(text) // 2) + 1)
+         |  FROM src),
+         |d AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |  FROM uni),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    ('0x' || substr(hx, CAST((i * n) // 65 AS BIGINT) * 2 + 1, 2))::INT AS v
+         |  FROM d, (SELECT unnest(generate_series(0, 64)) AS i)),
+         |bits AS (
+         |  SELECT a.doc_id, a.i
+         |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  WHERE a.i < 64 AND a.v > b.v),
+         |sig AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(CAST(sum(1::UBIGINT << bits.i) AS UBIGINT), 0::UBIGINT) AS s
+         |  FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |${orderBySql("i", "j", "hamming")}""".stripMargin
   )
 }

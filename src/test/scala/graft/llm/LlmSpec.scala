@@ -888,6 +888,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash payload dedup: near-identical payloads pair and cluster, distinct payloads stay apart") {
+    import spark.implicits._
+    // 130 ascii bytes → samples at even offsets 0,2,…,128; the tweak at
+    // offset 70 lands ON sample 35, flipping at most bits 34/35 —
+    // near-identical payloads must stay within the Hamming-3 floor
+    val base = (0 until 130).map(i => ('a' + i % 26).toChar).mkString
+    val tweaked = base.updated(70, 'z')
+    val other = (0 until 130).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    val fix = Seq(1L -> base, 2L -> tweaked, 3L -> other, 4L -> base)
+      .toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(fix, "doc_id", "text")
+    val pairs = Multimodal.dHashPairs(media, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys === Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"near-identical trio pairs, unrelated payload does not: $pairs")
+    assert(pairs.collectFirst { case (1L, 4L, h) => h }.contains(0L),
+      "byte-identical payloads are Hamming 0 (the collapse-before-band path)")
+    assert(pairs.collectFirst { case (1L, 2L, h) => h }.exists(_ <= 2L),
+      "a one-byte tweak moves at most two adjacent-comparison bits")
+    // clustering through the shared CC machinery: one 3-member cluster
+    val clusters = Multimodal.dHashClusters(media, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters === Set((1L, 3L)))
+    // real-table smoke: signatures are defined for every non-empty doc
+    // (short docs sample with repeats rather than erroring)
+    val sig = Multimodal.dHash(
+      Multimodal.withBinaryPayload(docs, "doc_id", "text"))
+    assert(sig.count() === docs.filter(col("text").isNotNull &&
+      length(col("text")) >= 1).count())
+  }
+
   test("multimodal: stub extractor is deterministic and plumbing preserves bytes") {
     val media = Multimodal.withBinaryPayload(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.decodeFeatures(media).collect()
