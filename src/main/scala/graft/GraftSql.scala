@@ -80,7 +80,8 @@ import scala.collection.mutable
   *     cell-partitioned index (and returns its centroids); the indexed
   *     top-k serves query batches against the directory, scanning only
   *     the probed cells' partitions;
-  *   - `graft_ingest_pipeline_t('landing', 'work', 'index'[, minJ])` —
+  *   - `graft_ingest_pipeline_t('landing', 'work', 'index'[, minJ[,
+  *     spanTokens[, maxDupFrac]]])` —
   *     the composed dedup→index ingest poll: dedup each landed
   *     (doc_id, text, embedding) delivery against the full corpus state,
   *     then index only the new cluster representatives' embeddings;
@@ -644,27 +645,36 @@ object GraftSql {
 
   /** Build the `graft_ingest_pipeline_t` table-function plan:
     * `graft_ingest_pipeline_t('landingDir', 'workDir', 'indexDir'[,
-    * minJaccard])` — the composed dedup→index ingest loop
+    * minJaccard[, spanTokens[, maxDupFrac]]])` — the composed
+    * dedup→index ingest loop
     * ([[graft.streaming.PipelineStream]]) from SQL: one checkpointed poll
     * dedups every newly-landed (doc_id, text, embedding) file against the
     * full corpus state and appends only NEW cluster representatives'
-    * embeddings to the persisted IVF index. EAGER side effect; isolated
+    * embeddings to the persisted IVF index. `spanTokens > 0` switches on
+    * the ingest span-duplication floor (documents whose duplicate-text
+    * fraction against the accumulated corpus exceeds `maxDupFrac` are
+    * dropped before dedup and indexing). EAGER side effect; isolated
     * session for the same deadlock reason as `graft_ingest_dedup_t`;
     * returns the accumulated (doc_id, rep_id) assignment table. */
   private def ingestPipelineTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ingest_pipeline_t"
-    require(args.length >= 3 && args.length <= 4,
-      s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard])")
+    require(args.length >= 3 && args.length <= 6,
+      s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard[, " +
+        "spanTokens[, maxDupFrac]]])")
     val landing = strLit(args(0), fn, "landing dir")
     val work = strLit(args(1), fn, "work dir")
     val index = strLit(args(2), fn, "index dir")
     val defaults = graft.streaming.DedupStream.Params()
-    val p = if (args.length == 4)
+    val p = if (args.length >= 4)
       defaults.copy(minJaccard = dblLit(args(3), fn, "minJaccard"))
     else defaults
+    val spanTokens =
+      if (args.length >= 5) lngLit(args(4), fn, "spanTokens").toInt else 0
+    val maxDupFrac =
+      if (args.length == 6) dblLit(args(5), fn, "maxDupFrac") else 1.0
     val spark = SparkSession.active
     graft.streaming.PipelineStream.pollIngest(spark.newSession(), landing,
-      work, index, p)
+      work, index, p, spanTokens = spanTokens, maxDupFrac = maxDupFrac)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }

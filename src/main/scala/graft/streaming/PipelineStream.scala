@@ -57,15 +57,45 @@ object PipelineStream {
     * the full corpus state under `workDir`, then index only the new
     * representatives. `compactEvery`/`retain` control the INDEX fold
     * cadence ([[IvfStream.pollAppend]] semantics); the dedup state
-    * compacts on `p.compactEvery` as always. */
+    * compacts on `p.compactEvery` as always.
+    *
+    * `spanTokens > 0` additionally applies the SPAN-DUPLICATION FLOOR at
+    * ingest — the streaming analogue of [[graft.llm.Corpus.prepare]]'s
+    * `spanTokens` gate, with the identical parameter tail: the delivery
+    * is first scored by [[SpanDupStream.processBatch]] against the
+    * accumulated window state (which accumulates EVERY landed document,
+    * floored ones included — exactly as the batch floor counts dropped
+    * documents' windows toward others' frequencies), then documents
+    * whose dup_frac exceeds `maxDupFrac` are dropped BEFORE dedup and
+    * indexing: boilerplate-heavy documents never enter cluster state or
+    * the index. Crash replay stays convergent — the span scorer's
+    * per-batch dirs rewrite bit-identically and the gate re-reads them.
+    * Inherits [[SpanDupStream]]'s scored-at-landing contract: a document
+    * is floored against the corpus as of its delivery (the batch floor
+    * over the final corpus is the repair, as ever). Defaults leave the
+    * pipeline byte-identical to the ungated form. */
   def pollIngest(spark: SparkSession, landingDir: String, workDir: String,
       indexDir: String, p: DedupStream.Params = DedupStream.Params(),
-      compactEvery: Int = 16, retain: Int = 0): Unit = {
+      compactEvery: Int = 16, retain: Int = 0,
+      spanTokens: Int = 0, maxDupFrac: Double = 1.0,
+      spanMinDocs: Int = 2): Unit = {
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val sp = batch0.sparkSession
+        val batch =
+          if (spanTokens <= 0) batch0
+          else {
+            SpanDupStream.processBatch(sp, batch0.select("doc_id", "text"),
+              workDir, SpanDupStream.Params(spanTokens, spanMinDocs,
+                p.compactEvery), batchId)
+            val floored = sp.read.schema(SpanDupStream.statsSchema)
+              .parquet(s"$workDir/stats/b$batchId")
+              .filter(col("dup_frac") > maxDupFrac)
+              .select("doc_id")
+            batch0.join(floored, Seq("doc_id"), "left_anti")
+          }
         DedupStream.processBatch(sp, batch.select("doc_id", "text"),
           workDir, p, batchId)
         // explicit schema: an all-filtered batch writes an assignment dir

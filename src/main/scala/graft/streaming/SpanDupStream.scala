@@ -57,7 +57,7 @@ object SpanDupStream {
 
   private val winsSchema = StructType(Seq(
     StructField("_w", LongType), StructField("nd", LongType)))
-  private val statsSchema = StructType(Seq(
+  private[streaming] val statsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("n_windows", LongType),
     StructField("n_dup_windows", LongType), StructField("dup_frac", DoubleType)))
 

@@ -97,6 +97,70 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(DedupStream.assignments(spark, work).count() === 7L)
   }
 
+  test("span floor at ingest: boilerplate-heavy docs never enter cluster state or the index; gate ≡ batch floor") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipespan").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    // cross-unique texts; 4 and 5 are IDENTICAL 42-token boilerplate
+    // (dup_frac 1 within their own delivery); 6 is half boiler, half
+    // unique (dup_frac ≈ 0.45 — under the 0.6 floor, must survive)
+    val boiler = (0 until 42).map(i => s"bp$i").mkString(" ")
+    def uniq(tag: String) = (0 until 42).map(i => s"${tag}_u$i").mkString(" ")
+    val half = (0 until 21).map(i => s"bp$i").mkString(" ") + " " +
+      (0 until 21).map(i => s"h_u$i").mkString(" ")
+    val d0 = Seq(1L -> uniq("a"), 2L -> uniq("b"), 3L -> uniq("c"),
+      4L -> boiler, 5L -> boiler, 6L -> half)
+    // delivery 2: doc 11 reuses the boiler — floored AGAINST STATE (its
+    // own delivery holds only one copy); doc 12 is fresh and unique
+    val d1 = Seq(11L -> boiler, 12L -> uniq("d"))
+
+    delivery(d0: _*).write.parquet(s"$landing/d0")
+    PipelineStream.pollIngest(spark, landing, work, index, p,
+      compactEvery = 2, spanTokens = 5, maxDupFrac = 0.6)
+    assert(indexedIds() === Set(1L, 2L, 3L, 6L),
+      "identical boilerplate docs floored before indexing; half-boiler survives")
+
+    delivery(d1: _*).write.parquet(s"$landing/d1")
+    PipelineStream.pollIngest(spark, landing, work, index, p,
+      compactEvery = 2, spanTokens = 5, maxDupFrac = 0.6)
+    assert(indexedIds() === Set(1L, 2L, 3L, 6L, 12L),
+      "late boilerplate reuse floored against the accumulated window state")
+    val assigned = DedupStream.assignments(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(assigned === Set(1L, 2L, 3L, 6L, 12L),
+      "floored docs never entered cluster state")
+
+    // gate ≡ batch floor: the floored set equals Corpus.prepare's
+    // span-threshold drop over the full landed corpus (bridge-free:
+    // every boiler window crossed the floor within/before its delivery)
+    val all = delivery(d0 ++ d1: _*).select("doc_id", "text")
+    val batchFloored = graft.llm.Dedup
+      .spanDupStats(all, "doc_id", "text", 5, 2)
+      .filter(col("dup_frac") > 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchFloored === Set(4L, 5L, 11L))
+    assert(assigned === (d0 ++ d1).map(_._1).toSet -- batchFloored,
+      "stream gate ≡ batch span floor on bridge-free deliveries")
+
+    // the span scorer's state accumulated EVERY landed doc (floored
+    // included), matching batch window-frequency semantics
+    val scored = SpanDupStream.stats(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scored === (d0 ++ d1).map(_._1).toSet)
+  }
+
   test("quantized-seeded pipeline: ingest grows the SQ8 index by representatives only, flavor survives fold and prune") {
     val root = java.nio.file.Files.createTempDirectory("graft_pipeq").toString
     val landing = s"$root/landing"; val work = s"$root/work"
