@@ -111,7 +111,12 @@ import scala.collection.mutable
   *     `graft_ivf_topk_qr_t(...)` — the SQ8 quantized tier (~4× smaller
   *     stored vectors, recall-floor contract) from SQL, including the
   *     refined serve (quantized proposes, exact re-scoring against a
-  *     refine view decides); `graft_ivf_append_t` grows quantized
+  *     refine view decides);
+  *   - `graft_ivf_save_pq_t(...)` / `graft_ivf_topk_pq_t(...)` /
+  *     `graft_ivf_topk_pqr_t(...)` — the product-quantized tier (m
+  *     one-byte codes per vector, ADC scoring — the deepest-compression
+  *     serving mode) with the same refined-serve contract;
+  *     `graft_ivf_append_t` grows quantized AND product-quantized
   *     indexes too (the append follows the index's recorded flavor).
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
@@ -221,6 +226,18 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_topk_qr_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_qr_t"),
       (args: Seq[Expression]) => ivfTopkQrTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_save_pq_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_save_pq_t"),
+      (args: Seq[Expression]) => ivfSavePqTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_topk_pq_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_pq_t"),
+      (args: Seq[Expression]) => ivfTopkPqTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ivf_topk_pqr_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_pqr_t"),
+      (args: Seq[Expression]) => ivfTopkPqrTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -751,6 +768,74 @@ object GraftSql {
     graft.llm.Similarity.saveIvfIndexQuantized(spark.table(cv), idCol,
       vecCol, dir, nlist, seed = seed)
     graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_save_pq_t` table-function plan:
+    * `graft_ivf_save_pq_t('corpusView', 'idCol', 'vecCol', 'dir', nlist,
+    * m, k[, seed])` — write a product-quantized index
+    * ([[graft.llm.Similarity.saveIvfIndexPQ]]: m one-byte codes per
+    * vector, deepest compression); returns its centroids. */
+  private def ivfSavePqTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_save_pq_t"
+    require(args.length >= 7 && args.length <= 8,
+      s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir', nlist, m, k[, seed])")
+    val cv = strLit(args(0), fn, "corpus view")
+    val idCol = strLit(args(1), fn, "id column")
+    val vecCol = strLit(args(2), fn, "vector column")
+    val dir = strLit(args(3), fn, "index dir")
+    val nlist = lngLit(args(4), fn, "nlist").toInt
+    val m = lngLit(args(5), fn, "m").toInt
+    val k = lngLit(args(6), fn, "k").toInt
+    val seed = if (args.length == 8) lngLit(args(7), fn, "seed") else 42L
+    val spark = SparkSession.active
+    graft.llm.Similarity.saveIvfIndexPQ(spark.table(cv), idCol, vecCol,
+      dir, nlist, pqM = m, pqK = k, seed = seed)
+    graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_topk_pq_t` table-function plan:
+    * `graft_ivf_topk_pq_t('queriesView', 'dir', 'idCol', 'vecCol', k,
+    * nprobe[, salt])` — ADC serve of a PQ index
+    * ([[graft.llm.Similarity.ivfTopKPQ]]). */
+  private def ivfTopkPqTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_topk_pq_t"
+    require(args.length >= 6 && args.length <= 7,
+      s"usage: $fn('queriesView', 'dir', 'idCol', 'vecCol', k, nprobe[, salt])")
+    val qv = strLit(args(0), fn, "queries view")
+    val dir = strLit(args(1), fn, "index dir")
+    val idCol = strLit(args(2), fn, "id column")
+    val vecCol = strLit(args(3), fn, "vector column")
+    val k = lngLit(args(4), fn, "k").toInt
+    val nprobe = lngLit(args(5), fn, "nprobe").toInt
+    val salt = if (args.length == 7) lngLit(args(6), fn, "salt").toInt else 1
+    graft.llm.Similarity.ivfTopKPQ(SparkSession.active.table(qv), dir,
+      idCol, vecCol, k, nprobe, salt).queryExecution.logical
+  }
+
+  /** Build the `graft_ivf_topk_pqr_t` table-function plan:
+    * `graft_ivf_topk_pqr_t('queriesView', 'dir', 'refineView', 'idCol',
+    * 'vecCol', k, nprobe[, refineFactor[, salt]])` — PQ + REFINE
+    * ([[graft.llm.Similarity.ivfTopKPQRefined]]), the
+    * `graft_ivf_topk_qr_t` contract (incl. the `refined` flag) on the
+    * PQ proposal tier. */
+  private def ivfTopkPqrTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_topk_pqr_t"
+    require(args.length >= 7 && args.length <= 9,
+      s"usage: $fn('queriesView', 'dir', 'refineView', 'idCol', 'vecCol', " +
+        "k, nprobe[, refineFactor[, salt]])")
+    val qv = strLit(args(0), fn, "queries view")
+    val dir = strLit(args(1), fn, "index dir")
+    val rv = strLit(args(2), fn, "refine view")
+    val idCol = strLit(args(3), fn, "id column")
+    val vecCol = strLit(args(4), fn, "vector column")
+    val k = lngLit(args(5), fn, "k").toInt
+    val nprobe = lngLit(args(6), fn, "nprobe").toInt
+    val factor = if (args.length >= 8) lngLit(args(7), fn, "refineFactor").toInt else 4
+    val salt = if (args.length == 9) lngLit(args(8), fn, "salt").toInt else 1
+    val spark = SparkSession.active
+    graft.llm.Similarity.ivfTopKPQRefined(spark.table(qv), dir,
+        spark.table(rv), idCol, vecCol, k, nprobe, factor, salt)
+      .queryExecution.logical
   }
 
   /** Build the `graft_ivf_topk_q_t` table-function plan:

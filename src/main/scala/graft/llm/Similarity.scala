@@ -446,6 +446,30 @@ object Similarity {
     }
   }
 
+  /** Carry a version's flavor artifacts into a successor dir — the SQ8
+    * marker, or the PQ marker plus its codebooks table (appends must
+    * keep encoding against the SAME codebooks after a fold/rewrite) —
+    * called by compaction and rewrite before they write `_COMMIT`. */
+  private def carryFlavor(spark: org.apache.spark.sql.SparkSession,
+      vold: String, vnew: String,
+      f: org.apache.hadoop.fs.FileSystem): Unit = {
+    if (isPqVersion(spark, vold)) {
+      spark.read.parquet(s"$vold/codebooks")
+        .write.mode("overwrite").parquet(s"$vnew/codebooks")
+      f.create(new org.apache.hadoop.fs.Path(vnew, "_PQ"), true).close()
+    } else if (isQuantizedVersion(spark, vold))
+      f.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
+  }
+
+  /** Whether a version dir holds PQ rows — the `_PQ` marker written by
+    * [[saveIvfIndexPQ]] (and carried by compaction/rewrite). No legacy
+    * sniff: the PQ tier shipped together with its marker. */
+  private def isPqVersion(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vdir, "_PQ")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** All `v<n>` version dirs under an index root (committed or not). */
   private def ivfVersions(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, String)] = {
@@ -528,7 +552,9 @@ object Similarity {
       // empty-seeded index: the schema comes from the version's recorded
       // flavor (the `_QUANTIZED` marker), matching what appends will write
       val payload =
-        if (isQuantizedVersion(spark, vdir)) Seq(
+        if (isPqVersion(spark, vdir))
+          Seq(StructField("_pq", ArrayType(ByteType)))
+        else if (isQuantizedVersion(spark, vdir)) Seq(
           StructField("_qoff", FloatType), StructField("_qstep", FloatType),
           StructField("_cq", ArrayType(ByteType)))
         else Seq(StructField("_cv", ArrayType(FloatType)))
@@ -637,7 +663,10 @@ object Similarity {
       val cells = assignCells(newVectors, cents, idCol, vecCol, 1)
         .withColumnRenamed(idCol, "neighbor_id")
       val rows =
-        if (isQuantizedVersion(spark, vdir))
+        if (isPqVersion(spark, vdir))
+          pqRows(newVectors, idCol, vecCol,
+            spark.read.parquet(s"$vdir/codebooks"))
+        else if (isQuantizedVersion(spark, vdir))
           quantizedRows(newVectors, idCol, vecCol)
         else floatRows(newVectors, idCol, vecCol)
       rows.join(cells, "neighbor_id")
@@ -745,8 +774,20 @@ object Similarity {
       refineCorpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, refineFactor: Int = 4, salt: Int = 1): DataFrame = {
     require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
-    val cand = ivfTopKQuantized(queries, indexDir, idCol, vecCol,
-        k * refineFactor, nprobe, salt)
+    refineCandidates(
+      ivfTopKQuantized(queries, indexDir, idCol, vecCol,
+        k * refineFactor, nprobe, salt),
+      queries, refineCorpus, idCol, vecCol, k)
+  }
+
+  /** The shared refine tail (see [[ivfTopKQuantizedRefined]] for the
+    * contract): exact rescoring of a lossy tier's candidate set against
+    * a full-precision corpus, quantized-score fallback + `refined` flag
+    * for candidates absent from it, exact rows ranked ahead. */
+  private def refineCandidates(candidates: DataFrame, queries: DataFrame,
+      refineCorpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val cand = candidates
       .select(col("query_id"), col("neighbor_id"), col("cos").as("_qcos"))
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("_rqv"),
@@ -765,6 +806,222 @@ object Similarity {
       .orderBy(col("refined").desc, col("cos").desc, col("neighbor_id"))
     rescored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "cos", "refined")
+  }
+
+  /** Per-subspace PRODUCT-QUANTIZATION codebooks (Jégou et al.'s PQ):
+    * the dim-D vector splits into `m` equal D/m-dim subvectors, and each
+    * subspace trains `k ≤ 256` centroids with the same seeded k-means
+    * engine as [[trainCentroids]] (seed offset per subspace). Output
+    * (m, code, _cbv) with codes DENSE 0..k_m−1 per subspace — k_m may
+    * fall below `k` when a subspace has fewer distinct points. NaN
+    * subvectors are excluded from training (a NaN centroid poisons every
+    * distance); zero subvectors are legal PQ training data (L2 metric,
+    * unlike the cosine cell assignment) and are kept. An all-excluded
+    * subspace falls back to one zero centroid so encoding always has a
+    * target. D must divide by m; an empty corpus cannot train — seed
+    * empty indexes with explicit `codebooks`. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nonNull = corpus.filter(col(vecCol).isNotNull)
+    val dim = nonNull.select(size(col(vecCol)).as("_d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        "cannot train PQ codebooks on an empty corpus — pass codebooks " +
+          "explicitly to seed an empty index"))
+    require(dim % m == 0, s"dim $dim is not divisible by m $m")
+    val sub = dim / m
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val sampled =
+      if (sampleFraction < 1.0)
+        nonNull.sample(withReplacement = false, sampleFraction, seed)
+      else nonNull
+    (0 until m).map { mi =>
+      val sliced = sampled
+        .select(slice(col(vecCol), mi * sub + 1, sub).as("_sv"))
+        .filter(size(col("_sv")) === sub &&
+          !exists(col("_sv"), x => isnan(x)))
+        .select(toVec(col("_sv")).as("features"))
+      if (sliced.isEmpty)
+        Seq((mi, 0, Array.fill(sub)(0.0f))).toDF("m", "code", "_cbv")
+      else {
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(seed + mi).setMaxIter(maxIter).fit(sliced)
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (mi, i, c.toArray.map(_.toFloat)) }
+          .toDF("m", "code", "_cbv")
+      }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** PQ-encode rows for the serving corpus: (neighbor_id, _pq, _cn) —
+    * `_pq` is the m-byte code array (codes centered at −128, tinyint
+    * cannot hold 0..255), `_cn` the EXACT float-precision norm so the
+    * cosine denominator never degrades. Nearest sub-centroid by L2 (the
+    * PQ metric; lowest code wins a distance tie — deterministic): zero
+    * subvectors encode fine, unlike a
+    * cosine assignment. Per-row encoding depends only on the STORED
+    * codebooks — what makes PQ appends delivery-proportional, exactly
+    * like the SQ8 per-row parameters. Zero/NaN-norm rows are excluded
+    * (the [[assignCells]] contract shared by every tier). */
+  private def pqRows(vectors: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // codebooks to the driver once — m×k×(D/m) floats, ≤ a few hundred
+    // KB by the k ≤ 256 contract — then encoding is ONE narrow typed
+    // pass (tight primitive loops, broadcast codebook, no explode, no
+    // join, no shuffle): the DataFrame-composed form spent more wall in
+    // its four exchange boundaries than in the arithmetic
+    val cbRows = codebooks.select(col("m"), col("code"), col("_cbv"))
+      .collect()
+    val mk = cbRows.map(_.getInt(0)).max + 1
+    val cbArr: Array[Array[Array[Float]]] = {
+      val a = Array.fill(mk)(Array.empty[Array[Float]])
+      cbRows.groupBy(_.getInt(0)).foreach { case (m, rs) =>
+        a(m) = rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }
+      a
+    }
+    val sub = cbArr.head.head.length
+    val bc = spark.sparkContext.broadcast(cbArr)
+    vectors.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cb = bc.value
+        rows.flatMap { case (id, v) =>
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+          // zero/NaN-norm rows are excluded — the assignCells contract
+          // shared by every tier
+          if (n2.isNaN || n2 <= 0.0) None
+          else {
+            val codes = new Array[Byte](cb.length)
+            var m = 0
+            while (m < cb.length) {
+              val off = m * sub
+              var best = Double.MaxValue; var bcode = 0
+              var c = 0
+              while (c < cb(m).length) {
+                val cv = cb(m)(c); var d = 0.0; var j = 0
+                while (j < sub) {
+                  val diff = v(off + j).toDouble - cv(j); d += diff * diff
+                  j += 1
+                }
+                if (d < best) { best = d; bcode = c }
+                c += 1
+              }
+              codes(m) = (bcode - 128).toByte
+              m += 1
+            }
+            Some((id, codes.toSeq, math.sqrt(n2)))
+          }
+        }
+      }.toDF("neighbor_id", "_pq", "_cn")
+  }
+
+  /** (subspace count, subspace dim) of a codebook table — ONE driver
+    * job, not two. */
+  private def pqShape(codebooks: DataFrame): (Int, Int) = {
+    val r = codebooks.agg(max("m"), max(size(col("_cbv")))).head
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** Product-quantized IVF tier — the deepest-compression serving mode:
+    * each stored vector is `m` one-byte codes + the exact norm (dim-64
+    * float32 at m = 8 → 8 bytes of payload, 32× smaller; vs SQ8's ~4×).
+    * Scoring is ADC (asymmetric distance computation): per query, an
+    * m×k lookup table of partial dots against every sub-centroid is
+    * built ONCE (a broadcast-codebook pass over the query batch — the
+    * small side), and each candidate scores as m table lookups:
+    * `dot(q, v̂) = Σₘ lut[m][code_m]`, cosine with the exact stored
+    * norm. Approximation is recall-gated in the spec like SQ8 — the
+    * honest lossy contract — and [[ivfTopKPQRefined]] is the exact
+    * remedy.
+    *
+    * Same version/commit protocol as the other tiers, plus a
+    * `codebooks` table in the version dir and a `_PQ` flavor marker
+    * (written before `_COMMIT`, carried by compaction and rewrite):
+    * [[appendIvfIndex]] reads the marker and PQ-encodes deliveries
+    * against the STORED codebooks, so the PQ tier grows by the same
+    * delivery-proportional appends — never a mixed-format corpus.
+    * `centroids`/`codebooks` seed an empty index; `retain` as in
+    * [[saveIvfIndex]]. */
+  def saveIvfIndexPQ(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int, pqM: Int = 8, pqK: Int = 256,
+      sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 20,
+      centroids: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None, retain: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = ivfVersions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1
+    val vdir = s"$dir/v$n"
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
+    val cbs = codebooks.getOrElse(
+      trainPqCodebooks(corpus, vecCol, pqM, pqK, sampleFraction, seed, maxIter))
+    val cells = assignCells(corpus, cents, idCol, vecCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+    pqRows(corpus, idCol, vecCol, cbs)
+      .join(cells, "neighbor_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
+    cents.select(col("cell"), col("_cv"))
+      .write.mode("overwrite").parquet(s"$vdir/centroids")
+    cbs.select(col("m"), col("code"), col("_cbv"))
+      .write.mode("overwrite").parquet(s"$vdir/codebooks")
+    f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
+    f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
+    sweepOldVersions(spark, dir, n, retain)
+  }
+
+  /** Serve a [[saveIvfIndexPQ]] directory via ADC: per query the m×k
+    * partial-dot lookup table is built against the stored codebooks
+    * (keyed m·256 + code into a map column, carried on the broadcast
+    * query side), each probed-cell candidate costs m map lookups. Same
+    * probed-cell pruning, heap pre-reduce, and salt contract as
+    * [[ivfTopKIndexed]]. */
+  def ivfTopKPQ(queries: DataFrame, indexDir: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, salt: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val vdir = latestIvfVersion(spark, indexDir)
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val cbs = spark.read.parquet(s"$vdir/codebooks")
+    val (mk, sub) = pqShape(cbs)
+    val lut = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv0"))
+      .crossJoin(broadcast(cbs))
+      .select(col("query_id"), (col("m") * 256 + col("code")).as("_i"),
+        dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
+          col("_cbv")).as("_pd"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("_i"), col("_pd"))))
+        .as("_lut"))
+    val q = probedQueries(queries, cents, idCol, vecCol, nprobe)
+      .join(lut, "query_id")
+    val adc = aggregate(sequence(lit(0), lit(mk - 1)), lit(0.0d),
+      (acc, mm) => acc + element_at(col("_lut"),
+        mm * 256 + element_at(col("_pq"), mm + 1).cast("int") + 128))
+    ivfScore(q, ivfCorpus(spark, vdir), k, salt,
+      score = adc / (col("_qn") * col("_cn")))
+  }
+
+  /** PQ + REFINE: the [[ivfTopKQuantizedRefined]] remedy on the PQ
+    * proposal tier — candidates from [[ivfTopKPQ]], exact rescoring,
+    * same fallback/`refined`-flag contract (shared tail). */
+  def ivfTopKPQRefined(queries: DataFrame, indexDir: String,
+      refineCorpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, refineFactor: Int = 4, salt: Int = 1): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    refineCandidates(
+      ivfTopKPQ(queries, indexDir, idCol, vecCol,
+        k * refineFactor, nprobe, salt),
+      queries, refineCorpus, idCol, vecCol, k)
   }
 
   /** Rewrite the serving corpus of an index through `f` (a filter /
@@ -797,8 +1054,7 @@ object Similarity {
       try out.write((ledger.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
-    if (isQuantizedVersion(spark, vdir))
-      fs.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
+    carryFlavor(spark, vdir, vnew, fs)
     fs.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
     sweepOldVersions(spark, indexDir, n, retain)
   }
@@ -838,8 +1094,7 @@ object Similarity {
       val out = f.create(new org.apache.hadoop.fs.Path(vnew, "_FOLDED"), true)
       try out.write((ledger.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      if (isQuantizedVersion(spark, vdir))
-        f.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
+      carryFlavor(spark, vdir, vnew, f)
       f.create(new org.apache.hadoop.fs.Path(vnew, "_COMMIT"), true).close()
       sweepOldVersions(spark, indexDir, n, retain)
     }

@@ -164,6 +164,42 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // Product-quantized tier end to end: PQ save (8 subspaces, per-row
+    // 8-byte codes) over half the corpus, delivery-proportional append
+    // of the other half (encoded against the STORED codebooks — the _PQ
+    // flavor marker selects the format), then the refined serve. The
+    // refine factor spans the whole corpus, so exact rescoring decides
+    // every rank and the result is independent of the trained codebooks
+    // — what makes a lossy tier's construction loop oracle-able (the
+    // ann5 pattern); the raw ADC ranking stays recall-gated in ScalaTest
+    "ann6_ivf_pq_appended" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      // deterministic EXPLICIT codebooks (subvector slices of the first
+      // 8 embeddings) — the ann5 explicit-centroids trick: the oracle's
+      // full-width refine is codebook-independent, so the gate pays no
+      // in-query k-means; codebook TRAINING is gated in ScalaTest
+      val cbs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"), col("embedding"))
+        .select(col("code"), explode(sequence(lit(0), lit(7))).as("m"),
+          col("embedding"))
+        .select(col("m"), col("code"),
+          slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("_cbv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann6").toString
+      Similarity.saveIvfIndexPQ(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 8, pqM = 8, pqK = 8,
+        centroids = Some(cents), codebooks = Some(cbs))
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", idx)
+      val q = e.filter(col("vec_id") < 50)
+      val factor = (e.count() / 5 + 1).toInt
+      sortAll(Similarity.ivfTopKPQRefined(q, idx, e, "vec_id",
+          "embedding", k = 5, nprobe = 3, refineFactor = factor)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos")))
+    }),
+
     // Exact substring-span duplication: per-doc fraction of 5-token
     // windows appearing verbatim in ≥2 distinct documents. The hashed
     // scale path (8-byte keys shuffle, not window text): the oracle
@@ -493,6 +529,11 @@ object LlmQueries {
     // full-width refine re-scores every probed pair exactly → the same
     // probed-cell exact replay gates the quantized save→append→serve loop
     "ann5_ivf_quantized_appended" -> probedCellTop5Oracle,
+
+    // full-width refine decides every rank exactly → the PQ construction
+    // loop (save → append → refined serve) replays as the same
+    // probed-cell exact top-5, independent of the trained codebooks
+    "ann6_ivf_pq_appended" -> probedCellTop5Oracle,
 
     // same 5-token windows, string-keyed, replayed with list slicing
     "d8_span_dups" ->

@@ -468,6 +468,43 @@ class GraftSqlSpec extends AnyFunSuite {
       "degenerate fixture: exact re-scoring must reorder the top-k")
   }
 
+  test("graft_ivf_save_pq_t / graft_ivf_topk_pq_t / graft_ivf_topk_pqr_t: PQ tier from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_ivfpq").toString
+    def vec(id: Long): Array[Float] = {
+      val a = new Array[Float](16)
+      a((id % 4).toInt) = 1.0f
+      (0 until 16).foreach(j => a(j) = a(j) + ((id * 31 + j * 7) % 11).toFloat * 4e-6f)
+      a
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    corpus.createOrReplaceTempView("ivfpq_c")
+    corpus.filter($"vec_id" < 20).createOrReplaceTempView("ivfpq_q")
+    spark.sql("SELECT * FROM graft_ivf_save_pq_t(" +
+      s"'ivfpq_c', 'vec_id', 'embedding', '$dir', 4, 4, 16)").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val rawSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_pq_t('ivfpq_q', '$dir', 'vec_id', 'embedding', 5, 2)")
+      .collect().map(key).toSet
+    val rawTyped = graft.llm.Similarity.ivfTopKPQ(spark.table("ivfpq_q"),
+        dir, "vec_id", "embedding", 5, 2)
+      .collect().map(key).toSet
+    assert(rawSql === rawTyped)
+    assert(rawSql.nonEmpty)
+    val refSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_pqr_t('ivfpq_q', '$dir', 'ivfpq_c', 'vec_id', " +
+      "'embedding', 5, 2, 8)")
+      .collect().map(key).toSet
+    val refTyped = graft.llm.Similarity.ivfTopKPQRefined(
+        spark.table("ivfpq_q"), dir, spark.table("ivfpq_c"), "vec_id",
+        "embedding", 5, 2, refineFactor = 8)
+      .collect().map(key).toSet
+    assert(refSql === refTyped)
+    assert(refSql.nonEmpty)
+  }
+
   test("graft_combine_t equals the typed combineChunk") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)

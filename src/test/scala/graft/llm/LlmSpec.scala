@@ -434,6 +434,110 @@ class LlmSpec extends AnyFunSuite {
       5, 3)) === grownServed, "folded replay must no-op")
   }
 
+  test("PQ index: deep compression, recall floor, refined = exact, append-grown ≡ full save across fold") {
+    import spark.implicits._
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.saveIvfIndexPQ(embs, "vec_id", "embedding", dir, nlist = 8,
+      pqM = 8, pqK = 64, centroids = Some(cents))
+    val q = embs.filter(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+    val exact = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    val served = pairs(Similarity.ivfTopKPQ(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3))
+    val recall = Similarity.recallAgainst(exact, served, 5).head.getDouble(1)
+    // 8 bytes of payload per dim-64 vector is a LOSSY proposal tier, and
+    // this synthetic near-iid embedding table is PQ's adversarial case
+    // (no manifold structure for the subspace codebooks to exploit —
+    // the same honesty note as the SQ8 degenerate fixture): measured
+    // ~0.30 here vs ~0.01 chance. The gates are a chance-relative floor,
+    // MONOTONICITY in codebook size (the knob a deployment turns), and
+    // the refine pass below as the exact remedy.
+    assert(recall >= 0.2, s"PQ raw recall $recall below the sanity floor")
+    val dirSmall = java.nio.file.Files.createTempDirectory("graft_ivfpqs").toString
+    Similarity.saveIvfIndexPQ(embs, "vec_id", "embedding", dirSmall,
+      nlist = 8, pqM = 8, pqK = 8, centroids = Some(cents))
+    val recallSmall = Similarity.recallAgainst(exact,
+      pairs(Similarity.ivfTopKPQ(q, dirSmall, "vec_id", "embedding",
+        k = 5, nprobe = 3)), 5).head.getDouble(1)
+    assert(recall > recallSmall,
+      s"recall must grow with codebook size: k=64 $recall vs k=8 $recallSmall")
+    // storage: PQ corpus bytes well under the SQ8 corpus (codes are
+    // m bytes vs dim bytes + per-row params)
+    val qdir = java.nio.file.Files.createTempDirectory("graft_ivfpq8").toString
+    Similarity.saveIvfIndexQuantized(embs, "vec_id", "embedding", qdir,
+      nlist = 8, centroids = Some(cents))
+    def corpusBytes(d: String) = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(s"$d/v1/corpus"))
+    }
+    assert(corpusBytes(dir) < corpusBytes(qdir),
+      s"PQ ${corpusBytes(dir)} vs SQ8 ${corpusBytes(qdir)}")
+    // full-width refine: exact rescoring decides every rank → equals the
+    // exact scan, scores included, regardless of the proposal tier
+    val refined = Similarity.ivfTopKPQRefined(q, dir, embs, "vec_id",
+        "embedding", k = 5, nprobe = 8,
+        refineFactor = embs.count().toInt / 5 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactRows = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(refined === exactRows)
+    // append-grown ≡ full save with the SAME centroids and codebooks:
+    // per-row encoding against stored codebooks cannot depend on order
+    val cbs = Similarity.trainPqCodebooks(
+      embs.filter(col("vec_id") % 2 === 0), "embedding", 8, 16)
+    val gdir = java.nio.file.Files.createTempDirectory("graft_ivfpqg").toString
+    val fdir = java.nio.file.Files.createTempDirectory("graft_ivfpqf").toString
+    Similarity.saveIvfIndexPQ(embs.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", gdir, nlist = 8, centroids = Some(cents),
+      codebooks = Some(cbs))
+    Similarity.appendIvfIndex(embs.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", gdir, Some("b3"))
+    Similarity.saveIvfIndexPQ(embs, "vec_id", "embedding", fdir, nlist = 8,
+      centroids = Some(cents), codebooks = Some(cbs))
+    def full(d: String) = Similarity.ivfTopKPQ(q, d, "vec_id", "embedding",
+        5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grown = full(gdir)
+    assert(grown === full(fdir),
+      "append-grown PQ index must serve exactly the full-save result")
+    // compaction folds the delta and carries flavor + codebooks — a
+    // post-fold append must still PQ-encode against the same codebooks
+    Similarity.compactIvfIndex(spark, gdir)
+    assert(new java.io.File(s"$gdir/v2/_PQ").exists(), "marker carried")
+    assert(new java.io.File(s"$gdir/v2/codebooks").exists(), "codebooks carried")
+    assert(full(gdir) === grown, "across the fold")
+    Similarity.appendIvfIndex(embs.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", gdir, Some("b3"))
+    assert(full(gdir) === grown, "folded replay must no-op")
+  }
+
+  test("empty-seeded PQ index: explicit centroids + codebooks, appends encode") {
+    import spark.implicits._
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val cbs = Similarity.trainPqCodebooks(embs, "embedding", 8, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqe").toString
+    Similarity.saveIvfIndexPQ(embs.filter(lit(false)), "vec_id", "embedding",
+      dir, nlist = 8, centroids = Some(cents), codebooks = Some(cbs))
+    val q = embs.filter(col("vec_id") < 10)
+    assert(Similarity.ivfTopKPQ(q, dir, "vec_id", "embedding", 5, 8)
+      .count() === 0L, "empty-seeded PQ index serves empty")
+    Similarity.appendIvfIndex(embs, "vec_id", "embedding", dir, Some("b1"))
+    val fdir = java.nio.file.Files.createTempDirectory("graft_ivfpqef").toString
+    Similarity.saveIvfIndexPQ(embs, "vec_id", "embedding", fdir, nlist = 8,
+      centroids = Some(cents), codebooks = Some(cbs))
+    def rows(d: String) = Similarity.ivfTopKPQ(q, d, "vec_id", "embedding",
+        5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(dir) === rows(fdir),
+      "appends onto the empty seed serve the full-save result")
+  }
+
   test("stale refine store: fallback rows flagged refined=false and ranked after exact rescores") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfqs").toString
