@@ -75,12 +75,60 @@ object IvfQuantProbe {
       .select("query_id", "neighbor_id").localCheckpoint(true))
     val recallR = Similarity.recallAgainst(fRes, rRes, 10).head.getDouble(1)
     val ratio = bytes(s"$root/q").toDouble / bytes(s"$root/f")
+
+    // PQ arm — on the corpus shape PQ is FOR. The jitter corpus above is
+    // PQ's impossible case (iid noise: top-10 among tens of thousands of
+    // near-ties needs fine precision 8 bytes cannot carry — measured at
+    // chance, the same honesty class as SQ8's degenerate variant); real
+    // embedding spaces CLUSTER, and there PQ's coarse codes suffice.
+    // Model: 11-member clusters (query + its 10 true neighbors at
+    // cosine ≈ 1, every other cluster far), so exact top-10 = the
+    // cluster mates and a coarse tier that separates clusters recalls
+    // them. Same-centroid float index on the SAME corpus is the
+    // reference, isolating PQ loss from probing loss as above.
+    val nClusters = (n / 11).toInt
+    val clustered = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((pmod(hash((col("id") / 11).cast("long"), j), lit(1000))
+            .cast("float") / 1000f)
+          + (pmod(hash(col("id"), j, lit(7)), lit(1000)).cast("float")
+            / 50000f)).cast("float")).as("embedding"))
+    val qc = clustered.filter(col("vec_id") % 11 === 0)
+      .limit(200).localCheckpoint(true)
+    Similarity.saveIvfIndex(clustered, "vec_id", "embedding", s"$root/f2",
+      nlist, sampleFraction = math.min(1.0, 100000.0 / n))
+    val cents2 = Similarity.ivfCentroids(spark, s"$root/f2")
+      .localCheckpoint(true)
+    // codebooks trained on a 20 k sample — standard PQ practice, the
+    // training cost must not scale with the corpus
+    Similarity.saveIvfIndexPQ(clustered, "vec_id", "embedding",
+      s"$root/pq", nlist, pqM = 8, pqK = 256,
+      sampleFraction = math.min(1.0, 20000.0 / n), maxIter = 10,
+      centroids = Some(cents2))
+    val (f2Res, f2S) = timed(Similarity.ivfTopKIndexed(qc, s"$root/f2",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val (pqRes, pqS) = timed(Similarity.ivfTopKPQ(qc, s"$root/pq",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val recallPq = Similarity.recallAgainst(f2Res, pqRes, 10).head.getDouble(1)
+    val (prRes, prS) = timed(Similarity.ivfTopKPQRefined(qc,
+      s"$root/pq", clustered, "vec_id", "embedding", k = 10, nprobe = 3,
+      refineFactor = 8)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val recallPr = Similarity.recallAgainst(f2Res, prRes, 10).head.getDouble(1)
+    val ratioPq = bytes(s"$root/pq").toDouble / bytes(s"$root/f2")
+    val ok = recallR >= 0.95 && ratioPq < ratio && recallPq >= 0.8 &&
+      recallPr >= 0.95
     println(s"IVF_QUANT n=$n bytesF=${bytes(s"$root/f")} " +
-      s"bytesQ=${bytes(s"$root/q")} " +
-      f"ratio=$ratio%.2f serveF=$fS%.1fs serveQ=$qS%.1fs serveRefined=$rS%.1fs " +
+      s"bytesQ=${bytes(s"$root/q")} bytesPQ=${bytes(s"$root/pq")} " +
+      f"ratio=$ratio%.2f ratioPQ=$ratioPq%.2f " +
+      f"serveF=$fS%.1fs serveQ=$qS%.1fs serveRefined=$rS%.1fs " +
+      f"serveF2=$f2S%.1fs servePQ=$pqS%.1fs servePQRefined=$prS%.1fs " +
       f"recallRawQvsF=$recall%.4f recallRefinedVsF=$recallR%.4f " +
-      s"${if (recallR >= 0.95) "OK" else "FAIL"}")
+      f"recallRawPQvsF2=$recallPq%.4f recallRefinedPQvsF2=$recallPr%.4f " +
+      s"nClusters=$nClusters ${if (ok) "OK" else "FAIL"}")
     spark.stop()
-    if (recallR < 0.95) sys.exit(1)
+    if (!ok) sys.exit(1)
   }
 }

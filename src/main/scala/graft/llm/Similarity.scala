@@ -993,20 +993,36 @@ object Similarity {
     val cents = spark.read.parquet(s"$vdir/centroids")
     val cbs = spark.read.parquet(s"$vdir/codebooks")
     val (mk, sub) = pqShape(cbs)
+    // the per-query LUT is a NESTED DENSE array — lut[m][code] — built
+    // by per-subspace sorted collects (codes are dense 0..k_m−1 per
+    // subspace by the trainer's construction, so sorting by code IS the
+    // scatter). Earlier forms paid dearly for being clever: a map
+    // column's element_at is a LINEAR scan of its entries (O(m·k) per
+    // scored candidate), and even scattering that map into a flat array
+    // costs O((m·k)²) map probes per query — both measured ~25× slower
+    // than this shape at a 200 k corpus
     val lut = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv0"))
       .crossJoin(broadcast(cbs))
-      .select(col("query_id"), (col("m") * 256 + col("code")).as("_i"),
+      .select(col("query_id"), col("m"), col("code"),
         dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
           col("_cbv")).as("_pd"))
+      .groupBy("query_id", "m")
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("_pd")))),
+        s => s("_pd")).as("_sl"))
       .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(col("_i"), col("_pd"))))
-        .as("_lut"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("_sl")))),
+        s => s("_sl")).as("_lut"))
     val q = probedQueries(queries, cents, idCol, vecCol, nprobe)
       .join(lut, "query_id")
-    val adc = aggregate(sequence(lit(0), lit(mk - 1)), lit(0.0d),
-      (acc, mm) => acc + element_at(col("_lut"),
-        mm * 256 + element_at(col("_pq"), mm + 1).cast("int") + 128))
+    // the per-candidate ADC sum is UNROLLED (m is known at plan time):
+    // a higher-order aggregate would interpret its lambda per scored
+    // pair, m steps each — the unrolled element_at chain stays inside
+    // whole-stage codegen, each lookup an O(1) array read
+    val adc = (0 until mk).map(mm =>
+        element_at(element_at(col("_lut"), lit(mm + 1)),
+          element_at(col("_pq"), lit(mm + 1)).cast("int") + lit(128 + 1)))
+      .reduce(_ + _)
     ivfScore(q, ivfCorpus(spark, vdir), k, salt,
       score = adc / (col("_qn") * col("_cn")))
   }
