@@ -208,6 +208,59 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(indexedIds() === Set(1L, 3L, 13L), "no bridges here: prune is a no-op")
   }
 
+  test("PQ-seeded pipeline: ingest grows the PQ index by representatives only, codebooks and flavor survive fold and prune") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipepq").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    // empty-seeded PQ index: explicit centroids AND codebooks (one-hot
+    // slices) — the marker + codebooks are the only record of the flavor
+    val cbs = (0 until 4).flatMap(m => (0 until 4).map { c =>
+      val a = new Array[Float](2); a(c % 2) = c.toFloat; (m, c, a)
+    }).toDF("m", "code", "_cbv")
+    Similarity.saveIvfIndexPQ(delivery().select(
+        col("doc_id").as("vec_id"), col("embedding")),
+      "vec_id", "embedding", index, nlist = 4, centroids = Some(cents),
+      codebooks = Some(cbs))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKPQ(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(indexedIds() === Set.empty, "empty-seeded PQ index serves empty")
+
+    delivery(1L -> member("a", 0), 2L -> member("a", 1), 3L -> member("b", 0))
+      .write.parquet(s"$landing/d0")
+    PipelineStream.pollIngest(spark, landing, work, index, p, compactEvery = 2)
+    assert(indexedIds() === Set(1L, 3L))
+
+    // poll 2 folds (batch id 1): flavor + codebooks must carry, ingest
+    // keeps PQ-encoding
+    delivery(11L -> member("a", 2), 13L -> member("c", 0))
+      .write.parquet(s"$landing/d1")
+    PipelineStream.pollIngest(spark, landing, work, index, p, compactEvery = 2)
+    assert(indexedIds() === Set(1L, 3L, 13L))
+    val latest = new java.io.File(index).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.last
+    assert(new java.io.File(s"$index/$latest/_PQ").exists(),
+      "flavor marker must survive the fold")
+    assert(new java.io.File(s"$index/$latest/codebooks").exists(),
+      "codebooks must survive the fold")
+    val schema = spark.read.parquet(s"$index/$latest/corpus").schema.fieldNames
+    assert(schema.contains("_pq") && !schema.contains("_cv"),
+      s"folded PQ corpus must hold code arrays: ${schema.mkString(",")}")
+
+    PipelineStream.repairAndPrune(spark, work, index, p)
+    val afterPrune = new java.io.File(index).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted.last
+    assert(new java.io.File(s"$index/$afterPrune/_PQ").exists() &&
+      new java.io.File(s"$index/$afterPrune/codebooks").exists(),
+      "flavor + codebooks must survive repairAndPrune")
+    assert(indexedIds() === Set(1L, 3L, 13L), "no bridges here: prune is a no-op")
+  }
+
   test("repairAndPrune: after offline bridge repair the index holds exactly the repaired reps") {
     val root = java.nio.file.Files.createTempDirectory("graft_pipe_rep").toString
     val landing = s"$root/landing"; val work = s"$root/work"
