@@ -117,7 +117,18 @@ import scala.collection.mutable
   *     one-byte codes per vector, ADC scoring — the deepest-compression
   *     serving mode) with the same refined-serve contract;
   *     `graft_ivf_append_t` grows quantized AND product-quantized
-  *     indexes too (the append follows the index's recorded flavor).
+  *     indexes too (the append follows the index's recorded flavor);
+  *   - `graft_repetition_t('docsV', 'id', 'text')` — Gopher-style
+  *     repetition fractions (duplicate-word / duplicate-bigram /
+  *     top-bigram) per document;
+  *   - `graft_pii_scrub_t('docsV', 'id', 'text')` — PII redaction
+  *     (email → IPv4 → phone) with per-category hit counts;
+  *   - `graft_sample_t('docsV', 'id', pct)` /
+  *     `graft_quota_t('docsV', 'strataCsv', 'id', k)` — deterministic
+  *     content-addressed sampling: shuffle-free ~pct% filter, and
+  *     exactly-k-per-stratum ranked by md5(id);
+  *   - `graft_pack_t('docsV', 'id', 'text', 'strataCol', budget[,
+  *     shards])` — greedy sequence packing into token-budget bins.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -186,6 +197,26 @@ object GraftSql {
       FunctionIdentifier("graft_ingest_spandup_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ingest_spandup_t"),
       (args: Seq[Expression]) => ingestSpanDupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_repetition_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_repetition_t"),
+      (args: Seq[Expression]) => repetitionTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_pii_scrub_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_pii_scrub_t"),
+      (args: Seq[Expression]) => piiScrubTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_sample_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_sample_t"),
+      (args: Seq[Expression]) => sampleTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_quota_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_quota_t"),
+      (args: Seq[Expression]) => quotaTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_pack_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_pack_t"),
+      (args: Seq[Expression]) => packTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_span_rescore_t"),
       new ExpressionInfo("graft.GraftSql", "graft_span_rescore_t"),
@@ -597,6 +628,83 @@ object GraftSql {
     strLit(args(2), fn, "text column"),
     lngLit(args(3), fn, "spanTokens").toInt,
     if (args.length == 5) lngLit(args(4), fn, "minDocs").toInt else 2)
+
+  /** `graft_repetition_t('docsV', 'id', 'text')` —
+    * [[graft.llm.Quality.repetitionStats]] from SQL: per-document
+    * duplicate-word / duplicate-bigram / top-bigram fractions. */
+  private def repetitionTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_repetition_t"
+    require(args.length == 3, s"usage: $fn('docsView', 'idCol', 'textCol')")
+    graft.llm.Quality.repetitionStats(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
+      .queryExecution.logical
+  }
+
+  /** `graft_pii_scrub_t('docsV', 'id', 'text')` — PII redaction from SQL:
+    * (doc_id, clean_text, n_email, n_ip, n_phone) with
+    * [[graft.llm.Quality.scrubPii]]'s email → IP → phone order. */
+  private def piiScrubTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pii_scrub_t"
+    require(args.length == 3, s"usage: $fn('docsView', 'idCol', 'textCol')")
+    val d = SparkSession.active.table(strLit(args(0), fn, "docs view"))
+    val id = strLit(args(1), fn, "id column")
+    val text = strLit(args(2), fn, "text column")
+    import org.apache.spark.sql.functions.col
+    d.select(col(id).as("doc_id"),
+      graft.llm.Quality.scrubPii(col(text)).as("clean_text"),
+      graft.llm.Quality.piiCount(col(text), graft.llm.Quality.EmailRe).as("n_email"),
+      graft.llm.Quality.piiCount(col(text), graft.llm.Quality.Ipv4Re).as("n_ip"),
+      graft.llm.Quality.piiCount(col(text), graft.llm.Quality.PhoneRe).as("n_phone"))
+      .queryExecution.logical
+  }
+
+  /** `graft_sample_t('docsV', 'idCol', pct)` —
+    * [[graft.llm.Sampling.hashSample]] from SQL: keep ~pct% of rows by
+    * the content-addressed md5 draw (pure filter, no shuffle). */
+  private def sampleTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_sample_t"
+    require(args.length == 3, s"usage: $fn('docsView', 'idCol', pct)")
+    graft.llm.Sampling.hashSample(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"),
+      lngLit(args(2), fn, "pct").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_quota_t('docsV', 'strata1,strata2', 'idCol', k)` —
+    * [[graft.llm.Sampling.stratifiedQuota]] from SQL: exactly
+    * min(k, |stratum|) rows per stratum, ranked by (md5(id), id). */
+  private def quotaTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_quota_t"
+    require(args.length == 4,
+      s"usage: $fn('docsView', 'strataCsv', 'idCol', k)")
+    val strata = strLit(args(1), fn, "strata csv").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(strata.nonEmpty, s"$fn: strata csv must name at least one column")
+    graft.llm.Sampling.stratifiedQuota(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strata, strLit(args(2), fn, "id column"),
+      lngLit(args(3), fn, "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_pack_t('docsV', 'idCol', 'textCol', 'strataCol', budget[,
+    * shards])` — [[graft.llm.Sampling.packGreedy]] from SQL: greedy
+    * sequence packing into `budget`-token bins per (strata, id-mod-
+    * shards) group. */
+  private def packTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pack_t"
+    require(args.length >= 5 && args.length <= 6,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'strataCol', budget[, shards])")
+    graft.llm.Sampling.packGreedy(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      strLit(args(3), fn, "strata column"),
+      lngLit(args(4), fn, "budget"),
+      if (args.length == 6) lngLit(args(5), fn, "shards").toInt else 4)
+      .queryExecution.logical
+  }
 
   /** Build the `graft_ingest_spandup_t` table-function plan:
     * `graft_ingest_spandup_t('landingDir', 'workDir'[, spanTokens[,

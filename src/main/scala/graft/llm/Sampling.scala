@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix assembly: deterministic sampling and sequence packing.
+  *
+  * All three operators are reproducible from the data alone (content
+  * hashes and ids, no RNG state), so a re-run over the same corpus —
+  * or the same corpus re-partitioned 1000 ways on a cluster — selects
+  * byte-identical training sets.
+  */
+object Sampling {
+
+  /** Stable per-row hash draw in [0, 100): the first 8 hex digits of
+    * md5(id) as an integer, mod 100. Content-addressed, so the draw
+    * survives re-partitioning, appends, and engine changes (any engine
+    * with md5 reproduces it — the oracle replay relies on exactly that). */
+  private def hashDraw(idCol: String) =
+    pmod(conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** Keep ~`pct`% of rows by the md5 hash draw — a pure filter with NO
+    * shuffle and no per-partition state: the scalable default for
+    * down-sampling a 100 TB corpus to a training budget (every executor
+    * decides row-locally; adding executors never changes the sample). */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(hashDraw(idCol) < pct)
+  }
+
+  /** Exactly-k-per-stratum sample: rank rows within each stratum by
+    * (md5(id), id) and keep rank ≤ k — the "balanced per-domain mix"
+    * selector. The md5 sort key makes the choice content-addressed (not
+    * "first k by id"); the id tiebreak makes it total. One shuffle on
+    * the strata columns; a stratum is processed by one task, which is
+    * the operator's semantics (rank IS per-stratum sequential) — for
+    * corpus-scale strata use [[hashSample]] or pre-shard the stratum.
+    * Adds a `rk` column (1-based rank within the stratum). */
+  def stratifiedQuota(df: DataFrame, strataCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Internal row shape for [[packGreedy]] — public because Catalyst's
+    * generated deserializer instantiates it from codegen'd bytecode. */
+  case class PackRow(strata: String, shard: Int, doc_id: Long, n_tok: Long)
+
+  /** Greedy sequence packing — assemble documents into training bins of
+    * at most `budgetTokens` whitespace tokens (the pre-training "pack
+    * short documents into fixed-length examples" step). Within each
+    * (strata, shard) group, documents are taken in id order and appended
+    * to the current bin; a document that would overflow starts a new bin
+    * (an oversized single document occupies — and overflows — its own
+    * bin, the standard greedy contract). Bins are independent across
+    * groups, so packing parallelizes by construction: `shards` (id mod
+    * `shards`) is the parallelism knob — at corpus scale pick shards ≈
+    * corpus/executor-budget and every task streams its groups with O(1)
+    * state (repartition by group key, sort within partitions, one
+    * sequential fold; no group is ever collected).
+    *
+    * Output: (doc_id, strata, shard, n_tok, bin_id) with bin_id 0-based
+    * per (strata, shard). */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Long, shards: Int = 4): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(strataCol).cast("string").as("strata"),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        TextStats.tokenCount(col(textCol)).as("n_tok"))
+      .as[PackRow]
+    val packed: Dataset[(Long, String, Int, Long, Long)] = in
+      .repartition(col("strata"), col("shard"))
+      .sortWithinPartitions(col("strata"), col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        var curStrata: String = null
+        var curShard = -1
+        var fill = 0L
+        var bin = 0L
+        it.map { r =>
+          if (r.strata != curStrata || r.shard != curShard) {
+            curStrata = r.strata; curShard = r.shard
+            bin = 0L; fill = r.n_tok
+          } else if (fill + r.n_tok > budgetTokens) {
+            bin += 1L; fill = r.n_tok
+          } else fill += r.n_tok
+          (r.doc_id, r.strata, r.shard, r.n_tok, bin)
+        }
+      }
+    packed.toDF("doc_id", "strata", "shard", "n_tok", "bin_id")
+  }
+}

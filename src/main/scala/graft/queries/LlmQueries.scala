@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Corpus, Dedup, Multimodal, Quality, Sampling, Similarity, TextStats}
 import Q._
 
 /** LLM training-data pipeline queries over the `documents` and `embeddings`
@@ -302,6 +302,57 @@ object LlmQueries {
       val media = Multimodal.withBinaryPayload(d.unionByName(twin),
         "doc_id", "text")
       sortAll(Multimodal.dHashPairs(media, maxDist = 3, bands = 4))
+    }),
+
+    // Gopher-style repetition signals: duplicate-word / duplicate-bigram /
+    // top-bigram fractions — per-row array_distinct + one uniform
+    // (doc, bigram) shuffle, partial-agg end to end
+    "tx5_repetition" -> ((s, dir) => {
+      sortAll(Quality.repetitionStats(docs(s, dir), "doc_id", "text"))
+    }),
+
+    // PII scrubbing: the raw table carries no PII, so each document gets a
+    // deterministic synthetic payload (email + IPv4 + phone derived from
+    // doc_id) appended — the population the scrubber exists for — then
+    // counts per category and the md5 of the scrubbed text. The oracle
+    // replays the injection and the exact same patterns (interpolated
+    // from the one Scala constant) in DuckDB's regex engine
+    "tx6_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 call +1 415 555 "),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val d = docs(s, dir).select(col("doc_id"), aug.as("_t"))
+      sortAll(d.select(col("doc_id"),
+        Quality.piiCount(col("_t"), Quality.EmailRe).as("n_email"),
+        Quality.piiCount(col("_t"), Quality.Ipv4Re).as("n_ip"),
+        Quality.piiCount(col("_t"), Quality.PhoneRe).as("n_phone"),
+        md5(Quality.scrubPii(col("_t")).cast("binary")).as("scrub_fp")))
+    }),
+
+    // Deterministic ~37% corpus sample by content-addressed md5 draw —
+    // a pure filter, no shuffle, stable under re-partitioning
+    "sm1_hash_sample" -> ((s, dir) => {
+      sortAll(Sampling.hashSample(docs(s, dir), "doc_id", 37)
+        .select(col("doc_id"), col("lang"), col("source")))
+    }),
+
+    // Exactly-10-per-(lang, source) balanced sample, ranked by md5(id)
+    "sm2_stratified_quota" -> ((s, dir) => {
+      sortAll(Sampling.stratifiedQuota(docs(s, dir), Seq("lang", "source"),
+          "doc_id", 10)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("rk").cast("long").as("rk")))
+    }),
+
+    // Greedy sequence packing into 64-token bins per (lang, id-mod-4
+    // shard); the oracle replays the sequential fold as a recursive CTE
+    "pk1_pack_greedy" -> ((s, dir) => {
+      sortAll(Sampling.packGreedy(docs(s, dir), "doc_id", "text", "lang",
+          64L, 4)
+        .withColumn("shard", col("shard").cast("long")))
     })
   )
 
@@ -696,6 +747,82 @@ object LlmQueries {
          |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 3
-         |${orderBySql("i", "j", "hamming")}""".stripMargin
+         |${orderBySql("i", "j", "hamming")}""".stripMargin,
+
+    "tx5_repetition" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $docsPq),
+         |nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |tok AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS nt,
+         |        CAST(len(list_distinct(w)) AS DOUBLE) AS ndt FROM words),
+         |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+         |       FROM words JOIN nums ON i <= len(w) - 1),
+         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS nb,
+         |        CAST(count(*) AS DOUBLE) AS ndb, CAST(max(c) AS DOUBLE) AS mx
+         |        FROM bgc GROUP BY 1)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  round((nt - ndt) / nt, 6) AS dup_word_frac,
+         |  round(coalesce((nb - ndb) / nb, 0.0), 6) AS dup_bigram_frac,
+         |  round(coalesce(mx / nb, 0.0), 6) AS top_bigram_frac
+         |FROM tok LEFT JOIN agg USING (doc_id)
+         |${orderBySql("doc_id", "n_tokens", "dup_word_frac",
+            "dup_bigram_frac", "top_bigram_frac")}""".stripMargin,
+
+    // patterns interpolated from the SAME Scala constants the engine
+    // compiles — alternation-free classes+quantifiers, so Java regex and
+    // DuckDB's RE2 match identically; scrub order email → IP → phone is
+    // part of the contract
+    "tx6_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.7 call +1 415 555 '
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM $docsPq)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Quality.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '${Quality.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '${Quality.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Quality.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Quality.Ipv4Re}', '<IP>', 'g'),
+         |    '${Quality.PhoneRe}', '<PHONE>', 'g')) AS scrub_fp
+         |FROM aug
+         |${orderBySql("doc_id", "n_email", "n_ip", "n_phone", "scrub_fp")}""".stripMargin,
+
+    "sm1_hash_sample" ->
+      s"""SELECT doc_id, lang, source FROM $docsPq
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 37
+         |${orderBySql("doc_id", "lang", "source")}""".stripMargin,
+
+    "sm2_stratified_quota" ->
+      s"""SELECT doc_id, lang, source, rk FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM $docsPq)
+         |WHERE rk <= 10
+         |${orderBySql("doc_id", "lang", "source", "rk")}""".stripMargin,
+
+    // the greedy fold replayed as a recursive CTE: row i of a (strata,
+    // shard) group extends row i−1's bin unless the budget overflows
+    "pk1_pack_greedy" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, CAST(lang AS VARCHAR) AS strata, doc_id % 4 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    row_number() OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) AS rn
+         |  FROM $docsPq),
+         |pack AS (
+         |  SELECT doc_id, strata, shard, n_tok, rn,
+         |    CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.doc_id, t.strata, t.shard, t.n_tok, t.rn,
+         |    CASE WHEN p.fill + t.n_tok > 64 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.fill + t.n_tok > 64 THEN t.n_tok ELSE p.fill + t.n_tok END
+         |  FROM t JOIN pack p
+         |    ON t.strata = p.strata AND t.shard = p.shard AND t.rn = p.rn + 1)
+         |SELECT doc_id, strata, shard, n_tok, bin_id FROM pack
+         |${orderBySql("doc_id", "strata", "shard", "n_tok", "bin_id")}""".stripMargin
   )
 }

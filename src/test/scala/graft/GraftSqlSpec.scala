@@ -735,4 +735,57 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(fromSql === fromScala)
     assert(fromSql === Set((10L, "a", 0.4), (11L, "b", 0.7)))
   }
+
+  test("graft_repetition_t / graft_pii_scrub_t: quality signals from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    Seq(
+      1L -> "a a a a",
+      2L -> "mail bob@x.io ip 1.2.3.4 tel +44 207 946 0958 end",
+      3L -> "clean text with no repetition at all").toDF("doc_id", "text")
+      .createOrReplaceTempView("mix_docs_v")
+    val sqlRep = spark.sql(
+      "SELECT * FROM graft_repetition_t('mix_docs_v', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4))).toSet
+    val typedRep = graft.llm.Quality.repetitionStats(
+        spark.table("mix_docs_v"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4))).toSet
+    assert(sqlRep === typedRep)
+    assert(sqlRep.exists(t => t._1 == 1L && t._2 == 0.75 && t._3 == 1.0))
+    val scrub = spark.sql(
+      "SELECT * FROM graft_pii_scrub_t('mix_docs_v', 'doc_id', 'text')")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(scrub(2L) ===
+      (("mail <EMAIL> ip <IP> tel <PHONE> end", 1L, 1L, 1L)))
+    assert(scrub(3L)._1 === "clean text with no repetition at all")
+  }
+
+  test("graft_sample_t / graft_quota_t / graft_pack_t: training-mix ops from SQL ≡ typed") {
+    GraftSql.registerFunctions(spark)
+    graft.Tables.documents(spark, graft.TestSpark.sfDir)
+      .createOrReplaceTempView("mix_corpus_v")
+    val sqlSample = spark.sql(
+      "SELECT doc_id FROM graft_sample_t('mix_corpus_v', 'doc_id', 37)")
+      .collect().map(_.getLong(0)).toSet
+    val typedSample = graft.llm.Sampling.hashSample(
+        spark.table("mix_corpus_v"), "doc_id", 37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sqlSample === typedSample)
+    assert(sqlSample.nonEmpty && sqlSample.size < typedSample.size + 1)
+    val sqlQuota = spark.sql(
+      "SELECT doc_id, rk FROM graft_quota_t('mix_corpus_v', 'lang,source', 'doc_id', 5)")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val typedQuota = graft.llm.Sampling.stratifiedQuota(
+        spark.table("mix_corpus_v"), Seq("lang", "source"), "doc_id", 5)
+      .select("doc_id", "rk").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sqlQuota === typedQuota)
+    val sqlPack = spark.sql(
+      "SELECT doc_id, bin_id FROM graft_pack_t('mix_corpus_v', 'doc_id', 'text', 'lang', 64)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedPack = graft.llm.Sampling.packGreedy(
+        spark.table("mix_corpus_v"), "doc_id", "text", "lang", 64L, 4)
+      .select("doc_id", "bin_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlPack === typedPack)
+  }
 }

@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Training-mix operators: repetition quality signals, PII scrubbing,
+  * deterministic sampling, and greedy sequence packing. */
+class MixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.documents(spark, TestSpark.sfDir)
+  import spark.implicits._
+
+  test("repetitionStats: planted fixtures hit the exact Gopher fractions") {
+    val fix = Seq(
+      1L -> "a a a a",      // 4 tokens, 1 distinct; bigrams: "a a" ×3
+      2L -> "a b c d",      // no repetition; 3 distinct bigrams
+      3L -> "solo",         // single token → no bigrams
+      4L -> "x y x y x"     // bigrams: x y, y x, x y, y x
+    ).toDF("doc_id", "text")
+    val out = Quality.repetitionStats(fix, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(out(1L) === ((4L, 0.75, 0.666667, 1.0)))
+    assert(out(2L) === ((4L, 0.0, 0.0, 0.333333)))
+    assert(out(3L) === ((1L, 0.0, 0.0, 0.0)))
+    assert(out(4L) === ((5L, 0.6, 0.5, 0.5)))
+  }
+
+  test("repetitionStats: every corpus doc emits one row with fractions in [0,1]") {
+    val out = Quality.repetitionStats(docs, "doc_id", "text")
+    assert(out.count() === docs.count())
+    val bad = out.filter(col("dup_word_frac") < 0 || col("dup_word_frac") > 1 ||
+      col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1 ||
+      col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1).count()
+    assert(bad === 0L)
+  }
+
+  test("scrubPii: redacts email, IPv4, phone; leaves near-misses intact") {
+    val fix = Seq(
+      (1L, "reach me at bob@x.io or 1.2.3.4 or +44 207 946 0958 now"),
+      (2L, "version v1.2.3.4567 is not an ip and a@b is not an email"),
+      (3L, "two mails x@y.com z@w.org one ip 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val out = fix.select(col("doc_id"), Quality.scrubPii(col("text")).as("t"),
+        Quality.piiCount(col("text"), Quality.EmailRe).as("ne"),
+        Quality.piiCount(col("text"), Quality.Ipv4Re).as("ni"),
+        Quality.piiCount(col("text"), Quality.PhoneRe).as("np"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("reach me at <EMAIL> or <IP> or <PHONE> now", 1L, 1L, 1L)))
+    // \b keeps the 4567 run from matching as an IP; a@b has no TLD
+    assert(out(2L) === (("version v1.2.3.4567 is not an ip and a@b is not an email",
+      0L, 0L, 0L)))
+    assert(out(3L) === (("two mails <EMAIL> <EMAIL> one ip <IP>", 2L, 1L, 0L)))
+  }
+
+  test("hashSample: deterministic, monotone in pct, exact at the extremes") {
+    val ids = (pct: Int) => Sampling.hashSample(docs, "doc_id", pct)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s37a = ids(37); val s37b = ids(37)
+    assert(s37a === s37b, "content-addressed draw must be reproducible")
+    assert(ids(0).isEmpty)
+    assert(ids(100).size === docs.count())
+    assert(s37a.subsetOf(ids(60)), "raising pct only adds rows")
+    // repartitioning must not change the sample (row-local decision)
+    val rep = Sampling.hashSample(docs.repartition(17), "doc_id", 37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep === s37a)
+  }
+
+  test("stratifiedQuota: min(k, |stratum|) rows per stratum, ranks 1..m, md5 order") {
+    val k = 7
+    val out = Sampling.stratifiedQuota(docs, Seq("lang", "source"), "doc_id", k)
+      .select("lang", "source", "doc_id", "rk").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sortBy(_._2) }
+    val sizes = docs.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === sizes.keySet.filter(sizes(_) > 0))
+    out.foreach { case (s, rows) =>
+      assert(rows.length === math.min(k.toLong, sizes(s)).toInt, s"stratum $s")
+      assert(rows.map(_._2).toSeq === (1 to rows.length), s"ranks in $s")
+      // selected ids are the k smallest by (md5(id), id)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = docs.filter(col("lang") === s._1 && col("source") === s._2)
+        .select("doc_id").collect().map(_.getLong(0))
+        .sortBy(id => (h(id), id)).take(rows.length).toSet
+      assert(rows.map(_._1).toSet === want, s"md5 order in $s")
+    }
+  }
+
+  test("packGreedy equals the sequential reference fold; budget respected") {
+    val budget = 64L
+    val out = Sampling.packGreedy(docs, "doc_id", "text", "lang", budget, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // reference: per (strata, shard) in doc_id order, plain fold
+    val src = docs.select(col("lang"), col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = src.groupBy(t => (t._1, (t._2 % 4).toInt)).toSeq.flatMap {
+      case ((strata, shard), rows) =>
+        var fill = 0L; var bin = -1L
+        rows.sortBy(_._2).map { case (_, id, n) =>
+          if (bin < 0 || fill + n > budget) { bin += 1; fill = n }
+          else fill += n
+          id -> ((strata, shard, n, bin))
+        }.toSeq
+    }.toMap
+    assert(out === ref)
+    // no multi-doc bin exceeds the budget; oversized docs sit alone
+    val byBin = out.toSeq.groupBy { case (_, (s, sh, _, b)) => (s, sh, b) }
+    byBin.foreach { case (key, members) =>
+      val tot = members.map(_._2._3).sum
+      if (members.size > 1)
+        assert(tot <= budget, s"bin $key holds $tot tokens across ${members.size} docs")
+    }
+  }
+
+  test("packGreedy: oversized document overflows its own bin only") {
+    val fix = Seq(
+      (1L, "en", ("w " * 100).trim),   // 100 tokens > budget 10
+      (5L, "en", "a b c"),             // overflows bin 0 → bin 1
+      (9L, "en", "d e f g h i j k")    // 8 tokens: 3+8 > 10 → bin 2
+    ).toDF("doc_id", "lang", "text")   // all ids ≡ 1 mod 4: one shard
+    val out = Sampling.packGreedy(fix, "doc_id", "text", "lang", 10L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(1L) === 0L, "oversized doc occupies (and overflows) bin 0 alone")
+    assert(out(5L) === 1L, "next doc never joins an already-overflowed bin")
+    assert(out(9L) === 2L, "doc that would overflow starts a new bin")
+  }
+}
