@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Quality, Sampling}
+
+/** Training-mix tier at scale (SURVEY §8): [[Quality.repetitionStats]],
+  * [[Sampling.hashSample]], [[Sampling.stratifiedQuota]], and
+  * [[Sampling.packGreedy]] over a synthesized corpus with two structurally
+  * known populations — "looped" docs (a 4-token phrase repeated 10×:
+  * dup_word_frac = 36/40, dup_bigram_frac = 35/39, top_bigram_frac =
+  * 10/39 exactly) and fully-unique docs (0, 0, 1/39). Every assertion is
+  * computed DISTRIBUTED (aggregates and anti-joins, never collect) so the
+  * probe itself exercises the operators' scale shape.
+  *
+  * `SPARK_GRAFT_MIX_DOCS` scales (default 200000; 1000000 for the
+  * committed 1 M-doc numbers). */
+object MixProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = sys.env.getOrElse("SPARK_GRAFT_MIX_DOCS", "200000").toLong
+    val half = n / 2
+
+    // docs 0..half-1: phrase p<id%1000>_0..3 repeated 10× (40 tokens);
+    // docs half..n-1: 40 globally-unique tokens
+    val looped = spark.range(half).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map { j =>
+        concat(lit("p"), (col("id") % 1000).cast("string"), lit(s"_${j % 4}"))
+      }: _*).as("text"))
+    val unique = spark.range(half, n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map { j =>
+        concat(lit("u"), (col("id") * 40 + j).cast("string"))
+      }: _*).as("text"))
+    val docs = looped.union(unique)
+      .withColumn("strata", (col("doc_id") % 16).cast("string"))
+      .localCheckpoint()
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mix] $tag wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // --- repetitionStats: exact fractions for both populations ---
+    val rep = time("repetitionStats") {
+      Quality.repetitionStats(docs, "doc_id", "text").localCheckpoint()
+    }
+    require(rep.count() == n, "one row per doc")
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    val badLoop = rep.filter(col("doc_id") < half &&
+      (col("dup_word_frac") =!= r6(36.0 / 40) ||
+       col("dup_bigram_frac") =!= r6(35.0 / 39) ||
+       col("top_bigram_frac") =!= r6(10.0 / 39))).count()
+    val badUniq = rep.filter(col("doc_id") >= half &&
+      (col("dup_word_frac") =!= 0.0 || col("dup_bigram_frac") =!= 0.0 ||
+       col("top_bigram_frac") =!= r6(1.0 / 39))).count()
+    require(badLoop == 0 && badUniq == 0,
+      s"exact repetition fractions: badLoop=$badLoop badUniq=$badUniq")
+
+    // --- hashSample: reproducible, unbiased, shuffle-free ---
+    val s1 = time("hashSample")(
+      Sampling.hashSample(docs, "doc_id", 37).select("doc_id").localCheckpoint())
+    val frac = s1.count().toDouble / n
+    require(frac > 0.35 && frac < 0.39, s"sample fraction $frac vs pct 37")
+    val s2 = Sampling.hashSample(docs.repartition(64), "doc_id", 37).select("doc_id")
+    require(s1.union(s2).except(s1.intersect(s2)).count() == 0,
+      "sample must be identical across partitionings")
+
+    // --- stratifiedQuota: k rows per stratum, rank bounded ---
+    val k = 10
+    val quota = time("stratifiedQuota")(
+      Sampling.stratifiedQuota(docs, Seq("strata"), "doc_id", k).localCheckpoint())
+    require(quota.count() == 16L * k, "k rows per stratum")
+    require(quota.agg(max("rk")).head.getInt(0) <= k, "rank bounded by k")
+
+    // --- packGreedy: 40-token docs, budget 100 → exactly 2 docs per bin
+    // (except one odd tail bin per group), never over budget ---
+    val packed = time("packGreedy")(
+      Sampling.packGreedy(docs, "doc_id", "text", "strata", 100L, 8)
+        .localCheckpoint())
+    require(packed.count() == n, "every doc packed")
+    val bins = packed.groupBy("strata", "shard", "bin_id")
+      .agg(count(lit(1)).as("docs"), sum("n_tok").as("toks"))
+    require(bins.filter(col("docs") > 2).count() == 0, "max 2×40 ≤ 100 per bin")
+    require(bins.filter(col("docs") > 1 && col("toks") > 100).count() == 0,
+      "multi-doc bins within budget")
+    // each (strata, shard) group packs ceil(g/2) bins
+    val grp = packed.groupBy("strata", "shard").agg(count(lit(1)).as("g"),
+      (max("bin_id") + 1).as("nbins"))
+    require(grp.filter(col("nbins") =!= ceil(col("g") / 2.0).cast("long"))
+      .count() == 0, "greedy bin count = ceil(group/2)")
+
+    println(s"[mix] OK docs=$n")
+    spark.stop()
+  }
+}

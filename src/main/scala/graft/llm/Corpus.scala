@@ -27,18 +27,36 @@ object Corpus {
     * quality/language/dedup composition. The span stats join shuffles
     * only (doc_id, three counters); docs shorter than the span have no
     * windows and always pass. Span-level EXCISION (clean the spans, keep
-    * the doc) is [[Dedup.removeDupSpans]] composed upstream instead. */
+    * the doc) is [[Dedup.removeDupSpans]] composed upstream instead.
+    *
+    * `maxDupWordFrac` / `maxTopBigramFrac < 1.0` additionally apply the
+    * WITHIN-document repetition floor (the Gopher-style filters from
+    * [[Quality.repetitionStats]]): documents whose duplicate-word
+    * fraction or top-bigram fraction exceeds its threshold are dropped,
+    * again by a doc_id-only left-anti — the repetition join shuffles
+    * (doc_id, three fractions), never text. The two floors target
+    * different pathologies (cross-corpus boilerplate vs within-doc
+    * looping) and compose independently. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       stops: Seq[String], markers: Seq[(String, Seq[String])],
       minQuality: Double, langs: Seq[String],
       spanTokens: Int = 0, maxDupFrac: Double = 1.0,
-      spanMinDocs: Int = 2): DataFrame = {
+      spanMinDocs: Int = 2,
+      maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0): DataFrame = {
     val t: Column = col(textCol)
-    val base =
+    val spanFloored =
       if (spanTokens <= 0) docs
       else docs.join(
         Dedup.spanDupStats(docs, idCol, textCol, spanTokens, spanMinDocs)
           .filter(col("dup_frac") > maxDupFrac)
+          .select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val base =
+      if (maxDupWordFrac >= 1.0 && maxTopBigramFrac >= 1.0) spanFloored
+      else spanFloored.join(
+        Quality.repetitionStats(spanFloored, idCol, textCol)
+          .filter(col("dup_word_frac") > maxDupWordFrac ||
+            col("top_bigram_frac") > maxTopBigramFrac)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")
     base

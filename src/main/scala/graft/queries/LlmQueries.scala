@@ -304,6 +304,16 @@ object LlmQueries {
       sortAll(Multimodal.dHashPairs(media, maxDist = 3, bands = 4))
     }),
 
+    // d7's composition with the WITHIN-doc repetition floor in front:
+    // looping docs (dup_word_frac > 0.6 or top_bigram_frac > 0.1) are
+    // dropped before quality/language/dedup — the Gopher repetition
+    // filters composed and oracle-gated as one query
+    "d11_prepare_repetition_floor" -> ((s, dir) => {
+      sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text",
+        STOPS, MARKERS, 0.5, Seq("en"),
+        maxDupWordFrac = 0.6, maxTopBigramFrac = 0.1))
+    }),
+
     // Gopher-style repetition signals: duplicate-word / duplicate-bigram /
     // top-bigram fractions — per-row array_distinct + one uniform
     // (doc, bigram) shuffle, partial-agg end to end
@@ -748,6 +758,25 @@ object LlmQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 3
          |${orderBySql("i", "j", "hamming")}""".stripMargin,
+
+    // d7's replay over the repetition-floored survivor set: the drop list
+    // is tx5's fraction computation thresholded at 0.6 / 0.1
+    "d11_prepare_repetition_floor" -> prepareOracle(
+      s"""rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM $docsPq),
+         |rnums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |rtok AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS nt,
+         |         CAST(len(list_distinct(w)) AS DOUBLE) AS ndt FROM rw),
+         |rbg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+         |        FROM rw JOIN rnums ON i <= len(w) - 1),
+         |rbgc AS (SELECT doc_id, b, count(*) AS c FROM rbg GROUP BY 1, 2),
+         |ragg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS nb,
+         |         CAST(max(c) AS DOUBLE) AS mx FROM rbgc GROUP BY 1),
+         |rdrop AS (SELECT doc_id FROM rtok LEFT JOIN ragg USING (doc_id)
+         |          WHERE round((nt - ndt) / nt, 6) > 0.6
+         |             OR round(coalesce(mx / nb, 0.0), 6) > 0.1),
+         |""".stripMargin,
+      s"""(SELECT doc_id, text FROM $docsPq
+         |     WHERE doc_id NOT IN (SELECT doc_id FROM rdrop))""".stripMargin),
 
     "tx5_repetition" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $docsPq),

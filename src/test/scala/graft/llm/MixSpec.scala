@@ -120,6 +120,41 @@ class MixSpec extends AnyFunSuite {
     }
   }
 
+  test("Corpus.prepare repetition floor: drops looping docs, defaults change nothing") {
+    val stops = Seq("the", "a")
+    val markers = Seq("en" -> Seq("the"))
+    val fix = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "spam spam spam spam spam spam",         // dup_word 5/6
+      3L -> "one two three four five six seven eight" // clean
+    ).toDF("doc_id", "text")
+    val floored = Corpus.prepare(fix, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), maxDupWordFrac = 0.5, maxTopBigramFrac = 0.5)
+      .select("rep_id").collect().map(_.getLong(0)).toSet
+    assert(floored === Set(1L, 3L), "looping doc dropped, clean docs kept")
+    // thresholds at 1.0 take the no-op branch: identical to the unfloored
+    // composition on the real corpus
+    val plain = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.5, Seq("en")).collect().map(_.toSeq).toSet
+    val noop = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.5, Seq("en"), maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0)
+      .collect().map(_.toSeq).toSet
+    assert(plain === noop)
+    // an active floor ≡ manually anti-joining the over-threshold docs
+    // out first, then running the unfloored composition
+    val strict = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.5, Seq("en"), maxDupWordFrac = 0.6, maxTopBigramFrac = 0.1)
+      .collect().map(_.toSeq).toSet
+    val drops = Quality.repetitionStats(docs, "doc_id", "text")
+      .filter(col("dup_word_frac") > 0.6 || col("top_bigram_frac") > 0.1)
+      .select("doc_id")
+    assert(drops.count() > 0, "fixture corpus must trip the floor")
+    val manual = Corpus.prepare(docs.join(drops, Seq("doc_id"), "left_anti"),
+        "doc_id", "text", stops, markers, 0.5, Seq("en"))
+      .collect().map(_.toSeq).toSet
+    assert(strict === manual)
+  }
+
   test("packGreedy: oversized document overflows its own bin only") {
     val fix = Seq(
       (1L, "en", ("w " * 100).trim),   // 100 tokens > budget 10
