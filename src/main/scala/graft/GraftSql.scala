@@ -128,7 +128,12 @@ import scala.collection.mutable
   *     content-addressed sampling: shuffle-free ~pct% filter, and
   *     exactly-k-per-stratum ranked by md5(id);
   *   - `graft_pack_t('docsV', 'id', 'text', 'strataCol', budget[,
-  *     shards])` — greedy sequence packing into token-budget bins.
+  *     shards])` — greedy sequence packing into token-budget bins;
+  *   - `graft_contamination_t('corpusV', 'benchV', 'id', 'text'[, n])` —
+  *     benchmark decontamination signal (distinct n-shingle overlap,
+  *     bench side broadcast);
+  *   - `graft_shuffle_t('docsV', 'id', numShards[, 'salt'])` —
+  *     deterministic content-addressed training-order shuffle.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -217,6 +222,14 @@ object GraftSql {
       FunctionIdentifier("graft_pack_t"),
       new ExpressionInfo("graft.GraftSql", "graft_pack_t"),
       (args: Seq[Expression]) => packTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_contamination_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_contamination_t"),
+      (args: Seq[Expression]) => contaminationTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_shuffle_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_shuffle_t"),
+      (args: Seq[Expression]) => shuffleTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_span_rescore_t"),
       new ExpressionInfo("graft.GraftSql", "graft_span_rescore_t"),
@@ -686,6 +699,36 @@ object GraftSql {
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
       strata, strLit(args(2), fn, "id column"),
       lngLit(args(3), fn, "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_contamination_t('corpusV', 'benchV', 'id', 'text'[, n])` —
+    * [[graft.llm.Dedup.contaminationStats]] from SQL: per-corpus-doc
+    * distinct n-shingle overlap against the broadcast benchmark set. */
+  private def contaminationTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_contamination_t"
+    require(args.length >= 4 && args.length <= 5,
+      s"usage: $fn('corpusView', 'benchView', 'idCol', 'textCol'[, n])")
+    graft.llm.Dedup.contaminationStats(
+      SparkSession.active.table(strLit(args(0), fn, "corpus view")),
+      SparkSession.active.table(strLit(args(1), fn, "bench view")),
+      strLit(args(2), fn, "id column"), strLit(args(3), fn, "text column"),
+      if (args.length == 5) lngLit(args(4), fn, "n").toInt else 5)
+      .queryExecution.logical
+  }
+
+  /** `graft_shuffle_t('docsV', 'idCol', numShards[, 'salt'])` —
+    * [[graft.llm.Sampling.shuffleShards]] from SQL: content-addressed
+    * deterministic training-order shuffle (shard + position). */
+  private def shuffleTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_shuffle_t"
+    require(args.length >= 3 && args.length <= 4,
+      s"usage: $fn('docsView', 'idCol', numShards[, 'salt'])")
+    graft.llm.Sampling.shuffleShards(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"),
+      lngLit(args(2), fn, "numShards").toInt,
+      if (args.length == 4) strLit(args(3), fn, "salt") else "")
       .queryExecution.logical
   }
 

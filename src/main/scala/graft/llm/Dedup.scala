@@ -864,4 +864,46 @@ object Dedup {
       .select(col("doc_id"), concat_ws(" ", col("_kept")).as("clean_text"),
         (size(col("_tok")) - size(col("_kept"))).cast("long").as("n_removed"))
   }
+
+  /** Benchmark decontamination signal — the GPT-3/PaLM-style recipe as a
+    * first-class operator: for each corpus document, how many of its
+    * distinct n-token shingles ([[shingles]]: lowercased, `' '`-split)
+    * appear in ANY benchmark document. Training sets are decontaminated
+    * by thresholding this before a run; compose as
+    * `corpus.join(contaminationStats(...).filter(...), Seq(id), "left_anti")`.
+    *
+    * Scale shape: the benchmark shingle set is BROADCAST (eval suites
+    * are tiny next to a training corpus — override `broadcastBench`
+    * when not), so the corpus side is a scan → explode → broadcast-hash
+    * semi-join → per-doc count, with NOTHING corpus-sized shuffled; the
+    * per-doc aggregate keys on doc_id (uniform). `hashShingles` (the
+    * default) joins 8-byte `xxhash64` keys so shingle text never ships;
+    * `false` keys by the string for the no-hash-parity oracle replay
+    * (spec-pinned equal).
+    *
+    * Output: (doc_id, n_shingles, n_contaminated, contam_frac) for EVERY
+    * corpus document — a doc shorter than the shingle has 0 shingles and
+    * contam_frac 0.0. */
+  def contaminationStats(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, hashShingles: Boolean = true,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sh = shingles(col(textCol), n)
+    val key = if (hashShingles) transform(sh, s => xxhash64(s)) else sh
+    val corp = corpus.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val benchSet = bench.filter(col(textCol).isNotNull)
+      .select(explode(key).as("_s")).distinct()
+    val b = if (broadcastBench) broadcast(benchSet) else benchSet
+    val hits = corp.select(col(idCol).as("doc_id"), explode(key).as("_s"))
+      .join(b, Seq("_s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("_hits"))
+    corp.select(col(idCol).as("doc_id"), size(key).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("_hits"), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        when(col("n_shingles") === 0L, 0.0)
+          .otherwise(round(col("n_contaminated") / col("n_shingles"), 6))
+          .as("contam_frac"))
+  }
 }

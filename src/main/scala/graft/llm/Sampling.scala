@@ -46,6 +46,27 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Deterministic training-order shuffle: assign every row a shard and a
+    * 1-based position within it, both content-addressed — shard = md5
+    * draw mod `numShards`, position = rank by (md5(salt ‖ id), id). The
+    * global training order is (shard, pos): statistically shuffled, yet
+    * byte-reproducible on any engine/partitioning, and `salt` re-shuffles
+    * between epochs without touching the data. NO global sort: one
+    * shuffle on the shard key, then a per-shard sort — at corpus scale
+    * pick numShards ≈ output files and each task streams one shard. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h").asc,
+      col(idCol).asc)
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(conv(substring(col("_h"), 1, 8), 16, 10)
+        .cast("long"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Internal row shape for [[packGreedy]] — public because Catalyst's
     * generated deserializer instantiates it from codegen'd bytecode. */
   case class PackRow(strata: String, shard: Int, doc_id: Long, n_tok: Long)

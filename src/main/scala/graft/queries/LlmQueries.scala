@@ -314,6 +314,25 @@ object LlmQueries {
         maxDupWordFrac = 0.6, maxTopBigramFrac = 0.1))
     }),
 
+    // Benchmark decontamination: distinct 5-shingle overlap of every
+    // corpus doc (source ≠ src0) against the benchmark set (source =
+    // src0) — broadcast bench shingles, nothing corpus-sized shuffles.
+    // String-keyed so the DuckDB replay needs no hash-parity assumption
+    // (the hashed scale path is spec-pinned equal, the d9 pattern)
+    "d12_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      sortAll(Dedup.contaminationStats(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", 5, hashShingles = false))
+    }),
+
+    // Deterministic training-order shuffle: content-addressed shard +
+    // position (md5 draw), byte-reproducible on any engine/partitioning
+    "sh1_shuffle_shards" -> ((s, dir) => {
+      sortAll(Sampling.shuffleShards(docs(s, dir), "doc_id", 8, "ep1")
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos")))
+    }),
+
     // Gopher-style repetition signals: duplicate-word / duplicate-bigram /
     // top-bigram fractions — per-row array_distinct + one uniform
     // (doc, bigram) shuffle, partial-agg end to end
@@ -777,6 +796,38 @@ object LlmQueries {
          |""".stripMargin,
       s"""(SELECT doc_id, text FROM $docsPq
          |     WHERE doc_id NOT IN (SELECT doc_id FROM rdrop))""".stripMargin),
+
+    // distinct 5-shingles per side (lowercased, the d2 convention); the
+    // corpus row set includes shingle-less short docs via the left joins
+    "d12_decontaminate" ->
+      s"""WITH cw AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+         |           FROM $docsPq),
+         |cnums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |csh AS (SELECT DISTINCT doc_id, source,
+         |          array_to_string(w[i : i + 4], ' ') AS s
+         |        FROM cw JOIN cnums ON i <= len(w) - 4),
+         |bsh AS (SELECT DISTINCT s FROM csh WHERE source = 'src0'),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |        FROM csh WHERE source <> 'src0' GROUP BY 1),
+         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+         |        FROM csh JOIN bsh USING (s)
+         |        WHERE source <> 'src0' GROUP BY 1)
+         |SELECT c.doc_id, coalesce(nsh, 0) AS n_shingles,
+         |  coalesce(nc, 0) AS n_contaminated,
+         |  CASE WHEN coalesce(nsh, 0) = 0 THEN 0.0
+         |       ELSE round(coalesce(nc, 0) * 1.0 / nsh, 6) END AS contam_frac
+         |FROM (SELECT doc_id FROM $docsPq WHERE source <> 'src0') c
+         |LEFT JOIN cnt USING (doc_id) LEFT JOIN hit USING (doc_id)
+         |${orderBySql("doc_id", "n_shingles", "n_contaminated", "contam_frac")}""".stripMargin,
+
+    "sh1_shuffle_shards" ->
+      s"""SELECT doc_id, lang,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ep1'), 1, 8))::BIGINT % 8 AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ep1'), 1, 8))::BIGINT % 8
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'ep1'), doc_id) AS BIGINT) AS pos
+         |FROM $docsPq
+         |${orderBySql("doc_id", "lang", "shard", "pos")}""".stripMargin,
 
     "tx5_repetition" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $docsPq),

@@ -788,4 +788,32 @@ class GraftSqlSpec extends AnyFunSuite {
       .select("doc_id", "bin_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sqlPack === typedPack)
   }
+
+  test("graft_contamination_t / graft_shuffle_t: decontamination and shuffle from SQL ≡ typed") {
+    GraftSql.registerFunctions(spark)
+    val d = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    d.filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+      .createOrReplaceTempView("contam_corpus_v")
+    d.filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .createOrReplaceTempView("contam_bench_v")
+    val sqlC = spark.sql(
+      """SELECT doc_id, n_contaminated FROM
+        |graft_contamination_t('contam_corpus_v', 'contam_bench_v', 'doc_id', 'text')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedC = graft.llm.Dedup.contaminationStats(
+        spark.table("contam_corpus_v"), spark.table("contam_bench_v"),
+        "doc_id", "text", 5)
+      .select("doc_id", "n_contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlC === typedC)
+    d.createOrReplaceTempView("shuffle_docs_v")
+    val sqlS = spark.sql(
+      "SELECT doc_id, shard, pos FROM graft_shuffle_t('shuffle_docs_v', 'doc_id', 8, 'ep1')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val typedS = graft.llm.Sampling.shuffleShards(
+        spark.table("shuffle_docs_v"), "doc_id", 8, "ep1")
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlS === typedS)
+  }
 }

@@ -155,6 +155,57 @@ class MixSpec extends AnyFunSuite {
     assert(strict === manual)
   }
 
+  test("contaminationStats: planted overlap flagged, short and clean docs zero, hashed ≡ string") {
+    val bench = Seq(100L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "intro words then alpha beta gamma delta epsilon closing",
+      2L -> "totally unrelated content with no overlap at all",
+      3L -> "too short"
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationStats(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1 has 5 distinct 5-shingles; exactly "alpha beta gamma delta
+    // epsilon" is also a bench shingle
+    assert(out(1L) === ((5L, 1L, 0.2)))
+    assert(out(2L)._2 === 0L)
+    assert(out(3L) === ((0L, 0L, 0.0)), "short doc present with zero shingles")
+    // hashed scale path ≡ string-keyed oracle path on the real corpus
+    val c = docs.filter(col("source") =!= "src0")
+    val b = docs.filter(col("source") === "src0")
+    val hashed = Dedup.contaminationStats(c, b, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strKeyed = Dedup.contaminationStats(c, b, "doc_id", "text", 5,
+        hashShingles = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed === strKeyed)
+    assert(hashed.exists(_._3 > 0L), "fixture corpus must contain contamination")
+  }
+
+  test("shuffleShards: valid permutation, reproducible, salt re-shuffles") {
+    val a = Sampling.shuffleShards(docs, "doc_id", 8, "ep1")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length.toLong === docs.count())
+    // (shard, pos) is a dense 1..m numbering per shard
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length.toLong).toSeq, s"shard $sh")
+    }
+    // byte-reproducible across partitionings
+    val b = Sampling.shuffleShards(docs.repartition(13), "doc_id", 8, "ep1")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet === b.toSet)
+    // a different salt produces a different training order
+    val c = Sampling.shuffleShards(docs, "doc_id", 8, "ep2")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet !== c.toSet)
+    // and the order is not the identity (content-addressed, not by id)
+    val byPos = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(byPos.toSeq !== byPos.sorted.toSeq)
+  }
+
   test("packGreedy: oversized document overflows its own bin only") {
     val fix = Seq(
       (1L, "en", ("w " * 100).trim),   // 100 tokens > budget 10
