@@ -10,10 +10,16 @@ import java.nio.file.{Files, Paths}
   * pure-projection queries would benchmark a scan instead of their math.
   *
   * Noise control: every query runs `SPARK_GRAFT_BENCH_REPS` times (default
-  * 2) and the MINIMUM is recorded — sf0.1 totals on a shared box swing
-  * 30–50% run to run, and the min is the stable statistic. A query that
-  * throws is recorded as -1 and listed in "failed", never summed into the
-  * total, so a broken query cannot make the bench look faster.
+  * 3) and the MINIMUM is recorded — sf0.1 totals on a shared box swing
+  * 30–50% run to run, and the min is the stable statistic (round 9's
+  * committed line carried a 3× g1/g2 spike that six same-round runs did
+  * not show; min-of-3 keeps a single descheduled rep out of the record).
+  * A query that throws is recorded as -1 and listed in "failed", never
+  * summed into the total, so a broken query cannot make the bench look
+  * faster.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY` (comma-separated query names or prefixes) is
+  * a DEV knob that restricts the run for iteration; unset in harness runs.
   *
   * The JSON line is written to bench_out.json in the cwd AND printed to the
   * RAW process stdout (FileDescriptor.out, bypassing sbt's [info]-prefixing
@@ -23,7 +29,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,7 +44,9 @@ object Bench {
       .groupBy("event_type").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // operators cache intermediate tables (shingle sets etc.); drop
         // them between runs so storage memory doesn't accumulate across
@@ -83,18 +93,38 @@ object Bench {
     // limit, and the oracle map would double it.
     // duck_bench.py stamps {"sf":…,"ts":…,"queries":{…}} — the sf must
     // match THIS run's, so a stale file from a different scale factor is
-    // never recorded as this run's same-box oracle; the inner queries
-    // object must be brace-shaped so malformed content cannot corrupt
-    // the appended JSON line. (Legacy un-stamped flat maps fail the sf
-    // check and are skipped — re-run duck_bench.py to refresh.)
+    // never recorded as this run's same-box oracle. The queries object is
+    // extracted by BALANCED-BRACE scan (not "last key" position — a
+    // reordered or extended stamp must not corrupt the spliced line), and
+    // a stamp MISSING any query this run executed is REFUSED with a loud
+    // stderr message: rounds 8 and 9 both shipped their newest queries
+    // without a baseline because a stale-but-same-sf stamp spliced
+    // silently. Adding a query without re-running tools/duck_bench.py now
+    // fails visibly (no "oracle" field + [bench] STALE ORACLE on stderr).
+    // (Legacy un-stamped flat maps fail the sf check and are skipped.)
     val oracleMap = scala.util.Try {
       val s = Files.readString(Paths.get("oracle_bench.json")).trim
       val sfOk = """"sf":([0-9.eE+-]+)""".r.findFirstMatchIn(s)
         .exists(_.group(1) == sfNum)
       val ts = """"ts":([0-9]+)""".r.findFirstMatchIn(s).map(_.group(1))
       val qStart = s.indexOf("\"queries\":")
-      val q = if (qStart < 0) "" else
-        s.substring(qStart + "\"queries\":".length).stripSuffix("}").trim
+      val q = if (qStart < 0) "" else {
+        val open = s.indexOf('{', qStart)
+        if (open < 0) "" else {
+          // duck_bench's map is flat string→number (no nested braces or
+          // brace-bearing strings), so a depth counter is exact here
+          var i = open; var depth = 0; var end = -1
+          while (i < s.length && end < 0) {
+            s.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) end = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (end < 0) "" else s.substring(open, end + 1)
+        }
+      }
       if (s.startsWith("{") && sfOk && ts.isDefined &&
           q.startsWith("{") && q.endsWith("}"))
         Some((q, ts.get))
@@ -102,7 +132,20 @@ object Bench {
     }.toOption.flatten
     val fileLine = oracleMap match {
       case Some((m, ots)) =>
-        line.stripSuffix("}") + s""","oracle":$m,"oracle_ts":$ots}"""
+        val stamped = """"([A-Za-z0-9_]+)":""".r
+          .findAllMatchIn(m).map(_.group(1)).toSet
+        val missing = results.map(_._1).filterNot(stamped)
+        if (missing.isEmpty)
+          line.stripSuffix("}") + s""","oracle":$m,"oracle_ts":$ots}"""
+        else {
+          System.err.println(
+            s"[bench] STALE ORACLE: oracle_bench.json is missing " +
+            s"${missing.size} quer${if (missing.size == 1) "y" else "ies"} " +
+            s"(${missing.mkString(", ")}) — re-run tools/duck_bench.py; " +
+            "oracle map NOT spliced")
+          val arr = missing.map("\"" + _ + "\"").mkString("[", ",", "]")
+          line.stripSuffix("}") + s""","oracle_missing":$arr}"""
+        }
       case None => line
     }
     // APPEND, never overwrite: each run is one labeled line (reps/cpus/ts),

@@ -65,7 +65,31 @@ object SpanDupProbe {
     println(s"SPAN_DUP docs=$nDocs windows=$windows " +
       f"wall=$wall%.1fs ctlNonzero=$ctlBad clusterBelow1=$clBad " +
       s"${if (ok) "OK" else "FAIL"}")
+
+    // REMOVAL arm — [[Dedup.removeDupSpans]] on the same corpus, so the
+    // rebuild tail's wall is probe-recorded (round 9's interval form sat
+    // at 18.7 s parity with the per-token filter at 1 M docs; the
+    // slice+array_join complement rebuild is what this arm measures).
+    // Structural checks mirror the stats arm: control docs pass through
+    // byte-identical; a cluster doc keeps ONLY tokens whose every
+    // covering window touches its globally-unique mutated slot (≥ 31 of
+    // 40 removed).
+    val t1 = System.nanoTime()
+    val rm = Dedup.removeDupSpans(docs, "doc_id", "text", spanTokens = 5)
+      .localCheckpoint()
+    val rmWall = (System.nanoTime() - t1) / 1e9
+    val rmRows = rm.count()
+    val rmCtlBad = rm.join(docs, "doc_id")
+      .filter(col("doc_id") >= nBase.toLong * copies &&
+        (col("n_removed") =!= 0L || col("clean_text") =!= col("text")))
+      .count()
+    val rmClBad = rm.filter(col("doc_id") < nBase.toLong * copies &&
+      col("n_removed") < 31L).count()
+    val rmOk = rmRows == nDocs && rmCtlBad == 0 && rmClBad == 0
+    println(s"SPAN_RM docs=$nDocs " +
+      f"wall=$rmWall%.1fs ctlTouched=$rmCtlBad clusterBelow31=$rmClBad " +
+      s"${if (rmOk) "OK" else "FAIL"}")
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!ok || !rmOk) sys.exit(1)
   }
 }

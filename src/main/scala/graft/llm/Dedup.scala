@@ -22,14 +22,25 @@ object Dedup {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct n-word shingles as array<string>; empty when < n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct n-word shingles as array<string>; empty when < n tokens.
+    *
+    * Performance note: when `text` is a raw text column, the tokenize
+    * runs INSIDE the transform lambda — re-splitting the document per
+    * shingle position (lambdas are interpreted, and CollapseProject
+    * refuses to substitute a multiply-referenced split into them).
+    * Hot paths should project `tokens(text)` into a bound column first
+    * and call [[shinglesFromTokens]] — measured ~2× on the shingle-
+    * dominated pipelines. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** [[shingles]] over an ALREADY-TOKENIZED column (ideally a bound
+    * attribute — see the performance note there). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Exact dedup by content hash: one row per distinct content with the
     * smallest id as representative. Shuffles sha2 hashes, not documents.
@@ -141,7 +152,9 @@ object Dedup {
 
   /** (id, shingle) long table, distinct per document. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+      .select(col("_id"),
+        explode(shinglesFromTokens(col("_tk"), n)).as("shingle"))
 
   /** FNV-1a 64-bit string hash (public-domain algorithm) — the kernel-side
     * shingle/token hash. */
@@ -669,12 +682,21 @@ object Dedup {
       Seq("hamming"))
   }
 
-  /** [[graft.expressions.CollectCapped]] as a Column — see the span
-    * operators below for why a capped collect is the skew-proof shape. */
-  private def collectCapped(e: Column, cap: Int): Column =
+  /** [[graft.expressions.CollectByKeyCapped]] /
+    * [[graft.expressions.CountByKeyCapped]] as Columns — see the span
+    * operators below for why the capped by-key collect is the
+    * skew-proof single-shuffle shape. */
+  private def collectByKeyCapped(k: Column, v: Column, cap: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.expressions.CollectCapped(
-        org.apache.spark.sql.graft.ColumnBridge.expression(e), cap)
+      graft.expressions.CollectByKeyCapped(
+        org.apache.spark.sql.graft.ColumnBridge.expression(k),
+        org.apache.spark.sql.graft.ColumnBridge.expression(v), cap)
+        .toAggregateExpression())
+
+  private def countByKeyCapped(k: Column, cap: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CountByKeyCapped(
+        org.apache.spark.sql.graft.ColumnBridge.expression(k), cap)
         .toAggregateExpression())
 
   /** Exact substring-span duplication stats — the "duplicate text
@@ -691,14 +713,24 @@ object Dedup {
     * everything downstream of the explode shuffles 8-byte hashes — never
     * window text. The windows-per-doc blowup is L× the token count, the
     * inherent cost of span-level granularity, and it is paid exactly
-    * ONCE, in a single linear plan with NO hot key anywhere: the insight
-    * is the COMPLEMENT — a window that fails the `minDocs` threshold
-    * appears in at most `minDocs − 1` documents BY DEFINITION, so only
-    * non-duplicated windows ever need their (doc, occurrences) pairs
-    * carried, via [[graft.expressions.CollectCapped]] (a partial-agg
-    * typed aggregate whose per-key buffer is capped at `minDocs − 1` —
-    * a viral license-header key present in 10⁷⁺ documents costs every
-    * task a bounded buffer and ships ≤ cap+1 elements per map task).
+    * ONCE, in a plan with exactly ONE window-key exchange and NO hot
+    * key anywhere: the insight is the COMPLEMENT — a window that fails
+    * the `minDocs` threshold appears in at most `minDocs − 1` documents
+    * BY DEFINITION, so only non-duplicated windows ever need their
+    * (doc, occurrences) pairs carried. The dominant `minDocs = 2` needs
+    * no typed aggregate at all: one distinct doc ⇔ `min(doc) =
+    * max(doc)`, so a single codegen'd `groupBy(window).agg(min, max,
+    * count)` suffices (fixed-width buffers, whole-stage codegen end to
+    * end); `minDocs > 2` rides [[graft.expressions.CountByKeyCapped]]
+    * (a partial-agg typed aggregate tracking per-doc counts for ≤
+    * `minDocs − 1` distinct docs, evaluating to null the moment a
+    * group proves duplicated — a viral license-header key present in
+    * 10⁷⁺ documents costs every task a bounded buffer and ships ≤ cap
+    * entries per map task). Earlier forms pre-grouped by (window, doc)
+    * first — a second corpus-sized exchange of nearly identical row
+    * count that this shape deletes outright: at 100 TB the two
+    * window-side shuffles were the dominant bytes, and now there is
+    * one.
     * Per doc, n_windows is a per-row expression on the source text and
     * n_dup_windows = n_windows − Σ occurrences over non-dup windows.
     * No join on the window key, no window function, nothing a skewed
@@ -722,7 +754,16 @@ object Dedup {
       spanTokens: Int, minDocs: Int = 2,
       hashWindows: Boolean = true): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    val tok = split(col(textCol), " ")
+    // tokenize ONCE into a bound column BEFORE the window lambda: a
+    // lambda body referencing `split(text)` re-tokenizes the document
+    // per window position (transform lambdas are interpreted, and
+    // CollapseProject rightly refuses to substitute a multiply-
+    // referenced split into them) — measured 2× the whole pipeline's
+    // wall at sf0.1. With `_tok` materialized the per-window work is a
+    // bound-attribute slice + concat.
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_tok"))
+    val tok = col("_tok")
     val m = size(tok) - (spanTokens - 1)
     // sequence(1, 0) yields [1, 0] (negative-step inference), not empty —
     // the when-guard is load-bearing for texts shorter than the span
@@ -731,34 +772,30 @@ object Dedup {
     val winStr = transform(idxs, p => concat_ws(" ", slice(tok, p, lit(spanTokens))))
     val winKey = if (hashWindows)
       transform(winStr, w => xxhash64(w)) else winStr
-    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-    val w = base.select(col(idCol).as("doc_id"), explode(winKey).as("_w"))
-    // one row per (window, doc) with the doc's occurrence count — keys
-    // are (window, doc), uniform even for viral windows
-    val g = w.groupBy("_w", "doc_id").agg(count(lit(1)).as("_c"))
-    // per window: distinct-doc count + the (doc, occurrences) pairs of
-    // keys that can still be non-duplicated. Only rows with
-    // _nd < minDocs are read, and those hold at most minDocs−1 docs —
-    // always complete under the cap; a viral key's truncated set is
-    // never consumed. For the dominant minDocs = 2 (and the degenerate
-    // 1), "at most one doc" degenerates to plain min over two longs —
-    // fixed-width agg buffers, whole-stage codegen end to end; the
-    // general case rides the capped typed aggregate
+    val w = base.select(col("doc_id"), explode(winKey).as("_w"))
+    // per window, straight off the explode (ONE window-key exchange):
+    // the (doc, occurrences) pairs of windows that can still be
+    // non-duplicated. minDocs = 2: one distinct doc ⇔ min = max, and
+    // count(*) is then that doc's occurrence count — all codegen'd.
+    // minDocs > 2: the capped by-key typed aggregate, null (dropped)
+    // the moment a window proves duplicated. minDocs ≤ 1: NO window is
+    // non-duplicated (present in ≥ 1 doc trivially) — the filter below
+    // folds to an empty relation and every window counts as duplicated,
+    // same as the historical behavior.
     val nonDup = if (minDocs <= 2)
-      g.groupBy("_w").agg(count(lit(1)).as("_nd"),
-          min(col("doc_id")).as("_doc"), min(col("_c")).as("_c1"))
-        .filter(col("_nd") < minDocs)
-        .groupBy(col("_doc").as("doc_id"))
+      w.groupBy("_w").agg(min(col("doc_id")).as("_d1"),
+          max(col("doc_id")).as("_d2"), count(lit(1)).as("_c1"))
+        .filter(if (minDocs <= 1) lit(false) else col("_d1") === col("_d2"))
+        .groupBy(col("_d1").as("doc_id"))
         .agg(sum(col("_c1")).as("_nonDup"))
     else
-      g.groupBy("_w").agg(count(lit(1)).as("_nd"),
-          collectCapped(struct(col("doc_id"), col("_c")), minDocs - 1)
-            .as("_ds"))
-        .filter(col("_nd") < minDocs)
+      w.groupBy("_w")
+        .agg(countByKeyCapped(col("doc_id"), minDocs - 1).as("_ds"))
+        .filter(col("_ds").isNotNull)
         .select(explode(col("_ds")).as("_d"))
-        .groupBy(col("_d.doc_id").as("doc_id"))
-        .agg(sum(col("_d._c")).as("_nonDup"))
-    base.select(col(idCol).as("doc_id"), m.cast("long").as("n_windows"))
+        .groupBy(col("_d.key").as("doc_id"))
+        .agg(sum(col("_d.cnt")).as("_nonDup"))
+    base.select(col("doc_id"), m.cast("long").as("n_windows"))
       .filter(col("n_windows") >= 1L)
       .join(nonDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
@@ -778,23 +815,34 @@ object Dedup {
     * span — or with no duplicated window — pass through unchanged.
     *
     * Scale shape mirrors [[spanDupStats]]'s complement trick: posexplode
-    * window keys with their 1-based start positions, group by (window,
-    * doc) carrying the position list (one shuffle of 8-byte keys + small
-    * int arrays), then per window a distinct-doc count plus the CAPPED
-    * (doc, positions) set ([[graft.expressions.CollectCapped]],
-    * `minDocs − 1` entries — complete exactly for the NON-duplicated
-    * windows, which are the only ones read). Per doc, the duplicated
-    * start set is the COMPLEMENT `array_except(all starts, non-dup
-    * starts)` — so no join on the window key, no window function, and
-    * a viral boilerplate key costs every task a bounded buffer. One
-    * join back to the source by doc_id (uniform) rebuilds the text.
+    * window keys with their 1-based start positions, then — in ONE
+    * window-key exchange, straight off the explode — the CAPPED
+    * (doc → positions) map per window
+    * ([[graft.expressions.CollectByKeyCapped]], ≤ `minDocs − 1` distinct
+    * docs, null the moment a window proves duplicated — complete exactly
+    * for the NON-duplicated windows, which are the only ones read; the
+    * earlier (window, doc) pre-group was a second corpus-sized exchange
+    * this shape deletes). Per doc, the duplicated start set is the
+    * COMPLEMENT `array_except(all starts, non-dup starts)` — so no join
+    * on the window key, no window function, and a viral boilerplate key
+    * costs every task a bounded buffer. One join back to the source by
+    * doc_id (uniform) rebuilds the text.
     * Window text never shuffles when
     * `hashWindows` (the default; `false` keys by window string for the
     * no-hash-parity oracle replay, spec-pinned equal on real data).
-    * Coverage is tested against MERGED DISJOINT INTERVALS built from the
+    * Coverage comes from MERGED DISJOINT INTERVALS built from the
     * sorted starts — a heavily-duplicated doc's overlapping spans
-    * collapse (a fully-duplicated doc is ONE interval), so the per-token
-    * filter is O(tokens × intervals), not O(tokens × spans × spanTokens).
+    * collapse (a fully-duplicated doc is ONE interval). The text rebuild
+    * is interval-bounded SET ALGEBRA, not a per-token test: the KEPT
+    * ranges are the complement of the merged intervals in [1, n]
+    * (`zip_with` of the interval bounds shifted by one — O(intervals)
+    * lambda evaluations per doc), and each kept range reassembles via
+    * native `slice` + `array_join` (O(tokens) flat array copies, no
+    * lambda). The earlier per-token `filter(tok, !exists(ivl, …))` form
+    * ran an interpreted lambda per token × interval — Catalyst does not
+    * codegen HOF lambdas — and benched ~20× slower at sf0.1 with no
+    * asymptotic advantage; this shape keeps every O(tokens) step inside
+    * native array kernels.
     *
     * Output: (doc_id, clean_text, n_removed) for EVERY input document
     * (n_removed = tokens excised, 0 for untouched docs). A doc whose
@@ -807,7 +855,10 @@ object Dedup {
     val base = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    val tok = split(col("_text"), " ")
+    // tokenize ONCE into a bound column before the window lambda (see
+    // spanDupStats — a split inside the lambda re-tokenizes per window
+    // position); expressions below close over the bound `_tok`
+    val tok = col("_tok")
     val m = size(tok) - (spanTokens - 1)
     val idxs = when(m < 1, array().cast("array<int>"))
       .otherwise(sequence(lit(1), m))
@@ -816,22 +867,25 @@ object Dedup {
       transform(winStr, w => xxhash64(w)) else winStr
     // (doc_id, start, key) — posexplode gives the 0-based array index,
     // +1 makes it the window's 1-based token start
-    val w = base.select(col("doc_id"),
-        posexplode(winKey).as(Seq("_p0", "_w")))
+    val w = base
+      .select(col("doc_id"), split(col("_text"), " ").as("_tok"))
+      .select(col("doc_id"), posexplode(winKey).as(Seq("_p0", "_w")))
       .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_w"))
-    val g = w.groupBy("_w", "doc_id")
-      .agg(collect_list(col("_pos")).as("_poss"))
-    // the complement trick (see spanDupStats): only NON-duplicated
-    // windows — which hold at most minDocs−1 docs by definition — carry
-    // their (doc, positions) pairs, capped so a viral key stays bounded
-    val perW = g.groupBy("_w").agg(
-      count(lit(1)).as("_nd"),
-      collectCapped(struct(col("doc_id"), col("_poss")), minDocs - 1)
-        .as("_ds"))
-    val nonDupStarts = perW.filter(col("_nd") < minDocs)
+    // the complement trick (see spanDupStats), in ONE window-key
+    // exchange: only NON-duplicated windows — which hold at most
+    // minDocs−1 distinct docs by definition — carry their
+    // (doc → positions) map; a window proving duplicated evaluates to
+    // null and is dropped, so a viral key stays bounded. minDocs ≤ 1:
+    // no window is non-duplicated — everything is covered, matching the
+    // historical behavior (the filter folds to an empty relation).
+    val perW = w.groupBy("_w").agg(
+      collectByKeyCapped(col("doc_id"), col("_pos"),
+        math.max(minDocs - 1, 1)).as("_ds"))
+    val nonDupStarts = perW
+      .filter(if (minDocs <= 1) lit(false) else col("_ds").isNotNull)
       .select(explode(col("_ds")).as("_d"))
-      .groupBy(col("_d.doc_id").as("doc_id"))
-      .agg(flatten(collect_list(col("_d._poss"))).as("_nstarts"))
+      .groupBy(col("_d.key").as("doc_id"))
+      .agg(flatten(collect_list(col("_d.vals"))).as("_nstarts"))
     // merged disjoint coverage intervals from the sorted DUPLICATED
     // starts — all starts minus the non-duplicated ones (array_except
     // preserves the ascending order of its left argument): span
@@ -841,7 +895,11 @@ object Dedup {
     // open-new-interval branch without an ANSI index error.
     val L = spanTokens
     base.join(nonDupStarts, Seq("doc_id"), "left")
+      // the join ships compact `_text`; re-split ONCE per row here (a
+      // bound column, so the `idxs` expression below sees an attribute)
       .select(col("doc_id"), split(col("_text"), " ").as("_tok"),
+        col("_nstarts"))
+      .select(col("doc_id"), col("_tok"),
         array_except(idxs,
           coalesce(col("_nstarts"), array().cast("array<int>")))
           .as("_starts"))
@@ -858,11 +916,25 @@ object Dedup {
               .otherwise(concat(acc, array(struct(
                 s.as("lo"), (s + (L - 1)).as("hi")))))
           }).as("_ivl"))
-      .select(col("doc_id"), col("_tok"),
-        filter(col("_tok"), (t, i) => !exists(col("_ivl"),
-          v => i + 1 >= v("lo") && i + 1 <= v("hi"))).as("_kept"))
-      .select(col("doc_id"), concat_ws(" ", col("_kept")).as("clean_text"),
-        (size(col("_tok")) - size(col("_kept"))).cast("long").as("n_removed"))
+      // kept ranges = complement of the merged intervals in [1, n]: zip
+      // the previous interval's hi (0-prepended) with the next one's lo
+      // (n+1-appended); a gap exists iff hi+1 <= lo-1. O(intervals)
+      // lambda steps per doc — the O(tokens) work below is native.
+      .select(col("doc_id"), col("_tok"), col("_ivl"),
+        filter(
+          zip_with(
+            concat(array(lit(0)), transform(col("_ivl"), v => v("hi"))),
+            concat(transform(col("_ivl"), v => v("lo")),
+              array(size(col("_tok")) + 1)),
+            (h, l) => struct((h + 1).as("lo"), (l - 1).as("hi"))),
+          r => r("lo") <= r("hi")).as("_keptR"))
+      .select(col("doc_id"),
+        array_join(transform(col("_keptR"), r =>
+          array_join(slice(col("_tok"), r("lo"), r("hi") - r("lo") + 1),
+            " ")), " ").as("clean_text"),
+        aggregate(col("_ivl"), lit(0),
+          (acc, v) => acc + (v("hi") - v("lo") + 1))
+          .cast("long").as("n_removed"))
   }
 
   /** Benchmark decontamination signal — the GPT-3/PaLM-style recipe as a
@@ -888,16 +960,20 @@ object Dedup {
       textCol: String, n: Int = 5, hashShingles: Boolean = true,
       broadcastBench: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val sh = shingles(col(textCol), n)
+    // tokens materialized into a bound column before the shingle lambda
+    // (see [[shingles]]' performance note)
+    val sh = shinglesFromTokens(col("_tk"), n)
     val key = if (hashShingles) transform(sh, s => xxhash64(s)) else sh
     val corp = corpus.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_tk"))
     val benchSet = bench.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("_tk"))
       .select(explode(key).as("_s")).distinct()
     val b = if (broadcastBench) broadcast(benchSet) else benchSet
-    val hits = corp.select(col(idCol).as("doc_id"), explode(key).as("_s"))
+    val hits = corp.select(col("doc_id"), explode(key).as("_s"))
       .join(b, Seq("_s"))
       .groupBy("doc_id").agg(count(lit(1)).as("_hits"))
-    corp.select(col(idCol).as("doc_id"), size(key).cast("long").as("n_shingles"))
+    corp.select(col("doc_id"), size(key).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("_hits"), lit(0L)).as("n_contaminated"))
