@@ -94,14 +94,43 @@ object SpanSkewProbe {
 
     val (sRows, sBad, sWall, sMax) =
       timed(Dedup.spanDupStats(docs, "doc_id", "text", 5))
+    // minDocs = 3 rides the CAPPED TYPED AGGREGATE (CountByKeyCapped)
+    // instead of the codegen'd min/max fast path — the viral key must
+    // overflow its per-task buffer, not funnel; expected per-doc counts
+    // are unchanged (viral window in N ≥ 3 docs, unique window in 1 < 3)
+    val (s3Rows, s3Bad, s3Wall, s3Max) =
+      timed(Dedup.spanDupStats(docs, "doc_id", "text", 5, minDocs = 3))
     val (wRows, wBad, wWall, wMax) = timed(windowFormStats(docs, 5, 2))
 
+    // removal rides CollectByKeyCapped (doc → positions) — the path
+    // d9/removeDupSpans always uses; the viral span covers tokens 1–5,
+    // so every doc keeps exactly its unique 6th token
+    def timedRm(): (Long, Long, Double, Long) = {
+      val lsn = new MaxShuffleRows
+      spark.sparkContext.addSparkListener(lsn)
+      val t0 = System.nanoTime()
+      val agg = Dedup.removeDupSpans(docs, "doc_id", "text", 5)
+        .agg(count(lit(1)), sum(when(
+          col("n_removed") === 5L &&
+          col("clean_text") === concat(lit("u"), col("doc_id").cast("string")),
+          0L).otherwise(1L))).head
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(lsn)
+      (agg.getLong(0), agg.getLong(1), wall, lsn.maxRows)
+    }
+    val (rRows, rBad, rWall, rMax) = timedRm()
+
     val ok = sRows == n && sBad == 0 && wRows == n && wBad == 0 &&
-      wMax >= n && sMax <= wMax / 3
+      s3Rows == n && s3Bad == 0 && rRows == n && rBad == 0 &&
+      wMax >= n && sMax <= wMax / 3 && s3Max <= wMax / 3 && rMax <= wMax / 3
     println(f"SPAN_SKEW docs=$n " +
       f"shippedWall=$sWall%.1fs shippedMaxTaskRows=$sMax " +
+      f"typedWall=$s3Wall%.1fs typedMaxTaskRows=$s3Max " +
+      f"rmWall=$rWall%.1fs rmMaxTaskRows=$rMax " +
       f"winWall=$wWall%.1fs winMaxTaskRows=$wMax " +
-      s"shippedBad=$sBad winBad=$wBad ${if (ok) "OK" else "FAIL"}")
+      s"shippedBad=$sBad typedBad=$s3Bad rmBad=$rBad winBad=$wBad " +
+      s"${if (ok) "OK" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
   }

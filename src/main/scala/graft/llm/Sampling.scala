@@ -41,6 +41,10 @@ object Sampling {
   def stratifiedQuota(df: DataFrame, strataCols: Seq[String], idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the rank column is part of the OUTPUT contract — silently
+    // overwriting a user column of the same name would lose data
+    require(!df.columns.contains("rk"),
+      "stratifiedQuota adds a 'rk' column; the input already has one — rename it first")
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -52,11 +56,19 @@ object Sampling {
     * global training order is (shard, pos): statistically shuffled, yet
     * byte-reproducible on any engine/partitioning, and `salt` re-shuffles
     * between epochs without touching the data. NO global sort: one
-    * shuffle on the shard key, then a per-shard sort — at corpus scale
-    * pick numShards ≈ output files and each task streams one shard. */
+    * shuffle on the shard key, then a per-shard sort.
+    *
+    * Sizing contract: EACH SHARD IS SORTED BY ONE TASK (the in-shard
+    * rank is inherently sequential), so pick `numShards` such that a
+    * shard fits a task — numShards ≈ corpus rows / task budget (≈ the
+    * number of output files). The md5 shard assignment is uniform, so
+    * there is no skewed key; but numShards = 8 on a 100 TB corpus means
+    * 8 straggler sorts — the knob IS the parallelism. */
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
       salt: String = ""): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    Seq("shard", "pos", "_h").foreach(c => require(!df.columns.contains(c),
+      s"shuffleShards adds a '$c' column; the input already has one — rename it first"))
     val h = md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary"))
     val w = Window.partitionBy(col("shard")).orderBy(col("_h").asc,
       col(idCol).asc)
@@ -90,11 +102,18 @@ object Sampling {
       strataCol: String, budgetTokens: Long, shards: Int = 4): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    // a non-numeric id would coerce to null in the casts below and NPE
+    // in the typed encoder (or silently mis-group) — fail with the
+    // actual problem instead
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packGreedy requires a numeric id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString)
     val spark = docs.sparkSession
     import spark.implicits._
     val in = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(strataCol).cast("string").as("strata"),
-        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).cast("int").as("shard"),
         col(idCol).cast("long").as("doc_id"),
         TextStats.tokenCount(col(textCol)).as("n_tok"))
       .as[PackRow]

@@ -434,15 +434,31 @@ object Similarity {
     * serving paths also land here). An empty-seeded legacy dir cannot
     * exist — empty seeding shipped together with the marker — so
     * "no marker, no readable corpus" still correctly means float. */
+  /** Per-vdir flavor cache: a version's flavor is IMMUTABLE once the
+    * dir is consulted (markers are written before `_COMMIT`, version
+    * numbers are monotonic so a pruned dir's path is never reused with
+    * a different flavor), so every serve/append after the first need
+    * not re-read parquet footers for an unmarked legacy float dir —
+    * and a read-only principal whose marker migration always fails
+    * pays the sniff once per JVM, not once per call. */
+  private val flavorSniffCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def isQuantizedVersion(spark: org.apache.spark.sql.SparkSession,
       vdir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.exists(p) || {
-      val legacy = scala.util.Try(spark.read.parquet(s"$vdir/corpus")
-        .schema.fieldNames.contains("_cq")).getOrElse(false)
-      if (legacy) scala.util.Try(f.create(p, true).close())
-      legacy
+    val cached = flavorSniffCache.get(vdir)
+    if (cached != null) cached.booleanValue()
+    else {
+      val p = new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val result = f.exists(p) || {
+        val legacy = scala.util.Try(spark.read.parquet(s"$vdir/corpus")
+          .schema.fieldNames.contains("_cq")).getOrElse(false)
+        if (legacy) scala.util.Try(f.create(p, true).close())
+        legacy
+      }
+      flavorSniffCache.put(vdir, java.lang.Boolean.valueOf(result))
+      result
     }
   }
 
