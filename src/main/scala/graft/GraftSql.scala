@@ -81,16 +81,26 @@ import scala.collection.mutable
   *     top-k serves query batches against the directory, scanning only
   *     the probed cells' partitions;
   *   - `graft_ingest_pipeline_t('landing', 'work', 'index'[, minJ[,
-  *     spanTokens[, maxDupFrac]]])` —
+  *     spanTokens[, maxDupFrac[, maxDupWordFrac[, maxTopBigramFrac[,
+  *     'benchView'[, maxContamFrac[, contamN]]]]]]]])` —
   *     the composed dedup→index ingest poll: dedup each landed
   *     (doc_id, text, embedding) delivery against the full corpus state,
-  *     then index only the new cluster representatives' embeddings;
+  *     then index only the new cluster representatives' embeddings; the
+  *     optional tail switches on the landing-time floors — span
+  *     duplication, Gopher repetition, and benchmark decontamination
+  *     against a broadcast bench view;
   *   - `graft_ivf_append_t('newV', 'id', 'vec', 'dir'[, compact])` —
   *     incremental index growth: new vectors assigned against the stored
   *     centroids land as a `_COMMIT`-gated delta (no retrain); `compact =
   *     true` folds base + deltas into one new version afterwards;
   *   - `graft_ivf_stats_t('dir')` — per-cell occupancy of the serving
   *     corpus (base + deltas): the drift/hot-cell diagnostic;
+  *   - `graft_pq_stats_t('dir')` — per-storage-unit encode-time
+  *     quantization error of a PQ index (base + each delta): the
+  *     CODEBOOK-drift diagnostic; `graft_pq_refresh_t('corpusV', 'id',
+  *     'vec', 'dir'[, pqK[, retain]])` — the remedy: retrain codebooks
+  *     on the full-precision corpus view, re-encode into a new version
+  *     (stored coarse centroids kept), returns the fresh stats;
   *   - `graft_spandup_t('docsV', 'id', 'text', spanTokens[, minDocs])` —
   *     per-document duplicate-text-fraction stats (the Lee-et-al
   *     span-duplication signal, [[graft.llm.Dedup.spanDupStats]]) and
@@ -258,6 +268,14 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_stats_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_stats_t"),
       (args: Seq[Expression]) => ivfStatsTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_pq_stats_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_pq_stats_t"),
+      (args: Seq[Expression]) => pqStatsTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_pq_refresh_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_pq_refresh_t"),
+      (args: Seq[Expression]) => pqRefreshTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ivf_save_q_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_save_q_t"),
@@ -813,22 +831,30 @@ object GraftSql {
 
   /** Build the `graft_ingest_pipeline_t` table-function plan:
     * `graft_ingest_pipeline_t('landingDir', 'workDir', 'indexDir'[,
-    * minJaccard[, spanTokens[, maxDupFrac]]])` — the composed
-    * dedup→index ingest loop
+    * minJaccard[, spanTokens[, maxDupFrac[, maxDupWordFrac[,
+    * maxTopBigramFrac[, 'benchView'[, maxContamFrac[, contamN]]]]]]]])`
+    * — the composed dedup→index ingest loop
     * ([[graft.streaming.PipelineStream]]) from SQL: one checkpointed poll
     * dedups every newly-landed (doc_id, text, embedding) file against the
     * full corpus state and appends only NEW cluster representatives'
     * embeddings to the persisted IVF index. `spanTokens > 0` switches on
     * the ingest span-duplication floor (documents whose duplicate-text
     * fraction against the accumulated corpus exceeds `maxDupFrac` are
-    * dropped before dedup and indexing). EAGER side effect; isolated
-    * session for the same deadlock reason as `graft_ingest_dedup_t`;
-    * returns the accumulated (doc_id, rep_id) assignment table. */
+    * dropped before dedup and indexing); `maxDupWordFrac` /
+    * `maxTopBigramFrac < 1.0` the stateless Gopher repetition floor;
+    * `benchView` (a registered view with a `text` column) plus
+    * `maxContamFrac < 1.0` the benchmark decontamination gate — all
+    * with [[graft.llm.Corpus.prepare]] / [[graft.llm.Dedup
+    * .contaminationStats]] parameter semantics. EAGER side effect;
+    * isolated session for the same deadlock reason as
+    * `graft_ingest_dedup_t`; returns the accumulated (doc_id, rep_id)
+    * assignment table. */
   private def ingestPipelineTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ingest_pipeline_t"
-    require(args.length >= 3 && args.length <= 6,
+    require(args.length >= 3 && args.length <= 11,
       s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard[, " +
-        "spanTokens[, maxDupFrac]]])")
+        "spanTokens[, maxDupFrac[, maxDupWordFrac[, maxTopBigramFrac[, " +
+        "'benchView'[, maxContamFrac[, contamN]]]]]]]])")
     val landing = strLit(args(0), fn, "landing dir")
     val work = strLit(args(1), fn, "work dir")
     val index = strLit(args(2), fn, "index dir")
@@ -839,10 +865,36 @@ object GraftSql {
     val spanTokens =
       if (args.length >= 5) lngLit(args(4), fn, "spanTokens").toInt else 0
     val maxDupFrac =
-      if (args.length == 6) dblLit(args(5), fn, "maxDupFrac") else 1.0
+      if (args.length >= 6) dblLit(args(5), fn, "maxDupFrac") else 1.0
+    val maxDupWordFrac =
+      if (args.length >= 7) dblLit(args(6), fn, "maxDupWordFrac") else 1.0
+    val maxTopBigramFrac =
+      if (args.length >= 8) dblLit(args(7), fn, "maxTopBigramFrac") else 1.0
     val spark = SparkSession.active
-    graft.streaming.PipelineStream.pollIngest(spark.newSession(), landing,
-      work, index, p, spanTokens = spanTokens, maxDupFrac = maxDupFrac)
+    val iso = spark.newSession()
+    val benchDocs =
+      if (args.length >= 9) {
+        // REBIND the bench view to the isolated session: this builder
+        // runs inside the analyzer's SessionCatalog monitor, and the
+        // stream's foreachBatch thread analyzing a plan that still
+        // references the OUTER session would block on that same monitor
+        // while this thread awaits the stream — a deadlock (observed as a
+        // LookupFunctions wait in the microbatch thread). Compiling the
+        // view to an RDD HERE (reentrant on the lock-holding thread) and
+        // re-wrapping it leaves the gate plan with a session-free
+        // LogicalRDD — bench suites are broadcast-tiny by contract, so
+        // the lost column pruning is irrelevant.
+        val b = spark.table(strLit(args(8), fn, "bench view"))
+        Some(iso.createDataFrame(b.toDF().rdd, b.schema))
+      } else None
+    val maxContamFrac =
+      if (args.length >= 10) dblLit(args(9), fn, "maxContamFrac") else 1.0
+    val contamN =
+      if (args.length == 11) lngLit(args(10), fn, "contamN").toInt else 5
+    graft.streaming.PipelineStream.pollIngest(iso, landing,
+      work, index, p, spanTokens = spanTokens, maxDupFrac = maxDupFrac,
+      maxDupWordFrac = maxDupWordFrac, maxTopBigramFrac = maxTopBigramFrac,
+      benchDocs = benchDocs, contamN = contamN, maxContamFrac = maxContamFrac)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }
@@ -1049,6 +1101,44 @@ object GraftSql {
     val dir = strLit(args(0), fn, "index dir")
     graft.llm.Similarity.ivfIndexStats(SparkSession.active, dir)
       .queryExecution.logical
+  }
+
+  /** Build the `graft_pq_stats_t` table-function plan:
+    * `graft_pq_stats_t('dir')` — per-storage-unit (base + each committed
+    * delta) mean/max encode-time relative quantization error of a PQ
+    * index ([[graft.llm.Similarity.pqIndexStats]]): the codebook-drift
+    * diagnostic, from SQL. */
+  private def pqStatsTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pq_stats_t"
+    require(args.length == 1, s"usage: $fn('indexDir')")
+    val dir = strLit(args(0), fn, "index dir")
+    graft.llm.Similarity.pqIndexStats(SparkSession.active, dir)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_pq_refresh_t` table-function plan:
+    * `graft_pq_refresh_t('corpusView', 'idCol', 'vecCol', 'dir'[, pqK[,
+    * retain]])` — retrain a drifted PQ index's codebooks on the
+    * full-precision corpus view and rewrite one new committed version
+    * ([[graft.llm.Similarity.refreshPqCodebooks]]: stored coarse
+    * centroids reused, `retain` defaults to 1 so the previous version
+    * keeps serving concurrent readers). EAGER side effect; returns the
+    * refreshed index's [[graft.llm.Similarity.pqIndexStats]]. */
+  private def pqRefreshTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pq_refresh_t"
+    require(args.length >= 4 && args.length <= 6,
+      s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir'[, pqK[, retain]])")
+    val cv = strLit(args(0), fn, "corpus view")
+    val idCol = strLit(args(1), fn, "id column")
+    val vecCol = strLit(args(2), fn, "vector column")
+    val dir = strLit(args(3), fn, "index dir")
+    val pqK = if (args.length >= 5) lngLit(args(4), fn, "pqK").toInt else 256
+    val retain =
+      if (args.length == 6) lngLit(args(5), fn, "retain").toInt else 1
+    val spark = SparkSession.active
+    graft.llm.Similarity.refreshPqCodebooks(spark.table(cv), idCol, vecCol,
+      dir, pqK = pqK, retain = retain)
+    graft.llm.Similarity.pqIndexStats(spark, dir).queryExecution.logical
   }
 
   /** Build the `graft_ivf_append_t` table-function plan:

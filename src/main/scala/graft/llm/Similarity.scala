@@ -578,7 +578,12 @@ object Similarity {
         StructType(StructField("neighbor_id", LongType) +: payload :+
           StructField("_cn", DoubleType) :+ StructField("cell", IntegerType)))
     }
-    else readable.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // allowMissingColumns: a LEGACY PQ base (written before `_qerr` was
+    // stamped at encode time) unions with post-upgrade deltas that carry
+    // it — the missing column nulls out, serving scans prune it anyway,
+    // and compaction's rewrite preserves the mix verbatim
+    else readable.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** All `delta<name>` dirs of a version dir (committed or not), as
@@ -874,16 +879,25 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
-  /** PQ-encode rows for the serving corpus: (neighbor_id, _pq, _cn) —
-    * `_pq` is the m-byte code array (codes centered at −128, tinyint
-    * cannot hold 0..255), `_cn` the EXACT float-precision norm so the
-    * cosine denominator never degrades. Nearest sub-centroid by L2 (the
-    * PQ metric; lowest code wins a distance tie — deterministic): zero
-    * subvectors encode fine, unlike a
+  /** PQ-encode rows for the serving corpus: (neighbor_id, _pq, _cn,
+    * _qerr) — `_pq` is the m-byte code array (codes centered at −128,
+    * tinyint cannot hold 0..255), `_cn` the EXACT float-precision norm so
+    * the cosine denominator never degrades. Nearest sub-centroid by L2
+    * (the PQ metric; lowest code wins a distance tie — deterministic):
+    * zero subvectors encode fine, unlike a
     * cosine assignment. Per-row encoding depends only on the STORED
     * codebooks — what makes PQ appends delivery-proportional, exactly
     * like the SQ8 per-row parameters. Zero/NaN-norm rows are excluded
-    * (the [[assignCells]] contract shared by every tier). */
+    * (the [[assignCells]] contract shared by every tier).
+    *
+    * `_qerr` is the row's RELATIVE reconstruction error
+    * ‖v − v̂‖ / ‖v‖ (v̂ = the chosen sub-centroids concatenated) —
+    * stamped at encode time, when the full-precision vector is last in
+    * hand, because the lossy corpus cannot recompute it later. It is the
+    * raw signal behind [[pqIndexStats]]'s codebook-drift diagnostic and
+    * costs 4 bytes/row next to the codes (pruned from every serving
+    * scan). The error sum falls out of the nearest-centroid search for
+    * free: the winning distance IS the subspace's squared error. */
   private def pqRows(vectors: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
@@ -918,6 +932,7 @@ object Similarity {
           if (n2.isNaN || n2 <= 0.0) None
           else {
             val codes = new Array[Byte](cb.length)
+            var errSum = 0.0
             var m = 0
             while (m < cb.length) {
               val off = m * sub
@@ -933,12 +948,14 @@ object Similarity {
                 c += 1
               }
               codes(m) = (bcode - 128).toByte
+              errSum += best
               m += 1
             }
-            Some((id, codes.toSeq, math.sqrt(n2)))
+            Some((id, codes.toSeq, math.sqrt(n2),
+              math.sqrt(errSum / n2).toFloat))
           }
         }
-      }.toDF("neighbor_id", "_pq", "_cn")
+      }.toDF("neighbor_id", "_pq", "_cn", "_qerr")
   }
 
   /** (subspace count, subspace dim) of a codebook table — ONE driver
@@ -994,6 +1011,91 @@ object Similarity {
     f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
+  }
+
+  /** CODEBOOK-DRIFT diagnostic for a PQ index — the [[ivfIndexStats]]
+    * analogue for the quantizer instead of the coarse cells: one row per
+    * storage unit of the current version (`base`, then each committed
+    * `delta<name>` in fold order) with the unit's row count and the
+    * mean/max of the encode-time relative reconstruction error `_qerr`
+    * (see [[pqRows]]). Codebooks are trained ONCE on the corpus the base
+    * save (or the training `sampleFraction` of it) saw; append-grown
+    * deliveries from a shifted distribution encode against those frozen
+    * codebooks and their `_qerr` rises — so `mean_qerr(deltaN) ≫
+    * mean_qerr(base)` is the drift alarm that raw ADC recall is
+    * degrading, measurable WITHOUT ground-truth queries. Remedy:
+    * [[refreshPqCodebooks]] (or serve [[ivfTopKPQRefined]], which is
+    * drift-immune but pays a full-precision rescore per query).
+    *
+    * Each unit aggregates separately (a handful of tiny driver-composed
+    * jobs — units are bounded by the compaction cadence, and each agg is
+    * a column-pruned scan of codes-sized rows). A legacy unit written
+    * before `_qerr` existed reports null error stats rather than failing
+    * the whole diagnostic. */
+  def pqIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val vdir = latestIvfVersion(spark, indexDir)
+    require(isPqVersion(spark, vdir),
+      s"$indexDir's current version is not PQ-flavored — pqIndexStats " +
+        "reads the encode-time _qerr only PQ rows carry")
+    val f = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val units = ("base", s"$vdir/corpus") +:
+      committedDeltas(spark, vdir).map { case (nm, p) =>
+        (s"delta$nm", s"$p/corpus") }
+    val readable = units.filter { case (_, p) =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      f.exists(hp) && f.listStatus(hp)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    }
+    val empty = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("source", StringType, nullable = false),
+          StructField("rows", LongType),
+          StructField("mean_qerr", DoubleType),
+          StructField("max_qerr", DoubleType))))
+    }
+    readable.map { case (src, p) =>
+      val df = spark.read.parquet(p)
+      val qe =
+        if (df.columns.contains("_qerr")) col("_qerr").cast("double")
+        else lit(null).cast("double")
+      df.agg(count(lit(1)).as("rows"),
+          round(avg(qe), 6).as("mean_qerr"),
+          round(max(qe), 6).as("max_qerr"))
+        .select(lit(src).as("source"), col("rows"),
+          col("mean_qerr"), col("max_qerr"))
+    }.foldLeft(empty)(_.unionByName(_))
+  }
+
+  /** Retrain a PQ index's codebooks against `corpus` (the full-precision
+    * source of truth — the stored corpus is lossy and cannot retrain
+    * itself) and rewrite ONE new committed version: the STORED coarse
+    * centroids are reused (cell assignments are not what drifted; see
+    * [[ivfIndexStats]] for that axis), the subspace count is read from
+    * the stored codebooks so the layout is preserved, and the whole
+    * re-encode rides [[saveIvfIndexPQ]]'s version-swap protocol —
+    * `retain = 1` (the default here, unlike the save paths) keeps the
+    * previous committed version serving concurrent readers until the
+    * next rebuild/compaction sweeps it. The operational loop:
+    * [[pqIndexStats]] fires on delta `mean_qerr` drift → refresh →
+    * the new version's stats return to the trained floor. */
+  def refreshPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, pqK: Int = 256, sampleFraction: Double = 1.0,
+      seed: Long = 42L, maxIter: Int = 20, retain: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val vdir = latestIvfVersion(spark, indexDir)
+    require(isPqVersion(spark, vdir),
+      s"$indexDir's current version is not PQ-flavored — refresh retrains " +
+        "PQ codebooks only")
+    val cents = spark.read.parquet(s"$vdir/centroids")
+    val (m, _) = pqShape(spark.read.parquet(s"$vdir/codebooks"))
+    saveIvfIndexPQ(corpus, idCol, vecCol, indexDir,
+      nlist = 0 /* unused: centroids are injected */, pqM = m, pqK = pqK,
+      sampleFraction = sampleFraction, seed = seed, maxIter = maxIter,
+      centroids = Some(cents), retain = retain)
   }
 
   /** Serve a [[saveIvfIndexPQ]] directory via ADC: per query the m×k

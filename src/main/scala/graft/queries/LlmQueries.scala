@@ -200,6 +200,34 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // PQ codebook-drift diagnostic end to end: PQ-save the even half with
+    // EXPLICIT codebooks (slices of the first 8 embeddings — the ann6
+    // trick that keeps k-means out of the gate), append the odd half as a
+    // delivery, then read the per-unit encode-time quantization error.
+    // The oracle replays the nearest-sub-centroid search and the relative
+    // reconstruction error in SQL: per-row error is float-cast exactly
+    // like the stored `_qerr`, so double-vs-double last-ulp drift cannot
+    // flip the 6-decimal aggregate.
+    "ann7_pq_qerr_stats" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val cbs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"), col("embedding"))
+        .select(col("code"), explode(sequence(lit(0), lit(7))).as("m"),
+          col("embedding"))
+        .select(col("m"), col("code"),
+          slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("_cbv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann7").toString
+      Similarity.saveIvfIndexPQ(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 8, pqM = 8, pqK = 8,
+        centroids = Some(cents), codebooks = Some(cbs))
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", idx, Some("b1"))
+      sortAll(Similarity.pqIndexStats(s, idx)
+        .withColumnRenamed("rows", "n_rows"))
+    }),
+
     // Exact substring-span duplication: per-doc fraction of 5-token
     // windows appearing verbatim in ≥2 distinct documents. The hashed
     // scale path (8-byte keys shuffle, not window text): the oracle
@@ -614,6 +642,43 @@ object LlmQueries {
     // loop (save → append → refined serve) replays as the same
     // probed-cell exact top-5, independent of the trained codebooks
     "ann6_ivf_pq_appended" -> probedCellTop5Oracle,
+
+    // PQ encode-time error replay: nearest explicit sub-centroid by L2
+    // per subspace (the distance written as the same left-to-right
+    // 8-term sum the encoder's j-loop runs), relative error float-cast
+    // like the stored _qerr, aggregated per unit (even ids = base save,
+    // odd = the appended deltab1)
+    "ann7_pq_qerr_stats" -> {
+      val dist = (1 to 8).map(j =>
+        s"(w.ev[cb.m*8+$j]-cb.cbv[$j])*(w.ev[cb.m*8+$j]-cb.cbv[$j])")
+        .mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM $embsPq
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |n AS (SELECT vec_id, ev,
+         |        list_sum(list_transform(ev, x -> x*x)) AS n2 FROM v),
+         |w AS (SELECT * FROM n WHERE n2 > 0 AND NOT isnan(n2)),
+         |cb AS (
+         |  SELECT m.m AS m, c.vec_id AS code,
+         |    (CAST(c.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cbv
+         |  FROM $embsPq c, (SELECT unnest(range(8)) AS m) m
+         |  WHERE c.vec_id < 8),
+         |sub AS (
+         |  SELECT w.vec_id, cb.m, min($dist) AS err
+         |  FROM w, cb GROUP BY 1, 2),
+         |r AS (
+         |  SELECT s.vec_id,
+         |    CAST(sqrt(sum(s.err) / max(w2.n2)) AS FLOAT) AS qerr
+         |  FROM sub s JOIN w w2 USING (vec_id) GROUP BY s.vec_id)
+         |SELECT CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'deltab1' END
+         |    AS source,
+         |  count(*) AS n_rows,
+         |  round(avg(CAST(qerr AS DOUBLE)), 6) AS mean_qerr,
+         |  round(max(CAST(qerr AS DOUBLE)), 6) AS max_qerr
+         |FROM r GROUP BY 1
+         |ORDER BY max_qerr NULLS FIRST, mean_qerr NULLS FIRST,
+         |  n_rows NULLS FIRST, source NULLS FIRST""".stripMargin
+    },
 
     // same 5-token windows, string-keyed, replayed with list slicing
     "d8_span_dups" ->

@@ -72,19 +72,44 @@ object PipelineStream {
     * per-batch dirs rewrite bit-identically and the gate re-reads them.
     * Inherits [[SpanDupStream]]'s scored-at-landing contract: a document
     * is floored against the corpus as of its delivery (the batch floor
-    * over the final corpus is the repair, as ever). Defaults leave the
-    * pipeline byte-identical to the ungated form. */
+    * over the final corpus is the repair, as ever).
+    *
+    * `maxDupWordFrac` / `maxTopBigramFrac < 1.0` additionally apply the
+    * WITHIN-document repetition floor at ingest — the streaming analogue
+    * of [[graft.llm.Corpus.prepare]]'s Gopher-style gate with the
+    * identical parameter tail. Repetition is a per-document property
+    * ([[graft.llm.Quality.repetitionStats]] keys within the doc), so
+    * unlike the span floor this needs NO accumulated state: a stateless
+    * per-delivery filter, bit-identical to the batch floor over the same
+    * documents, applied after the span gate (the batch composition's
+    * order) and before dedup — looping documents never enter cluster
+    * state or the index.
+    *
+    * `benchDocs` (with `maxContamFrac < 1.0`) applies BENCHMARK
+    * DECONTAMINATION at ingest — [[graft.llm.Dedup.contaminationStats]]
+    * as a gate: documents whose fraction of distinct `contamN`-token
+    * shingles found in the benchmark set exceeds `maxContamFrac` are
+    * dropped before dedup and indexing. The benchmark set is broadcast
+    * (eval suites are tiny next to a corpus), so this too is stateless
+    * per delivery — nothing delivery-sized shuffles, and the composed
+    * landing-time recipe quality ∘ repetition ∘ span ∘ dedup ∘
+    * decontamination closes without an offline pass.
+    *
+    * Defaults leave the pipeline byte-identical to the ungated form. */
   def pollIngest(spark: SparkSession, landingDir: String, workDir: String,
       indexDir: String, p: DedupStream.Params = DedupStream.Params(),
       compactEvery: Int = 16, retain: Int = 0,
       spanTokens: Int = 0, maxDupFrac: Double = 1.0,
-      spanMinDocs: Int = 2): Unit = {
+      spanMinDocs: Int = 2,
+      maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
+      benchDocs: Option[DataFrame] = None, contamN: Int = 5,
+      maxContamFrac: Double = 1.0): Unit = {
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val sp = batch0.sparkSession
-        val batch =
+        val spanGated =
           if (spanTokens <= 0) batch0
           else {
             SpanDupStream.processBatch(sp, batch0.select("doc_id", "text"),
@@ -96,6 +121,26 @@ object PipelineStream {
               .select("doc_id")
             batch0.join(floored, Seq("doc_id"), "left_anti")
           }
+        // within-document floors are stateless per delivery: the same
+        // left-anti shapes as Corpus.prepare, over this batch only
+        val repGated =
+          if (maxDupWordFrac >= 1.0 && maxTopBigramFrac >= 1.0) spanGated
+          else spanGated.join(
+            graft.llm.Quality.repetitionStats(spanGated, "doc_id", "text")
+              .filter(col("dup_word_frac") > maxDupWordFrac ||
+                col("top_bigram_frac") > maxTopBigramFrac)
+              .select("doc_id"),
+            Seq("doc_id"), "left_anti")
+        val batch = benchDocs match {
+          case Some(bench) if maxContamFrac < 1.0 =>
+            repGated.join(
+              graft.llm.Dedup.contaminationStats(repGated, bench,
+                  "doc_id", "text", contamN)
+                .filter(col("contam_frac") > maxContamFrac)
+                .select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          case _ => repGated
+        }
         DedupStream.processBatch(sp, batch.select("doc_id", "text"),
           workDir, p, batchId)
         // explicit schema: an all-filtered batch writes an assignment dir

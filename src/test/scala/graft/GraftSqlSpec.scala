@@ -355,6 +355,38 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(indexedIds() === Set(1L, 3L, 12L))
   }
 
+  test("graft_ingest_pipeline_t full tail: repetition + decontamination floors from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_pipef").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    val index = s"$base/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    graft.llm.Similarity.saveIvfIndex(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", index, nlist = 4, centroids = Some(cents))
+    def vec(id: Long) = { val a = new Array[Float](8); a((id % 8).toInt) = 1.0f; a }
+    def uniq(tag: String) = (0 until 42).map(i => s"${tag}_u$i").mkString(" ")
+    val benchText = (0 until 42).map(i => s"bm$i").mkString(" ")
+    val contaminated = (0 until 21).map(i => s"bm$i").mkString(" ") + " " +
+      (0 until 21).map(i => s"c_u$i").mkString(" ")
+    Seq(benchText).toDF("text").createOrReplaceTempView("pipef_bench")
+    Seq(1L -> uniq("a"), 2L -> Seq.fill(42)("x").mkString(" "),
+      3L -> contaminated, 4L -> uniq("b"))
+      .map { case (id, t) => (id, t, vec(id)) }
+      .toDF("doc_id", "text", "embedding").write.parquet(s"$landing/c1")
+    val got = spark.sql(
+      s"""SELECT doc_id FROM graft_ingest_pipeline_t('$landing', '$work',
+         |'$index', 0.8, 0, 1.0, 0.7, 0.25, 'pipef_bench', 0.3, 5)"""
+        .stripMargin.replace("\n", " "))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L),
+      "SQL tail floors the looping and contaminated docs, like the typed gate")
+  }
+
   test("graft_ivf_save_t + graft_ivf_topk_indexed_t: train-once/serve-many ≡ live IVF") {
     GraftSql.register(spark, TestSpark.sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_sql_ivfidx").toString
@@ -503,6 +535,43 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(refSql === refTyped)
     assert(refSql.nonEmpty)
+  }
+
+  test("graft_pq_stats_t + graft_pq_refresh_t: codebook-drift loop from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_pqst").toString
+    // the LlmSpec drift fixture: corpus A on even components, shifted
+    // delivery B on odd ones — A-trained codebooks cannot encode B
+    def aVec(i: Long) = Array.tabulate(8)(j =>
+      if (j % 2 == 0) (i % 2 + 1).toFloat else 0f)
+    def bVec(i: Long) = Array.tabulate(8)(j =>
+      if (j % 2 == 1) (i % 2 + 3).toFloat else 0f)
+    val a = (0L until 50L).map(i => (i, aVec(i))).toDF("vec_id", "embedding")
+    val b = (50L until 100L).map(i => (i, bVec(i))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array.tabulate(8)(j => if (j % 2 == 0) 1f else 0f)),
+      (1L, Array.tabulate(8)(j => if (j % 2 == 1) 1f else 0f)))
+      .toDF("cell", "_cv")
+    graft.llm.Similarity.saveIvfIndexPQ(a, "vec_id", "embedding", dir,
+      nlist = 2, pqM = 4, pqK = 4, centroids = Some(cents))
+    graft.llm.Similarity.appendIvfIndex(b, "vec_id", "embedding", dir,
+      Some("b1"))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e6))
+    val statSql = spark.sql(
+      s"SELECT source, rows, mean_qerr FROM graft_pq_stats_t('$dir')")
+      .collect().map(key).toSet
+    val statTyped = graft.llm.Similarity.pqIndexStats(spark, dir)
+      .select("source", "rows", "mean_qerr").collect().map(key).toSet
+    assert(statSql === statTyped && statSql.size === 2)
+    a.unionByName(b).createOrReplaceTempView("pqst_c")
+    val refreshed = spark.sql("SELECT source, rows, mean_qerr FROM " +
+      s"graft_pq_refresh_t('pqst_c', 'vec_id', 'embedding', '$dir', 4)")
+      .collect()
+    assert(refreshed.length === 1 && refreshed.head.getLong(1) === 100L)
+    assert(refreshed.head.getDouble(2) < 1e-3,
+      "SQL refresh restores the error floor")
   }
 
   test("graft_combine_t equals the typed combineChunk") {

@@ -516,6 +516,86 @@ class LlmSpec extends AnyFunSuite {
     assert(full(gdir) === grown, "folded replay must no-op")
   }
 
+  test("PQ codebook drift: appended shifted deliveries raise delta mean_qerr; refresh restores the floor and raw recall") {
+    import spark.implicits._
+    // dim 8, m=4 (sub=2). Corpus A lives on the even components, corpus B
+    // (the post-training distribution shift) on the odd ones — codebooks
+    // trained on A reconstruct A exactly (2 distinct subvectors per
+    // subspace, pqK=4) and B not at all.
+    def aVec(i: Long) = Array.tabulate(8)(j =>
+      if (j % 2 == 0) (i % 2 + 1).toFloat else 0f)
+    def bVec(i: Long) = Array.tabulate(8)(j =>
+      if (j % 2 == 1) (i % 2 + 3).toFloat else 0f)
+    val a = (0L until 100L).map(i => (i, aVec(i))).toDF("vec_id", "embedding")
+    val b = (100L until 200L).map(i => (i, bVec(i))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array.tabulate(8)(j => if (j % 2 == 0) 1f else 0f)),
+      (1L, Array.tabulate(8)(j => if (j % 2 == 1) 1f else 0f)))
+      .toDF("cell", "_cv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqdrift").toString
+    Similarity.saveIvfIndexPQ(a, "vec_id", "embedding", dir, nlist = 2,
+      pqM = 4, pqK = 4, centroids = Some(cents))
+    def stats() = Similarity.pqIndexStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val s0 = stats()
+    assert(s0.keySet === Set("base") && s0("base")._1 === 100L)
+    assert(s0("base")._2 < 1e-3,
+      s"trained-corpus error must sit at the floor, got ${s0("base")._2}")
+    // the shifted delivery encodes against the FROZEN codebooks
+    Similarity.appendIvfIndex(b, "vec_id", "embedding", dir, Some("b1"))
+    val s1 = stats()
+    assert(s1.keySet === Set("base", "deltab1"))
+    assert(s1("base")._2 < 1e-3 && s1("deltab1")._2 > 0.5,
+      s"drift alarm: delta mean_qerr ${s1("deltab1")._2} must dwarf base " +
+        s"${s1("base")._2}")
+    // pre-refresh raw ADC serve of a B query: B rows reconstruct to
+    // even-component centroids, so every ADC dot against the query's odd
+    // components is ~0 — the measurable recall rot behind the alarm
+    val q = b.filter(col("vec_id") === 100L)
+    def top1Cos() = Similarity.ivfTopKPQ(q, dir, "vec_id", "embedding",
+      k = 1, nprobe = 2).head.getDouble(2)
+    assert(math.abs(top1Cos()) < 0.1, "drifted codebooks flatten B scores")
+    // refresh: retrain on the full-precision source of truth, same coarse
+    // centroids, version-swap with retain=1 for concurrent readers
+    Similarity.refreshPqCodebooks(a.unionByName(b), "vec_id", "embedding",
+      dir, pqK = 4)
+    assert(new java.io.File(s"$dir/v1/_COMMIT").exists(),
+      "retain=1 keeps the previous version serving")
+    assert(new java.io.File(s"$dir/v2/_PQ").exists(), "flavor carried")
+    val s2 = stats()
+    assert(s2.keySet === Set("base") && s2("base")._1 === 200L)
+    assert(s2("base")._2 < 1e-3,
+      s"refresh must restore the error floor, got ${s2("base")._2}")
+    assert(top1Cos() > 0.9,
+      "refreshed codebooks restore raw ADC ranking for the shifted region")
+  }
+
+  test("legacy PQ base without _qerr: serving unions, stats report null, appends stamp") {
+    import spark.implicits._
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqleg").toString
+    Similarity.saveIvfIndexPQ(embs.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", dir, nlist = 8, pqM = 8, pqK = 16, centroids = Some(cents))
+    // simulate a pre-_qerr base: rewrite the base corpus without the column
+    val base = s"$dir/v1/corpus"
+    val legacy = spark.read.parquet(base).drop("_qerr").localCheckpoint()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    legacy.write.partitionBy("cell").parquet(base)
+    Similarity.appendIvfIndex(embs.filter(col("vec_id") % 2 =!= 0), "vec_id",
+      "embedding", dir, Some("b1"))
+    // mixed schema serves (allowMissingColumns union), new delta is stamped
+    val q = embs.filter(col("vec_id") < 10)
+    assert(Similarity.ivfTopKPQ(q, dir, "vec_id", "embedding", 5, 3)
+      .count() > 0)
+    val st = Similarity.pqIndexStats(spark, dir).collect()
+      .map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(st("base").isEmpty, "legacy base reports null mean_qerr")
+    assert(st("deltab1").nonEmpty, "post-upgrade delta carries the stamp")
+  }
+
   test("empty-seeded PQ index: explicit centroids + codebooks, appends encode") {
     import spark.implicits._
     val cents = embs.filter(col("vec_id") < 8)

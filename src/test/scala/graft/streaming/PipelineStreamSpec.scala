@@ -308,4 +308,77 @@ class PipelineStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet.contains(900L -> 100L))
     assert(indexedIds() === Set(100L, 500L, 800L))
   }
+
+  test("repetition + decontamination floors at ingest: stateless gates ≡ batch composition") {
+    val root = java.nio.file.Files.createTempDirectory("graft_piperep").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    def uniq(tag: String) = (0 until 42).map(i => s"${tag}_u$i").mkString(" ")
+    // one word looped 42× — dup_word_frac 41/42 ≈ 0.98 (> 0.7)
+    val loop = Seq.fill(42)("x").mkString(" ")
+    // 14 (m n u_i) triples: dup_word_frac (42−16)/42 ≈ 0.62 stays UNDER
+    // the word floor, but "m n" is 14 of 41 bigrams ≈ 0.34 (> 0.25) —
+    // trips ONLY the top-bigram predicate
+    val triples = (0 until 14).map(i => s"m n t_u$i").mkString(" ")
+    // benchmark text + a doc whose first half copies it: 17 of its 38
+    // distinct 5-shingles are benchmark shingles ≈ 0.45 (> 0.3)
+    val benchText = (0 until 42).map(i => s"bm$i").mkString(" ")
+    val contaminated = (0 until 21).map(i => s"bm$i").mkString(" ") + " " +
+      (0 until 21).map(i => s"c_u$i").mkString(" ")
+    val bench = Seq(benchText).toDF("text")
+
+    val d0 = Seq(1L -> uniq("a"), 2L -> loop, 3L -> triples,
+      4L -> contaminated, 5L -> uniq("b"))
+    // second delivery: the gates are stateless — a fresh looping doc is
+    // floored on its own delivery alone
+    val d1 = Seq(11L -> loop.replace("x", "y"), 12L -> uniq("d"))
+
+    def poll(): Unit = PipelineStream.pollIngest(spark, landing, work,
+      index, p, compactEvery = 2,
+      maxDupWordFrac = 0.7, maxTopBigramFrac = 0.25,
+      benchDocs = Some(bench), contamN = 5, maxContamFrac = 0.3)
+
+    delivery(d0: _*).write.parquet(s"$landing/d0")
+    poll()
+    assert(indexedIds() === Set(1L, 5L),
+      "looping, bigram-heavy, and contaminated docs floored before indexing")
+
+    delivery(d1: _*).write.parquet(s"$landing/d1")
+    poll()
+    assert(indexedIds() === Set(1L, 5L, 12L))
+    val assigned = DedupStream.assignments(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(assigned === Set(1L, 5L, 12L),
+      "floored docs never entered cluster state")
+
+    // gate ≡ batch: the floored set equals the repetition floor +
+    // decontamination composition over the full landed corpus (both are
+    // per-document/broadcast properties, so stream ≡ batch EXACTLY,
+    // not just on bridge-free deliveries)
+    val all = delivery(d0 ++ d1: _*).select("doc_id", "text")
+    val repFloored = graft.llm.Quality.repetitionStats(all, "doc_id", "text")
+      .filter(col("dup_word_frac") > 0.7 || col("top_bigram_frac") > 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contamFloored = graft.llm.Dedup
+      .contaminationStats(all, bench, "doc_id", "text", 5)
+      .filter(col("contam_frac") > 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repFloored === Set(2L, 3L, 11L))
+    assert(contamFloored === Set(4L))
+    assert(assigned ===
+      (d0 ++ d1).map(_._1).toSet -- repFloored -- contamFloored,
+      "stream gates ≡ batch repetition floor + decontamination")
+  }
 }
