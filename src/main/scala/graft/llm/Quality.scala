@@ -88,4 +88,28 @@ object Quality {
     val i = regexp_replace(e, Ipv4Re, "<IP>")
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
+
+  /** Whitespace-family character class — EXPLICIT (no `\s`, no unicode
+    * properties) so Java regex and RE2 agree byte for byte: Java's `\s`
+    * is ASCII-only by default while other engines disagree on vertical
+    * tab and unicode spaces; an explicit class removes the question. */
+  val WsRe = "[ \\t\\n\\r\\f\\x0B]+"
+  /** C0 control characters and DEL, minus the whitespace family above —
+    * the bytes a crawler's transport layer leaks into text. */
+  val CtrlRe = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+
+  /** Canonicalize raw text: strip control characters, collapse every
+    * whitespace run (tab/newline/CR/FF/VT included) to one space, trim,
+    * and optionally lowercase — the normalization pass that runs BEFORE
+    * hashing-based dedup so that byte-level transport noise (CRLF vs LF,
+    * tab indentation, trailing blanks) cannot split an exact-duplicate
+    * group. Pure column math, scan-speed, alternation-free patterns
+    * (oracle-replayable in any RE2 engine). Control characters become
+    * nothing (not a space): a stray NUL inside a word must not split the
+    * word, while whitespace runs collapse on their own class. */
+  def normalizeText(text: Column, lowercase: Boolean = false): Column = {
+    val stripped = regexp_replace(text, CtrlRe, "")
+    val collapsed = trim(regexp_replace(stripped, WsRe, " "))
+    if (lowercase) lower(collapsed) else collapsed
+  }
 }

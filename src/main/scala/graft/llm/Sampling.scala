@@ -79,6 +79,55 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Per-stratum rate sampling — the DoReMi-shaped "mix domains at target
+    * rates" selector in the 100 TB shape: each stratum value carries its
+    * own keep percentage, rows in unlisted strata keep at `defaultPct`.
+    * Same md5 draw as [[hashSample]], so the decision is ROW-LOCAL (no
+    * shuffle, no state — adding executors or re-partitioning never
+    * changes the sample) and NESTED across rates: the 30% sample of a
+    * stratum is a subset of its 80% sample, so a mix can be tightened
+    * without churning previously-selected documents. Rates are few
+    * (domains), so they compile into a literal CASE chain — nothing is
+    * broadcast, the filter whole-stage-codegens. */
+  def mixSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    (rates.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"rates must be in [0,100], got $p"))
+    // fold in sorted-key order so the generated plan (and therefore any
+    // plan-text diff) is stable across Map iteration orders
+    val pctCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, p)) => when(col(strataCol) === lit(k), lit(p)).otherwise(acc)
+    }
+    df.filter(hashDraw(idCol) < pctCol)
+  }
+
+  /** Exact weighted mix — per-stratum quotas from target WEIGHTS: stratum
+    * s keeps its round(weights(s) · total) lowest rows by (md5(id), id)
+    * (the [[stratifiedQuota]] selection rule, per-stratum k). Strata
+    * absent from `weights` contribute nothing; a stratum smaller than
+    * its quota keeps all its rows (the output can undershoot `total` —
+    * exact quota PER STRATUM, not rebalanced across strata, so one
+    * domain's scarcity never silently inflates another's share).
+    * One shuffle on the stratum key; each stratum ranks in one task
+    * ([[stratifiedQuota]]'s sizing contract — quotas are training-mix
+    * scale; for corpus-scale strata use [[mixSample]]). Adds `rk`. */
+  def mixQuota(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    weights.values.foreach(w =>
+      require(w >= 0.0 && !w.isNaN, s"weights must be >= 0, got $w"))
+    require(!df.columns.contains("rk"),
+      "mixQuota adds a 'rk' column; the input already has one — rename it first")
+    val kCol = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) =>
+        when(col(strataCol) === lit(s), lit(math.round(w * total))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kCol)
+  }
+
   /** Internal row shape for [[packGreedy]] — public because Catalyst's
     * generated deserializer instantiates it from codegen'd bytecode. */
   case class PackRow(strata: String, shard: Int, doc_id: Long, n_tok: Long)

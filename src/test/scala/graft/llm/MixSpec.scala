@@ -218,4 +218,95 @@ class MixSpec extends AnyFunSuite {
     assert(out(5L) === 1L, "next doc never joins an already-overflowed bin")
     assert(out(9L) === 2L, "doc that would overflow starts a new bin")
   }
+
+  test("mixSample: per-stratum rates — extremes exact, listed rate ≡ hashSample of the stratum, nested across rates, repartition-invariant") {
+    val m = docs.select(col("doc_id"), col("source"))
+    val kept = Sampling.mixSample(m, "source", "doc_id",
+      Map("src0" -> 100, "src1" -> 0, "src2" -> 40), defaultPct = 25)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // extremes: 100% keeps the whole stratum, 0% keeps nothing
+    val src0 = m.filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(src0.subsetOf(keptIds))
+    assert(kept.filter(col("source") === "src1").count() === 0L)
+    // a listed stratum's slice IS hashSample at its rate on that stratum
+    val viaHash = Sampling.hashSample(
+        m.filter(col("source") === "src2"), "doc_id", 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.filter(col("source") === "src2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === viaHash)
+    // unlisted strata draw at the default rate
+    val viaDefault = Sampling.hashSample(
+        m.filter(col("source") === "src5"), "doc_id", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.filter(col("source") === "src5").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === viaDefault)
+    // nested: tightening a rate selects a subset, never a reshuffle
+    val tighter = Sampling.mixSample(m, "source", "doc_id",
+        Map("src0" -> 100, "src1" -> 0, "src2" -> 10), defaultPct = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(keptIds))
+    // row-local: the sample ignores physical layout
+    val reparted = Sampling.mixSample(m.repartition(13), "source", "doc_id",
+        Map("src0" -> 100, "src1" -> 0, "src2" -> 40), defaultPct = 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reparted === keptIds)
+    intercept[IllegalArgumentException] {
+      Sampling.mixSample(m, "source", "doc_id", Map("src0" -> 101))
+    }
+  }
+
+  test("mixQuota: per-stratum quotas round(w·total), undershoot on scarce strata, unlisted drop, rk consecutive") {
+    val fix = (1L to 6L).map(i => (i, "x")) ++ Seq((7L, "y")) ++
+      (8L to 10L).map(i => (i, "z"))
+    val df = fix.toDF("doc_id", "source")
+    val out = Sampling.mixQuota(df, "source", "doc_id",
+      Map("x" -> 0.5, "y" -> 0.25), total = 8L)
+    val byStrata = out.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // x: quota round(0.5·8) = 4 of its 6 rows — the SAME 4 stratifiedQuota picks
+    val viaQuota = Sampling.stratifiedQuota(
+        df.filter(col("source") === "x"), Seq("source"), "doc_id", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byStrata("x") === viaQuota)
+    // y: quota 2 but only 1 row — keeps all (no cross-stratum rebalance)
+    assert(byStrata("y") === Set(7L))
+    // z: unlisted → quota 0
+    assert(!byStrata.contains("z"))
+    // rk is the within-stratum md5 rank, consecutive from 1
+    val rks = out.filter(col("source") === "x").select("rk")
+      .collect().map(_.getLong(0)).sorted
+    assert(rks.toSeq === (1L to 4L))
+    intercept[IllegalArgumentException] {
+      Sampling.mixQuota(df.withColumn("rk", lit(1)), "source", "doc_id",
+        Map("x" -> 0.5), 4L)
+    }
+  }
+
+  test("normalizeText: control bytes strip without splitting words, whitespace zoo collapses, edges trim, lowercase flag, idempotent") {
+    val fix = Seq(
+      (1L, "a\u0000b c"),               // NUL mid-word joins halves: "ab c"
+      (2L, "x\t\ty\r\nz\u000B w"),      // tab/CRLF/VT runs → single spaces
+      (3L, "  padded  \f "),            // edge runs trim entirely
+      (4L, "MiXeD Case"),
+      (5L, "\u0007\u001F\u007F")        // control-only → empty string
+    ).toDF("doc_id", "text")
+    val out = fix.select(col("doc_id"),
+        Quality.normalizeText(col("text")).as("n"),
+        Quality.normalizeText(col("text"), lowercase = true).as("nl"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L)._1 === "ab c")
+    assert(out(2L)._1 === "x y z w")
+    assert(out(3L)._1 === "padded")
+    assert(out(4L)._1 === "MiXeD Case")
+    assert(out(4L)._2 === "mixed case")
+    assert(out(5L)._1 === "")
+    // idempotent: normalizing a normalized corpus is the identity
+    val once = docs.select(col("doc_id"),
+      Quality.normalizeText(col("text")).as("n"))
+    val diff = once.select(col("doc_id"),
+        Quality.normalizeText(col("n")).as("n2"), col("n"))
+      .filter(col("n2") =!= col("n")).count()
+    assert(diff === 0L)
+  }
 }
