@@ -143,7 +143,27 @@ import scala.collection.mutable
   *     benchmark decontamination signal (distinct n-shingle overlap,
   *     bench side broadcast);
   *   - `graft_shuffle_t('docsV', 'id', numShards[, 'salt'])` —
-  *     deterministic content-addressed training-order shuffle.
+  *     deterministic content-addressed training-order shuffle;
+  *   - `graft_dhash_pairs_t('mediaV', maxDist[, bands[, 'idCol',
+  *     'payloadCol']])` / `graft_dhash_clusters_t(...)` — perceptual
+  *     (dHash) near-dup pairs / clusters over an opaque binary payload
+  *     column;
+  *   - `graft_frame_dup_t('mediaV', frameBytes, everyN, maxDist[,
+  *     minFrames[, bands]])` / `graft_frame_clusters_t(...)` —
+  *     near-duplicate video pairs / clusters by shared perceptual
+  *     frames;
+  *   - `graft_semdedup_t('vecsV', 'centsV', minCos[, 'idCol',
+  *     'vecCol'])` / `graft_semdedup_pairs_t(...)` — SemDeDup-style
+  *     cluster-scoped semantic dedup (survivors / within-cell pairs;
+  *     the centroids view carries (cell, _cv));
+  *   - `graft_mix_sample_t('docsV', 'strataCol', 'idCol', 'ratesV'[,
+  *     defaultPct])` — per-stratum rate mix (rates view: (stratum,
+  *     pct), domain-scale, read at plan build);
+  *   - `graft_mix_quota_t('docsV', 'strataCol', 'idCol', 'weightsV',
+  *     total)` — exact weighted mix (weights view: (stratum, weight));
+  *   - `graft_normalize_t('docsV', 'idCol', 'textCol'[, lower])` —
+  *     text canonicalization (control-strip, whitespace collapse,
+  *     trim, optional lowercase).
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -300,6 +320,42 @@ object GraftSql {
       FunctionIdentifier("graft_ivf_topk_pqr_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ivf_topk_pqr_t"),
       (args: Seq[Expression]) => ivfTopkPqrTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_dhash_pairs_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_dhash_pairs_t"),
+      (args: Seq[Expression]) => dhashPairsTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_dhash_clusters_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_dhash_clusters_t"),
+      (args: Seq[Expression]) => dhashClustersTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_frame_dup_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_frame_dup_t"),
+      (args: Seq[Expression]) => frameDupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_frame_clusters_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_frame_clusters_t"),
+      (args: Seq[Expression]) => frameClustersTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_semdedup_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_semdedup_t"),
+      (args: Seq[Expression]) => semDedupTablePlan(args, pairs = false))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_semdedup_pairs_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_semdedup_pairs_t"),
+      (args: Seq[Expression]) => semDedupTablePlan(args, pairs = true))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_mix_sample_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_mix_sample_t"),
+      (args: Seq[Expression]) => mixSampleTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_mix_quota_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_mix_quota_t"),
+      (args: Seq[Expression]) => mixQuotaTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_normalize_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_normalize_t"),
+      (args: Seq[Expression]) => normalizeTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -652,6 +708,76 @@ object GraftSql {
       textCol, span, minDocs).queryExecution.logical
   }
 
+  /** Build the `graft_dhash_pairs_t` table-function plan:
+    * `graft_dhash_pairs_t('mediaV', maxDist[, bands[, 'idCol',
+    * 'payloadCol']])` — [[graft.llm.Multimodal.dHashPairs]] from SQL:
+    * perceptual near-duplicate (i, j, hamming) pairs over the opaque
+    * binary payload column. */
+  private def dhashPairsTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_dhash_pairs_t"
+    val (media, maxDist, bands, idCol, payloadCol) = dhashArgs(args, fn)
+    graft.llm.Multimodal.dHashPairs(media, maxDist, bands, idCol,
+      payloadCol).queryExecution.logical
+  }
+
+  /** Build the `graft_dhash_clusters_t` table-function plan — the
+    * cluster form ((rep_id, n_members) per multi-member perceptual
+    * near-dup group) of [[dhashPairsTablePlan]]. */
+  private def dhashClustersTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_dhash_clusters_t"
+    val (media, maxDist, bands, idCol, payloadCol) = dhashArgs(args, fn)
+    graft.llm.Multimodal.dHashClusters(media, maxDist, bands, idCol,
+      payloadCol).queryExecution.logical
+  }
+
+  private def dhashArgs(args: Seq[Expression],
+      fn: String): (org.apache.spark.sql.DataFrame, Int, Int, String, String) = {
+    require(args.length >= 2 && args.length <= 5,
+      s"usage: $fn('mediaView', maxDist[, bands[, 'idCol', 'payloadCol']])")
+    require(args.length != 4,
+      s"$fn: idCol and payloadCol must be given together")
+    (SparkSession.active.table(strLit(args(0), fn, "media view")),
+      lngLit(args(1), fn, "maxDist").toInt,
+      if (args.length >= 3) lngLit(args(2), fn, "bands").toInt else 4,
+      if (args.length == 5) strLit(args(3), fn, "id column") else "doc_id",
+      if (args.length == 5) strLit(args(4), fn, "payload column")
+      else "payload")
+  }
+
+  /** Build the `graft_frame_dup_t` table-function plan:
+    * `graft_frame_dup_t('mediaV', frameBytes, everyN, maxDist[,
+    * minFrames[, bands]])` — [[graft.llm.Multimodal.frameDupPairs]] from
+    * SQL: near-duplicate video pairs by shared perceptual frames, one
+    * (i, j, n_matches) row per pair with ≥ minFrames matching frames. */
+  private def frameDupTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_frame_dup_t"
+    val (media, fb, everyN, maxDist, minFrames, bands) = frameArgs(args, fn)
+    graft.llm.Multimodal.frameDupPairs(media, fb, everyN, maxDist,
+      minFrames, bands).queryExecution.logical
+  }
+
+  /** Build the `graft_frame_clusters_t` table-function plan — the
+    * cluster form of [[frameDupTablePlan]]. */
+  private def frameClustersTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_frame_clusters_t"
+    val (media, fb, everyN, maxDist, minFrames, bands) = frameArgs(args, fn)
+    graft.llm.Multimodal.frameDupClusters(media, fb, everyN, maxDist,
+      minFrames, bands).queryExecution.logical
+  }
+
+  private def frameArgs(args: Seq[Expression], fn: String):
+      (org.apache.spark.sql.DataFrame, Int, Int, Int, Long, Int) = {
+    require(args.length >= 4 && args.length <= 6,
+      s"usage: $fn('mediaView', frameBytes, everyN, maxDist[, minFrames[," +
+        " bands]])")
+    (SparkSession.active.table(strLit(args(0), fn, "media view")),
+      lngLit(args(1), fn, "frameBytes").toInt,
+      lngLit(args(2), fn, "everyN").toInt,
+      lngLit(args(3), fn, "maxDist").toInt,
+      if (args.length >= 5) lngLit(args(4), fn, "minFrames") else 1L,
+      if (args.length == 6) lngLit(args(5), fn, "bands").toInt else 4)
+  }
+
   private def spanArgs(args: Seq[Expression],
       fn: String): (String, String, String, Int, Int) = (
     strLit(args(0), fn, "docs view"),
@@ -717,6 +843,94 @@ object GraftSql {
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
       strata, strLit(args(2), fn, "id column"),
       lngLit(args(3), fn, "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_semdedup_t('vecsV', 'centsV', minCos[, 'idCol', 'vecCol'])` —
+    * [[graft.llm.Similarity.semDedup]] survivors from SQL (the centroids
+    * view must carry (cell, _cv), the [[graft.llm.Similarity.assignCells]]
+    * shape); `graft_semdedup_pairs_t` returns the within-cell pairs
+    * instead. Defaults: idCol = vec_id, vecCol = embedding. */
+  private def semDedupTablePlan(args: Seq[Expression],
+      pairs: Boolean): LogicalPlan = {
+    val fn = if (pairs) "graft_semdedup_pairs_t" else "graft_semdedup_t"
+    require(args.length >= 3 && args.length <= 5,
+      s"usage: $fn('vecsView', 'centsView', minCos[, 'idCol', 'vecCol'])")
+    val vecs = SparkSession.active.table(strLit(args(0), fn, "vectors view"))
+    val cents = SparkSession.active.table(strLit(args(1), fn, "centroids view"))
+    val minCos = dblLit(args(2), fn, "minCos")
+    val idCol =
+      if (args.length >= 4) strLit(args(3), fn, "id column") else "vec_id"
+    val vecCol =
+      if (args.length >= 5) strLit(args(4), fn, "vector column") else "embedding"
+    (if (pairs)
+       graft.llm.Similarity.semDedupPairs(vecs, cents, idCol, vecCol, minCos)
+     else graft.llm.Similarity.semDedup(vecs, cents, idCol, vecCol, minCos))
+      .queryExecution.logical
+  }
+
+  /** Read a small (stratum, number) mapping view at plan build — rates and
+    * weights are domain-scale (a handful of rows), the same driver-bounded
+    * adjudication as broadcast centroids. */
+  private def strataMap(viewName: String, fn: String): Map[String, Double] =
+    SparkSession.active.table(viewName).collect().map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"$fn: the mapping view must have no nulls")
+      val n = r.get(1) match {
+        case n: java.lang.Number => n.doubleValue
+        case other => sys.error(
+          s"$fn: mapping view column 2 must be numeric, got $other")
+      }
+      r.get(0).toString -> n
+    }.toMap
+
+  /** `graft_mix_sample_t('docsV', 'strataCol', 'idCol', 'ratesV'[,
+    * defaultPct])` — [[graft.llm.Sampling.mixSample]] from SQL; the rates
+    * view carries (stratum, pct). */
+  private def mixSampleTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_mix_sample_t"
+    require(args.length == 4 || args.length == 5,
+      s"usage: $fn('docsView', 'strataCol', 'idCol', 'ratesView'[, defaultPct])")
+    val rates = strataMap(strLit(args(3), fn, "rates view"), fn)
+      .map { case (k, v) => k -> v.toInt }
+    val defaultPct =
+      if (args.length == 5) lngLit(args(4), fn, "defaultPct").toInt else 0
+    graft.llm.Sampling.mixSample(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "strata column"), strLit(args(2), fn, "id column"),
+      rates, defaultPct)
+      .queryExecution.logical
+  }
+
+  /** `graft_mix_quota_t('docsV', 'strataCol', 'idCol', 'weightsV', total)`
+    * — [[graft.llm.Sampling.mixQuota]] from SQL; the weights view carries
+    * (stratum, weight). */
+  private def mixQuotaTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_mix_quota_t"
+    require(args.length == 5,
+      s"usage: $fn('docsView', 'strataCol', 'idCol', 'weightsView', total)")
+    graft.llm.Sampling.mixQuota(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "strata column"), strLit(args(2), fn, "id column"),
+      strataMap(strLit(args(3), fn, "weights view"), fn),
+      lngLit(args(4), fn, "total"))
+      .queryExecution.logical
+  }
+
+  /** `graft_normalize_t('docsV', 'idCol', 'textCol'[, lower])` —
+    * [[graft.llm.Quality.normalizeText]] from SQL: (id, norm) per row. */
+  private def normalizeTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_normalize_t"
+    require(args.length == 3 || args.length == 4,
+      s"usage: $fn('docsView', 'idCol', 'textCol'[, lower])")
+    val docs = SparkSession.active.table(strLit(args(0), fn, "docs view"))
+    val idCol = strLit(args(1), fn, "id column")
+    val textCol = strLit(args(2), fn, "text column")
+    val lowerFlag =
+      if (args.length == 4) boolLit(args(3), fn, "lower") else false
+    docs.select(org.apache.spark.sql.functions.col(idCol),
+      graft.llm.Quality.normalizeText(
+        org.apache.spark.sql.functions.col(textCol), lowerFlag).as("norm"))
       .queryExecution.logical
   }
 
@@ -980,8 +1194,9 @@ object GraftSql {
     * vector, deepest compression); returns its centroids. */
   private def ivfSavePqTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ivf_save_pq_t"
-    require(args.length >= 7 && args.length <= 8,
-      s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir', nlist, m, k[, seed])")
+    require(args.length >= 7 && args.length <= 9,
+      s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir', nlist, m, k[, " +
+        "seed[, residual]])")
     val cv = strLit(args(0), fn, "corpus view")
     val idCol = strLit(args(1), fn, "id column")
     val vecCol = strLit(args(2), fn, "vector column")
@@ -989,10 +1204,11 @@ object GraftSql {
     val nlist = lngLit(args(4), fn, "nlist").toInt
     val m = lngLit(args(5), fn, "m").toInt
     val k = lngLit(args(6), fn, "k").toInt
-    val seed = if (args.length == 8) lngLit(args(7), fn, "seed") else 42L
+    val seed = if (args.length >= 8) lngLit(args(7), fn, "seed") else 42L
+    val residual = args.length == 9 && boolLit(args(8), fn, "residual")
     val spark = SparkSession.active
     graft.llm.Similarity.saveIvfIndexPQ(spark.table(cv), idCol, vecCol,
-      dir, nlist, pqM = m, pqK = k, seed = seed)
+      dir, nlist, pqM = m, pqK = k, seed = seed, residual = residual)
     graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
   }
 

@@ -122,15 +122,33 @@ object IvfQuantProbe {
       .select("query_id", "neighbor_id").localCheckpoint(true))
     val recallPr = Similarity.recallAgainst(f2Res, prRes, 10).head.getDouble(1)
     val ratioPq = bytes(s"$root/pq").toDouble / bytes(s"$root/f2")
+    // RESIDUAL arm (FAISS IVFPQ layout): same centroids, same sample,
+    // same bytes — codes quantize v − c(cell). Reported alongside the
+    // plain arm: raw recall and the pqIndexStats mean_qerr both ways,
+    // tying the drift diagnostic to a measured recall difference.
+    Similarity.saveIvfIndexPQ(clustered, "vec_id", "embedding",
+      s"$root/pqr", nlist, pqM = 8, pqK = 256,
+      sampleFraction = math.min(1.0, 20000.0 / n), maxIter = 10,
+      centroids = Some(cents2), residual = true)
+    val (qrRes, qrS) = timed(Similarity.ivfTopKPQ(qc, s"$root/pqr",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val recallPqr = Similarity.recallAgainst(f2Res, qrRes, 10).head.getDouble(1)
+    def qerr(d: String): Double = Similarity.pqIndexStats(spark, d)
+      .filter(col("source") === "base").head.getDouble(2)
     val ok = recallR >= 0.95 && ratioPq < ratio && recallPq >= 0.55 &&
       recallPr >= 0.9
     println(s"IVF_QUANT n=$n bytesF=${bytes(s"$root/f")} " +
       s"bytesQ=${bytes(s"$root/q")} bytesPQ=${bytes(s"$root/pq")} " +
+      s"bytesPQR=${bytes(s"$root/pqr")} " +
       f"ratio=$ratio%.2f ratioPQ=$ratioPq%.2f " +
       f"serveF=$fS%.1fs serveQ=$qS%.1fs serveRefined=$rS%.1fs " +
       f"serveF2=$f2S%.1fs servePQ=$pqS%.1fs servePQRefined=$prS%.1fs " +
+      f"servePQR=$qrS%.1fs " +
       f"recallRawQvsF=$recall%.4f recallRefinedVsF=$recallR%.4f " +
       f"recallRawPQvsF2=$recallPq%.4f recallRefinedPQvsF2=$recallPr%.4f " +
+      f"recallRawPQRvsF2=$recallPqr%.4f " +
+      f"qerrPQ=${qerr(s"$root/pq")}%.4f qerrPQR=${qerr(s"$root/pqr")}%.4f " +
       s"nClusters=$nClusters ${if (ok) "OK" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -18,8 +18,14 @@ object Verify {
     // driver leaves it unset → full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name)) }
+    // dev affordance: SPARK_GRAFT_SQL_ONLY=1 skips query execution and
+    // dumps only oracle_sql.json — the duck_bench.py baseline refresh
+    // needs the full SQL map, not the parquet results
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").exists(_ == "1")
+    val selected =
+      if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else SparkEntry.queries.filter { case (name, _) =>
+        only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
       // operators cache intermediates (shingle sets etc.); drop between
       // queries so 72 runs don't accumulate storage memory

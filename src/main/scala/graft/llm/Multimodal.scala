@@ -182,6 +182,64 @@ object Multimodal {
       }
   }
 
+  /** Near-duplicate VIDEO pairs by shared frames — the frame tier of the
+    * perceptual dedup family, a pure composition of shipped pieces:
+    * [[frameSample]] splits payloads into fixed-size frames, each frame
+    * gets the 64-bit [[dHash]] signature (column math, no codec), frame
+    * signatures flow through [[Dedup.simhashPairs]]' Hamming band
+    * blocking (exact-complete for maxDist < bands, hot-bucket capped),
+    * and frame-level matches lift to (i, j, n_matches) video pairs —
+    * `n_matches` = the number of cross-video frame pairs within
+    * `maxDist`, i.e. the shared-segment mass. `minFrames` floors it (one
+    * perturbed-copy frame is enough at 1; raise it to demand a longer
+    * shared segment).
+    *
+    * Frame identity is the composite long `doc_id << 24 | frame_idx` —
+    * reversible by shift, so the video lift is pure arithmetic, no join
+    * back through a frame table. Contract (asserted per row, codegen'd):
+    * `0 ≤ doc_id < 2³⁹` and sampled `frame_idx < 2²⁴` (16M sampled
+    * frames per video). Nothing wider than (fid, band, digest) or a
+    * 16-byte signature row shuffles; the only corpus-wide exchanges are
+    * the band equi-join and one (va, vb) count — both uniform unless the
+    * data plants a viral identical frame, which the banding's hot-bucket
+    * cap already bounds. */
+  def frameDupPairs(media: DataFrame, frameBytes: Int, everyN: Int,
+      maxDist: Int, minFrames: Long = 1L, bands: Int = 4): DataFrame = {
+    val frames = frameSample(media, frameBytes, everyN).toDF()
+    val ok = col("doc_id").between(0L, (1L << 39) - 1) &&
+      col("frame_idx") < (1L << 24)
+    val fid = coalesce(assert_true(ok,
+        lit("frameDupPairs: doc_id must be in [0, 2^39) and sampled " +
+          "frame_idx < 2^24 for the composite frame id")).cast("long"),
+      shiftleft(col("doc_id"), 24) + col("frame_idx"))
+    val sigs = dHash(frames.select(fid.as("_fid"), col("frame")),
+      "_fid", "frame").localCheckpoint()
+    Dedup.simhashPairs(sigs, maxDist, bands)
+      .select(shiftright(col("i"), 24).as("va"),
+        shiftright(col("j"), 24).as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("i"),
+        greatest(col("va"), col("vb")).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") >= minFrames)
+  }
+
+  /** Near-duplicate video CLUSTERS: [[frameDupPairs]] edges through the
+    * shared connected-components machinery — one (rep_id, n_members) row
+    * per multi-member cluster, rep = min id; the segment-level analogue
+    * of [[dHashClusters]]. */
+  def frameDupClusters(media: DataFrame, frameBytes: Int, everyN: Int,
+      maxDist: Int, minFrames: Long = 1L, bands: Int = 4): DataFrame = {
+    val pairs = frameDupPairs(media, frameBytes, everyN, maxDist,
+      minFrames, bands).select(col("i"), col("j"))
+    val ids = media.filter(col("doc_id").isNotNull && col("payload").isNotNull)
+      .select(col("doc_id").cast("long").as("id"))
+    ids.join(Dedup.componentsTiered(pairs), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("rep_id"))
+      .groupBy("rep_id").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+  }
+
   /** STUB video frame sampling: every `everyN`-th fixed-size frame of the
     * payload (a real deployment swaps the splitter for the demuxer; offsets
     * and batch shape are real). One output row per sampled frame — the

@@ -473,6 +473,8 @@ object Similarity {
       spark.read.parquet(s"$vold/codebooks")
         .write.mode("overwrite").parquet(s"$vnew/codebooks")
       f.create(new org.apache.hadoop.fs.Path(vnew, "_PQ"), true).close()
+      if (isResidualPqVersion(spark, vold))
+        f.create(new org.apache.hadoop.fs.Path(vnew, "_PQRES"), true).close()
     } else if (isQuantizedVersion(spark, vold))
       f.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
   }
@@ -485,6 +487,33 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(vdir, "_PQ")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Whether a PQ version encodes RESIDUALS (v − coarse centroid) — the
+    * `_PQRES` marker written by [[saveIvfIndexPQ]] with `residual = true`
+    * next to `_PQ`, carried like it. Appends and serving read it so the
+    * encoding space and the ADC score stay consistent for the version's
+    * whole life. */
+  private def isResidualPqVersion(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vdir, "_PQRES")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** (neighbor_id, _rv, _ov) for residual encoding: each vector joined to
+    * its assigned cell's centroid (broadcast — nlist rows), `_rv` =
+    * v − c elementwise, `_ov` the original vector (norm source — the
+    * cosine denominator and the `_qerr` scale stay relative to v, never
+    * to the residual). The zip_with lambda is interpreted, but it is
+    * consumed exactly once, by the typed encode pass right behind it. */
+  private def residualVectors(vectors: DataFrame, idCol: String,
+      vecCol: String, cells: DataFrame, cents: DataFrame): DataFrame =
+    vectors
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_ov"))
+      .join(cells.select(col("neighbor_id"), col("cell")), "neighbor_id")
+      .join(broadcast(cents.select(col("cell"), col("_cv").as("_ccv"))),
+        "cell")
+      .withColumn("_rv", zip_with(col("_ov"), col("_ccv"), (a, b) => a - b))
+      .select(col("neighbor_id"), col("_rv"), col("_ov"))
 
   /** All `v<n>` version dirs under an index root (committed or not). */
   private def ivfVersions(spark: org.apache.spark.sql.SparkSession,
@@ -684,9 +713,13 @@ object Similarity {
       val cells = assignCells(newVectors, cents, idCol, vecCol, 1)
         .withColumnRenamed(idCol, "neighbor_id")
       val rows =
-        if (isPqVersion(spark, vdir))
-          pqRows(newVectors, idCol, vecCol,
-            spark.read.parquet(s"$vdir/codebooks"))
+        if (isPqVersion(spark, vdir)) {
+          val cbs = spark.read.parquet(s"$vdir/codebooks")
+          if (isResidualPqVersion(spark, vdir))
+            pqRows(residualVectors(newVectors, idCol, vecCol, cells, cents),
+              "neighbor_id", "_rv", cbs, Some("_ov"))
+          else pqRows(newVectors, idCol, vecCol, cbs)
+        }
         else if (isQuantizedVersion(spark, vdir))
           quantizedRows(newVectors, idCol, vecCol)
         else floatRows(newVectors, idCol, vecCol)
@@ -899,7 +932,7 @@ object Similarity {
     * scan). The error sum falls out of the nearest-centroid search for
     * free: the winning distance IS the subspace's squared error. */
   private def pqRows(vectors: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame): DataFrame = {
+      codebooks: DataFrame, normVecCol: Option[String] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // codebooks to the driver once — m×k×(D/m) floats, ≤ a few hundred
@@ -919,14 +952,20 @@ object Similarity {
     }
     val sub = cbArr.head.head.length
     val bc = spark.sparkContext.broadcast(cbArr)
-    vectors.select(col(idCol).cast("long"), col(vecCol))
+    // `normVecCol` (the residual path): codes quantize `vecCol` (the
+    // residual) but the stored norm, the exclusion rule, and the `_qerr`
+    // scale all follow the ORIGINAL vector — the serving cosine and the
+    // drift diagnostic are about v, not about v − c
+    vectors
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .as[(Long, Array[Float])]
+      .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"),
+        col(normVecCol.getOrElse(vecCol)).as("_3"))
+      .as[(Long, Array[Float], Array[Float])]
       .mapPartitions { rows =>
         val cb = bc.value
-        rows.flatMap { case (id, v) =>
+        rows.flatMap { case (id, v, ov) =>
           var n2 = 0.0; var i = 0
-          while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+          while (i < ov.length) { n2 += ov(i).toDouble * ov(i); i += 1 }
           // zero/NaN-norm rows are excluded — the assignCells contract
           // shared by every tier
           if (n2.isNaN || n2 <= 0.0) None
@@ -989,7 +1028,8 @@ object Similarity {
       dir: String, nlist: Int, pqM: Int = 8, pqK: Int = 256,
       sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 20,
       centroids: Option[DataFrame] = None,
-      codebooks: Option[DataFrame] = None, retain: Int = 0): Unit = {
+      codebooks: Option[DataFrame] = None, retain: Int = 0,
+      residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -997,18 +1037,39 @@ object Similarity {
     val vdir = s"$dir/v$n"
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
-    val cbs = codebooks.getOrElse(
-      trainPqCodebooks(corpus, vecCol, pqM, pqK, sampleFraction, seed, maxIter))
     val cells = assignCells(corpus, cents, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
-    pqRows(corpus, idCol, vecCol, cbs)
-      .join(cells, "neighbor_id")
+    // `residual = true` is the FAISS IVFPQ layout: codebooks train on
+    // and codes quantize v − c(cell) instead of v. Residuals concentrate
+    // where the data actually clusters (the coarse structure is already
+    // carried by the cell id), so the same m bytes spend their codes on
+    // the fine structure — bytes unchanged, reconstruction error lower
+    // wherever cells capture real cluster mass. Serving adds dot(q, c)
+    // back per probed cell (see [[ivfTopKPQ]]); appends read the
+    // `_PQRES` marker and encode against the same residual space.
+    val res =
+      if (residual) Some(residualVectors(corpus, idCol, vecCol, cells, cents))
+      else None
+    val cbs = codebooks.getOrElse(res match {
+      case Some(r) =>
+        trainPqCodebooks(r, "_rv", pqM, pqK, sampleFraction, seed, maxIter)
+      case None =>
+        trainPqCodebooks(corpus, vecCol, pqM, pqK, sampleFraction, seed,
+          maxIter)
+    })
+    val rows = res match {
+      case Some(r) => pqRows(r, "neighbor_id", "_rv", cbs, Some("_ov"))
+      case None => pqRows(corpus, idCol, vecCol, cbs)
+    }
+    rows.join(cells, "neighbor_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
     cents.select(col("cell"), col("_cv"))
       .write.mode("overwrite").parquet(s"$vdir/centroids")
     cbs.select(col("m"), col("code"), col("_cbv"))
       .write.mode("overwrite").parquet(s"$vdir/codebooks")
     f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
+    if (residual)
+      f.create(new org.apache.hadoop.fs.Path(vdir, "_PQRES"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
   }
@@ -1095,7 +1156,8 @@ object Similarity {
     saveIvfIndexPQ(corpus, idCol, vecCol, indexDir,
       nlist = 0 /* unused: centroids are injected */, pqM = m, pqK = pqK,
       sampleFraction = sampleFraction, seed = seed, maxIter = maxIter,
-      centroids = Some(cents), retain = retain)
+      centroids = Some(cents), retain = retain,
+      residual = isResidualPqVersion(spark, vdir))
   }
 
   /** Serve a [[saveIvfIndexPQ]] directory via ADC: per query the m×k
@@ -1131,8 +1193,20 @@ object Similarity {
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("_sl")))),
         s => s("_sl")).as("_lut"))
-    val q = probedQueries(queries, cents, idCol, vecCol, nprobe)
+    val q0 = probedQueries(queries, cents, idCol, vecCol, nprobe)
       .join(lut, "query_id")
+    // residual flavor: candidates store codes of v − c(cell), so the ADC
+    // sum approximates dot(q, v − c) and the exact dot(q, c) is added
+    // back PER PROBED CELL — a broadcast join on the nlist-row centroid
+    // table against the (query × nprobe)-row side, nothing corpus-sized
+    val residual = isResidualPqVersion(spark, vdir)
+    val q =
+      if (residual)
+        q0.join(broadcast(cents.select(col("cell"), col("_cv").as("_ctv"))),
+            "cell")
+          .withColumn("_qc", dotNative(col("_qv"), col("_ctv")))
+          .drop("_ctv")
+      else q0
     // the per-candidate ADC sum is UNROLLED (m is known at plan time):
     // a higher-order aggregate would interpret its lambda per scored
     // pair, m steps each — the unrolled element_at chain stays inside
@@ -1141,8 +1215,9 @@ object Similarity {
         element_at(element_at(col("_lut"), lit(mm + 1)),
           element_at(col("_pq"), lit(mm + 1)).cast("int") + lit(128 + 1)))
       .reduce(_ + _)
+    val approxDot = if (residual) col("_qc") + adc else adc
     ivfScore(q, ivfCorpus(spark, vdir), k, salt,
-      score = adc / (col("_qn") * col("_cn")))
+      score = approxDot / (col("_qn") * col("_cn")))
   }
 
   /** PQ + REFINE: the [[ivfTopKQuantizedRefined]] remedy on the PQ
@@ -1426,5 +1501,117 @@ object Similarity {
         least(col("_nEx"), lit(k.toLong)))
     perQuery.agg(count(lit(1)).as("n_queries"),
       round(avg(col("_recall")), 4).as("avg_recall"))
+  }
+
+  /** SemDeDup-style cluster-scoped semantic near-duplicate pairs (Abbas
+    * et al. 2023, arXiv:2303.09540 — public recipe): every vector is
+    * assigned to its nearest coarse centroid ([[assignCells]] at
+    * nprobe = 1) and exact cosine pairs are emitted WITHIN each cell
+    * only. That scoping is the defining approximation that makes
+    * semantic dedup tractable at corpus scale: the quadratic term is
+    * bounded per cell (you size it by choosing the centroid count),
+    * never corpus-wide, and cross-cell near-pairs are deliberately out
+    * of contract — a pair the coarse quantizer separates is a pair the
+    * recipe accepts losing.
+    *
+    * Scale shape: within-cell all-pairs runs on [[cosineNearDupPairs]]'
+    * block-triangle replication keyed by (cell, block-pair), with each
+    * cell's block count g sized from ITS OWN row count (per-cell counts
+    * are centroid-scale — driver-bounded by construction, same
+    * adjudication as the broadcast centroids). Per-task memory is
+    * bounded by ~2·`maxRowsPerBlock` vectors even when one cell
+    * dominates the corpus — a skewed cell spreads over its own g·(g+1)/2
+    * tasks instead of funnelling into one, and small cells pay nothing
+    * for a big cell's split (g = 1 → one task, no replication). Nothing
+    * wider than (cell, id, vec) ever shuffles.
+    *
+    * Output: (i, j, cos) with i < j, cos ≥ `minCos`, both ids in the
+    * same cell. Zero/NaN-norm vectors are excluded by [[assignCells]]'
+    * guard and emit no pairs (they trivially survive [[semDedup]]).
+    */
+  def semDedupPairs(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, numBlocksPerCell: Int = 0,
+      maxRowsPerBlock: Int = 1 << 16): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cells = assignCells(vectors, centroids, idCol, vecCol, nprobe = 1)
+      .select(col(idCol).cast("long").as("_id"), col("cell").cast("long"))
+    val v = vectors
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .filter(col("_id").isNotNull && col("_v").isNotNull)
+      .join(cells, "_id")
+      .select(col("cell"), col("_id"), col("_v"))
+      .as[(Long, Long, Array[Float])]
+    // per-cell block count: one centroid-scale aggregation (rows = cell
+    // count, driver-bounded like the centroids themselves)
+    val gByCell: Map[Long, Int] =
+      if (numBlocksPerCell > 0)
+        cells.select("cell").distinct().as[Long].collect()
+          .map(_ -> numBlocksPerCell).toMap
+      else
+        cells.groupBy("cell").agg(count(lit(1)).as("n"))
+          .as[(Long, Long)].collect()
+          .map { case (c, n) =>
+            c -> math.max(1, math.ceil(n.toDouble / maxRowsPerBlock).toInt)
+          }.toMap
+    val gB = spark.sparkContext.broadcast(gByCell)
+    // block b of cell c is the LEFT side of tasks (b, b..g-1) — diagonal
+    // included, compared i<j within — and the RIGHT side of (0..b-1, b);
+    // golden-ratio mixing spreads sequential ids across blocks evenly
+    val reps = v.flatMap { case (cell, id, vec) =>
+      val g = gB.value(cell)
+      val b = (((id * 0x9E3779B97F4A7C15L) >>> 33) % g).toInt
+      (b until g).iterator.map(o => (cell, b * g + o, false, id, vec)) ++
+        (0 until b).iterator.map(a => (cell, a * g + b, true, id, vec))
+    }
+    reps.groupByKey(r => (r._1, r._2)).flatMapGroups { (key, rows) =>
+      val g = gB.value(key._1)
+      val task = key._2
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      rows.foreach { case (_, _, isRight, id, vec) =>
+        val e = (id, vec, math.sqrt(dotKernel(vec, vec)))
+        if (isRight) right += e else left += e
+      }
+      val diagonal = task / g == task % g
+      val out = Iterator.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < left.length) {
+        val (ia, va, na) = left(i)
+        val other = if (diagonal) left else right
+        var j = if (diagonal) i + 1 else 0
+        while (j < other.length) {
+          val (ib, vb, nb) = other(j)
+          val cos = dotKernel(va, vb) / (na * nb)
+          if (cos >= minCos)
+            out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("i", "j", "cos")
+  }
+
+  /** SemDeDup survivors: [[semDedupPairs]] → connected components → keep
+    * each component's MINIMUM id, return the input rows filtered to the
+    * kept set. Documented deviation from the paper's survivor choice
+    * (lowest cosine to the cluster centroid): min-id is the engine-wide
+    * representative convention (every dedup tier here keeps min id), is
+    * content-stable under re-partitioning, and the paper itself reports
+    * the choice barely matters (random ≈ worst ≈ best within noise).
+    * Vectors the cell assignment excludes (zero/NaN norm) pair with
+    * nothing and always survive — semantic dedup must not silently drop
+    * rows it could not score.
+    */
+  def semDedup(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, numBlocksPerCell: Int = 0,
+      maxRowsPerBlock: Int = 1 << 16): DataFrame = {
+    val pairs = semDedupPairs(vectors, centroids, idCol, vecCol, minCos,
+      numBlocksPerCell, maxRowsPerBlock)
+    val dropped = Dedup.connectedComponentsStar(pairs)
+      .filter(col("id") =!= col("component")).select(col("id").as("_drop"))
+    vectors.join(dropped,
+      vectors(idCol).cast("long") === dropped("_drop"), "left_anti")
   }
 }

@@ -200,6 +200,37 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // RESIDUAL PQ (the FAISS IVFPQ layout) end to end: save with
+    // residual=true so codes quantize v − c(cell), append the odd half
+    // (the _PQRES marker routes delivery encoding through the stored
+    // residual space), serve refined at full candidate width — exact
+    // rescoring decides every rank, which is what makes the lossy
+    // construction loop oracle-able (ann5/ann6's pattern); residual raw
+    // recall and error superiority stay gated in ScalaTest
+    "ann8_ivf_pq_residual" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val cbs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"), col("embedding"))
+        .select(col("code"), explode(sequence(lit(0), lit(7))).as("m"),
+          col("embedding"))
+        .select(col("m"), col("code"),
+          slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("_cbv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann8").toString
+      Similarity.saveIvfIndexPQ(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 8, pqM = 8, pqK = 8,
+        centroids = Some(cents), codebooks = Some(cbs), residual = true)
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", idx, Some("b1"))
+      val q = e.filter(col("vec_id") < 50)
+      val factor = (e.count() / 5 + 1).toInt
+      sortAll(Similarity.ivfTopKPQRefined(q, idx, e, "vec_id",
+          "embedding", k = 5, nprobe = 3, refineFactor = factor)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos")))
+    }),
+
     // PQ codebook-drift diagnostic end to end: PQ-save the even half with
     // EXPLICIT codebooks (slices of the first 8 embeddings — the ann6
     // trick that keeps k-means out of the gate), append the odd half as a
@@ -332,6 +363,29 @@ object LlmQueries {
       sortAll(Multimodal.dHashPairs(media, maxDist = 3, bands = 4))
     }),
 
+    // Frame tier of the perceptual family: payloads split into 64-byte
+    // frames (every 2nd sampled), per-frame dHash, Hamming ≤ 3 banding,
+    // matches lifted to (video_i, video_j, n_matches). Each source doc
+    // contributes a one-byte-perturbed TWIN (mm2's construction) — a
+    // "re-encoded copy" whose unperturbed frames match exactly — and
+    // the 20% doc subset keeps the oracle's brute-force frame scan
+    // quadratic-in-small. The oracle replays frame slicing, the 65-point
+    // sampling WITHIN each frame, the bit fold, and the video lift.
+    "mm3_frame_dup_videos" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          length(col("text")) >= 1 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val p = greatest(lit(1), (length(col("text")) / 2).cast("int"))
+      val twin = d.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), p - 1), lit("~"),
+          col("text").substr(p + 1, length(col("text")))).as("text"))
+      val media = Multimodal.withBinaryPayload(d.unionByName(twin),
+        "doc_id", "text")
+      sortAll(Multimodal.frameDupPairs(media, frameBytes = 64, everyN = 2,
+        maxDist = 3, minFrames = 1L))
+    }),
+
     // d7's composition with the WITHIN-doc repetition floor in front:
     // looping docs (dup_word_frac > 0.6 or top_bigram_frac > 0.1) are
     // dropped before quality/language/dedup — the Gopher repetition
@@ -410,6 +464,51 @@ object LlmQueries {
       sortAll(Sampling.packGreedy(docs(s, dir), "doc_id", "text", "lang",
           64L, 4)
         .withColumn("shard", col("shard").cast("long")))
+    }),
+
+    // SemDeDup end to end: nearest-of-8-deterministic-centroids cell
+    // assignment (ann2's trick keeps k-means out of the gate), exact
+    // within-cell cosine pairs at d5's threshold, connected components,
+    // min-id survivor per component — the oracle replays assignment,
+    // pairs, and the component closure, so the CLUSTER-SCOPED contract
+    // (a cross-cell near-pair does NOT merge) is what gets hash-gated
+    "d13_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      sortAll(Similarity.semDedup(e, cents, "vec_id", "embedding", 0.35)
+        .select(col("vec_id")))
+    }),
+
+    // Per-source rate mix: explicit keep-percentages for three sources,
+    // 10% for the rest — the row-local (shuffle-free) mix selector
+    "sm3_mix_sample" -> ((s, dir) => {
+      sortAll(Sampling.mixSample(docs(s, dir), "source", "doc_id",
+          Map("src0" -> 80, "src1" -> 50, "src2" -> 20), defaultPct = 10)
+        .select(col("doc_id"), col("source")))
+    }),
+
+    // Exact weighted mix: target weights over three sources at total=100
+    // → per-source quotas 50/30/20 by md5 rank; unlisted sources drop
+    "sm4_mix_quota" -> ((s, dir) => {
+      sortAll(Sampling.mixQuota(docs(s, dir), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 100L)
+        .select(col("doc_id"), col("source"), col("rk")))
+    }),
+
+    // Text canonicalization over deterministically-messed inputs (the
+    // tx6/mm2 twin pattern): control bytes injected mid-word must strip
+    // WITHOUT splitting the word, whitespace zoo collapses to single
+    // spaces, edges trim, output lowercases
+    "tx7_normalize" -> ((s, dir) => {
+      val p = greatest(lit(1), (length(col("text")) / 2).cast("int"))
+      val messy = concat(lit("\u0007\t "), col("text").substr(lit(1), p),
+        lit("\u0001"), col("text").substr(p + 1, length(col("text"))),
+        lit("  \r\n"))
+      sortAll(docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          Quality.normalizeText(messy, lowercase = true).as("norm")))
     })
   )
 
@@ -642,6 +741,9 @@ object LlmQueries {
     // loop (save → append → refined serve) replays as the same
     // probed-cell exact top-5, independent of the trained codebooks
     "ann6_ivf_pq_appended" -> probedCellTop5Oracle,
+    // residual encoding changes PROPOSAL scores only; the full-width
+    // refine makes the served result the exact probed-cell top-5
+    "ann8_ivf_pq_residual" -> probedCellTop5Oracle,
 
     // PQ encode-time error replay: nearest explicit sub-centroid by L2
     // per subspace (the distance written as the same left-to-right
@@ -843,6 +945,59 @@ object LlmQueries {
          |WHERE bit_count(xor(a.s, b.s)) <= 3
          |${orderBySql("i", "j", "hamming")}""".stripMargin,
 
+    // frame-tier replay: frames = full 64-byte slices at even indices
+    // (f*64+64 ≤ n, f % 2 = 0 — frameSample's floor-division + stride),
+    // 65 byte samples WITHIN each frame (byte f*64 + (i*64)//65 = hex
+    // chars at ×2), adjacent-comparison bit fold per frame, brute-force
+    // Hamming ≤ 3 across frames of DIFFERENT videos (band blocking is
+    // pigeonhole-exact there), counts per video pair
+    "mm3_frame_dup_videos" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM $docsPq
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND length(text) >= 1 AND doc_id % 5 = 0),
+         |uni AS (
+         |  SELECT doc_id, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 10000000,
+         |    substr(text, 1, greatest(1, length(text) // 2) - 1) || '~' ||
+         |    substr(text, greatest(1, length(text) // 2) + 1)
+         |  FROM src),
+         |d AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |  FROM uni),
+         |fr AS (
+         |  SELECT doc_id, f FROM d,
+         |    (SELECT unnest(generate_series(0, 4000)) AS f)
+         |  WHERE f * 64 + 64 <= n AND f % 2 = 0),
+         |s AS (
+         |  SELECT fr.doc_id, fr.f, i.i,
+         |    ('0x' || substr(hx,
+         |      CAST(fr.f * 64 + (i.i * 64) // 65 AS BIGINT) * 2 + 1,
+         |      2))::INT AS v
+         |  FROM fr JOIN d USING (doc_id),
+         |    (SELECT unnest(generate_series(0, 64)) AS i) i),
+         |bits AS (
+         |  SELECT a.doc_id, a.f, a.i
+         |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.f = b.f
+         |    AND b.i = a.i + 1
+         |  WHERE a.i < 64 AND a.v > b.v),
+         |sig AS (
+         |  SELECT fr.doc_id, fr.f,
+         |    COALESCE(CAST(sum(1::UBIGINT << bits.i) AS UBIGINT),
+         |      0::UBIGINT) AS s
+         |  FROM fr LEFT JOIN bits
+         |    ON fr.doc_id = bits.doc_id AND fr.f = bits.f
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3)
+         |SELECT i, j, CAST(count(*) AS BIGINT) AS n_matches
+         |FROM fp GROUP BY 1, 2
+         |${orderBySql("i", "j", "n_matches")}""".stripMargin,
+
     // d7's replay over the repetition-floored survivor set: the drop list
     // is tx5's fraction computation thresholded at 0.6 / 0.1
     "d11_prepare_repetition_floor" -> prepareOracle(
@@ -968,6 +1123,79 @@ object LlmQueries {
          |  FROM t JOIN pack p
          |    ON t.strata = p.strata AND t.shard = p.shard AND t.rn = p.rn + 1)
          |SELECT doc_id, strata, shard, n_tok, bin_id FROM pack
-         |${orderBySql("doc_id", "strata", "shard", "n_tok", "bin_id")}""".stripMargin
+         |${orderBySql("doc_id", "strata", "shard", "n_tok", "bin_id")}""".stripMargin,
+
+    // SemDeDup replay: argmax-cosine cell per vector (tie → smallest
+    // cell, the engine's row_number order), exact within-cell pairs at
+    // the threshold, recursive component closure, min-id survivor —
+    // survivors = everything not dropped (unscorable vectors pair with
+    // nothing and survive by construction on both sides)
+    "d13_semdedup" ->
+      s"""WITH RECURSIVE
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM $embsPq),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
+         |         FROM $embsPq WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT c.vec_id, cent.cell,
+         |            row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |              list_inner_product(e, ev)
+         |                / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(ev, ev)))
+         |              DESC, cent.cell) AS rn
+         |          FROM c, cent) WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j
+         |      FROM c a JOIN asg aa ON a.vec_id = aa.vec_id
+         |      JOIN asg bb ON aa.cell = bb.cell
+         |      JOIN c b ON b.vec_id = bb.vec_id
+         |      WHERE a.vec_id < b.vec_id
+         |        AND list_inner_product(a.e, b.e)
+         |          / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35),
+         |edges AS (SELECT i, j FROM p UNION SELECT j, i FROM p),
+         |nodes AS (SELECT DISTINCT i AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM comp WHERE id <> component)
+         |SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT id FROM dropped)
+         |${orderBySql("vec_id")}""".stripMargin,
+
+    // the md5 draw against a per-source CASE of rates (sm1's replay with
+    // the rate resolved per row)
+    "sm3_mix_sample" ->
+      s"""SELECT doc_id, source FROM $docsPq
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+         |  CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+         |              WHEN 'src2' THEN 20 ELSE 10 END
+         |${orderBySql("doc_id", "source")}""".stripMargin,
+
+    // sm2's md5 rank with per-source quotas round(w·total) = 50/30/20;
+    // unlisted sources get quota 0
+    "sm4_mix_quota" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM $docsPq)
+         |WHERE rk <= CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30
+         |                        WHEN 'src2' THEN 20 ELSE 0 END
+         |${orderBySql("doc_id", "source", "rk")}""".stripMargin,
+
+    // normalization replay over the same deterministic mess (control
+    // bytes via chr(), the regex constants interpolated from the SAME
+    // Scala vals the engine compiles — the tx6 discipline)
+    "tx7_normalize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    chr(7) || chr(9) || ' ' ||
+         |    substr(text, 1, greatest(1, length(text) // 2)) || chr(1) ||
+         |    substr(text, greatest(1, length(text) // 2) + 1) ||
+         |    '  ' || chr(13) || chr(10) AS messy
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |SELECT doc_id,
+         |  lower(trim(regexp_replace(regexp_replace(messy,
+         |    '${Quality.CtrlRe}', '', 'g'), '${Quality.WsRe}', ' ', 'g'))) AS norm
+         |FROM m
+         |${orderBySql("doc_id", "norm")}""".stripMargin
   )
 }

@@ -535,6 +535,81 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(refSql === refTyped)
     assert(refSql.nonEmpty)
+    // residual arm: the 9-arg save form stamps _PQRES and the raw serve
+    // routes through the residual ADC (add-back per probed cell) — SQL
+    // must hit the same path as the typed call on a fresh directory
+    val rdir = java.nio.file.Files.createTempDirectory("graft_sql_ivfpqr")
+      .toString
+    spark.sql("SELECT * FROM graft_ivf_save_pq_t(" +
+      s"'ivfpq_c', 'vec_id', 'embedding', '$rdir', 4, 4, 16, 42, true)")
+      .collect()
+    assert(new java.io.File(s"$rdir/v1/_PQRES").exists(),
+      "the SQL save form carries the residual flavor marker")
+    val rresSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_pq_t('ivfpq_q', '$rdir', 'vec_id', 'embedding', 5, 2)")
+      .collect().map(key).toSet
+    val rresTyped = graft.llm.Similarity.ivfTopKPQ(spark.table("ivfpq_q"),
+        rdir, "vec_id", "embedding", 5, 2)
+      .collect().map(key).toSet
+    assert(rresSql === rresTyped)
+    assert(rresSql.nonEmpty)
+  }
+
+  test("graft_dhash_pairs_t / graft_dhash_clusters_t / graft_frame_dup_t / graft_frame_clusters_t: multimodal tier from SQL ≡ typed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, struct}
+    GraftSql.registerFunctions(spark)
+    // mm2's construction: each doc plus a one-byte-perturbed twin payload
+    val rnd = new scala.util.Random(11)
+    val vids = (1L to 6L).map { i =>
+      val b = Array.fill[Byte](192)(rnd.nextInt(256).toByte)
+      (i, b)
+    }
+    val twins = vids.map { case (i, b) =>
+      val t = b.clone(); t(70) = (t(70) ^ 0x7f).toByte; (i + 100L, t)
+    }
+    val media = (vids ++ twins).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("raw").as("format")))
+    media.createOrReplaceTempView("mm_media_v")
+    def pk(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val pairsSql = spark.sql(
+      "SELECT * FROM graft_dhash_pairs_t('mm_media_v', 3)")
+      .collect().map(pk).toSet
+    val pairsTyped = graft.llm.Multimodal.dHashPairs(media, maxDist = 3)
+      .collect().map(pk).toSet
+    assert(pairsSql === pairsTyped)
+    assert(pairsSql.nonEmpty)
+    val clSql = spark.sql(
+      "SELECT * FROM graft_dhash_clusters_t('mm_media_v', 3, 4, " +
+        "'doc_id', 'payload')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clTyped = graft.llm.Multimodal.dHashClusters(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clSql === clTyped)
+    assert(clSql.nonEmpty)
+    val fpSql = spark.sql(
+      "SELECT * FROM graft_frame_dup_t('mm_media_v', 64, 1, 3)")
+      .collect().map(pk).toSet
+    val fpTyped = graft.llm.Multimodal.frameDupPairs(media, frameBytes = 64,
+        everyN = 1, maxDist = 3)
+      .collect().map(pk).toSet
+    assert(fpSql === fpTyped)
+    assert(fpSql.nonEmpty)
+    val fcSql = spark.sql(
+      "SELECT * FROM graft_frame_clusters_t('mm_media_v', 64, 1, 3, 1, 4)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fcTyped = graft.llm.Multimodal.frameDupClusters(media,
+        frameBytes = 64, everyN = 1, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fcSql === fcTyped)
+    assert(fcSql.nonEmpty)
+    // arg validation: idCol without payloadCol is refused
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dhash_pairs_t('mm_media_v', 3, 4, " +
+        "'doc_id')").collect()
+    }
+    assert(ex.getMessage.contains("together"))
   }
 
   test("graft_pq_stats_t + graft_pq_refresh_t: codebook-drift loop from SQL ≡ typed") {
@@ -884,5 +959,64 @@ class GraftSqlSpec extends AnyFunSuite {
       .select("doc_id", "shard", "pos")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(sqlS === typedS)
+  }
+
+  test("graft_semdedup_t / graft_mix_sample_t / graft_mix_quota_t / graft_normalize_t: mix tier from SQL ≡ typed") {
+    GraftSql.registerFunctions(spark)
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, graft.TestSpark.sfDir)
+    e.createOrReplaceTempView("sd_vecs_v")
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      .createOrReplaceTempView("sd_cents_v")
+    val sqlSurv = spark.sql(
+      "SELECT vec_id FROM graft_semdedup_t('sd_vecs_v', 'sd_cents_v', 0.35D)")
+      .collect().map(_.getLong(0)).toSet
+    val typedSurv = graft.llm.Similarity.semDedup(e,
+        spark.table("sd_cents_v"), "vec_id", "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sqlSurv === typedSurv && sqlSurv.size < e.count())
+    val sqlPairs = spark.sql(
+      "SELECT i, j FROM graft_semdedup_pairs_t('sd_vecs_v', 'sd_cents_v', 0.35D)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedPairs = graft.llm.Similarity.semDedupPairs(e,
+        spark.table("sd_cents_v"), "vec_id", "embedding", 0.35)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlPairs === typedPairs && sqlPairs.nonEmpty)
+
+    val d = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    d.createOrReplaceTempView("mix_docs_v")
+    spark.sql("SELECT * FROM (VALUES ('src0', 80), ('src1', 0), ('src2', 40)) AS t(s, p)")
+      .createOrReplaceTempView("mix_rates_v")
+    val sqlMix = spark.sql(
+      "SELECT doc_id FROM graft_mix_sample_t('mix_docs_v', 'source', 'doc_id', 'mix_rates_v', 25)")
+      .collect().map(_.getLong(0)).toSet
+    val typedMix = graft.llm.Sampling.mixSample(d, "source", "doc_id",
+        Map("src0" -> 80, "src1" -> 0, "src2" -> 40), 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sqlMix === typedMix && sqlMix.nonEmpty)
+
+    spark.sql("SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3)) AS t(s, w)")
+      .createOrReplaceTempView("mix_weights_v")
+    val sqlQuota = spark.sql(
+      "SELECT doc_id, rk FROM graft_mix_quota_t('mix_docs_v', 'source', 'doc_id', 'mix_weights_v', 20)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedQuota = graft.llm.Sampling.mixQuota(d, "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3), 20L)
+      .select("doc_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlQuota === typedQuota && sqlQuota.nonEmpty)
+
+    val sqlNorm = spark.sql(
+      "SELECT * FROM graft_normalize_t('mix_docs_v', 'doc_id', 'text', true)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val typedNorm = d.select(col("doc_id"),
+        graft.llm.Quality.normalizeText(col("text"), lowercase = true).as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sqlNorm === typedNorm && sqlNorm.nonEmpty)
+    // arg validation surfaces as a clear error, not a mis-bound plan
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_semdedup_t('sd_vecs_v', 'sd_cents_v')").collect()
+    }
+    assert(err.getMessage.contains("usage") || err.getMessage.contains("minCos"))
   }
 }

@@ -570,6 +570,81 @@ class LlmSpec extends AnyFunSuite {
       "refreshed codebooks restore raw ADC ranking for the shifted region")
   }
 
+  test("residual PQ: clustered corpus encodes near-exactly where plain PQ cannot; appends and folds keep the flavor") {
+    import spark.implicits._
+    // 4 far-apart cell centers on even components 0/2/4/6, every vector =
+    // its center ± 1 at component 1 — the SAME fine offset in every cell.
+    // Plain PQ at pqK=2 must cover 4 distinct subspace-0 values
+    // {(10,±1), (0,±1)} with 2 codes → irreducible error; residuals are
+    // globally {(0,±1)} → 2 codes encode EXACTLY. Same m, same bytes.
+    def vec(i: Long) = {
+      val a = new Array[Float](8)
+      a(((i % 4) * 2).toInt) = 10f
+      a(1) = if (i % 2 == 0) 1f else -1f
+      a
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // centroids are the ACTUAL cluster centers (magnitude included):
+    // cosine assignment only needs the direction, but the residual is
+    // v − c, so a unit-length "centroid" would leave 9·e_{2c} in every
+    // residual and the fine structure would not collapse
+    val cents = (0L until 4L).map { c =>
+      val a = new Array[Float](8); a((c * 2).toInt) = 10f; (c, a)
+    }.toDF("cell", "_cv")
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_pqp").toString
+    val resDir = java.nio.file.Files.createTempDirectory("graft_pqr").toString
+    Similarity.saveIvfIndexPQ(corpus, "vec_id", "embedding", plainDir,
+      nlist = 4, pqM = 4, pqK = 2, centroids = Some(cents))
+    Similarity.saveIvfIndexPQ(corpus, "vec_id", "embedding", resDir,
+      nlist = 4, pqM = 4, pqK = 2, centroids = Some(cents), residual = true)
+    def meanErr(d: String) = Similarity.pqIndexStats(spark, d)
+      .filter(col("source") === "base").head.getDouble(2)
+    assert(meanErr(resDir) < 1e-3,
+      s"residual codes capture the shared fine structure: ${meanErr(resDir)}")
+    assert(meanErr(plainDir) > 0.05,
+      s"plain codes cannot: ${meanErr(plainDir)}")
+    // raw residual serve is exact here (zero reconstruction error): each
+    // query's top-1 is its true nearest neighbor, scores = exact cosine
+    val q = corpus.filter(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(q, corpus, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val raw = Similarity.ivfTopKPQ(q, resDir, "vec_id", "embedding",
+        k = 3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    assert(raw === exact, "zero-error residual codes serve the exact ranking")
+    // append-grown ≡ full save: the _PQRES marker routes delivery
+    // encoding through the stored residual space
+    // split by id RANGE: an even/odd split would correlate with the
+    // offset sign and train the codebooks on half the residual alphabet
+    val gdir = java.nio.file.Files.createTempDirectory("graft_pqrg").toString
+    Similarity.saveIvfIndexPQ(corpus.filter(col("vec_id") < 100),
+      "vec_id", "embedding", gdir, nlist = 4, pqM = 4, pqK = 2,
+      centroids = Some(cents), residual = true)
+    Similarity.appendIvfIndex(corpus.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", gdir, Some("b1"))
+    def serve(d: String) = Similarity.ivfTopKPQ(q, d, "vec_id", "embedding",
+        3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val grown = serve(gdir)
+    assert(grown === serve(resDir),
+      "append-grown residual index serves the full-save result")
+    // stats see both units at the error floor (the shifted-space alarm
+    // CANNOT fire here — deliveries share the training distribution)
+    val st = Similarity.pqIndexStats(spark, gdir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(st.keySet === Set("base", "deltab1") && st.values.forall(_ < 1e-3))
+    // compaction carries _PQRES; a folded replay stays a no-op
+    Similarity.compactIvfIndex(spark, gdir)
+    assert(new java.io.File(s"$gdir/v2/_PQRES").exists(), "flavor carried")
+    assert(serve(gdir) === grown, "across the fold")
+    // refresh preserves the residual flavor
+    Similarity.refreshPqCodebooks(corpus, "vec_id", "embedding", gdir,
+      pqK = 2, retain = 0)
+    assert(new java.io.File(s"$gdir/v3/_PQRES").exists(),
+      "refresh keeps the residual encoding space")
+    assert(serve(gdir) === grown, "refreshed index serves the same exact ranking")
+  }
+
   test("legacy PQ base without _qerr: serving unions, stats report null, appends stamp") {
     import spark.implicits._
     val cents = embs.filter(col("vec_id") < 8)
@@ -1104,6 +1179,45 @@ class LlmSpec extends AnyFunSuite {
       length(col("text")) >= 1).count())
   }
 
+  test("frame-tier near-dup: a perturbed-copy video pairs by its shared frames; unrelated video stays apart") {
+    import spark.implicits._
+    // 4 frames of 64 bytes of SEEDED-RANDOM bytes: ramp-like fixtures
+    // are adversarial here (near-monotone frames give mostly-1 bit
+    // patterns whose mutual Hamming is tiny), random frames sit ~32
+    // bits apart so only genuine copies pair
+    val rndA = new scala.util.Random(42)
+    val vidA = Array.fill[Byte](256)(rndA.nextInt(256).toByte)
+    val vidB = { val b = vidA.clone(); b(130) = (b(130) ^ 0x7f).toByte; b } // frame 2
+    val rndC = new scala.util.Random(7)
+    val vidC = Array.fill[Byte](256)(rndC.nextInt(256).toByte)
+    val media = Seq(1L -> vidA, 2L -> vidB, 3L -> vidC)
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("raw").as("format")))
+    val pairs = Multimodal.frameDupPairs(media, frameBytes = 64, everyN = 1,
+        maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(pairs.map(p => (p._1, p._2)) === List((1L, 2L)),
+      s"only the perturbed copy pairs: $pairs")
+    // frames 0, 1, 3 are byte-identical (Hamming 0); the perturbed byte
+    // sits in frame 2, which may or may not stay under the distance
+    // floor — the SHARED-frame count is ≥ 3 either way
+    assert(pairs.head._3 >= 3L, s"shared unperturbed frames: ${pairs.head}")
+    val clusters = Multimodal.frameDupClusters(media, frameBytes = 64,
+        everyN = 1, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters === Set((1L, 2L)))
+    // minFrames floors the shared-segment mass
+    assert(Multimodal.frameDupPairs(media, frameBytes = 64, everyN = 1,
+      maxDist = 3, minFrames = 5L).count() === 0L)
+    // the composite-frame-id contract is asserted, not silently corrupted
+    val bad = Seq((1L << 40, vidA)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("raw").as("format")))
+    val ex = intercept[Exception] {
+      Multimodal.frameDupPairs(bad, 64, 1, 3).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("multimodal: stub extractor is deterministic and plumbing preserves bytes") {
     val media = Multimodal.withBinaryPayload(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.decodeFeatures(media).collect()
@@ -1116,5 +1230,64 @@ class LlmSpec extends AnyFunSuite {
       assert(f.first_byte === (t.getBytes("UTF-8")(0) & 0xff).toLong)
       assert(f.features sameElements Multimodal.extract(t.getBytes("UTF-8")))
     }
+  }
+
+  test("semDedup: within-cell pairs at the threshold, cross-cell near-pairs out of contract, min-id survivors, block-split invariance") {
+    import spark.implicits._
+    // two orthogonal coarse directions; cell 0 holds a three-member
+    // near-dup chain plus one distinct vector, and ids 20/21 form a
+    // near-identical pair the quantizer SPLITS across cells — SemDeDup's
+    // defining approximation says that pair must NOT merge
+    val vecs = Seq(
+      1L  -> Array(1f, 0.10f, 0f, 0f),
+      2L  -> Array(1f, 0.11f, 0f, 0f),
+      4L  -> Array(1f, 0.12f, 0f, 0f),
+      7L  -> Array(1f, -0.5f, 0f, 0f),   // cell 0, far from the chain
+      20L -> Array(1f, 0.99f, 0f, 0f),   // cell 0 (1.00 > 0.99)
+      21L -> Array(0.99f, 1f, 0f, 0f),   // cell 1 — cos(20,21) ≈ 0.99995
+      30L -> Array(0f, 1f, 0f, 0f),      // cell 1, alone
+      99L -> Array(0f, 0f, 0f, 0f)       // zero norm: unscorable, survives
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f)
+    ).toDF("cell", "_cv")
+    val pairs = Similarity.semDedupPairs(vecs, cents, "vec_id", "embedding", 0.99)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      "only the within-cell chain pairs; the split 20/21 pair must be absent")
+    val kept = Similarity.semDedup(vecs, cents, "vec_id", "embedding", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 7L, 20L, 21L, 30L, 99L),
+      "chain keeps min id; split pair and the unscorable vector all survive")
+    // block-triangle split must not change the pair set (per-task memory
+    // knob only): force many blocks per cell, and the tiny-block path
+    val forced = Similarity.semDedupPairs(vecs, cents, "vec_id", "embedding",
+        0.99, numBlocksPerCell = 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forced === pairs)
+    val tiny = Similarity.semDedupPairs(vecs, cents, "vec_id", "embedding",
+        0.99, maxRowsPerBlock = 1)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny === pairs)
+  }
+
+  test("semDedup on the real embeddings: pairs are the cell-restricted subset of the global exact pairs") {
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val semPairs = Similarity.semDedupPairs(embs, cents, "vec_id", "embedding", 0.35)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val global = Similarity.cosineNearDupPairs(embs, "vec_id", "embedding", 0.35)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellOf = Similarity.assignCells(embs, cents, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(semPairs.nonEmpty, "corpus should hold same-cell near pairs at 0.35")
+    assert(semPairs === global.filter { case (i, j) =>
+        cellOf.get(i).exists(c => cellOf.get(j).contains(c)) },
+      "semDedup pairs = global exact pairs restricted to shared cells")
+    // survivors: input minus non-min component members, row count preserved
+    val kept = Similarity.semDedup(embs, cents, "vec_id", "embedding", 0.35)
+    assert(kept.columns.toSeq === embs.columns.toSeq, "original schema out")
+    assert(kept.count() < embs.count(), "something must dedup at 0.35")
   }
 }
