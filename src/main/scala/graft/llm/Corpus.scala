@@ -36,18 +36,31 @@ object Corpus {
     * again by a doc_id-only left-anti — the repetition join shuffles
     * (doc_id, three fractions), never text. The two floors target
     * different pathologies (cross-corpus boilerplate vs within-doc
-    * looping) and compose independently. */
+    * looping) and compose independently.
+    *
+    * `normalize = true` canonicalizes text FIRST ([[Quality.normalizeText]]
+    * — control-strip, whitespace collapse, trim), so byte-level transport
+    * noise (CRLF vs LF, tab indentation, trailing blanks) cannot split an
+    * exact-duplicate group in the dedup below, and every downstream floor
+    * (span windows, repetition fractions, quality tokens) sees the
+    * canonical token stream. Pure per-row column math ahead of the
+    * existing plan — no new shuffle, and the default false is
+    * bit-identical to the un-normalized composition. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       stops: Seq[String], markers: Seq[(String, Seq[String])],
       minQuality: Double, langs: Seq[String],
       spanTokens: Int = 0, maxDupFrac: Double = 1.0,
       spanMinDocs: Int = 2,
-      maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0): DataFrame = {
+      maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
+      normalize: Boolean = false): DataFrame = {
+    val source =
+      if (!normalize) docs
+      else docs.withColumn(textCol, Quality.normalizeText(col(textCol)))
     val t: Column = col(textCol)
     val spanFloored =
-      if (spanTokens <= 0) docs
-      else docs.join(
-        Dedup.spanDupStats(docs, idCol, textCol, spanTokens, spanMinDocs)
+      if (spanTokens <= 0) source
+      else source.join(
+        Dedup.spanDupStats(source, idCol, textCol, spanTokens, spanMinDocs)
           .filter(col("dup_frac") > maxDupFrac)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")

@@ -183,24 +183,65 @@ object Similarity {
     * [[cosineTopK]]). */
   def assignCells(vectors: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cell"))
-    // norm projected ONCE per row — and the isnan guard is load-bearing:
-    // Spark orders NaN greatest, so a NaN-component vector (failed-encode
-    // artifact) passes a bare `> 0.0`, ranks NaN-cosine-first into cell 0,
-    // and then poisons every ivfTopK query probing that cell
-    val withNorm = vectors.select(col(idCol), col(vecCol).as("_v"),
-        sqrt(dotNative(col(vecCol), col(vecCol))).as("_vn"))
-      .filter(!isnan(col("_vn")) && col("_vn") > 0.0)
-    // centroid norms precomputed in the broadcast table (C+1 dots per row,
-    // not ~3C)
-    val cents = centroids.select(col("cell"), col("_cv"),
-      sqrt(dotNative(col("_cv"), col("_cv"))).as("_cn"))
-    withNorm
-      .crossJoin(broadcast(cents))
-      .withColumn("_d",
-        dotNative(col("_v"), col("_cv")) / (col("_vn") * col("_cn")))
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= nprobe)
-      .select(col(idCol), col("cell"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // Shuffle-FREE top-nprobe: the original form cross-joined every row
+    // with the broadcast centroid table and ranked with a row_number
+    // window PARTITIONED BY the row id — a corpus-wide exchange of
+    // N×nlist rows just to take an argmax, and the dominant shuffle of
+    // every index build/append at the 100 TB shape. Centroids are
+    // driver-bounded by contract (they were already broadcast), so the
+    // same result comes from one broadcast variable and a per-partition
+    // JVM scan: zero exchanges, O(nlist·nprobe) per row, dotKernel uses
+    // the same double arithmetic as the dotNative column form.
+    // Tie semantics mirrored exactly: rank by (cosine DESC, cell ASC)
+    // with java.lang.Double.compare — NaN GREATEST, like Spark SQL's
+    // ordering (a zero-norm CENTROID still outranks all, unchanged;
+    // zero/NaN-norm VECTORS are dropped, the guard below).
+    val cents: Array[(Long, Array[Float], Double)] = centroids
+      .select(col("cell").cast("long"), col("_cv"))
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map { case (c, v) => (c, v, math.sqrt(dotKernel(v, v))) }
+    val bc = spark.sparkContext.broadcast(cents)
+    val np = math.min(nprobe, cents.length)
+    vectors.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, vec) =>
+          val vn = math.sqrt(dotKernel(vec, vec))
+          if (vn.isNaN || vn <= 0.0) Iterator.empty
+          else {
+            // insertion top-np by (d desc, cell asc); np is tiny
+            val topC = new Array[Long](np)
+            val topD = new Array[Double](np)
+            var filled = 0
+            var i = 0
+            while (i < cs.length) {
+              val (cell, cv, cn) = cs(i)
+              val d = dotKernel(vec, cv) / (vn * cn)
+              var pos = filled
+              while (pos > 0 && {
+                val c = java.lang.Double.compare(d, topD(pos - 1))
+                c > 0 || (c == 0 && cell < topC(pos - 1))
+              }) pos -= 1
+              if (pos < np) {
+                val last = math.min(filled, np - 1)
+                var m = last
+                while (m > pos) {
+                  topC(m) = topC(m - 1); topD(m) = topD(m - 1); m -= 1
+                }
+                topC(pos) = cell; topD(pos) = d
+                if (filled < np) filled += 1
+              }
+              i += 1
+            }
+            (0 until filled).iterator.map(r => (id, topC(r)))
+          }
+        }
+      }.toDF(idCol, "cell")
   }
 
   /** Per-cell occupancy of an IVF corpus assignment — the skew diagnostic
@@ -1534,8 +1575,13 @@ object Similarity {
       maxRowsPerBlock: Int = 1 << 16): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // consumed TWICE (the per-cell sizing aggregation and the vector
+    // join) — localCheckpoint the 16-byte projection so the assignment
+    // pass over the corpus runs once (the lshNearDupPairs discipline;
+    // no CacheManager entry to leak)
     val cells = assignCells(vectors, centroids, idCol, vecCol, nprobe = 1)
       .select(col(idCol).cast("long").as("_id"), col("cell").cast("long"))
+      .localCheckpoint()
     val v = vectors
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .filter(col("_id").isNotNull && col("_v").isNotNull)

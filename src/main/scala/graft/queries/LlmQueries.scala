@@ -278,6 +278,23 @@ object LlmQueries {
         STOPS, MARKERS, 0.5, Seq("en")))
     }),
 
+    // d7's composition with transport noise injected (tx7's deterministic
+    // mess) and the normalize pre-pass switched on: canonicalization must
+    // put every messed doc back into its clean dup group BEFORE the
+    // hash-dedup — the oracle replays mess → normalize → the full prepare
+    // pipeline, so what gets gated is the composition, not just the parts
+    "d14_prepare_normalized" -> ((s, dir) => {
+      val p = greatest(lit(1), (length(col("text")) / 2).cast("int"))
+      val messy = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("\u0007\t "), col("text").substr(lit(1), p),
+            lit("\u0001"), col("text").substr(p + 1, length(col("text"))),
+            lit("  \r\n")).as("text"))
+      sortAll(Corpus.prepare(messy, "doc_id", "text",
+        STOPS, MARKERS, 0.5, Seq("en"), normalize = true))
+    }),
+
     // Span-dup REMOVAL — the cleaning action behind d8's signal: excise
     // every token covered by a 5-token window duplicated in ≥2 distinct
     // docs, survivors re-joined. String-keyed here so the DuckDB replay
@@ -801,6 +818,19 @@ object LlmQueries {
     // quality expr ≡ tx2's, language CASE ≡ tx3's, dedup ≡ d1's — the
     // composition replayed over the filtered set
     "d7_corpus_prepare" -> prepareOracle("", docsPq),
+
+    // mess → normalize (same regex constants as the engine) → d7's replay
+    "d14_prepare_normalized" -> prepareOracle(
+      s"""m AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(
+         |      chr(7) || chr(9) || ' ' ||
+         |      substr(text, 1, greatest(1, length(text) // 2)) || chr(1) ||
+         |      substr(text, greatest(1, length(text) // 2) + 1) ||
+         |      '  ' || chr(13) || chr(10),
+         |      '${Quality.CtrlRe}', '', 'g'), '${Quality.WsRe}', ' ', 'g')) AS text
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |""".stripMargin, "m"),
 
     // same 5-token windows WITH positions, string-keyed: excise every
     // token position covered by a window in ≥2 distinct docs (list

@@ -283,6 +283,45 @@ class MixSpec extends AnyFunSuite {
     }
   }
 
+  test("Corpus.prepare normalize: transport noise no longer splits dup groups; flag ≡ manual pre-normalization; default unchanged") {
+    val stops = Seq("the", "a")
+    val markers = Seq("en" -> Seq("the"))
+    // the same content three ways a crawler delivers it: LF, CRLF +
+    // trailing blank, tab-indented — one distinct doc without
+    // normalization is three
+    val fix = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat \r\n",
+      3L -> "\tthe cat sat on\tthe mat",
+      9L -> "the dog ran off the lot"
+    ).toDF("doc_id", "text")
+    val plain = Corpus.prepare(fix, "doc_id", "text", stops, markers,
+      0.0, Seq("en"))
+    assert(plain.count() === 4L, "unnormalized: noise splits the group")
+    val norm = Corpus.prepare(fix, "doc_id", "text", stops, markers,
+      0.0, Seq("en"), normalize = true)
+    val reps = norm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 3L, 9L -> 1L),
+      "normalized: the three deliveries collapse to min id 1 with 3 copies")
+    // flag ≡ running the unflagged composition over pre-normalized text
+    val manual = Corpus.prepare(
+        docs.withColumn("text", Quality.normalizeText(col("text"))),
+        "doc_id", "text", stops, markers, 0.5, Seq("en"),
+        maxDupWordFrac = 0.6, maxTopBigramFrac = 0.1)
+      .collect().map(_.toSeq).toSet
+    val flagged = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+        0.5, Seq("en"), maxDupWordFrac = 0.6, maxTopBigramFrac = 0.1,
+        normalize = true)
+      .collect().map(_.toSeq).toSet
+    assert(flagged === manual)
+    // default false is bit-identical to the pre-flag composition
+    val d1 = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.5, Seq("en")).collect().map(_.toSeq).toSet
+    val d2 = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.5, Seq("en"), normalize = false).collect().map(_.toSeq).toSet
+    assert(d1 === d2)
+  }
+
   test("normalizeText: control bytes strip without splitting words, whitespace zoo collapses, edges trim, lowercase flag, idempotent") {
     val fix = Seq(
       (1L, "a\u0000b c"),               // NUL mid-word joins halves: "ab c"
