@@ -892,7 +892,14 @@ object GraftSql {
     require(args.length == 4 || args.length == 5,
       s"usage: $fn('docsView', 'strataCol', 'idCol', 'ratesView'[, defaultPct])")
     val rates = strataMap(strLit(args(3), fn, "rates view"), fn)
-      .map { case (k, v) => k -> v.toInt }
+      .map { case (k, v) =>
+        // a fractional rate (0.8 meaning 80%) would silently truncate to
+        // 0 and empty the stratum — refuse anything non-integral
+        require(v == math.rint(v),
+          s"$fn: rates are integer percentages in [0,100]; " +
+            s"got $v for stratum '$k' (write 80, not 0.8)")
+        k -> v.toInt
+      }
     val defaultPct =
       if (args.length == 5) lngLit(args(4), fn, "defaultPct").toInt else 0
     graft.llm.Sampling.mixSample(

@@ -67,14 +67,20 @@ case class CollectByKeyCapped(
   override def update(buf: KeyedCapBuffer, input: InternalRow): KeyedCapBuffer = {
     if (!buf.overflow) {
       val k = key.eval(input)
-      if (k != null) {
+      // the value guard matches the declared ArrayType(..., containsNull
+      // = false): a null value appended here would NPE in the buffer
+      // serializer (or corrupt a non-null array read downstream) — skip
+      // the row like the key guard does (current callers feed non-null
+      // positions; the guard keeps the contract honest for new ones)
+      val v = if (k == null) null else value.eval(input)
+      if (k != null && v != null) {
         val existing = buf.m.get(k)
         existing match {
-          case Some(vs) => vs += InternalRow.copyValue(value.eval(input))
+          case Some(vs) => vs += InternalRow.copyValue(v)
           case None =>
             if (buf.m.size == cap) { buf.overflow = true; buf.m.clear() }
             else buf.m.put(InternalRow.copyValue(k),
-              mutable.ArrayBuffer[Any](InternalRow.copyValue(value.eval(input))))
+              mutable.ArrayBuffer[Any](InternalRow.copyValue(v)))
         }
       }
     }

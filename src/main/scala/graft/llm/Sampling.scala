@@ -124,7 +124,12 @@ object Sampling {
     }
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
-    df.withColumn("rk", row_number().over(w).cast("long"))
+    // unlisted strata contribute nothing by contract — filter them BEFORE
+    // the window, not after: a corpus-scale unlisted stratum (one 'web'
+    // domain among curated sources) would otherwise funnel all its rows
+    // through one window task only to fail rk <= 0
+    df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= kCol)
   }
 

@@ -487,19 +487,26 @@ object Similarity {
 
   private def isQuantizedVersion(spark: org.apache.spark.sql.SparkSession,
       vdir: String): Boolean = {
-    val cached = flavorSniffCache.get(vdir)
-    if (cached != null) cached.booleanValue()
+    // the marker is checked EVERY call (one FS stat — cheap, and it keeps
+    // a marker written after a same-path rebuild authoritative); the cache
+    // only short-circuits the legacy SNIFF, and only a sniff that actually
+    // READ the corpus schema is cached — a transient read failure must not
+    // become a JVM-lifetime "float" verdict that lands float deltas in a
+    // byte corpus (the next call re-sniffs and self-heals instead)
+    val p = new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) true
     else {
-      val p = new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED")
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val result = f.exists(p) || {
-        val legacy = scala.util.Try(spark.read.parquet(s"$vdir/corpus")
-          .schema.fieldNames.contains("_cq")).getOrElse(false)
-        if (legacy) scala.util.Try(f.create(p, true).close())
-        legacy
+      val cached = flavorSniffCache.get(vdir)
+      if (cached != null) cached.booleanValue()
+      else scala.util.Try(spark.read.parquet(s"$vdir/corpus")
+          .schema.fieldNames.contains("_cq")) match {
+        case scala.util.Success(legacy) =>
+          if (legacy) scala.util.Try(f.create(p, true).close())
+          flavorSniffCache.put(vdir, java.lang.Boolean.valueOf(legacy))
+          legacy
+        case scala.util.Failure(_) => false // indeterminate: never cached
       }
-      flavorSniffCache.put(vdir, java.lang.Boolean.valueOf(result))
-      result
     }
   }
 
@@ -751,12 +758,17 @@ object Similarity {
       // FIRST, so a crash mid-rewrite cannot leave half-written files
       // behind a stale commit
       f.delete(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), false)
-      val cells = assignCells(newVectors, cents, idCol, vecCol, 1)
+      val cellsLazy = assignCells(newVectors, cents, idCol, vecCol, 1)
         .withColumnRenamed(idCol, "neighbor_id")
+      val residualIdx = isPqVersion(spark, vdir) &&
+        isResidualPqVersion(spark, vdir)
+      // residual encode consumes the assignment twice (residualVectors +
+      // the delta join) — checkpoint the delivery-sized projection once
+      val cells = if (residualIdx) cellsLazy.localCheckpoint() else cellsLazy
       val rows =
         if (isPqVersion(spark, vdir)) {
           val cbs = spark.read.parquet(s"$vdir/codebooks")
-          if (isResidualPqVersion(spark, vdir))
+          if (residualIdx)
             pqRows(residualVectors(newVectors, idCol, vecCol, cells, cents),
               "neighbor_id", "_rv", cbs, Some("_ov"))
           else pqRows(newVectors, idCol, vecCol, cbs)
@@ -1078,8 +1090,15 @@ object Similarity {
     val vdir = s"$dir/v$n"
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
-    val cells = assignCells(corpus, cents, idCol, vecCol, 1)
+    // residual path: the assignment feeds residualVectors AND the final
+    // corpus join, and the residual table behind it is consumed by every
+    // k-means action in trainPqCodebooks (~2 per subspace) plus the
+    // encode pass — localCheckpoint both so the corpus-wide assignment
+    // runs once, not once per downstream action (the semDedupPairs
+    // discipline; the plain path consumes cells once and stays lazy)
+    val cellsLazy = assignCells(corpus, cents, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
+    val cells = if (residual) cellsLazy.localCheckpoint() else cellsLazy
     // `residual = true` is the FAISS IVFPQ layout: codebooks train on
     // and codes quantize v − c(cell) instead of v. Residuals concentrate
     // where the data actually clusters (the coarse structure is already
@@ -1089,7 +1108,9 @@ object Similarity {
     // back per probed cell (see [[ivfTopKPQ]]); appends read the
     // `_PQRES` marker and encode against the same residual space.
     val res =
-      if (residual) Some(residualVectors(corpus, idCol, vecCol, cells, cents))
+      if (residual)
+        Some(residualVectors(corpus, idCol, vecCol, cells, cents)
+          .localCheckpoint())
       else None
     val cbs = codebooks.getOrElse(res match {
       case Some(r) =>

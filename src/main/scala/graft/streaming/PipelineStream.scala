@@ -104,6 +104,13 @@ object PipelineStream {
       maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
       benchDocs: Option[DataFrame] = None, contamN: Int = 5,
       maxContamFrac: Double = 1.0): Unit = {
+    // a bench set with the threshold left at its 1.0 default means the
+    // caller BELIEVES decontamination is on while the gate below
+    // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
+    // silently ingesting contaminated documents
+    require(benchDocs.isEmpty || maxContamFrac < 1.0,
+      "pollIngest: benchDocs given but maxContamFrac is 1.0 (gate off) — " +
+        "set maxContamFrac < 1.0 to decontaminate, or drop benchDocs")
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
