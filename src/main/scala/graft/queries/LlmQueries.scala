@@ -403,6 +403,24 @@ object LlmQueries {
         maxDist = 3, minFrames = 1L))
     }),
 
+    // the cluster form of mm3: frame pairs → video pairs → connected
+    // components → (rep_id, n_members) per multi-member cluster — the
+    // segment-level dedup table a video corpus rewrite consumes
+    "mm4_frame_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          length(col("text")) >= 1 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val p = greatest(lit(1), (length(col("text")) / 2).cast("int"))
+      val twin = d.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), p - 1), lit("~"),
+          col("text").substr(p + 1, length(col("text")))).as("text"))
+      val media = Multimodal.withBinaryPayload(d.unionByName(twin),
+        "doc_id", "text")
+      sortAll(Multimodal.frameDupClusters(media, frameBytes = 64,
+        everyN = 2, maxDist = 3, minFrames = 1L))
+    }),
+
     // d7's composition with the WITHIN-doc repetition floor in front:
     // looping docs (dup_word_frac > 0.6 or top_bigram_frac > 0.1) are
     // dropped before quality/language/dedup — the Gopher repetition
@@ -1027,6 +1045,67 @@ object LlmQueries {
          |SELECT i, j, CAST(count(*) AS BIGINT) AS n_matches
          |FROM fp GROUP BY 1, 2
          |${orderBySql("i", "j", "n_matches")}""".stripMargin,
+
+    // mm3's replay through the component closure: video pairs with
+    // ≥ minFrames(=1) shared frames → recursive CC → min-id rep →
+    // multi-member cluster sizes over ALL videos (non-paired videos
+    // are singletons and drop at n_members > 1)
+    "mm4_frame_dup_clusters" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, text FROM $docsPq
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND length(text) >= 1 AND doc_id % 5 = 0),
+         |uni AS (
+         |  SELECT doc_id, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 10000000,
+         |    substr(text, 1, greatest(1, length(text) // 2) - 1) || '~' ||
+         |    substr(text, greatest(1, length(text) // 2) + 1)
+         |  FROM src),
+         |d AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |  FROM uni),
+         |fr AS (
+         |  SELECT doc_id, f FROM d,
+         |    (SELECT unnest(generate_series(0, 4000)) AS f)
+         |  WHERE f * 64 + 64 <= n AND f % 2 = 0),
+         |s AS (
+         |  SELECT fr.doc_id, fr.f, i.i,
+         |    ('0x' || substr(hx,
+         |      CAST(fr.f * 64 + (i.i * 64) // 65 AS BIGINT) * 2 + 1,
+         |      2))::INT AS v
+         |  FROM fr JOIN d USING (doc_id),
+         |    (SELECT unnest(generate_series(0, 64)) AS i) i),
+         |bits AS (
+         |  SELECT a.doc_id, a.f, a.i
+         |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.f = b.f
+         |    AND b.i = a.i + 1
+         |  WHERE a.i < 64 AND a.v > b.v),
+         |sig AS (
+         |  SELECT fr.doc_id, fr.f,
+         |    COALESCE(CAST(sum(1::UBIGINT << bits.i) AS UBIGINT),
+         |      0::UBIGINT) AS s
+         |  FROM fr LEFT JOIN bits
+         |    ON fr.doc_id = bits.doc_id AND fr.f = bits.f
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |vp AS (SELECT DISTINCT i, j FROM fp),
+         |edges AS (SELECT i, j FROM vp UNION SELECT j, i FROM vp),
+         |nodes AS (SELECT DISTINCT i AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT coalesce(comp.component, uni.doc_id) AS rep_id,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM uni LEFT JOIN comp ON uni.doc_id = comp.id
+         |GROUP BY 1 HAVING count(*) > 1
+         |${orderBySql("rep_id", "n_members")}""".stripMargin,
 
     // d7's replay over the repetition-floored survivor set: the drop list
     // is tx5's fraction computation thresholded at 0.6 / 0.1
