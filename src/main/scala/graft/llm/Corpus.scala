@@ -45,17 +45,47 @@ object Corpus {
     * (span windows, repetition fractions, quality tokens) sees the
     * canonical token stream. Pure per-row column math ahead of the
     * existing plan — no new shuffle, and the default false is
-    * bit-identical to the un-normalized composition. */
+    * bit-identical to the un-normalized composition.
+    *
+    * `embeddings` + `semCentroids` + `semMinCos < 1.0` additionally apply
+    * the SEMANTIC floor ([[Similarity.semDedup]] — SemDeDup's
+    * cluster-scoped embedding near-dup): every non-min member of a
+    * within-cell cosine-≥-`semMinCos` component is dropped by a
+    * doc_id-only left-anti before the text floors. The embeddings table
+    * is keyed by the SAME ids (`idCol` ↔ its id column's values);
+    * documents without an embedding row are unscorable and pass through.
+    * The quadratic term is bounded per coarse cell — see
+    * [[Similarity.semDedupPairs]] for the 100 TB shape. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       stops: Seq[String], markers: Seq[(String, Seq[String])],
       minQuality: Double, langs: Seq[String],
       spanTokens: Int = 0, maxDupFrac: Double = 1.0,
       spanMinDocs: Int = 2,
       maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
-      normalize: Boolean = false): DataFrame = {
-    val source =
+      normalize: Boolean = false,
+      embeddings: Option[DataFrame] = None,
+      semCentroids: Option[DataFrame] = None,
+      semMinCos: Double = 1.0,
+      semIdCol: String = "vec_id", semVecCol: String = "embedding"): DataFrame = {
+    require(embeddings.isEmpty == semCentroids.isEmpty,
+      "prepare: embeddings and semCentroids come together — pass both or neither")
+    // the bench-gate lesson: a floor the caller believes is on must not
+    // silently no-op on a default threshold
+    require(embeddings.isEmpty || semMinCos < 1.0,
+      "prepare: embeddings given but semMinCos is 1.0 (semantic floor off) — " +
+        "set semMinCos < 1.0, or drop the embeddings argument")
+    val normalized =
       if (!normalize) docs
       else docs.withColumn(textCol, Quality.normalizeText(col(textCol)))
+    val source = embeddings match {
+      case Some(embs) =>
+        normalized.join(
+          Similarity.semDedupDropped(embs, semCentroids.get, semIdCol,
+              semVecCol, semMinCos)
+            .select(col("_drop").as(idCol)),
+          Seq(idCol), "left_anti")
+      case None => normalized
+    }
     val t: Column = col(textCol)
     val spanFloored =
       if (spanTokens <= 0) source

@@ -1674,11 +1674,23 @@ object Similarity {
   def semDedup(vectors: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, minCos: Double, numBlocksPerCell: Int = 0,
       maxRowsPerBlock: Int = 1 << 16): DataFrame = {
-    val pairs = semDedupPairs(vectors, centroids, idCol, vecCol, minCos,
+    val dropped = semDedupDropped(vectors, centroids, idCol, vecCol, minCos,
       numBlocksPerCell, maxRowsPerBlock)
-    val dropped = Dedup.connectedComponentsStar(pairs)
-      .filter(col("id") =!= col("component")).select(col("id").as("_drop"))
     vectors.join(dropped,
       vectors(idCol).cast("long") === dropped("_drop"), "left_anti")
+  }
+
+  /** The ids [[semDedup]] REMOVES — every non-min member of a within-cell
+    * near-dup component, as a single-column (`_drop`) table. Exposed so a
+    * corpus-preparation pipeline keyed by document id can floor its OWN
+    * row set (documents without an embedding row are unscorable and must
+    * pass through — a semi-join on survivors would silently drop them). */
+  def semDedupDropped(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, minCos: Double,
+      numBlocksPerCell: Int = 0, maxRowsPerBlock: Int = 1 << 16): DataFrame = {
+    val pairs = semDedupPairs(vectors, centroids, idCol, vecCol, minCos,
+      numBlocksPerCell, maxRowsPerBlock)
+    Dedup.connectedComponentsStar(pairs)
+      .filter(col("id") =!= col("component")).select(col("id").as("_drop"))
   }
 }

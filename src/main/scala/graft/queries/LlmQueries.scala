@@ -531,6 +531,19 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("rk")))
     }),
 
+    // d7's composition with the SEMANTIC floor in front: SemDeDup's
+    // within-cell embedding near-dups (d13's construction over the same
+    // id space) drop before quality/language/dedup — the full
+    // embedding-aware corpus preparation as ONE oracle-gated query
+    "d15_prepare_semantic_floor" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text",
+        STOPS, MARKERS, 0.5, Seq("en"), embeddings = Some(e),
+        semCentroids = Some(cents), semMinCos = 0.35))
+    }),
+
     // Text canonicalization over deterministically-messed inputs (the
     // tx6/mm2 twin pattern): control bytes injected mid-word must strip
     // WITHOUT splitting the word, whitespace zoo collapses to single
@@ -836,6 +849,39 @@ object LlmQueries {
     // quality expr ≡ tx2's, language CASE ≡ tx3's, dedup ≡ d1's — the
     // composition replayed over the filtered set
     "d7_corpus_prepare" -> prepareOracle("", docsPq),
+
+    // d13's semantic-dedup drop set ahead of d7's replay: the survivor
+    // doc set feeds the unchanged prepare pipeline
+    "d15_prepare_semantic_floor" -> prepareOracle(
+      s"""RECURSIVE
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM $embsPq),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
+         |         FROM $embsPq WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT c.vec_id, cent.cell,
+         |            row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |              list_inner_product(e, ev)
+         |                / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(ev, ev)))
+         |              DESC, cent.cell) AS rn
+         |          FROM c, cent) WHERE rn = 1),
+         |sp AS (SELECT a.vec_id AS i, b.vec_id AS j
+         |       FROM c a JOIN asg aa ON a.vec_id = aa.vec_id
+         |       JOIN asg bb ON aa.cell = bb.cell
+         |       JOIN c b ON b.vec_id = bb.vec_id
+         |       WHERE a.vec_id < b.vec_id
+         |         AND list_inner_product(a.e, b.e)
+         |           / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35),
+         |edges AS (SELECT i, j FROM sp UNION SELECT j, i FROM sp),
+         |nodes AS (SELECT DISTINCT i AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.i, reach.r FROM edges e JOIN reach ON e.j = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM comp WHERE id <> component),
+         |src AS (SELECT doc_id, text FROM $docsPq
+         |        WHERE doc_id NOT IN (SELECT id FROM dropped)),
+         |""".stripMargin, "src"),
 
     // mess → normalize (same regex constants as the engine) → d7's replay
     "d14_prepare_normalized" -> prepareOracle(

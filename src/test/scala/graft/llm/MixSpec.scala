@@ -322,6 +322,42 @@ class MixSpec extends AnyFunSuite {
     assert(d1 === d2)
   }
 
+  test("Corpus.prepare semantic floor: ≡ manual semDedupDropped anti-join; embedding-less docs pass; arg validation") {
+    val stops = Seq("the", "a")
+    val markers = Seq("en" -> Seq("the"))
+    val e = Tables.embeddings(spark, graft.TestSpark.sfDir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val floored = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+        0.5, Seq("en"), embeddings = Some(e), semCentroids = Some(cents),
+        semMinCos = 0.35)
+      .collect().map(_.toSeq).toSet
+    val dropped = Similarity.semDedupDropped(e, cents, "vec_id",
+      "embedding", 0.35).select(col("_drop").as("doc_id"))
+    assert(dropped.count() > 0, "corpus must hold semantic dups at 0.35")
+    val manual = Corpus.prepare(docs.join(dropped, Seq("doc_id"), "left_anti"),
+        "doc_id", "text", stops, markers, 0.5, Seq("en"))
+      .collect().map(_.toSeq).toSet
+    assert(floored === manual)
+    // a doc with NO embedding row is unscorable and must survive the floor
+    val extra = Seq((990001L, "the extra doc with no embedding the"))
+      .toDF("doc_id", "text")
+    val withExtra = Corpus.prepare(
+        docs.select("doc_id", "text").unionByName(extra), "doc_id", "text",
+        stops, markers, 0.0, Seq("en"), embeddings = Some(e),
+        semCentroids = Some(cents), semMinCos = 0.35)
+      .select("rep_id").collect().map(_.getLong(0)).toSet
+    assert(withExtra.contains(990001L))
+    intercept[IllegalArgumentException] {
+      Corpus.prepare(docs, "doc_id", "text", stops, markers, 0.5, Seq("en"),
+        embeddings = Some(e))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.prepare(docs, "doc_id", "text", stops, markers, 0.5, Seq("en"),
+        embeddings = Some(e), semCentroids = Some(cents))
+    }
+  }
+
   test("normalizeText: control bytes strip without splitting words, whitespace zoo collapses, edges trim, lowercase flag, idempotent") {
     val fix = Seq(
       (1L, "a\u0000b c"),               // NUL mid-word joins halves: "ab c"
