@@ -1072,10 +1072,10 @@ object GraftSql {
     * assignment table. */
   private def ingestPipelineTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ingest_pipeline_t"
-    require(args.length >= 3 && args.length <= 11,
+    require(args.length >= 3 && args.length <= 12,
       s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard[, " +
         "spanTokens[, maxDupFrac[, maxDupWordFrac[, maxTopBigramFrac[, " +
-        "'benchView'[, maxContamFrac[, contamN]]]]]]]])")
+        "'benchView'[, maxContamFrac[, contamN[, normalize]]]]]]]]])")
     val landing = strLit(args(0), fn, "landing dir")
     val work = strLit(args(1), fn, "work dir")
     val index = strLit(args(2), fn, "index dir")
@@ -1111,11 +1111,14 @@ object GraftSql {
     val maxContamFrac =
       if (args.length >= 10) dblLit(args(9), fn, "maxContamFrac") else 1.0
     val contamN =
-      if (args.length == 11) lngLit(args(10), fn, "contamN").toInt else 5
+      if (args.length >= 11) lngLit(args(10), fn, "contamN").toInt else 5
+    val normalize =
+      if (args.length == 12) boolLit(args(11), fn, "normalize") else false
     graft.streaming.PipelineStream.pollIngest(iso, landing,
       work, index, p, spanTokens = spanTokens, maxDupFrac = maxDupFrac,
       maxDupWordFrac = maxDupWordFrac, maxTopBigramFrac = maxTopBigramFrac,
-      benchDocs = benchDocs, contamN = contamN, maxContamFrac = maxContamFrac)
+      benchDocs = benchDocs, contamN = contamN, maxContamFrac = maxContamFrac,
+      normalize = normalize)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }

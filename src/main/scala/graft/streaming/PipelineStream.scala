@@ -95,6 +95,13 @@ object PipelineStream {
     * landing-time recipe quality ∘ repetition ∘ span ∘ dedup ∘
     * decontamination closes without an offline pass.
     *
+    * `normalize = true` canonicalizes delivery text FIRST
+    * ([[graft.llm.Quality.normalizeText]] — the batch `prepare` order),
+    * so transport noise cannot split an exact-duplicate group in cluster
+    * state and every gate below sees the canonical token stream. Pure
+    * per-row column math on the delivery; deterministic, so crash replay
+    * re-lands identical bytes.
+    *
     * Defaults leave the pipeline byte-identical to the ungated form. */
   def pollIngest(spark: SparkSession, landingDir: String, workDir: String,
       indexDir: String, p: DedupStream.Params = DedupStream.Params(),
@@ -103,7 +110,8 @@ object PipelineStream {
       spanMinDocs: Int = 2,
       maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
       benchDocs: Option[DataFrame] = None, contamN: Int = 5,
-      maxContamFrac: Double = 1.0): Unit = {
+      maxContamFrac: Double = 1.0,
+      normalize: Boolean = false): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
@@ -114,8 +122,12 @@ object PipelineStream {
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
-      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val sp = batch0.sparkSession
+      .foreachBatch { (batch1: DataFrame, batchId: Long) =>
+        val sp = batch1.sparkSession
+        val batch0 =
+          if (!normalize) batch1
+          else batch1.withColumn("text",
+            graft.llm.Quality.normalizeText(col("text")))
         val spanGated =
           if (spanTokens <= 0) batch0
           else {

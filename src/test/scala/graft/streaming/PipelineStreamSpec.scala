@@ -381,4 +381,50 @@ class PipelineStreamSpec extends AnyFunSuite {
       (d0 ++ d1).map(_._1).toSet -- repFloored -- contamFloored,
       "stream gates ≡ batch repetition floor + decontamination")
   }
+
+  test("normalize at ingest: transport-noise variants of one content collapse to one cluster and one vector") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipenorm").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    val clean = member("a", 0)
+    // the same content three ways a crawler delivers it (worse than
+    // near-dup: byte noise, not word substitution), plus one distinct doc
+    val d0 = Seq(1L -> clean, 2L -> (clean + " \r\n"),
+      3L -> ("\t" + clean.replace(" a_w7 ", " \ta_w7  ")),
+      8L -> member("z", 0))
+    PipelineStream.pollIngest(spark, landing, work, index, p,
+      compactEvery = 2, normalize = true)
+    delivery(d0: _*).write.parquet(s"$landing/d0")
+    PipelineStream.pollIngest(spark, landing, work, index, p,
+      compactEvery = 2, normalize = true)
+    // 1/2/3 are byte-identical after canonicalization: ONE cluster under
+    // rep 1 (exact-dup collapse, not even banding needed), one vector
+    assert(indexedIds() === Set(1L, 8L),
+      "normalized variants index one vector per content")
+    val assigned = DedupStream.assignments(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L),
+      "normalized variants collapse to the min-id representative")
+    // the landed cluster-state contents are the CANONICAL text: a later
+    // clean re-delivery of the same content is an exact dup against state
+    delivery(21L -> clean).write.parquet(s"$landing/d1")
+    PipelineStream.pollIngest(spark, landing, work, index, p,
+      compactEvery = 2, normalize = true)
+    val assigned2 = DedupStream.assignments(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned2(21L) === 1L, "state holds canonical text")
+    assert(indexedIds() === Set(1L, 8L))
+  }
 }
