@@ -1072,10 +1072,11 @@ object GraftSql {
     * assignment table. */
   private def ingestPipelineTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ingest_pipeline_t"
-    require(args.length >= 3 && args.length <= 12,
+    require(args.length >= 3 && args.length <= 13,
       s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard[, " +
         "spanTokens[, maxDupFrac[, maxDupWordFrac[, maxTopBigramFrac[, " +
-        "'benchView'[, maxContamFrac[, contamN[, normalize]]]]]]]]])")
+        "'benchView'[, maxContamFrac[, contamN[, normalize[, " +
+        "semMinCos]]]]]]]]]])")
     val landing = strLit(args(0), fn, "landing dir")
     val work = strLit(args(1), fn, "work dir")
     val index = strLit(args(2), fn, "index dir")
@@ -1113,12 +1114,14 @@ object GraftSql {
     val contamN =
       if (args.length >= 11) lngLit(args(10), fn, "contamN").toInt else 5
     val normalize =
-      if (args.length == 12) boolLit(args(11), fn, "normalize") else false
+      if (args.length >= 12) boolLit(args(11), fn, "normalize") else false
+    val semMinCos =
+      if (args.length == 13) dblLit(args(12), fn, "semMinCos") else 1.0
     graft.streaming.PipelineStream.pollIngest(iso, landing,
       work, index, p, spanTokens = spanTokens, maxDupFrac = maxDupFrac,
       maxDupWordFrac = maxDupWordFrac, maxTopBigramFrac = maxTopBigramFrac,
       benchDocs = benchDocs, contamN = contamN, maxContamFrac = maxContamFrac,
-      normalize = normalize)
+      normalize = normalize, semMinCos = semMinCos)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }

@@ -53,6 +53,89 @@ object PipelineStream {
     StructField("embedding", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
+  /** Semantic-floor state (`workDir/sem/b<id>` + `snap<m>`): the
+    * (id, coarse cell, vector) of every document that SURVIVED the
+    * semantic gate — the reference set later deliveries score against. */
+  private[streaming] val semSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Fold `sem/b<i>` (i < uptoExclusive) into `snap<uptoExclusive−1>` —
+    * [[DedupStream.compactState]]'s single-table body over the semantic
+    * state (same dot-temp + rename-once commit, same sweep). */
+  private[streaming] def compactSemState(sp: SparkSession, workDir: String,
+      uptoExclusive: Long): Unit = {
+    val root = s"$workDir/sem"
+    val m = uptoExclusive - 1
+    val f = DedupStream.fs(sp, root)
+    if (!f.exists(new org.apache.hadoop.fs.Path(root, s"snap$m"))) {
+      val tmp = new org.apache.hadoop.fs.Path(root, s".tmpsnap$m")
+      DedupStream.readState(sp, root, semSchema, uptoExclusive)
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!f.rename(tmp, new org.apache.hadoop.fs.Path(root, s"snap$m")))
+        throw new java.io.IOException(
+          s"semantic-state compaction rename failed: $root/snap$m")
+    }
+    DedupStream.sweep(sp, root, m)
+  }
+
+  /** Score one delivery through the semantic floor (contract in
+    * [[pollIngest]]'s scaladoc) and land its survivors as `sem/b<id>`;
+    * returns the delivery minus floored documents. */
+  private def semGate(sp: SparkSession, batch0: DataFrame, workDir: String,
+      indexDir: String, semMinCos: Double, compactEvery: Int,
+      batchId: Long): DataFrame = {
+    // fold BEFORE reading, the DedupStream discipline: every dir folded
+    // here is from a checkpoint-committed batch, and a replay of THIS
+    // batch re-enters through the same idempotent fold
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactSemState(sp, workDir, batchId)
+    val cents = Similarity.ivfCentroids(sp, indexDir)
+    // consumed by the within-delivery dedup, the anti-join, the cell
+    // assignment, and the state landing — materialize the poll-sized
+    // projection once
+    val vecs = batch0
+      .select(col("doc_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .dropDuplicates("vec_id")
+      .localCheckpoint()
+    // (a) within-delivery, cluster-scoped keep-min
+    val d1 = Similarity.semDedupDropped(vecs, cents, "vec_id", "embedding",
+      semMinCos).localCheckpoint()
+    val surv1 = vecs.join(d1.select(col("_drop").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val dSide = surv1
+      .join(Similarity.assignCells(surv1, cents, "vec_id", "embedding", 1),
+        "vec_id")
+      .localCheckpoint()
+    // (b) against accumulated survivors, replay-blind to own/later dirs;
+    // the state scan is pre-filtered to the delivery's probed cells (an
+    // isin filter parquet prunes row groups by — snapshots are written
+    // sorted by cell), and the DELIVERY side broadcasts: the state never
+    // shuffles, the DedupStream index-probe shape
+    val probedCells = dSide.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val state = DedupStream.readState(sp, s"$workDir/sem", semSchema, batchId)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("embedding").as("_se"))
+    val cos = Similarity.dotNative(col("_se"), col("embedding")) /
+      (sqrt(Similarity.dotNative(col("_se"), col("_se"))) *
+        sqrt(Similarity.dotNative(col("embedding"), col("embedding"))))
+    val d2 = state.join(broadcast(dSide), Seq("cell"))
+      .filter(!isnan(cos) && cos >= semMinCos)
+      .select("vec_id").distinct()
+      .localCheckpoint()
+    dSide.join(d2, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$workDir/sem/b$batchId")
+    val floored = d1.select(col("_drop").as("doc_id"))
+      .unionByName(d2.select(col("vec_id").as("doc_id")))
+    batch0.join(floored, Seq("doc_id"), "left_anti")
+  }
+
   /** One incremental poll over doc+embedding deliveries: dedup against
     * the full corpus state under `workDir`, then index only the new
     * representatives. `compactEvery`/`retain` control the INDEX fold
@@ -102,6 +185,29 @@ object PipelineStream {
     * per-row column math on the delivery; deterministic, so crash replay
     * re-lands identical bytes.
     *
+    * `semMinCos < 1.0` applies the SEMANTIC floor at ingest — the
+    * streaming analogue of [[graft.llm.Corpus.prepare]]'s
+    * embeddings/semCentroids gate (SemDeDup), using the INDEX's stored
+    * coarse centroids: a delivery document is dropped when its embedding
+    * is within `semMinCos` cosine of (a) a surviving lower-id document
+    * in the SAME delivery (within-delivery [[graft.llm.Similarity
+    * .semDedup]], cluster-scoped), or (b) any previously-landed SURVIVOR
+    * (the `sem/b<id>` state table — per-batch dirs with [[DedupStream]]'s
+    * exactly-once discipline: replays read only below their own id and
+    * rewrite their own dir bit-identically; folded into `snap<m>` on the
+    * dedup state's cadence). Survivors' (id, cell, vector) land as the
+    * next deliveries' reference set — unscorable vectors (zero/NaN norm)
+    * are never floored and never become reference vectors, the batch
+    * contract. Scale shape: the delivery side is BROADCAST, the state
+    * scan is pre-filtered to the delivery's probed cells (an `isin` the
+    * parquet scan prunes row groups by — state files are written sorted
+    * by cell), and nothing corpus-sized shuffles. Documented deviation,
+    * the [[DedupStream]] bridge contract's semantic twin: components
+    * never merge ACROSS deliveries — a doc within `semMinCos` of an
+    * already-DROPPED doc (but of no survivor) survives where batch
+    * `semDedup` over the full corpus would drop it; the floor is scored
+    * at landing, as ever.
+    *
     * Defaults leave the pipeline byte-identical to the ungated form. */
   def pollIngest(spark: SparkSession, landingDir: String, workDir: String,
       indexDir: String, p: DedupStream.Params = DedupStream.Params(),
@@ -111,7 +217,8 @@ object PipelineStream {
       maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
       benchDocs: Option[DataFrame] = None, contamN: Int = 5,
       maxContamFrac: Double = 1.0,
-      normalize: Boolean = false): Unit = {
+      normalize: Boolean = false,
+      semMinCos: Double = 1.0): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
@@ -124,10 +231,16 @@ object PipelineStream {
       .outputMode("append")
       .foreachBatch { (batch1: DataFrame, batchId: Long) =>
         val sp = batch1.sparkSession
-        val batch0 =
+        val normGated =
           if (!normalize) batch1
           else batch1.withColumn("text",
             graft.llm.Quality.normalizeText(col("text")))
+        // semantic floor first — the batch prepare order (embedding
+        // near-dups drop before any text floor sees them)
+        val batch0 =
+          if (semMinCos >= 1.0) normGated
+          else semGate(sp, normGated, workDir, indexDir, semMinCos,
+            p.compactEvery, batchId)
         val spanGated =
           if (spanTokens <= 0) batch0
           else {

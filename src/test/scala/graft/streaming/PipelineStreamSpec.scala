@@ -427,4 +427,78 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(assigned2(21L) === 1L, "state holds canonical text")
     assert(indexedIds() === Set(1L, 8L))
   }
+  test("semantic floor at ingest: within-delivery and vs-state drops, unscorable passes, replay idempotent, chain deviation pinned") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipesem").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    // vectors in cell 0 (spike at dim 0) parameterized by the dim-1 fine
+    // component: angle(x) = atan(x), the 0.995 floor is a ±5.73° ball.
+    // TEXTS ARE ALL DISTINCT cliques, so minhash gives the floor no help
+    // — every drop below is a semantic-only signal.
+    def v(fine: Float): Array[Float] = {
+      val a = new Array[Float](8); a(0) = 1.0f; a(1) = fine; a
+    }
+    def cosv(x: Array[Float], y: Array[Float]): Double = {
+      def dot(p: Array[Float], q: Array[Float]) =
+        p.zip(q).map { case (m, n) => m.toDouble * n }.sum
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val A = v(0.10f)      // 5.7°: chain anchor
+    val A2 = v(0.101f)    // ≈ A — within-delivery dup
+    val e11 = v(0.189f)   // 10.7°: inside A's ball, 21 is inside ITS ball
+    val e21 = v(0.2813f)  // 15.7°: outside A's ball
+    val C = v(0.75f)      // 36.9°: distinct survivor
+    val zero = new Array[Float](8)
+    assert(cosv(A, A2) >= 0.995 && cosv(A, e11) >= 0.995 &&
+      cosv(e11, e21) >= 0.995 && cosv(A, e21) < 0.995 &&
+      cosv(A, C) < 0.995 && cosv(C, e21) < 0.995, "fixture geometry")
+    def land(name: String, rows: (Long, String, Array[Float])*): Unit =
+      rows.toSeq.toDF("doc_id", "text", "embedding")
+        .write.parquet(s"$landing/$name")
+    def poll(): Unit = PipelineStream.pollIngest(spark, landing, work,
+      index, p, compactEvery = 2, semMinCos = 0.995)
+
+    land("d0", (1L, member("a", 0), A), (2L, member("b", 0), A2),
+      (4L, member("c", 0), C), (9L, member("z", 0), zero))
+    poll()
+    // 2 floored (≈ A, min id 1 wins); 9's zero vector is unscorable —
+    // never floored, enters cluster state, but cannot land in a cell
+    // (the assignCells contract), so it is absent from the index
+    assert(indexedIds() === Set(1L, 4L),
+      "within-delivery semantic dup floored; zero-norm unindexable")
+
+    land("d1", (11L, member("d", 0), e11), (12L, member("e", 0), v(1.9f)))
+    poll()
+    assert(indexedIds() === Set(1L, 4L, 12L),
+      "state survivor floors a later near-duplicate delivery")
+    val assigned = DedupStream.assignments(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(assigned === Set(1L, 4L, 9L, 12L),
+      "semantically floored docs never entered cluster state")
+
+    // idempotent empty re-poll
+    poll()
+    assert(indexedIds() === Set(1L, 4L, 12L))
+
+    // chain deviation (the DedupStream bridge contract's semantic twin):
+    // 21 is within the floor of DROPPED 11's vector but of NO survivor →
+    // it survives, where batch semDedup over the full corpus would fold
+    // it into the {A, A2, 11, 21} chain component. Scored at landing.
+    land("d2", (21L, member("f", 0), e21))
+    poll()
+    assert(indexedIds() === Set(1L, 4L, 12L, 21L),
+      "a doc near only DROPPED vectors survives — scored at landing")
+  }
 }
