@@ -163,7 +163,16 @@ import scala.collection.mutable
   *     total)` — exact weighted mix (weights view: (stratum, weight));
   *   - `graft_normalize_t('docsV', 'idCol', 'textCol'[, lower])` —
   *     text canonicalization (control-strip, whitespace collapse,
-  *     trim, optional lowercase).
+  *     trim, optional lowercase);
+  *   - `graft_line_dedup_t('docsV', 'id', 'text'[, minDocs[, 'sep']])` —
+  *     CCNet-style line-level dedup: drop lines appearing in ≥ minDocs
+  *     distinct documents, rebuild the text;
+  *   - `graft_lm_t('refV', 'textCol', vocab)` /
+  *     `graft_lm_score_t('docsV', 'id', 'text', 'modelV')` — unigram-LM
+  *     training (top-vocab token counts) and per-document perplexity
+  *     scoring against a (token, cnt) model view;
+  *   - `graft_lm_ratio_t('docsV', 'id', 'text', 'targetV', 'sourceV')` —
+  *     DSIR-style importance log-ratios between two model views.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -236,6 +245,22 @@ object GraftSql {
       FunctionIdentifier("graft_repetition_t"),
       new ExpressionInfo("graft.GraftSql", "graft_repetition_t"),
       (args: Seq[Expression]) => repetitionTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_line_dedup_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_line_dedup_t"),
+      (args: Seq[Expression]) => lineDedupTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_lm_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_lm_t"),
+      (args: Seq[Expression]) => lmTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_lm_score_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_lm_score_t"),
+      (args: Seq[Expression]) => lmScoreTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_lm_ratio_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_lm_ratio_t"),
+      (args: Seq[Expression]) => lmRatioTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_pii_scrub_t"),
       new ExpressionInfo("graft.GraftSql", "graft_pii_scrub_t"),
@@ -794,6 +819,65 @@ object GraftSql {
     require(args.length == 3, s"usage: $fn('docsView', 'idCol', 'textCol')")
     graft.llm.Quality.repetitionStats(
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
+      .queryExecution.logical
+  }
+
+  /** `graft_line_dedup_t('docsV', 'id', 'text'[, minDocs[, 'sep']])` —
+    * [[graft.llm.Dedup.removeDupLines]] from SQL: drop every line present
+    * in ≥ minDocs (default 2) distinct documents, rebuild the text with
+    * the separator (default newline). */
+  private def lineDedupTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_line_dedup_t"
+    require(args.length >= 3 && args.length <= 5,
+      s"usage: $fn('docsView', 'idCol', 'textCol'[, minDocs[, 'sep']])")
+    graft.llm.Dedup.removeDupLines(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      if (args.length >= 4) lngLit(args(3), fn, "minDocs").toInt else 2,
+      if (args.length == 5) strLit(args(4), fn, "sep") else "\n")
+      .queryExecution.logical
+  }
+
+  /** `graft_lm_t('refV', 'textCol', vocab)` —
+    * [[graft.llm.Quality.unigramLm]] from SQL: top-vocab (token, cnt)
+    * model over the reference view. */
+  private def lmTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_lm_t"
+    require(args.length == 3, s"usage: $fn('refView', 'textCol', vocab)")
+    graft.llm.Quality.unigramLm(
+      SparkSession.active.table(strLit(args(0), fn, "ref view")),
+      strLit(args(1), fn, "text column"),
+      lngLit(args(2), fn, "vocab").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_lm_score_t('docsV', 'id', 'text', 'modelV')` —
+    * [[graft.llm.Quality.lmPerplexity]] from SQL: per-document smoothed
+    * nll/perplexity against a (token, cnt) model view (typically a
+    * `graft_lm_t` result persisted or inlined as a view). */
+  private def lmScoreTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_lm_score_t"
+    require(args.length == 4,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'modelView')")
+    graft.llm.Quality.lmPerplexity(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      SparkSession.active.table(strLit(args(3), fn, "model view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
+      .queryExecution.logical
+  }
+
+  /** `graft_lm_ratio_t('docsV', 'id', 'text', 'targetV', 'sourceV')` —
+    * [[graft.llm.Quality.lmLogRatio]] from SQL: DSIR-style importance
+    * log-ratios under two (token, cnt) model views. */
+  private def lmRatioTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_lm_ratio_t"
+    require(args.length == 5,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'targetModelView', 'sourceModelView')")
+    graft.llm.Quality.lmLogRatio(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      SparkSession.active.table(strLit(args(3), fn, "target model view")),
+      SparkSession.active.table(strLit(args(4), fn, "source model view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
       .queryExecution.logical
   }

@@ -47,6 +47,15 @@ object Corpus {
     * existing plan — no new shuffle, and the default false is
     * bit-identical to the un-normalized composition.
     *
+    * `lm` + `maxPpl` additionally apply the PERPLEXITY floor (the
+    * CCNet-shaped reference-LM quality filter, [[Quality.lmPerplexity]]
+    * over a [[Quality.unigramLm]] model): documents whose smoothed
+    * perplexity under the reference model exceeds `maxPpl` are dropped
+    * by a doc_id-only left-anti. The model is vocab-sized and
+    * broadcasts; the scoring join shuffles (doc_id, counters), never
+    * text. Runs with the other stateless per-document floors, after
+    * repetition and before the quality/language/dedup composition.
+    *
     * `embeddings` + `semCentroids` + `semMinCos < 1.0` additionally apply
     * the SEMANTIC floor ([[Similarity.semDedup]] — SemDeDup's
     * cluster-scoped embedding near-dup): every non-min member of a
@@ -63,6 +72,7 @@ object Corpus {
       spanMinDocs: Int = 2,
       maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
       normalize: Boolean = false,
+      lm: Option[DataFrame] = None, maxPpl: Double = Double.MaxValue,
       embeddings: Option[DataFrame] = None,
       semCentroids: Option[DataFrame] = None,
       semMinCos: Double = 1.0,
@@ -74,6 +84,9 @@ object Corpus {
     require(embeddings.isEmpty || semMinCos < 1.0,
       "prepare: embeddings given but semMinCos is 1.0 (semantic floor off) — " +
         "set semMinCos < 1.0, or drop the embeddings argument")
+    require(lm.isEmpty || maxPpl < Double.MaxValue,
+      "prepare: lm given but maxPpl is unset (perplexity floor off) — " +
+        "set maxPpl, or drop the lm argument")
     val normalized =
       if (!normalize) docs
       else docs.withColumn(textCol, Quality.normalizeText(col(textCol)))
@@ -94,7 +107,7 @@ object Corpus {
           .filter(col("dup_frac") > maxDupFrac)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")
-    val base =
+    val repFloored =
       if (maxDupWordFrac >= 1.0 && maxTopBigramFrac >= 1.0) spanFloored
       else spanFloored.join(
         Quality.repetitionStats(spanFloored, idCol, textCol)
@@ -102,6 +115,15 @@ object Corpus {
             col("top_bigram_frac") > maxTopBigramFrac)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")
+    val base = lm match {
+      case Some(model) if maxPpl < Double.MaxValue =>
+        repFloored.join(
+          Quality.lmPerplexity(repFloored, model, idCol, textCol)
+            .filter(col("ppl") > maxPpl)
+            .select(col("doc_id").as(idCol)),
+          Seq(idCol), "left_anti")
+      case _ => repFloored
+    }
     base
       .filter(round(TextStats.qualityScore(t, stops), 6) >= minQuality &&
         TextStats.langId(t, markers).isin(langs: _*))

@@ -937,6 +937,69 @@ object Dedup {
           .cast("long").as("n_removed"))
   }
 
+  /** LINE-level duplicate removal — the CCNet/RefinedWeb recipe at its
+    * natural granularity: drop every line whose exact content appears in
+    * ≥ `minDocs` DISTINCT documents (navigation bars, cookie banners,
+    * boilerplate footers — the text that survives document-level dedup
+    * because the documents around it differ), survivors re-joined by the
+    * same separator. A line repeated WITHIN one document is not
+    * corpus-duplicated (one distinct doc) and is kept — the distinct-doc
+    * threshold contract shared with [[spanDupStats]]/[[removeDupSpans]];
+    * within-document looping is [[Quality.repetitionStats]]'s job.
+    *
+    * Scale shape is the span family's complement trick, simplified by
+    * lines never overlapping: posexplode lines with their 1-based
+    * positions, then in ONE line-key exchange straight off the explode
+    * the CAPPED (doc → positions) map per line
+    * ([[graft.expressions.CollectByKeyCapped]], ≤ `minDocs − 1` distinct
+    * docs, null the moment a line proves duplicated) — complete exactly
+    * for the NON-duplicated lines, which here are exactly the KEPT
+    * positions, so there is no interval algebra at all: per doc the kept
+    * positions sort once and each survivor line is one `element_at`. No
+    * join on the line key, no window function; a viral boilerplate line
+    * present in 10⁷⁺ documents costs every task a bounded buffer and
+    * ships ≤ cap entries per map task. `hashLines` (the default) keys by
+    * 64-bit `xxhash64` so line text never shuffles; `false` keys by the
+    * line string for the no-hash-parity oracle replay (spec-pinned equal
+    * on real data). One doc_id join (uniform) rebuilds the text.
+    *
+    * Output: (doc_id, clean_text, n_lines, n_removed) for EVERY input
+    * document with non-null id and text (n_removed = lines dropped; a doc
+    * whose every line is duplicated keeps an empty clean_text row). */
+  def removeDupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, sep: String = "\n",
+      hashLines: Boolean = true): DataFrame = {
+    require(sep.nonEmpty, "removeDupLines: sep must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), sepRe).as("_ln"))
+    val lineKey = if (hashLines)
+      transform(col("_ln"), l => xxhash64(l)) else col("_ln")
+    val w = base.select(col("doc_id"), posexplode(lineKey).as(Seq("_p0", "_w")))
+      .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_w"))
+    // the complement, in ONE line-key exchange: only NON-duplicated lines
+    // (≤ minDocs−1 distinct docs by definition) carry their
+    // (doc → positions) map; duplicated lines evaluate to null and drop.
+    // minDocs ≤ 1: no line is non-duplicated — everything is removed
+    // (the filter folds to an empty relation), mirroring the span family.
+    val keptPos = w.groupBy("_w").agg(
+        collectByKeyCapped(col("doc_id"), col("_pos"),
+          math.max(minDocs - 1, 1)).as("_ds"))
+      .filter(if (minDocs <= 1) lit(false) else col("_ds").isNotNull)
+      .select(explode(col("_ds")).as("_d"))
+      .groupBy(col("_d.key").as("doc_id"))
+      .agg(array_sort(flatten(collect_list(col("_d.vals")))).as("_kpos"))
+    base.join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(transform(
+          coalesce(col("_kpos"), array().cast("array<int>")),
+          p => element_at(col("_ln"), p)), sep).as("clean_text"),
+        size(col("_ln")).cast("long").as("n_lines"),
+        (size(col("_ln")) -
+          size(coalesce(col("_kpos"), array().cast("array<int>"))))
+          .cast("long").as("n_removed"))
+  }
+
   /** Benchmark decontamination signal — the GPT-3/PaLM-style recipe as a
     * first-class operator: for each corpus document, how many of its
     * distinct n-token shingles ([[shingles]]: lowercased, `' '`-split)

@@ -89,6 +89,135 @@ object Quality {
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 
+  /** Unigram language model for perplexity-based quality scoring — the
+    * CCNet-shaped recipe (there a KenLM 5-gram; the unigram form keeps the
+    * same pipeline shape and a SQL-replayable contract): token counts over
+    * a REFERENCE corpus (the "looks like good text" sample), pruned to the
+    * top `vocab` tokens by count (ties by token ascending — deterministic
+    * across engines). Tokens are lowercased `' '`-split ([[Dedup.tokens]]
+    * semantics, shared with the dedup tier).
+    *
+    * Scale shape: one (token) count aggregation — partial-agg/map-side
+    * combined, so viral stopword keys cost merges of longs, not row
+    * funnels — then a top-`vocab` TakeOrdered. The model is vocab-sized:
+    * broadcast it to score ([[lmPerplexity]]).
+    *
+    * Output: (token, cnt), ≤ `vocab` rows. Everything [[lmPerplexity]]
+    * needs (total count N, vocab size V) derives from this table alone,
+    * so a persisted model is self-contained. */
+  def unigramLm(ref: DataFrame, textCol: String, vocab: Int): DataFrame = {
+    require(vocab >= 1, s"unigramLm: vocab must be >= 1, got $vocab")
+    ref.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocab)
+  }
+
+  /** Per-document perplexity under a [[unigramLm]] model — the CCNet-style
+    * quality signal (filter or bucket a corpus by how language-like its
+    * text is under a reference LM). Laplace smoothing over the pruned
+    * vocab: with N = Σ cnt and V = model rows,
+    * p(tok) = (cnt(tok) + 1) / (N + V + 1) for vocab tokens and
+    * 1 / (N + V + 1) for out-of-vocabulary tokens (the `+ 1` numerator of
+    * an unseen token — one uniform formula via `coalesce(cnt, 0)`).
+    *
+    * Scale shape: the vocab-sized model BROADCASTS; the corpus side is
+    * scan → explode → broadcast-hash left join → per-doc aggregate keyed
+    * by doc_id (uniform) — nothing corpus-sized shuffles, no key a viral
+    * token can concentrate (token keys never leave the map side of the
+    * broadcast join).
+    *
+    * Determinism across engines (the differential-oracle contract): each
+    * token's log-probability is fixed-pointed to MICRO-NATS
+    * (`round(ln(p)·10⁶)` as a long) BEFORE the per-doc sum, so summation
+    * order cannot drift a last ulp — only ~V+1 DISTINCT ln evaluations
+    * exist corpus-wide, and the per-doc sum is exact integer math. The
+    * per-token MEAN stays integer too: `(2·Σ + n) div (2n)` is
+    * half-away-from-zero division on positive longs (float division by n
+    * would re-open the very midpoint boundary the fixed-point closed —
+    * measured: 2 of 5000 docs at sf0.1 landed on a 6-decimal midpoint
+    * where the engines' double rounding disagreed). nll is that integer
+    * mean / 10⁶ — a value with exactly 6 decimals, bit-stable under
+    * `round(…, 6)` in any engine; ppl = exp(nll) (identical input both
+    * sides; exp's last-ulp is absorbed by the 6-decimal round except on
+    * a measure-zero midpoint).
+    *
+    * Output: (doc_id, n_tokens, nll, ppl) per input document with
+    * non-null id and text, both rounded to 6 decimals. */
+  def lmPerplexity(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val m = model.select(col("token").as("_t"), col("cnt").as("_c"))
+    val stats = m.agg(sum(col("_c")).cast("double").as("_N"),
+      count(lit(1)).cast("double").as("_V"))
+    val lp6 = round(log((coalesce(col("_c"), lit(0L)) + 1.0) /
+      (col("_N") + col("_V") + 1.0)) * 1e6).cast("long")
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("_t"))
+      .join(broadcast(m), Seq("_t"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), lp6.as("_lp6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lp6")).as("_s6"))
+      // integer half-up mean in micro-nats: −s6 ≥ 0 (log-probs are ≤ 0),
+      // so `div`'s truncation equals floor and both engines agree
+      .withColumn("_m6",
+        expr("(-_s6 * 2 + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_m6") / 1e6, 6).as("nll"),
+        round(exp(col("_m6") / 1e6), 6).as("ppl"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — there hashed-n-gram
+    * feature LMs; the unigram form keeps the recipe and the replayable
+    * contract): per document, the log-likelihood RATIO under a TARGET
+    * reference model vs a SOURCE (raw-corpus) model, both [[unigramLm]]
+    * tables. Documents that look more like the target than the raw pool
+    * score high; select by thresholding or ranking the ratio (compose
+    * with [[Sampling.stratifiedQuota]]/[[Sampling.hashSample]] for the
+    * resampling step).
+    *
+    * Same scale and determinism contract as [[lmPerplexity]]: both
+    * models broadcast, one doc_id-keyed aggregate, per-token log-probs
+    * fixed-pointed to micro-nats so the ratio sum is integer-exact.
+    *
+    * Output: (doc_id, n_tokens, log_ratio, log_ratio_mean) — the summed
+    * and per-token ratios in nats, rounded to 6 decimals. */
+  def lmLogRatio(docs: DataFrame, targetLm: DataFrame, sourceLm: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val mt = targetLm.select(col("token").as("_t"), col("cnt").as("_ct"))
+    val ms = sourceLm.select(col("token").as("_t"), col("cnt").as("_cs"))
+    val st = mt.agg(sum(col("_ct")).cast("double").as("_Nt"),
+      count(lit(1)).cast("double").as("_Vt"))
+    val ss = ms.agg(sum(col("_cs")).cast("double").as("_Ns"),
+      count(lit(1)).cast("double").as("_Vs"))
+    val lpT = round(log((coalesce(col("_ct"), lit(0L)) + 1.0) /
+      (col("_Nt") + col("_Vt") + 1.0)) * 1e6).cast("long")
+    val lpS = round(log((coalesce(col("_cs"), lit(0L)) + 1.0) /
+      (col("_Ns") + col("_Vs") + 1.0)) * 1e6).cast("long")
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("_t"))
+      .join(broadcast(mt), Seq("_t"), "left")
+      .join(broadcast(ms), Seq("_t"), "left")
+      .crossJoin(broadcast(st)).crossJoin(broadcast(ss))
+      .select(col("doc_id"), (lpT - lpS).as("_d6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_d6")).as("_s6"))
+      // the ratio sum is SIGNED — integer half-away-from-zero mean via
+      // abs + reapplied sign (Spark `div` truncates toward zero while
+      // DuckDB `//` floors: they disagree on negatives, so divide
+      // positives only; see lmPerplexity for why a float mean is out)
+      .withColumn("_m6",
+        expr("""CASE WHEN _s6 < 0 THEN -((-_s6 * 2 + n_tokens) div (2 * n_tokens))
+                ELSE (_s6 * 2 + n_tokens) div (2 * n_tokens) END"""))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_s6") / 1e6, 6).as("log_ratio"),
+        round(col("_m6") / 1e6, 6).as("log_ratio_mean"))
+  }
+
   /** Whitespace-family character class — EXPLICIT (no `\s`, no unicode
     * properties) so Java regex and RE2 agree byte for byte: Java's `\s`
     * is ASCII-only by default while other engines disagree on vertical

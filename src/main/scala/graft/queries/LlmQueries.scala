@@ -21,6 +21,12 @@ object LlmQueries {
     "de" -> Seq("der", "die", "das", "und"),
     "es" -> Seq("el", "la", "los", "y"))
 
+  /** Chunk-every-4-tokens line injection for d16 — alternation-free and
+    * backtracking-trivial so Java and RE2 replace the same spans; the
+    * oracle interpolates this constant (replacement backref syntax is the
+    * engines' own: `$1` Java, `\1` RE2). */
+  private val LineChunkRe = "((\\S+ ){3}\\S+) "
+
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = t(s, dir, "embeddings")
 
@@ -542,6 +548,45 @@ object LlmQueries {
       sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text",
         STOPS, MARKERS, 0.5, Seq("en"), embeddings = Some(e),
         semCentroids = Some(cents), semMinCos = 0.35))
+    }),
+
+    // Line-level duplicate removal (the CCNet/RefinedWeb recipe): chunk
+    // every 4 tokens into a line (deterministic injection — the synthetic
+    // docs carry no newlines; planted dup clusters make whole lines
+    // recur across docs), drop every line appearing verbatim in ≥2
+    // distinct docs, re-join survivors. String-keyed so the DuckDB
+    // replay needs no hash-parity assumption (the hashed scale path is
+    // spec-pinned equal in LlmSpec, like d8/d9's)
+    "d16_line_dedup" -> ((s, dir) => {
+      val lined = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), LineChunkRe, "$1\n").as("text"))
+      sortAll(Dedup.removeDupLines(lined, "doc_id", "text", minDocs = 2,
+        hashLines = false))
+    }),
+
+    // DSIR importance log-ratios: target model = src0's docs, source
+    // model = the whole pool (both top-16 unigram LMs) — docs that look
+    // like src0 score positive. Per-token micro-nat fixed-point keeps
+    // the ratio sum integer-exact in both engines
+    "sm5_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tgt = Quality.unigramLm(d.filter(col("source") === "src0"),
+        "text", 16)
+      val src = Quality.unigramLm(d, "text", 16)
+      sortAll(Quality.lmLogRatio(d, tgt, src, "doc_id", "text"))
+    }),
+
+    // Unigram-LM perplexity (the CCNet quality-scoring shape): model
+    // trained on the corpus itself pruned to the top-16 tokens (of 31
+    // distinct — the OOV smoothing path is exercised), every doc scored
+    // by smoothed mean token nll. Micro-nat fixed-pointing makes the
+    // per-doc sum integer-exact in both engines (Quality.lmPerplexity)
+    "tx8_lm_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = Quality.unigramLm(d, "text", 16)
+      sortAll(Quality.lmPerplexity(d, lm, "doc_id", "text"))
     }),
 
     // Text canonicalization over deterministically-messed inputs (the
@@ -1351,6 +1396,102 @@ object LlmQueries {
          |  lower(trim(regexp_replace(regexp_replace(messy,
          |    '${Quality.CtrlRe}', '', 'g'), '${Quality.WsRe}', ' ', 'g'))) AS norm
          |FROM m
-         |${orderBySql("doc_id", "norm")}""".stripMargin
+         |${orderBySql("doc_id", "norm")}""".stripMargin,
+
+    // the same 4-token line injection (the one Scala constant, RE2
+    // backref syntax), then: lines with positions, distinct-doc counts
+    // per line, keep positions of lines in < 2 docs, rebuild by list
+    // comprehension over the kept positions
+    "d16_line_dedup" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '$LineChunkRe', '\\1' || chr(10), 'g') AS text
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |t AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lined),
+         |w AS (SELECT doc_id, p, ln[p] AS ls
+         |      FROM t, UNNEST(range(1, len(ln) + 1)) AS u(p)),
+         |d AS (SELECT ls FROM w GROUP BY ls HAVING count(DISTINCT doc_id) >= 2),
+         |k AS (SELECT doc_id, list(p ORDER BY p) AS kp
+         |      FROM w WHERE ls NOT IN (SELECT ls FROM d) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  -- empty kept-list: DuckDB array_to_string of NULL gives NULL,
+         |  -- Spark array_join of [] gives '' — coalesce to Spark semantics
+         |  coalesce(array_to_string([ln[i] FOR i IN kp], chr(10)), '') AS clean_text,
+         |  CAST(len(ln) AS BIGINT) AS n_lines,
+         |  CAST(len(ln) - coalesce(len(kp), 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN k USING (doc_id)
+         |${orderBySql("doc_id", "clean_text", "n_lines", "n_removed")}""".stripMargin,
+
+    // two top-16 models (target = src0, source = pool), per-token
+    // micro-nat log-ratio, integer-exact sum — tx8's determinism
+    // contract applied twice
+    "sm5_dsir_weights" ->
+      s"""WITH mt AS (
+         |  SELECT token, count(*) AS ct
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |        FROM $docsPq WHERE text IS NOT NULL AND source = 'src0')
+         |  GROUP BY token ORDER BY ct DESC, token LIMIT 16),
+         |ms AS (
+         |  SELECT token, count(*) AS cs
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |        FROM $docsPq WHERE text IS NOT NULL)
+         |  GROUP BY token ORDER BY cs DESC, token LIMIT 16),
+         |stt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+         |               CAST(count(*) AS DOUBLE) AS vt FROM mt),
+         |sts AS (SELECT CAST(sum(cs) AS DOUBLE) AS ns,
+         |               CAST(count(*) AS DOUBLE) AS vs FROM ms),
+         |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+         |         FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |lp AS (SELECT doc_id,
+         |         CAST(round(ln((coalesce(ct, 0) + 1.0) / (nt + vt + 1.0)) * 1000000)
+         |           AS BIGINT)
+         |       - CAST(round(ln((coalesce(cs, 0) + 1.0) / (ns + vs + 1.0)) * 1000000)
+         |           AS BIGINT) AS d6
+         |       FROM toks LEFT JOIN mt USING (token) LEFT JOIN ms USING (token)
+         |       CROSS JOIN stt CROSS JOIN sts),
+         |g AS (SELECT doc_id, count(*) AS n_tokens, sum(d6) AS s6
+         |      FROM lp GROUP BY 1),
+         |-- signed integer half-away-from-zero mean: divide positives
+         |-- only (// floors, Spark div truncates — they differ below 0)
+         |q AS (SELECT doc_id, n_tokens, s6,
+         |        CASE WHEN s6 < 0
+         |          THEN -((-s6 * 2 + n_tokens) // (2 * n_tokens))
+         |          ELSE (s6 * 2 + n_tokens) // (2 * n_tokens) END AS m6
+         |      FROM g)
+         |SELECT doc_id, n_tokens,
+         |  round(s6 / 1000000.0, 6) AS log_ratio,
+         |  round(m6 / 1000000.0, 6) AS log_ratio_mean
+         |FROM q
+         |${orderBySql("doc_id", "n_tokens", "log_ratio", "log_ratio_mean")}""".stripMargin,
+
+    // top-16 unigram counts (ties by token — deterministic), Laplace
+    // smoothing over N = sum(cnt), V = rows, per-token log-prob
+    // fixed-pointed to micro-nats BEFORE the per-doc sum (integer-exact
+    // summation in any order), identical division tree for nll/ppl
+    "tx8_lm_perplexity" ->
+      s"""WITH m AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |        FROM $docsPq WHERE text IS NOT NULL)
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 16),
+         |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+         |              CAST(count(*) AS DOUBLE) AS v FROM m),
+         |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+         |         FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |lp AS (SELECT doc_id,
+         |         CAST(round(ln((coalesce(cnt, 0) + 1.0) / (n + v + 1.0)) * 1000000)
+         |           AS BIGINT) AS lp6
+         |       FROM toks LEFT JOIN m USING (token) CROSS JOIN st),
+         |g AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
+         |      FROM lp GROUP BY 1),
+         |-- integer half-up mean in micro-nats (Quality.lmPerplexity's
+         |-- determinism note): −s6 ≥ 0, so // (floor) ≡ Spark's div
+         |q AS (SELECT doc_id, n_tokens,
+         |        (-s6 * 2 + n_tokens) // (2 * n_tokens) AS m6 FROM g)
+         |SELECT doc_id, n_tokens,
+         |  round(m6 / 1000000.0, 6) AS nll,
+         |  round(exp(m6 / 1000000.0), 6) AS ppl
+         |FROM q
+         |${orderBySql("doc_id", "n_tokens", "nll", "ppl")}""".stripMargin
   )
 }

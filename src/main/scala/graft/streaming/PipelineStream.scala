@@ -178,6 +178,15 @@ object PipelineStream {
     * landing-time recipe quality ∘ repetition ∘ span ∘ dedup ∘
     * decontamination closes without an offline pass.
     *
+    * `lmModel` (with `maxPpl`) applies the PERPLEXITY floor at ingest —
+    * the streaming analogue of [[graft.llm.Corpus.prepare]]'s `lm` gate:
+    * documents whose smoothed perplexity under the reference unigram LM
+    * ([[graft.llm.Quality.lmPerplexity]]) exceeds `maxPpl` are dropped
+    * before dedup and indexing. The model is vocab-sized and broadcast,
+    * so like repetition this is stateless per delivery — applied after
+    * the repetition gate and before decontamination (the batch
+    * composition's relative order).
+    *
     * `normalize = true` canonicalizes delivery text FIRST
     * ([[graft.llm.Quality.normalizeText]] — the batch `prepare` order),
     * so transport noise cannot split an exact-duplicate group in cluster
@@ -218,6 +227,7 @@ object PipelineStream {
       benchDocs: Option[DataFrame] = None, contamN: Int = 5,
       maxContamFrac: Double = 1.0,
       normalize: Boolean = false,
+      lmModel: Option[DataFrame] = None, maxPpl: Double = Double.MaxValue,
       semMinCos: Double = 1.0): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
@@ -226,6 +236,9 @@ object PipelineStream {
     require(benchDocs.isEmpty || maxContamFrac < 1.0,
       "pollIngest: benchDocs given but maxContamFrac is 1.0 (gate off) — " +
         "set maxContamFrac < 1.0 to decontaminate, or drop benchDocs")
+    require(lmModel.isEmpty || maxPpl < Double.MaxValue,
+      "pollIngest: lmModel given but maxPpl is unset (gate off) — " +
+        "set maxPpl to floor on perplexity, or drop lmModel")
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
@@ -263,15 +276,27 @@ object PipelineStream {
                 col("top_bigram_frac") > maxTopBigramFrac)
               .select("doc_id"),
             Seq("doc_id"), "left_anti")
+        // perplexity floor: stateless per delivery like the repetition
+        // gate — the vocab-sized model broadcasts into the batch plan
+        val pplGated = lmModel match {
+          case Some(model) if maxPpl < Double.MaxValue =>
+            repGated.join(
+              graft.llm.Quality.lmPerplexity(repGated, model,
+                  "doc_id", "text")
+                .filter(col("ppl") > maxPpl)
+                .select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          case _ => repGated
+        }
         val batch = benchDocs match {
           case Some(bench) if maxContamFrac < 1.0 =>
-            repGated.join(
-              graft.llm.Dedup.contaminationStats(repGated, bench,
+            pplGated.join(
+              graft.llm.Dedup.contaminationStats(pplGated, bench,
                   "doc_id", "text", contamN)
                 .filter(col("contam_frac") > maxContamFrac)
                 .select("doc_id"),
               Seq("doc_id"), "left_anti")
-          case _ => repGated
+          case _ => pplGated
         }
         DedupStream.processBatch(sp, batch.select("doc_id", "text"),
           workDir, p, batchId)

@@ -1019,4 +1019,46 @@ class GraftSqlSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("usage") || err.getMessage.contains("minCos"))
   }
+
+  test("graft_line_dedup_t / graft_lm_t / graft_lm_score_t: line dedup and LM scoring from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    Seq(
+      1L -> "intro one\naccept all cookies\nbody a",
+      2L -> "accept all cookies\nbody b",
+      3L -> "solo\nbody c").toDF("doc_id", "text")
+      .createOrReplaceTempView("line_docs_v")
+    val sqlLines = spark.sql(
+      "SELECT * FROM graft_line_dedup_t('line_docs_v', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val typedLines = graft.llm.Dedup.removeDupLines(
+        spark.table("line_docs_v"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(sqlLines === typedLines)
+    assert(sqlLines.exists(t => t._1 == 1L && t._2 == "intro one\nbody a"))
+    // optional args: at minDocs=3 the 2-doc boilerplate line survives
+    val kept3 = spark.sql(
+      "SELECT * FROM graft_line_dedup_t('line_docs_v', 'doc_id', 'text', 3, '\n')")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(kept3.values.forall(_ == 0L))
+
+    val d = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    d.createOrReplaceTempView("lm_docs_v")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW lm_model_v AS
+      SELECT * FROM graft_lm_t('lm_docs_v', 'text', 16)""")
+    assert(spark.table("lm_model_v").count() === 16L)
+    val sqlLm = spark.sql(
+      "SELECT * FROM graft_lm_score_t('lm_docs_v', 'doc_id', 'text', 'lm_model_v')")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    val typedLm = graft.llm.Quality.lmPerplexity(d,
+        graft.llm.Quality.unigramLm(d, "text", 16), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    assert(sqlLm === typedLm && sqlLm.nonEmpty)
+    // DSIR ratio with target ≡ source model: exactly zero everywhere
+    val sqlRatio = spark.sql(
+      """SELECT * FROM graft_lm_ratio_t('lm_docs_v', 'doc_id', 'text',
+        'lm_model_v', 'lm_model_v')""")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(sqlRatio.nonEmpty && sqlRatio.forall(t => t._1 == 0.0 && t._2 == 0.0))
+  }
 }

@@ -139,6 +139,55 @@ class LlmSpec extends AnyFunSuite {
     assert(hw === sw)
   }
 
+  test("line dedup: corpus-duplicated lines drop, within-doc repeats survive, minDocs threshold, custom sep, hashed ≡ string") {
+    import spark.implicits._
+    val boiler = "accept all cookies"
+    val fix = Seq(
+      1L -> s"intro one\n$boiler\nbody a",
+      2L -> s"$boiler\nbody b\noutro two",
+      // a line repeated WITHIN one doc is 1 distinct doc → kept twice
+      3L -> "solo line\nsolo line\nbody c",
+      // every line duplicated → empty row survives (corpus rewrite)
+      4L -> s"$boiler\n$boiler").toDF("doc_id", "text")
+    val out = Dedup.removeDupLines(fix, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("intro one\nbody a", 3L, 1L)))
+    assert(out(2L) === (("body b\noutro two", 3L, 1L)))
+    assert(out(3L) === (("solo line\nsolo line\nbody c", 3L, 0L)))
+    assert(out(4L) === (("", 2L, 2L)))
+    // minDocs=3: boiler is in 3 distinct docs → still drops; a pair-only
+    // line (docs 1+2 only) would survive — add one and check both fates
+    val fix3 = Seq(
+      1L -> s"$boiler\npair line\nuniq a",
+      2L -> s"pair line\n$boiler",
+      5L -> s"$boiler\nuniq b").toDF("doc_id", "text")
+    val out3 = Dedup.removeDupLines(fix3, "doc_id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out3(1L) === "pair line\nuniq a", "2-doc line survives minDocs=3")
+    assert(out3(2L) === "pair line")
+    assert(out3(5L) === "uniq b")
+    // minDocs ≤ 1: no line is non-duplicated — everything removed
+    val all = Dedup.removeDupLines(fix, "doc_id", "text", minDocs = 1)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(all.forall { case (t, _) => t == "" })
+    // custom separator (sep is regex-quoted — '|' must not alternate)
+    val sepFix = Seq(10L -> "a b | c d | e", 11L -> "c d | f").toDF("doc_id", "text")
+    val sepOut = Dedup.removeDupLines(sepFix, "doc_id", "text", sep = " | ")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sepOut(10L) === "a b | e" && sepOut(11L) === "f")
+    // hashed scale path ≡ string-keyed oracle path on the real table with
+    // d16's line injection — and the fixture must actually remove lines
+    val lined = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){3}\\S+) ", "$1\n").as("text"))
+    def rows(h: Boolean) = Dedup.removeDupLines(lined, "doc_id", "text",
+        hashLines = h).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val hashed = rows(true)
+    assert(hashed === rows(false))
+    assert(hashed.exists(_._3 > 0L), "injected corpus should drop some lines")
+  }
+
   test("span-dup removal: long fully-duplicated docs collapse to one coverage interval") {
     import spark.implicits._
     // two identical 4000-token docs: every window duplicated, the 3996

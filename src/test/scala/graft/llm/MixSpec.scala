@@ -36,6 +36,70 @@ class MixSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("unigramLm + lmPerplexity: hand-computed smoothed scores, OOV floor, vocab pruning tie-break") {
+    val ref = Seq(1L -> "the cat sat", 2L -> "the dog sat").toDF("doc_id", "text")
+    // counts: the=2, sat=2, cat=1, dog=1 → N=6, V=4 when vocab keeps all
+    val lm = Quality.unigramLm(ref, "text", 10)
+    assert(lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("the" -> 2L, "sat" -> 2L, "cat" -> 1L, "dog" -> 1L))
+    // vocab=2 prunes to the two cnt-2 tokens; ties break token-ascending
+    assert(Quality.unigramLm(ref, "text", 2).collect()
+      .map(_.getString(0)).toSet === Set("sat", "the"))
+    // p(the)=3/11, p(cat)=2/11, p(OOV)=1/11 (Laplace over N=6, V=4);
+    // replay the micro-nat fixed-pointing exactly
+    val score = Seq(7L -> "the cat", 8L -> "zebra zebra")
+      .toDF("doc_id", "text")
+    val out = Quality.lmPerplexity(score, lm, "doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def lp6(p: Double) = math.round(math.log(p) * 1e6)
+    // mirror Spark's Round (HALF_UP over BigDecimal), not rint's half-even
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the engine's integer half-up mean in micro-nats
+    def meanNll(n: Long, lps: Long*) = {
+      val p6 = -lps.sum
+      ((p6 * 2 + n) / (2 * n)).toDouble / 1e6
+    }
+    val nll7 = meanNll(2, lp6(3.0 / 11), lp6(2.0 / 11))
+    assert(out(7L) === ((2L, r6(nll7), r6(math.exp(nll7)))))
+    val nll8 = meanNll(2, lp6(1.0 / 11), lp6(1.0 / 11))
+    assert(out(8L) === ((2L, r6(nll8), r6(math.exp(nll8)))))
+    assert(out(8L)._3 > out(7L)._3, "all-OOV text must score higher ppl")
+    // corpus-level sanity: every doc rows out, ppl finite and positive
+    val corp = Quality.lmPerplexity(docs,
+      Quality.unigramLm(docs, "text", 16), "doc_id", "text")
+    assert(corp.count() === docs.count())
+    assert(corp.filter(col("ppl") <= 0.0 || isnan(col("ppl")) ||
+      col("nll") <= 0.0).count() === 0L)
+  }
+
+  test("lmLogRatio: hand-computed DSIR weights, identical models give zero, every doc scored") {
+    val tgtRef = Seq(1L -> "alpha beta alpha").toDF("doc_id", "text")
+    val srcRef = Seq(1L -> "gamma delta gamma delta").toDF("doc_id", "text")
+    val tgt = Quality.unigramLm(tgtRef, "text", 8) // alpha=2, beta=1; N=3, V=2
+    val src = Quality.unigramLm(srcRef, "text", 8) // gamma=2, delta=2; N=4, V=2
+    val out = Quality.lmLogRatio(
+        Seq(7L -> "alpha gamma").toDF("doc_id", "text"),
+        tgt, src, "doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def lp6(p: Double) = math.round(math.log(p) * 1e6)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // alpha: tgt ln(3/6) vs src OOV ln(1/7); gamma: tgt OOV ln(1/6) vs ln(3/7)
+    val s6 = (lp6(3.0 / 6) - lp6(1.0 / 7)) + (lp6(1.0 / 6) - lp6(3.0 / 7))
+    // signed integer half-away-from-zero mean (the engine's tree)
+    val m6 = if (s6 < 0) -((-s6 * 2 + 2) / 4) else (s6 * 2 + 2) / 4
+    assert(out(7L) === ((2L, r6(s6 / 1e6), r6(m6.toDouble / 1e6))))
+    // target ≡ source → the ratio is EXACTLY zero for every doc
+    val lm = Quality.unigramLm(docs, "text", 16)
+    val self = Quality.lmLogRatio(docs, lm, lm, "doc_id", "text")
+    assert(self.count() === docs.count())
+    assert(self.filter(col("log_ratio") =!= 0.0 ||
+      col("log_ratio_mean") =!= 0.0).count() === 0L)
+  }
+
   test("scrubPii: redacts email, IPv4, phone; leaves near-misses intact") {
     val fix = Seq(
       (1L, "reach me at bob@x.io or 1.2.3.4 or +44 207 946 0958 now"),
@@ -153,6 +217,36 @@ class MixSpec extends AnyFunSuite {
         "doc_id", "text", stops, markers, 0.5, Seq("en"))
       .collect().map(_.toSeq).toSet
     assert(strict === manual)
+  }
+
+  test("Corpus.prepare perplexity floor: high-ppl docs drop, ≡ manual anti-join, arg validation") {
+    val stops = Seq("the", "a")
+    val markers = Seq("en" -> Seq("the"))
+    // reference LM over the corpus itself: median-ish ppl splits it
+    val lm = Quality.unigramLm(docs, "text", 16)
+    val scored = Quality.lmPerplexity(docs, lm, "doc_id", "text")
+    val cut = scored.agg(avg(col("ppl"))).head.getDouble(0)
+    val drops = scored.filter(col("ppl") > cut).select("doc_id")
+    assert(drops.count() > 0, "fixture corpus must trip the floor")
+    val floored = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), lm = Some(lm), maxPpl = cut)
+      .collect().map(_.toSeq).toSet
+    val manual = Corpus.prepare(docs.join(drops, Seq("doc_id"), "left_anti"),
+        "doc_id", "text", stops, markers, 0.0, Seq("en"))
+      .collect().map(_.toSeq).toSet
+    assert(floored === manual)
+    // defaults take the no-op branch
+    val plain = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.0, Seq("en")).collect().map(_.toSeq).toSet
+    assert(plain === Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.0, Seq("en"), lm = None).collect().map(_.toSeq).toSet)
+    assert(plain !== floored, "the floor must change the result here")
+    // a model without a threshold must refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      Corpus.prepare(docs, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), lm = Some(lm))
+    }
+    assert(err.getMessage.contains("maxPpl"))
   }
 
   test("contaminationStats: planted overlap flagged, short and clean docs zero, hashed ≡ string") {

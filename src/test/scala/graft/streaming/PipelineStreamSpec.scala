@@ -382,6 +382,66 @@ class PipelineStreamSpec extends AnyFunSuite {
       "stream gates ≡ batch repetition floor + decontamination")
   }
 
+  test("perplexity floor at ingest: reference-LM gate ≡ batch scoring, stateless across deliveries") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipeppl").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    // reference model: in-vocab text scores low ppl, alien text the OOV
+    // floor — a generous threshold separates them cleanly
+    val ref = Seq.tabulate(20)(i =>
+      (100L + i, s"good text sample $i", Array.fill(8)(0.1f)))
+      .toDF("doc_id", "text", "embedding")
+    val lm = graft.llm.Quality.unigramLm(ref, "text", 32)
+    val inVocab1 = "good text sample good text sample good"
+    val alien1 = (0 until 8).map(i => s"alien_z$i").mkString(" ")
+    val inVocab2 = "text good sample text sample"
+    val alien2 = (0 until 8).map(i => s"alien_q$i").mkString(" ")
+    // ref counts: good/text/sample 20 each (+20 singleton digit tokens)
+    // → N=80, V=23; in-vocab ppl ≈ (104/21) ≈ 5, all-OOV ppl = 104
+    val cut = 50.0
+
+    def poll(): Unit = PipelineStream.pollIngest(spark, landing, work,
+      index, p, compactEvery = 2, lmModel = Some(lm), maxPpl = cut)
+
+    delivery(1L -> inVocab1, 2L -> alien1).write.parquet(s"$landing/d0")
+    poll()
+    assert(indexedIds() === Set(1L), "high-ppl doc floored before indexing")
+    // stateless: a second delivery's alien doc floors on its own
+    delivery(11L -> inVocab2, 12L -> alien2).write.parquet(s"$landing/d1")
+    poll()
+    assert(indexedIds() === Set(1L, 11L))
+    val assigned = DedupStream.assignments(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(assigned === Set(1L, 11L), "floored docs never entered cluster state")
+
+    // gate ≡ batch: the same model over the full landed corpus floors
+    // exactly the same ids (per-document/broadcast property)
+    val all = delivery(1L -> inVocab1, 2L -> alien1,
+      11L -> inVocab2, 12L -> alien2).select("doc_id", "text")
+    val floored = graft.llm.Quality.lmPerplexity(all, lm, "doc_id", "text")
+      .filter(col("ppl") > cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(floored === Set(2L, 12L))
+    // arg validation: a model without a threshold must refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      PipelineStream.pollIngest(spark, landing, work, index, p,
+        lmModel = Some(lm))
+    }
+    assert(err.getMessage.contains("maxPpl"))
+  }
+
   test("normalize at ingest: transport-noise variants of one content collapse to one cluster and one vector") {
     val root = java.nio.file.Files.createTempDirectory("graft_pipenorm").toString
     val landing = s"$root/landing"; val work = s"$root/work"
