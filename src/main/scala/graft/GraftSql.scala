@@ -172,7 +172,11 @@ import scala.collection.mutable
   *     training (top-vocab token counts) and per-document perplexity
   *     scoring against a (token, cnt) model view;
   *   - `graft_lm_ratio_t('docsV', 'id', 'text', 'targetV', 'sourceV')` —
-  *     DSIR-style importance log-ratios between two model views.
+  *     DSIR-style importance log-ratios between two model views;
+  *   - `graft_gopher_t('docsV', 'id', 'text'[, minWords])` — the
+  *     Gopher/MassiveText per-document quality rules (word count, mean
+  *     word length, symbol/bullet/ellipsis ratios, alpha-word fraction,
+  *     stop-word floor) with a pass flag.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -261,6 +265,10 @@ object GraftSql {
       FunctionIdentifier("graft_lm_ratio_t"),
       new ExpressionInfo("graft.GraftSql", "graft_lm_ratio_t"),
       (args: Seq[Expression]) => lmRatioTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_gopher_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_gopher_t"),
+      (args: Seq[Expression]) => gopherTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_pii_scrub_t"),
       new ExpressionInfo("graft.GraftSql", "graft_pii_scrub_t"),
@@ -864,6 +872,22 @@ object GraftSql {
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
       SparkSession.active.table(strLit(args(3), fn, "model view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
+      .queryExecution.logical
+  }
+
+  /** `graft_gopher_t('docsV', 'id', 'text'[, minWords])` —
+    * [[graft.llm.Quality.gopherRules]] from SQL at the published
+    * thresholds (minWords overridable — the one knob short-document
+    * corpora need). */
+  private def gopherTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_gopher_t"
+    require(args.length == 3 || args.length == 4,
+      s"usage: $fn('docsView', 'idCol', 'textCol'[, minWords])")
+    graft.llm.Quality.gopherRules(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      minWords =
+        if (args.length == 4) lngLit(args(3), fn, "minWords") else 50L)
       .queryExecution.logical
   }
 

@@ -169,6 +169,81 @@ object Quality {
         round(exp(col("_m6") / 1e6), 6).as("ppl"))
   }
 
+  /** Gopher's default stop list (Rae et al. 2021 §A1.1.2). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher/MassiveText per-document quality rules (Rae et al. 2021,
+    * Table A1) as one scan-speed pass — the composite heuristic filter
+    * most corpus pipelines run before any model-based scoring. Every
+    * signal is per-row column math (no shuffle, no UDF, whole-stage
+    * codegen), so at 100 TB this is a pure map over the scan:
+    *
+    *   - word count within [`minWords`, `maxWords`] (words = `' '`-split
+    *     of the lowercased text, the engine-wide phantom-token contract);
+    *   - mean word length within [`minMeanWordLen`, `maxMeanWordLen`]
+    *     (exact: Σ token length = length − (n − 1) under single-space
+    *     split);
+    *   - symbol-to-word ratio (`#` + `...` occurrences / words) ≤
+    *     `maxSymbolRatio`;
+    *   - fraction of `sep`-lines starting with a bullet (`- ` / `* `) ≤
+    *     `maxBulletFrac`, fraction ending in `...` ≤ `maxEllipsisFrac`;
+    *   - fraction of words containing ≥ 1 alphabetic character ≥
+    *     `minAlphaWordFrac`;
+    *   - at least `minStopHits` occurrences from `stops` (the "contains
+    *     real English function words" test).
+    *
+    * Fractions round to 6 decimals and the pass flag compares the ROUNDED
+    * values (the fixed point the differential oracles share, so the
+    * boundary is bit-stable across engines). Output: (doc_id, n_words,
+    * mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+    * alpha_word_frac, stop_hits, pass) per input document with non-null
+    * id and text. Compose as a floor via
+    * `docs.join(gopherRules(...).filter(!col("pass")).select(id), id,
+    * "left_anti")` — or feed the per-rule columns to an audit. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      stops: Seq[String] = GopherStops, minStopHits: Long = 2,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "gopherRules: sep must be non-empty")
+    val t = col(textCol)
+    val w = split(lower(t), " ")
+    val nW = size(w)
+    val meanWl = round((length(t) - nW + 1).cast("double") / nW, 6)
+    // '#' by character deletion; '...' by literal (non-regex) replace —
+    // non-overlapping left-to-right in both engines
+    val nHash = length(t) - length(translate(t, "#", ""))
+    val nEll = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    val symbolRatio = round((nHash + nEll).cast("double") / nW, 6)
+    val lines = split(t, java.util.regex.Pattern.quote(sep))
+    val nL = size(lines)
+    val bulletFrac = round(size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nL, 6)
+    val ellipsisFrac = round(size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nL, 6)
+    val alphaFrac = round(size(filter(w,
+      x => x.rlike("[a-z]"))).cast("double") / nW, 6)
+    val stopHits = size(filter(w, x => x.isInCollection(stops))).cast("long")
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), nW.cast("long").as("n_words"),
+        meanWl.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_word_frac"), stopHits.as("stop_hits"))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("stop_hits") >= minStopHits)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — there hashed-n-gram
     * feature LMs; the unigram form keeps the recipe and the replayable

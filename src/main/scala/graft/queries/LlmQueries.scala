@@ -566,6 +566,24 @@ object LlmQueries {
         hashLines = false))
     }),
 
+    // Gopher/MassiveText composite quality rules over deterministically
+    // staged inputs: d16's line chunking, every 3rd doc bulleted, every
+    // 4th ellipsis-terminated — with the bullet/ellipsis thresholds
+    // tightened so the staged defects actually flip the pass flag. Pure
+    // per-row column math; the oracle replays staging and all 7 rules
+    "tx9_gopher_rules" -> ((s, dir) => {
+      val lined = regexp_replace(col("text"), LineChunkRe, "$1\n")
+      val withBullet = when(col("doc_id") % 3 === 0,
+        concat(lit("- "), lined)).otherwise(lined)
+      val aug = when(col("doc_id") % 4 === 0,
+        concat(withBullet, lit(" ..."))).otherwise(withBullet)
+      val d = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), aug.as("text"))
+      sortAll(Quality.gopherRules(d, "doc_id", "text", minWords = 30,
+        maxBulletFrac = 0.05, maxEllipsisFrac = 0.05))
+    }),
+
     // DSIR importance log-ratios: target model = src0's docs, source
     // model = the whole pool (both top-16 unigram LMs) — docs that look
     // like src0 score positive. Per-token micro-nat fixed-point keeps
@@ -1421,6 +1439,49 @@ object LlmQueries {
          |  CAST(len(ln) - coalesce(len(kp), 0) AS BIGINT) AS n_removed
          |FROM t LEFT JOIN k USING (doc_id)
          |${orderBySql("doc_id", "clean_text", "n_lines", "n_removed")}""".stripMargin,
+
+    // the same staging (line chunk, %3 bullet, %4 ellipsis), then all 7
+    // Gopher rules replayed: exact mean-word-length identity, literal
+    // replace for symbol counts, list_filter line/word predicates
+    "tx9_gopher_rules" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '$LineChunkRe', '\\1' || chr(10), 'g') AS t0
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN t1 || ' ...' ELSE t1 END AS t
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN doc_id % 3 = 0 THEN '- ' || t0 ELSE t0 END AS t1
+         |        FROM lined)),
+         |s AS (SELECT doc_id, t,
+         |        string_split(lower(t), ' ') AS w,
+         |        string_split(t, chr(10)) AS ln FROM aug),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  round((length(t) - len(w) + 1.0) / len(w), 6) AS mean_word_len,
+         |  round((length(t) - length(replace(t, '#', ''))
+         |         + (length(t) - length(replace(t, '...', ''))) // 3) * 1.0
+         |        / len(w), 6) AS symbol_ratio,
+         |  round(len(list_filter(ln, l -> starts_with(l, '- ')
+         |          OR starts_with(l, '* '))) * 1.0 / len(ln), 6) AS bullet_frac,
+         |  round(len(list_filter(ln, l -> ends_with(l, '...'))) * 1.0
+         |        / len(ln), 6) AS ellipsis_frac,
+         |  round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+         |        / len(w), 6) AS alpha_word_frac,
+         |  CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and',
+         |    'that','have','with'))) AS BIGINT) AS stop_hits
+         | FROM s)
+         |SELECT *,
+         |  (n_words >= 30 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.05
+         |   AND ellipsis_frac <= 0.05 AND alpha_word_frac >= 0.8
+         |   AND stop_hits >= 2) AS pass
+         |FROM m
+         |${orderBySql("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+              "bullet_frac", "ellipsis_frac", "alpha_word_frac", "stop_hits",
+              "pass")}""".stripMargin,
 
     // two top-16 models (target = src0, source = pool), per-token
     // micro-nat log-ratio, integer-exact sum — tx8's determinism

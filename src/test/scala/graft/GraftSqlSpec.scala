@@ -1060,5 +1060,13 @@ class GraftSqlSpec extends AnyFunSuite {
         'lm_model_v', 'lm_model_v')""")
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))
     assert(sqlRatio.nonEmpty && sqlRatio.forall(t => t._1 == 0.0 && t._2 == 0.0))
+    // Gopher rules ≡ typed at an overridden word floor
+    val sqlGopher = spark.sql(
+      "SELECT * FROM graft_gopher_t('lm_docs_v', 'doc_id', 'text', 30)")
+      .collect().map(r => (r.getLong(0), r.getAs[Boolean]("pass"))).toSet
+    val typedGopher = graft.llm.Quality.gopherRules(d, "doc_id", "text",
+        minWords = 30)
+      .collect().map(r => (r.getLong(0), r.getAs[Boolean]("pass"))).toSet
+    assert(sqlGopher === typedGopher && sqlGopher.nonEmpty)
   }
 }

@@ -36,6 +36,43 @@ class MixSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("gopherRules: planted defects trip their rules, clean doc passes") {
+    val clean = Array.fill(30)("the data").mkString(" ") // 60 words
+    val fix = Seq(
+      1L -> clean,
+      2L -> "the of and",                                   // too short
+      3L -> (clean + " ### ### ... ... ... ..."),           // symbol-heavy
+      4L -> (0 until 10).map(i => s"- b$i").mkString("\n"), // all bullets
+      5L -> "one...\ntwo...\nthree\nfour",                  // ellipsis ends
+      6L -> Array.fill(60)("12345").mkString(" "),          // no alpha
+      7L -> Array.fill(60)("data").mkString(" ")            // no stop words
+    ).toDF("doc_id", "text")
+    val out = Quality.gopherRules(fix, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Long]("n_words") === 60L)
+    assert(out(1L).getAs[Double]("mean_word_len") === 3.5)
+    assert(out(1L).getAs[Long]("stop_hits") === 30L)
+    assert(!out(2L).getAs[Boolean]("pass") &&
+      out(2L).getAs[Long]("n_words") === 3L)
+    // 6 hashes + 4 ellipses over 66 words ≈ 0.1515 — ONLY the symbol rule
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1 &&
+      !out(3L).getAs[Boolean]("pass"))
+    assert(out(3L).getAs[Double]("alpha_word_frac") >= 0.8)
+    assert(out(4L).getAs[Double]("bullet_frac") === 1.0)
+    assert(out(5L).getAs[Double]("ellipsis_frac") === 0.5)
+    assert(out(6L).getAs[Double]("alpha_word_frac") === 0.0 &&
+      !out(6L).getAs[Boolean]("pass"))
+    assert(out(7L).getAs[Long]("stop_hits") === 0L &&
+      !out(7L).getAs[Boolean]("pass"))
+    // every corpus doc rows out; thresholds parameterize the flag
+    val loose = Quality.gopherRules(docs, "doc_id", "text", minWords = 1,
+      minMeanWordLen = 0.0, minAlphaWordFrac = 0.0, minStopHits = 0)
+    assert(loose.count() === docs.count())
+    assert(loose.filter(!col("pass")).count() === 0L,
+      "fully loosened thresholds must pass everything")
+  }
+
   test("unigramLm + lmPerplexity: hand-computed smoothed scores, OOV floor, vocab pruning tie-break") {
     val ref = Seq(1L -> "the cat sat", 2L -> "the dog sat").toDF("doc_id", "text")
     // counts: the=2, sat=2, cat=1, dog=1 → N=6, V=4 when vocab keeps all
