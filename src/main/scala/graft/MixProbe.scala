@@ -2,16 +2,24 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Quality, Sampling}
+import graft.llm.{Dedup, Quality, Sampling}
 
 /** Training-mix tier at scale (SURVEY §8): [[Quality.repetitionStats]],
-  * [[Sampling.hashSample]], [[Sampling.stratifiedQuota]], and
-  * [[Sampling.packGreedy]] over a synthesized corpus with two structurally
-  * known populations — "looped" docs (a 4-token phrase repeated 10×:
-  * dup_word_frac = 36/40, dup_bigram_frac = 35/39, top_bigram_frac =
-  * 10/39 exactly) and fully-unique docs (0, 0, 1/39). Every assertion is
-  * computed DISTRIBUTED (aggregates and anti-joins, never collect) so the
-  * probe itself exercises the operators' scale shape.
+  * [[Sampling.hashSample]], [[Sampling.stratifiedQuota]],
+  * [[Sampling.packGreedy]], [[Quality.unigramLm]]/[[Quality.lmPerplexity]],
+  * and [[Dedup.removeDupLines]] over a synthesized corpus with two
+  * structurally known populations — "looped" docs (a 4-token phrase
+  * repeated 10×: dup_word_frac = 36/40, dup_bigram_frac = 35/39,
+  * top_bigram_frac = 10/39 exactly) and fully-unique docs (0, 0, 1/39).
+  * The LM arm pins the smoothing floor structurally: with the vocab cut
+  * exactly at the 4000 looped tokens, every unique-population token is
+  * OOV, so all unique docs share ONE exact perplexity, strictly above
+  * every looped doc's. The line-dedup arm plants a VIRAL line (present in
+  * every document — the worst key skew the operator can see) and asserts
+  * exact excision; per-task state stays bounded by the capped typed
+  * aggregate. Every assertion is computed DISTRIBUTED (aggregates and
+  * anti-joins, never collect) so the probe itself exercises the
+  * operators' scale shape.
   *
   * `SPARK_GRAFT_MIX_DOCS` scales (default 200000; 1000000 for the
   * committed 1 M-doc numbers). */
@@ -93,6 +101,42 @@ object MixProbe {
       (max("bin_id") + 1).as("nbins"))
     require(grp.filter(col("nbins") =!= ceil(col("g") / 2.0).cast("long"))
       .count() == 0, "greedy bin count = ceil(group/2)")
+
+    // --- unigramLm + lmPerplexity: vocab cut at the 4000 looped tokens →
+    // unique docs are all-OOV and share ONE exact perplexity, above every
+    // looped doc's (the reference-LM floor separating the populations) ---
+    val lm = time("unigramLm")(
+      Quality.unigramLm(docs, "text", 4000).localCheckpoint())
+    require(lm.count() == 4000, "vocab = exactly the looped tokens")
+    require(lm.agg(min("cnt")).head.getLong(0) > 1L,
+      "no count-1 unique token may enter the vocab")
+    val ppl = time("lmPerplexity")(
+      Quality.lmPerplexity(docs, lm, "doc_id", "text").localCheckpoint())
+    require(ppl.count() == n, "one ppl row per doc")
+    val uniqPpls = ppl.filter(col("doc_id") >= half)
+      .agg(countDistinct("ppl").as("d"), min("ppl").as("mn")).head
+    require(uniqPpls.getLong(0) == 1L, "all-OOV docs share one exact ppl")
+    val maxLoop = ppl.filter(col("doc_id") < half)
+      .agg(max("ppl")).head.getDouble(0)
+    require(maxLoop < uniqPpls.getDouble(1),
+      s"looped ppl $maxLoop must sit below the OOV floor ${uniqPpls.getDouble(1)}")
+
+    // --- removeDupLines: a viral boilerplate line in EVERY doc (maximum
+    // key skew) excised exactly, unique flanks kept, no row vanishes ---
+    val linedDocs = docs.select(col("doc_id"), concat_ws("\n",
+      concat(lit("top"), col("doc_id")),
+      lit("accept all cookies and subscribe"),
+      concat(lit("bot"), col("doc_id"))).as("text"))
+    val cleaned = time("removeDupLines")(
+      Dedup.removeDupLines(linedDocs, "doc_id", "text").localCheckpoint())
+    require(cleaned.count() == n, "every doc survives the rewrite")
+    require(cleaned.filter(col("n_removed") =!= 1L).count() == 0,
+      "exactly the viral line removed from every doc")
+    require(cleaned.filter(col("clean_text").contains("accept")).count() == 0,
+      "no boilerplate residue left behind")
+    require(cleaned.filter(col("clean_text") =!=
+      concat(lit("top"), col("doc_id"), lit("\nbot"), col("doc_id"))).count() == 0,
+      "unique flank lines kept in order")
 
     println(s"[mix] OK docs=$n")
     spark.stop()
