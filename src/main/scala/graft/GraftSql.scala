@@ -176,7 +176,15 @@ import scala.collection.mutable
   *   - `graft_gopher_t('docsV', 'id', 'text'[, minWords])` — the
   *     Gopher/MassiveText per-document quality rules (word count, mean
   *     word length, symbol/bullet/ellipsis ratios, alpha-word fraction,
-  *     stop-word floor) with a pass flag.
+  *     stop-word floor) with a pass flag;
+  *   - `graft_tfidf_t('docsV', 'id', 'text', k)` — top-k TF-IDF terms per
+  *     document (integer micro-unit scores);
+  *   - `graft_bm25_t('docsV', 'id', 'text', 'term1,term2,…', k)` — BM25
+  *     top-k retrieval for a keyword query;
+  *   - `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` /
+  *     `graft_bpe_encode_t('docsV', 'id', 'text', 'mergesV')` — BPE
+  *     tokenizer training (the merge table) and subword encoding
+  *     (per-doc token count + token-stream fingerprint).
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -389,6 +397,22 @@ object GraftSql {
       FunctionIdentifier("graft_normalize_t"),
       new ExpressionInfo("graft.GraftSql", "graft_normalize_t"),
       (args: Seq[Expression]) => normalizeTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_tfidf_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_tfidf_t"),
+      (args: Seq[Expression]) => tfidfTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_bm25_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_bm25_t"),
+      (args: Seq[Expression]) => bm25TablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_bpe_train_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_bpe_train_t"),
+      (args: Seq[Expression]) => bpeTrainTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_bpe_encode_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_bpe_encode_t"),
+      (args: Seq[Expression]) => bpeEncodeTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
@@ -903,6 +927,68 @@ object GraftSql {
       SparkSession.active.table(strLit(args(3), fn, "target model view")),
       SparkSession.active.table(strLit(args(4), fn, "source model view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
+      .queryExecution.logical
+  }
+
+  /** `graft_tfidf_t('docsV', 'id', 'text', k)` —
+    * [[graft.llm.Relevance.tfidfTopTerms]] from SQL: top-k TF-IDF terms
+    * per document with integer micro-unit scores. */
+  private def tfidfTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_tfidf_t"
+    require(args.length == 4, s"usage: $fn('docsView', 'idCol', 'textCol', k)")
+    graft.llm.Relevance.tfidfTopTerms(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      lngLit(args(3), fn, "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_bm25_t('docsV', 'id', 'text', 'term1,term2,…', k)` —
+    * [[graft.llm.Relevance.bm25TopK]] from SQL: top-k documents for a
+    * comma-separated keyword query. */
+  private def bm25TablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bm25_t"
+    require(args.length == 5,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'term1,term2,…', k)")
+    val terms = strLit(args(3), fn, "terms").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    graft.llm.Relevance.bm25TopK(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      terms, lngLit(args(4), fn, "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` —
+    * [[graft.llm.Bpe.train]] from SQL. The merge iterations RUN at plan
+    * build (each is a Spark job over the word-type table) — the
+    * view-read-at-plan-build adjudication: the result is merge-table
+    * sized and the caller is materializing a tokenizer, not composing a
+    * lazy scan. */
+  private def bpeTrainTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bpe_train_t"
+    require(args.length == 4,
+      s"usage: $fn('docsView', 'idCol', 'textCol', numMerges)")
+    graft.llm.Bpe.train(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      lngLit(args(3), fn, "numMerges").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_bpe_encode_t('docsV', 'id', 'text', 'mergesV')` —
+    * [[graft.llm.Bpe.encode]] from SQL against a (rank, left, right)
+    * merge-table view (typically a persisted `graft_bpe_train_t`
+    * result). The merge view is collected at plan build — merge tables
+    * are driver-bounded by contract, the codebook adjudication. */
+  private def bpeEncodeTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bpe_encode_t"
+    require(args.length == 4,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'mergesView')")
+    graft.llm.Bpe.encode(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      SparkSession.active.table(strLit(args(3), fn, "merges view")))
       .queryExecution.logical
   }
 

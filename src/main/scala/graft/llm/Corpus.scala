@@ -64,7 +64,28 @@ object Corpus {
     * is keyed by the SAME ids (`idCol` ↔ its id column's values);
     * documents without an embedding row are unscorable and pass through.
     * The quadratic term is bounded per coarse cell — see
-    * [[Similarity.semDedupPairs]] for the 100 TB shape. */
+    * [[Similarity.semDedupPairs]] for the 100 TB shape.
+    *
+    * `gopher = true` additionally applies the Gopher/MassiveText rule
+    * floor ([[Quality.gopherRules]] at its published defaults, with
+    * `gopherStops` the one commonly-retuned knob): documents failing any
+    * of the seven rules are dropped. The rules are per-row column math,
+    * so this gate adds NO shuffle at all — it folds into the scan.
+    * Custom thresholds compose manually:
+    * `docs.join(gopherRules(...).filter(!col("pass")).select(id), id,
+    * "left_anti")` ahead of `prepare`.
+    *
+    * `benchDocs` (with `maxContamFrac < 1.0`) additionally applies
+    * BENCHMARK DECONTAMINATION ([[Dedup.contaminationStats]] as a
+    * threshold drop, the GPT-3/PaLM recipe): documents whose fraction of
+    * distinct `contamN`-token shingles found in the benchmark set exceeds
+    * `maxContamFrac` are dropped. The benchmark set is broadcast (eval
+    * suites are tiny next to a corpus), so nothing corpus-sized shuffles;
+    * `contamHash = false` keys shingles by string for hash-parity-free
+    * differential replay (the d9/d16 convention — hashed ≡ string is
+    * spec-pinned). This closes batch/stream gate symmetry with
+    * [[graft.streaming.PipelineStream.pollIngest]]: every landing-time
+    * gate now has the identical batch parameter. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       stops: Seq[String], markers: Seq[(String, Seq[String])],
       minQuality: Double, langs: Seq[String],
@@ -76,7 +97,11 @@ object Corpus {
       embeddings: Option[DataFrame] = None,
       semCentroids: Option[DataFrame] = None,
       semMinCos: Double = 1.0,
-      semIdCol: String = "vec_id", semVecCol: String = "embedding"): DataFrame = {
+      semIdCol: String = "vec_id", semVecCol: String = "embedding",
+      gopher: Boolean = false,
+      gopherStops: Seq[String] = Quality.GopherStops,
+      benchDocs: Option[DataFrame] = None, contamN: Int = 5,
+      maxContamFrac: Double = 1.0, contamHash: Boolean = true): DataFrame = {
     require(embeddings.isEmpty == semCentroids.isEmpty,
       "prepare: embeddings and semCentroids come together — pass both or neither")
     // the bench-gate lesson: a floor the caller believes is on must not
@@ -87,6 +112,9 @@ object Corpus {
     require(lm.isEmpty || maxPpl < Double.MaxValue,
       "prepare: lm given but maxPpl is unset (perplexity floor off) — " +
         "set maxPpl, or drop the lm argument")
+    require(benchDocs.isEmpty || maxContamFrac < 1.0,
+      "prepare: benchDocs given but maxContamFrac is 1.0 (gate off) — " +
+        "set maxContamFrac < 1.0 to decontaminate, or drop benchDocs")
     val normalized =
       if (!normalize) docs
       else docs.withColumn(textCol, Quality.normalizeText(col(textCol)))
@@ -115,14 +143,33 @@ object Corpus {
             col("top_bigram_frac") > maxTopBigramFrac)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")
-    val base = lm match {
+    // the Gopher rule floor is doc-local column math — a filter on the
+    // pass flag, not a join, so it costs nothing beyond the scan
+    val gopherFloored =
+      if (!gopher) repFloored
+      else repFloored.join(
+        Quality.gopherRules(repFloored, idCol, textCol, stops = gopherStops)
+          .filter(!col("pass"))
+          .select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val pplFloored = lm match {
       case Some(model) if maxPpl < Double.MaxValue =>
-        repFloored.join(
-          Quality.lmPerplexity(repFloored, model, idCol, textCol)
+        gopherFloored.join(
+          Quality.lmPerplexity(gopherFloored, model, idCol, textCol)
             .filter(col("ppl") > maxPpl)
             .select(col("doc_id").as(idCol)),
           Seq(idCol), "left_anti")
-      case _ => repFloored
+      case _ => gopherFloored
+    }
+    val base = benchDocs match {
+      case Some(bench) if maxContamFrac < 1.0 =>
+        pplFloored.join(
+          Dedup.contaminationStats(pplFloored, bench, idCol, textCol,
+              contamN, hashShingles = contamHash)
+            .filter(col("contam_frac") > maxContamFrac)
+            .select(col("doc_id").as(idCol)),
+          Seq(idCol), "left_anti")
+      case _ => pplFloored
     }
     base
       .filter(round(TextStats.qualityScore(t, stops), 6) >= minQuality &&

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Corpus, Dedup, Multimodal, Quality, Sampling, Similarity, TextStats}
+import graft.llm.{Bpe, Corpus, Dedup, Multimodal, Quality, Relevance, Sampling, Similarity, TextStats}
 import Q._
 
 /** LLM training-data pipeline queries over the `documents` and `embeddings`
@@ -620,11 +620,93 @@ object LlmQueries {
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"),
           Quality.normalizeText(messy, lowercase = true).as("norm")))
+    }),
+
+    // d7's composition with benchmark DECONTAMINATION in front: the
+    // corpus (source ≠ src0) drops every doc whose distinct-5-shingle
+    // overlap with the src0 benchmark set exceeds 5% — d12's signal as
+    // prepare's threshold gate, closing batch/stream gate symmetry.
+    // String-keyed shingles so the replay needs no hash parity (the
+    // hashed scale path is spec-pinned equal)
+    "d17_prepare_decontaminated" -> ((s, dir) => {
+      val d = docs(s, dir)
+      sortAll(Corpus.prepare(d.filter(col("source") =!= "src0"),
+        "doc_id", "text", STOPS, MARKERS, 0.5, Seq("en"),
+        benchDocs = Some(d.filter(col("source") === "src0")),
+        contamN = 5, maxContamFrac = 0.05, contamHash = false))
+    }),
+
+    // d7's composition with the Gopher/MassiveText rule floor in front:
+    // docs failing any of the published default rules (raw corpus text —
+    // no staging; 1904/5000 pass at sf0.1) are dropped before
+    // quality/language/dedup
+    "d18_prepare_gopher_floor" -> ((s, dir) => {
+      sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text",
+        STOPS, MARKERS, 0.5, Seq("en"), gopher = true))
+    }),
+
+    // Top-3 TF-IDF terms per document — integer micro-unit scores (the
+    // tx8 fixed-point recipe: the idf ln is the only transcendental,
+    // rounded to micro-nats before any arithmetic)
+    "tx10_tfidf" -> ((s, dir) => {
+      sortAll(Relevance.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3))
+    }),
+
+    // BM25 top-25 for a 3-term keyword query (k1=1.2, b=0.75 cleared to
+    // exact integer arithmetic) — query-based corpus selection
+    "tx11_bm25" -> ((s, dir) => {
+      sortAll(Relevance.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "window"), 25))
+    }),
+
+    // BPE tokenizer TRAINING: 6 merges over the corpus word-type table —
+    // the oracle replays every iteration (pair counts, deterministic
+    // argmax, the merge pass as a list_reduce fold)
+    "bp1_bpe_train" -> ((s, dir) => {
+      sortAll(Bpe.train(docs(s, dir), "doc_id", "text", 6))
+    }),
+
+    // BPE ENCODE against the 6-merge table trained on the same corpus:
+    // per-doc subword token count + md5 fingerprint of the token stream —
+    // proves the encode kernel ≡ the training-state fold (encoding an
+    // in-vocab word must reproduce its final training symbols)
+    "bp2_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      sortAll(Bpe.encode(d, "doc_id", "text",
+        Bpe.train(d, "doc_id", "text", 6)))
     })
   )
 
   private def docsPq = "read_parquet('{SFDIR}/documents.parquet')"
   private def embsPq = "read_parquet('{SFDIR}/embeddings.parquet')"
+
+  /** BPE training replay, UNROLLED: the word-type table `w0` (characters
+    * via `string_split(w, '')`), then per merge iteration i a pair-count
+    * CTE `p_i` (tx5's index-join shape), the deterministic argmax `m_i`
+    * (count DESC, left ASC, right ASC), and the merged table `w_i` — one
+    * left-to-right non-overlapping pass as a `list_reduce` fold over
+    * singleton lists (the accumulator must be list-typed, and DuckDB's
+    * reduce keeps the element type). Returns the full `WITH`-body prefix
+    * ending at `w$n`; callers append their consumer CTE/SELECT. */
+  private def bpeCtes(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
+         |        FROM w${i - 1} JOIN nums ON i <= len(syms) - 1 GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT w, list_reduce(list_transform(syms, s -> [s]),
+         |         (a, x) -> CASE WHEN len(a) > 0 AND a[-1] = m$i.l AND x[1] = m$i.r
+         |                   THEN a[:len(a)-1] || [m$i.l || m$i.r] ELSE a || x END) AS syms,
+         |         freq
+         |        FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+       |wt AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |       FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |             FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |       WHERE w <> '' GROUP BY w),
+       |w0 AS (SELECT w, string_split(w, '') AS syms, freq FROM wt),
+       |$iters""".stripMargin
+  }
 
   /** Shared shingle CTE: 3-word shingles, distinct per doc. */
   private val shingleCte =
@@ -1553,6 +1635,144 @@ object LlmQueries {
          |  round(m6 / 1000000.0, 6) AS nll,
          |  round(exp(m6 / 1000000.0), 6) AS ppl
          |FROM q
-         |${orderBySql("doc_id", "n_tokens", "nll", "ppl")}""".stripMargin
+         |${orderBySql("doc_id", "n_tokens", "nll", "ppl")}""".stripMargin,
+
+    // d7's replay over the decontaminated survivor set: the drop list is
+    // d12's string-shingle contamination fraction thresholded at 0.05
+    // (shingle-less docs have no ccnt row and are never dropped, the
+    // engine's contam_frac = 0 contract)
+    "d17_prepare_decontaminated" -> prepareOracle(
+      s"""cw AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+         |       FROM $docsPq),
+         |cnums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |csh AS (SELECT DISTINCT doc_id, source,
+         |          array_to_string(w[i : i + 4], ' ') AS s
+         |        FROM cw JOIN cnums ON i <= len(w) - 4),
+         |bsh AS (SELECT DISTINCT s FROM csh WHERE source = 'src0'),
+         |ccnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |         FROM csh WHERE source <> 'src0' GROUP BY 1),
+         |chit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+         |         FROM csh JOIN bsh USING (s)
+         |         WHERE source <> 'src0' GROUP BY 1),
+         |cdrop AS (SELECT doc_id FROM ccnt LEFT JOIN chit USING (doc_id)
+         |          WHERE round(coalesce(nc, 0) * 1.0 / nsh, 6) > 0.05),
+         |""".stripMargin,
+      s"""(SELECT doc_id, text FROM $docsPq
+         |     WHERE source <> 'src0'
+         |       AND doc_id NOT IN (SELECT doc_id FROM cdrop))""".stripMargin),
+
+    // d7's replay over the Gopher-rule survivor set: tx9's rule math at
+    // the published defaults on the RAW corpus text
+    "d18_prepare_gopher_floor" -> prepareOracle(
+      s"""gs AS (SELECT doc_id, text AS t, string_split(lower(text), ' ') AS gw,
+         |        string_split(text, chr(10)) AS gl FROM $docsPq
+         |        WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(gw) AS BIGINT) AS n_words,
+         |  round((length(t) - len(gw) + 1.0) / len(gw), 6) AS mwl,
+         |  round((length(t) - length(replace(t, '#', ''))
+         |         + (length(t) - length(replace(t, '...', ''))) // 3) * 1.0
+         |        / len(gw), 6) AS sym,
+         |  round(len(list_filter(gl, l -> starts_with(l, '- ')
+         |          OR starts_with(l, '* '))) * 1.0 / len(gl), 6) AS bf,
+         |  round(len(list_filter(gl, l -> ends_with(l, '...'))) * 1.0
+         |        / len(gl), 6) AS ef,
+         |  round(len(list_filter(gw, x -> regexp_matches(x, '[a-z]'))) * 1.0
+         |        / len(gw), 6) AS awf,
+         |  CAST(len(list_filter(gw, x -> x IN ('the','be','to','of','and',
+         |    'that','have','with'))) AS BIGINT) AS sh
+         | FROM gs),
+         |gdrop AS (SELECT doc_id FROM gm WHERE NOT (
+         |  n_words >= 50 AND n_words <= 100000
+         |  AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+         |  AND bf <= 0.9 AND ef <= 0.3 AND awf >= 0.8 AND sh >= 2)),
+         |""".stripMargin,
+      s"""(SELECT doc_id, text FROM $docsPq
+         |     WHERE doc_id NOT IN (SELECT doc_id FROM gdrop))""".stripMargin),
+
+    // integer micro-unit TF-IDF: the idf ln is rounded to micro-nats (the
+    // only transcendental; positive, so round half-up ≡ half-away), then
+    // (tf · idf_micro) // dl is floor ≡ Spark's div on the non-negative
+    // operands
+    "tx10_tfidf" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |           t -> t <> '') AS tk
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |b2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+         |       FROM b WHERE len(tk) >= 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b2),
+         |dt AS (SELECT doc_id, dl, unnest(tk) AS term FROM b2),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM dt GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, term, tf,
+         |         (tf * CAST(round(ln((nn.n + 1) * 1.0 / (df + 1)) * 1000000)
+         |            AS BIGINT)) // dl AS tfidf_micro
+         |       FROM tf JOIN df USING (term), nn),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf_micro DESC, term) AS rk FROM sc)
+         |SELECT doc_id, term, tf, tfidf_micro, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 3
+         |${orderBySql("doc_id", "term", "tf", "tfidf_micro", "rk")}""".stripMargin,
+
+    // BM25 with k1 = 1.2, b = 0.75 cleared to integers (×10S): contrib =
+    // (idf_micro · 22·tf·S) // (10·tf·S + 3·S + 9·dl·N) — exact rational,
+    // integer sum, top-25 inside the subquery before the canonical sort
+    "tx11_bm25" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |           t -> t <> '') AS tk
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |b2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+         |       FROM b WHERE len(tk) >= 1),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS s,
+         |              CAST(count(*) AS BIGINT) AS n FROM b2),
+         |qt AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM b2)
+         |       WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |ct AS (SELECT doc_id,
+         |         (CAST(round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+         |            * 1000000) AS BIGINT) * 22 * tf * st.s)
+         |         // (10 * tf * st.s + 3 * st.s + 9 * dl * st.n) AS contrib
+         |       FROM qt JOIN df USING (term), st)
+         |SELECT doc_id, score_micro FROM (
+         |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+         |  FROM ct GROUP BY doc_id
+         |  ORDER BY score_micro DESC, doc_id LIMIT 25)
+         |${orderBySql("doc_id", "score_micro")}""".stripMargin,
+
+    // every training iteration replayed: pair counts → deterministic
+    // argmax → one merge pass (see bpeCtes)
+    "bp1_bpe_train" ->
+      s"""WITH ${bpeCtes(6)}
+         |SELECT * FROM (
+         |${(1 to 6).map(i =>
+             s"""  SELECT CAST($i AS INT) AS rank, l AS "left", r AS "right",
+                |    CAST(cnt AS BIGINT) AS cnt FROM m$i""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |${orderBySql("\"rank\"", "\"left\"", "\"right\"", "cnt")}""".stripMargin,
+
+    // encode ≡ final training state: per-doc token count + fingerprint
+    // from the merged word-type table, word order preserved by the
+    // position join; token-less docs keep a (0, md5('')) row — the
+    // engine's every-input-document contract
+    "bp2_bpe_encode" ->
+      s"""WITH ${bpeCtes(6)},
+         |dws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |        FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |dw AS (SELECT doc_id, ws[i] AS w, i AS ord
+         |       FROM dws JOIN nums ON i <= len(ws) WHERE ws[i] <> ''),
+         |enc AS (SELECT doc_id, CAST(sum(len(w6.syms)) AS BIGINT) AS n_bpe_tokens,
+         |          md5(string_agg(array_to_string(w6.syms, ' '), ' ' ORDER BY ord)) AS fp
+         |        FROM dw JOIN w6 USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
+         |  coalesce(fp, md5('')) AS fp
+         |FROM (SELECT doc_id FROM $docsPq
+         |      WHERE doc_id IS NOT NULL AND text IS NOT NULL) d
+         |LEFT JOIN enc USING (doc_id)
+         |${orderBySql("doc_id", "n_bpe_tokens", "fp")}""".stripMargin
   )
 }

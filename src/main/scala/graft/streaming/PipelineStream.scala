@@ -187,6 +187,14 @@ object PipelineStream {
     * the repetition gate and before decontamination (the batch
     * composition's relative order).
     *
+    * `gopher = true` applies the Gopher/MassiveText rule floor at ingest
+    * — [[graft.llm.Quality.gopherRules]] at its published defaults
+    * (`gopherStops` the retunable knob), the batch `prepare(gopher =
+    * true)` gate with the identical parameter tail. The rules are
+    * doc-local column math: stateless per delivery, no shuffle, applied
+    * between the repetition and perplexity gates (the batch composition's
+    * relative order).
+    *
     * `normalize = true` canonicalizes delivery text FIRST
     * ([[graft.llm.Quality.normalizeText]] — the batch `prepare` order),
     * so transport noise cannot split an exact-duplicate group in cluster
@@ -225,10 +233,12 @@ object PipelineStream {
       spanMinDocs: Int = 2,
       maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
       benchDocs: Option[DataFrame] = None, contamN: Int = 5,
-      maxContamFrac: Double = 1.0,
+      maxContamFrac: Double = 1.0, contamHash: Boolean = true,
       normalize: Boolean = false,
       lmModel: Option[DataFrame] = None, maxPpl: Double = Double.MaxValue,
-      semMinCos: Double = 1.0): Unit = {
+      semMinCos: Double = 1.0,
+      gopher: Boolean = false,
+      gopherStops: Seq[String] = graft.llm.Quality.GopherStops): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
@@ -276,23 +286,33 @@ object PipelineStream {
                 col("top_bigram_frac") > maxTopBigramFrac)
               .select("doc_id"),
             Seq("doc_id"), "left_anti")
+        // Gopher rule floor: doc-local column math (the batch prepare's
+        // gate with the identical parameter tail) — no state, no shuffle
+        val gopherGated =
+          if (!gopher) repGated
+          else repGated.join(
+            graft.llm.Quality.gopherRules(repGated, "doc_id", "text",
+                stops = gopherStops)
+              .filter(!col("pass"))
+              .select("doc_id"),
+            Seq("doc_id"), "left_anti")
         // perplexity floor: stateless per delivery like the repetition
         // gate — the vocab-sized model broadcasts into the batch plan
         val pplGated = lmModel match {
           case Some(model) if maxPpl < Double.MaxValue =>
-            repGated.join(
-              graft.llm.Quality.lmPerplexity(repGated, model,
+            gopherGated.join(
+              graft.llm.Quality.lmPerplexity(gopherGated, model,
                   "doc_id", "text")
                 .filter(col("ppl") > maxPpl)
                 .select("doc_id"),
               Seq("doc_id"), "left_anti")
-          case _ => repGated
+          case _ => gopherGated
         }
         val batch = benchDocs match {
           case Some(bench) if maxContamFrac < 1.0 =>
             pplGated.join(
               graft.llm.Dedup.contaminationStats(pplGated, bench,
-                  "doc_id", "text", contamN)
+                  "doc_id", "text", contamN, hashShingles = contamHash)
                 .filter(col("contam_frac") > maxContamFrac)
                 .select("doc_id"),
               Seq("doc_id"), "left_anti")

@@ -1069,4 +1069,44 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getAs[Boolean]("pass"))).toSet
     assert(sqlGopher === typedGopher && sqlGopher.nonEmpty)
   }
+
+  test("graft_tfidf_t / graft_bm25_t / graft_bpe_train_t / graft_bpe_encode_t: relevance and tokenizer tiers from SQL ≡ typed") {
+    GraftSql.registerFunctions(spark)
+    val d = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    d.createOrReplaceTempView("rel_docs_v")
+    val sqlTfidf = spark.sql(
+      "SELECT * FROM graft_tfidf_t('rel_docs_v', 'doc_id', 'text', 3)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).toSet
+    val typedTfidf = graft.llm.Relevance.tfidfTopTerms(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(sqlTfidf === typedTfidf && sqlTfidf.nonEmpty)
+    val sqlBm25 = spark.sql(
+      "SELECT * FROM graft_bm25_t('rel_docs_v', 'doc_id', 'text', 'spark,merge', 10)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedBm25 = graft.llm.Relevance.bm25TopK(d, "doc_id", "text",
+        Seq("spark", "merge"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlBm25 === typedBm25 && sqlBm25.size === 10)
+    // BPE: trained merge table from SQL ≡ typed, then encode against the
+    // persisted view — merge view read at plan build (codebook pattern)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges_v AS
+      SELECT * FROM graft_bpe_train_t('rel_docs_v', 'doc_id', 'text', 4)""")
+    val sqlMerges = spark.table("bpe_merges_v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val typedMerges = graft.llm.Bpe.train(d, "doc_id", "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(sqlMerges === typedMerges && sqlMerges.size === 4)
+    val sqlEnc = spark.sql(
+      """SELECT * FROM graft_bpe_encode_t('rel_docs_v', 'doc_id', 'text',
+        'bpe_merges_v')""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val typedEnc = graft.llm.Bpe.encode(d, "doc_id", "text",
+        graft.llm.Bpe.train(d, "doc_id", "text", 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(sqlEnc === typedEnc && sqlEnc.nonEmpty)
+  }
 }

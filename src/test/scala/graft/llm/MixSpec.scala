@@ -515,4 +515,52 @@ class MixSpec extends AnyFunSuite {
       .filter(col("n2") =!= col("n")).count()
     assert(diff === 0L)
   }
+
+  test("Corpus.prepare gopher floor: rule failures drop, ≡ manual anti-join, default off") {
+    val stops = Seq("the", "a")
+    val markers = Seq("en" -> Seq("the"))
+    val drops = Quality.gopherRules(docs, "doc_id", "text")
+      .filter(!col("pass")).select("doc_id")
+    assert(drops.count() > 0, "fixture corpus must trip at least one rule")
+    val floored = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), gopher = true)
+      .collect().map(_.toSeq).toSet
+    val manual = Corpus.prepare(docs.join(drops, Seq("doc_id"), "left_anti"),
+        "doc_id", "text", stops, markers, 0.0, Seq("en"))
+      .collect().map(_.toSeq).toSet
+    assert(floored === manual)
+    val plain = Corpus.prepare(docs, "doc_id", "text", stops, markers,
+      0.0, Seq("en")).collect().map(_.toSeq).toSet
+    assert(plain !== floored, "the floor must change the result here")
+  }
+
+  test("Corpus.prepare decontamination: contaminated docs drop, ≡ manual anti-join, validation") {
+    val stops = Seq("the", "a")
+    val markers = Seq("en" -> Seq("the"))
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val drops = Dedup.contaminationStats(corpus, bench, "doc_id", "text", 5)
+      .filter(col("contam_frac") > 0.05).select("doc_id")
+    assert(drops.count() > 0, "fixture corpus must contain contaminated docs")
+    val floored = Corpus.prepare(corpus, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), benchDocs = Some(bench), contamN = 5,
+        maxContamFrac = 0.05)
+      .collect().map(_.toSeq).toSet
+    val manual = Corpus.prepare(corpus.join(drops, Seq("doc_id"), "left_anti"),
+        "doc_id", "text", stops, markers, 0.0, Seq("en"))
+      .collect().map(_.toSeq).toSet
+    assert(floored === manual)
+    // hashed ≡ string-keyed shingles on real data (the d9/d16 pin)
+    val strKeyed = Corpus.prepare(corpus, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), benchDocs = Some(bench), contamN = 5,
+        maxContamFrac = 0.05, contamHash = false)
+      .collect().map(_.toSeq).toSet
+    assert(strKeyed === floored)
+    // a bench set without a threshold must refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      Corpus.prepare(corpus, "doc_id", "text", stops, markers,
+        0.0, Seq("en"), benchDocs = Some(bench))
+    }
+    assert(err.getMessage.contains("maxContamFrac"))
+  }
 }

@@ -442,6 +442,53 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxPpl"))
   }
 
+  test("gopher floor at ingest: rule failures floored per delivery, gate ≡ batch rules") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipegoph").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    // MixSpec's gopher fixtures: 60 words of "the data" pass every rule;
+    // a 3-word doc and a stop-word-free doc each fail one
+    def clean(tag: String) = (0 until 30).map(i => s"the dat$tag$i")
+      .mkString(" ")
+    val short = "the of and"
+    val noStops = Array.fill(60)("data").mkString(" ")
+
+    def poll(): Unit = PipelineStream.pollIngest(spark, landing, work,
+      index, p, compactEvery = 2, gopher = true)
+
+    delivery(1L -> clean("a"), 2L -> short).write.parquet(s"$landing/d0")
+    poll()
+    assert(indexedIds() === Set(1L), "rule-failing doc floored before indexing")
+    // stateless: a second delivery's failing doc floors on its own
+    delivery(11L -> clean("b"), 12L -> noStops).write.parquet(s"$landing/d1")
+    poll()
+    assert(indexedIds() === Set(1L, 11L))
+    val assigned = DedupStream.assignments(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(assigned === Set(1L, 11L), "floored docs never entered cluster state")
+
+    // gate ≡ batch: gopherRules over the full landed corpus floors
+    // exactly the same ids (doc-local column math)
+    val all = delivery(1L -> clean("a"), 2L -> short,
+      11L -> clean("b"), 12L -> noStops).select("doc_id", "text")
+    val floored = graft.llm.Quality.gopherRules(all, "doc_id", "text")
+      .filter(!col("pass"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(floored === Set(2L, 12L))
+  }
+
   test("normalize at ingest: transport-noise variants of one content collapse to one cluster and one vector") {
     val root = java.nio.file.Files.createTempDirectory("graft_pipenorm").toString
     val landing = s"$root/landing"; val work = s"$root/work"
