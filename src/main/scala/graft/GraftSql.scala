@@ -1258,19 +1258,22 @@ object GraftSql {
     * dropped before dedup and indexing); `maxDupWordFrac` /
     * `maxTopBigramFrac < 1.0` the stateless Gopher repetition floor;
     * `benchView` (a registered view with a `text` column) plus
-    * `maxContamFrac < 1.0` the benchmark decontamination gate — all
-    * with [[graft.llm.Corpus.prepare]] / [[graft.llm.Dedup
+    * `maxContamFrac < 1.0` the benchmark decontamination gate; `gopher`
+    * the Gopher/MassiveText rule floor; `minQuality`/'stop,words' the
+    * quality floor and 'keep,langs' + 'en:the,a;de:der' the language
+    * floor — all with [[graft.llm.Corpus.prepare]] / [[graft.llm.Dedup
     * .contaminationStats]] parameter semantics. EAGER side effect;
     * isolated session for the same deadlock reason as
     * `graft_ingest_dedup_t`; returns the accumulated (doc_id, rep_id)
     * assignment table. */
   private def ingestPipelineTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ingest_pipeline_t"
-    require(args.length >= 3 && args.length <= 13,
+    require(args.length >= 3 && args.length <= 18,
       s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard[, " +
         "spanTokens[, maxDupFrac[, maxDupWordFrac[, maxTopBigramFrac[, " +
         "'benchView'[, maxContamFrac[, contamN[, normalize[, " +
-        "semMinCos]]]]]]]]]])")
+        "semMinCos[, gopher[, minQuality[, 'stop,words'[, 'keep,langs'[, " +
+        "'lang:marker,words;lang2:…']]]]]]]]]]]]]]])")
     val landing = strLit(args(0), fn, "landing dir")
     val work = strLit(args(1), fn, "work dir")
     val index = strLit(args(2), fn, "index dir")
@@ -1310,12 +1313,38 @@ object GraftSql {
     val normalize =
       if (args.length >= 12) boolLit(args(11), fn, "normalize") else false
     val semMinCos =
-      if (args.length == 13) dblLit(args(12), fn, "semMinCos") else 1.0
+      if (args.length >= 13) dblLit(args(12), fn, "semMinCos") else 1.0
+    val gopher =
+      if (args.length >= 14) boolLit(args(13), fn, "gopher") else false
+    val minQuality =
+      if (args.length >= 15) dblLit(args(14), fn, "minQuality") else 0.0
+    val qualityStops =
+      if (args.length >= 16)
+        strLit(args(15), fn, "quality stops").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq.empty[String]
+    val langs =
+      if (args.length >= 17)
+        strLit(args(16), fn, "langs").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq.empty[String]
+    // 'en:the,a;de:der,die' — language marker sets for langId
+    val langMarkers =
+      if (args.length == 18)
+        strLit(args(17), fn, "lang markers").split(";")
+          .map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+            val Array(lang, words) = part.split(":", 2)
+            lang.trim -> words.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          }
+      else Seq.empty[(String, Seq[String])]
     graft.streaming.PipelineStream.pollIngest(iso, landing,
       work, index, p, spanTokens = spanTokens, maxDupFrac = maxDupFrac,
       maxDupWordFrac = maxDupWordFrac, maxTopBigramFrac = maxTopBigramFrac,
       benchDocs = benchDocs, contamN = contamN, maxContamFrac = maxContamFrac,
-      normalize = normalize, semMinCos = semMinCos)
+      normalize = normalize, semMinCos = semMinCos, gopher = gopher,
+      minQuality = minQuality, qualityStops = qualityStops,
+      langs = langs, langMarkers = langMarkers)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }

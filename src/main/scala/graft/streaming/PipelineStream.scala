@@ -195,6 +195,16 @@ object PipelineStream {
     * between the repetition and perplexity gates (the batch composition's
     * relative order).
     *
+    * `minQuality > 0` / `langs` non-empty apply the QUALITY and LANGUAGE
+    * floors at ingest — the batch `prepare`'s built-in final filter
+    * ([[graft.llm.TextStats.qualityScore]] on the 6-decimal fixed point,
+    * [[graft.llm.TextStats.langId]] over `langMarkers`) as optional
+    * landing gates, applied last before dedup. Doc-local column math:
+    * stateless, no shuffle. With every gate enabled the landing-time
+    * recipe is now parameter-complete against the batch composition:
+    * normalize ∘ semantic ∘ span ∘ repetition ∘ gopher ∘ perplexity ∘
+    * decontamination ∘ quality ∘ language ∘ dedup.
+    *
     * `normalize = true` canonicalizes delivery text FIRST
     * ([[graft.llm.Quality.normalizeText]] — the batch `prepare` order),
     * so transport noise cannot split an exact-duplicate group in cluster
@@ -238,7 +248,11 @@ object PipelineStream {
       lmModel: Option[DataFrame] = None, maxPpl: Double = Double.MaxValue,
       semMinCos: Double = 1.0,
       gopher: Boolean = false,
-      gopherStops: Seq[String] = graft.llm.Quality.GopherStops): Unit = {
+      gopherStops: Seq[String] = graft.llm.Quality.GopherStops,
+      minQuality: Double = 0.0,
+      qualityStops: Seq[String] = Seq.empty,
+      langs: Seq[String] = Seq.empty,
+      langMarkers: Seq[(String, Seq[String])] = Seq.empty): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
@@ -249,6 +263,8 @@ object PipelineStream {
     require(lmModel.isEmpty || maxPpl < Double.MaxValue,
       "pollIngest: lmModel given but maxPpl is unset (gate off) — " +
         "set maxPpl to floor on perplexity, or drop lmModel")
+    require(langs.isEmpty == langMarkers.isEmpty,
+      "pollIngest: langs and langMarkers come together — pass both or neither")
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
@@ -308,7 +324,7 @@ object PipelineStream {
               Seq("doc_id"), "left_anti")
           case _ => gopherGated
         }
-        val batch = benchDocs match {
+        val contamGated = benchDocs match {
           case Some(bench) if maxContamFrac < 1.0 =>
             pplGated.join(
               graft.llm.Dedup.contaminationStats(pplGated, bench,
@@ -318,6 +334,19 @@ object PipelineStream {
               Seq("doc_id"), "left_anti")
           case _ => pplGated
         }
+        // quality/language floor: prepare's built-in final filter as an
+        // optional landing gate — doc-local column math, same rounded
+        // fixed point, so stream ≡ batch exactly
+        val qualityGated = {
+          val q = if (minQuality <= 0.0) contamGated
+            else contamGated.filter(round(
+              graft.llm.TextStats.qualityScore(col("text"), qualityStops),
+              6) >= minQuality)
+          if (langs.isEmpty) q
+          else q.filter(graft.llm.TextStats.langId(col("text"), langMarkers)
+            .isin(langs: _*))
+        }
+        val batch = qualityGated
         DedupStream.processBatch(sp, batch.select("doc_id", "text"),
           workDir, p, batchId)
         // explicit schema: an all-filtered batch writes an assignment dir

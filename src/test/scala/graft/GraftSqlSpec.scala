@@ -385,6 +385,20 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 4L),
       "SQL tail floors the looping and contaminated docs, like the typed gate")
+    // the 18-arg form: quality + language floors on a second delivery
+    val german = (0 until 60).map(i => s"der d$i").mkString(" ")
+    val good = (0 until 60).map(i => s"the g$i").mkString(" ")
+    Seq(11L -> good, 12L -> german)
+      .map { case (id, t) => (id, t, vec(id)) }
+      .toDF("doc_id", "text", "embedding").write.parquet(s"$landing/c2")
+    val got2 = spark.sql(
+      s"""SELECT doc_id FROM graft_ingest_pipeline_t('$landing', '$work',
+         |'$index', 0.8, 0, 1.0, 0.7, 0.25, 'pipef_bench', 0.3, 5,
+         |false, 1.0, false, 0.5, 'the,a', 'en', 'en:the;de:der')"""
+        .stripMargin.replace("\n", " "))
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(1L, 4L, 11L),
+      "quality + language floors drive from the grown SQL tail")
   }
 
   test("graft_ivf_save_t + graft_ivf_topk_indexed_t: train-once/serve-many ≡ live IVF") {

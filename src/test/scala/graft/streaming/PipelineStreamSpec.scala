@@ -489,6 +489,61 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(floored === Set(2L, 12L))
   }
 
+  test("quality/language floor at ingest: prepare's final filter as a landing gate, ≡ batch scoring") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipequal").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    val stops = Seq("the", "a")
+    val markers = Seq("en" -> Seq("the"), "de" -> Seq("der"))
+    // 120 tagged tokens, half "the" → stopword band + length prior high
+    def good(tag: String) = (0 until 60).map(i => s"the g${tag}$i")
+      .mkString(" ")
+    val lowQ = "zz"                                  // length prior ≈ 0
+    def german(tag: String) = (0 until 60).map(i => s"der d${tag}$i")
+      .mkString(" ")
+
+    def poll(): Unit = PipelineStream.pollIngest(spark, landing, work,
+      index, p, compactEvery = 2, minQuality = 0.5,
+      qualityStops = stops, langs = Seq("en"), langMarkers = markers)
+
+    delivery(1L -> good("a"), 2L -> lowQ, 3L -> german("a"))
+      .write.parquet(s"$landing/d0")
+    poll()
+    assert(indexedIds() === Set(1L),
+      "low-quality and off-language docs floored before indexing")
+    delivery(11L -> good("b"), 12L -> german("b")).write.parquet(s"$landing/d1")
+    poll()
+    assert(indexedIds() === Set(1L, 11L))
+
+    // gate ≡ batch: the same rounded quality score + langId over the
+    // landed corpus keeps exactly the same ids
+    val all = delivery(1L -> good("a"), 2L -> lowQ, 3L -> german("a"),
+      11L -> good("b"), 12L -> german("b")).select("doc_id", "text")
+    val kept = all.filter(round(
+        graft.llm.TextStats.qualityScore(col("text"), stops), 6) >= 0.5 &&
+        graft.llm.TextStats.langId(col("text"), markers) === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 11L))
+    // langs without markers must refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      PipelineStream.pollIngest(spark, landing, work, index, p,
+        langs = Seq("en"))
+    }
+    assert(err.getMessage.contains("langMarkers"))
+  }
+
   test("normalize at ingest: transport-noise variants of one content collapse to one cluster and one vector") {
     val root = java.nio.file.Files.createTempDirectory("graft_pipenorm").toString
     val landing = s"$root/landing"; val work = s"$root/work"
