@@ -184,7 +184,9 @@ import scala.collection.mutable
   *   - `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` /
   *     `graft_bpe_encode_t('docsV', 'id', 'text', 'mergesV')` — BPE
   *     tokenizer training (the merge table) and subword encoding
-  *     (per-doc token count + token-stream fingerprint).
+  *     (per-doc token count + token-stream fingerprint);
+  *   - `graft_chunk_t('docsV', 'id', 'text', maxTokens[, overlap])` —
+  *     context-length chunking with sliding-window overlap.
   *
   * The §2.8 scalar surface (string/date/math/array/map/JSON) is Spark SQL
   * built-ins and needs no registration. DataFrame-valued operators
@@ -397,6 +399,10 @@ object GraftSql {
       FunctionIdentifier("graft_normalize_t"),
       new ExpressionInfo("graft.GraftSql", "graft_normalize_t"),
       (args: Seq[Expression]) => normalizeTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_chunk_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_chunk_t"),
+      (args: Seq[Expression]) => chunkTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_tfidf_t"),
       new ExpressionInfo("graft.GraftSql", "graft_tfidf_t"),
@@ -927,6 +933,21 @@ object GraftSql {
       SparkSession.active.table(strLit(args(3), fn, "target model view")),
       SparkSession.active.table(strLit(args(4), fn, "source model view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
+      .queryExecution.logical
+  }
+
+  /** `graft_chunk_t('docsV', 'id', 'text', maxTokens[, overlap])` —
+    * [[graft.llm.Sampling.chunkDocs]] from SQL: context-length chunks
+    * with optional overlap. */
+  private def chunkTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_chunk_t"
+    require(args.length == 4 || args.length == 5,
+      s"usage: $fn('docsView', 'idCol', 'textCol', maxTokens[, overlap])")
+    graft.llm.Sampling.chunkDocs(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      lngLit(args(3), fn, "maxTokens").toInt,
+      if (args.length == 5) lngLit(args(4), fn, "overlap").toInt else 0)
       .queryExecution.logical
   }
 

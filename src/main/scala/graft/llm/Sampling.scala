@@ -133,6 +133,52 @@ object Sampling {
       .filter(col("rk") <= kCol)
   }
 
+  /** Context-length CHUNKING — the dual of [[packGreedy]]: split every
+    * document into `maxTokens`-token training chunks, consecutive chunks
+    * overlapping by `overlap` tokens (the sliding-window long-document
+    * recipe; `overlap = 0` partitions the token stream exactly). Chunk
+    * starts step by `maxTokens − overlap` while they still add uncovered
+    * tokens (a trailing start whose window is fully contained in the
+    * previous chunk — possible only with overlap — is not emitted);
+    * the final chunk is short when the document doesn't divide evenly,
+    * and a document of ≤ `maxTokens` tokens yields itself as its single
+    * chunk. Tokens are `' '`-split
+    * (the engine-wide phantom-token contract), chunks re-join by single
+    * spaces — with `overlap = 0` the chunks concatenate back to the
+    * exact original text.
+    *
+    * Scale shape: pure per-row column math (slice + concat off one bound
+    * token array) feeding ONE posexplode — no shuffle, no state; at
+    * 100 TB this is a flat map over the scan, and the output inherits
+    * the input's partitioning.
+    *
+    * Output: (doc_id, chunk_id, n_tokens, chunk_text) with chunk_id
+    * 0-based per document in stream order. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
+    val stride = maxTokens - overlap
+    val tok = col("_tok")
+    val n = size(tok)
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_tok"))
+      .select(col("doc_id"), tok, n.as("_n"))
+      // _n ≥ 1 always (split of "" is [""]), so the sequence is non-empty;
+      // upper bound _n − overlap: a start past it would emit a window the
+      // previous chunk already covers entirely
+      .select(col("doc_id"), tok, col("_n"),
+        posexplode(sequence(lit(1),
+          greatest(lit(1), col("_n") - overlap), lit(stride)))
+          .as(Seq("chunk_id", "_s")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(maxTokens), col("_n") - col("_s") + 1).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(tok, col("_s"), lit(maxTokens)))
+          .as("chunk_text"))
+  }
+
   /** Internal row shape for [[packGreedy]] — public because Catalyst's
     * generated deserializer instantiates it from codegen'd bytecode. */
   case class PackRow(strata: String, shard: Int, doc_id: Long, n_tok: Long)

@@ -674,6 +674,12 @@ object LlmQueries {
       val d = docs(s, dir)
       sortAll(Bpe.encode(d, "doc_id", "text",
         Bpe.train(d, "doc_id", "text", 6)))
+    }),
+
+    // Context-length chunking: 32-token chunks with 8-token overlap —
+    // pure per-row slice math + one posexplode, no shuffle
+    "ck1_chunk_docs" -> ((s, dir) => {
+      sortAll(Sampling.chunkDocs(docs(s, dir), "doc_id", "text", 32, 8))
     })
   )
 
@@ -1759,6 +1765,21 @@ object LlmQueries {
     // from the merged word-type table, word order preserved by the
     // position join; token-less docs keep a (0, md5('')) row — the
     // engine's every-input-document contract
+    // chunk starts by generate_series with the stride; slice + rejoin —
+    // the engine's exact expression tree
+    "ck1_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |           FROM $docsPq
+         |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |st AS (SELECT doc_id, tk, len(tk) AS n,
+         |         unnest(generate_series(1, greatest(1, len(tk) - 8), 24)) AS s
+         |       FROM t)
+         |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+         |  CAST(least(32, n - s + 1) AS BIGINT) AS n_tokens,
+         |  array_to_string(tk[s : s + 31], ' ') AS chunk_text
+         |FROM st
+         |${orderBySql("doc_id", "chunk_id", "n_tokens", "chunk_text")}""".stripMargin,
+
     "bp2_bpe_encode" ->
       s"""WITH ${bpeCtes(6)},
          |dws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws

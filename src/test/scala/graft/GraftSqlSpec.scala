@@ -1122,5 +1122,13 @@ class GraftSqlSpec extends AnyFunSuite {
         graft.llm.Bpe.train(d, "doc_id", "text", 4))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(sqlEnc === typedEnc && sqlEnc.nonEmpty)
+    val sqlChunk = spark.sql(
+      "SELECT * FROM graft_chunk_t('rel_docs_v', 'doc_id', 'text', 32, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val typedChunk = graft.llm.Sampling.chunkDocs(d, "doc_id", "text", 32, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(sqlChunk === typedChunk && sqlChunk.nonEmpty)
   }
 }

@@ -516,6 +516,39 @@ class MixSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("chunkDocs: exact boundaries, overlap stride, short-doc identity, zero-overlap reassembly") {
+    val fix = Seq(
+      1L -> "a b c d e f g h",  // 8 tokens
+      2L -> "x y",              // shorter than maxTokens
+      3L -> "p q r s t"         // 5 tokens, uneven tail
+    ).toDF("doc_id", "text")
+    // maxTokens = 4, overlap = 2 → stride 2: doc 1 starts 1,3,5 (a start
+    // at 7 would be fully contained in the 5..8 chunk and is not emitted)
+    val out = Sampling.chunkDocs(fix, "doc_id", "text", 4, 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out((1L, 0L)) === ((4L, "a b c d")))
+    assert(out((1L, 1L)) === ((4L, "c d e f")))
+    assert(out((1L, 2L)) === ((4L, "e f g h")))
+    assert(out((2L, 0L)) === ((2L, "x y")))
+    assert(out((3L, 0L)) === ((4L, "p q r s")))
+    assert(out((3L, 1L)) === ((3L, "r s t")))
+    assert(out.size === 3 + 1 + 2)
+    // zero overlap partitions the stream: chunks re-concatenate exactly
+    val zero = Sampling.chunkDocs(docs, "doc_id", "text", 32, 0)
+    assert(zero.filter(col("n_tokens") > 32).count() === 0L)
+    val rebuilt = zero.groupBy("doc_id")
+      .agg(concat_ws(" ", sort_array(collect_list(
+        struct(col("chunk_id"), col("chunk_text")))).getField("chunk_text"))
+        .as("re"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("re") =!= col("text")).count()
+    assert(rebuilt === 0L, "overlap=0 chunks must reassemble the text")
+    intercept[IllegalArgumentException] {
+      Sampling.chunkDocs(fix, "doc_id", "text", 4, 4)
+    }
+  }
+
   test("Corpus.prepare gopher floor: rule failures drop, ≡ manual anti-join, default off") {
     val stops = Seq("the", "a")
     val markers = Seq("en" -> Seq("the"))
