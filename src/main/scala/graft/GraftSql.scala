@@ -1354,9 +1354,13 @@ object GraftSql {
       if (args.length == 18)
         strLit(args(17), fn, "lang markers").split(";")
           .map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
-            val Array(lang, words) = part.split(":", 2)
-            lang.trim -> words.split(",").map(_.trim)
-              .filter(_.nonEmpty).toSeq
+            val sep = part.indexOf(':')
+            require(sep > 0 && sep < part.length - 1,
+              s"$fn: malformed lang-marker segment '$part' — expected " +
+                "'lang:word,word' entries separated by ';'")
+            part.substring(0, sep).trim ->
+              part.substring(sep + 1).split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq
           }
       else Seq.empty[(String, Seq[String])]
     graft.streaming.PipelineStream.pollIngest(iso, landing,

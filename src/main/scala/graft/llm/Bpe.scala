@@ -146,6 +146,13 @@ object Bpe {
     * preserved), per input document with non-null id and text. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: DataFrame): DataFrame = {
+    // a non-numeric id would coerce to null in the cast below and NPE in
+    // the typed encoder — fail with the actual problem instead (the
+    // packGreedy contract)
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"encode requires a numeric id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString)
     val spark = docs.sparkSession
     import spark.implicits._
     val ms: Seq[(String, String)] = merges
@@ -158,11 +165,18 @@ object Bpe {
       .as[(Long, String)]
     in.mapPartitions { it =>
       val cache = scala.collection.mutable.HashMap.empty[String, String]
-      def encodeWord(w: String): String = cache.getOrElseUpdate(w, {
-        var syms: Seq[String] = w.split("").toSeq
-        ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-        syms.mkString(" ")
-      })
+      def encodeWord(w: String): String = {
+        // bounded memo: a pathological partition (every word distinct)
+        // must not grow the map past executor memory — dropping the whole
+        // cache is correct (pure function) and keeps the common case
+        // (Zipfian corpora) fully memoized
+        if (cache.size >= 2000000) cache.clear()
+        cache.getOrElseUpdate(w, {
+          var syms: Seq[String] = w.split("").toSeq
+          ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+          syms.mkString(" ")
+        })
+      }
       it.map { case (id, t) =>
         val toks = t.split(" ").iterator.filter(_.nonEmpty)
           .map(encodeWord).mkString(" ")

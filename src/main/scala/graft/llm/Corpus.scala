@@ -67,13 +67,13 @@ object Corpus {
     * [[Similarity.semDedupPairs]] for the 100 TB shape.
     *
     * `gopher = true` additionally applies the Gopher/MassiveText rule
-    * floor ([[Quality.gopherRules]] at its published defaults, with
+    * floor ([[Quality.gopherPass]] at its published defaults, with
     * `gopherStops` the one commonly-retuned knob): documents failing any
-    * of the seven rules are dropped. The rules are per-row column math,
-    * so this gate adds NO shuffle at all — it folds into the scan.
-    * Custom thresholds compose manually:
-    * `docs.join(gopherRules(...).filter(!col("pass")).select(id), id,
-    * "left_anti")` ahead of `prepare`.
+    * of the seven rules are dropped. The rules are per-row column math
+    * applied as a TRUE filter, so this gate adds NO shuffle at all — it
+    * folds into the scan. Custom thresholds compose manually:
+    * `docs.filter(Quality.gopherPass(col(text), ...))` ahead of
+    * `prepare`.
     *
     * `benchDocs` (with `maxContamFrac < 1.0`) additionally applies
     * BENCHMARK DECONTAMINATION ([[Dedup.contaminationStats]] as a
@@ -143,15 +143,16 @@ object Corpus {
             col("top_bigram_frac") > maxTopBigramFrac)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")
-    // the Gopher rule floor is doc-local column math — a filter on the
-    // pass flag, not a join, so it costs nothing beyond the scan
+    // the Gopher rule floor is doc-local column math — a TRUE filter
+    // (gopherPass folds into the scan), never a drop-list anti-join:
+    // Gopher drops ~half of raw web text, so the list outgrows broadcast
+    // and the join would shuffle both corpus-sized sides. Null-id/text
+    // rows pass through here (the gopherRules scoring contract) and die
+    // in the final quality filter like everywhere else.
     val gopherFloored =
       if (!gopher) repFloored
-      else repFloored.join(
-        Quality.gopherRules(repFloored, idCol, textCol, stops = gopherStops)
-          .filter(!col("pass"))
-          .select(col("doc_id").as(idCol)),
-        Seq(idCol), "left_anti")
+      else repFloored.filter(col(idCol).isNull || col(textCol).isNull ||
+        Quality.gopherPass(col(textCol), stops = gopherStops))
     val pplFloored = lm match {
       case Some(model) if maxPpl < Double.MaxValue =>
         gopherFloored.join(

@@ -201,16 +201,14 @@ object Quality {
     * id and text. Compose as a floor via
     * `docs.join(gopherRules(...).filter(!col("pass")).select(id), id,
     * "left_anti")` — or feed the per-rule columns to an audit. */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Long = 50, maxWords: Long = 100000,
-      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1,
-      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
-      minAlphaWordFrac: Double = 0.8,
-      stops: Seq[String] = GopherStops, minStopHits: Long = 2,
-      sep: String = "\n"): DataFrame = {
-    require(sep.nonEmpty, "gopherRules: sep must be non-empty")
-    val t = col(textCol)
+  /** The seven per-document Gopher signals over a text column, rounded
+    * to the 6-decimal fixed point where applicable: (n_words,
+    * mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+    * alpha_word_frac, stop_hits). Shared by [[gopherRules]] (the audit
+    * table) and [[gopherPass]] (the scan-filter predicate) so the two
+    * can never diverge on the math. */
+  private def gopherSignals(t: Column, stops: Seq[String], sep: String):
+      (Column, Column, Column, Column, Column, Column, Column) = {
     val w = split(lower(t), " ")
     val nW = size(w)
     val meanWl = round((length(t) - nW + 1).cast("double") / nW, 6)
@@ -228,8 +226,49 @@ object Quality {
     val alphaFrac = round(size(filter(w,
       x => x.rlike("[a-z]"))).cast("double") / nW, 6)
     val stopHits = size(filter(w, x => x.isInCollection(stops))).cast("long")
+    (nW.cast("long"), meanWl, symbolRatio, bulletFrac, ellipsisFrac,
+      alphaFrac, stopHits)
+  }
+
+  /** The Gopher rule set as a single boolean COLUMN over a text column —
+    * the scan-filter form for composing the floor into `Corpus.prepare`
+    * and ingest without any join: `docs.filter(gopherPass(col(text)))` is
+    * pure per-row math the optimizer folds into the scan (a drop-list
+    * anti-join would shuffle both corpus-sized sides once the list
+    * outgrows broadcast — Gopher drops ~half of raw web text). Evaluates
+    * null (≡ drop under `filter`) on null text; same rounded fixed point
+    * and identical signal expressions as [[gopherRules]]' pass flag. */
+  def gopherPass(t: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      stops: Seq[String] = GopherStops, minStopHits: Long = 2,
+      sep: String = "\n"): Column = {
+    require(sep.nonEmpty, "gopherPass: sep must be non-empty")
+    val (nW, meanWl, symbolRatio, bulletFrac, ellipsisFrac, alphaFrac,
+      stopHits) = gopherSignals(t, stops, sep)
+    nW >= minWords && nW <= maxWords &&
+      meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen &&
+      symbolRatio <= maxSymbolRatio &&
+      bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+      alphaFrac >= minAlphaWordFrac && stopHits >= minStopHits
+  }
+
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      stops: Seq[String] = GopherStops, minStopHits: Long = 2,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "gopherRules: sep must be non-empty")
+    val (nW, meanWl, symbolRatio, bulletFrac, ellipsisFrac, alphaFrac,
+      stopHits) = gopherSignals(col(textCol), stops, sep)
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), nW.cast("long").as("n_words"),
+      .select(col(idCol).as("doc_id"), nW.as("n_words"),
         meanWl.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
         bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
         alphaFrac.as("alpha_word_frac"), stopHits.as("stop_hits"))

@@ -89,6 +89,29 @@ object CoverageQueries {
           min("event_id").as("min_id"), max("event_id").as("max_id")))
     }),
 
+    // S4+S7 at the LLM-corpus interchange format: JSONL sink then source
+    // round trip — write the documents table as line-delimited JSON, read
+    // it back with an explicit schema, and aggregate with a per-text md5
+    // fingerprint SUM so JSON string escaping must round-trip every byte
+    // of every document for the hash gate to pass. Oracle runs the same
+    // aggregate on the parquet directly.
+    "s12_jsonl_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = s"/tmp/graft_jsonl_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      d.select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .coalesce(1).write.mode("overwrite").json(path)
+      val back = s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("text", StringType))))
+        .json(path)
+      sortAll(back.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("sum_fp"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id")))
+    }),
+
     // A4: mean over event group (reference nanmean per event slice,
     // social_behaviour_detection.py:354-356)
     "a4_mean_event" -> ((s, dir) => {
@@ -436,6 +459,15 @@ object CoverageQueries {
          |FROM events WHERE event_type IN ('purchase', 'signup')
          |GROUP BY event_type
          |${orderBySql("event_type", "n", "sum_cents", "min_id", "max_id")}""".stripMargin,
+
+    "s12_jsonl_roundtrip" ->
+      s"""SELECT lang, source, count(*) AS n,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS sum_fp,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents GROUP BY 1, 2
+         |${orderBySql("lang", "source", "n", "sum_chars", "sum_fp",
+              "min_id", "max_id")}""".stripMargin,
 
     "a4_mean_event" ->
       s"""SELECT event_type,

@@ -265,6 +265,14 @@ object PipelineStream {
         "set maxPpl to floor on perplexity, or drop lmModel")
     require(langs.isEmpty == langMarkers.isEmpty,
       "pollIngest: langs and langMarkers come together — pass both or neither")
+    // an empty stop list zeroes the score's 0.3 stopword band — a caller
+    // flooring at minQuality > 0.7 would silently drop EVERYTHING, and
+    // any positive floor would silently diverge from the batch prepare
+    // (where stops is a mandatory argument feeding the same score)
+    require(minQuality <= 0.0 || qualityStops.nonEmpty,
+      "pollIngest: minQuality set but qualityStops is empty — the quality " +
+        "score's stopword band would be zero for every document; pass the " +
+        "stop list the batch prepare uses")
     spark.readStream.schema(landingSchema).parquet(s"$landingDir/*")
       .writeStream.option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append")
@@ -303,15 +311,12 @@ object PipelineStream {
               .select("doc_id"),
             Seq("doc_id"), "left_anti")
         // Gopher rule floor: doc-local column math (the batch prepare's
-        // gate with the identical parameter tail) — no state, no shuffle
+        // gate with the identical parameter tail) — a TRUE filter via
+        // gopherPass, no join, no state, no shuffle
         val gopherGated =
           if (!gopher) repGated
-          else repGated.join(
-            graft.llm.Quality.gopherRules(repGated, "doc_id", "text",
-                stops = gopherStops)
-              .filter(!col("pass"))
-              .select("doc_id"),
-            Seq("doc_id"), "left_anti")
+          else repGated.filter(col("doc_id").isNull || col("text").isNull ||
+            graft.llm.Quality.gopherPass(col("text"), stops = gopherStops))
         // perplexity floor: stateless per delivery like the repetition
         // gate — the vocab-sized model broadcasts into the batch plan
         val pplGated = lmModel match {
