@@ -83,6 +83,25 @@ class BpeSpec extends AnyFunSuite {
     assert(out(2L) === ((0L, emptyMd5)))
   }
 
+  test("train and encode are partition-invariant (cluster-layout independence)") {
+    val merges = Bpe.train(docs, "doc_id", "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val merges7 = Bpe.train(docs.repartition(7), "doc_id", "text", 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(merges === merges7,
+      "pair counts are aggregates and the argmax tie-break is total — " +
+        "the merge table must not depend on partitioning")
+    val m = Bpe.train(docs, "doc_id", "text", 4)
+    val enc = Bpe.encode(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val enc7 = Bpe.encode(docs.repartition(7), "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(enc === enc7)
+  }
+
   test("corpus: encode emits one row per doc; subword count ≤ character count") {
     val merges = Bpe.train(docs, "doc_id", "text", 4)
     assert(merges.count() === 4L)

@@ -65,6 +65,19 @@ class RelevanceSpec extends AnyFunSuite {
     assert(noTerm.map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("tfidf and bm25 are partition-invariant") {
+    val a = Relevance.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    val b = Relevance.tfidfTopTerms(docs.repartition(7), "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    val c = Relevance.bm25TopK(docs, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(_.toSeq).toSet
+    val e = Relevance.bm25TopK(docs.repartition(7), "doc_id", "text",
+      Seq("spark"), 10).collect().map(_.toSeq).toSet
+    assert(c === e)
+  }
+
   test("validation: empty query terms and k < 1 are refused") {
     intercept[IllegalArgumentException] {
       Relevance.bm25TopK(fix, "doc_id", "text", Seq.empty, 5)
