@@ -1648,18 +1648,22 @@ object GraftSql {
     * (dynamic partition pruning over the cell-partitioned layout). */
   private def ivfTopkIndexedTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ivf_topk_indexed_t"
-    require(args.length >= 6 && args.length <= 7,
-      s"usage: $fn('queriesView', 'dir', 'idCol', 'vecCol', k, nprobe[, salt])")
+    require(args.length >= 6 && args.length <= 8,
+      s"usage: $fn('queriesView', 'dir', 'idCol', 'vecCol', k, nprobe" +
+        "[, salt[, 'allowView']])")
     val qv = strLit(args(0), fn, "queries view")
     val dir = strLit(args(1), fn, "index dir")
     val idCol = strLit(args(2), fn, "id column")
     val vecCol = strLit(args(3), fn, "vector column")
     val k = lngLit(args(4), fn, "k").toInt
     val nprobe = lngLit(args(5), fn, "nprobe").toInt
-    val salt = if (args.length == 7) lngLit(args(6), fn, "salt").toInt else 1
+    val salt = if (args.length >= 7) lngLit(args(6), fn, "salt").toInt else 1
     val spark = SparkSession.active
+    // filtered search: the allow view's id column is the serve's idCol
+    val allow = if (args.length == 8)
+      Some(spark.table(strLit(args(7), fn, "allow view"))) else None
     graft.llm.Similarity.ivfTopKIndexed(spark.table(qv), dir, idCol, vecCol,
-        k, nprobe, salt)
+        k, nprobe, salt, allow = allow, allowIdCol = idCol)
       .queryExecution.logical
   }
 

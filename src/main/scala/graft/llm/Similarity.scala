@@ -608,14 +608,34 @@ object Similarity {
     * version): no training, no corpus assignment, and the scoring join
     * scans only the probed cells' partitions (dynamic partition pruning
     * from the broadcast query side). Same contract as [[ivfTopK]]
-    * otherwise, `salt` included. */
+    * otherwise, `salt` included.
+    *
+    * `allow` switches on FILTERED search — the vector-database "search
+    * within a predicate" feature: candidates are restricted to the ids in
+    * `allow`'s `allowIdCol` column BEFORE ranking, so the result is the
+    * true top-k of the allowed subset (filtering a plain top-k result
+    * AFTER the fact returns fewer than k and silently loses the allowed
+    * neighbors ranked below the global winners — different semantics).
+    * Scale shape: one left-semi join between the probed-cells scan and
+    * the allowlist — Spark broadcasts a small list (tag/ACL filters) and
+    * shuffles on the uniform id key when the list is corpus-scale (e.g.
+    * "only documents surviving the latest prepare"); no skew exists on
+    * either side by the unique-id contract. */
   def ivfTopKIndexed(queries: DataFrame, indexDir: String, idCol: String,
-      vecCol: String, k: Int, nprobe: Int, salt: Int = 1): DataFrame = {
+      vecCol: String, k: Int, nprobe: Int, salt: Int = 1,
+      allow: Option[DataFrame] = None,
+      allowIdCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
     val cents = spark.read.parquet(s"$vdir/centroids")
+    val corpus = allow match {
+      case Some(a) => ivfCorpus(spark, vdir).join(
+        a.select(col(allowIdCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      case None => ivfCorpus(spark, vdir)
+    }
     ivfScore(probedQueries(queries, cents, idCol, vecCol, nprobe),
-      ivfCorpus(spark, vdir), k, salt)
+      corpus, k, salt)
   }
 
   /** The serving corpus of a version dir: the base cell-partitioned

@@ -680,6 +680,25 @@ object LlmQueries {
     // pure per-row slice math + one posexplode, no shuffle
     "ck1_chunk_docs" -> ((s, dir) => {
       sortAll(Sampling.chunkDocs(docs(s, dir), "doc_id", "text", 32, 8))
+    }),
+
+    // FILTERED ANN serving (the vector-DB "search within a predicate"):
+    // ann3's persisted index, candidates restricted to vec_id % 3 == 0
+    // BEFORE ranking — the true top-5 of the allowed subset, which
+    // post-filtering a plain top-5 cannot produce
+    "ann9_ivf_filtered" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann9").toString
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", idx, nlist = 8,
+        centroids = Some(cents))
+      val q = e.filter(col("vec_id") < 50)
+      val allow = e.filter(col("vec_id") % 3 === 0).select("vec_id")
+      sortAll(Similarity.ivfTopKIndexed(q, idx, "vec_id", "embedding",
+          k = 5, nprobe = 3, allow = Some(allow))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos")))
     })
   )
 
@@ -771,11 +790,18 @@ object LlmQueries {
     * (nprobe=1), 3-cell query probes, exact top-5 within probed cells —
     * the served result of ann3 (indexed), ann4 (float append), and ann5
     * (quantized append + full-width refine) alike. */
-  private val probedCellTop5Oracle =
+  private val probedCellTop5Oracle = probedCellTop5OracleWhere("")
+
+  /** The probed-cell replay with an optional candidate restriction — the
+    * filtered-search (ann9) form; the predicate lands on the corpus CTE,
+    * which the cell-assignment CTE also reads, exactly like the engine's
+    * left-semi BEFORE scoring (assignment itself comes from the stored
+    * index either way). */
+  private def probedCellTop5OracleWhere(corpusWhere: String) =
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |           FROM $embsPq WHERE vec_id < 50),
        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-       |      FROM $embsPq),
+       |      FROM $embsPq $corpusWhere),
        |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
        |         FROM $embsPq WHERE vec_id < 8),
        |ca AS (SELECT neighbor_id, cell FROM (
@@ -928,6 +954,9 @@ object LlmQueries {
     // the probed-cell scoring replay of ann2, emitting the served top-5
     // rows themselves (indexed path ≡ live path ≡ this SQL)
     "ann3_ivf_indexed" -> probedCellTop5Oracle,
+
+    "ann9_ivf_filtered" ->
+      probedCellTop5OracleWhere("WHERE vec_id % 3 = 0"),
 
     // arrival order cannot change cell assignment → identical replay
     "ann4_ivf_appended" -> probedCellTop5Oracle,

@@ -423,6 +423,19 @@ class GraftSqlSpec extends AnyFunSuite {
         "vec_id", "embedding", 5, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fromSql === live)
+    // filtered search through the 8-arg tail ≡ the typed allow path
+    emb.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === 0)
+      .select("vec_id").createOrReplaceTempView("ivfidx_allow")
+    val fromSqlF = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_indexed_t('ivfidx_q', '$dir', 'vec_id', 'embedding', " +
+      "5, 3, 1, 'ivfidx_allow')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val typedF = graft.llm.Similarity.ivfTopKIndexed(
+        spark.table("ivfidx_q"), dir, "vec_id", "embedding", 5, 3,
+        allow = Some(spark.table("ivfidx_allow")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSqlF === typedF && typedF.nonEmpty)
+    assert(fromSqlF !== fromSql, "the allow list must change the result")
   }
 
   test("graft_ivf_append_t: incremental growth from SQL ≡ typed append; compact flag folds") {

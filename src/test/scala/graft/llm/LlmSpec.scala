@@ -319,6 +319,38 @@ class LlmSpec extends AnyFunSuite {
     assert(vdirs === Seq("v3"), s"superseded/crashed versions must sweep: $vdirs")
   }
 
+  test("filtered ANN serving: true top-k of the allowed subset, not a post-filter of the global top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfflt").toString
+    val q = embs.filter(col("vec_id") % 37 === 0)
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", dir, nlist = 8)
+    val allow = embs.filter(col("vec_id") % 3 === 0).select("vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filtered = rows(Similarity.ivfTopKIndexed(q, dir, "vec_id",
+      "embedding", k = 5, nprobe = 3, allow = Some(allow)))
+    // ≡ serving a corpus that only ever contained the allowed ids (same
+    // stored centroids: inject them so assignments match)
+    val cents = Similarity.ivfCentroids(spark, dir)
+      .select(col("cell"), col("_cv"))
+    val dirAllowed = java.nio.file.Files
+      .createTempDirectory("graft_ivfflt2").toString
+    Similarity.saveIvfIndex(embs.filter(col("vec_id") % 3 === 0), "vec_id",
+      "embedding", dirAllowed, nlist = 8, centroids = Some(cents))
+    val subsetServe = rows(Similarity.ivfTopKIndexed(q, dirAllowed,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    assert(filtered === subsetServe,
+      "filtered serve ≡ serving the allowed-only corpus")
+    // and ≠ post-filtering the unfiltered top-k: that returns fewer than
+    // k for queries whose global winners are disallowed
+    val global = Similarity.ivfTopKIndexed(q, dir, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    val postFiltered = rows(global.filter(col("neighbor_id") % 3 === 0))
+    assert(postFiltered.subsetOf(filtered) && postFiltered.size < filtered.size,
+      "post-filtering loses allowed neighbors ranked below global winners")
+    // every returned neighbor honors the predicate
+    assert(filtered.forall(_._2 % 3 == 0))
+  }
+
   test("IVF append: served ≡ live over the grown corpus; crash-safe deltas; compaction folds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
     val base = embs.filter(col("vec_id") % 5 =!= 0)
