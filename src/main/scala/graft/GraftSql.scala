@@ -1659,9 +1659,20 @@ object GraftSql {
     val nprobe = lngLit(args(5), fn, "nprobe").toInt
     val salt = if (args.length >= 7) lngLit(args(6), fn, "salt").toInt else 1
     val spark = SparkSession.active
-    // filtered search: the allow view's id column is the serve's idCol
-    val allow = if (args.length == 8)
-      Some(spark.table(strLit(args(7), fn, "allow view"))) else None
+    // filtered search: a single-column allow view resolves positionally
+    // (renamed to the serve's idCol); a wider one must carry idCol by
+    // name — stated here so the failure names the contract instead of
+    // surfacing as an unresolved-column AnalysisException downstream
+    val allow = if (args.length == 8) {
+      val av = spark.table(strLit(args(7), fn, "allow view"))
+      if (av.columns.length == 1) Some(av.toDF(idCol))
+      else {
+        require(av.columns.contains(idCol),
+          s"$fn: allow view must have exactly one column or contain the " +
+            s"id column '$idCol' (has: ${av.columns.mkString(", ")})")
+        Some(av)
+      }
+    } else None
     graft.llm.Similarity.ivfTopKIndexed(spark.table(qv), dir, idCol, vecCol,
         k, nprobe, salt, allow = allow, allowIdCol = idCol)
       .queryExecution.logical

@@ -97,7 +97,11 @@ object CoverageQueries {
     // aggregate on the parquet directly.
     "s12_jsonl_roundtrip" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val path = s"/tmp/graft_jsonl_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      // per-invocation temp dir (the ANN-query convention): a fixed
+      // dir-derived path raced when two harness runs shared an sf dir —
+      // one overwrote while the other read back
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_roundtrip").toString
       d.select(col("doc_id"), col("lang"), col("source"), col("text"))
         .coalesce(1).write.mode("overwrite").json(path)
       val back = s.read.schema(StructType(Seq(

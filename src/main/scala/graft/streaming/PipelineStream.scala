@@ -243,7 +243,7 @@ object PipelineStream {
       spanMinDocs: Int = 2,
       maxDupWordFrac: Double = 1.0, maxTopBigramFrac: Double = 1.0,
       benchDocs: Option[DataFrame] = None, contamN: Int = 5,
-      maxContamFrac: Double = 1.0, contamHash: Boolean = true,
+      maxContamFrac: Double = 1.0,
       normalize: Boolean = false,
       lmModel: Option[DataFrame] = None, maxPpl: Double = Double.MaxValue,
       semMinCos: Double = 1.0,
@@ -252,7 +252,12 @@ object PipelineStream {
       minQuality: Double = 0.0,
       qualityStops: Seq[String] = Seq.empty,
       langs: Seq[String] = Seq.empty,
-      langMarkers: Seq[(String, Seq[String])] = Seq.empty): Unit = {
+      langMarkers: Seq[(String, Seq[String])] = Seq.empty,
+      // new defaulted parameters go at the END of the list (the
+      // Corpus.prepare convention): contamHash was once inserted
+      // mid-signature and any positional caller written against the old
+      // shape would have silently bound its normalize flag here
+      contamHash: Boolean = true): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
