@@ -25,6 +25,15 @@ object Tables {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+    // ObjectHashAggregate (every TypedImperativeAggregate — the capped
+    // by-key span/line aggregates) falls back to SORT-based aggregation
+    // after 128 distinct keys by default, silently sorting corpus-sized
+    // window-key streams. The capped buffers are small by construction
+    // (≤ cap entries each), so 256k keys per task is tens of MB — hold
+    // the hash path that long; genuinely huge per-task key counts still
+    // fall back to sort instead of OOMing.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "262144")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

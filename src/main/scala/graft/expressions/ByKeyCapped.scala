@@ -114,7 +114,31 @@ case class CollectByKeyCapped(
   @transient private lazy val projection = UnsafeProjection.create(
     Array[DataType](key.dataType, ArrayType(value.dataType, containsNull = false)))
 
+  /** The span operators' exact shape (long doc id, int position) gets a
+    * fixed-width direct encoding: one exact-size buffer, no per-entry
+    * UnsafeProjection or stream — buffer (de)serialization is the
+    * measured floor of the single-exchange span family at bench scale
+    * (hundreds of thousands of tiny buffers per query). The choice is
+    * static in the expression's child types, so both sides of a shuffle
+    * always agree on the wire format. */
+  @transient private lazy val primitiveLI =
+    key.dataType == LongType && value.dataType == IntegerType
+
   override def serialize(obj: KeyedCapBuffer): Array[Byte] = {
+    if (primitiveLI) {
+      if (obj.overflow) return Array[Byte](1)
+      var size = 1
+      obj.m.foreach { case (_, vs) => size += 12 + 4 * vs.length }
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.put(0: Byte)
+      obj.m.foreach { case (k, vs) =>
+        bb.putLong(k.asInstanceOf[Long])
+        bb.putInt(vs.length)
+        var i = 0
+        while (i < vs.length) { bb.putInt(vs(i).asInstanceOf[Int]); i += 1 }
+      }
+      return bb.array()
+    }
     val bos = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(bos)
     dos.writeBoolean(obj.overflow)
@@ -132,6 +156,21 @@ case class CollectByKeyCapped(
 
   override def deserialize(bytes: Array[Byte]): KeyedCapBuffer = {
     val buf = new KeyedCapBuffer
+    if (primitiveLI) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      buf.overflow = bb.get() != 0
+      if (!buf.overflow) {
+        while (bb.hasRemaining) {
+          val k = bb.getLong
+          val n = bb.getInt
+          val acc = new mutable.ArrayBuffer[Any](n)
+          var i = 0
+          while (i < n) { acc += bb.getInt; i += 1 }
+          buf.m.put(k, acc)
+        }
+      }
+      return buf
+    }
     val dis = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     buf.overflow = dis.readBoolean()
@@ -237,7 +276,21 @@ case class CountByKeyCapped(
   @transient private lazy val projection =
     UnsafeProjection.create(Array[DataType](child.dataType, LongType))
 
+  /** Fixed-width direct encoding for the long-keyed shape — see
+    * [[CollectByKeyCapped]]'s twin comment; static in the child type, so
+    * shuffle writers and readers always agree. */
+  @transient private lazy val primitiveL = child.dataType == LongType
+
   override def serialize(obj: KeyedCapBuffer): Array[Byte] = {
+    if (primitiveL) {
+      if (obj.overflow) return Array[Byte](1)
+      val bb = java.nio.ByteBuffer.allocate(1 + 16 * obj.m.size)
+      bb.put(0: Byte)
+      obj.m.foreach { case (k, vs) =>
+        bb.putLong(k.asInstanceOf[Long]); bb.putLong(cnt(vs))
+      }
+      return bb.array()
+    }
     val bos = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(bos)
     dos.writeBoolean(obj.overflow)
@@ -255,6 +308,16 @@ case class CountByKeyCapped(
 
   override def deserialize(bytes: Array[Byte]): KeyedCapBuffer = {
     val buf = new KeyedCapBuffer
+    if (primitiveL) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      buf.overflow = bb.get() != 0
+      if (!buf.overflow) {
+        while (bb.hasRemaining) {
+          buf.m.put(bb.getLong, mutable.ArrayBuffer[Any](bb.getLong))
+        }
+      }
+      return buf
+    }
     val dis = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     buf.overflow = dis.readBoolean()

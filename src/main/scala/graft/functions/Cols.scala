@@ -27,6 +27,28 @@ object Cols {
   def homographyY(h: Seq[Double], x: Column, y: Column): Column =
     (lit(h(3)) * x + lit(h(4)) * y + lit(h(5))) / (lit(h(6)) * x + lit(h(7)) * y + lit(h(8)))
 
+  /** All `span`-token sliding-window hash keys of a token array in one
+    * compiled pass ([[graft.expressions.WindowHashes]]) — the span-dedup
+    * family's shared window keying; batch and stream MUST derive keys
+    * through this one function (stream state persists them). */
+  def windowHashes(tok: Column, span: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WindowHashes(
+      ColumnBridge.expression(tok),
+      org.apache.spark.sql.catalyst.expressions.Literal(span)))
+  }
+
+  /** All `span`-token sliding-window STRINGS in one compiled pass
+    * ([[graft.expressions.WindowStrings]]) — the span family's
+    * `hashWindows = false` keying (windows as text for the oracle
+    * replay), zero-copy views over one joined buffer. */
+  def windowStrings(tok: Column, span: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WindowStrings(
+      ColumnBridge.expression(tok),
+      org.apache.spark.sql.catalyst.expressions.Literal(span)))
+  }
+
   /** Point in annulus ROI (reference arena inner/outer radius test,
     * `social_behaviour_detection.py:241-257`): squared-distance form avoids
     * the sqrt in the hot path. */

@@ -769,9 +769,14 @@ object Dedup {
     // the when-guard is load-bearing for texts shorter than the span
     val idxs = when(m < 1, array().cast("array<int>"))
       .otherwise(sequence(lit(1), m))
-    val winStr = transform(idxs, p => concat_ws(" ", slice(tok, p, lit(spanTokens))))
+    // hashed mode: ONE compiled rolling-hash pass over the token array
+    // ([[graft.expressions.WindowHashes]]) — the string-building
+    // transform/concat_ws/xxhash64 form it replaces materialized every
+    // L-token window string inside an interpreted lambda (O(tokens×span)
+    // bytes; was the d8/d9 wall). String mode stays for the oracle replay.
     val winKey = if (hashWindows)
-      transform(winStr, w => xxhash64(w)) else winStr
+      graft.functions.Cols.windowHashes(tok, spanTokens)
+    else graft.functions.Cols.windowStrings(tok, spanTokens)
     val w = base.select(col("doc_id"), explode(winKey).as("_w"))
     // per window, straight off the explode (ONE window-key exchange):
     // the (doc, occurrences) pairs of windows that can still be
@@ -862,9 +867,11 @@ object Dedup {
     val m = size(tok) - (spanTokens - 1)
     val idxs = when(m < 1, array().cast("array<int>"))
       .otherwise(sequence(lit(1), m))
-    val winStr = transform(idxs, p => concat_ws(" ", slice(tok, p, lit(spanTokens))))
+    // hashed mode: the compiled rolling-hash pass (see spanDupStats) —
+    // no per-window string materialization; string mode for the oracle
     val winKey = if (hashWindows)
-      transform(winStr, w => xxhash64(w)) else winStr
+      graft.functions.Cols.windowHashes(tok, spanTokens)
+    else graft.functions.Cols.windowStrings(tok, spanTokens)
     // (doc_id, start, key) — posexplode gives the 0-based array index,
     // +1 makes it the window's 1-based token start
     val w = base

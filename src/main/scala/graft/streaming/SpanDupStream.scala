@@ -167,13 +167,13 @@ object SpanDupStream {
     val docs = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
-    // the spanDupStats hashed-path window expressions, verbatim
-    val tok = split(col("text"), " ")
-    val m = size(tok) - (p.spanTokens - 1)
-    val idxs = when(m < 1, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), m))
-    val winKey = transform(idxs,
-      q => xxhash64(concat_ws(" ", slice(tok, q, lit(p.spanTokens)))))
+    // the spanDupStats hashed-path window keying, via the ONE shared
+    // helper (state dirs persist these keys — batch and stream must
+    // never derive them from different code). The split needs no bound
+    // column here: WindowHashes evaluates its child once per row, unlike
+    // the HOF-lambda form it replaced.
+    val winKey = graft.functions.Cols.windowHashes(
+      split(col("text"), " "), p.spanTokens)
     // (window, doc, occurrences) — localCheckpoint: feeds the state write,
     // the probe, and the stats aggregation (three jobs; the explode is
     // the dominant cost and must run once). The delivery is the SMALL
