@@ -51,6 +51,44 @@ object TokenProbe {
       r
     }
 
+    // --- BPE batched vs sequential training: 64 merges each way over the
+    // same corpus, identical tables required, jobs and wall compared —
+    // the production-vocab argument (32k-64k merges) is THIS ratio
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
+    val bpeMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "64").toInt
+    def tableOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val j0 = jobCount.get()
+    val seqTable = time(s"bpeTrainSeq($bpeMerges)")(
+      tableOf(Bpe.train(docs, "doc_id", "text", bpeMerges,
+        driverTypeCap = 0L)))
+    val jSeq = jobCount.get() - j0
+    val batTable = time(s"bpeTrainBatch($bpeMerges, maxBatch=64)")(
+      tableOf(Bpe.train(docs, "doc_id", "text", bpeMerges, maxBatch = 64,
+        driverTypeCap = 0L)))
+    val jBat = jobCount.get() - j0 - jSeq
+    // the production fast path: word-type table (40·n/2 + 4000 types)
+    // collected once, trained in the incremental kernel
+    val kerTable = time(s"bpeTrainKernel($bpeMerges)")(
+      tableOf(Bpe.train(docs, "doc_id", "text", bpeMerges,
+        driverTypeCap = 100000000L)))
+    val jKer = jobCount.get() - j0 - jSeq - jBat
+    require(batTable == seqTable,
+      "batched merge table must equal the sequential loop's")
+    require(kerTable == seqTable,
+      "kernel merge table must equal the sequential loop's")
+    require(seqTable.length == bpeMerges,
+      s"$bpeMerges merges trained, got ${seqTable.length}")
+    println(s"[token] bpeJobs seq=$jSeq batched=$jBat kernel=$jKer " +
+      f"kernelRatio=${jSeq.toDouble / jKer}%.1fx")
+
     // --- BPE train: 8 merges over a word-type table that is mostly
     // unique words (40·n/2 + 4000 types) — the iteration-cost worst case
     val merges = time("bpeTrain(8)")(

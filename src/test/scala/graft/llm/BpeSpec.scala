@@ -102,6 +102,81 @@ class BpeSpec extends AnyFunSuite {
     assert(enc === enc7)
   }
 
+  // --- batched training ≡ the sequential loop (the production-vocab
+  // scale path; selection exactness is the whole contract) ---
+
+  private def table(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    .sortBy(_._1).toSeq
+
+  test("batched train: reproduces the 6-merge golden (both tie-break axes)") {
+    val fix = Seq(1L -> "the cat sat", 2L -> "the cat", 3L -> "that hat")
+      .toDF("doc_id", "text")
+    assert(table(Bpe.train(fix, "doc_id", "text", 6, maxBatch = 8,
+        driverTypeCap = 0L)) ===
+      table(Bpe.train(fix, "doc_id", "text", 6, driverTypeCap = 0L)))
+  }
+
+  test("batched train: self-pair cuts the batch (created pairs outrank the tail)") {
+    // (a,a):200 dominates; merging it creates (aa,a):100 which MUST win
+    // round 2 over (c,d):50 — a batch that pre-committed (c,d) alongside
+    // (a,a) would order the table wrong
+    val fix = Seq(1L -> (("aaa " * 100) + ("cd " * 50)).trim)
+      .toDF("doc_id", "text")
+    val seq = table(Bpe.train(fix, "doc_id", "text", 3, driverTypeCap = 0L))
+    assert(seq.map(m => (m._2, m._3, m._4)) ===
+      Seq(("a", "a", 200L), ("aa", "a", 100L), ("c", "d", 50L)))
+    assert(table(Bpe.train(fix, "doc_id", "text", 3, maxBatch = 8,
+      driverTypeCap = 0L)) === seq)
+    assert(table(Bpe.train(fix, "doc_id", "text", 3)) === seq,
+      "kernel path must agree on the self-pair corpus")
+  }
+
+  test("batched train: conflict cut + strict truncation at a count tie") {
+    // pairs (a,b):120, (x,a):120, (c,d):90 — (x,a) conflicts with (a,b)
+    // at the SAME count, so the batch must shrink to the argmax alone;
+    // merging (a,b) creates (x,ab):120 which outranks (c,d)
+    val fix = Seq(1L -> (("xab " * 120) + ("cd " * 90)).trim)
+      .toDF("doc_id", "text")
+    val seq = table(Bpe.train(fix, "doc_id", "text", 3, driverTypeCap = 0L))
+    assert(seq.map(m => (m._2, m._3, m._4)) ===
+      Seq(("a", "b", 120L), ("x", "ab", 120L), ("c", "d", 90L)))
+    assert(table(Bpe.train(fix, "doc_id", "text", 3, maxBatch = 8,
+      driverTypeCap = 0L)) === seq)
+    assert(table(Bpe.train(fix, "doc_id", "text", 3)) === seq,
+      "kernel path must agree on the conflict-cut corpus")
+  }
+
+  test("batched train: randomized corpora over a tiny alphabet match the sequential loop") {
+    // 4-letter alphabet × short words ⇒ dense self-pairs, conflicts, and
+    // exact count ties — the regimes where naive batching diverges
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4).foreach { trial =>
+      val words = Seq.fill(160) {
+        val len = 1 + rnd.nextInt(6)
+        (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }
+      val fix = Seq(1L -> words.mkString(" ")).toDF("doc_id", "text")
+      val seq = table(Bpe.train(fix, "doc_id", "text", 12, driverTypeCap = 0L))
+      val bat = table(Bpe.train(fix, "doc_id", "text", 12, maxBatch = 16,
+        driverTypeCap = 0L))
+      assert(bat === seq, s"trial $trial: batched diverged from sequential")
+      val ker = table(Bpe.train(fix, "doc_id", "text", 12))
+      assert(ker === seq, s"trial $trial: kernel diverged from sequential")
+    }
+  }
+
+  test("batched train: real-corpus merge table is identical at maxBatch 64") {
+    assert(table(Bpe.train(docs, "doc_id", "text", 10, maxBatch = 64,
+        driverTypeCap = 0L)) ===
+      table(Bpe.train(docs, "doc_id", "text", 10, driverTypeCap = 0L)))
+  }
+
+  test("kernel train: real-corpus merge table is identical to the distributed loop") {
+    assert(table(Bpe.train(docs, "doc_id", "text", 10)) ===
+      table(Bpe.train(docs, "doc_id", "text", 10, driverTypeCap = 0L)))
+  }
+
   test("corpus: encode emits one row per doc; subword count ≤ character count") {
     val merges = Bpe.train(docs, "doc_id", "text", 4)
     assert(merges.count() === 4L)
