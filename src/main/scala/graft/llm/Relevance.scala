@@ -33,11 +33,20 @@ object Relevance {
     * `idf_micro = round(ln((N+1)/(df+1)) * 1e6)` — the smoothed idf is
     * ≥ 0, so the truncating division is floor on both engines.
     *
+    * Rows whose `tf · idf_micro` product cannot be proven to fit a Long
+    * evaluate in decimal(38,0) instead (see [[bm25TopK]] — the same
+    * per-row automatic widening; here the narrow guard holds for any
+    * document under ~2×10¹¹ tokens, so the wide branch is pure
+    * insurance). `longBound` is the TEST SEAM: the Long budget the
+    * narrow guard proves against — production always leaves it at
+    * `Long.MaxValue`; shrinking it forces the wide branch at test scale.
+    *
     * Output: (doc_id, term, tf, tfidf_micro, rk), rk = 1..k per doc by
     * (score DESC, term ASC). Documents with no tokens have no rows. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, longBound: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(longBound >= 1L, s"longBound must be >= 1, got $longBound")
     val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
@@ -54,7 +63,15 @@ object Relevance {
       .withColumn("_idfm",
         round(log((col("_n") + 1).cast("double") / (col("_df") + 1)) * 1e6)
           .cast("long"))
-      .withColumn("tfidf_micro", expr("(tf * _idfm) div _dl"))
+      // per-row automatic widening: rows proven Long-safe take the
+      // codegen'd integer branch (everything, in practice); the rest
+      // evaluate the SAME exact rational in decimal(38,0). CASE branches
+      // evaluate lazily, so the narrow product never overflows under ANSI
+      .withColumn("tfidf_micro", expr(
+        s"""CASE WHEN _idfm = 0 OR tf <= ${longBound}L div _idfm
+           |  THEN (tf * _idfm) div _dl
+           |  ELSE CAST((CAST(tf AS DECIMAL(38,0)) * _idfm) div _dl AS BIGINT)
+           |END""".stripMargin))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf_micro").desc, col("term").asc)
@@ -71,19 +88,30 @@ object Relevance {
     *
     *   contrib = (idf_micro · 22 · tf · S) div (10·tf·S + 3·S + 9·dl·N)
     *
-    * an exact rational evaluated in Long arithmetic; the doc score is the
-    * integer sum over query terms. Long-exactness bound: the numerator
-    * needs idf_micro·22·tf·S < 2⁶³ — comfortable through ~10¹⁰ corpus
-    * tokens; past that, widen the two products to decimal(38,0) (the
-    * formula is exact rational either way; this differential-testable
-    * integer form is the contract the oracle replays).
+    * an exact rational; the doc score is the integer sum over query
+    * terms. Long-exactness bound: the numerator needs
+    * idf_micro·22·tf·S < 2⁶³ — comfortable through ~10¹⁰ corpus tokens.
+    * Past that the row AUTOMATICALLY widens: a per-row CASE proves the
+    * Long budget from the row's own (tf, dl) and the corpus stats already
+    * in the plan, and rows it cannot prove safe evaluate the same
+    * rational in decimal(38,0) — exact through ~10³⁸, i.e. any corpus
+    * (10¹³ tokens uses ~32 digits). No driver action, no API change, and
+    * the narrow branch keeps its codegen'd Long arithmetic; a 100-TB
+    * corpus wides silently instead of wrapping silently. `longBound` is
+    * the TEST SEAM: the Long budget the guards prove against —
+    * production always leaves it at `Long.MaxValue`; shrinking it forces
+    * the wide branch at test scale, which is how the wide arithmetic is
+    * differentially oracled (the rational is exact either way, so narrow
+    * and wide must agree bit for bit at ANY bound).
     *
     * Output: the top `k` rows of (doc_id, score_micro) by
     * (score DESC, doc_id ASC) — a `TakeOrdered`, never a global sort. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
+      terms: Seq[String], k: Int,
+      longBound: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: terms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
+    require(longBound >= 1L, s"longBound must be >= 1, got $longBound")
     val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
@@ -100,13 +128,102 @@ object Relevance {
     val df = qt.groupBy("term").agg(count(lit(1)).as("_df"))
     qt.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("_idfm",
-        round(log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) /
-          (col("_df") + lit(0.5))) * 1e6).cast("long"))
-      .withColumn("_contrib", expr(
-        "(_idfm * 22 * tf * _s) div (10 * tf * _s + 3 * _s + 9 * _dl * _n)"))
+      .withColumn("_idfm", idfMicro)
+      .withColumn("_contrib", contribExpr(longBound))
       .groupBy("doc_id").agg(sum(col("_contrib")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** `round(ln(1 + (N − df + 0.5)/(df + 0.5)) * 1e6)` over bound `_n`/`_df`. */
+  private def idfMicro =
+    round(log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) /
+      (col("_df") + lit(0.5))) * 1e6).cast("long")
+
+  /** The per-(doc, term) BM25 contribution over bound `_idfm`/`tf`/`_s`/
+    * `_dl`/`_n` columns — ONE definition shared by the single-query and
+    * batch operators, so their arithmetic cannot drift.
+    *
+    * Narrow guard: each product/sum term proven under `longBound` from
+    * the row's own values (floor-division chains — floor(floor(B/x)/y)
+    * · y · x ≤ B, so a passing row cannot overflow); the three
+    * denominator terms are each proven ≤ B/4, bounding their sum. The
+    * `_idfm = 0` arm short-circuits the division guard (OR evaluates
+    * left-first in codegen) AND is itself narrow-safe: a zero product.
+    * CASE branches evaluate lazily, so the narrow products never
+    * overflow under ANSI on rows routed wide. */
+  private def contribExpr(longBound: Long) = {
+    val b = longBound
+    expr(
+      s"""CASE WHEN _s <= ${b}L div 12
+         |      AND tf <= ((${b}L div 4) div 10) div _s
+         |      AND _dl <= ((${b}L div 4) div 9) div _n
+         |      AND (_idfm = 0 OR tf <= (${b}L div (_idfm * 22)) div _s)
+         |  THEN (_idfm * 22 * tf * _s)
+         |       div (10 * tf * _s + 3 * _s + 9 * _dl * _n)
+         |  ELSE CAST((CAST(_idfm AS DECIMAL(38,0)) * 22 * tf * _s)
+         |       div (CAST(10 AS DECIMAL(38,0)) * tf * _s
+         |            + CAST(3 AS DECIMAL(38,0)) * _s
+         |            + CAST(9 AS DECIMAL(38,0)) * _dl * _n) AS BIGINT)
+         |END""".stripMargin)
+  }
+
+  /** BM25 top-`k` PER QUERY for a whole batch of keyword queries in ONE
+    * corpus pass — the selection-pipeline shape (score a web-scale pool
+    * against hundreds of target topics), where calling [[bm25TopK]] per
+    * query would re-scan the corpus per query. `queries` is a
+    * (query id, array<string> terms) table, BROADCAST by contract
+    * (query batches are human-authored — thousands of rows, not
+    * corpus-scale).
+    *
+    * Exactly [[bm25TopK]]'s semantics per query, by construction:
+    * `df`/`tf`/`idf`/`contrib` are query-independent and computed once
+    * over the UNION of query terms (duplicate terms within one query
+    * count once, same as the single-query `isin`); the one corpus
+    * explode filters to that union before anything shuffles; per-query
+    * scores regroup by (query, doc) and rank in a query-partitioned
+    * window — no per-query scan, no per-query shuffle.
+    * RelevanceSpec pins batch ≡ per-query calls.
+    *
+    * Output: (query_id, doc_id, score_micro) — per query, its top `k`
+    * docs by (score DESC, doc_id ASC); queries matching nothing have no
+    * rows. */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, termsCol: String, k: Int,
+      longBound: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(longBound >= 1L, s"longBound must be >= 1, got $longBound")
+    val qterms = queries
+      .select(col(qidCol).as("query_id"), explode(col(termsCol)).as("term"))
+      .filter(col("query_id").isNotNull && col("term").isNotNull)
+      .distinct()
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
+      .select(col("doc_id"), col("_toks"), size(col("_toks")).as("_dl"))
+      .filter(col("_dl") >= 1)
+    val stats = base.agg(sum(col("_dl")).cast("long").as("_s"),
+      count(lit(1)).as("_n"))
+    // one corpus explode, left-semi-pruned to the union of query terms
+    // on the map side — the only corpus-sized pass in the operator
+    val qt = base.select(col("doc_id"), col("_dl"),
+        explode(col("_toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .groupBy("doc_id", "_dl", "term").agg(count(lit(1)).as("tf"))
+    val df = qt.groupBy("term").agg(count(lit(1)).as("_df"))
+    val scored = qt.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idfm", idfMicro)
+      .withColumn("_contrib", contribExpr(longBound))
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_contrib")).as("score_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select("query_id", "doc_id", "score_micro")
   }
 }

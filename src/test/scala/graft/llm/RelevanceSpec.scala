@@ -86,4 +86,44 @@ class RelevanceSpec extends AnyFunSuite {
       Relevance.tfidfTopTerms(fix, "doc_id", "text", 0)
     }
   }
+
+  test("bm25TopKBatch ≡ per-query bm25TopK calls for every query") {
+    import spark.implicits._
+    val queries = Seq(
+      1L -> Seq("spark", "merge", "window"),
+      2L -> Seq("data", "shuffle"),
+      3L -> Seq("window", "window")) // in-query duplicate counts once
+      .toDF("query_id", "terms")
+    val batch = Relevance.bm25TopKBatch(docs, "doc_id", "text",
+      queries, "query_id", "terms", 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    Seq(1L -> Seq("spark", "merge", "window"), 2L -> Seq("data", "shuffle"),
+      3L -> Seq("window")).foreach { case (qid, terms) =>
+      val single = Relevance.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.getOrElse(qid, Set.empty) === single,
+        s"query $qid diverged from the single-query operator")
+    }
+  }
+
+  test("wide decimal arithmetic ≡ narrow Long arithmetic at every bound") {
+    // the score is an exact rational either way, so forcing every row
+    // down the decimal branch (longBound = 1) — and a mixed regime
+    // (longBound splitting rows between branches) — must reproduce the
+    // default narrow results bit for bit, on the fixture and the corpus
+    Seq(1L, 1000000L).foreach { bound =>
+      val a = Relevance.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "merge"), 10).collect().map(_.toSeq).toSeq
+      val w = Relevance.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "merge"), 10, longBound = bound)
+        .collect().map(_.toSeq).toSeq
+      assert(a === w, s"bm25 diverged at longBound=$bound")
+      val t = Relevance.tfidfTopTerms(docs, "doc_id", "text", 3)
+        .collect().map(_.toSeq).toSet
+      val tw = Relevance.tfidfTopTerms(docs, "doc_id", "text", 3,
+        longBound = bound).collect().map(_.toSeq).toSet
+      assert(t === tw, s"tfidf diverged at longBound=$bound")
+    }
+  }
 }
