@@ -54,12 +54,19 @@ object PipelineStream {
       nullable = false)))
 
   /** Semantic-floor state (`workDir/sem/b<id>` + `snap<m>`): the
-    * (id, coarse cell, vector) of every document that SURVIVED the
-    * semantic gate — the reference set later deliveries score against. */
+    * (id, coarse cell, vector, kept) of every SCORABLE document the gate
+    * ever saw. `kept = true` rows are the survivors — the reference set
+    * later deliveries score against; `kept = false` rows (floored at
+    * landing) carry their vectors so [[repairSem]] can rebuild the FULL
+    * near-dup graph offline, bridges through dropped documents included
+    * — without them the chain deviation would be unrepairable (the
+    * bridge vector would be gone). State stays corpus-proportional
+    * either way. */
   private[streaming] val semSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("cell", LongType),
-    StructField("embedding", ArrayType(FloatType))))
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("kept", BooleanType)))
 
   /** Fold `sem/b<i>` (i < uptoExclusive) into `snap<uptoExclusive−1>` —
     * [[DedupStream.compactState]]'s single-table body over the semantic
@@ -118,7 +125,7 @@ object PipelineStream {
     val probedCells = dSide.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val state = DedupStream.readState(sp, s"$workDir/sem", semSchema, batchId)
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("kept") && col("cell").isin(probedCells: _*))
       .select(col("cell"), col("embedding").as("_se"))
     val cos = Similarity.dotNative(col("_se"), col("embedding")) /
       (sqrt(Similarity.dotNative(col("_se"), col("_se"))) *
@@ -127,8 +134,25 @@ object PipelineStream {
       .filter(!isnan(cos) && cos >= semMinCos)
       .select("vec_id").distinct()
       .localCheckpoint()
+    // floored documents land too (kept = false), WITH their vectors —
+    // the repair's raw material (see semSchema); within-delivery drops
+    // re-assign their cell here (they skipped the survivor-side
+    // assignment), and an unscorable drop cannot exist (a drop requires
+    // a finite-cosine pair), so the inner assign join loses nothing
+    val drops1 = vecs.join(d1.select(col("_drop").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val drop1Side = drops1
+      .join(Similarity.assignCells(drops1, cents, "vec_id", "embedding", 1),
+        "vec_id")
     dSide.join(d2, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"), col("embedding"))
+      .withColumn("kept", lit(true))
+      .unionByName(dSide.join(d2, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .withColumn("kept", lit(false)))
+      .unionByName(drop1Side
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .withColumn("kept", lit(false)))
       .sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$workDir/sem/b$batchId")
     val floored = d1.select(col("_drop").as("doc_id"))
@@ -406,5 +430,75 @@ object PipelineStream {
     // it fits
     Similarity.rewriteIvfIndex(spark, indexDir, retain)(
       _.join(reps, Seq("neighbor_id"), "left_semi"))
+  }
+
+  /** Offline repair of the semantic gate's cross-delivery deviation —
+    * [[DedupStream.repairMerges]]' twin for the `sem/` state. The gate
+    * scores each delivery against SURVIVORS only, so a document near an
+    * already-DROPPED document (but no survivor) survives where batch
+    * [[Similarity.semDedup]] over the full corpus would fold it into the
+    * chain component (documented at [[pollIngest]]). The state carries
+    * every scorable vector it ever gated, dropped ones included (see
+    * `semSchema`), so the FULL within-cell near-dup graph is rebuildable
+    * offline: [[Similarity.semDedupDropped]] over ALL stored vectors
+    * (the index's current coarse centroids, the gate's own geometry),
+    * survivors = component min-ids — exactly the batch rule. Kept flags
+    * rewrite into the `snap<maxId>r` repaired-snapshot flavor (rename-
+    * once, wins the same-id tie, idempotent re-repair skips an existing
+    * snapshot), and newly-dropped documents are pruned from the index
+    * under the version protocol. Run with the poller STOPPED (the
+    * single-writer contract); the restarted poller reads the repaired
+    * snapshot like any other state. Like `repairMerges`, the fold stops
+    * at the checkpoint-committed frontier so a mid-batch crash replays
+    * cleanly. Scope: the sem state and the index — cluster/assignment
+    * state keeps its landing-time membership, exactly as the dedup
+    * repair leaves the sem state alone. Assumes the semantic gate was
+    * enabled for every delivery in this work dir — a pre-gate document
+    * has no sem-state row and the survivor prune would drop it from the
+    * index.
+    *
+    * PipelineStreamSpec pins stream + repairSem ≡ batch `semDedup`
+    * survivors on the bridge-chain fixture. */
+  /** The semantic gate's current survivor set as a (vec_id, cell) table
+    * — every state row with `kept = true`, repaired snapshots included
+    * ([[DedupStream.assignments]]' twin for the `sem/` state). */
+  def semSurvivors(spark: SparkSession, workDir: String): DataFrame =
+    DedupStream.readState(spark, s"$workDir/sem", semSchema, Long.MaxValue)
+      .filter(col("kept")).select("vec_id", "cell")
+
+  def repairSem(spark: SparkSession, workDir: String, indexDir: String,
+      semMinCos: Double, retain: Int = 0): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = s"$workDir/sem"
+    val (snap, bdirs) = DedupStream.stateDirs(spark, root, Long.MaxValue)
+    val dirMax = (snap.map(_._1).toSeq ++ bdirs.map(_._1)).maxOption
+      .getOrElse(return)
+    val maxId = DedupStream.committedFrontier(spark, workDir)
+      .getOrElse(dirMax).min(dirMax)
+    val S = DedupStream.readState(spark, root, semSchema, maxId + 1)
+      .localCheckpoint()
+    val cents = Similarity.ivfCentroids(spark, indexDir)
+    val drops = Similarity.semDedupDropped(
+      S.select(col("vec_id"), col("embedding")), cents,
+      "vec_id", "embedding", semMinCos)
+    val newS = S.join(drops.withColumnRenamed("_drop", "vec_id")
+        .withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        col("_d").isNull.as("kept"))
+    val f = DedupStream.fs(spark, root)
+    val target = new Path(root, s"snap${maxId}r")
+    if (!f.exists(target)) {
+      val tmp = new Path(root, s".tmpsnap${maxId}r")
+      newS.sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!f.rename(tmp, target))
+        throw new java.io.IOException(
+          s"semantic repair rename failed: $root/snap${maxId}r")
+    }
+    DedupStream.sweep(spark, root, maxId)
+    val kept = DedupStream.readState(spark, root, semSchema, maxId + 1)
+      .filter(col("kept")).select(col("vec_id").as("neighbor_id"))
+    Similarity.rewriteIvfIndex(spark, indexDir, retain)(
+      _.join(kept, Seq("neighbor_id"), "left_semi"))
   }
 }

@@ -662,5 +662,30 @@ class PipelineStreamSpec extends AnyFunSuite {
     poll()
     assert(indexedIds() === Set(1L, 4L, 12L, 21L),
       "a doc near only DROPPED vectors survives — scored at landing")
+
+    // repairSem closes the deviation offline: the full graph over ALL
+    // stored vectors (dropped bridges included) folds {1, 2, 11, 21}
+    // into one component, min-id 1 survives, 21 leaves the state AND the
+    // index — exactly batch semDedup over every scorable ingested vector
+    PipelineStream.repairSem(spark, work, index, semMinCos = 0.995)
+    assert(indexedIds() === Set(1L, 4L, 12L),
+      "repair folds the chain bridge and prunes the index")
+    val batchSurvivors = Similarity.semDedup(
+      Seq((1L, A), (2L, A2), (4L, C), (11L, e11), (12L, v(1.9f)),
+        (21L, e21)).toDF("vec_id", "embedding"),
+      cents.select(col("cell"), col("_cv")), "vec_id", "embedding", 0.995)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchSurvivors === Set(1L, 4L, 12L), "batch ground truth")
+    // idempotent re-repair: same snapshot, same index
+    PipelineStream.repairSem(spark, work, index, semMinCos = 0.995)
+    assert(indexedIds() === Set(1L, 4L, 12L))
+
+    // the poller continues on the repaired state: a doc near survivor 1
+    // still floors, and a doc near now-REPAIR-DROPPED 21 only is the
+    // (expected) fresh deviation — repair is point-in-time
+    land("d3", (31L, member("g", 0), v(0.102f)))
+    poll()
+    assert(indexedIds() === Set(1L, 4L, 12L),
+      "poller floors against the repaired survivor set")
   }
 }
