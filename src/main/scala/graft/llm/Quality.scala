@@ -355,4 +355,105 @@ object Quality {
     val collapsed = trim(regexp_replace(stripped, WsRe, " "))
     if (lowercase) lower(collapsed) else collapsed
   }
+
+  // --- URL / domain tier: the CCNet/RefinedWeb grouping key for
+  // domain-level dup rates, quality aggregates, and mix strata ---
+
+  /** Embedded second-level public suffixes — the compact high-traffic
+    * subset of the public-suffix list (registrable-domain extraction is
+    * an algorithm plus a DATA file; the full PSL swaps in here without
+    * code changes). `last-two-labels ∈ this set ⇒ take three labels`. */
+  val SecondLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "sch.uk",
+    "plc.uk", "ltd.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "com.hk", "com.sg", "com.my", "com.mx", "com.ar", "com.co",
+    "com.tr", "com.ua", "com.pl", "co.kr", "or.kr", "co.za", "org.za",
+    "co.il", "org.il", "co.th", "in.th")
+
+  /** `scheme://` prefix (group 1 = scheme) — RE2/Java-agreeing. */
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  /** host[:port] after the scheme (group 1) — stops at path/query/#. */
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+  /** Canonicalize a URL — the key-normalization pass that must run
+    * before URLs group (dup rates, domain strata): trim; drop the
+    * fragment (first `#` to end of line); lowercase the scheme and
+    * host; strip a leading `www.`; strip the scheme's default port
+    * (`:80` http, `:443` https); collapse a bare-`/` path to nothing.
+    * Path and query keep their bytes (case-significant by RFC). A
+    * schemeless string passes through lowercased+trimmed — opaque keys
+    * stay usable keys. Pure column math on RE2/Java-agreeing patterns
+    * (the [[normalizeText]] discipline); oracle-replayable. */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = regexp_replace(trim(url), "#.*", "")
+    val scheme = lower(regexp_extract(t, SchemeRe, 1))
+    val host0 = regexp_replace(lower(regexp_extract(t, HostRe, 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest0 = regexp_replace(t, HostRe, "")
+    val rest = when(rest0 === "/", lit("")).otherwise(rest0)
+    when(scheme === "", lower(t))
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
+  /** The canonical host of a URL (lowercased, `www.`-stripped, any port
+    * stripped); a schemeless input is treated as a bare host (anything
+    * from the first `/` or `?` dropped). */
+  def urlHost(url: Column): Column = {
+    val t = regexp_replace(trim(url), "#.*", "")
+    val hostport = when(regexp_extract(t, SchemeRe, 1) === "",
+      regexp_replace(t, "[/?].*", ""))
+      .otherwise(regexp_extract(t, HostRe, 1))
+    regexp_replace(regexp_replace(lower(hostport), "^www\\.", ""),
+      ":[0-9]+$", "")
+  }
+
+  /** Registrable domain of a URL or host — the CCNet/RefinedWeb
+    * grouping key: last two host labels, or three when the last two are
+    * a registry suffix ([[SecondLevelSuffixes]]); IPv4 hosts and one- or
+    * two-label hosts pass through whole. */
+  def registrableDomain(url: Column): Column = {
+    val h = urlHost(url)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, n - 1, lit(2)))
+    val last3 = concat_ws(".", slice(labels, n - 2, lit(3)))
+    when(h.rlike("^[0-9.]+$") || n <= 2, h)
+      .when(last2.isInCollection(SecondLevelSuffixes), last3)
+      .otherwise(last2)
+  }
+
+  /** Domain-level corpus aggregate — per registrable domain of `urlCol`:
+    * document and token counts, the exact-duplicate rate (documents
+    * minus distinct content hashes), and the summed 6-decimal
+    * fixed-point quality score ([[TextStats.qualityScore]] — summed as
+    * integer micros, never float-averaged across partitions, so the
+    * result is bit-stable; divide by `n_docs` downstream for the mean).
+    * The table this emits IS the strata source for
+    * [[Sampling.mixSample]]/[[Sampling.mixQuota]] — inspect rates here,
+    * then mix on a `registrableDomain(url)` column. ONE shuffle, on the
+    * domain key. */
+  def domainStats(docs: DataFrame, idCol: String, urlCol: String,
+      textCol: String, stops: Seq[String]): DataFrame =
+    docs.filter(col(idCol).isNotNull && col(urlCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(registrableDomain(col(urlCol)).as("domain"),
+        size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .cast("long").as("_tok"),
+        round(TextStats.qualityScore(col(textCol), stops) * 1e6)
+          .cast("long").as("_q"),
+        sha2(col(textCol), 256).as("_ch"))
+      .groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        sum("_tok").as("n_tokens"),
+        (count(lit(1)) - countDistinct("_ch")).as("n_dups"),
+        sum("_q").as("quality_micro_sum"))
 }

@@ -596,4 +596,69 @@ class MixSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("maxContamFrac"))
   }
+
+  test("canonicalizeUrl / registrableDomain: hand-built URL zoo") {
+    val fix = Seq(
+      (1L, "  HTTPS://WWW.News.Example.COM:443/A/b?Q=1#frag  "),
+      (2L, "http://example.com:80/"),
+      (3L, "http://example.com:8080/x"),
+      (4L, "https://sub.shop.example.CO.UK/p"),
+      (5L, "ftp://Files.Example.org:21/pub"),
+      (6L, "www.bare-host.com/path?x=1"),
+      (7L, "http://192.168.0.1:8080/admin"),
+      (8L, "localhost")).toDF("doc_id", "url")
+    val out = fix.select(col("doc_id"),
+        Quality.canonicalizeUrl(col("url")).as("c"),
+        Quality.registrableDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    // fragment gone, scheme+host lowered, www./default port stripped,
+    // path case kept
+    assert(out(1L) === (("https://news.example.com/A/b?Q=1",
+      "example.com")))
+    // bare-"/" path collapses; default port strips
+    assert(out(2L) === (("http://example.com", "example.com")))
+    // NON-default port survives canonicalization but not the domain key
+    assert(out(3L) === (("http://example.com:8080/x", "example.com")))
+    // registry suffix: the registrable domain is suffix + ONE label
+    assert(out(4L)._2 === "example.co.uk")
+    // non-http scheme: port is not a default, stays
+    assert(out(5L) === (("ftp://files.example.org:21/pub", "example.org")))
+    // schemeless: lowercased pass-through; host = up to the first /
+    assert(out(6L) === (("www.bare-host.com/path?x=1", "bare-host.com")))
+    // IPv4 host passes through whole
+    assert(out(7L)._2 === "192.168.0.1")
+    assert(out(8L) === (("localhost", "localhost")))
+    // canonicalization is idempotent
+    val twice = fix.select(Quality.canonicalizeUrl(
+        Quality.canonicalizeUrl(col("url"))).as("c2"),
+      Quality.canonicalizeUrl(col("url")).as("c1"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(twice === 0L)
+  }
+
+  test("domainStats + domain mix: aggregate feeds mixQuota strata") {
+    val d = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("url", concat(lit("https://www."), col("source"),
+        lit("-site.com/d/"), col("doc_id")))
+    val stats = Quality.domainStats(d, "doc_id", "url", "text",
+      Seq("the", "a", "of", "and", "to"))
+    val byDom = stats.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = d.groupBy("source").count().collect()
+      .map(r => s"${r.getString(0)}-site.com" -> r.getLong(1)).toMap
+    assert(byDom === bySource,
+      "domain doc counts must equal source counts under the 1:1 url map")
+    // the aggregate's domains ARE the mix strata: quota two domains
+    val strata = d.withColumn("domain",
+      Quality.registrableDomain(col("url")))
+    val picks = Sampling.mixQuota(strata, "domain", "doc_id",
+      Map(byDom.keySet.toSeq.sorted.take(2).map(_ -> 0.5): _*), 40)
+    val got = picks.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byDom.keySet.toSeq.sorted.take(2).foreach { dom =>
+      assert(got.getOrElse(dom, 0L) === math.min(20L, byDom(dom)),
+        s"domain $dom quota")
+    }
+  }
 }
