@@ -70,6 +70,8 @@ import scala.collection.mutable
   *     document file new to `workDir`'s checkpoint against the
   *     disk-resident corpus state ([[graft.streaming.DedupStream]]) and
   *     returns the accumulated (doc_id, rep_id) assignment table;
+  *   - `graft_ingest_sem_repair_t('workDir', 'indexDir', semMinCos[,
+  *     retain])` — offline semantic-bridge repair + index prune
   *   - `graft_ingest_repair_t('workDir'[, minJaccard[, maxBandBucket]])`
   *     — the offline cross-batch bridge-merge repair over a
   *     `graft_ingest_dedup_t` state dir (run with the poller stopped);
@@ -181,6 +183,8 @@ import scala.collection.mutable
   *     document (integer micro-unit scores);
   *   - `graft_bm25_t('docsV', 'id', 'text', 'term1,term2,…', k)` — BM25
   *     top-k retrieval for a keyword query;
+  *   - `graft_bm25_batch_t('docsV', 'id', 'text', 'queriesV', 'qidCol',
+  *     'termsCol', k)` — a whole query batch in one corpus pass;
   *   - `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` /
   *     `graft_bpe_encode_t('docsV', 'id', 'text', 'mergesV')` — BPE
   *     tokenizer training (the merge table) and subword encoding
@@ -312,6 +316,10 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_ingest_repair_t"),
       (args: Seq[Expression]) => ingestRepairTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ingest_sem_repair_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ingest_sem_repair_t"),
+      (args: Seq[Expression]) => ingestSemRepairTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ingest_pipeline_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ingest_pipeline_t"),
       (args: Seq[Expression]) => ingestPipelineTablePlan(args))
@@ -411,6 +419,10 @@ object GraftSql {
       FunctionIdentifier("graft_bm25_t"),
       new ExpressionInfo("graft.GraftSql", "graft_bm25_t"),
       (args: Seq[Expression]) => bm25TablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_bm25_batch_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_bm25_batch_t"),
+      (args: Seq[Expression]) => bm25BatchTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_bpe_train_t"),
       new ExpressionInfo("graft.GraftSql", "graft_bpe_train_t"),
@@ -980,20 +992,42 @@ object GraftSql {
       .queryExecution.logical
   }
 
-  /** `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` —
+  /** `graft_bm25_batch_t('docsV', 'id', 'text', 'queriesV', 'qidCol',
+    * 'termsCol', k)` — [[graft.llm.Relevance.bm25TopKBatch]] from SQL:
+    * every query in the (query id, array<string> terms) view scored in
+    * ONE corpus pass, per-query top-k. */
+  private def bm25BatchTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bm25_batch_t"
+    require(args.length == 7,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'queriesView', " +
+        "'qidCol', 'termsCol', k)")
+    graft.llm.Relevance.bm25TopKBatch(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      SparkSession.active.table(strLit(args(3), fn, "queries view")),
+      strLit(args(4), fn, "query id column"),
+      strLit(args(5), fn, "terms column"),
+      lngLit(args(6), fn, "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_bpe_train_t('docsV', 'id', 'text', numMerges[, maxBatch])` —
     * [[graft.llm.Bpe.train]] from SQL. The merge iterations RUN at plan
     * build (each is a Spark job over the word-type table) — the
     * view-read-at-plan-build adjudication: the result is merge-table
     * sized and the caller is materializing a tokenizer, not composing a
-    * lazy scan. */
+    * lazy scan. `maxBatch` > 1 (default 64) commits up to that many
+    * provably-sequential-equal merges per job — see the train scaladoc. */
   private def bpeTrainTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_bpe_train_t"
-    require(args.length == 4,
-      s"usage: $fn('docsView', 'idCol', 'textCol', numMerges)")
+    require(args.length >= 4 && args.length <= 5,
+      s"usage: $fn('docsView', 'idCol', 'textCol', numMerges[, maxBatch])")
     graft.llm.Bpe.train(
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
-      lngLit(args(3), fn, "numMerges").toInt)
+      lngLit(args(3), fn, "numMerges").toInt,
+      maxBatch = if (args.length == 5) lngLit(args(4), fn, "maxBatch").toInt
+        else 64)
       .queryExecution.logical
   }
 
@@ -1400,6 +1434,30 @@ object GraftSql {
     // jobs off the calling session's analyzer state
     graft.streaming.DedupStream.repairMerges(spark.newSession(), work, p)
     graft.streaming.DedupStream.assignments(spark, work)
+      .queryExecution.logical
+  }
+
+  /** Build the `graft_ingest_sem_repair_t` table-function plan:
+    * `graft_ingest_sem_repair_t('workDir', 'indexDir', semMinCos[,
+    * retain])` — [[graft.streaming.PipelineStream.repairSem]] from SQL:
+    * rebuilds the semantic near-dup graph over ALL stored gate vectors
+    * (dropped bridges included), rewrites kept flags to component
+    * min-ids, prunes the index, and returns the repaired surviving
+    * (vec_id, cell) table. EAGER side effect like
+    * `graft_ingest_repair_t`; run with the poller STOPPED. */
+  private def ingestSemRepairTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ingest_sem_repair_t"
+    require(args.length >= 3 && args.length <= 4,
+      s"usage: $fn('workDir', 'indexDir', semMinCos[, retain])")
+    val work = strLit(args(0), fn, "work dir")
+    val index = strLit(args(1), fn, "index dir")
+    val minCos = dblLit(args(2), fn, "semMinCos")
+    val retain = if (args.length == 4) lngLit(args(3), fn, "retain").toInt
+      else 0
+    val spark = SparkSession.active
+    graft.streaming.PipelineStream.repairSem(spark.newSession(), work,
+      index, minCos, retain)
+    graft.streaming.PipelineStream.semSurvivors(spark, work)
       .queryExecution.logical
   }
 

@@ -28,6 +28,25 @@ object LlmQueries {
   private val LineChunkRe = "((\\S+ ){3}\\S+) "
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+
+  /** Deterministically-messed URL for the tx15/tx16 twin fixtures:
+    * scheme case, `www.`, default ports, bare-`/` paths, fragments, and
+    * a registry-suffix (`.co.uk`) arm all vary with doc_id; the oracle
+    * rebuilds the identical strings from the same columns. */
+  private def messyUrl = concat(
+    when(col("doc_id") % 3 === 0, lit("HTTP://"))
+      .when(col("doc_id") % 3 === 1, lit("https://"))
+      .otherwise(lit("http://")),
+    when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, lit("cdn.")).otherwise(lit("")),
+    col("source"), lit("-site"),
+    when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+    when(col("doc_id") % 3 === 0, lit(":80"))
+      .when(col("doc_id") % 3 === 1, lit(":443"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("/"))
+      .otherwise(concat(lit("/P/"), col("doc_id"))),
+    when(col("doc_id") % 4 === 0, lit("#Frag")).otherwise(lit("")))
   private def embs(s: SparkSession, dir: String) = t(s, dir, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,10 +678,71 @@ object LlmQueries {
         Seq("spark", "merge", "window"), 25))
     }),
 
+    // the WIDE-arithmetic paths forced on every row (longBound = 1 —
+    // the 100-TB regime where Long products would wrap), replayed by an
+    // independent DuckDB HUGEINT implementation: the decimal(38,0)
+    // branch is gated against ground truth, not just against the narrow
+    // branch it must equal
+    "tx12_bm25_wide" -> ((s, dir) => {
+      sortAll(Relevance.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "window"), 25, longBound = 1L))
+    }),
+    "tx13_tfidf_wide" -> ((s, dir) => {
+      sortAll(Relevance.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3,
+        longBound = 1L))
+    }),
+
+    // URL tier, the tx7 twin-fixture pattern: URLs deterministically
+    // MESSED from doc_id/source in BOTH engines (scheme case, www,
+    // default ports, bare-/ paths, fragments, a registry-suffix arm),
+    // then the full canonicalization replayed
+    "tx15_canonical_url" -> ((s, dir) => {
+      sortAll(docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"),
+          Quality.canonicalizeUrl(messyUrl).as("canon_url"),
+          Quality.registrableDomain(messyUrl).as("domain")))
+    }),
+
+    // domain-level aggregate over the same messed URLs: docs, tokens,
+    // exact-dup count, summed fixed-point quality — the mix-strata
+    // source table
+    "tx16_domain_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .withColumn("url", messyUrl)
+      sortAll(Quality.domainStats(d, "doc_id", "url", "text", STOPS))
+    }),
+
+    // multi-query batch BM25: 3 keyword queries scored in ONE corpus
+    // pass (per-query top-10), overlapping terms included — the oracle
+    // replays the shared df/tf/contrib computation and the per-query
+    // regroup + rank
+    "tx14_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, Seq("spark", "merge", "window")),
+        (2L, Seq("data", "shuffle")), (3L, Seq("window")))
+        .toDF("query_id", "terms")
+      sortAll(Relevance.bm25TopKBatch(docs(s, dir), "doc_id", "text",
+        qs, "query_id", "terms", 10))
+    }),
+
     // BPE tokenizer TRAINING: 6 merges over the corpus word-type table —
     // the oracle replays every iteration (pair counts, deterministic
-    // argmax, the merge pass as a list_reduce fold)
+    // argmax, the merge pass as a list_reduce fold). Trained on the
+    // DISTRIBUTED BATCHED path (driverTypeCap = 0 forces it; maxBatch = 8)
+    // against the strictly-sequential oracle: the hash gate IS the proof
+    // that disjoint-prefix batching equals the per-merge loop on real data
     "bp1_bpe_train" -> ((s, dir) => {
+      sortAll(Bpe.train(docs(s, dir), "doc_id", "text", 6, maxBatch = 8,
+        driverTypeCap = 0L))
+    }),
+
+    // the same 6-merge table trained on the DRIVER KERNEL (the
+    // production fast path: incremental pair-count deltas + heap argmax)
+    // against the same unrolled oracle — both Bpe.train tiers are
+    // hash-gated against one ground truth
+    "bp3_bpe_train_kernel" -> ((s, dir) => {
       sortAll(Bpe.train(docs(s, dir), "doc_id", "text", 6))
     }),
 
@@ -673,7 +753,7 @@ object LlmQueries {
     "bp2_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       sortAll(Bpe.encode(d, "doc_id", "text",
-        Bpe.train(d, "doc_id", "text", 6)))
+        Bpe.train(d, "doc_id", "text", 6, maxBatch = 8)))
     }),
 
     // Context-length chunking: 32-token chunks with 8-token overlap —
@@ -703,6 +783,62 @@ object LlmQueries {
   )
 
   private def docsPq = "read_parquet('{SFDIR}/documents.parquet')"
+
+  /** tx15/tx16 oracle CTEs: rebuild the messed URL fixture, then replay
+    * [[graft.llm.Quality.canonicalizeUrl]]/[[graft.llm.Quality
+    * .registrableDomain]] step by step (same RE2/Java-agreeing
+    * patterns, the embedded suffix list spliced in). Final CTE `dom`
+    * exposes (doc_id, text, canon_url, domain). */
+  private def messyUrlCtes: String = {
+    val suffixes = graft.llm.Quality.SecondLevelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    // NOTE: this block is SPLICED into templates that run their own
+    // stripMargin, so no line here may start with whitespace + '|' —
+    // every '||' concatenation sits at END of line
+    s"""m AS (SELECT doc_id, text,
+       |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://'
+       |      ELSE 'http://' END) ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN 'cdn.' ELSE '' END) ||
+       |    source || '-site' ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END) ||
+       |    (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+       |      ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '/'
+       |      ELSE '/P/' || CAST(doc_id AS VARCHAR) END) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '#Frag' ELSE '' END) AS url
+       |  FROM $docsPq WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+       |c AS (SELECT doc_id, text,
+       |    regexp_replace(trim(url), '#.*', '') AS t FROM m),
+       |c2 AS (SELECT doc_id, text, t,
+       |    lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    regexp_replace(lower(regexp_extract(t,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')
+       |      AS host0,
+       |    regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+       |      AS rest0
+       |  FROM c),
+       |c3 AS (SELECT doc_id, text, t, scheme,
+       |    CASE scheme WHEN 'http' THEN regexp_replace(host0, ':80$$', '')
+       |      WHEN 'https' THEN regexp_replace(host0, ':443$$', '')
+       |      ELSE host0 END AS host,
+       |    CASE WHEN rest0 = '/' THEN '' ELSE rest0 END AS rest
+       |  FROM c2),
+       |cn AS (SELECT doc_id, text,
+       |    CASE WHEN scheme = '' THEN lower(t)
+       |      ELSE scheme || '://' || host || rest END AS canon_url,
+       |    regexp_replace(host, ':[0-9]+$$', '') AS h
+       |  FROM c3),
+       |dom AS (SELECT doc_id, text, canon_url,
+       |    CASE WHEN regexp_matches(h, '^[0-9.]+$$') OR len(tk) <= 2 THEN h
+       |      WHEN array_to_string(tk[len(tk)-1:len(tk)], '.')
+       |        IN ($suffixes)
+       |      THEN array_to_string(tk[len(tk)-2:len(tk)], '.')
+       |      ELSE array_to_string(tk[len(tk)-1:len(tk)], '.') END AS domain
+       |  FROM (SELECT doc_id, text, canon_url, h, string_split(h, '.') AS tk
+       |        FROM cn))""".stripMargin
+  }
   private def embsPq = "read_parquet('{SFDIR}/embeddings.parquet')"
 
   /** BPE training replay, UNROLLED: the word-type table `w0` (characters
@@ -1751,6 +1887,121 @@ object LlmQueries {
          |FROM r WHERE rk <= 3
          |${orderBySql("doc_id", "term", "tf", "tfidf_micro", "rk")}""".stripMargin,
 
+    // URL canonicalization + registrable domain, replayed step by step
+    // on the identical messed-URL fixture (see messyUrl)
+    "tx15_canonical_url" ->
+      s"""WITH ${messyUrlCtes}
+         |SELECT doc_id, canon_url, domain FROM dom
+         |${orderBySql("doc_id", "canon_url", "domain")}""".stripMargin,
+
+    // domain aggregate: docs, filtered token counts, exact-dup count
+    // (count minus distinct texts ≡ the engine's distinct content
+    // hashes), summed fixed-point quality (the tx2 inner computation)
+    "tx16_domain_stats" ->
+      s"""WITH ${messyUrlCtes},
+         |pd AS (SELECT domain, text,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t <> '')) AS BIGINT) AS n_tok,
+         |    CAST(round((least(CAST(len(string_split(lower(text), ' '))
+         |          AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + (CAST(len(list_filter(string_split(lower(text), ' '),
+         |           t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+         |         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.3
+         |      + (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(regexp_replace(lower(text),
+         |            '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END)
+         |        * 0.2) * 1000000) AS BIGINT) AS q_micro
+         |  FROM dom)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dups,
+         |  CAST(sum(q_micro) AS BIGINT) AS quality_micro_sum
+         |FROM pd GROUP BY domain
+         |${orderBySql("domain", "n_docs", "n_tokens", "n_dups",
+              "quality_micro_sum")}""".stripMargin,
+
+    // the wide paths replayed in HUGEINT (int128) — independent of both
+    // the engine's decimal(38,0) arithmetic and the narrow BIGINT oracle
+    "tx12_bm25_wide" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |           t -> t <> '') AS tk
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |b2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+         |       FROM b WHERE len(tk) >= 1),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS s,
+         |              CAST(count(*) AS BIGINT) AS n FROM b2),
+         |qt AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM b2)
+         |       WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |ct AS (SELECT doc_id,
+         |         (CAST(round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+         |            * 1000000) AS HUGEINT) * 22 * tf * st.s)
+         |         // (CAST(10 AS HUGEINT) * tf * st.s + 3 * st.s
+         |            + 9 * dl * st.n) AS contrib
+         |       FROM qt JOIN df USING (term), st)
+         |SELECT doc_id, score_micro FROM (
+         |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+         |  FROM ct GROUP BY doc_id
+         |  ORDER BY score_micro DESC, doc_id LIMIT 25)
+         |${orderBySql("doc_id", "score_micro")}""".stripMargin,
+
+    "tx13_tfidf_wide" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |           t -> t <> '') AS tk
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |b2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+         |       FROM b WHERE len(tk) >= 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b2),
+         |dt AS (SELECT doc_id, dl, unnest(tk) AS term FROM b2),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM dt GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, term, tf,
+         |         CAST((CAST(tf AS HUGEINT)
+         |            * CAST(round(ln((nn.n + 1) * 1.0 / (df + 1)) * 1000000)
+         |              AS HUGEINT)) // dl AS BIGINT) AS tfidf_micro
+         |       FROM tf JOIN df USING (term), nn),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf_micro DESC, term) AS rk FROM sc)
+         |SELECT doc_id, term, tf, tfidf_micro, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 3
+         |${orderBySql("doc_id", "term", "tf", "tfidf_micro", "rk")}""".stripMargin,
+
+    // batch BM25: the same shared-df/tf machinery, per-query regroup +
+    // window rank — one corpus pass for all three queries
+    "tx14_bm25_batch" ->
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+         |  FROM (VALUES (1, 'spark'), (1, 'merge'), (1, 'window'),
+         |               (2, 'data'), (2, 'shuffle'), (3, 'window'))
+         |    AS v(query_id, term)),
+         |b AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |           t -> t <> '') AS tk
+         |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |b2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+         |       FROM b WHERE len(tk) >= 1),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS s,
+         |              CAST(count(*) AS BIGINT) AS n FROM b2),
+         |qt AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM b2)
+         |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |ct AS (SELECT doc_id, term,
+         |         (CAST(round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+         |            * 1000000) AS BIGINT) * 22 * tf * st.s)
+         |         // (10 * tf * st.s + 3 * st.s + 9 * dl * st.n) AS contrib
+         |       FROM qt JOIN df USING (term), st),
+         |sc AS (SELECT q.query_id, doc_id,
+         |         CAST(sum(contrib) AS BIGINT) AS score_micro
+         |       FROM ct JOIN q USING (term) GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+         |SELECT query_id, doc_id, score_micro FROM r WHERE rk <= 10
+         |${orderBySql("query_id", "doc_id", "score_micro")}""".stripMargin,
+
     // BM25 with k1 = 1.2, b = 0.75 cleared to integers (×10S): contrib =
     // (idf_micro · 22·tf·S) // (10·tf·S + 3·S + 9·dl·N) — exact rational,
     // integer sum, top-25 inside the subquery before the canonical sort
@@ -1781,6 +2032,18 @@ object LlmQueries {
     // every training iteration replayed: pair counts → deterministic
     // argmax → one merge pass (see bpeCtes)
     "bp1_bpe_train" ->
+      s"""WITH ${bpeCtes(6)}
+         |SELECT * FROM (
+         |${(1 to 6).map(i =>
+             s"""  SELECT CAST($i AS INT) AS rank, l AS "left", r AS "right",
+                |    CAST(cnt AS BIGINT) AS cnt FROM m$i""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |${orderBySql("\"rank\"", "\"left\"", "\"right\"", "cnt")}""".stripMargin,
+
+    // same unrolled ground truth as bp1 — the kernel tier must reproduce
+    // the sequential fold bit for bit
+    "bp3_bpe_train_kernel" ->
       s"""WITH ${bpeCtes(6)}
          |SELECT * FROM (
          |${(1 to 6).map(i =>

@@ -1144,4 +1144,60 @@ class GraftSqlSpec extends AnyFunSuite {
         r.getString(3))).toSet
     assert(sqlChunk === typedChunk && sqlChunk.nonEmpty)
   }
+
+  test("graft_bm25_batch_t: multi-query retrieval from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    val d = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    d.createOrReplaceTempView("relb_docs_v")
+    Seq(1L -> Seq("spark", "merge"), 2L -> Seq("window"))
+      .toDF("query_id", "terms").createOrReplaceTempView("relb_queries_v")
+    val sql = spark.sql(
+      """SELECT * FROM graft_bm25_batch_t('relb_docs_v', 'doc_id', 'text',
+        'relb_queries_v', 'query_id', 'terms', 10)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val typed = graft.llm.Relevance.bm25TopKBatch(d, "doc_id", "text",
+        spark.table("relb_queries_v"), "query_id", "terms", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sql === typed && sql.size === 20)
+  }
+
+  test("graft_ingest_sem_repair_t: semantic bridge repair from SQL ≡ typed survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftSql.registerFunctions(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_semrep").toString
+    val landing = s"$base/landing"; val work = s"$base/work"
+    val index = s"$base/index"
+    new java.io.File(landing).mkdirs()
+    def v(fine: Float): Array[Float] = {
+      val a = new Array[Float](8); a(0) = 1.0f; a(1) = fine; a
+    }
+    val cents = Seq((0L, v(0.0f))).toDF("cell", "_cv")
+    graft.llm.Similarity.saveIvfIndex(
+      Seq((900L, v(0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", index, nlist = 1, centroids = Some(cents))
+    def member(tag: String): String =
+      (0 until 42).map(i => s"${tag}_w$i").mkString(" ")
+    // the bridge chain: A(1) kept; 11 near A dropped; 21 near 11 only —
+    // survives at landing, must fold under repair
+    Seq((1L, member("a"), v(0.10f))).toDF("doc_id", "text", "embedding")
+      .write.parquet(s"$landing/d0")
+    def poll(): Unit = graft.streaming.PipelineStream.pollIngest(spark,
+      landing, work, index, compactEvery = 0, semMinCos = 0.995)
+    poll()
+    Seq((11L, member("b"), v(0.189f))).toDF("doc_id", "text", "embedding")
+      .write.parquet(s"$landing/d1")
+    poll()
+    Seq((21L, member("c"), v(0.2813f))).toDF("doc_id", "text", "embedding")
+      .write.parquet(s"$landing/d2")
+    poll()
+    val got = spark.sql(
+      s"SELECT vec_id FROM graft_ingest_sem_repair_t('$work', '$index', 0.995)")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L), "repair folds the chain to the min id")
+    val typed = graft.streaming.PipelineStream.semSurvivors(spark, work)
+      .collect().map(_.getLong(0)).toSet
+    assert(typed === got, "SQL ≡ semSurvivors")
+  }
 }
