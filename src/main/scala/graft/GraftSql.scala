@@ -127,7 +127,9 @@ import scala.collection.mutable
   *   - `graft_ivf_save_pq_t(...)` / `graft_ivf_topk_pq_t(...)` /
   *     `graft_ivf_topk_pqr_t(...)` — the product-quantized tier (m
   *     one-byte codes per vector, ADC scoring — the deepest-compression
-  *     serving mode) with the same refined-serve contract;
+  *     serving mode) with the same refined-serve contract; the optional
+  *     `residual` / `perCell` tail flags select the FAISS-style residual
+  *     encoding and the per-cell (local) codebook layout;
   *     `graft_ivf_append_t` grows quantized AND product-quantized
   *     indexes too (the append follows the index's recorded flavor);
   *   - `graft_repetition_t('docsV', 'id', 'text')` — Gopher-style
@@ -1513,9 +1515,9 @@ object GraftSql {
     * vector, deepest compression); returns its centroids. */
   private def ivfSavePqTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ivf_save_pq_t"
-    require(args.length >= 7 && args.length <= 9,
+    require(args.length >= 7 && args.length <= 10,
       s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir', nlist, m, k[, " +
-        "seed[, residual]])")
+        "seed[, residual[, perCell]]])")
     val cv = strLit(args(0), fn, "corpus view")
     val idCol = strLit(args(1), fn, "id column")
     val vecCol = strLit(args(2), fn, "vector column")
@@ -1524,10 +1526,12 @@ object GraftSql {
     val m = lngLit(args(5), fn, "m").toInt
     val k = lngLit(args(6), fn, "k").toInt
     val seed = if (args.length >= 8) lngLit(args(7), fn, "seed") else 42L
-    val residual = args.length == 9 && boolLit(args(8), fn, "residual")
+    val residual = args.length >= 9 && boolLit(args(8), fn, "residual")
+    val perCell = args.length == 10 && boolLit(args(9), fn, "perCell")
     val spark = SparkSession.active
     graft.llm.Similarity.saveIvfIndexPQ(spark.table(cv), idCol, vecCol,
-      dir, nlist, pqM = m, pqK = k, seed = seed, residual = residual)
+      dir, nlist, pqM = m, pqK = k, seed = seed, residual = residual,
+      perCell = perCell)
     graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
   }
 

@@ -134,21 +134,34 @@ object IvfQuantProbe {
       "vec_id", "embedding", k = 10, nprobe = 3)
       .select("query_id", "neighbor_id").localCheckpoint(true))
     val recallPqr = Similarity.recallAgainst(f2Res, qrRes, 10).head.getDouble(1)
+    // PER-CELL codebook arm (the local-PQ tier): same centroids, same
+    // code bytes — quantizer capacity AND training data grow with nlist
+    // (each cell trains its own m×k codebooks on ≤ 20 k of ITS residuals)
+    // while each k-means stays sample-bounded. The number to beat is the
+    // residual arm's raw recall at the identical corpus footprint.
+    Similarity.saveIvfIndexPQ(clustered, "vec_id", "embedding",
+      s"$root/pql", nlist, pqM = 8, pqK = 256, maxIter = 10,
+      centroids = Some(cents2), perCell = true, maxTrainPerCell = 20000)
+    val (qlRes, qlS) = timed(Similarity.ivfTopKPQ(qc, s"$root/pql",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val recallPql = Similarity.recallAgainst(f2Res, qlRes, 10).head.getDouble(1)
     def qerr(d: String): Double = Similarity.pqIndexStats(spark, d)
       .filter(col("source") === "base").head.getDouble(2)
     val ok = recallR >= 0.95 && ratioPq < ratio && recallPq >= 0.55 &&
       recallPr >= 0.9
     println(s"IVF_QUANT n=$n bytesF=${bytes(s"$root/f")} " +
       s"bytesQ=${bytes(s"$root/q")} bytesPQ=${bytes(s"$root/pq")} " +
-      s"bytesPQR=${bytes(s"$root/pqr")} " +
+      s"bytesPQR=${bytes(s"$root/pqr")} bytesPQL=${bytes(s"$root/pql")} " +
       f"ratio=$ratio%.2f ratioPQ=$ratioPq%.2f " +
       f"serveF=$fS%.1fs serveQ=$qS%.1fs serveRefined=$rS%.1fs " +
       f"serveF2=$f2S%.1fs servePQ=$pqS%.1fs servePQRefined=$prS%.1fs " +
-      f"servePQR=$qrS%.1fs " +
+      f"servePQR=$qrS%.1fs servePQL=$qlS%.1fs " +
       f"recallRawQvsF=$recall%.4f recallRefinedVsF=$recallR%.4f " +
       f"recallRawPQvsF2=$recallPq%.4f recallRefinedPQvsF2=$recallPr%.4f " +
-      f"recallRawPQRvsF2=$recallPqr%.4f " +
+      f"recallRawPQRvsF2=$recallPqr%.4f recallRawPQLvsF2=$recallPql%.4f " +
       f"qerrPQ=${qerr(s"$root/pq")}%.4f qerrPQR=${qerr(s"$root/pqr")}%.4f " +
+      f"qerrPQL=${qerr(s"$root/pql")}%.4f " +
       s"nClusters=$nClusters ${if (ok) "OK" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

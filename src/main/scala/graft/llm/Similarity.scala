@@ -523,6 +523,8 @@ object Similarity {
       f.create(new org.apache.hadoop.fs.Path(vnew, "_PQ"), true).close()
       if (isResidualPqVersion(spark, vold))
         f.create(new org.apache.hadoop.fs.Path(vnew, "_PQRES"), true).close()
+      if (isLocalPqVersion(spark, vold))
+        f.create(new org.apache.hadoop.fs.Path(vnew, "_PQLOCAL"), true).close()
     } else if (isQuantizedVersion(spark, vold))
       f.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
   }
@@ -547,6 +549,17 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Whether a PQ version carries PER-CELL codebooks — the `_PQLOCAL`
+    * marker written by [[saveIvfIndexPQ]] with `perCell = true` next to
+    * `_PQ`/`_PQRES`, carried like them. Appends encode deliveries against
+    * the stored cell's codebooks; serving builds its ADC lookup table per
+    * (query, probed cell) instead of per query. */
+  private def isLocalPqVersion(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vdir, "_PQLOCAL")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** (neighbor_id, _rv, _ov) for residual encoding: each vector joined to
     * its assigned cell's centroid (broadcast — nlist rows), `_rv` =
     * v − c elementwise, `_ov` the original vector (norm source — the
@@ -561,7 +574,7 @@ object Similarity {
       .join(broadcast(cents.select(col("cell"), col("_cv").as("_ccv"))),
         "cell")
       .withColumn("_rv", zip_with(col("_ov"), col("_ccv"), (a, b) => a - b))
-      .select(col("neighbor_id"), col("_rv"), col("_ov"))
+      .select(col("neighbor_id"), col("_rv"), col("_ov"), col("cell"))
 
   /** All `v<n>` version dirs under an index root (committed or not). */
   private def ivfVersions(spark: org.apache.spark.sql.SparkSession,
@@ -788,7 +801,10 @@ object Similarity {
       val rows =
         if (isPqVersion(spark, vdir)) {
           val cbs = spark.read.parquet(s"$vdir/codebooks")
-          if (residualIdx)
+          if (isLocalPqVersion(spark, vdir))
+            pqRowsLocal(residualVectors(newVectors, idCol, vecCol, cells,
+              cents), "neighbor_id", "_rv", cbs, Some("_ov"))
+          else if (residualIdx)
             pqRows(residualVectors(newVectors, idCol, vecCol, cells, cents),
               "neighbor_id", "_rv", cbs, Some("_ov"))
           else pqRows(newVectors, idCol, vecCol, cbs)
@@ -985,6 +1001,253 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic in-memory k-means (k-means++ seeding + Lloyd's) over
+    * a BOUNDED point set — the per-group trainer behind
+    * [[trainPqCodebooksLocal]]. Pure sequential Scala: given the same
+    * point order, seed, k, and iteration count it returns bit-identical
+    * centroids on any executor (MLlib's distributed fit sums partials in
+    * partition order and cannot promise that). k collapses to the
+    * DISTINCT point count when points repeat (the dense-codes contract
+    * of [[trainPqCodebooks]]); empty clusters keep their previous
+    * centroid; assignment ties go to the lowest centroid index. */
+  private[llm] def kmeansKernel(points: Array[Array[Float]], k: Int,
+      seed: Long, maxIter: Int): Array[Array[Float]] = {
+    val distinct = scala.collection.mutable.LinkedHashSet
+      .empty[scala.collection.immutable.ArraySeq[Float]]
+    points.foreach(p =>
+      distinct += scala.collection.immutable.ArraySeq.unsafeWrapArray(p))
+    val kk = math.min(k, distinct.size)
+    if (kk == 0) return Array(Array.fill(
+      points.headOption.map(_.length).getOrElse(0))(0.0f))
+    val rnd = new java.util.Random(seed)
+    @inline def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i); s += d * d; i += 1
+      }
+      s
+    }
+    // k-means++ over the distinct set (sampling the duplicated set would
+    // just re-weight by multiplicity — fine either way; distinct keeps
+    // the seeding from wasting draws on copies of an already-chosen point)
+    val pool = distinct.iterator.map(_.unsafeArray
+      .asInstanceOf[Array[Float]]).toArray
+    val centers = new Array[Array[Float]](kk)
+    centers(0) = pool(rnd.nextInt(pool.length))
+    val best = pool.map(p => d2(p, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = best.sum
+      val pick =
+        if (total <= 0.0) {
+          // all remaining mass at distance 0 can only happen when every
+          // pool point is already a center — unreachable at c < kk, but
+          // fall back to the first unchosen point rather than divide by 0
+          pool.indexWhere(p => !centers.take(c).exists(_.sameElements(p)))
+        } else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < pool.length - 1 && r >= best(i)) { r -= best(i); i += 1 }
+          i
+        }
+      centers(c) = pool(pick)
+      var i = 0
+      while (i < pool.length) {
+        val d = d2(pool(i), centers(c))
+        if (d < best(i)) best(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    // Lloyd's over the FULL (duplicated) set — multiplicity must weight
+    // the means
+    val dim = points.head.length
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var bi = 0; var bd = Double.MaxValue; var ci = 0
+        while (ci < kk) {
+          val d = d2(p, centers(ci))
+          if (d < bd) { bd = d; bi = ci }
+          ci += 1
+        }
+        counts(bi) += 1
+        var j = 0
+        while (j < dim) { sums(bi)(j) += p(j); j += 1 }
+        i += 1
+      }
+      moved = false
+      var ci = 0
+      while (ci < kk) {
+        if (counts(ci) > 0) {
+          val nc = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            nc(j) = (sums(ci)(j) / counts(ci)).toFloat; j += 1
+          }
+          if (!nc.sameElements(centers(ci))) { moved = true; centers(ci) = nc }
+        }
+        ci += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** PER-CELL (local) PQ codebooks — the [[trainPqCodebooks]] variant
+    * behind `saveIvfIndexPQ(perCell = true)`: each coarse cell trains its
+    * OWN m×k codebook table on ITS residuals, so total quantizer capacity
+    * (and total training data) grows with `nlist` while each k-means
+    * stays sample-bounded. The shape that makes it distributed: ONE
+    * shuffle of the (sampled) residuals keyed by cell, a per-partition
+    * sort by (cell, xxhash64(id), id) so every group sees a DETERMINISTIC
+    * point order, then [[kmeansKernel]] per (cell, subspace) run inside
+    * the partition — nlist×m independent k-means execute as one job, no
+    * driver loop of MLlib fits (the shared trainer's shape), no
+    * per-group collect. Per-task memory is bounded by
+    * `maxTrainPerCell`·dim floats: rows past the cap are DROPPED in sort
+    * order (a deterministic per-cell sample), so a skewed cell costs its
+    * reader a capped buffer, not the cell's population.
+    *
+    * Input must carry (cell, `vecCol`, `idCol`); NaN subvectors are
+    * excluded from training and an all-excluded (cell, m) falls back to
+    * one zero centroid — the [[trainPqCodebooks]] contracts per cell.
+    * Output (cell, m, code, _cbv), codes dense 0..k_m−1 per (cell, m). */
+  private[llm] def trainPqCodebooksLocal(residuals: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int,
+      maxTrainPerCell: Int = 20000, seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    require(maxTrainPerCell >= 1,
+      s"maxTrainPerCell must be >= 1, got $maxTrainPerCell")
+    val spark = residuals.sparkSession
+    import spark.implicits._
+    residuals
+      .filter(col(vecCol).isNotNull)
+      .select(col("cell").cast("int").as("_1"),
+        xxhash64(col(idCol)).as("_h"), col(idCol).cast("long").as("_id"),
+        col(vecCol).as("_2"))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_h"), col("_id"))
+      .select(col("_1"), col("_2")).as[(Int, Array[Float])]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Int, Array[Float])]
+        var cur = Int.MinValue
+        var dim = -1
+        val cellBuf = scala.collection.mutable.ArrayBuffer
+          .empty[Array[Float]]
+        def flush(): Unit = if (cellBuf.nonEmpty) {
+          val sub = dim / m
+          var mi = 0
+          while (mi < m) {
+            val pts = cellBuf.iterator.map { v =>
+              val a = new Array[Float](sub)
+              System.arraycopy(v, mi * sub, a, 0, sub); a
+            }.filter(a => !a.exists(_.isNaN)).toArray
+            val cents =
+              if (pts.isEmpty) Array(Array.fill(sub)(0.0f))
+              else kmeansKernel(pts, k,
+                seed * 1000003L + cur.toLong * 131L + mi, maxIter)
+            var code = 0
+            while (code < cents.length) {
+              buf += ((cur, mi, code, cents(code)))
+              code += 1
+            }
+            mi += 1
+          }
+          cellBuf.clear()
+        }
+        it.foreach { case (cell, v) =>
+          if (cell != cur) { flush(); cur = cell }
+          if (dim < 0) {
+            dim = v.length
+            require(dim % m == 0, s"dim $dim is not divisible by m $m")
+          }
+          if (cellBuf.length < maxTrainPerCell) cellBuf += v
+        }
+        flush()
+        buf.iterator
+      }
+      .toDF("cell", "m", "code", "_cbv")
+  }
+
+  /** PQ-encode against PER-CELL codebooks — [[pqRows]] with the codebook
+    * picked by the row's own cell. The full (cell → m×k×sub) codebook set
+    * broadcasts once; the budget is nlist·m·k·sub floats and is
+    * `require`-guarded (beyond it, shard the encode by cell ranges — the
+    * per-row loop is otherwise identical). Input must carry `cell`;
+    * output schema matches [[pqRows]] exactly (cell is NOT carried — the
+    * callers' cells-join contract stays shared with every other flavor). */
+  private def pqRowsLocal(vectors: DataFrame, idCol: String,
+      vecCol: String, codebooks: DataFrame,
+      normVecCol: Option[String] = None): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cbRows = codebooks
+      .select(col("cell").cast("int"), col("m"), col("code"), col("_cbv"))
+      .collect()
+    require(cbRows.nonEmpty, "empty per-cell codebook table")
+    val sub = cbRows.head.getSeq[Float](3).length
+    require(cbRows.length.toLong * sub <= 64L * 1024 * 1024,
+      s"per-cell codebook set too large to broadcast (${cbRows.length} " +
+        s"codes × $sub floats) — shard the encode by cell ranges")
+    val cbMap: Map[Int, Array[Array[Array[Float]]]] =
+      cbRows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+        val mk = rs.map(_.getInt(1)).max + 1
+        val a = Array.fill(mk)(Array.empty[Array[Float]])
+        rs.groupBy(_.getInt(1)).foreach { case (mi, ms) =>
+          a(mi) = ms.sortBy(_.getInt(2)).map(_.getSeq[Float](3).toArray)
+        }
+        cell -> a
+      }
+    val bc = spark.sparkContext.broadcast(cbMap)
+    vectors
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"),
+        col(normVecCol.getOrElse(vecCol)).as("_3"),
+        col("cell").cast("int").as("_4"))
+      .as[(Long, Array[Float], Array[Float], Int)]
+      .mapPartitions { rows =>
+        val cbs = bc.value
+        rows.flatMap { case (id, v, ov, cell) =>
+          var n2 = 0.0; var i = 0
+          while (i < ov.length) { n2 += ov(i).toDouble * ov(i); i += 1 }
+          val cb = cbs.getOrElse(cell, null)
+          if (n2.isNaN || n2 <= 0.0 || cb == null) None
+          else {
+            val codes = new Array[Byte](cb.length)
+            var errSum = 0.0
+            var m = 0
+            while (m < cb.length) {
+              val off = m * sub
+              var best = Double.MaxValue; var bcode = 0
+              var c = 0
+              while (c < cb(m).length) {
+                val cv = cb(m)(c); var d = 0.0; var j = 0
+                while (j < sub) {
+                  val diff = v(off + j).toDouble - cv(j); d += diff * diff
+                  j += 1
+                }
+                if (d < best) { best = d; bcode = c }
+                c += 1
+              }
+              codes(m) = (bcode - 128).toByte
+              errSum += best
+              m += 1
+            }
+            Some((id, codes.toSeq, math.sqrt(n2),
+              math.sqrt(errSum / n2).toFloat))
+          }
+        }
+      }.toDF("neighbor_id", "_pq", "_cn", "_qerr")
+  }
+
   /** PQ-encode rows for the serving corpus: (neighbor_id, _pq, _cn,
     * _qerr) — `_pq` is the m-byte code array (codes centered at −128,
     * tinyint cannot hold 0..255), `_cn` the EXACT float-precision norm so
@@ -1102,7 +1365,8 @@ object Similarity {
       sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 20,
       centroids: Option[DataFrame] = None,
       codebooks: Option[DataFrame] = None, retain: Int = 0,
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false, perCell: Boolean = false,
+      maxTrainPerCell: Int = 20000): Unit = {
     val spark = corpus.sparkSession
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1110,6 +1374,15 @@ object Similarity {
     val vdir = s"$dir/v$n"
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
+    // `perCell = true` is the LOCAL-codebook layout: each cell trains
+    // its own m×k codebooks on its residuals (capacity and training data
+    // grow with nlist at unchanged code bytes — see
+    // [[trainPqCodebooksLocal]]). Per-cell codebooks always quantize
+    // residuals: k-means is translation-invariant, so per-cell-on-raw
+    // would learn the same codebooks translated by the centroid — the
+    // residual frame keeps the ADC add-back machinery shared with
+    // `_PQRES`.
+    val useResidual = residual || perCell
     // residual path: the assignment feeds residualVectors AND the final
     // corpus join, and the residual table behind it is consumed by every
     // k-means action in trainPqCodebooks (~2 per subspace) plus the
@@ -1118,7 +1391,7 @@ object Similarity {
     // discipline; the plain path consumes cells once and stays lazy)
     val cellsLazy = assignCells(corpus, cents, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id")
-    val cells = if (residual) cellsLazy.localCheckpoint() else cellsLazy
+    val cells = if (useResidual) cellsLazy.localCheckpoint() else cellsLazy
     // `residual = true` is the FAISS IVFPQ layout: codebooks train on
     // and codes quantize v − c(cell) instead of v. Residuals concentrate
     // where the data actually clusters (the coarse structure is already
@@ -1128,30 +1401,47 @@ object Similarity {
     // back per probed cell (see [[ivfTopKPQ]]); appends read the
     // `_PQRES` marker and encode against the same residual space.
     val res =
-      if (residual)
+      if (useResidual)
         Some(residualVectors(corpus, idCol, vecCol, cells, cents)
           .localCheckpoint())
       else None
-    val cbs = codebooks.getOrElse(res match {
-      case Some(r) =>
-        trainPqCodebooks(r, "_rv", pqM, pqK, sampleFraction, seed, maxIter)
-      case None =>
-        trainPqCodebooks(corpus, vecCol, pqM, pqK, sampleFraction, seed,
-          maxIter)
-    })
-    val rows = res match {
-      case Some(r) => pqRows(r, "neighbor_id", "_rv", cbs, Some("_ov"))
-      case None => pqRows(corpus, idCol, vecCol, cbs)
+    val sampledRes = res.map { r =>
+      if (perCell && sampleFraction < 1.0)
+        r.sample(withReplacement = false, sampleFraction, seed)
+      else r
     }
+    val cbs = codebooks.getOrElse {
+      if (perCell)
+        trainPqCodebooksLocal(sampledRes.get, "neighbor_id", "_rv", pqM,
+          pqK, maxTrainPerCell, seed, maxIter).localCheckpoint()
+      else res match {
+        case Some(r) =>
+          trainPqCodebooks(r, "_rv", pqM, pqK, sampleFraction, seed, maxIter)
+        case None =>
+          trainPqCodebooks(corpus, vecCol, pqM, pqK, sampleFraction, seed,
+            maxIter)
+      }
+    }
+    val rows =
+      if (perCell) pqRowsLocal(res.get, "neighbor_id", "_rv", cbs, Some("_ov"))
+      else res match {
+        case Some(r) => pqRows(r, "neighbor_id", "_rv", cbs, Some("_ov"))
+        case None => pqRows(corpus, idCol, vecCol, cbs)
+      }
     rows.join(cells, "neighbor_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
     cents.select(col("cell"), col("_cv"))
       .write.mode("overwrite").parquet(s"$vdir/centroids")
-    cbs.select(col("m"), col("code"), col("_cbv"))
+    val cbCols =
+      if (perCell) Seq(col("cell"), col("m"), col("code"), col("_cbv"))
+      else Seq(col("m"), col("code"), col("_cbv"))
+    cbs.select(cbCols: _*)
       .write.mode("overwrite").parquet(s"$vdir/codebooks")
     f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
-    if (residual)
+    if (useResidual)
       f.create(new org.apache.hadoop.fs.Path(vdir, "_PQRES"), true).close()
+    if (perCell)
+      f.create(new org.apache.hadoop.fs.Path(vdir, "_PQLOCAL"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
   }
@@ -1239,7 +1529,8 @@ object Similarity {
       nlist = 0 /* unused: centroids are injected */, pqM = m, pqK = pqK,
       sampleFraction = sampleFraction, seed = seed, maxIter = maxIter,
       centroids = Some(cents), retain = retain,
-      residual = isResidualPqVersion(spark, vdir))
+      residual = isResidualPqVersion(spark, vdir),
+      perCell = isLocalPqVersion(spark, vdir))
   }
 
   /** Serve a [[saveIvfIndexPQ]] directory via ADC: per query the m×k
@@ -1263,20 +1554,52 @@ object Similarity {
     // scored candidate), and even scattering that map into a flat array
     // costs O((m·k)²) map probes per query — both measured ~25× slower
     // than this shape at a 200 k corpus
-    val lut = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv0"))
-      .crossJoin(broadcast(cbs))
-      .select(col("query_id"), col("m"), col("code"),
-        dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
-          col("_cbv")).as("_pd"))
-      .groupBy("query_id", "m")
-      .agg(transform(array_sort(collect_list(struct(col("code"), col("_pd")))),
-        s => s("_pd")).as("_sl"))
-      .groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("_sl")))),
-        s => s("_sl")).as("_lut"))
-    val q0 = probedQueries(queries, cents, idCol, vecCol, nprobe)
-      .join(lut, "query_id")
+    val local = isLocalPqVersion(spark, vdir)
+    // the local branch consumes the probed-query side TWICE (the LUT is
+    // built FROM it and joined BACK to it) — checkpoint the query-batch-
+    // sized table so cell assignment doesn't run twice per serve
+    val probed0 = probedQueries(queries, cents, idCol, vecCol, nprobe)
+    val probed = if (local) probed0.localCheckpoint() else probed0
+    val q0 =
+      if (local) {
+        // PER-CELL codebooks: the lookup table is keyed (query, probed
+        // cell) — each probed row joins only ITS cell's m×k codebook rows
+        // (broadcast; nprobe·m·k rows per query, the small side), so the
+        // LUT work scales with what the query actually probes, never
+        // with nlist
+        val lutL = probed
+          .select(col("query_id"), col("cell"), col("_qv").as("_qv0"))
+          .join(broadcast(cbs), "cell")
+          .select(col("query_id"), col("cell"), col("m"), col("code"),
+            dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
+              col("_cbv")).as("_pd"))
+          .groupBy("query_id", "cell", "m")
+          .agg(transform(
+            array_sort(collect_list(struct(col("code"), col("_pd")))),
+            s => s("_pd")).as("_sl"))
+          .groupBy("query_id", "cell")
+          .agg(transform(
+            array_sort(collect_list(struct(col("m"), col("_sl")))),
+            s => s("_sl")).as("_lut"))
+        probed.join(lutL, Seq("query_id", "cell"))
+      } else {
+        val lut = queries
+          .select(col(idCol).cast("long").as("query_id"),
+            col(vecCol).as("_qv0"))
+          .crossJoin(broadcast(cbs))
+          .select(col("query_id"), col("m"), col("code"),
+            dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
+              col("_cbv")).as("_pd"))
+          .groupBy("query_id", "m")
+          .agg(transform(
+            array_sort(collect_list(struct(col("code"), col("_pd")))),
+            s => s("_pd")).as("_sl"))
+          .groupBy("query_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("m"), col("_sl")))),
+            s => s("_sl")).as("_lut"))
+        probed.join(lut, "query_id")
+      }
     // residual flavor: candidates store codes of v − c(cell), so the ADC
     // sum approximates dot(q, v − c) and the exact dot(q, c) is added
     // back PER PROBED CELL — a broadcast join on the nlist-row centroid

@@ -256,6 +256,44 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // PER-CELL (local) PQ end to end: save with perCell=true and EXPLICIT
+    // cell-varying codebooks (cell c's code k = slices of embedding
+    // (c + k) mod 8 — every cell a DIFFERENT table, so the gate actually
+    // exercises per-cell routing in encode, append, and the per-(query,
+    // probed cell) ADC lookup), append the odd half (the _PQLOCAL marker
+    // routes delivery encoding through the stored cell's codebooks),
+    // serve refined at full candidate width — exact rescoring decides
+    // every rank (the ann5/ann6/ann8 pattern), so the lossy local
+    // construction loop replays as the probed-cell exact top-5.
+    "ann10_ivf_pq_local" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val base = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("_src"), col("embedding"))
+      val cbs = s.range(8).select(col("id").cast("int").as("cell"))
+        .crossJoin(base)
+        .select(col("cell"),
+          pmod(col("_src") - col("cell") + 8, lit(8)).cast("int").as("code"),
+          col("embedding"))
+        .select(col("cell"), explode(sequence(lit(0), lit(7))).as("m"),
+          col("code"), col("embedding"))
+        .select(col("cell"), col("m").cast("int").as("m"), col("code"),
+          slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("_cbv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann10").toString
+      Similarity.saveIvfIndexPQ(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 8, pqM = 8, pqK = 8,
+        centroids = Some(cents), codebooks = Some(cbs), perCell = true)
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", idx, Some("b1"))
+      val q = e.filter(col("vec_id") < 50)
+      val factor = (e.count() / 5 + 1).toInt
+      sortAll(Similarity.ivfTopKPQRefined(q, idx, e, "vec_id",
+          "embedding", k = 5, nprobe = 3, refineFactor = factor)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos")))
+    }),
+
     // PQ codebook-drift diagnostic end to end: PQ-save the even half with
     // EXPLICIT codebooks (slices of the first 8 embeddings — the ann6
     // trick that keeps k-means out of the gate), append the odd half as a
@@ -1108,6 +1146,8 @@ object LlmQueries {
     // residual encoding changes PROPOSAL scores only; the full-width
     // refine makes the served result the exact probed-cell top-5
     "ann8_ivf_pq_residual" -> probedCellTop5Oracle,
+    // per-cell codebooks change PROPOSAL scores only — same exact replay
+    "ann10_ivf_pq_local" -> probedCellTop5Oracle,
 
     // PQ encode-time error replay: nearest explicit sub-centroid by L2
     // per subspace (the distance written as the same left-to-right

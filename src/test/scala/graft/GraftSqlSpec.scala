@@ -580,6 +580,25 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(rresSql === rresTyped)
     assert(rresSql.nonEmpty)
+    // per-cell arm: the 10-arg save form stamps _PQLOCAL (+_PQRES — local
+    // codebooks quantize residuals) and the raw serve routes through the
+    // per-(query, probed cell) ADC lookup — SQL ≡ typed on a fresh dir
+    val ldir = java.nio.file.Files.createTempDirectory("graft_sql_ivfpql")
+      .toString
+    spark.sql("SELECT * FROM graft_ivf_save_pq_t(" +
+      s"'ivfpq_c', 'vec_id', 'embedding', '$ldir', 4, 4, 16, 42, false, " +
+      "true)").collect()
+    assert(new java.io.File(s"$ldir/v1/_PQLOCAL").exists() &&
+      new java.io.File(s"$ldir/v1/_PQRES").exists(),
+      "the SQL save form carries the per-cell flavor markers")
+    val lSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_pq_t('ivfpq_q', '$ldir', 'vec_id', 'embedding', 5, 2)")
+      .collect().map(key).toSet
+    val lTyped = graft.llm.Similarity.ivfTopKPQ(spark.table("ivfpq_q"),
+        ldir, "vec_id", "embedding", 5, 2)
+      .collect().map(key).toSet
+    assert(lSql === lTyped)
+    assert(lSql.nonEmpty)
   }
 
   test("graft_dhash_pairs_t / graft_dhash_clusters_t / graft_frame_dup_t / graft_frame_clusters_t: multimodal tier from SQL ≡ typed") {

@@ -726,6 +726,131 @@ class LlmSpec extends AnyFunSuite {
     assert(serve(gdir) === grown, "refreshed index serves the same exact ranking")
   }
 
+  test("per-cell PQ: local codebooks encode cell-specific fine structure shared residual codebooks cannot; appends/folds/refresh keep the flavor") {
+    import spark.implicits._
+    // 4 far-apart cells; the fine offset at component 1 is ±(cell+1) — a
+    // DIFFERENT residual alphabet per cell. Shared residual codebooks at
+    // pqK=2 must cover 8 distinct subspace-0 residuals {(0, ±1..±4)}
+    // with 2 codes → irreducible error; per-cell codebooks see exactly 2
+    // distinct residuals each → exact at the same code bytes.
+    def vec(i: Long) = {
+      val c = (i % 4).toInt
+      val a = new Array[Float](8)
+      a(c * 2) = 10f
+      // sign from i/4, NOT i%2: the cell id is i%4, so an i%2 sign would
+      // correlate with the cell and leave half the cells single-signed
+      a(1) = (if ((i / 4) % 2 == 0) 1f else -1f) * (c + 1)
+      a
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map { c =>
+      val a = new Array[Float](8); a((c * 2).toInt) = 10f; (c, a)
+    }.toDF("cell", "_cv")
+    val sharedDir = java.nio.file.Files.createTempDirectory("graft_pqs").toString
+    val localDir = java.nio.file.Files.createTempDirectory("graft_pql").toString
+    Similarity.saveIvfIndexPQ(corpus, "vec_id", "embedding", sharedDir,
+      nlist = 4, pqM = 4, pqK = 2, centroids = Some(cents), residual = true)
+    Similarity.saveIvfIndexPQ(corpus, "vec_id", "embedding", localDir,
+      nlist = 4, pqM = 4, pqK = 2, centroids = Some(cents), perCell = true)
+    def meanErr(d: String) = Similarity.pqIndexStats(spark, d)
+      .filter(col("source") === "base").head.getDouble(2)
+    assert(meanErr(localDir) < 1e-3,
+      s"per-cell codes encode each cell's alphabet exactly: ${meanErr(localDir)}")
+    assert(meanErr(sharedDir) > 0.01,
+      s"shared residual codes cannot: ${meanErr(sharedDir)}")
+    // zero reconstruction error ⇒ the raw ADC serve IS the exact ranking
+    val q = corpus.filter(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(q, corpus, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    def serve(d: String) = Similarity.ivfTopKPQ(q, d, "vec_id", "embedding",
+        3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    assert(serve(localDir) === exact,
+      "zero-error per-cell codes serve the exact ranking")
+    // append-grown ≡ full save: _PQLOCAL routes delivery encoding through
+    // the stored CELL's codebooks (range split — see the residual test)
+    val gdir = java.nio.file.Files.createTempDirectory("graft_pqlg").toString
+    Similarity.saveIvfIndexPQ(corpus.filter(col("vec_id") < 100),
+      "vec_id", "embedding", gdir, nlist = 4, pqM = 4, pqK = 2,
+      centroids = Some(cents), perCell = true)
+    Similarity.appendIvfIndex(corpus.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", gdir, Some("b1"))
+    val grown = serve(gdir)
+    assert(grown === exact,
+      "append-grown per-cell index serves the full-save exact ranking")
+    val st = Similarity.pqIndexStats(spark, gdir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(st.keySet === Set("base", "deltab1") && st.values.forall(_ < 1e-3),
+      s"both units at the per-cell error floor: $st")
+    // compaction carries _PQLOCAL (and _PQRES) with the codebooks table
+    Similarity.compactIvfIndex(spark, gdir)
+    assert(new java.io.File(s"$gdir/v2/_PQLOCAL").exists(), "flavor carried")
+    assert(new java.io.File(s"$gdir/v2/_PQRES").exists(),
+      "per-cell implies the residual encoding space")
+    assert(spark.read.parquet(s"$gdir/v2/codebooks").columns.contains("cell"),
+      "per-cell codebooks carried across the fold")
+    assert(serve(gdir) === exact, "across the fold")
+    // refresh preserves the per-cell flavor and the error floor
+    Similarity.refreshPqCodebooks(corpus, "vec_id", "embedding", gdir,
+      pqK = 2, retain = 0)
+    assert(new java.io.File(s"$gdir/v3/_PQLOCAL").exists(),
+      "refresh keeps per-cell codebooks")
+    assert(serve(gdir) === exact, "refreshed index serves the exact ranking")
+  }
+
+  test("trainPqCodebooksLocal: deterministic across runs, dense codes per (cell, m), capped per-cell sample") {
+    import spark.implicits._
+    def vec(i: Long) = {
+      val c = (i % 4).toInt
+      val a = new Array[Float](8)
+      a(c * 2) = 10f
+      // sign from i/4, NOT i%2: the cell id is i%4, so an i%2 sign would
+      // correlate with the cell and leave half the cells single-signed
+      a(1) = (if ((i / 4) % 2 == 0) 1f else -1f) * (c + 1)
+      a
+    }
+    val corpus = (0L until 400L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map { c =>
+      val a = new Array[Float](8); a((c * 2).toInt) = 10f; (c, a)
+    }.toDF("cell", "_cv")
+    val cells = Similarity.assignCells(corpus, cents, "vec_id", "embedding", 1)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val res = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_ov"))
+      .join(cells, "neighbor_id")
+      .join(cents.withColumnRenamed("_cv", "_ccv"), "cell")
+      .withColumn("_rv", zip_with(col("_ov"), col("_ccv"), (a, b) => a - b))
+      .select(col("neighbor_id"), col("_rv"), col("cell"))
+      .localCheckpoint()
+    def train() = Similarity.trainPqCodebooksLocal(res, "neighbor_id",
+        "_rv", m = 4, k = 2, maxTrainPerCell = 50).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toList)).sortBy(t => (t._1, t._2, t._3))
+    val a = train(); val b = train()
+    assert(a.toList === b.toList, "bit-identical across runs")
+    // dense codes per (cell, m) starting at 0; each cell's subspace 0
+    // has exactly 2 distinct residuals → k_m = 2 there
+    val grouped = a.groupBy(t => (t._1, t._2))
+    assert(grouped.keySet.size === 16, "4 cells × 4 subspaces")
+    grouped.foreach { case ((cell, m), rows) =>
+      assert(rows.map(_._3).toList === (0 until rows.length).toList,
+        s"codes dense for cell=$cell m=$m")
+    }
+    // the two distinct ±(cell+1) residuals are recovered exactly (Lloyd
+    // means of two singleton-alphabet clusters): every subspace-0
+    // codebook for cell c is {±(c+1)} at component 1
+    (0 until 4).foreach { c =>
+      val cb = grouped((c, 0)).map(_._4(1)).toSet
+      assert(cb === Set((c + 1).toFloat, -(c + 1).toFloat),
+        s"cell $c subspace 0 alphabet: $cb")
+    }
+  }
+
   test("legacy PQ base without _qerr: serving unions, stats report null, appends stamp") {
     import spark.implicits._
     val cents = embs.filter(col("vec_id") < 8)
