@@ -187,6 +187,11 @@ import scala.collection.mutable
   *     top-k retrieval for a keyword query;
   *   - `graft_bm25_batch_t('docsV', 'id', 'text', 'queriesV', 'qidCol',
   *     'termsCol', k)` — a whole query batch in one corpus pass;
+  *   - `graft_classifier_train_t('labeledV', 'id', 'text', 'label',
+  *     dim[, bigrams[, iters]])` / `graft_classifier_score_t('docsV',
+  *     'id', 'text', 'weightsV', dim[, bigrams])` — the fastText-shaped
+  *     quality classifier: driver-kernel training on a bounded labeled
+  *     sample, exact integer logits per document at corpus scale;
   *   - `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` /
   *     `graft_bpe_encode_t('docsV', 'id', 'text', 'mergesV')` — BPE
   *     tokenizer training (the merge table) and subword encoding
@@ -425,6 +430,14 @@ object GraftSql {
       FunctionIdentifier("graft_bm25_batch_t"),
       new ExpressionInfo("graft.GraftSql", "graft_bm25_batch_t"),
       (args: Seq[Expression]) => bm25BatchTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_classifier_train_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_classifier_train_t"),
+      (args: Seq[Expression]) => classifierTrainTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_classifier_score_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_classifier_score_t"),
+      (args: Seq[Expression]) => classifierScoreTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_bpe_train_t"),
       new ExpressionInfo("graft.GraftSql", "graft_bpe_train_t"),
@@ -1010,6 +1023,48 @@ object GraftSql {
       strLit(args(4), fn, "query id column"),
       strLit(args(5), fn, "terms column"),
       lngLit(args(6), fn, "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_classifier_train_t('labeledV', 'id', 'text', 'label', dim[,
+    * bigrams[, iters]])` — [[graft.llm.Quality.trainTextClassifier]]
+    * from SQL: the fastText-shaped quality classifier trained on a
+    * require-bounded labeled sample; returns the (feature, w_micro)
+    * weight table (intercept at feature = −1). Training RUNS at plan
+    * build — the `graft_bpe_train_t` adjudication: the result is
+    * model-sized and the caller is materializing a model, not composing
+    * a lazy view. */
+  private def classifierTrainTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_classifier_train_t"
+    require(args.length >= 5 && args.length <= 7,
+      s"usage: $fn('labeledView', 'idCol', 'textCol', 'labelCol', dim[, " +
+        "bigrams[, iters]])")
+    graft.llm.Quality.trainTextClassifier(
+      SparkSession.active.table(strLit(args(0), fn, "labeled view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      strLit(args(3), fn, "label column"),
+      lngLit(args(4), fn, "dim").toInt,
+      bigrams = args.length < 6 || boolLit(args(5), fn, "bigrams"),
+      iters = if (args.length == 7) lngLit(args(6), fn, "iters").toInt
+        else 100)
+      .queryExecution.logical
+  }
+
+  /** `graft_classifier_score_t('docsV', 'id', 'text', 'weightsV', dim[,
+    * bigrams])` — [[graft.llm.Quality.scoreTextClassifier]] from SQL:
+    * exact integer logits per document under a stored (feature, w_micro)
+    * weight view. */
+  private def classifierScoreTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_classifier_score_t"
+    require(args.length >= 5 && args.length <= 6,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'weightsView', dim[, " +
+        "bigrams])")
+    graft.llm.Quality.scoreTextClassifier(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      SparkSession.active.table(strLit(args(3), fn, "weights view")),
+      lngLit(args(4), fn, "dim").toInt,
+      bigrams = args.length < 6 || boolLit(args(5), fn, "bigrams"))
       .queryExecution.logical
   }
 

@@ -85,7 +85,15 @@ object Corpus {
     * differential replay (the d9/d16 convention — hashed ≡ string is
     * spec-pinned). This closes batch/stream gate symmetry with
     * [[graft.streaming.PipelineStream.pollIngest]]: every landing-time
-    * gate now has the identical batch parameter. */
+    * gate now has the identical batch parameter.
+    *
+    * `classifier` + `minLogitMicro` additionally apply the CLASSIFIER
+    * floor ([[Quality.scoreTextClassifier]] under a frozen
+    * [[Quality.trainTextClassifier]] weight table — the fastText-shaped
+    * CCNet/GPT-3 "looks like the reference corpus" gate): documents
+    * whose exact integer logit falls below the floor are dropped by a
+    * doc_id-only left-anti. The dim-bounded model broadcasts;
+    * `classifierDim` must equal the dim the table was trained at. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       stops: Seq[String], markers: Seq[(String, Seq[String])],
       minQuality: Double, langs: Seq[String],
@@ -101,7 +109,12 @@ object Corpus {
       gopher: Boolean = false,
       gopherStops: Seq[String] = Quality.GopherStops,
       benchDocs: Option[DataFrame] = None, contamN: Int = 5,
-      maxContamFrac: Double = 1.0, contamHash: Boolean = true): DataFrame = {
+      maxContamFrac: Double = 1.0, contamHash: Boolean = true,
+      // new defaulted parameters at the END of the list — the signature
+      // convention (see pollIngest's contamHash note)
+      classifier: Option[DataFrame] = None,
+      classifierDim: Int = 1 << 18,
+      minLogitMicro: Long = Long.MinValue): DataFrame = {
     require(embeddings.isEmpty == semCentroids.isEmpty,
       "prepare: embeddings and semCentroids come together — pass both or neither")
     // the bench-gate lesson: a floor the caller believes is on must not
@@ -115,6 +128,9 @@ object Corpus {
     require(benchDocs.isEmpty || maxContamFrac < 1.0,
       "prepare: benchDocs given but maxContamFrac is 1.0 (gate off) — " +
         "set maxContamFrac < 1.0 to decontaminate, or drop benchDocs")
+    require(classifier.isEmpty || minLogitMicro > Long.MinValue,
+      "prepare: classifier given but minLogitMicro is unset (gate off) — " +
+        "set the logit floor, or drop the classifier argument")
     val normalized =
       if (!normalize) docs
       else docs.withColumn(textCol, Quality.normalizeText(col(textCol)))
@@ -162,15 +178,31 @@ object Corpus {
           Seq(idCol), "left_anti")
       case _ => gopherFloored
     }
+    // classifier floor (the fastText-shaped "looks like the reference
+    // corpus" gate): exact integer logits under a FROZEN weight table —
+    // the model broadcasts, the scoring join shuffles (doc_id, hashed
+    // feature, count), never text; drop-list left-anti like the
+    // perplexity floor it runs beside. Null-id/text rows are unscorable
+    // and pass through to die in the final quality filter.
+    val clfFloored = classifier match {
+      case Some(w) if minLogitMicro > Long.MinValue =>
+        pplFloored.join(
+          Quality.scoreTextClassifier(pplFloored, idCol, textCol, w,
+              classifierDim)
+            .filter(col("logit_micro") < minLogitMicro)
+            .select(col("doc_id").as(idCol)),
+          Seq(idCol), "left_anti")
+      case _ => pplFloored
+    }
     val base = benchDocs match {
       case Some(bench) if maxContamFrac < 1.0 =>
-        pplFloored.join(
-          Dedup.contaminationStats(pplFloored, bench, idCol, textCol,
+        clfFloored.join(
+          Dedup.contaminationStats(clfFloored, bench, idCol, textCol,
               contamN, hashShingles = contamHash)
             .filter(col("contam_frac") > maxContamFrac)
             .select(col("doc_id").as(idCol)),
           Seq(idCol), "left_anti")
-      case _ => pplFloored
+      case _ => clfFloored
     }
     base
       .filter(round(TextStats.qualityScore(t, stops), 6) >= minQuality &&

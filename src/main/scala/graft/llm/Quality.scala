@@ -456,4 +456,173 @@ object Quality {
         sum("_tok").as("n_tokens"),
         (count(lit(1)) - countDistinct("_ch")).as("n_dups"),
         sum("_q").as("quality_micro_sum"))
+
+  // ---------------------------------------------------------------------
+  // Quality classifier (the fastText-shaped linear filter: Joulin et al.
+  // 2016; the CCNet/GPT-3-style "looks like the reference corpus" gate)
+  // ---------------------------------------------------------------------
+
+  /** Hashed bag-of-ngrams features: (doc_id, feature, cnt) with
+    * feature = md5-low-32(ngram) mod `dim` over the lowercased
+    * space-split unigrams (and bigrams when `bigrams`) — the hashing
+    * trick, with the engine-wide cross-engine hash
+    * (`('0x' || substr(md5(w),1,8))::BIGINT % dim` computes the identical
+    * id in DuckDB, which is what makes classifier SCORING
+    * hash-differential-testable). Pure column math + one (doc, feature)
+    * aggregation; documents never shuffle, only hashed ids and counters.
+    * Null id/text rows are excluded (the unscorable-row contract shared
+    * with [[lmPerplexity]]); an empty text still features (the phantom
+    * empty token), so every surviving document scores. */
+  def hashedTextFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, bigrams: Boolean = true): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val w = Dedup.tokens(col(textCol))
+    val uni = w
+    val big = zip_with(slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1), (a, b) => concat(a, lit(" "), b))
+    val ngrams = if (bigrams) concat(uni, big) else uni
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(ngrams).as("_ng"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("_ng").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(dim.toLong)).as("feature"))
+      .groupBy("doc_id", "feature")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Train the quality classifier — logistic regression over
+    * [[hashedTextFeatures]] — as a DRIVER KERNEL on a require-bounded
+    * labeled sample (the [[graft.llm.BpeKernel]] split: labeled quality
+    * data is curation-scale — a reference corpus vs a raw-web draw —
+    * while SCORING is the corpus-scale pass, so the 100 TB path is
+    * [[scoreTextClassifier]], never this). Features are computed by the
+    * SAME distributed column path the scorer runs (no second tokenizer to
+    * drift), collected sorted by (doc_id, feature) so training is
+    * bit-deterministic, then full-batch gradient descent with L2 runs
+    * sequentially on the driver.
+    *
+    * `labeled` needs (`idCol`, `textCol`, `labelCol` ∈ {0, 1}: 1 = the
+    * quality reference). Memory budget: Σ distinct (doc, feature) rows ×
+    * ~16 B + a dense `dim`-double weight vector — `maxTrainDocs` and
+    * `dim ≤ 2²²` are require-guarded.
+    *
+    * Output: (feature, w_micro) — micro-unit (1e-6) integer weights,
+    * nonzero entries only, plus the intercept at feature = −1. Integer
+    * weights make the downstream score an EXACT integer both engines
+    * agree on; the quantization moves the decision boundary by ≤ 1e-6
+    * per feature count, noise-level against the classifier's own
+    * generalization error. */
+  def trainTextClassifier(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int = 1 << 18,
+      bigrams: Boolean = true, iters: Int = 100, lr: Double = 0.5,
+      l2: Double = 1e-6, maxTrainDocs: Int = 200000): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 22),
+      s"dim must be in [2, 2^22], got $dim (the trainer holds a dense " +
+        "dim-double weight vector)")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val base = labeled.filter(col(idCol).isNotNull &&
+      col(textCol).isNotNull && col(labelCol).isNotNull)
+    val feats = hashedTextFeatures(base, idCol, textCol, dim, bigrams)
+    val labels = base.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("int").as("_y"))
+    val rows = feats.join(labels, "doc_id")
+      .select(col("doc_id"), col("feature"), col("cnt"), col("_y"))
+      .sort("doc_id", "feature")
+      .as[(Long, Long, Long, Int)]
+      .collect()
+    val nDocs = {
+      var n = 0; var last = Long.MinValue
+      rows.foreach { r => if (r._1 != last) { n += 1; last = r._1 } }
+      n
+    }
+    require(nDocs >= 1, "trainTextClassifier: no labeled documents")
+    require(nDocs <= maxTrainDocs,
+      s"trainTextClassifier: $nDocs labeled docs exceed maxTrainDocs " +
+        s"$maxTrainDocs — the trainer is a driver kernel for a " +
+        "curation-scale sample; train on a sample and SCORE the corpus")
+    // flatten to primitive arrays: doc boundaries, feature ids, counts
+    val starts = new Array[Int](nDocs + 1)
+    val ys = new Array[Double](nDocs)
+    val fIdx = new Array[Int](rows.length)
+    val fCnt = new Array[Double](rows.length)
+    var d = -1; var last = Long.MinValue
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r._1 != last) { d += 1; starts(d) = i; ys(d) = r._4; last = r._1 }
+      fIdx(i) = r._2.toInt; fCnt(i) = r._3.toDouble
+      i += 1
+    }
+    starts(nDocs) = rows.length
+    val wv = new Array[Double](dim)
+    var b = 0.0
+    val grad = new Array[Double](dim)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(grad, 0.0)
+      var gb = 0.0
+      var di = 0
+      while (di < nDocs) {
+        var z = b
+        var j = starts(di)
+        while (j < starts(di + 1)) { z += wv(fIdx(j)) * fCnt(j); j += 1 }
+        // residual of the logistic loss: p − y
+        val g = 1.0 / (1.0 + math.exp(-z)) - ys(di)
+        gb += g
+        j = starts(di)
+        while (j < starts(di + 1)) { grad(fIdx(j)) += g * fCnt(j); j += 1 }
+        di += 1
+      }
+      var f = 0
+      while (f < dim) {
+        wv(f) -= lr * (grad(f) / nDocs + l2 * wv(f))
+        f += 1
+      }
+      b -= lr * gb / nDocs
+      it += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    out += ((-1L, math.round(b * 1e6)))
+    var f = 0
+    while (f < dim) {
+      val m = math.round(wv(f) * 1e6)
+      if (m != 0L) out += ((f.toLong, m))
+      f += 1
+    }
+    out.toSeq.toDF("feature", "w_micro")
+  }
+
+  /** Score documents under a trained (or explicit) classifier:
+    * logit_micro = w_micro(−1) + Σ cnt·w_micro(feature) — EXACT integer
+    * arithmetic over [[hashedTextFeatures]], monotone in the class
+    * probability (sigmoid is monotone), so thresholding on logit_micro
+    * IS thresholding on p. The weight table is dim-bounded and
+    * broadcasts; the per-doc sum is the features aggregation — ONE
+    * corpus shuffle of (doc_id, hashed id, count) rows, text never
+    * moves. Features the table does not carry contribute 0 (a frozen
+    * model scores drifted vocabulary honestly rather than erroring).
+    *
+    * Output: (doc_id, n_feats, logit_micro). Long-exactness bound:
+    * |Σ cnt·w| ≤ doc_tokens·2·max|w_micro| — at |w| ≤ 1e3 (1e9 micro), a
+    * single document would need ~4e9 tokens to overflow; unreachable.
+    *
+    * Null id/text rows are excluded (unscorable); empty text scores as
+    * the phantom-token feature set. */
+  def scoreTextClassifier(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int, bigrams: Boolean = true): DataFrame = {
+    val intercept = weights.filter(col("feature") === -1L)
+      .select(col("w_micro").cast("long")).collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    hashedTextFeatures(docs, idCol, textCol, dim, bigrams)
+      .join(broadcast(weights.filter(col("feature") >= 0L)
+        .select(col("feature").cast("long").as("feature"),
+          col("w_micro").cast("long").as("_w"))), Seq("feature"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        (coalesce(sum(col("cnt") * col("_w")), lit(0L)) + lit(intercept))
+          .as("logit_micro"))
+  }
 }

@@ -1218,9 +1218,16 @@ object Similarity {
         rows.flatMap { case (id, v, ov, cell) =>
           var n2 = 0.0; var i = 0
           while (i < ov.length) { n2 += ov(i).toDouble * ov(i); i += 1 }
-          val cb = cbs.getOrElse(cell, null)
-          if (n2.isNaN || n2 <= 0.0 || cb == null) None
+          if (n2.isNaN || n2 <= 0.0) None
           else {
+            // LOUD on a missing cell: the save path materializes a
+            // codebook for every centroid cell (zero fallback included),
+            // so a miss means an explicit-codebook caller under-covered
+            // the cell space — a silent drop here would also make the
+            // cell unservable (its ADC lookup join has no rows)
+            val cb = cbs.getOrElse(cell, throw new IllegalArgumentException(
+              s"per-cell PQ codebooks cover no cell $cell — explicit " +
+                "codebooks must cover every assigned cell"))
             val codes = new Array[Byte](cb.length)
             var errSum = 0.0
             var m = 0
@@ -1411,9 +1418,31 @@ object Similarity {
       else r
     }
     val cbs = codebooks.getOrElse {
-      if (perCell)
-        trainPqCodebooksLocal(sampledRes.get, "neighbor_id", "_rv", pqM,
-          pqK, maxTrainPerCell, seed, maxIter).localCheckpoint()
+      if (perCell) {
+        val trained = trainPqCodebooksLocal(sampledRes.get, "neighbor_id",
+          "_rv", pqM, pqK, maxTrainPerCell, seed, maxIter)
+        // EVERY centroid cell gets a codebook, even one whose rows were
+        // all sampled away (or that is simply empty at save time but
+        // will receive appends): m zero-centroid rows — its residuals
+        // encode as code 0 with qerr 1 (coarse-centroid-only score,
+        // refine recovers exact ranks), never a silently dropped row or
+        // an unservable cell. cents is nlist-rows, driver-bounded.
+        val spark2 = corpus.sparkSession
+        val sub = {
+          val dim = cents.select(size(col("_cv"))).head.getInt(0)
+          require(dim % pqM == 0, s"dim $dim is not divisible by m $pqM")
+          dim / pqM
+        }
+        trained.unionByName(
+          cents.select(col("cell").cast("int").as("cell"))
+            .join(trained.select(col("cell")).distinct(),
+              Seq("cell"), "left_anti")
+            .crossJoin(spark2.range(pqM)
+              .select(col("id").cast("int").as("m")))
+            .select(col("cell"), col("m"), lit(0).as("code"),
+              array_repeat(lit(0.0f), sub).as("_cbv")))
+          .localCheckpoint()
+      }
       else res match {
         case Some(r) =>
           trainPqCodebooks(r, "_rv", pqM, pqK, sampleFraction, seed, maxIter)

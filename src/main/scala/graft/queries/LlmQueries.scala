@@ -702,6 +702,26 @@ object LlmQueries {
         STOPS, MARKERS, 0.5, Seq("en"), gopher = true))
     }),
 
+    // d7's composition with the CLASSIFIER floor switched on, under the
+    // tx17 explicit weight table (keeps the driver-kernel trainer out of
+    // the gate): docs whose exact integer logit is negative drop before
+    // the quality/language/dedup composition — the oracle replays the
+    // whole scoring path plus the threshold plus the d7 tail. The floor
+    // has NO boundary hazard: both engines compute the identical
+    // integer, so any threshold is bit-stable.
+    "d19_prepare_classifier_floor" -> ((s, dir) => {
+      val dim = 1 << 16
+      val weights = s.range(dim)
+        .select(col("id").as("feature"),
+          (col("id") % 2001 - 1000).as("w_micro"))
+        .unionByName(s.range(1).select(lit(-1L).as("feature"),
+          lit(12345L).as("w_micro")))
+      sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text",
+        STOPS, MARKERS, 0.5, Seq("en"),
+        classifier = Some(weights), classifierDim = dim,
+        minLogitMicro = 0L))
+    }),
+
     // Top-3 TF-IDF terms per document — integer micro-unit scores (the
     // tx8 fixed-point recipe: the idf ln is the only transcendental,
     // rounded to micro-nats before any arithmetic)
@@ -750,6 +770,25 @@ object LlmQueries {
         .filter(col("doc_id").isNotNull && col("source").isNotNull)
         .withColumn("url", messyUrl)
       sortAll(Quality.domainStats(d, "doc_id", "url", "text", STOPS))
+    }),
+
+    // Quality-classifier SCORING with an EXPLICIT weight table (the
+    // ann-gate trick — explicit parameters keep the driver-kernel
+    // trainer out of the hash gate; training itself is spec-gated for
+    // determinism and separation): w_micro(f) = f mod 2001 − 1000 over
+    // every hashed feature id plus intercept 12345, so the gate
+    // exercises the full scoring path — lowercased split, unigrams +
+    // bigrams, md5-low-32 mod dim, per-doc counts, the exact integer
+    // dot — replayed feature by feature in DuckDB
+    "tx17_classifier_score" -> ((s, dir) => {
+      val dim = 1 << 16
+      val weights = s.range(dim)
+        .select(col("id").as("feature"),
+          (col("id") % 2001 - 1000).as("w_micro"))
+        .unionByName(s.range(1).select(lit(-1L).as("feature"),
+          lit(12345L).as("w_micro")))
+      sortAll(Quality.scoreTextClassifier(docs(s, dir), "doc_id", "text",
+        weights, dim))
     }),
 
     // multi-query batch BM25: 3 keyword queries scored in ONE corpus
@@ -1872,6 +1911,31 @@ object LlmQueries {
          |     WHERE source <> 'src0'
          |       AND doc_id NOT IN (SELECT doc_id FROM cdrop))""".stripMargin),
 
+    // d7's replay over the classifier-floor survivor set: tx17's scoring
+    // math (lowercased split, unigram+bigram md5-low-32 features, the
+    // exact integer dot against the explicit weight expression) with the
+    // logit-< 0 drops excluded from the source
+    "d19_prepare_classifier_floor" -> prepareOracle(
+      s"""cd0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |        FROM $docsPq
+         |        WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |cnums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |cng AS (SELECT doc_id, unnest(w) AS g FROM cd0
+         |        UNION ALL
+         |        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |        FROM cd0 JOIN cnums ON i <= len(w) - 1),
+         |cfc AS (SELECT doc_id,
+         |          ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f,
+         |          count(*) AS cnt
+         |        FROM cng GROUP BY 1, 2),
+         |clg AS (SELECT doc_id,
+         |          12345 + sum(cnt * (f % 2001 - 1000)) AS lg
+         |        FROM cfc GROUP BY 1),
+         |cdrop2 AS (SELECT doc_id FROM clg WHERE lg < 0),
+         |""".stripMargin,
+      s"""(SELECT doc_id, text FROM $docsPq
+         |     WHERE doc_id NOT IN (SELECT doc_id FROM cdrop2))""".stripMargin),
+
     // d7's replay over the Gopher-rule survivor set: tx9's rule math at
     // the published defaults on the RAW corpus text
     "d18_prepare_gopher_floor" -> prepareOracle(
@@ -1933,6 +1997,30 @@ object LlmQueries {
       s"""WITH ${messyUrlCtes}
          |SELECT doc_id, canon_url, domain FROM dom
          |${orderBySql("doc_id", "canon_url", "domain")}""".stripMargin,
+
+    // classifier scoring replay: the same lowercased split, unigram +
+    // bigram hashed features (md5-low-32 mod 2^16 — the engine-wide
+    // cross-engine hash), per-doc counts, and the exact integer dot
+    // against the explicit w_micro(f) = f mod 2001 − 1000 table with
+    // intercept 12345. n_feats counts DISTINCT features per doc.
+    "tx17_classifier_score" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |           FROM $docsPq
+         |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |ng AS (SELECT doc_id, unnest(w) AS g FROM d
+         |       UNION ALL
+         |       SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM d JOIN nums ON i <= len(w) - 1),
+         |fc AS (SELECT doc_id,
+         |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f,
+         |         count(*) AS cnt
+         |       FROM ng GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(12345 + sum(cnt * (f % 2001 - 1000)) AS BIGINT)
+         |    AS logit_micro
+         |FROM fc GROUP BY doc_id
+         |${orderBySql("doc_id", "n_feats", "logit_micro")}""".stripMargin,
 
     // domain aggregate: docs, filtered token counts, exact-dup count
     // (count minus distinct texts ≡ the engine's distinct content

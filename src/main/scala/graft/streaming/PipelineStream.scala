@@ -281,7 +281,10 @@ object PipelineStream {
       // Corpus.prepare convention): contamHash was once inserted
       // mid-signature and any positional caller written against the old
       // shape would have silently bound its normalize flag here
-      contamHash: Boolean = true): Unit = {
+      contamHash: Boolean = true,
+      classifier: Option[DataFrame] = None,
+      classifierDim: Int = 1 << 18,
+      minLogitMicro: Long = Long.MinValue): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
@@ -292,6 +295,9 @@ object PipelineStream {
     require(lmModel.isEmpty || maxPpl < Double.MaxValue,
       "pollIngest: lmModel given but maxPpl is unset (gate off) — " +
         "set maxPpl to floor on perplexity, or drop lmModel")
+    require(classifier.isEmpty || minLogitMicro > Long.MinValue,
+      "pollIngest: classifier given but minLogitMicro is unset (gate " +
+        "off) — set the logit floor, or drop the classifier argument")
     require(langs.isEmpty == langMarkers.isEmpty,
       "pollIngest: langs and langMarkers come together — pass both or neither")
     // an empty stop list zeroes the score's 0.3 stopword band — a caller
@@ -358,15 +364,28 @@ object PipelineStream {
               Seq("doc_id"), "left_anti")
           case _ => gopherGated
         }
+        // classifier floor: the batch prepare's gate at the identical
+        // parameter tail — frozen weight table broadcasts into the
+        // delivery-sized plan, exact integer logits, drop-list left-anti
+        val clfGated = classifier match {
+          case Some(w) if minLogitMicro > Long.MinValue =>
+            pplGated.join(
+              graft.llm.Quality.scoreTextClassifier(pplGated, "doc_id",
+                  "text", w, classifierDim)
+                .filter(col("logit_micro") < minLogitMicro)
+                .select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          case _ => pplGated
+        }
         val contamGated = benchDocs match {
           case Some(bench) if maxContamFrac < 1.0 =>
-            pplGated.join(
-              graft.llm.Dedup.contaminationStats(pplGated, bench,
+            clfGated.join(
+              graft.llm.Dedup.contaminationStats(clfGated, bench,
                   "doc_id", "text", contamN, hashShingles = contamHash)
                 .filter(col("contam_frac") > maxContamFrac)
                 .select("doc_id"),
               Seq("doc_id"), "left_anti")
-          case _ => pplGated
+          case _ => clfGated
         }
         // quality/language floor: prepare's built-in final filter as an
         // optional landing gate — doc-local column math, same rounded

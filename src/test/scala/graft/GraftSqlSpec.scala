@@ -1181,6 +1181,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql === typed && sql.size === 20)
   }
 
+  test("graft_classifier_train_t / graft_classifier_score_t: classifier tier from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    (0L until 20L).map { i =>
+      val y = (i % 2).toInt
+      (i, if (y == 1) s"thoughtful prose piece$i" else s"spam click bait$i", y)
+    }.toDF("doc_id", "text", "label")
+      .createOrReplaceTempView("clf_labeled_v")
+    val dim = 1 << 14
+    val wSql = spark.sql("SELECT * FROM graft_classifier_train_t(" +
+      s"'clf_labeled_v', 'doc_id', 'text', 'label', $dim, true, 50)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedW = graft.llm.Quality.trainTextClassifier(
+        spark.table("clf_labeled_v"), "doc_id", "text", "label", dim,
+        iters = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wSql === typedW && wSql.nonEmpty)
+    typedW.toSeq.toDF("feature", "w_micro")
+      .createOrReplaceTempView("clf_weights_v")
+    val sSql = spark.sql("SELECT * FROM graft_classifier_score_t(" +
+      s"'clf_labeled_v', 'doc_id', 'text', 'clf_weights_v', $dim)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sTyped = graft.llm.Quality.scoreTextClassifier(
+        spark.table("clf_labeled_v"), "doc_id", "text",
+        spark.table("clf_weights_v"), dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sSql === sTyped && sSql.size === 20)
+  }
+
   test("graft_ingest_sem_repair_t: semantic bridge repair from SQL ≡ typed survivors") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The quality-classifier tier: hashed-ngram features, the driver-kernel
+  * logistic trainer, and exact integer scoring. */
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** The scorer's own hash: md5-low-32(ngram) mod dim — recomputed here
+    * independently so the expected feature ids don't come from the code
+    * under test. */
+  private def featId(ngram: String, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(ngram.getBytes("UTF-8"))
+    val h = java.lang.Integer.toUnsignedLong(
+      java.nio.ByteBuffer.wrap(d).getInt)
+    h % dim
+  }
+
+  test("hashedTextFeatures: unigrams + bigrams of the lowercased split, counted per doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat the Cat"), (2L, "")).toDF("doc_id", "text")
+    val dim = 1 << 16
+    val got = Quality.hashedTextFeatures(docs, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // lowercased: unigrams {the×2, cat×2}, bigrams {the cat×2, cat the×1}
+    val expected = Map(
+      (1L, featId("the", dim)) -> 2L,
+      (1L, featId("cat", dim)) -> 2L,
+      (1L, featId("the cat", dim)) -> 2L,
+      (1L, featId("cat the", dim)) -> 1L,
+      (2L, featId("", dim)) -> 1L) // phantom empty token: empty text features
+    assert(got === expected)
+  }
+
+  test("scoreTextClassifier: exact integer logit, unknown features contribute 0, intercept-only docs score") {
+    import spark.implicits._
+    val dim = 1 << 16
+    val docs = Seq((1L, "good good"), (2L, "zzz")).toDF("doc_id", "text")
+    val weights = Seq(
+      (-1L, 7000L),
+      (featId("good", dim), 250L),
+      (featId("good good", dim), -40L)).toDF("feature", "w_micro")
+    val got = Quality.scoreTextClassifier(docs, "doc_id", "text", weights, dim)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 7000 + 2·250 + 1·(−40) = 7460 over 2 distinct features
+    assert(got(1L) === ((2L, 7460L)))
+    // doc 2: one unigram feature, no weight → intercept only
+    assert(got(2L) === ((1L, 7000L)))
+  }
+
+  test("trainTextClassifier: separates a planted quality/spam corpus, deterministic, sample-capped") {
+    import spark.implicits._
+    // 40 labeled docs: quality docs share marker tokens, spam docs share
+    // different ones, plus per-doc noise tokens so the trainer can't
+    // memorize a single feature
+    val labeled = (0L until 40L).map { i =>
+      val y = (i % 2).toInt
+      val marker = if (y == 1) "thoughtful analysis prose" else "click spam win"
+      (i, s"$marker filler${i / 2} common word", y)
+    }.toDF("doc_id", "text", "label")
+    val dim = 1 << 14
+    def train() = Quality.trainTextClassifier(labeled, "doc_id", "text",
+        "label", dim, iters = 200, maxTrainDocs = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = train()
+    assert(w1 === train(), "driver kernel is bit-deterministic")
+    val wdf = w1.toSeq.toDF("feature", "w_micro")
+    val scored = Quality.scoreTextClassifier(labeled, "doc_id", "text",
+        wdf, dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val qMin = (0L until 40L).filter(_ % 2 == 1).map(scored).min
+    val sMax = (0L until 40L).filter(_ % 2 == 0).map(scored).max
+    assert(qMin > 0 && sMax < 0,
+      s"trained boundary separates at logit 0: qualityMin=$qMin spamMax=$sMax")
+    // the cap refuses a corpus-scale training set loudly
+    val ex = intercept[IllegalArgumentException] {
+      Quality.trainTextClassifier(labeled, "doc_id", "text", "label",
+        dim, maxTrainDocs = 10)
+    }
+    assert(ex.getMessage.contains("maxTrainDocs"))
+  }
+
+  test("trained model is a frozen table: scoring drifted vocabulary falls back to the intercept") {
+    import spark.implicits._
+    val labeled = (0L until 20L).map { i =>
+      val y = (i % 2).toInt
+      (i, if (y == 1) "alpha beta" else "gamma delta", y)
+    }.toDF("doc_id", "text", "label")
+    val dim = 1 << 14
+    val w = Quality.trainTextClassifier(labeled, "doc_id", "text", "label",
+      dim, iters = 50)
+    val b = w.filter(col("feature") === -1L).head.getLong(1)
+    val drifted = Seq((99L, "entirely novel tokens")).toDF("doc_id", "text")
+    val got = Quality.scoreTextClassifier(drifted, "doc_id", "text", w, dim)
+      .head
+    assert(got.getLong(2) === b, "no carried feature → intercept exactly")
+  }
+}

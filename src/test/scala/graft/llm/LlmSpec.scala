@@ -851,6 +851,55 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("per-cell PQ: a cell empty at save time gets the zero-codebook fallback — later appends into it encode and serve") {
+    import spark.implicits._
+    def vec(i: Long) = {
+      val c = (i % 4).toInt
+      val a = new Array[Float](8)
+      a(c * 2) = 10f
+      a(1) = (if ((i / 4) % 2 == 0) 1f else -1f) * (c + 1)
+      a
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map { c =>
+      val a = new Array[Float](8); a((c * 2).toInt) = 10f; (c, a)
+    }.toDF("cell", "_cv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqle").toString
+    // save WITHOUT cell 3's rows: its codebook is the zero fallback
+    Similarity.saveIvfIndexPQ(corpus.filter(col("vec_id") % 4 =!= 3),
+      "vec_id", "embedding", dir, nlist = 4, pqM = 4, pqK = 2,
+      centroids = Some(cents), perCell = true)
+    val storedCells = spark.read.parquet(s"$dir/v1/codebooks")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(storedCells === Set(0, 1, 2, 3),
+      "every centroid cell has a stored codebook")
+    // the delivery lands in the empty cell, encodes (code 0, qerr 1 —
+    // coarse-only proposal), and the cell SERVES
+    Similarity.appendIvfIndex(corpus.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", dir, Some("b1"))
+    val st = Similarity.pqIndexStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // zero codes reconstruct nothing of the residual: qerr = ‖r‖/‖v‖ =
+    // 4/√116 ≈ 0.3714 for every cell-3 vector — the drift diagnostic
+    // fires exactly where the fallback paid
+    assert(st("base") < 1e-3 && st("deltab1") > 0.37 && st("deltab1") < 0.38,
+      s"zero-codebook encodes at the residual-norm error: $st")
+    val q = corpus.filter(col("vec_id") === 3)
+    val raw = Similarity.ivfTopKPQ(q, dir, "vec_id", "embedding", 3, 1)
+      .collect()
+    assert(raw.nonEmpty && raw.forall(_.getLong(1) % 4 === 3),
+      "the once-empty cell serves its appended rows")
+    // refine recovers exact ranks over the coarse-only proposals
+    val exact = Similarity.cosineTopK(q, corpus.filter(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfTopKPQRefined(q, dir, corpus, "vec_id",
+        "embedding", 3, 1, refineFactor = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined === exact)
+  }
+
   test("legacy PQ base without _qerr: serving unions, stats report null, appends stamp") {
     import spark.implicits._
     val cents = embs.filter(col("vec_id") < 8)

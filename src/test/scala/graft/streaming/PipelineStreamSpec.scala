@@ -442,6 +442,82 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxPpl"))
   }
 
+  test("classifier floor at ingest: frozen-model gate ≡ batch scoring, stateless across deliveries") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipeclf").toString
+    val landing = s"$root/landing"; val work = s"$root/work"
+    val index = s"$root/index"
+    new java.io.File(landing).mkdirs()
+    val cents = (0L until 4L).map(c => (c, {
+      val a = new Array[Float](8); a(c.toInt * 2) = 1.0f; a
+    })).toDF("cell", "_cv")
+    Similarity.saveIvfIndex(delivery().select(col("doc_id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", index, nlist = 4,
+      centroids = Some(cents))
+    val probe = Seq((999999L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    def indexedIds() = Similarity.ivfTopKIndexed(probe, index, "vec_id",
+        "embedding", k = 1000, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+
+    // frozen model trained ONCE on a labeled sample — deliveries are
+    // scored under it, never retrain it
+    val dim = 1 << 14
+    val labeled = (0L until 20L).map { i =>
+      val y = (i % 2).toInt
+      (100L + i,
+        if (y == 1) s"thoughtful prose piece$i" else s"spam click bait$i", y)
+    }.toDF("doc_id", "text", "label")
+    val w = graft.llm.Quality.trainTextClassifier(labeled, "doc_id",
+      "text", "label", dim, iters = 200).localCheckpoint()
+
+    def poll(): Unit = PipelineStream.pollIngest(spark, landing, work,
+      index, p, compactEvery = 2, classifier = Some(w),
+      classifierDim = dim, minLogitMicro = 0L)
+
+    delivery(1L -> "thoughtful prose writing",
+      2L -> "spam click now").write.parquet(s"$landing/d0")
+    poll()
+    assert(indexedIds() === Set(1L), "spam-scored doc floored before indexing")
+    // stateless: a second delivery's spam doc floors on its own
+    delivery(11L -> "thoughtful prose essay",
+      12L -> "click spam offer").write.parquet(s"$landing/d1")
+    poll()
+    assert(indexedIds() === Set(1L, 11L))
+    val assigned = DedupStream.assignments(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(assigned === Set(1L, 11L), "floored docs never entered cluster state")
+
+    // gate ≡ batch, twice over: the stream-floored set equals (a) the
+    // raw score threshold over the full landed corpus and (b) what
+    // Corpus.prepare's classifier floor drops at the same parameters
+    val all = delivery(1L -> "thoughtful prose writing",
+      2L -> "spam click now", 11L -> "thoughtful prose essay",
+      12L -> "click spam offer").select("doc_id", "text")
+    val floored = graft.llm.Quality.scoreTextClassifier(all, "doc_id",
+        "text", w, dim)
+      .filter(col("logit_micro") < 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(floored === Set(2L, 12L))
+    val prepared = graft.llm.Corpus.prepare(all, "doc_id", "text",
+        stops = Seq("the"),
+        markers = Seq("en" -> Seq("prose", "click")), minQuality = 0.0,
+        langs = Seq("en"), classifier = Some(w), classifierDim = dim,
+        minLogitMicro = 0L)
+      .select("rep_id").collect().map(_.getLong(0)).toSet
+    assert(prepared === Set(1L, 11L),
+      "batch prepare's classifier floor drops the same documents")
+    // arg validation: a classifier without a floor must refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      PipelineStream.pollIngest(spark, landing, work, index, p,
+        classifier = Some(w))
+    }
+    assert(err.getMessage.contains("minLogitMicro"))
+    val err2 = intercept[IllegalArgumentException] {
+      graft.llm.Corpus.prepare(all, "doc_id", "text", Seq("the"),
+        Seq.empty, 0.0, Seq.empty, classifier = Some(w))
+    }
+    assert(err2.getMessage.contains("minLogitMicro"))
+  }
+
   test("gopher floor at ingest: rule failures floored per delivery, gate ≡ batch rules") {
     val root = java.nio.file.Files.createTempDirectory("graft_pipegoph").toString
     val landing = s"$root/landing"; val work = s"$root/work"
