@@ -128,8 +128,10 @@ import scala.collection.mutable
   *     `graft_ivf_topk_pqr_t(...)` — the product-quantized tier (m
   *     one-byte codes per vector, ADC scoring — the deepest-compression
   *     serving mode) with the same refined-serve contract; the optional
-  *     `residual` / `perCell` tail flags select the FAISS-style residual
-  *     encoding and the per-cell (local) codebook layout;
+  *     `residual` / `perCell` / `rotationView` tail arguments select the
+  *     FAISS-style residual encoding, the per-cell (local) codebook
+  *     layout, and the OPQ rotated space (`graft_opq_train_t` trains
+  *     the rotation);
   *     `graft_ivf_append_t` grows quantized AND product-quantized
   *     indexes too (the append follows the index's recorded flavor);
   *   - `graft_repetition_t('docsV', 'id', 'text')` — Gopher-style
@@ -438,6 +440,10 @@ object GraftSql {
       FunctionIdentifier("graft_classifier_score_t"),
       new ExpressionInfo("graft.GraftSql", "graft_classifier_score_t"),
       (args: Seq[Expression]) => classifierScoreTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_opq_train_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_opq_train_t"),
+      (args: Seq[Expression]) => opqTrainTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_bpe_train_t"),
       new ExpressionInfo("graft.GraftSql", "graft_bpe_train_t"),
@@ -1068,6 +1074,26 @@ object GraftSql {
       .queryExecution.logical
   }
 
+  /** `graft_opq_train_t('sampleV', 'idCol', 'vecCol', m[, k[, iters]])`
+    * — [[graft.llm.Similarity.trainOpqRotation]] from SQL: the OPQ
+    * rotation trained on a require-bounded vector sample; returns the
+    * (i, _rv) rotation table `graft_ivf_save_pq_t` accepts as its
+    * `rotationView` tail argument. Training RUNS at plan build (the
+    * `graft_bpe_train_t` adjudication — the result is a d×d matrix). */
+  private def opqTrainTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_opq_train_t"
+    require(args.length >= 4 && args.length <= 6,
+      s"usage: $fn('sampleView', 'idCol', 'vecCol', m[, k[, iters]])")
+    graft.llm.Similarity.trainOpqRotation(
+      SparkSession.active.table(strLit(args(0), fn, "sample view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "vector column"),
+      lngLit(args(3), fn, "m").toInt,
+      k = if (args.length >= 5) lngLit(args(4), fn, "k").toInt else 256,
+      iters = if (args.length == 6) lngLit(args(5), fn, "iters").toInt
+        else 8)
+      .queryExecution.logical
+  }
+
   /** `graft_bpe_train_t('docsV', 'id', 'text', numMerges[, maxBatch])` —
     * [[graft.llm.Bpe.train]] from SQL. The merge iterations RUN at plan
     * build (each is a Spark job over the word-type table) — the
@@ -1570,9 +1596,9 @@ object GraftSql {
     * vector, deepest compression); returns its centroids. */
   private def ivfSavePqTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ivf_save_pq_t"
-    require(args.length >= 7 && args.length <= 10,
+    require(args.length >= 7 && args.length <= 11,
       s"usage: $fn('corpusView', 'idCol', 'vecCol', 'dir', nlist, m, k[, " +
-        "seed[, residual[, perCell]]])")
+        "seed[, residual[, perCell[, 'rotationView']]]])")
     val cv = strLit(args(0), fn, "corpus view")
     val idCol = strLit(args(1), fn, "id column")
     val vecCol = strLit(args(2), fn, "vector column")
@@ -1582,11 +1608,15 @@ object GraftSql {
     val k = lngLit(args(6), fn, "k").toInt
     val seed = if (args.length >= 8) lngLit(args(7), fn, "seed") else 42L
     val residual = args.length >= 9 && boolLit(args(8), fn, "residual")
-    val perCell = args.length == 10 && boolLit(args(9), fn, "perCell")
+    val perCell = args.length >= 10 && boolLit(args(9), fn, "perCell")
     val spark = SparkSession.active
+    val rotation =
+      if (args.length == 11)
+        Some(spark.table(strLit(args(10), fn, "rotation view")))
+      else None
     graft.llm.Similarity.saveIvfIndexPQ(spark.table(cv), idCol, vecCol,
       dir, nlist, pqM = m, pqK = k, seed = seed, residual = residual,
-      perCell = perCell)
+      perCell = perCell, rotation = rotation)
     graft.llm.Similarity.ivfCentroids(spark, dir).queryExecution.logical
   }
 

@@ -148,6 +148,75 @@ object IvfQuantProbe {
     val recallPql = Similarity.recallAgainst(f2Res, qlRes, 10).head.getDouble(1)
     def qerr(d: String): Double = Similarity.pqIndexStats(spark, d)
       .filter(col("source") === "base").head.getDouble(2)
+    // OPQ-ROTATION arm — on the corpus shape rotation is FOR: cluster
+    // centers are ±0.5 bit vectors MIXED across every subspace boundary
+    // by 45° Givens turns (dims 7↔8, 15↔16, …), so in the observed space
+    // each subspace sees combinations of neighboring bits and shared
+    // codebooks waste codes on the mixture; the trained rotation
+    // un-mixes, the per-subspace alphabet collapses, and the same 8
+    // bytes encode more of the structure. Residual arms both ways, same
+    // centroids, same bytes.
+    def centerBit(cl: org.apache.spark.sql.Column,
+        j: org.apache.spark.sql.Column) =
+      (pmod(hash(cl, j, lit(17)), lit(2)).cast("float") - 0.5f)
+    val sqh = 0.70710678f
+    val mixed = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val cl = (col("id") / 11).cast("long")
+        val b = centerBit(cl, j)
+        val bPrev = centerBit(cl, j - 1)
+        val bNext = centerBit(cl, j + 1)
+        val mixedBit =
+          when(pmod(j, lit(8)) === 7, (b - bNext) * sqh)
+            .when(pmod(j, lit(8)) === 0 && j > 0, (bPrev + b) * sqh)
+            .otherwise(b)
+        // bit magnitude 0.3 (±0.15): clusters close enough that residual
+        // quantization error competes with cluster separation — at ±0.5
+        // every arm recalls 1.0 and the comparison measures nothing
+        (mixedBit * 0.3f + lit(0.5f)
+          + (pmod(hash(col("id"), j, lit(19)), lit(1000)).cast("float")
+            / 50000f)).cast("float")
+      }).as("embedding"))
+    val qm = mixed.filter(col("vec_id") % 11 === 0)
+      .limit(200).localCheckpoint(true)
+    Similarity.saveIvfIndex(mixed, "vec_id", "embedding", s"$root/f3",
+      nlist, sampleFraction = math.min(1.0, 100000.0 / n))
+    val cents3 = Similarity.ivfCentroids(spark, s"$root/f3")
+      .localCheckpoint(true)
+    // the rotation must train in the space the codes quantize — the
+    // RESIDUAL sample, not the raw vectors (a raw-trained rotation
+    // applied to residuals was measured WORSE than identity)
+    val rotSample = mixed.sample(withReplacement = false,
+      math.min(1.0, 50000.0 / n), 42L).localCheckpoint(true)
+    val resSample = rotSample
+      .select(col("vec_id"), col("embedding").as("_ov"))
+      .join(Similarity.assignCells(rotSample, cents3, "vec_id",
+        "embedding", 1), "vec_id")
+      .join(broadcast(cents3.select(col("cell"), col("_cv").as("_ccv"))),
+        "cell")
+      .select(col("vec_id"),
+        zip_with(col("_ov"), col("_ccv"), (a, b) => a - b).as("_rv"))
+    val rot = Similarity.trainOpqRotation(resSample, "vec_id", "_rv",
+      m = 8, k = 256, iters = 6, maxTrainRows = 50000).localCheckpoint(true)
+    Similarity.saveIvfIndexPQ(mixed, "vec_id", "embedding", s"$root/pqm",
+      nlist, pqM = 8, pqK = 256,
+      sampleFraction = math.min(1.0, 20000.0 / n), maxIter = 10,
+      centroids = Some(cents3), residual = true)
+    Similarity.saveIvfIndexPQ(mixed, "vec_id", "embedding", s"$root/pqo",
+      nlist, pqM = 8, pqK = 256,
+      sampleFraction = math.min(1.0, 20000.0 / n), maxIter = 10,
+      centroids = Some(cents3), residual = true, rotation = Some(rot))
+    val (f3Res, _) = timed(Similarity.ivfTopKIndexed(qm, s"$root/f3",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val (pmRes, pmS) = timed(Similarity.ivfTopKPQ(qm, s"$root/pqm",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val (poRes, poS) = timed(Similarity.ivfTopKPQ(qm, s"$root/pqo",
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").localCheckpoint(true))
+    val recallPqm = Similarity.recallAgainst(f3Res, pmRes, 10).head.getDouble(1)
+    val recallPqo = Similarity.recallAgainst(f3Res, poRes, 10).head.getDouble(1)
     val ok = recallR >= 0.95 && ratioPq < ratio && recallPq >= 0.55 &&
       recallPr >= 0.9
     println(s"IVF_QUANT n=$n bytesF=${bytes(s"$root/f")} " +
@@ -162,6 +231,11 @@ object IvfQuantProbe {
       f"recallRawPQRvsF2=$recallPqr%.4f recallRawPQLvsF2=$recallPql%.4f " +
       f"qerrPQ=${qerr(s"$root/pq")}%.4f qerrPQR=${qerr(s"$root/pqr")}%.4f " +
       f"qerrPQL=${qerr(s"$root/pql")}%.4f " +
+      f"servePQM=$pmS%.1fs servePQO=$poS%.1fs " +
+      f"recallRawMixedPQRvsF3=$recallPqm%.4f " +
+      f"recallRawMixedOPQvsF3=$recallPqo%.4f " +
+      f"qerrMixedPQR=${qerr(s"$root/pqm")}%.4f " +
+      f"qerrMixedOPQ=${qerr(s"$root/pqo")}%.4f " +
       s"nClusters=$nClusters ${if (ok) "OK" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

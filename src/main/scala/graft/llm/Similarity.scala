@@ -525,6 +525,11 @@ object Similarity {
         f.create(new org.apache.hadoop.fs.Path(vnew, "_PQRES"), true).close()
       if (isLocalPqVersion(spark, vold))
         f.create(new org.apache.hadoop.fs.Path(vnew, "_PQLOCAL"), true).close()
+      if (isRotatedPqVersion(spark, vold)) {
+        spark.read.parquet(s"$vold/rotation")
+          .write.mode("overwrite").parquet(s"$vnew/rotation")
+        f.create(new org.apache.hadoop.fs.Path(vnew, "_PQROT"), true).close()
+      }
     } else if (isQuantizedVersion(spark, vold))
       f.create(new org.apache.hadoop.fs.Path(vnew, "_QUANTIZED"), true).close()
   }
@@ -558,6 +563,93 @@ object Similarity {
       vdir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(vdir, "_PQLOCAL")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Whether a PQ version is ROTATED (OPQ) — the `_PQROT` marker written
+    * by [[saveIvfIndexPQ]] with `rotation = Some(...)`, next to a
+    * `rotation` table in the version dir. Appends rotate deliveries into
+    * the same space before encoding; serving rotates the QUERY for its
+    * ADC lookup table (R is orthogonal, so dot(Rq, Rv) = dot(q, v) — the
+    * residual add-back and the stored norms stay in the original
+    * space). */
+  private def isRotatedPqVersion(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vdir, "_PQROT")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The stored rotation of a version dir as a dense row-major matrix —
+    * d×d floats, driver-bounded by the same budget as the broadcast
+    * codebooks. */
+  private def readRotation(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Array[Array[Float]] =
+    rotationMatrix(spark.read.parquet(s"$vdir/rotation"))
+
+  private def rotationMatrix(rotation: DataFrame): Array[Array[Float]] = {
+    val rows = rotation.select(col("i").cast("int"), col("_rv")).collect()
+    require(rows.nonEmpty, "empty rotation table")
+    val d = rows.map(_.getInt(0)).max + 1
+    val r = new Array[Array[Float]](d)
+    rows.foreach(x => r(x.getInt(0)) = x.getSeq[Float](1).toArray)
+    require(r.forall(x => x != null && x.length == d),
+      s"rotation table is not a complete $d×$d matrix")
+    r
+  }
+
+  /** Rotate `vecCol` IN PLACE through a broadcast matrix — one narrow
+    * typed pass (id, vec, …passthrough float-array columns), used on the
+    * encode side (residuals / raw vectors) and the query side (LUT
+    * input). The input must be (longCol, vecCol[, extra array<float>
+    * columns…]); output schema mirrors the input. */
+  private def rotateVecCol(df: DataFrame, longCol: String, vecCol: String,
+      rot: Array[Array[Float]], extraVec: Option[String] = None,
+      extraLong: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rot)
+    @inline def rotate(r: Array[Array[Float]], x: Array[Float]) = {
+      val d = r.length
+      val y = new Array[Float](d)
+      var i = 0
+      while (i < d) {
+        val ri = r(i); var s = 0.0; var j = 0
+        while (j < d) { s += ri(j).toDouble * x(j); j += 1 }
+        y(i) = s.toFloat; i += 1
+      }
+      y
+    }
+    (extraVec, extraLong) match {
+      case (Some(ev), Some(el)) =>
+        df.select(col(longCol).cast("long"), col(vecCol), col(ev),
+            col(el).cast("long"))
+          .as[(Long, Array[Float], Array[Float], Long)]
+          .mapPartitions { it =>
+            val r = bc.value
+            it.map { case (id, v, o, x) => (id, rotate(r, v), o, x) }
+          }.toDF(longCol, vecCol, ev, el)
+      case (Some(ev), None) =>
+        df.select(col(longCol).cast("long"), col(vecCol), col(ev))
+          .as[(Long, Array[Float], Array[Float])]
+          .mapPartitions { it =>
+            val r = bc.value
+            it.map { case (id, v, o) => (id, rotate(r, v), o) }
+          }.toDF(longCol, vecCol, ev)
+      case (None, Some(el)) =>
+        df.select(col(longCol).cast("long"), col(vecCol),
+            col(el).cast("long"))
+          .as[(Long, Array[Float], Long)]
+          .mapPartitions { it =>
+            val r = bc.value
+            it.map { case (id, v, x) => (id, rotate(r, v), x) }
+          }.toDF(longCol, vecCol, el)
+      case (None, None) =>
+        df.select(col(longCol).cast("long"), col(vecCol))
+          .as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val r = bc.value
+            it.map { case (id, v) => (id, rotate(r, v)) }
+          }.toDF(longCol, vecCol)
+    }
   }
 
   /** (neighbor_id, _rv, _ov) for residual encoding: each vector joined to
@@ -801,13 +893,37 @@ object Similarity {
       val rows =
         if (isPqVersion(spark, vdir)) {
           val cbs = spark.read.parquet(s"$vdir/codebooks")
+          // the delivery follows the version's FULL flavor stack: rotate
+          // into the stored space first (the _PQROT marker), then encode
+          // residual / per-cell / plain exactly as the base was
+          val rotM =
+            if (isRotatedPqVersion(spark, vdir))
+              Some(readRotation(spark, vdir))
+            else None
+          def residualRows() = {
+            val r = residualVectors(newVectors, idCol, vecCol, cells, cents)
+            rotM match {
+              case Some(rm) => rotateVecCol(r, "neighbor_id", "_rv", rm,
+                extraVec = Some("_ov"), extraLong = Some("cell"))
+              case None => r
+            }
+          }
           if (isLocalPqVersion(spark, vdir))
-            pqRowsLocal(residualVectors(newVectors, idCol, vecCol, cells,
-              cents), "neighbor_id", "_rv", cbs, Some("_ov"))
+            pqRowsLocal(residualRows(), "neighbor_id", "_rv", cbs,
+              Some("_ov"))
           else if (residualIdx)
-            pqRows(residualVectors(newVectors, idCol, vecCol, cells, cents),
-              "neighbor_id", "_rv", cbs, Some("_ov"))
-          else pqRows(newVectors, idCol, vecCol, cbs)
+            pqRows(residualRows(), "neighbor_id", "_rv", cbs, Some("_ov"))
+          else rotM match {
+            case Some(rm) =>
+              pqRows(rotateVecCol(
+                newVectors.filter(col(idCol).isNotNull &&
+                    col(vecCol).isNotNull)
+                  .select(col(idCol).cast("long").as("neighbor_id"),
+                    col(vecCol).as("_rot"), col(vecCol).as("_ov")),
+                "neighbor_id", "_rot", rm, extraVec = Some("_ov")),
+                "neighbor_id", "_rot", cbs, Some("_ov"))
+            case None => pqRows(newVectors, idCol, vecCol, cbs)
+          }
         }
         else if (isQuantizedVersion(spark, vdir))
           quantizedRows(newVectors, idCol, vecCol)
@@ -1098,6 +1214,263 @@ object Similarity {
     centers
   }
 
+  /** Orthogonal-Procrustes solution R = U·Vᵀ from the SVD of `m` —
+    * the rotation-update step of OPQ training (Ge et al. 2013, public
+    * algorithm). One-sided Jacobi SVD in pure sequential Scala:
+    * deterministic on any machine (LAPACK/netlib would be
+    * machine-dependent), cubic in d — d is an embedding dimension
+    * (tens to a few thousand), driver-trivial. Rank-deficient inputs
+    * complete the null column space by Gram-Schmidt over the identity
+    * basis, keeping R exactly orthogonal. */
+  private[llm] def procrustesRotation(m: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = m.length
+    // a = working copy, columns become U·Σ; v accumulates the right
+    // rotations (so m = a₀ = (final a with orthogonal columns)·vᵀ)
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val eps = 1e-12
+    var sweep = 0
+    var rotated = true
+    while (sweep < 60 && rotated) {
+      rotated = false
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var i = 0
+          while (i < d) {
+            app += a(i)(p) * a(i)(p); aqq += a(i)(q) * a(i)(q)
+            apq += a(i)(p) * a(i)(q)
+            i += 1
+          }
+          if (math.abs(apq) > eps * math.sqrt(app * aqq)) {
+            rotated = true
+            val tau = (aqq - app) / (2.0 * apq)
+            // sign(0) must be 1, not 0 — equal-norm columns (tau = 0)
+            // need the full 45° turn, and signum would freeze them
+            val t = (if (tau >= 0) 1.0 else -1.0) /
+              (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            i = 0
+            while (i < d) {
+              val ap = a(i)(p); val aq = a(i)(q)
+              a(i)(p) = c * ap - s * aq; a(i)(q) = s * ap + c * aq
+              val vp = v(i)(p); val vq = v(i)(q)
+              v(i)(p) = c * vp - s * vq; v(i)(q) = s * vp + c * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // U columns = normalized a columns. Two passes: normalize every
+    // nonzero-σ column first, THEN complete each null column by
+    // Gram-Schmidt against ALL columns built so far (a rank-deficient M
+    // interleaves zero columns among real ones — a one-pass completion
+    // would only orthogonalize against the earlier ones and leave RᵀR
+    // off-identity).
+    val u = Array.ofDim[Double](d, d)
+    val isNull = new Array[Boolean](d)
+    var j = 0
+    while (j < d) {
+      var n2 = 0.0; var i = 0
+      while (i < d) { n2 += a(i)(j) * a(i)(j); i += 1 }
+      val n = math.sqrt(n2)
+      if (n > 1e-9) {
+        i = 0
+        while (i < d) { u(i)(j) = a(i)(j) / n; i += 1 }
+      } else isNull(j) = true
+      j += 1
+    }
+    j = 0
+    while (j < d) {
+      if (isNull(j)) {
+        // complete from the identity basis, orthogonal to every column
+        // already in place (real and previously-completed alike)
+        var e = 0
+        var done = false
+        while (e < d && !done) {
+          val cand = new Array[Double](d)
+          cand(e) = 1.0
+          var jj = 0
+          while (jj < d) {
+            if (jj != j && !(isNull(jj) && jj > j)) {
+              var dp = 0.0; var ii = 0
+              while (ii < d) { dp += cand(ii) * u(ii)(jj); ii += 1 }
+              ii = 0
+              while (ii < d) { cand(ii) -= dp * u(ii)(jj); ii += 1 }
+            }
+            jj += 1
+          }
+          var cn2 = 0.0; var ii = 0
+          while (ii < d) { cn2 += cand(ii) * cand(ii); ii += 1 }
+          if (cn2 > 1e-6) {
+            val cn = math.sqrt(cn2)
+            ii = 0
+            while (ii < d) { u(ii)(j) = cand(ii) / cn; ii += 1 }
+            done = true
+          }
+          e += 1
+        }
+        isNull(j) = false
+      }
+      j += 1
+    }
+    // R = U·Vᵀ
+    Array.tabulate(d, d) { (i, k) =>
+      var s = 0.0; var t = 0
+      while (t < d) { s += u(i)(t) * v(k)(t); t += 1 }
+      s
+    }
+  }
+
+  /** Train an OPQ rotation (Ge et al. 2013's non-parametric alternation)
+    * as a DRIVER KERNEL on a require-bounded vector sample — the
+    * BpeKernel split again: the rotation is a d×d matrix learned from a
+    * sample, while ENCODING under it is the corpus-scale pass. Each
+    * iteration (a) PQ-encodes the rotated sample against
+    * [[kmeansKernel]]-trained per-subspace codebooks and (b) solves the
+    * orthogonal Procrustes problem R = U·Vᵀ of SVD(Σ ŷᵢxᵢᵀ) — rotating
+    * the space so quantization error concentrates where the codebooks
+    * can spend their codes. Deterministic end to end (sorted collect,
+    * sequential kernels, Jacobi SVD).
+    *
+    * Input rows must carry (`idCol`, `vecCol`); train on the RESIDUAL
+    * sample when the index is residual-encoded (the space the codes
+    * actually quantize). Output: (i, _rv) — row i of R as float, the
+    * table [[saveIvfIndexPQ]] accepts via `rotation`. */
+  def trainOpqRotation(sample: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 256, iters: Int = 8, seed: Long = 42L,
+      maxTrainRows: Int = 100000, kmeansIters: Int = 10): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val rows = sample
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        !exists(col(vecCol), x => isnan(x)))
+      .select(xxhash64(col(idCol)).as("_h"),
+        col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .sort("_h", "_id")
+      .limit(maxTrainRows)
+      .select("_v").as[Array[Float]].collect()
+    require(rows.nonEmpty, "trainOpqRotation: no trainable vectors")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d is not divisible by m $m")
+    val sub = d / m
+    val x = rows.map(_.map(_.toDouble))
+    // the alternation runs from TWO starts and the lower-error rotation
+    // wins: identity (data whose structure is already mostly
+    // subspace-aligned — a random start scrambles it and a few
+    // iterations cannot climb back, measured as a qerr REGRESSION on a
+    // near-aligned corpus) and a seeded random orthogonal (symmetric
+    // data stalls the identity start — the first codebooks inherit the
+    // subspace symmetry and Procrustes has no gradient to rotate along).
+    // Both deterministic; the tracked error is the sample's relative
+    // squared reconstruction error under that iteration's own codebooks.
+    def alternate(r0: Array[Array[Double]]): (Array[Array[Double]], Double) = {
+      var r = r0
+      var bestR = r0
+      var bestErr = Double.MaxValue
+      var it = 0
+      while (it < iters) {
+        // y = R·x per row
+        val y = x.map { xi =>
+          val yi = new Array[Double](d)
+          var i = 0
+          while (i < d) {
+            var s = 0.0; var j = 0
+            while (j < d) { s += r(i)(j) * xi(j); j += 1 }
+            yi(i) = s; i += 1
+          }
+          yi
+        }
+        // per-subspace codebooks on the rotated sample, then reconstruct
+        val yhat = Array.fill(y.length)(new Array[Double](d))
+        var mi = 0
+        while (mi < m) {
+          val pts = y.map { yi =>
+            val a = new Array[Float](sub)
+            var j = 0
+            while (j < sub) { a(j) = yi(mi * sub + j).toFloat; j += 1 }
+            a
+          }
+          val cents = kmeansKernel(pts, k, seed * 7919L + it * 131L + mi,
+            kmeansIters)
+          var ri = 0
+          while (ri < pts.length) {
+            val p = pts(ri)
+            var best = Double.MaxValue; var bc = 0; var c = 0
+            while (c < cents.length) {
+              var dd = 0.0; var j = 0
+              while (j < sub) {
+                val df = p(j).toDouble - cents(c)(j); dd += df * df; j += 1
+              }
+              if (dd < best) { best = dd; bc = c }
+              c += 1
+            }
+            var j = 0
+            while (j < sub) {
+              yhat(ri)(mi * sub + j) = cents(bc)(j); j += 1
+            }
+            ri += 1
+          }
+          mi += 1
+        }
+        // this iteration's error: Σ‖R·x − x̂‖² / Σ‖x‖² with ITS codebooks
+        var errN = 0.0; var errD = 0.0
+        var ri = 0
+        while (ri < x.length) {
+          val yi = y(ri); val hi = yhat(ri)
+          var i = 0
+          while (i < d) {
+            val df = yi(i) - hi(i); errN += df * df
+            errD += yi(i) * yi(i)
+            i += 1
+          }
+          ri += 1
+        }
+        val err = if (errD > 0) errN / errD else 0.0
+        if (err < bestErr) { bestErr = err; bestR = r }
+        // Procrustes update: M = Σ ŷᵢ·xᵢᵀ, R = U·Vᵀ of SVD(M)
+        val cross = Array.ofDim[Double](d, d)
+        ri = 0
+        while (ri < x.length) {
+          val xi = x(ri); val yi = yhat(ri)
+          var i = 0
+          while (i < d) {
+            val yv = yi(i)
+            if (yv != 0.0) {
+              var j = 0
+              while (j < d) { cross(i)(j) += yv * xi(j); j += 1 }
+            }
+            i += 1
+          }
+          ri += 1
+        }
+        r = procrustesRotation(cross)
+        it += 1
+      }
+      (bestR, bestErr)
+    }
+    val eye = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val rand = {
+      val rnd = new java.util.Random(seed)
+      procrustesRotation(Array.fill(d, d)(rnd.nextGaussian()))
+    }
+    val (rI, eI) = alternate(eye)
+    val (rR, eR) = alternate(rand)
+    val r = if (eI <= eR) rI else rR
+    r.zipWithIndex.map { case (row, i) => (i, row.map(_.toFloat)) }
+      .toSeq.toDF("i", "_rv")
+  }
+
   /** PER-CELL (local) PQ codebooks — the [[trainPqCodebooks]] variant
     * behind `saveIvfIndexPQ(perCell = true)`: each coarse cell trains its
     * OWN m×k codebook table on ITS residuals, so total quantizer capacity
@@ -1373,7 +1746,8 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       codebooks: Option[DataFrame] = None, retain: Int = 0,
       residual: Boolean = false, perCell: Boolean = false,
-      maxTrainPerCell: Int = 20000): Unit = {
+      maxTrainPerCell: Int = 20000,
+      rotation: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1407,16 +1781,44 @@ object Similarity {
     // wherever cells capture real cluster mass. Serving adds dot(q, c)
     // back per probed cell (see [[ivfTopKPQ]]); appends read the
     // `_PQRES` marker and encode against the same residual space.
-    val res =
+    // `rotation` (the OPQ layout — see [[trainOpqRotation]]): codes
+    // quantize R·r (or R·v on the plain path) instead of r. R is
+    // orthogonal, so reconstruction error, stored norms, and the `_qerr`
+    // scale are unchanged in meaning; serving rotates the QUERY instead
+    // of unrotating the corpus (see [[ivfTopKPQ]]). Composes freely with
+    // residual and perCell — the rotation applies to whatever space the
+    // codes quantize.
+    val rotM = rotation.map(rotationMatrix)
+    val res0 =
       if (useResidual)
-        Some(residualVectors(corpus, idCol, vecCol, cells, cents)
-          .localCheckpoint())
+        Some(residualVectors(corpus, idCol, vecCol, cells, cents))
       else None
+    val res = res0.map { r =>
+      (rotM match {
+        case Some(rm) =>
+          rotateVecCol(r, "neighbor_id", "_rv", rm, extraVec = Some("_ov"),
+            extraLong = Some("cell"))
+        case None => r
+      }).localCheckpoint()
+    }
     val sampledRes = res.map { r =>
       if (perCell && sampleFraction < 1.0)
         r.sample(withReplacement = false, sampleFraction, seed)
       else r
     }
+    // plain-path rotation: (neighbor_id, _rot = R·v, _ov = v) — codes
+    // quantize the rotated vector, norms stay on the original; consumed
+    // by training (~2 actions per subspace) and encode → checkpoint once
+    val plainRot: Option[DataFrame] =
+      if (useResidual) None
+      else rotM.map { rm =>
+        rotateVecCol(
+          corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+            .select(col(idCol).cast("long").as("neighbor_id"),
+              col(vecCol).as("_rot"), col(vecCol).as("_ov")),
+          "neighbor_id", "_rot", rm, extraVec = Some("_ov"))
+          .localCheckpoint()
+      }
     val cbs = codebooks.getOrElse {
       if (perCell) {
         val trained = trainPqCodebooksLocal(sampledRes.get, "neighbor_id",
@@ -1446,16 +1848,24 @@ object Similarity {
       else res match {
         case Some(r) =>
           trainPqCodebooks(r, "_rv", pqM, pqK, sampleFraction, seed, maxIter)
-        case None =>
-          trainPqCodebooks(corpus, vecCol, pqM, pqK, sampleFraction, seed,
-            maxIter)
+        case None => plainRot match {
+          case Some(rp) =>
+            trainPqCodebooks(rp, "_rot", pqM, pqK, sampleFraction, seed,
+              maxIter)
+          case None =>
+            trainPqCodebooks(corpus, vecCol, pqM, pqK, sampleFraction,
+              seed, maxIter)
+        }
       }
     }
     val rows =
       if (perCell) pqRowsLocal(res.get, "neighbor_id", "_rv", cbs, Some("_ov"))
       else res match {
         case Some(r) => pqRows(r, "neighbor_id", "_rv", cbs, Some("_ov"))
-        case None => pqRows(corpus, idCol, vecCol, cbs)
+        case None => plainRot match {
+          case Some(rp) => pqRows(rp, "neighbor_id", "_rot", cbs, Some("_ov"))
+          case None => pqRows(corpus, idCol, vecCol, cbs)
+        }
       }
     rows.join(cells, "neighbor_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
@@ -1466,11 +1876,15 @@ object Similarity {
       else Seq(col("m"), col("code"), col("_cbv"))
     cbs.select(cbCols: _*)
       .write.mode("overwrite").parquet(s"$vdir/codebooks")
+    rotation.foreach(_.select(col("i").cast("int").as("i"), col("_rv"))
+      .write.mode("overwrite").parquet(s"$vdir/rotation"))
     f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
     if (useResidual)
       f.create(new org.apache.hadoop.fs.Path(vdir, "_PQRES"), true).close()
     if (perCell)
       f.create(new org.apache.hadoop.fs.Path(vdir, "_PQLOCAL"), true).close()
+    if (rotation.nonEmpty)
+      f.create(new org.apache.hadoop.fs.Path(vdir, "_PQROT"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
   }
@@ -1559,7 +1973,11 @@ object Similarity {
       sampleFraction = sampleFraction, seed = seed, maxIter = maxIter,
       centroids = Some(cents), retain = retain,
       residual = isResidualPqVersion(spark, vdir),
-      perCell = isLocalPqVersion(spark, vdir))
+      perCell = isLocalPqVersion(spark, vdir),
+      rotation =
+        if (isRotatedPqVersion(spark, vdir))
+          Some(spark.read.parquet(s"$vdir/rotation"))
+        else None)
   }
 
   /** Serve a [[saveIvfIndexPQ]] directory via ADC: per query the m×k
@@ -1584,6 +2002,19 @@ object Similarity {
     // costs O((m·k)²) map probes per query — both measured ~25× slower
     // than this shape at a 200 k corpus
     val local = isLocalPqVersion(spark, vdir)
+    // ROTATED (OPQ) version: the LUT's partial dots must happen in the
+    // rotated space — rotate the QUERY once (a query-batch-sized typed
+    // pass); dot(Rq, Rv̂) = dot(q, v̂), so scores, norms, and the
+    // residual add-back all stay in the original space
+    val qv0: DataFrame = {
+      val plain = queries
+        .select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).as("_qv0"))
+        .filter(col("query_id").isNotNull && col("_qv0").isNotNull)
+      if (isRotatedPqVersion(spark, vdir))
+        rotateVecCol(plain, "query_id", "_qv0", readRotation(spark, vdir))
+      else plain
+    }
     // the local branch consumes the probed-query side TWICE (the LUT is
     // built FROM it and joined BACK to it) — checkpoint the query-batch-
     // sized table so cell assignment doesn't run twice per serve
@@ -1597,7 +2028,8 @@ object Similarity {
         // LUT work scales with what the query actually probes, never
         // with nlist
         val lutL = probed
-          .select(col("query_id"), col("cell"), col("_qv").as("_qv0"))
+          .select(col("query_id"), col("cell"))
+          .join(qv0, "query_id")
           .join(broadcast(cbs), "cell")
           .select(col("query_id"), col("cell"), col("m"), col("code"),
             dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
@@ -1612,9 +2044,7 @@ object Similarity {
             s => s("_sl")).as("_lut"))
         probed.join(lutL, Seq("query_id", "cell"))
       } else {
-        val lut = queries
-          .select(col(idCol).cast("long").as("query_id"),
-            col(vecCol).as("_qv0"))
+        val lut = qv0
           .crossJoin(broadcast(cbs))
           .select(col("query_id"), col("m"), col("code"),
             dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),

@@ -294,6 +294,43 @@ object LlmQueries {
           round(col("cos"), 6).as("cos")))
     }),
 
+    // ROTATED (OPQ-layout) PQ end to end: save with an EXPLICIT
+    // orthogonal rotation (the dimension-reversal permutation — exactly
+    // orthogonal, and it genuinely reshuffles what every subspace sees)
+    // plus explicit codebooks, append the odd half (the _PQROT marker
+    // routes delivery encoding through the stored rotated space), serve
+    // refined at full width — the query side must rotate for its ADC
+    // lookups, and exact rescoring decides every rank, so the rotated
+    // construction loop replays as the same probed-cell exact top-5.
+    "ann11_ivf_pq_rotated" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val cbs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"), col("embedding"))
+        .select(col("code"), explode(sequence(lit(0), lit(7))).as("m"),
+          col("embedding"))
+        .select(col("m"), col("code"),
+          slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("_cbv"))
+      val rot = s.range(64).select(col("id").cast("int").as("i"),
+        transform(sequence(lit(0), lit(63)), j =>
+          when(j === lit(63) - col("id").cast("int"), lit(1.0f))
+            .otherwise(lit(0.0f))).as("_rv"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann11").toString
+      Similarity.saveIvfIndexPQ(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nlist = 8, pqM = 8, pqK = 8,
+        centroids = Some(cents), codebooks = Some(cbs), residual = true,
+        rotation = Some(rot))
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", idx, Some("b1"))
+      val q = e.filter(col("vec_id") < 50)
+      val factor = (e.count() / 5 + 1).toInt
+      sortAll(Similarity.ivfTopKPQRefined(q, idx, e, "vec_id",
+          "embedding", k = 5, nprobe = 3, refineFactor = factor)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos")))
+    }),
+
     // PQ codebook-drift diagnostic end to end: PQ-save the even half with
     // EXPLICIT codebooks (slices of the first 8 embeddings — the ann6
     // trick that keeps k-means out of the gate), append the odd half as a
@@ -1187,6 +1224,8 @@ object LlmQueries {
     "ann8_ivf_pq_residual" -> probedCellTop5Oracle,
     // per-cell codebooks change PROPOSAL scores only — same exact replay
     "ann10_ivf_pq_local" -> probedCellTop5Oracle,
+    // an orthogonal rotation changes PROPOSAL scores only — same replay
+    "ann11_ivf_pq_rotated" -> probedCellTop5Oracle,
 
     // PQ encode-time error replay: nearest explicit sub-centroid by L2
     // per subspace (the distance written as the same left-to-right

@@ -599,6 +599,28 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(lSql === lTyped)
     assert(lSql.nonEmpty)
+    // rotated (OPQ) arm: graft_opq_train_t trains the rotation, the
+    // 11-arg save form stamps _PQROT, and the raw serve rotates the
+    // query for its ADC lookups — SQL ≡ typed on a fresh dir
+    val odir = java.nio.file.Files.createTempDirectory("graft_sql_ivfpqo")
+      .toString
+    spark.sql("SELECT * FROM graft_opq_train_t(" +
+      "'ivfpq_c', 'vec_id', 'embedding', 4, 16, 4)")
+      .createOrReplaceTempView("ivfpq_rot_v")
+    spark.sql("SELECT * FROM graft_ivf_save_pq_t(" +
+      s"'ivfpq_c', 'vec_id', 'embedding', '$odir', 4, 4, 16, 42, true, " +
+      "false, 'ivfpq_rot_v')").collect()
+    assert(new java.io.File(s"$odir/v1/_PQROT").exists() &&
+      new java.io.File(s"$odir/v1/rotation").exists(),
+      "the SQL save form carries the rotation artifacts")
+    val oSql = spark.sql("SELECT query_id, neighbor_id, cos FROM " +
+      s"graft_ivf_topk_pq_t('ivfpq_q', '$odir', 'vec_id', 'embedding', 5, 2)")
+      .collect().map(key).toSet
+    val oTyped = graft.llm.Similarity.ivfTopKPQ(spark.table("ivfpq_q"),
+        odir, "vec_id", "embedding", 5, 2)
+      .collect().map(key).toSet
+    assert(oSql === oTyped)
+    assert(oSql.nonEmpty)
   }
 
   test("graft_dhash_pairs_t / graft_dhash_clusters_t / graft_frame_dup_t / graft_frame_clusters_t: multimodal tier from SQL ≡ typed") {

@@ -802,6 +802,118 @@ class LlmSpec extends AnyFunSuite {
     assert(serve(gdir) === exact, "refreshed index serves the exact ranking")
   }
 
+  test("procrustesRotation: orthogonal output, recovers an orthogonal input exactly") {
+    // an orthogonal M has SVD U = M, V = I → R = M
+    val theta = 0.7
+    val g = Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
+    g(0)(0) = math.cos(theta); g(0)(2) = -math.sin(theta)
+    g(2)(0) = math.sin(theta); g(2)(2) = math.cos(theta)
+    val r = Similarity.procrustesRotation(g)
+    (0 until 4).foreach(i => (0 until 4).foreach(j =>
+      assert(math.abs(r(i)(j) - g(i)(j)) < 1e-9, s"r($i)($j)")))
+    // a generic (non-orthogonal) M still yields an orthogonal R
+    val m = Array.tabulate(4, 4)((i, j) => math.sin(i * 3 + j + 1.0) * (j + 1))
+    val r2 = Similarity.procrustesRotation(m)
+    (0 until 4).foreach { i =>
+      (0 until 4).foreach { j =>
+        val dot = (0 until 4).map(t => r2(t)(i) * r2(t)(j)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"RᵀR($i)($j) = $dot")
+      }
+    }
+  }
+
+  test("OPQ rotation: trained rotation un-mixes cross-subspace structure — lower qerr at identical bytes; append/fold/refresh carry the flavor") {
+    import spark.implicits._
+    // ground truth: 8 independent ±1 bits (subspace-aligned at sub = 2,
+    // so k = 4 codes per 2-dim subspace would encode EXACTLY) — observed
+    // through a fixed mixing rotation Q of 45° Givens turns across every
+    // subspace boundary (dims 1↔2, 3↔4, 5↔6). In the observed space each
+    // subspace sees mixtures of four bits → k = 4 cannot cover; an OPQ
+    // rotation that (approximately) inverts Q restores the product
+    // structure the codes can represent.
+    val d = 8
+    val q = {
+      val m = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      Seq(1, 3, 5).foreach { a =>
+        val g = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+        val c = math.sqrt(0.5)
+        g(a)(a) = c; g(a)(a + 1) = -c; g(a + 1)(a) = c; g(a + 1)(a + 1) = c
+        // m = g · m
+        val nm = Array.tabulate(d, d) { (i, j) =>
+          (0 until d).map(t => g(i)(t) * m(t)(j)).sum
+        }
+        (0 until d).foreach(i => (0 until d).foreach(j => m(i)(j) = nm(i)(j)))
+      }
+      m
+    }
+    val corpus = (0L until 256L).map { id =>
+      val s = Array.tabulate(d)(j => if (((id >> j) & 1L) == 1L) 1.0 else -1.0)
+      val v = Array.tabulate(d)(i =>
+        (0 until d).map(j => q(i)(j) * s(j)).sum.toFloat)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array.tabulate(d)(i => if (i == 0) 1.0f else 0.1f)))
+      .toDF("cell", "_cv")
+    val rot = Similarity.trainOpqRotation(corpus, "vec_id", "embedding",
+      m = 4, k = 4, iters = 40, maxTrainRows = 256).localCheckpoint()
+    val idDir = java.nio.file.Files.createTempDirectory("graft_opq_id").toString
+    val rotDir = java.nio.file.Files.createTempDirectory("graft_opq_r").toString
+    Similarity.saveIvfIndexPQ(corpus, "vec_id", "embedding", idDir,
+      nlist = 1, pqM = 4, pqK = 4, centroids = Some(cents))
+    Similarity.saveIvfIndexPQ(corpus, "vec_id", "embedding", rotDir,
+      nlist = 1, pqM = 4, pqK = 4, centroids = Some(cents),
+      rotation = Some(rot))
+    def meanErr(dd: String) = Similarity.pqIndexStats(spark, dd)
+      .filter(col("source") === "base").head.getDouble(2)
+    val (eId, eRot) = (meanErr(idDir), meanErr(rotDir))
+    assert(eRot < eId * 0.5,
+      s"trained rotation must at least halve the mixed-space error: " +
+        s"identity=$eId rotated=$eRot")
+    // append-grown ≡ full save through the rotated encode path
+    val gdir = java.nio.file.Files.createTempDirectory("graft_opq_g").toString
+    Similarity.saveIvfIndexPQ(corpus.filter(col("vec_id") < 128),
+      "vec_id", "embedding", gdir, nlist = 1, pqM = 4, pqK = 4,
+      centroids = Some(cents), rotation = Some(rot))
+    Similarity.appendIvfIndex(corpus.filter(col("vec_id") >= 128),
+      "vec_id", "embedding", gdir, Some("b1"))
+    val qs = corpus.filter(col("vec_id") < 8)
+    def serve(dd: String) = Similarity.ivfTopKPQ(qs, dd, "vec_id",
+        "embedding", 3, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    // the appended half encodes against the SAME stored codebooks AND
+    // rotation — but the full-save trains codebooks on all 256 rows, so
+    // compare against a same-corpus save with the same explicit
+    // codebooks instead: reuse gdir's own stored codebooks
+    val storedCbs = spark.read.parquet(s"$gdir/v1/codebooks")
+      .localCheckpoint()
+    val fdir = java.nio.file.Files.createTempDirectory("graft_opq_f").toString
+    Similarity.saveIvfIndexPQ(corpus, "vec_id", "embedding", fdir,
+      nlist = 1, pqM = 4, pqK = 4, centroids = Some(cents),
+      codebooks = Some(storedCbs), rotation = Some(rot))
+    assert(serve(gdir) === serve(fdir),
+      "append-grown rotated index serves the explicit-codebook full save")
+    // compaction and refresh carry the rotation artifacts
+    Similarity.compactIvfIndex(spark, gdir)
+    assert(new java.io.File(s"$gdir/v2/_PQROT").exists() &&
+      new java.io.File(s"$gdir/v2/rotation").exists(), "flavor carried")
+    assert(serve(gdir) === serve(fdir), "across the fold")
+    Similarity.refreshPqCodebooks(corpus.filter(col("vec_id") < 128)
+        .unionByName(corpus.filter(col("vec_id") >= 128)),
+      "vec_id", "embedding", gdir, pqK = 4, retain = 0)
+    assert(new java.io.File(s"$gdir/v3/_PQROT").exists(),
+      "refresh keeps the rotated encoding space")
+    // full-width refine is exact regardless of the proposal space
+    val n = 256
+    val exact = Similarity.cosineTopK(qs, corpus, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfTopKPQRefined(qs, gdir, corpus, "vec_id",
+        "embedding", 3, 1, refineFactor = n / 3 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined === exact)
+  }
+
   test("trainPqCodebooksLocal: deterministic across runs, dense codes per (cell, m), capped per-cell sample") {
     import spark.implicits._
     def vec(i: Long) = {
