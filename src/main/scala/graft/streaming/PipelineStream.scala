@@ -227,7 +227,14 @@ object PipelineStream {
     * stateless, no shuffle. With every gate enabled the landing-time
     * recipe is now parameter-complete against the batch composition:
     * normalize ∘ semantic ∘ span ∘ repetition ∘ gopher ∘ perplexity ∘
-    * decontamination ∘ quality ∘ language ∘ dedup.
+    * classifier ∘ decontamination ∘ quality ∘ language ∘ dedup.
+    *
+    * `classifier` + `minLogitMicro` apply the CLASSIFIER floor
+    * ([[graft.llm.Quality.scoreTextClassifier]] under a frozen
+    * [[graft.llm.Quality.trainTextClassifier]] weight table): deliveries
+    * whose exact integer logit falls below the floor are dropped after
+    * the perplexity gate — the batch `prepare` parameter tail,
+    * stateless per delivery, dim-bounded broadcast model.
     *
     * `normalize = true` canonicalizes delivery text FIRST
     * ([[graft.llm.Quality.normalizeText]] — the batch `prepare` order),
