@@ -1399,19 +1399,23 @@ object GraftSql {
     * `maxContamFrac < 1.0` the benchmark decontamination gate; `gopher`
     * the Gopher/MassiveText rule floor; `minQuality`/'stop,words' the
     * quality floor and 'keep,langs' + 'en:the,a;de:der' the language
-    * floor — all with [[graft.llm.Corpus.prepare]] / [[graft.llm.Dedup
+    * floor; `'classifierView'` + `classifierDim` + `minLogitMicro` the
+    * classifier floor (a (feature, w_micro) weight view, the
+    * `graft_classifier_train_t` output) — all with
+    * [[graft.llm.Corpus.prepare]] / [[graft.llm.Dedup
     * .contaminationStats]] parameter semantics. EAGER side effect;
     * isolated session for the same deadlock reason as
     * `graft_ingest_dedup_t`; returns the accumulated (doc_id, rep_id)
     * assignment table. */
   private def ingestPipelineTablePlan(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ingest_pipeline_t"
-    require(args.length >= 3 && args.length <= 18,
+    require(args.length >= 3 && args.length <= 21,
       s"usage: $fn('landingDir', 'workDir', 'indexDir'[, minJaccard[, " +
         "spanTokens[, maxDupFrac[, maxDupWordFrac[, maxTopBigramFrac[, " +
         "'benchView'[, maxContamFrac[, contamN[, normalize[, " +
         "semMinCos[, gopher[, minQuality[, 'stop,words'[, 'keep,langs'[, " +
-        "'lang:marker,words;lang2:…']]]]]]]]]]]]]]])")
+        "'lang:marker,words;lang2:…'[, 'classifierView'[, classifierDim[, " +
+        "minLogitMicro]]]]]]]]]]]]]]]]]])")
     val landing = strLit(args(0), fn, "landing dir")
     val work = strLit(args(1), fn, "work dir")
     val index = strLit(args(2), fn, "index dir")
@@ -1468,7 +1472,7 @@ object GraftSql {
       else Seq.empty[String]
     // 'en:the,a;de:der,die' — language marker sets for langId
     val langMarkers =
-      if (args.length == 18)
+      if (args.length >= 18)
         strLit(args(17), fn, "lang markers").split(";")
           .map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
             val sep = part.indexOf(':')
@@ -1480,13 +1484,30 @@ object GraftSql {
                 .filter(_.nonEmpty).toSeq
           }
       else Seq.empty[(String, Seq[String])]
+    // classifier gate tail: the weight view gets the benchView
+    // treatment — rebound to the isolated session via an RDD round-trip
+    // (model tables are dim-bounded by contract, so the lost pruning is
+    // irrelevant; the deadlock hazard is identical)
+    val classifier =
+      if (args.length >= 19) {
+        val w = spark.table(strLit(args(18), fn, "classifier view"))
+        Some(iso.createDataFrame(w.toDF().rdd, w.schema))
+      } else None
+    val classifierDim =
+      if (args.length >= 20) lngLit(args(19), fn, "classifierDim").toInt
+      else 1 << 18
+    val minLogitMicro =
+      if (args.length == 21) lngLit(args(20), fn, "minLogitMicro")
+      else Long.MinValue
     graft.streaming.PipelineStream.pollIngest(iso, landing,
       work, index, p, spanTokens = spanTokens, maxDupFrac = maxDupFrac,
       maxDupWordFrac = maxDupWordFrac, maxTopBigramFrac = maxTopBigramFrac,
       benchDocs = benchDocs, contamN = contamN, maxContamFrac = maxContamFrac,
       normalize = normalize, semMinCos = semMinCos, gopher = gopher,
       minQuality = minQuality, qualityStops = qualityStops,
-      langs = langs, langMarkers = langMarkers)
+      langs = langs, langMarkers = langMarkers,
+      classifier = classifier, classifierDim = classifierDim,
+      minLogitMicro = minLogitMicro)
     graft.streaming.DedupStream.assignments(spark, work)
       .queryExecution.logical
   }

@@ -399,6 +399,38 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got2 === Set(1L, 4L, 11L),
       "quality + language floors drive from the grown SQL tail")
+    // the 21-arg form: the classifier floor on a third delivery — a
+    // frozen weight view (trained via the facade itself) gates at
+    // landing time exactly like the typed parameter
+    (0L until 20L).map { i =>
+      val y = (i % 2).toInt
+      (100L + i,
+        if (y == 1) s"the insightful essay piece$i the"
+        else s"the click bait offer$i the", y)
+    }.toDF("doc_id", "text", "label")
+      .createOrReplaceTempView("pipef_labeled")
+    val dim = 1 << 14
+    spark.sql("SELECT * FROM graft_classifier_train_t(" +
+      s"'pipef_labeled', 'doc_id', 'text', 'label', $dim, true, 200)")
+      .createOrReplaceTempView("pipef_weights")
+    // single marker mention + unique filler: repeated markers would trip
+    // the repetition floor (dup_word_frac > 0.7) before the classifier
+    // ever saw the doc
+    Seq(21L -> ("the insightful essay " +
+        (0 until 100).map(i => s"e$i").mkString(" ")),
+      22L -> ("the click bait " +
+        (0 until 100).map(i => s"o$i").mkString(" ")))
+      .map { case (id, t) => (id, t, vec(id)) }
+      .toDF("doc_id", "text", "embedding").write.parquet(s"$landing/c3")
+    val got3 = spark.sql(
+      s"""SELECT doc_id FROM graft_ingest_pipeline_t('$landing', '$work',
+         |'$index', 0.8, 0, 1.0, 0.7, 0.25, 'pipef_bench', 0.3, 5,
+         |false, 1.0, false, 0.5, 'the,a', 'en', 'en:the;de:der',
+         |'pipef_weights', $dim, 0)"""
+        .stripMargin.replace("\n", " "))
+      .collect().map(_.getLong(0)).toSet
+    assert(got3 === Set(1L, 4L, 11L, 21L),
+      "the classifier floor drives from the 21-arg SQL tail")
   }
 
   test("graft_ivf_save_t + graft_ivf_topk_indexed_t: train-once/serve-many ≡ live IVF") {
