@@ -914,6 +914,53 @@ class LlmSpec extends AnyFunSuite {
     assert(refined === exact)
   }
 
+  test("per-cell + rotation compose: all three flavor markers, exact encode through the rotated per-cell space, append parity") {
+    import spark.implicits._
+    def vec(i: Long) = {
+      val c = (i % 4).toInt
+      val a = new Array[Float](8)
+      a(c * 2) = 10f
+      a(1) = (if ((i / 4) % 2 == 0) 1f else -1f) * (c + 1)
+      a
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map { c =>
+      val a = new Array[Float](8); a((c * 2).toInt) = 10f; (c, a)
+    }.toDF("cell", "_cv")
+    // the dimension-reversal permutation: exactly orthogonal, and it
+    // moves each cell's ±(c+1) fine component to a different subspace —
+    // per-cell k=2 codebooks must still encode exactly in that space
+    val rot = spark.range(8).select(col("id").cast("int").as("i"),
+      transform(sequence(lit(0), lit(7)), j =>
+        when(j === lit(7) - col("id").cast("int"), lit(1.0f))
+          .otherwise(lit(0.0f))).as("_rv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqlr").toString
+    Similarity.saveIvfIndexPQ(corpus.filter(col("vec_id") < 100),
+      "vec_id", "embedding", dir, nlist = 4, pqM = 4, pqK = 2,
+      centroids = Some(cents), perCell = true, rotation = Some(rot))
+    Seq("_PQ", "_PQRES", "_PQLOCAL", "_PQROT").foreach(m =>
+      assert(new java.io.File(s"$dir/v1/$m").exists(), s"marker $m"))
+    Similarity.appendIvfIndex(corpus.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", dir, Some("b1"))
+    val st = Similarity.pqIndexStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(st.keySet === Set("base", "deltab1") && st.values.forall(_ < 1e-3),
+      s"rotated per-cell codes stay exact on both units: $st")
+    // zero error ⇒ raw ADC through the rotated per-(query, cell) LUT is
+    // the exact ranking
+    val q = corpus.filter(col("vec_id") < 8)
+    val exact = Similarity.cosineTopK(q, corpus, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    val raw = Similarity.ivfTopKPQ(q, dir, "vec_id", "embedding", 3, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    assert(raw === exact)
+  }
+
   test("trainPqCodebooksLocal: deterministic across runs, dense codes per (cell, m), capped per-cell sample") {
     import spark.implicits._
     def vec(i: Long) = {
