@@ -84,6 +84,29 @@ class ClassifierSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxTrainDocs"))
   }
 
+  test("typed zero-shuffle scorer ≡ the declarative hashedTextFeatures composition, bit for bit") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    val dim = 1 << 16
+    val weights = spark.range(dim)
+      .select(col("id").as("feature"), (col("id") % 2001 - 1000).as("w_micro"))
+      .unionByName(Seq((-1L, 12345L)).toDF("feature", "w_micro"))
+    val typed = Quality.scoreTextClassifier(docs, "doc_id", "text",
+        weights, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val declarative = Quality.hashedTextFeatures(docs, "doc_id", "text", dim)
+      .join(broadcast(weights.filter(col("feature") >= 0L)
+        .select(col("feature"), col("w_micro").as("_w"))),
+        Seq("feature"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        (coalesce(sum(col("cnt") * col("_w")), lit(0L)) + lit(12345L))
+          .as("logit_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(typed === declarative)
+    assert(typed.nonEmpty)
+  }
+
   test("trained model is a frozen table: scoring drifted vocabulary falls back to the intercept") {
     import spark.implicits._
     val labeled = (0L until 20L).map { i =>
