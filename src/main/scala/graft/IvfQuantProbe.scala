@@ -217,8 +217,14 @@ object IvfQuantProbe {
       .select("query_id", "neighbor_id").localCheckpoint(true))
     val recallPqm = Similarity.recallAgainst(f3Res, pmRes, 10).head.getDouble(1)
     val recallPqo = Similarity.recallAgainst(f3Res, poRes, 10).head.getDouble(1)
+    // the newer tiers gate too: per-cell codebooks must at least match
+    // the shared-residual recall they refine (the measured win is
+    // 0.822 vs 0.750 — the floor just below catches regressions), and
+    // OPQ must never score BELOW the unrotated form it wraps (the
+    // single-init 0.16 regression class)
     val ok = recallR >= 0.95 && ratioPq < ratio && recallPq >= 0.55 &&
-      recallPr >= 0.9
+      recallPr >= 0.9 && recallPql >= recallPqr - 0.02 &&
+      recallPqo >= recallPqm - 0.02
     println(s"IVF_QUANT n=$n bytesF=${bytes(s"$root/f")} " +
       s"bytesQ=${bytes(s"$root/q")} bytesPQ=${bytes(s"$root/pq")} " +
       s"bytesPQR=${bytes(s"$root/pqr")} bytesPQL=${bytes(s"$root/pql")} " +

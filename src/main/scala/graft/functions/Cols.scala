@@ -49,6 +49,29 @@ object Cols {
       org.apache.spark.sql.catalyst.expressions.Literal(span)))
   }
 
+  /** All within-document repetition tallies of a token array in one
+    * compiled pass ([[graft.expressions.RepetitionCounts]]) — struct
+    * (n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams,
+    * top_bigram_cnt); the Gopher repetition family's counting kernel. */
+  def repetitionCounts(tok: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.RepetitionCounts(
+      ColumnBridge.expression(tok)))
+  }
+
+  /** The repetition floor as one compiled boolean
+    * ([[graft.expressions.RepetitionPass]]): true iff the doc's rounded
+    * dup_word_frac / top_bigram_frac are within the thresholds. Null on
+    * null tokens (≡ drop under `filter`). */
+  def repetitionPass(tok: Column, maxDupWordFrac: Double,
+      maxTopBigramFrac: Double): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.RepetitionPass(
+      ColumnBridge.expression(tok),
+      org.apache.spark.sql.catalyst.expressions.Literal(maxDupWordFrac),
+      org.apache.spark.sql.catalyst.expressions.Literal(maxTopBigramFrac)))
+  }
+
   /** Point in annulus ROI (reference arena inner/outer radius test,
     * `social_behaviour_detection.py:241-257`): squared-distance form avoids
     * the sqrt in the hot path. */

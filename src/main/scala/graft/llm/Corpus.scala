@@ -151,14 +151,14 @@ object Corpus {
           .filter(col("dup_frac") > maxDupFrac)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")
+    // within-doc repetition floor: doc-local compiled predicate — a TRUE
+    // scan filter like gopherPass (the old drop-list left-anti re-derived
+    // the stats AND shuffled both corpus-sized sides). Null-id/text rows
+    // pass through here and die in the final quality filter as always.
     val repFloored =
       if (maxDupWordFrac >= 1.0 && maxTopBigramFrac >= 1.0) spanFloored
-      else spanFloored.join(
-        Quality.repetitionStats(spanFloored, idCol, textCol)
-          .filter(col("dup_word_frac") > maxDupWordFrac ||
-            col("top_bigram_frac") > maxTopBigramFrac)
-          .select(col("doc_id").as(idCol)),
-        Seq(idCol), "left_anti")
+      else spanFloored.filter(col(idCol).isNull || col(textCol).isNull ||
+        Quality.repetitionPass(t, maxDupWordFrac, maxTopBigramFrac))
     // the Gopher rule floor is doc-local column math — a TRUE filter
     // (gopherPass folds into the scan), never a drop-list anti-join:
     // Gopher drops ~half of raw web text, so the list outgrows broadcast
@@ -180,10 +180,11 @@ object Corpus {
     }
     // classifier floor (the fastText-shaped "looks like the reference
     // corpus" gate): exact integer logits under a FROZEN weight table —
-    // the model broadcasts, the scoring join shuffles (doc_id, hashed
-    // feature, count), never text; drop-list left-anti like the
-    // perplexity floor it runs beside. Null-id/text rows are unscorable
-    // and pass through to die in the final quality filter.
+    // the dim-bounded model broadcasts as a primitive-keyed map and the
+    // scoring is a zero-shuffle typed scan (no exchange at any width);
+    // drop-list left-anti like the perplexity floor it runs beside.
+    // Null-id/text rows are unscorable and pass through to die in the
+    // final quality filter.
     val clfFloored = classifier match {
       case Some(w) if minLogitMicro > Long.MinValue =>
         pplFloored.join(

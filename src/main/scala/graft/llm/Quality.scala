@@ -28,45 +28,55 @@ object Quality {
     * document with fewer than two tokens has no bigrams; its bigram
     * fractions are 0.0. Fractions round to 6 decimals.
     *
-    * Distinct-token counting is per-row `array_distinct` (linear, stays
-    * in whole-stage codegen); the bigram tallies go through one shuffle
-    * keyed by (doc, bigram) — uniform by construction — then a per-doc
-    * aggregate, joined back to the per-row stats on doc_id.
+    * Every statistic here is DOC-LOCAL, so this is a ZERO-SHUFFLE scan:
+    * one compiled pass per row ([[graft.expressions.RepetitionCounts]] —
+    * exact interned-token counting, no hashing) tallies tokens, distinct
+    * tokens, and the bigram histogram; the fraction algebra stays in
+    * column math (Spark `round` semantics unchanged, so oracles hash
+    * identically). The earlier declarative form exploded bigrams through
+    * a corpus-TOKEN-scale (doc_id, bigram) exchange plus a doc_id join —
+    * measured 7× slower at sf1 and the wrong 100 TB shape (the same
+    * anti-pattern [[scoreTextClassifier]] eliminated).
     *
     * Output: (doc_id, n_tokens, dup_word_frac, dup_bigram_frac,
-    * top_bigram_frac), one row per input document with a non-null id and
-    * text. */
+    * top_bigram_frac), one row per input ROW with a non-null id and
+    * text (ids are expected unique per the corpus contract; duplicate-id
+    * rows each score their own text). */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = split(col(textCol), " ")
-    val m = size(tok) - 1
-    // zip_with over two length-m slices, NOT transform(sequence(1,m),
-    // p => slice(tok,p,2)): the positional form re-slices per element
-    // (measured 3× slower on the interpreted HOF path), and zip_with
-    // needs the guard anyway — slice with length 0 is invalid, and
-    // unequal slice lengths would null-pad the pairs
-    val bigrams = when(m < 1, array().cast("array<string>"))
-      .otherwise(zip_with(slice(tok, lit(1), m), slice(tok, lit(2), m),
-        (a, b) => concat(a, lit(" "), b)))
-    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tok.as("_toks"), bigrams.as("_bgs"))
-    val perRow = base.select(col("doc_id"),
-      size(col("_toks")).cast("double").as("_nt"),
-      size(array_distinct(col("_toks"))).cast("double").as("_ndt"))
-    val counts = base.select(col("doc_id"), explode(col("_bgs")).as("_b"))
-      .groupBy("doc_id", "_b").agg(count(lit(1)).as("_c"))
-      .groupBy("doc_id").agg(
-        sum(col("_c")).cast("double").as("_nb"),
-        count(lit(1)).cast("double").as("_ndb"),
-        max(col("_c")).cast("double").as("_mx"))
-    perRow.join(counts, Seq("doc_id"), "left")
+    val r = graft.functions.Cols.repetitionCounts(split(col(textCol), " "))
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), r.as("_r"))
       .select(col("doc_id"),
-        col("_nt").cast("long").as("n_tokens"),
-        round((col("_nt") - col("_ndt")) / col("_nt"), 6).as("dup_word_frac"),
-        round(coalesce((col("_nb") - col("_ndb")) / col("_nb"), lit(0.0)), 6)
+        col("_r.n_tokens").as("n_tokens"),
+        round((col("_r.n_tokens") - col("_r.n_distinct_tokens"))
+            .cast("double") / col("_r.n_tokens").cast("double"), 6)
+          .as("dup_word_frac"),
+        // explicit zero-bigram guard: the old left-join form yielded NULL
+        // here (coalesce → 0.0); double 0/0 would yield NaN instead
+        when(col("_r.n_bigrams") === 0, lit(0.0))
+          .otherwise(round(
+            (col("_r.n_bigrams") - col("_r.n_distinct_bigrams"))
+              .cast("double") / col("_r.n_bigrams").cast("double"), 6))
           .as("dup_bigram_frac"),
-        round(coalesce(col("_mx") / col("_nb"), lit(0.0)), 6)
+        when(col("_r.n_bigrams") === 0, lit(0.0))
+          .otherwise(round(col("_r.top_bigram_cnt").cast("double") /
+            col("_r.n_bigrams").cast("double"), 6))
           .as("top_bigram_frac"))
   }
+
+  /** The repetition floor as a single compiled boolean column — the
+    * `gopherPass` shape for composing into `Corpus.prepare` and ingest
+    * as a TRUE scan filter (no drop list, no join, no second derivation
+    * of the stats): a doc passes iff its rounded dup_word_frac ≤
+    * `maxDupWordFrac` AND top_bigram_frac ≤ `maxTopBigramFrac`, the
+    * identical rounded fixed point [[repetitionStats]] publishes
+    * (spec-pinned equal). Null (≡ drop under `filter`) on null text —
+    * callers pass null-id/text rows through explicitly, as with
+    * [[gopherPass]]. */
+  def repetitionPass(text: Column, maxDupWordFrac: Double,
+      maxTopBigramFrac: Double): Column =
+    graft.functions.Cols.repetitionPass(split(text, " "),
+      maxDupWordFrac, maxTopBigramFrac)
 
   /** PII patterns — deliberately alternation-free (character classes +
     * quantifiers only) so leftmost-greedy (Java) and leftmost-Perl (RE2)
@@ -528,6 +538,15 @@ object Quality {
     val feats = hashedTextFeatures(base, idCol, textCol, dim, bigrams)
     val labels = base.select(col(idCol).cast("long").as("doc_id"),
       col(labelCol).cast("int").as("_y"))
+    // duplicate ids would fan the feats-join out (double-counting every
+    // feature) and make ys(d) depend on row order under conflicting
+    // labels — refuse malformed input rather than train on it silently
+    val labelCounts = labels.groupBy("doc_id")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+    require(labelCounts.isEmpty,
+      s"trainTextClassifier: duplicate labeled doc_id " +
+        s"${labelCounts.headOption.map(_.getLong(0)).getOrElse(-1L)} — " +
+        "label each document exactly once (dedup before training)")
     val rows = feats.join(labels, "doc_id")
       .select(col("doc_id"), col("feature"), col("cnt"), col("_y"))
       .sort("doc_id", "feature")
@@ -624,6 +643,14 @@ object Quality {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the weight table must be model-sized (≤ dim features + the
+    // intercept) — a mistakenly corpus-sized view would otherwise
+    // collect onto the driver; mirror the trainer's memory guard
+    val wCount = weights.limit((1 << 22) + 2).count()
+    require(wCount <= (1 << 22) + 1,
+      s"scoreTextClassifier: weight table has > 2^22 + 1 rows — not a " +
+        "trained model (pass trainTextClassifier output, nonzero " +
+        "weights + intercept)")
     val wRows = weights
       .select(col("feature").cast("long"), col("w_micro").cast("long"))
       .collect()

@@ -62,43 +62,80 @@ object Quadrants {
     def leastOf(cands: Seq[Column]): Column =
       if (cands.size == 1) cands.head else least(cands: _*)
     val x = col(xCol); val y = col(yCol)
-    val inside: Seq[Column] = fovs.map(c => Cols.inConvexPolygon(x, y, c))
-    val possible = filter(
-      array(fovs.indices.map(i => when(inside(i), lit(i))): _*),
-      c => c.isNotNull)
     val centers = fovs.map(fovCenter)
-    def d2(i: Int): Column = {
-      val (cx, cy) = centers(i)
-      (x - cx) * (x - cx) + (y - cy) * (y - cy)
-    }
-    // nearest FOV center via least() over (distance, index) structs: struct
-    // ordering is lexicographic, so ties break to the lower index like the
-    // reference's sort. least() is deliberate — a when()-chain reduce
-    // copies both operand subtrees ~4× per nesting level, and the expanded
-    // expression blew past Janino's 64 KB method limit, silently knocking
-    // the whole stage out of codegen (~10× slower per row); least()
-    // evaluates each child once, linear generated code
-    val nearest = leastOf(fovs.indices.map(i =>
-      struct(d2(i).as("d"), lit(i).as("q"))))
-    // most central among the CONTAINING FOVs (least skips null = outside),
-    // falling back to the globally nearest when the point is inside none
-    val insideMin = leastOf(fovs.indices.map(i =>
-      when(inside(i), struct(d2(i).as("d"), lit(i).as("q")))))
+
+    // TWO-STAGE PROJECTION, deliberately: stage 1 lands each polygon test
+    // and each squared distance in its OWN column; stage 2 consumes them
+    // as plain attribute references. Inlining everything into one
+    // projection re-evaluates every polygon test ~10× (no source-level
+    // CSE) and — the real killer — the generated Java for the single
+    // projection exceeded Janino's 64 KB method limit, so Spark SILENTLY
+    // fell back to interpreted evaluation for the whole stage (GeoProbe:
+    // 14 s/1M rows; zero WholeStageCodegen spans, "Code grows beyond
+    // 64 KB" in the codegen log). CollapseProject will NOT undo this
+    // split: each staged alias is non-trivial and referenced more than
+    // once, which its cost guard refuses to duplicate. Both projections
+    // stay in one codegen stage — no shuffle, no materialization.
+    val inCols = fovs.indices.map(i => s"__q_in$i")
+    val dCols = fovs.indices.map(i => s"__q_d$i")
+    val staged = df.withColumns(
+      fovs.indices.map(i => inCols(i) ->
+        Cols.inConvexPolygon(x, y, fovs(i))).toMap ++
+      fovs.indices.map { i =>
+        val (cx, cy) = centers(i)
+        dCols(i) -> ((x - cx) * (x - cx) + (y - cy) * (y - cy))
+      }.toMap)
+    val inside: Seq[Column] = inCols.map(col)
+    val d2: Seq[Column] = dCols.map(col)
+
+    // membership array without higher-order functions: flatten over
+    // singleton/empty arrays keeps the expression codegen-able, where
+    // filter(array(...), isNotNull) is a CodegenFallback lambda
+    val possible = flatten(array(fovs.indices.map(i =>
+      when(inside(i), array(lit(i))).otherwise(array().cast("array<int>"))
+    ): _*))
+
+    // most-central as PURE DOUBLE MATH (no per-row structs): mask each
+    // candidate's squared distance to +MaxValue unless the point is inside
+    // that FOV — or inside none, in which case all unmask (the globally-
+    // nearest fallback) — then take least() of the masked distances and
+    // recover the index with a linear first-match CASE chain (ties break
+    // to the lower index, exactly the lexicographic (d, q) struct order
+    // this replaces; identical masked-distance algebra to the SQL
+    // oracle). The struct-least form built and compared 2×|fovs|
+    // (double, int) structs per row — measured 10× the cost of the plain
+    // column math at sf1.
+    val noneInside = !inside.reduce(_ || _)
+    // masked distances and their min are staged as columns as well: the
+    // first-match chain would otherwise re-evaluate the whole least()
+    // per CASE arm (measured 5.4 s vs 0.6 s per 1M rows for the inlined
+    // form) — as attributes, each arm is one double compare
+    val mCols = fovs.indices.map(i => s"__q_m$i")
+    val staged2 = staged.withColumns(
+      fovs.indices.map(i => mCols(i) ->
+        when(noneInside || inside(i), d2(i)).otherwise(lit(Double.MaxValue))
+      ).toMap)
+      .withColumn("__q_dmin", leastOf(mCols.map(col)))
+    val masked: Seq[Column] = mCols.map(col)
+    val dMin = col("__q_dmin")
+    val mostCentral = fovs.indices.init.foldRight(lit(fovs.size - 1): Column)(
+      (i, rest) => when(masked(i) === dMin, lit(i)).otherwise(rest))
     // missing coordinates (null or NaN) must propagate as null, like the
     // reference's NaN rows — otherwise the nearest-FOV reduce's
     // keep-a-on-null-comparison behavior silently resolves every missing
     // position to quadrant 0 and casts a phantom camera vote
     val coordsOk = x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y)
-    df.withColumn("possible_quadrants",
+    staged2.withColumn("possible_quadrants",
         when(coordsOk, possible).otherwise(array().cast("array<int>")))
       // membership COUNT as pure codegen'd math: consumers that only need
       // the count (geo3) never touch the array column, so Catalyst prunes
-      // the lambda expression out of their plan entirely
+      // the array expression out of their plan entirely
       .withColumn("n_possible_quadrants",
-        when(coordsOk, fovs.indices.map(i => inside(i).cast("int")).reduce(_ + _))
+        when(coordsOk, inside.map(_.cast("int")).reduce(_ + _))
           .otherwise(lit(0)))
       .withColumn("most_central_quadrant",
-        when(coordsOk, coalesce(insideMin("q"), nearest("q"))))
+        when(coordsOk, mostCentral.cast("int")))
+      .drop(inCols ++ dCols ++ mCols :+ "__q_dmin": _*)
   }
 
   /** Per-timestamp selection over both mice (reference

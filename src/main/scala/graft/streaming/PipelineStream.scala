@@ -342,16 +342,15 @@ object PipelineStream {
               .select("doc_id")
             batch0.join(floored, Seq("doc_id"), "left_anti")
           }
-        // within-document floors are stateless per delivery: the same
-        // left-anti shapes as Corpus.prepare, over this batch only
+        // within-document repetition floor is stateless per delivery AND
+        // doc-local: the same compiled scan filter as Corpus.prepare
+        // (repetitionPass — no drop list, no join, no shuffle); null
+        // id/text rows pass through to die in the final quality gate
         val repGated =
           if (maxDupWordFrac >= 1.0 && maxTopBigramFrac >= 1.0) spanGated
-          else spanGated.join(
-            graft.llm.Quality.repetitionStats(spanGated, "doc_id", "text")
-              .filter(col("dup_word_frac") > maxDupWordFrac ||
-                col("top_bigram_frac") > maxTopBigramFrac)
-              .select("doc_id"),
-            Seq("doc_id"), "left_anti")
+          else spanGated.filter(col("doc_id").isNull || col("text").isNull ||
+            graft.llm.Quality.repetitionPass(col("text"),
+              maxDupWordFrac, maxTopBigramFrac))
         // Gopher rule floor: doc-local column math (the batch prepare's
         // gate with the identical parameter tail) — a TRUE filter via
         // gopherPass, no join, no state, no shuffle

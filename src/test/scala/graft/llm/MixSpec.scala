@@ -36,6 +36,31 @@ class MixSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("repetitionPass: compiled scan filter ≡ thresholded repetitionStats, " +
+      "corpus-wide at several thresholds") {
+    // the floor and the stats path must share one rounded fixed point:
+    // a doc passes iff its published fractions clear the thresholds
+    for ((maxW, maxT) <- Seq((0.3, 0.2), (0.6, 0.1), (0.0, 0.0), (0.5, 0.5))) {
+      val viaStats = Quality.repetitionStats(docs, "doc_id", "text")
+        .filter(col("dup_word_frac") <= maxW && col("top_bigram_frac") <= maxT)
+        .select("doc_id")
+      val viaPass = docs
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(Quality.repetitionPass(col("text"), maxW, maxT))
+        .select("doc_id")
+      assert(viaPass.exceptAll(viaStats).count() === 0L,
+        s"pass-only docs at ($maxW, $maxT)")
+      assert(viaStats.exceptAll(viaPass).count() === 0L,
+        s"stats-only docs at ($maxW, $maxT)")
+    }
+    // boundary: fractions exactly AT the threshold pass (<=, not <)
+    val fix = Seq(1L -> "a a b b", 2L -> "a a a b").toDF("doc_id", "text")
+    // doc 1: dwf=0.5 tbf=1/3→0.333333; doc 2: dwf=0.5 tbf=2/3→0.666667
+    val kept = fix.filter(Quality.repetitionPass(col("text"), 0.5, 0.333333))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L))
+  }
+
   test("gopherRules: planted defects trip their rules, clean doc passes") {
     val clean = Array.fill(30)("the data").mkString(" ") // 60 words
     val fix = Seq(
