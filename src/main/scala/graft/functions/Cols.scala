@@ -72,6 +72,50 @@ object Cols {
       org.apache.spark.sql.catalyst.expressions.Literal(maxTopBigramFrac)))
   }
 
+  /** Count of a token array's members in a bound string set in one
+    * compiled pass ([[graft.expressions.TokenSetHits]]) — the
+    * stopword/marker membership count without the interpreted
+    * filter/isInCollection lambda. */
+  def tokenSetHits(tok: Column, tokens: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TokenSetHits(
+      ColumnBridge.expression(tok), tokens))
+  }
+
+  /** Count of a string array's members matching a bound regex (rlike
+    * semantics) in one compiled pass
+    * ([[graft.expressions.TokenRegexHits]]). */
+  def tokenRegexHits(arr: Column, pattern: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TokenRegexHits(
+      ColumnBridge.expression(arr), pattern))
+  }
+
+  /** Count of a string's codepoints in a bound ASCII set as one
+    * compiled byte scan ([[graft.expressions.AsciiSetCount]]) — the
+    * char-class counting shape without a regex pass. */
+  def asciiSetCount(text: Column, chars: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.AsciiSetCount(
+      ColumnBridge.expression(text), chars))
+  }
+
+  /** Count of a token array's members containing at least one byte
+    * from a bound ASCII set ([[graft.expressions.TokenAnyAsciiHits]]). */
+  def tokenAnyAsciiHits(tok: Column, chars: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TokenAnyAsciiHits(
+      ColumnBridge.expression(tok), chars))
+  }
+
+  /** Alnum-run + other-codepoint count (the BPE-ish token estimate) in
+    * one compiled byte scan ([[graft.expressions.AlnumRunCount]]). */
+  def alnumRunCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.AlnumRunCount(
+      ColumnBridge.expression(text)))
+  }
+
   /** Point in annulus ROI (reference arena inner/outer radius test,
     * `social_behaviour_detection.py:241-257`): squared-distance form avoids
     * the sqrt in the hot path. */

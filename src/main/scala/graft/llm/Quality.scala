@@ -229,13 +229,18 @@ object Quality {
     val symbolRatio = round((nHash + nEll).cast("double") / nW, 6)
     val lines = split(t, java.util.regex.Pattern.quote(sep))
     val nL = size(lines)
-    val bulletFrac = round(size(filter(lines,
-      l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nL, 6)
-    val ellipsisFrac = round(size(filter(lines,
-      l => l.endsWith("..."))).cast("double") / nL, 6)
-    val alphaFrac = round(size(filter(w,
-      x => x.rlike("[a-z]"))).cast("double") / nW, 6)
-    val stopHits = size(filter(w, x => x.isInCollection(stops))).cast("long")
+    // compiled membership/regex counts (Cols.tokenSetHits /
+    // tokenRegexHits): the filter(...) lambda forms ran interpreted and
+    // allocated the kept array per row just to size() it. \A / \z
+    // anchors, not ^ / $ — $ also matches before a final \r, where
+    // endsWith does not
+    val bulletFrac = round(graft.functions.Cols.tokenRegexHits(lines,
+      "\\A- |\\A\\* ").cast("double") / nL, 6)
+    val ellipsisFrac = round(graft.functions.Cols.tokenRegexHits(lines,
+      "\\.\\.\\.\\z").cast("double") / nL, 6)
+    val alphaFrac = round(graft.functions.Cols.tokenAnyAsciiHits(w,
+      "abcdefghijklmnopqrstuvwxyz").cast("double") / nW, 6)
+    val stopHits = graft.functions.Cols.tokenSetHits(w, stops)
     (nW.cast("long"), meanWl, symbolRatio, bulletFrac, ellipsisFrac,
       alphaFrac, stopHits)
   }

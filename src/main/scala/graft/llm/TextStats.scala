@@ -14,25 +14,39 @@ object TextStats {
     * `text.split(' ')`): empty strings and repeated spaces yield phantom
     * tokens, exactly like the naive split the oracle and reference-style
     * pipelines use. Normalize whitespace upstream when that matters. */
-  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+  def tokenCount(text: Column): Column =
+    // = size(split(text, " ")): split with the keep-trailing-empties
+    // limit yields exactly (number of separators + 1) tokens, so the
+    // count is one compiled byte scan — no token-array allocation
+    graft.functions.Cols.asciiSetCount(text, " ") + 1
 
   /** BPE-ish subword token estimate: alphanumeric runs and single
-    * non-alphanumeric marks each count as one token. */
+    * non-alphanumeric marks each count as one token — one compiled byte
+    * scan ([[graft.functions.Cols.alnumRunCount]]; the
+    * regexp_extract_all form materialized every match in an array just
+    * to size() it). */
   def bpeTokenEstimate(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+    graft.functions.Cols.alnumRunCount(lower(text))
 
-  /** Fraction of tokens in the stopword list (quality signal). */
+  /** Fraction of tokens in the stopword list (quality signal). One
+    * compiled membership-count pass ([[graft.functions.Cols.tokenSetHits]])
+    * — the filter/isInCollection lambda form ran interpreted and built
+    * the kept-token array per row (4.7 s vs 0.3 s at sf1). */
   def stopwordRatio(text: Column, stops: Seq[String]): Column = {
     val toks = split(lower(text), " ")
-    size(filter(toks, t => t.isInCollection(stops))).cast("double") / size(toks)
+    graft.functions.Cols.tokenSetHits(toks, stops).cast("double") / size(toks)
   }
 
   /** Fraction of characters that are a-z0-9 or space; 0.0 for empty text
     * (a bare division would null out and break qualityScore's [0,1]
     * contract). */
   def alphaRatio(text: Column): Column =
+    // codepoints kept by the old regexp_replace deletion = codepoints in
+    // the ASCII class — counted in one compiled byte scan instead of
+    // building the replaced string (the regex pass dominated tx2's wall)
     when(length(text) === 0, 0.0).otherwise(
-      length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") / length(text))
+      graft.functions.Cols.asciiSetCount(lower(text),
+        "abcdefghijklmnopqrstuvwxyz0123456789 ").cast("double") / length(text))
 
   /** Composite quality score ∈ [0,1]: length prior + stopword band +
     * alphanumeric purity (shape of C4/Gopher-style heuristics). */
@@ -41,9 +55,10 @@ object TextStats {
     lenPrior * 0.5 + stopwordRatio(text, stops) * 0.3 + alphaRatio(text) * 0.2
   }
 
-  /** Marker-token language votes: count of hits in `markers`. */
+  /** Marker-token language votes: count of hits in `markers` (compiled
+    * membership count, no interpreted lambda). */
   def langVotes(text: Column, markers: Seq[String]): Column =
-    size(filter(split(lower(text), " "), t => t.isInCollection(markers))).cast("long")
+    graft.functions.Cols.tokenSetHits(split(lower(text), " "), markers)
 
   /** Argmax language over marker vote sets with deterministic tie-break
     * (earlier entry wins ties). */

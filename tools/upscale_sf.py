@@ -57,8 +57,14 @@ def upscale(src, dst, copies):
             parts.append(pa.table(dict(zip(t.column_names, cols)),
                                   schema=t.schema))
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{dst}/{table}.parquet")
-        print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+        # ~64 row groups per table: a single-row-group file pins every
+        # Spark scan (and DuckDB's row-group parallelism) to ONE thread —
+        # nothing like the many-file reality this tier models. Both
+        # engines read the same layout, so differentials stay valid.
+        rgs = max(1024, -(-out.num_rows // 64))
+        pq.write_table(out, f"{dst}/{table}.parquet", row_group_size=rgs)
+        print(f"{table}: {t.num_rows} -> {out.num_rows} rows "
+              f"(row_group_size={rgs})")
 
 
 if __name__ == "__main__":
