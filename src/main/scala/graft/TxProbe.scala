@@ -41,6 +41,54 @@ object TxProbe {
     time("tx9_full") {
       q(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
+
+    // d9/d16 stage decomposition
+    for (name <- Seq("d9_span_removal", "d16_line_dedup")) {
+      val f = SparkEntry.queries(name)
+      time(s"${name}_full") {
+        f(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    }
+    // span removal internals: d9's exact parameters (spanTokens=5,
+    // minDocs=2, hashWindows=false — the string-keyed oracle-parity mode)
+    time("d9_keys_only") {
+      d.filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.Cols.windowStrings(
+            split(col("text"), " "), 5).as("_w"))
+        .select(col("doc_id"), posexplode(col("_w")).as(Seq("_p", "_k")))
+        .groupBy("_k").agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("d9_removal_unsorted") {
+      graft.llm.Dedup.removeDupSpans(d, "doc_id", "text", 5,
+          minDocs = 2, hashWindows = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("d9_removal_hashed") {
+      graft.llm.Dedup.removeDupSpans(d, "doc_id", "text", 5,
+          minDocs = 2, hashWindows = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // d16 stage decomposition
+    val lineChunkRe = "((\\S+ ){3}\\S+) "
+    val lined = d.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), lineChunkRe, "$1\n").as("text"))
+    time("d16_staging_only") {
+      lined.write.format("noop").mode("overwrite").save()
+    }
+    time("d16_removal_unsorted") {
+      graft.llm.Dedup.removeDupLines(lined, "doc_id", "text", minDocs = 2,
+          hashLines = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("d16_removal_hashed") {
+      graft.llm.Dedup.removeDupLines(lined, "doc_id", "text", minDocs = 2,
+          hashLines = true)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

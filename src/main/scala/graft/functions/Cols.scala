@@ -116,6 +116,25 @@ object Cols {
       ColumnBridge.expression(text)))
   }
 
+  /** Span-removal rebuild (interval merge + complement + reassembly) in
+    * one compiled pass ([[graft.expressions.SpanRemoveRebuild]]) —
+    * struct(clean_text, n_removed). */
+  def spanRemoveRebuild(tok: Column, starts: Column, span: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SpanRemoveRebuild(
+      ColumnBridge.expression(tok), ColumnBridge.expression(starts),
+      org.apache.spark.sql.catalyst.expressions.Literal(span)))
+  }
+
+  /** Line-removal rebuild (kept lines joined by the bound separator) in
+    * one compiled pass ([[graft.expressions.LineRemoveRebuild]]) —
+    * struct(clean_text, n_removed). */
+  def lineRemoveRebuild(lines: Column, kpos: Column, sep: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.LineRemoveRebuild(
+      ColumnBridge.expression(lines), ColumnBridge.expression(kpos), sep))
+  }
+
   /** Point in annulus ROI (reference arena inner/outer radius test,
     * `social_behaviour_detection.py:241-257`): squared-distance form avoids
     * the sqrt in the hot path. */

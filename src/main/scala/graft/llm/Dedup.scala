@@ -900,7 +900,14 @@ object Dedup {
     // — coverage is a position set), else opens a new one. `get` (not
     // element_at) so the empty-accumulator probe is null, falling to the
     // open-new-interval branch without an ANSI index error.
-    val L = spanTokens
+    // rebuild tail: interval merge + complement + reassembly FUSED in one
+    // compiled pass ([[graft.expressions.SpanRemoveRebuild]], O(tokens +
+    // starts), one output buffer). The earlier declarative tail ran an
+    // interpreted `aggregate` lambda that re-copied the interval
+    // accumulator per start (O(intervals²) array copies on heavily-
+    // duplicated docs) plus zip_with/transform reassembly — ~2.7 s of
+    // the 4.5 s sf1 wall, paid TWICE under a global sort (range
+    // partitioning re-executes the final stage for sampling).
     base.join(nonDupStarts, Seq("doc_id"), "left")
       // the join ships compact `_text`; re-split ONCE per row here (a
       // bound column, so the `idxs` expression below sees an attribute)
@@ -910,38 +917,11 @@ object Dedup {
         array_except(idxs,
           coalesce(col("_nstarts"), array().cast("array<int>")))
           .as("_starts"))
-      .select(col("doc_id"), col("_tok"),
-        aggregate(
-          col("_starts"),
-          array().cast("array<struct<lo:int,hi:int>>"),
-          (acc, s) => {
-            val last = get(acc, size(acc) - 1)
-            when(s <= last("hi") + 1,
-              concat(slice(acc, lit(1), size(acc) - 1), array(struct(
-                last("lo").as("lo"),
-                greatest(last("hi"), s + (L - 1)).as("hi")))))
-              .otherwise(concat(acc, array(struct(
-                s.as("lo"), (s + (L - 1)).as("hi")))))
-          }).as("_ivl"))
-      // kept ranges = complement of the merged intervals in [1, n]: zip
-      // the previous interval's hi (0-prepended) with the next one's lo
-      // (n+1-appended); a gap exists iff hi+1 <= lo-1. O(intervals)
-      // lambda steps per doc — the O(tokens) work below is native.
-      .select(col("doc_id"), col("_tok"), col("_ivl"),
-        filter(
-          zip_with(
-            concat(array(lit(0)), transform(col("_ivl"), v => v("hi"))),
-            concat(transform(col("_ivl"), v => v("lo")),
-              array(size(col("_tok")) + 1)),
-            (h, l) => struct((h + 1).as("lo"), (l - 1).as("hi"))),
-          r => r("lo") <= r("hi")).as("_keptR"))
       .select(col("doc_id"),
-        array_join(transform(col("_keptR"), r =>
-          array_join(slice(col("_tok"), r("lo"), r("hi") - r("lo") + 1),
-            " ")), " ").as("clean_text"),
-        aggregate(col("_ivl"), lit(0),
-          (acc, v) => acc + (v("hi") - v("lo") + 1))
-          .cast("long").as("n_removed"))
+        graft.functions.Cols.spanRemoveRebuild(col("_tok"), col("_starts"),
+          spanTokens).as("_r"))
+      .select(col("doc_id"), col("_r.clean_text").as("clean_text"),
+        col("_r.n_removed").as("n_removed"))
   }
 
   /** LINE-level duplicate removal — the CCNet/RefinedWeb recipe at its
@@ -996,15 +976,16 @@ object Dedup {
       .select(explode(col("_ds")).as("_d"))
       .groupBy(col("_d.key").as("doc_id"))
       .agg(array_sort(flatten(collect_list(col("_d.vals")))).as("_kpos"))
+    // rebuild tail: one compiled measured-and-filled buffer per doc
+    // ([[graft.expressions.LineRemoveRebuild]]) instead of the
+    // interpreted transform/element_at lambda + array_join
     base.join(keptPos, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        array_join(transform(
-          coalesce(col("_kpos"), array().cast("array<int>")),
-          p => element_at(col("_ln"), p)), sep).as("clean_text"),
+      .select(col("doc_id"), col("_ln"),
+        graft.functions.Cols.lineRemoveRebuild(col("_ln"),
+          coalesce(col("_kpos"), array().cast("array<int>")), sep).as("_r"))
+      .select(col("doc_id"), col("_r.clean_text").as("clean_text"),
         size(col("_ln")).cast("long").as("n_lines"),
-        (size(col("_ln")) -
-          size(coalesce(col("_kpos"), array().cast("array<int>"))))
-          .cast("long").as("n_removed"))
+        col("_r.n_removed").as("n_removed"))
   }
 
   /** Benchmark decontamination signal — the GPT-3/PaLM-style recipe as a
