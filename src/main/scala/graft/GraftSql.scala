@@ -285,6 +285,14 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_lm_score_t"),
       (args: Seq[Expression]) => lmScoreTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_bigram_lm_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_bigram_lm_t"),
+      (args: Seq[Expression]) => bigramLmTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ngram_score_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ngram_score_t"),
+      (args: Seq[Expression]) => ngramScoreTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_lm_ratio_t"),
       new ExpressionInfo("graft.GraftSql", "graft_lm_ratio_t"),
       (args: Seq[Expression]) => lmRatioTablePlan(args))
@@ -935,6 +943,40 @@ object GraftSql {
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
       SparkSession.active.table(strLit(args(3), fn, "model view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"))
+      .queryExecution.logical
+  }
+
+  /** `graft_bigram_lm_t('refV', 'textCol', 'uniModelV', vocab)` —
+    * [[graft.llm.Quality.bigramLm]] from SQL: top-`vocab` bigram counts
+    * with their context counts, against a `graft_lm_t`-shaped unigram
+    * model view. */
+  private def bigramLmTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bigram_lm_t"
+    require(args.length == 4,
+      s"usage: $fn('refView', 'textCol', 'uniModelView', vocab)")
+    graft.llm.Quality.bigramLm(
+      SparkSession.active.table(strLit(args(0), fn, "ref view")),
+      strLit(args(1), fn, "text column"),
+      SparkSession.active.table(strLit(args(2), fn, "unigram model view")),
+      lngLit(args(3), fn, "vocab").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_ngram_score_t('docsV', 'id', 'text', 'uniV', 'biV'[, backoff])`
+    * — [[graft.llm.Quality.ngramPerplexity]] from SQL: stupid-backoff
+    * bigram perplexity against `graft_lm_t` / `graft_bigram_lm_t`
+    * model views (backoff defaults to 0.4). */
+  private def ngramScoreTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ngram_score_t"
+    require(args.length == 5 || args.length == 6,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'uniModelView', " +
+        "'biModelView'[, backoff])")
+    graft.llm.Quality.ngramPerplexity(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      SparkSession.active.table(strLit(args(3), fn, "unigram model view")),
+      SparkSession.active.table(strLit(args(4), fn, "bigram model view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      if (args.length == 6) dblLit(args(5), fn, "backoff") else 0.4)
       .queryExecution.logical
   }
 

@@ -121,6 +121,24 @@ object MixProbe {
     require(maxLoop < uniqPpls.getDouble(1),
       s"looped ppl $maxLoop must sit below the OOV floor ${uniqPpls.getDouble(1)}")
 
+    // --- bigramLm + ngramPerplexity (stupid backoff): train + score
+    // walls at the same corpus scale; looped docs are wall-to-wall known
+    // bigrams (high p) and must sit strictly below the unique docs'
+    // backed-off scores ---
+    val bi = time("bigramLm")(
+      Quality.bigramLm(docs, "text", lm, 8000).localCheckpoint())
+    require(bi.count() > 0, "bigram vocab non-empty")
+    val nppl = time("ngramPerplexity")(
+      Quality.ngramPerplexity(docs, lm, bi, "doc_id", "text")
+        .localCheckpoint())
+    require(nppl.count() == n, "one ngram ppl row per doc")
+    val loopMax = nppl.filter(col("doc_id") < half)
+      .agg(max("ppl")).head.getDouble(0)
+    val uniqMin = nppl.filter(col("doc_id") >= half)
+      .agg(min("ppl")).head.getDouble(0)
+    require(loopMax < uniqMin,
+      s"looped ngram ppl $loopMax must sit below the unique floor $uniqMin")
+
     // --- removeDupLines: a viral boilerplate line in EVERY doc (maximum
     // key skew) excised exactly, unique flanks kept, no row vanishes ---
     val linedDocs = docs.select(col("doc_id"), concat_ws("\n",

@@ -114,7 +114,13 @@ object Corpus {
       // convention (see pollIngest's contamHash note)
       classifier: Option[DataFrame] = None,
       classifierDim: Int = 1 << 18,
-      minLogitMicro: Long = Long.MinValue): DataFrame = {
+      minLogitMicro: Long = Long.MinValue,
+      // bigram upgrade of the perplexity floor: with `biLm` the ppl
+      // floor scores under the stupid-backoff n-gram model
+      // ([[Quality.ngramPerplexity]]) instead of the unigram scorer —
+      // same broadcast-model shape, word order now visible
+      biLm: Option[DataFrame] = None,
+      lmBackoff: Double = 0.4): DataFrame = {
     require(embeddings.isEmpty == semCentroids.isEmpty,
       "prepare: embeddings and semCentroids come together — pass both or neither")
     // the bench-gate lesson: a floor the caller believes is on must not
@@ -125,6 +131,9 @@ object Corpus {
     require(lm.isEmpty || maxPpl < Double.MaxValue,
       "prepare: lm given but maxPpl is unset (perplexity floor off) — " +
         "set maxPpl, or drop the lm argument")
+    require(biLm.isEmpty || lm.nonEmpty,
+      "prepare: biLm given without lm — the bigram floor backs off to " +
+        "the unigram model; pass both")
     require(benchDocs.isEmpty || maxContamFrac < 1.0,
       "prepare: benchDocs given but maxContamFrac is 1.0 (gate off) — " +
         "set maxContamFrac < 1.0 to decontaminate, or drop benchDocs")
@@ -171,9 +180,14 @@ object Corpus {
         Quality.gopherPass(col(textCol), stops = gopherStops))
     val pplFloored = lm match {
       case Some(model) if maxPpl < Double.MaxValue =>
+        val scored = biLm match {
+          case Some(bi) => Quality.ngramPerplexity(gopherFloored, model,
+            bi, idCol, textCol, lmBackoff)
+          case None => Quality.lmPerplexity(gopherFloored, model, idCol,
+            textCol)
+        }
         gopherFloored.join(
-          Quality.lmPerplexity(gopherFloored, model, idCol, textCol)
-            .filter(col("ppl") > maxPpl)
+          scored.filter(col("ppl") > maxPpl)
             .select(col("doc_id").as(idCol)),
           Seq(idCol), "left_anti")
       case _ => gopherFloored

@@ -179,6 +179,102 @@ object Quality {
         round(exp(col("_m6") / 1e6), 6).as("ppl"))
   }
 
+  /** Bigram counts over a REFERENCE corpus for the n-gram LM tier — the
+    * step from [[unigramLm]]'s vocabulary model toward CCNet's actual
+    * KenLM-shaped recipe: word ORDER becomes visible (unigram perplexity
+    * passes fluent-vocabulary gibberish). Bigrams are adjacent pairs of
+    * [[Dedup.tokens]] (the engine-wide lowercased `' '`-split contract);
+    * only pairs whose CONTEXT token survived the `uni` vocab cap are
+    * kept (a bigram without a denominator count cannot be scored), then
+    * pruned to the top `vocab` by count (ties by (w1, w2) ascending —
+    * deterministic across engines). Each row carries its context count
+    * so a persisted model is self-contained.
+    *
+    * Scale shape: one (w1, w2) count aggregation — partial-agg friendly,
+    * no key a viral pair can concentrate beyond a merge of longs — then
+    * a broadcast join against the vocab-sized unigram table and a
+    * top-`vocab` TakeOrdered. Output: (w1, w2, cnt, w1_cnt), ≤ `vocab`
+    * rows, model-scale. */
+  def bigramLm(ref: DataFrame, textCol: String, uni: DataFrame,
+      vocab: Int): DataFrame = {
+    require(vocab >= 1, s"bigramLm: vocab must be >= 1, got $vocab")
+    val tok = Dedup.tokens(col(textCol))
+    val m = size(tok) - 1
+    val pairs = when(m < 1, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(slice(tok, lit(1), m), slice(tok, lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    ref.filter(col(textCol).isNotNull)
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(uni.select(col("token").as("w1"),
+        col("cnt").as("w1_cnt"))), Seq("w1"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(vocab)
+  }
+
+  /** Per-document perplexity under a bigram model with STUPID BACKOFF
+    * (Brants et al. 2007 — the large-scale-LM recipe: no discounting,
+    * a fixed multiplicative penalty on backoff, raw relative frequencies
+    * where a bigram is known):
+    *
+    *   - token 1 of a document: Laplace-smoothed unigram, exactly
+    *     [[lmPerplexity]]'s formula;
+    *   - token i ≥ 2 with (t_{i-1}, t_i) in the bigram table:
+    *     p = cnt(t_{i-1} t_i) / cnt(t_{i-1}) (≤ 1 by construction);
+    *   - otherwise: p = `backoff` × the smoothed unigram probability.
+    *
+    * Same scale + determinism contract as [[lmPerplexity]]: both models
+    * BROADCAST (model-scale tables), the corpus side is scan → pair
+    * explode → two broadcast left joins → one doc_id-keyed aggregate;
+    * each token's log-prob fixed-points to micro-nats before the exact
+    * integer sum and half-up integer mean, so engines cannot drift a
+    * last ulp. With `backoff = 1.0` and an EMPTY bigram table this is
+    * bit-identical to [[lmPerplexity]] (spec-pinned) — the fallback path
+    * IS the unigram model.
+    *
+    * Output: (doc_id, n_tokens, nll, ppl), rounded to 6 decimals. */
+  def ngramPerplexity(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      idCol: String, textCol: String, backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"ngramPerplexity: backoff must be in (0, 1], got $backoff")
+    val m = uni.select(col("token").as("_t"), col("cnt").as("_c"))
+    val b = bi.select(col("w1").as("_prev"), col("w2").as("_t"),
+      col("cnt").as("_bc"), col("w1_cnt").as("_w1c"))
+    val stats = m.agg(sum(col("_c")).cast("double").as("_N"),
+      count(lit(1)).cast("double").as("_V"))
+    val tok = Dedup.tokens(col(textCol))
+    val n = size(tok)
+    // (prev, cur) pairs with a null prev for the document's first token
+    val pairs = zip_with(
+      concat(array(lit(null).cast("string")), slice(tok, lit(1), n - 1)),
+      tok, (p, c) => struct(p.as("prev"), c.as("cur")))
+    val lpUni6 = round(log((coalesce(col("_c"), lit(0L)) + 1.0) /
+      (col("_N") + col("_V") + 1.0)) * 1e6).cast("long")
+    val lpBack6 = round(log(lit(backoff) *
+      ((coalesce(col("_c"), lit(0L)) + 1.0) /
+        (col("_N") + col("_V") + 1.0))) * 1e6).cast("long")
+    val lpBi6 = round(log(col("_bc").cast("double") /
+      col("_w1c").cast("double")) * 1e6).cast("long")
+    val lp6 = when(col("_prev").isNull, lpUni6)
+      .otherwise(when(col("_bc").isNotNull, lpBi6).otherwise(lpBack6))
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(pairs).as("_p"))
+      .select(col("doc_id"), col("_p.prev").as("_prev"),
+        col("_p.cur").as("_t"))
+      .join(broadcast(m), Seq("_t"), "left")
+      .join(broadcast(b), Seq("_prev", "_t"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), lp6.as("_lp6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lp6")).as("_s6"))
+      .withColumn("_m6",
+        expr("(-_s6 * 2 + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_m6") / 1e6, 6).as("nll"),
+        round(exp(col("_m6") / 1e6), 6).as("ppl"))
+  }
+
   /** Gopher's default stop list (Rae et al. 2021 §A1.1.2). */
   val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

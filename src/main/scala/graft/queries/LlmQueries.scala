@@ -690,6 +690,19 @@ object LlmQueries {
       sortAll(Quality.lmLogRatio(d, tgt, src, "doc_id", "text"))
     }),
 
+    // Bigram-LM perplexity with stupid backoff (Brants et al. 2007 —
+    // the step toward CCNet's KenLM shape: word order becomes visible):
+    // unigram top-16 + bigram top-64 trained on the corpus itself,
+    // backoff 0.4. All three log-prob paths (first-token unigram, known
+    // bigram relative frequency, backed-off unigram) micro-nat
+    // fixed-pointed, so the oracle replay is integer-exact
+    "tx18_ngram_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = Quality.unigramLm(d, "text", 16)
+      val bi = Quality.bigramLm(d, "text", uni, 64)
+      sortAll(Quality.ngramPerplexity(d, uni, bi, "doc_id", "text"))
+    }),
+
     // Unigram-LM perplexity (the CCNet quality-scoring shape): model
     // trained on the corpus itself pruned to the top-16 tokens (of 31
     // distinct — the OOV smoothing path is exercised), every doc scored
@@ -1900,6 +1913,55 @@ object LlmQueries {
     // smoothing over N = sum(cnt), V = rows, per-token log-prob
     // fixed-pointed to micro-nats BEFORE the per-doc sum (integer-exact
     // summation in any order), identical division tree for nll/ppl
+    "tx18_ngram_perplexity" ->
+      s"""WITH m AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |        FROM $docsPq WHERE text IS NOT NULL)
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 16),
+         |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+         |              CAST(count(*) AS DOUBLE) AS v FROM m),
+         |tw AS (SELECT string_split(lower(text), ' ') AS w
+         |       FROM $docsPq WHERE text IS NOT NULL),
+         |bi AS (SELECT w1, w2, cnt, w1_cnt FROM (
+         |    SELECT p.w1, p.w2, count(*) AS cnt
+         |    FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+         |          FROM tw, UNNEST(range(1, len(w))) AS u(i)) p
+         |    GROUP BY 1, 2) c
+         |  JOIN (SELECT token AS w1, cnt AS w1_cnt FROM m) mm USING (w1)
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 64),
+         |toks AS (SELECT doc_id, i, w[i] AS cur,
+         |           CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+         |         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |               FROM $docsPq
+         |               WHERE doc_id IS NOT NULL AND text IS NOT NULL) dw,
+         |           UNNEST(range(1, len(w) + 1)) AS u(i)),
+         |lp AS (SELECT doc_id,
+         |         CASE
+         |           WHEN prev IS NULL THEN
+         |             CAST(round(ln((coalesce(m.cnt, 0) + 1.0) / (n + v + 1.0))
+         |               * 1000000) AS BIGINT)
+         |           WHEN bi.cnt IS NOT NULL THEN
+         |             CAST(round(ln(CAST(bi.cnt AS DOUBLE) /
+         |               CAST(bi.w1_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+         |           ELSE
+         |             CAST(round(ln(0.4 * ((coalesce(m.cnt, 0) + 1.0) /
+         |               (n + v + 1.0))) * 1000000) AS BIGINT)
+         |         END AS lp6
+         |       FROM toks
+         |       LEFT JOIN m ON toks.cur = m.token
+         |       LEFT JOIN bi ON toks.prev = bi.w1 AND toks.cur = bi.w2
+         |       CROSS JOIN st),
+         |g AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
+         |      FROM lp GROUP BY 1),
+         |q AS (SELECT doc_id, n_tokens,
+         |        (-s6 * 2 + n_tokens) // (2 * n_tokens) AS m6 FROM g)
+         |SELECT doc_id, n_tokens,
+         |  round(m6 / 1000000.0, 6) AS nll,
+         |  round(exp(m6 / 1000000.0), 6) AS ppl
+         |FROM q
+         |${orderBySql("doc_id", "n_tokens", "nll", "ppl")}""".stripMargin,
+
     "tx8_lm_perplexity" ->
       s"""WITH m AS (
          |  SELECT token, count(*) AS cnt

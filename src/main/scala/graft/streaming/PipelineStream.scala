@@ -291,7 +291,12 @@ object PipelineStream {
       contamHash: Boolean = true,
       classifier: Option[DataFrame] = None,
       classifierDim: Int = 1 << 18,
-      minLogitMicro: Long = Long.MinValue): Unit = {
+      minLogitMicro: Long = Long.MinValue,
+      // bigram upgrade of the perplexity gate, parameter-symmetric with
+      // Corpus.prepare: with `biLm` the gate scores under the
+      // stupid-backoff n-gram model instead of the unigram scorer
+      biLm: Option[DataFrame] = None,
+      lmBackoff: Double = 0.4): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
@@ -302,6 +307,9 @@ object PipelineStream {
     require(lmModel.isEmpty || maxPpl < Double.MaxValue,
       "pollIngest: lmModel given but maxPpl is unset (gate off) — " +
         "set maxPpl to floor on perplexity, or drop lmModel")
+    require(biLm.isEmpty || lmModel.nonEmpty,
+      "pollIngest: biLm given without lmModel — the bigram gate backs " +
+        "off to the unigram model; pass both")
     require(classifier.isEmpty || minLogitMicro > Long.MinValue,
       "pollIngest: classifier given but minLogitMicro is unset (gate " +
         "off) — set the logit floor, or drop the classifier argument")
@@ -362,11 +370,14 @@ object PipelineStream {
         // gate — the vocab-sized model broadcasts into the batch plan
         val pplGated = lmModel match {
           case Some(model) if maxPpl < Double.MaxValue =>
+            val scored = biLm match {
+              case Some(bi) => graft.llm.Quality.ngramPerplexity(
+                gopherGated, model, bi, "doc_id", "text", lmBackoff)
+              case None => graft.llm.Quality.lmPerplexity(gopherGated,
+                model, "doc_id", "text")
+            }
             gopherGated.join(
-              graft.llm.Quality.lmPerplexity(gopherGated, model,
-                  "doc_id", "text")
-                .filter(col("ppl") > maxPpl)
-                .select("doc_id"),
+              scored.filter(col("ppl") > maxPpl).select("doc_id"),
               Seq("doc_id"), "left_anti")
           case _ => gopherGated
         }

@@ -1160,6 +1160,22 @@ class GraftSqlSpec extends AnyFunSuite {
         'lm_model_v', 'lm_model_v')""")
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))
     assert(sqlRatio.nonEmpty && sqlRatio.forall(t => t._1 == 0.0 && t._2 == 0.0))
+    // bigram model + stupid-backoff scoring ≡ typed
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW bi_model_v AS
+      SELECT * FROM graft_bigram_lm_t('lm_docs_v', 'text', 'lm_model_v', 64)""")
+    assert(spark.table("bi_model_v").count() === 64L)
+    val sqlNg = spark.sql(
+      """SELECT * FROM graft_ngram_score_t('lm_docs_v', 'doc_id', 'text',
+        'lm_model_v', 'bi_model_v')""")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    val typedNg = {
+      val uni = graft.llm.Quality.unigramLm(d, "text", 16)
+      graft.llm.Quality.ngramPerplexity(d, uni,
+        graft.llm.Quality.bigramLm(d, "text", uni, 64), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    }
+    assert(sqlNg === typedNg && sqlNg.nonEmpty)
     // Gopher rules ≡ typed at an overridden word floor
     val sqlGopher = spark.sql(
       "SELECT * FROM graft_gopher_t('lm_docs_v', 'doc_id', 'text', 30)")

@@ -98,6 +98,51 @@ class MixSpec extends AnyFunSuite {
       "fully loosened thresholds must pass everything")
   }
 
+  test("bigramLm + ngramPerplexity: hand-computed stupid-backoff scores; " +
+      "empty bigram table at backoff 1.0 ≡ lmPerplexity") {
+    val ref = Seq(1L -> "the cat sat", 2L -> "the cat ran")
+      .toDF("doc_id", "text")
+    val uni = Quality.unigramLm(ref, "text", 10)
+    // unigram counts: the=2, cat=2, sat=1, ran=1 → N=6, V=4
+    val bi = Quality.bigramLm(ref, "text", uni, 10)
+    // bigrams: (the,cat)=2, (cat,sat)=1, (cat,ran)=1; every w1 in vocab
+    assert(bi.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap ===
+      Map(("the", "cat") -> ((2L, 2L)), ("cat", "sat") -> ((1L, 2L)),
+        ("cat", "ran") -> ((1L, 2L))))
+    // bigram vocab cap prunes deterministically: top-1 is the cnt-2 pair
+    assert(Quality.bigramLm(ref, "text", uni, 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("the", "cat")))
+    // score "the cat zeb": t1 = smoothed uni(the) = 3/11; t2 = known
+    // bigram cat|the = 2/2; t3 = backoff 0.4 * smoothed uni(zeb) = 0.4/11
+    val score = Seq(7L -> "the cat zeb").toDF("doc_id", "text")
+    val out = Quality.ngramPerplexity(score, uni, bi, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def lp6(p: Double) = math.round(math.log(p) * 1e6)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def meanNll(n: Long, lps: Long*) = {
+      val p6 = -lps.sum
+      ((p6 * 2 + n) / (2 * n)).toDouble / 1e6
+    }
+    val nll7 = meanNll(3, lp6(3.0 / 11), lp6(2.0 / 2), lp6(0.4 / 11))
+    assert(out(7L) === ((3L, r6(nll7), r6(math.exp(nll7)))))
+    // fallback path ≡ the unigram model: empty bigram table + backoff 1
+    val spark2 = spark
+    import spark2.implicits._
+    val emptyBi = Seq.empty[(String, String, Long, Long)]
+      .toDF("w1", "w2", "cnt", "w1_cnt")
+    val lm16 = Quality.unigramLm(docs, "text", 16)
+    val viaN = Quality.ngramPerplexity(docs, lm16, emptyBi,
+      "doc_id", "text", backoff = 1.0)
+    val viaU = Quality.lmPerplexity(docs, lm16, "doc_id", "text")
+    assert(viaN.exceptAll(viaU).count() === 0L &&
+      viaU.exceptAll(viaN).count() === 0L,
+      "ngram with no bigrams and backoff 1.0 must equal the unigram scorer")
+  }
+
   test("unigramLm + lmPerplexity: hand-computed smoothed scores, OOV floor, vocab pruning tie-break") {
     val ref = Seq(1L -> "the cat sat", 2L -> "the dog sat").toDF("doc_id", "text")
     // counts: the=2, sat=2, cat=1, dog=1 → N=6, V=4 when vocab keeps all
