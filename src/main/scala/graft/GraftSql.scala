@@ -445,6 +445,14 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_classifier_train_t"),
       (args: Seq[Expression]) => classifierTrainTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_classifier_train_multi_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_classifier_train_multi_t"),
+      (args: Seq[Expression]) => classifierTrainMultiTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_langid_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_langid_t"),
+      (args: Seq[Expression]) => langidTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_classifier_score_t"),
       new ExpressionInfo("graft.GraftSql", "graft_classifier_score_t"),
       (args: Seq[Expression]) => classifierScoreTablePlan(args))
@@ -1108,6 +1116,47 @@ object GraftSql {
       s"usage: $fn('docsView', 'idCol', 'textCol', 'weightsView', dim[, " +
         "bigrams])")
     graft.llm.Quality.scoreTextClassifier(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      SparkSession.active.table(strLit(args(3), fn, "weights view")),
+      lngLit(args(4), fn, "dim").toInt,
+      bigrams = args.length < 6 || boolLit(args(5), fn, "bigrams"))
+      .queryExecution.logical
+  }
+
+  /** `graft_classifier_train_multi_t('labeledV', 'id', 'text', 'label',
+    * dim[, bigrams[, iters]])` —
+    * [[graft.llm.Quality.trainTextClassifierMulti]] from SQL: the
+    * K-class softmax trainer (trained language ID's model); returns
+    * (label, feature, w_micro). Training RUNS at plan build (the
+    * `graft_bpe_train_t` adjudication). */
+  private def classifierTrainMultiTablePlan(args: Seq[Expression])
+      : LogicalPlan = {
+    val fn = "graft_classifier_train_multi_t"
+    require(args.length >= 5 && args.length <= 7,
+      s"usage: $fn('labeledView', 'idCol', 'textCol', 'labelCol', dim[, " +
+        "bigrams[, iters]])")
+    graft.llm.Quality.trainTextClassifierMulti(
+      SparkSession.active.table(strLit(args(0), fn, "labeled view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      strLit(args(3), fn, "label column"),
+      lngLit(args(4), fn, "dim").toInt,
+      bigrams = args.length < 6 || boolLit(args(5), fn, "bigrams"),
+      iters = if (args.length == 7) lngLit(args(6), fn, "iters").toInt
+        else 100)
+      .queryExecution.logical
+  }
+
+  /** `graft_langid_t('docsV', 'id', 'text', 'weightsV', dim[, bigrams])`
+    * — [[graft.llm.Quality.langIdTrained]] from SQL: argmax class under
+    * a (label, feature, w_micro) multi-class weight view, deterministic
+    * smallest-label tie-break; (doc_id, lang, logit_micro). */
+  private def langidTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_langid_t"
+    require(args.length >= 5 && args.length <= 6,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'weightsView', dim[, " +
+        "bigrams])")
+    graft.llm.Quality.langIdTrained(
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
       SparkSession.active.table(strLit(args(3), fn, "weights view")),

@@ -120,7 +120,14 @@ object Corpus {
       // ([[Quality.ngramPerplexity]]) instead of the unigram scorer —
       // same broadcast-model shape, word order now visible
       biLm: Option[DataFrame] = None,
-      lmBackoff: Double = 0.4): DataFrame = {
+      lmBackoff: Double = 0.4,
+      // trained language gate: with `langClassifier` (a
+      // [[Quality.trainTextClassifierMulti]] (label, feature, w_micro)
+      // table whose labels are language codes) the language selection
+      // uses [[Quality.langIdTrained]]'s argmax instead of the marker
+      // vote — the `markers` argument becomes inert for gating
+      langClassifier: Option[DataFrame] = None,
+      langClassifierDim: Int = 1 << 18): DataFrame = {
     require(embeddings.isEmpty == semCentroids.isEmpty,
       "prepare: embeddings and semCentroids come together — pass both or neither")
     // the bench-gate lesson: a floor the caller believes is on must not
@@ -134,6 +141,9 @@ object Corpus {
     require(biLm.isEmpty || lm.nonEmpty,
       "prepare: biLm given without lm — the bigram floor backs off to " +
         "the unigram model; pass both")
+    require(langClassifier.isEmpty || langs.nonEmpty,
+      "prepare: langClassifier given but langs is empty (gate off) — " +
+        "select the languages to keep, or drop the classifier")
     require(benchDocs.isEmpty || maxContamFrac < 1.0,
       "prepare: benchDocs given but maxContamFrac is 1.0 (gate off) — " +
         "set maxContamFrac < 1.0 to decontaminate, or drop benchDocs")
@@ -219,9 +229,20 @@ object Corpus {
           Seq(idCol), "left_anti")
       case _ => clfFloored
     }
-    base
-      .filter(round(TextStats.qualityScore(t, stops), 6) >= minQuality &&
-        TextStats.langId(t, markers).isin(langs: _*))
+    // language selection: the marker vote inline, or — with a trained
+    // model — the argmax langid as a doc_id semi-join (the scorer is a
+    // typed scan; its label re-attaches by id, uniform key)
+    val langGated = langClassifier match {
+      case Some(w) if langs.nonEmpty =>
+        base.join(
+          Quality.langIdTrained(base, idCol, textCol, w, langClassifierDim)
+            .filter(col("lang").isin(langs: _*))
+            .select(col("doc_id").as(idCol)),
+          Seq(idCol), "left_semi")
+      case _ => base.filter(TextStats.langId(t, markers).isin(langs: _*))
+    }
+    langGated
+      .filter(round(TextStats.qualityScore(t, stops), 6) >= minQuality)
       .select(col(idCol), TextStats.tokenCount(t).as("_nt"),
         sha2(t, 256).as("_ch"))
       .groupBy("_ch")

@@ -805,4 +805,237 @@ object Quality {
         }
       }.toDF("doc_id", "n_feats", "logit_micro")
   }
+
+  /** Multi-class extension of [[trainTextClassifier]] — softmax
+    * regression over the same [[hashedTextFeatures]], the step that
+    * turns language ID from a marker-vote fixture into a TRAINED,
+    * gateable operator (fastText's actual langid shape: Joulin et al.
+    * 2016). Same driver-kernel split and determinism contract: features
+    * come from the one distributed column path the scorer replays,
+    * collect sorted, full-batch gradient descent; classes process in
+    * SORTED label order, so training is bit-deterministic.
+    *
+    * `labeled` needs (`idCol`, `textCol`, `labelCol`: the class STRING,
+    * e.g. a language code). Memory: K dense dim-double vectors —
+    * `dim ≤ 2²⁰` here (the K multiplier), `maxTrainDocs` as before.
+    *
+    * Output: (label, feature, w_micro) — per-class micro-unit integer
+    * weights, nonzero entries only, intercepts at feature = −1. Exact
+    * integer per-class logits downstream; softmax is monotone per class,
+    * and the argmax of the integer logits IS the argmax of the
+    * probabilities. */
+  def trainTextClassifierMulti(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int = 1 << 18,
+      bigrams: Boolean = true, iters: Int = 100, lr: Double = 0.5,
+      l2: Double = 1e-6, maxTrainDocs: Int = 200000): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20),
+      s"dim must be in [2, 2^20], got $dim (the trainer holds K dense " +
+        "dim-double weight vectors)")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val base = labeled.filter(col(idCol).isNotNull &&
+      col(textCol).isNotNull && col(labelCol).isNotNull)
+    val feats = hashedTextFeatures(base, idCol, textCol, dim, bigrams)
+    val labels = base.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("string").as("_y"))
+    val labelCounts = labels.groupBy("doc_id")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+    require(labelCounts.isEmpty,
+      s"trainTextClassifierMulti: duplicate labeled doc_id " +
+        s"${labelCounts.headOption.map(_.getLong(0)).getOrElse(-1L)} — " +
+        "label each document exactly once (dedup before training)")
+    val rows = feats.join(labels, "doc_id")
+      .select(col("doc_id"), col("feature"), col("cnt"), col("_y"))
+      .sort("doc_id", "feature")
+      .as[(Long, Long, Long, String)]
+      .collect()
+    val classes = rows.map(_._4).distinct.sorted
+    val k = classes.length
+    require(k >= 2, s"trainTextClassifierMulti: need >= 2 classes, got $k")
+    val classIdx = classes.zipWithIndex.toMap
+    val nDocs = {
+      var n = 0; var last = Long.MinValue
+      rows.foreach { r => if (r._1 != last) { n += 1; last = r._1 } }
+      n
+    }
+    require(nDocs <= maxTrainDocs,
+      s"trainTextClassifierMulti: $nDocs labeled docs exceed " +
+        s"maxTrainDocs $maxTrainDocs — train on a sample, score the corpus")
+    val starts = new Array[Int](nDocs + 1)
+    val ys = new Array[Int](nDocs)
+    val fIdx = new Array[Int](rows.length)
+    val fCnt = new Array[Double](rows.length)
+    var d = -1; var last = Long.MinValue
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r._1 != last) {
+        d += 1; starts(d) = i; ys(d) = classIdx(r._4); last = r._1
+      }
+      fIdx(i) = r._2.toInt; fCnt(i) = r._3.toDouble
+      i += 1
+    }
+    starts(nDocs) = rows.length
+    val wv = Array.ofDim[Double](k, dim)
+    val b = new Array[Double](k)
+    val grad = Array.ofDim[Double](k, dim)
+    val gb = new Array[Double](k)
+    val z = new Array[Double](k)
+    var it = 0
+    while (it < iters) {
+      var c = 0
+      while (c < k) {
+        java.util.Arrays.fill(grad(c), 0.0); gb(c) = 0.0; c += 1
+      }
+      var di = 0
+      while (di < nDocs) {
+        c = 0
+        while (c < k) {
+          var zz = b(c)
+          var j = starts(di)
+          while (j < starts(di + 1)) { zz += wv(c)(fIdx(j)) * fCnt(j); j += 1 }
+          z(c) = zz
+          c += 1
+        }
+        // softmax residuals p_c − 1{y=c}, max-shifted for stability
+        var mx = z(0); c = 1
+        while (c < k) { if (z(c) > mx) mx = z(c); c += 1 }
+        var sum = 0.0; c = 0
+        while (c < k) { z(c) = math.exp(z(c) - mx); sum += z(c); c += 1 }
+        c = 0
+        while (c < k) {
+          val g = z(c) / sum - (if (ys(di) == c) 1.0 else 0.0)
+          gb(c) += g
+          var j = starts(di)
+          while (j < starts(di + 1)) {
+            grad(c)(fIdx(j)) += g * fCnt(j); j += 1
+          }
+          c += 1
+        }
+        di += 1
+      }
+      c = 0
+      while (c < k) {
+        var f = 0
+        while (f < dim) {
+          wv(c)(f) -= lr * (grad(c)(f) / nDocs + l2 * wv(c)(f))
+          f += 1
+        }
+        b(c) -= lr * gb(c) / nDocs
+        c += 1
+      }
+      it += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var c = 0
+    while (c < k) {
+      out += ((classes(c), -1L, math.round(b(c) * 1e6)))
+      var f = 0
+      while (f < dim) {
+        val m = math.round(wv(c)(f) * 1e6)
+        if (m != 0L) out += ((classes(c), f.toLong, m))
+        f += 1
+      }
+      c += 1
+    }
+    out.toSeq.toDF("label", "feature", "w_micro")
+  }
+
+  /** Score documents under a multi-class weight table and return the
+    * ARGMAX class — trained language ID ([[langIdTrained]]) and any
+    * other K-way text gate. Same zero-shuffle typed scan as
+    * [[scoreTextClassifier]]: the (label, feature, w_micro) table
+    * broadcasts as K primitive-keyed maps; each partition tokenizes,
+    * hashes, counts once and evaluates all K exact integer logits; ties
+    * break to the LEXICOGRAPHICALLY SMALLEST label (deterministic, the
+    * marker-langid convention). Output: (doc_id, label, logit_micro). */
+  def scoreTextClassifierMulti(docs: DataFrame, idCol: String,
+      textCol: String, weights: DataFrame, dim: Int,
+      bigrams: Boolean = true): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wCount = weights.limit((1 << 22) + 2).count()
+    require(wCount <= (1 << 22) + 1,
+      "scoreTextClassifierMulti: weight table has > 2^22 + 1 rows — " +
+        "not a trained model")
+    val wRows = weights
+      .select(col("label").cast("string"), col("feature").cast("long"),
+        col("w_micro").cast("long"))
+      .collect()
+    val classes = wRows.map(_.getString(0)).distinct.sorted
+    require(classes.nonEmpty, "scoreTextClassifierMulti: empty weight table")
+    val intercepts = classes.map { c =>
+      wRows.find(r => r.getString(0) == c && r.getLong(1) == -1L)
+        .map(_.getLong(2)).getOrElse(0L)
+    }
+    val maps = classes.map { c =>
+      val m = new scala.collection.mutable.LongMap[Long]()
+      wRows.foreach { r =>
+        if (r.getString(0) == c && r.getLong(1) >= 0L)
+          m(r.getLong(1)) = r.getLong(2)
+      }
+      m
+    }
+    val bc = spark.sparkContext.broadcast((classes, intercepts, maps))
+    val dimL = dim.toLong
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val (cls, bs, ws) = bc.value
+        val k = cls.length
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def feat(ngram: String): Long = {
+          md.reset()
+          val dg = md.digest(ngram.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          java.lang.Integer.toUnsignedLong(
+            java.nio.ByteBuffer.wrap(dg).getInt) % dimL
+        }
+        val counts = new scala.collection.mutable.LongMap[Long]()
+        rows.map { case (id, text) =>
+          counts.clear()
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          var i = 0
+          while (i < toks.length) {
+            val f = feat(toks(i))
+            counts(f) = counts.getOrElse(f, 0L) + 1L
+            if (bigrams && i + 1 < toks.length) {
+              val g = feat(toks(i) + " " + toks(i + 1))
+              counts(g) = counts.getOrElse(g, 0L) + 1L
+            }
+            i += 1
+          }
+          var best = 0
+          var bestLogit = Long.MinValue
+          var c = 0
+          while (c < k) {
+            var logit = bs(c)
+            val w = ws(c)
+            counts.foreachEntry { (f, cnt) =>
+              logit += cnt * w.getOrElse(f, 0L)
+            }
+            // strict >: classes iterate in sorted label order, so ties
+            // keep the lexicographically smallest
+            if (logit > bestLogit) { best = c; bestLogit = logit }
+            c += 1
+          }
+          (id, cls(best), bestLogit)
+        }
+      }.toDF("doc_id", "label", "logit_micro")
+  }
+
+  /** Trained language ID — [[scoreTextClassifierMulti]] with the langid
+    * column name: (doc_id, lang, logit_micro) under a
+    * [[trainTextClassifierMulti]] model whose labels are language codes.
+    * The upgrade path from [[TextStats.langId]]'s marker votes: same
+    * deterministic tie-break, but the model is TRAINED, so languages
+    * separate on their full hashed-ngram vocabulary instead of a
+    * hand-listed marker set. */
+  def langIdTrained(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int, bigrams: Boolean = true): DataFrame =
+    scoreTextClassifierMulti(docs, idCol, textCol, weights, dim, bigrams)
+      .withColumnRenamed("label", "lang")
 }

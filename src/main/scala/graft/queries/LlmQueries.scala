@@ -830,6 +830,47 @@ object LlmQueries {
     // exercises the full scoring path — lowercased split, unigrams +
     // bigrams, md5-low-32 mod dim, per-doc counts, the exact integer
     // dot — replayed feature by feature in DuckDB
+    // Trained language ID (scoreTextClassifierMulti's argmax over exact
+    // per-class integer logits, smallest-label tie-break) under EXPLICIT
+    // per-class weight tables — the tx17 trick: training isn't
+    // SQL-expressible, so the oracle replays scoring under synthetic
+    // formula weights; the trainer itself is spec-gated (ClassifierSpec)
+    "tx19_langid_trained" -> ((s, dir) => {
+      val dim = 1 << 16
+      def cls(label: String, mod: Int, off: Int, b0: Long) =
+        s.range(dim).select(lit(label).as("label"),
+          col("id").as("feature"),
+          (col("id") % mod - off).as("w_micro"))
+          .unionByName(s.range(1).select(lit(label).as("label"),
+            lit(-1L).as("feature"), lit(b0).as("w_micro")))
+      val weights = cls("en", 1999, 999, 1000000L)
+        .unionByName(cls("fr", 2003, 1001, -500000L))
+        .unionByName(cls("de", 1993, 996, 0L))
+      sortAll(Quality.langIdTrained(docs(s, dir), "doc_id", "text",
+        weights, dim))
+    }),
+
+    // d7's composition with the TRAINED language gate: prepare keeps
+    // docs whose argmax class under the explicit multi-class weight
+    // table is 'en' (replacing the marker vote), then the standard
+    // quality floor + exact dedup — the gateable form of item "langid
+    // as a trained operator"
+    "d20_prepare_langid_trained" -> ((s, dir) => {
+      val dim = 1 << 16
+      def cls(label: String, mod: Int, off: Int, b0: Long) =
+        s.range(dim).select(lit(label).as("label"),
+          col("id").as("feature"),
+          (col("id") % mod - off).as("w_micro"))
+          .unionByName(s.range(1).select(lit(label).as("label"),
+            lit(-1L).as("feature"), lit(b0).as("w_micro")))
+      val weights = cls("en", 1999, 999, 1000000L)
+        .unionByName(cls("fr", 2003, 1001, -500000L))
+        .unionByName(cls("de", 1993, 996, 0L))
+      sortAll(Corpus.prepare(docs(s, dir), "doc_id", "text", STOPS,
+        MARKERS, 0.5, Seq("en"),
+        langClassifier = Some(weights), langClassifierDim = dim))
+    }),
+
     "tx17_classifier_score" -> ((s, dir) => {
       val dim = 1 << 16
       val weights = s.range(dim)
@@ -2104,6 +2145,78 @@ object LlmQueries {
     // cross-engine hash), per-doc counts, and the exact integer dot
     // against the explicit w_micro(f) = f mod 2001 − 1000 table with
     // intercept 12345. n_feats counts DISTINCT features per doc.
+    "d20_prepare_langid_trained" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |           FROM $docsPq
+         |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |ng AS (SELECT doc_id, unnest(w) AS g FROM d
+         |       UNION ALL
+         |       SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM d JOIN nums ON i <= len(w) - 1),
+         |fc AS (SELECT doc_id,
+         |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f,
+         |         count(*) AS cnt
+         |       FROM ng GROUP BY 1, 2),
+         |lg AS (SELECT doc_id,
+         |         CAST(1000000 + sum(cnt * (f % 1999 - 999)) AS BIGINT)
+         |           AS len_,
+         |         CAST(-500000 + sum(cnt * (f % 2003 - 1001)) AS BIGINT)
+         |           AS lfr,
+         |         CAST(0 + sum(cnt * (f % 1993 - 996)) AS BIGINT) AS lde
+         |       FROM fc GROUP BY doc_id),
+         |pl AS (SELECT doc_id,
+         |         CASE WHEN lde >= len_ AND lde >= lfr THEN 'de'
+         |              WHEN len_ >= lfr THEN 'en' ELSE 'fr' END AS lang
+         |       FROM lg),
+         |f AS (
+         |  SELECT doc_id, text,
+         |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+         |          + (stop_hits * 1.0 / n_tokens) * 0.3
+         |          + (CASE WHEN n_chars = 0 THEN 0.0
+         |                  ELSE alpha_chars * 1.0 / n_chars END) * 0.2, 6) AS q
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
+         |      CAST(len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits,
+         |      CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS alpha_chars,
+         |      CAST(length(text) AS DOUBLE) AS n_chars
+         |    FROM $docsPq))
+         |SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |FROM f JOIN pl USING (doc_id)
+         |WHERE q >= 0.5 AND lang = 'en'
+         |GROUP BY text
+         |${orderBySql("rep_id", "n_copies", "n_tokens")}""".stripMargin,
+
+    "tx19_langid_trained" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |           FROM $docsPq
+         |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |ng AS (SELECT doc_id, unnest(w) AS g FROM d
+         |       UNION ALL
+         |       SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM d JOIN nums ON i <= len(w) - 1),
+         |fc AS (SELECT doc_id,
+         |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f,
+         |         count(*) AS cnt
+         |       FROM ng GROUP BY 1, 2),
+         |lg AS (SELECT doc_id,
+         |         CAST(1000000 + sum(cnt * (f % 1999 - 999)) AS BIGINT)
+         |           AS len_,
+         |         CAST(-500000 + sum(cnt * (f % 2003 - 1001)) AS BIGINT)
+         |           AS lfr,
+         |         CAST(0 + sum(cnt * (f % 1993 - 996)) AS BIGINT) AS lde
+         |       FROM fc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN lde >= len_ AND lde >= lfr THEN 'de'
+         |       WHEN len_ >= lfr THEN 'en' ELSE 'fr' END AS lang,
+         |  greatest(lde, len_, lfr) AS logit_micro
+         |FROM lg
+         |${orderBySql("doc_id", "lang", "logit_micro")}""".stripMargin,
+
     "tx17_classifier_score" ->
       s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
          |           FROM $docsPq

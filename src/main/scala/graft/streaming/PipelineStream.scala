@@ -296,7 +296,12 @@ object PipelineStream {
       // Corpus.prepare: with `biLm` the gate scores under the
       // stupid-backoff n-gram model instead of the unigram scorer
       biLm: Option[DataFrame] = None,
-      lmBackoff: Double = 0.4): Unit = {
+      lmBackoff: Double = 0.4,
+      // trained language gate, parameter-symmetric with Corpus.prepare:
+      // with `langClassifier` the language selection scores argmax under
+      // the multi-class model instead of the marker vote
+      langClassifier: Option[DataFrame] = None,
+      langClassifierDim: Int = 1 << 18): Unit = {
     // a bench set with the threshold left at its 1.0 default means the
     // caller BELIEVES decontamination is on while the gate below
     // (`if maxContamFrac < 1.0`) never fires — refuse loudly instead of
@@ -313,8 +318,13 @@ object PipelineStream {
     require(classifier.isEmpty || minLogitMicro > Long.MinValue,
       "pollIngest: classifier given but minLogitMicro is unset (gate " +
         "off) — set the logit floor, or drop the classifier argument")
-    require(langs.isEmpty == langMarkers.isEmpty,
-      "pollIngest: langs and langMarkers come together — pass both or neither")
+    require(if (langs.isEmpty) langMarkers.isEmpty
+        else langMarkers.nonEmpty || langClassifier.nonEmpty,
+      "pollIngest: langs needs a language identifier (langMarkers or " +
+        "langClassifier) and vice versa — pass them together")
+    require(langClassifier.isEmpty || langs.nonEmpty,
+      "pollIngest: langClassifier given but langs is empty (gate off) — " +
+        "select the languages to keep, or drop the classifier")
     // an empty stop list zeroes the score's 0.3 stopword band — a caller
     // flooring at minQuality > 0.7 would silently drop EVERYTHING, and
     // any positive floor would silently diverge from the batch prepare
@@ -412,9 +422,19 @@ object PipelineStream {
             else contamGated.filter(round(
               graft.llm.TextStats.qualityScore(col("text"), qualityStops),
               6) >= minQuality)
-          if (langs.isEmpty) q
-          else q.filter(graft.llm.TextStats.langId(col("text"), langMarkers)
-            .isin(langs: _*))
+          langClassifier match {
+            case Some(w) if langs.nonEmpty =>
+              q.join(
+                graft.llm.Quality.langIdTrained(q, "doc_id", "text", w,
+                    langClassifierDim)
+                  .filter(col("lang").isin(langs: _*))
+                  .select("doc_id"),
+                Seq("doc_id"), "left_semi")
+            case _ =>
+              if (langs.isEmpty) q
+              else q.filter(graft.llm.TextStats.langId(col("text"),
+                langMarkers).isin(langs: _*))
+          }
         }
         val batch = qualityGated
         DedupStream.processBatch(sp, batch.select("doc_id", "text"),

@@ -1160,6 +1160,30 @@ class GraftSqlSpec extends AnyFunSuite {
         'lm_model_v', 'lm_model_v')""")
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))
     assert(sqlRatio.nonEmpty && sqlRatio.forall(t => t._1 == 0.0 && t._2 == 0.0))
+    // multi-class trainer + trained langid from SQL ≡ typed
+    Seq((1L, "alpha beta gamma", "en"), (2L, "alpha beta delta", "en"),
+      (3L, "uno dos tres", "es"), (4L, "uno dos cuatro", "es"),
+      (5L, "beta alpha gamma", "en"), (6L, "dos uno tres", "es"))
+      .toDF("doc_id", "text", "lang")
+      .createOrReplaceTempView("langid_train_v")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW langid_model_v AS
+      SELECT * FROM graft_classifier_train_multi_t('langid_train_v',
+        'doc_id', 'text', 'lang', 16384, true, 100)""")
+    val sqlLang = spark.sql(
+      """SELECT * FROM graft_langid_t('langid_train_v', 'doc_id', 'text',
+        'langid_model_v', 16384)""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val typedLang = {
+      val t = spark.table("langid_train_v")
+      graft.llm.Quality.langIdTrained(t, "doc_id", "text",
+        graft.llm.Quality.trainTextClassifierMulti(t, "doc_id", "text",
+          "lang", 16384, iters = 100), 16384)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(sqlLang === typedLang)
+    assert(sqlLang === Map(1L -> "en", 2L -> "en", 3L -> "es",
+      4L -> "es", 5L -> "en", 6L -> "es"))
+
     // bigram model + stupid-backoff scoring ≡ typed
     spark.sql("""CREATE OR REPLACE TEMPORARY VIEW bi_model_v AS
       SELECT * FROM graft_bigram_lm_t('lm_docs_v', 'text', 'lm_model_v', 64)""")

@@ -107,6 +107,63 @@ class ClassifierSpec extends AnyFunSuite {
     assert(typed.nonEmpty)
   }
 
+  test("trainTextClassifierMulti + langIdTrained: matches marker langid " +
+      "on the marker fixture, beats it on mixed vocabulary") {
+    import spark.implicits._
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "los", "y"))
+    val dim = 1 << 14
+    // training corpus: marker-bearing docs per language plus NON-marker
+    // vocabulary the marker voter is blind to
+    val enV = Seq("house", "water", "friend", "morning")
+    val deV = Seq("haus", "wasser", "freund", "morgen")
+    val esV = Seq("casa", "agua", "amigo", "manana")
+    def doc(i: Long, lang: String, mk: Seq[String], v: Seq[String]) =
+      (i, s"${mk(i.toInt % 4)} ${v(i.toInt % 4)} ${v((i.toInt + 1) % 4)} " +
+        s"${mk((i.toInt + 2) % 4)}", lang)
+    val labeled = ((0L until 30L).map(i => doc(i, "en", markers(0)._2, enV))
+      ++ (30L until 60L).map(i => doc(i, "de", markers(1)._2, deV))
+      ++ (60L until 90L).map(i => doc(i, "es", markers(2)._2, esV)))
+      .toDF("doc_id", "text", "lang")
+    val w = Quality.trainTextClassifierMulti(labeled, "doc_id", "text",
+      "lang", dim, iters = 200, maxTrainDocs = 1000)
+    // determinism
+    val w2 = Quality.trainTextClassifierMulti(labeled, "doc_id", "text",
+      "lang", dim, iters = 200, maxTrainDocs = 1000)
+    assert(w.collect().toSet === w2.collect().toSet,
+      "multi-class driver kernel is bit-deterministic")
+    // marker fixture: docs of pure marker text — both identify them
+    val markerFix = Seq(
+      (1L, "the of and a"), (2L, "der und das die"), (3L, "el la y los"))
+      .toDF("doc_id", "text")
+    val trained = Quality.langIdTrained(markerFix, "doc_id", "text", w, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val voted = markerFix.withColumn("lang",
+        TextStats.langId(col("text"), markers))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(trained === voted && trained ===
+      Map(1L -> "en", 2L -> "de", 3L -> "es"))
+    // mixed-vocabulary fixture: ZERO marker tokens — the voter ties at 0
+    // votes everywhere (argmax falls to its first entry), the trained
+    // model separates on the learned vocabulary
+    val mixedFix = Seq(
+      (11L, "water friend morning house"), (12L, "wasser freund morgen haus"),
+      (13L, "agua amigo manana casa")).toDF("doc_id", "text")
+    val trainedMixed = Quality.langIdTrained(mixedFix, "doc_id", "text",
+        w, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trainedMixed === Map(11L -> "en", 12L -> "de", 13L -> "es"),
+      s"trained langid must separate non-marker vocabulary: $trainedMixed")
+    val votedMixed = mixedFix.withColumn("lang",
+        TextStats.langId(col("text"), markers))
+      .collect().map(_.getString(2)).toSet
+    assert(votedMixed === Set("en"),
+      "the marker voter is blind here (0 votes → first entry) — the " +
+        "fixture demonstrating why the trained tier exists")
+  }
+
   test("trained model is a frozen table: scoring drifted vocabulary falls back to the intercept") {
     import spark.implicits._
     val labeled = (0L until 20L).map { i =>
