@@ -445,6 +445,10 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_classifier_train_t"),
       (args: Seq[Expression]) => classifierTrainTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_sp_unigram_train_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_sp_unigram_train_t"),
+      (args: Seq[Expression]) => spUnigramTrainTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_classifier_train_multi_t"),
       new ExpressionInfo("graft.GraftSql", "graft_classifier_train_multi_t"),
       (args: Seq[Expression]) => classifierTrainMultiTablePlan(args))
@@ -1162,6 +1166,27 @@ object GraftSql {
       SparkSession.active.table(strLit(args(3), fn, "weights view")),
       lngLit(args(4), fn, "dim").toInt,
       bigrams = args.length < 6 || boolLit(args(5), fn, "bigrams"))
+      .queryExecution.logical
+  }
+
+  /** `graft_sp_unigram_train_t('docsV', 'id', 'text', vocab[, iters[,
+    * maxPieceLen]])` — [[graft.llm.SpUnigram.train]] from SQL: the
+    * SentencePiece-unigram (hard-EM) tokenizer trainer; returns
+    * (piece, cnt). Training RUNS at plan build (the `graft_bpe_train_t`
+    * adjudication — the result is a vocab-scale model). */
+  private def spUnigramTrainTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_sp_unigram_train_t"
+    require(args.length >= 4 && args.length <= 6,
+      s"usage: $fn('docsView', 'idCol', 'textCol', vocab[, iters[, " +
+        "maxPieceLen]])")
+    graft.llm.SpUnigram.train(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      lngLit(args(3), fn, "vocab").toInt,
+      iters = if (args.length >= 5) lngLit(args(4), fn, "iters").toInt
+        else 2,
+      maxPieceLen = if (args.length == 6)
+        lngLit(args(5), fn, "maxPieceLen").toInt else 4)
       .queryExecution.logical
   }
 

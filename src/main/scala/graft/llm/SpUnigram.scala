@@ -1,0 +1,178 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SentencePiece-style UNIGRAM tokenizer trainer (Kudo 2018) in its
+  * deterministic hard-EM (Viterbi) form — the second production
+  * tokenizer family next to [[Bpe]]: seed a substring vocabulary from
+  * the word-type table, then alternate (segment every word type by its
+  * max-probability segmentation) and (re-estimate piece counts from the
+  * chosen segmentations), finally prune to the target vocab.
+  *
+  * Runs on the [[BpeKernel]] driver split: tokenizer training state is
+  * vocab-scale and the word-TYPE table is driver-bounded
+  * (require-guarded), while corpus-scale work stays in one distributed
+  * aggregation (the word-frequency count). The whole EM is
+  * integer-exact and SQL-replayable (the differential contract):
+  *
+  *   - piece scores are MICRO-NAT fixed points:
+  *     lsc(s) = round(ln(cnt(s))·10⁶) − round(ln(T)·10⁶) with
+  *     T = Σ cnt — only vocab-many distinct ln evaluations, identical
+  *     doubles in any engine;
+  *   - the Viterbi DP maximizes the integer score sum, ties broken by
+  *     the GREATER segmentation-path string in binary (UTF-8) order —
+  *     the path is the pieces joined by ``, so both engines pick
+  *     the same segmentation bit for bit;
+  *   - seed and final pruning order is (cnt DESC, piece ASC), single
+  *     characters always kept (the character-coverage guarantee: every
+  *     word stays segmentable), with count floored at 1 when EM assigns
+  *     a character zero uses.
+  *
+  * `maxWordLen` (when > 0) excludes longer word types from TRAINING —
+  * the knob that lets an oracle unroll the DP position by position;
+  * production runs leave it 0 (a length-L word costs O(L·maxPieceLen)).
+  *
+  * Output: (piece, cnt) — the trained vocabulary with its final EM
+  * counts, ≤ max(vocab, distinct single chars) rows; self-contained
+  * like [[Quality.unigramLm]]'s model table. */
+object SpUnigram {
+
+  /** Word-type frequencies: lowercased `' '`-split ([[Dedup.tokens]]
+    * semantics), empty tokens excluded, one (word, freq) row per type.
+    * The one corpus-scale aggregation in training. */
+  def wordFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Int, iters: Int = 2, maxPieceLen: Int = 4,
+      seedVocab: Int = 4000, maxWordLen: Int = 0,
+      driverTypeCap: Long = 2000000L): DataFrame = {
+    require(vocab >= 1, s"vocab must be >= 1, got $vocab")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedVocab >= 1, s"seedVocab must be >= 1, got $seedVocab")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freqs0 = wordFreqs(docs, idCol, textCol)
+    val freqs = if (maxWordLen > 0) freqs0.filter(length(col("w")) <= maxWordLen)
+      else freqs0
+    val nTypes = freqs.count()
+    require(nTypes <= driverTypeCap,
+      s"spUnigramTrain: $nTypes word types exceed driverTypeCap " +
+        s"$driverTypeCap — the trainer is a driver kernel over the " +
+        "vocab-scale type table")
+    val words = freqs.as[(String, Long)].collect().sortBy(_._1)
+    val pieces = kernel(words, vocab, iters, maxPieceLen, seedVocab)
+    pieces.toSeq.toDF("piece", "cnt")
+  }
+
+  /** The driver kernel (deterministic; spec-pinned against hand goldens
+    * and the unrolled DuckDB replay). */
+  private[llm] def kernel(words: Array[(String, Long)], vocab: Int,
+      iters: Int, maxPieceLen: Int, seedVocab: Int): Array[(String, Long)] = {
+    // ---- seed: substring counts, Σ freq · occurrences ----
+    val seedCnt = new java.util.HashMap[String, Long]()
+    words.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val s = w.substring(i, i + l)
+          seedCnt.merge(s, f, java.lang.Long.sum _)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles: Set[String] = {
+      val b = Set.newBuilder[String]
+      words.foreach { case (w, _) =>
+        var i = 0
+        while (i < w.length) { b += w.substring(i, i + 1); i += 1 }
+      }
+      b.result()
+    }
+    def topPlusSingles(cnt: java.util.HashMap[String, Long], k: Int)
+        : java.util.HashMap[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val sorted = cnt.entrySet().asScala.toArray
+        .map(e => (e.getKey, e.getValue))
+        .sortBy { case (p, c) =>
+          (-c, UTF8String.fromString(p))
+        }(Ordering.Tuple2(Ordering.Long,
+          implicitly[Ordering[UTF8String]]))
+      val kept = new java.util.HashMap[String, Long]()
+      sorted.take(k).foreach { case (p, c) => kept.put(p, c) }
+      // character coverage: singles always survive, floored at 1
+      singles.foreach { s =>
+        if (!kept.containsKey(s))
+          kept.put(s, math.max(1L, cnt.getOrDefault(s, 1L)))
+      }
+      kept
+    }
+    var model = topPlusSingles(seedCnt, seedVocab)
+
+    // ---- EM iterations: Viterbi segment, recount ----
+    val Sep = ''
+    var it = 0
+    while (it < iters) {
+      var t = 0L
+      model.forEach((_, c) => t += c)
+      val lnT6 = math.round(math.log(t.toDouble) * 1e6)
+      def lsc(c: Long): Long = math.round(math.log(c.toDouble) * 1e6) - lnT6
+      val next = new java.util.HashMap[String, Long]()
+      words.foreach { case (w, f) =>
+        val n = w.length
+        val sc = new Array[Long](n + 1)
+        val path = new Array[String](n + 1)
+        path(0) = ""
+        var i = 1
+        while (i <= n) {
+          var bestSc = Long.MinValue
+          var bestPath: String = null
+          var l = 1
+          while (l <= maxPieceLen && l <= i) {
+            val piece = w.substring(i - l, i)
+            val c = model.getOrDefault(piece, 0L)
+            if (c > 0L && path(i - l) != null) {
+              val s2 = sc(i - l) + lsc(c)
+              val p2 = if (i - l == 0) piece else path(i - l) + Sep + piece
+              // max by (score, path-binary) — the cross-engine tie-break
+              if (s2 > bestSc || (s2 == bestSc && (bestPath == null ||
+                  UTF8String.fromString(p2).compareTo(
+                    UTF8String.fromString(bestPath)) > 0))) {
+                bestSc = s2; bestPath = p2
+              }
+            }
+            l += 1
+          }
+          sc(i) = bestSc
+          path(i) = bestPath
+          i += 1
+        }
+        // singles guarantee completion; count the chosen pieces
+        val chosen = path(n)
+        if (chosen != null) {
+          chosen.split(Sep).foreach { p =>
+            next.merge(p, f, java.lang.Long.sum _)
+          }
+        }
+      }
+      // drop unused pieces (chars floored back in by topPlusSingles)
+      model = topPlusSingles(next, Int.MaxValue)
+      it += 1
+    }
+
+    // ---- final prune to the target vocab ----
+    val fin = topPlusSingles(model, vocab)
+    import scala.jdk.CollectionConverters._
+    fin.entrySet().asScala.toArray.map(e => (e.getKey, e.getValue))
+      .sortBy { case (p, c) => (-c, UTF8String.fromString(p)) }(
+        Ordering.Tuple2(Ordering.Long, implicitly[Ordering[UTF8String]]))
+  }
+}

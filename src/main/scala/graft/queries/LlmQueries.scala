@@ -901,6 +901,16 @@ object LlmQueries {
     // DISTRIBUTED BATCHED path (driverTypeCap = 0 forces it; maxBatch = 8)
     // against the strictly-sequential oracle: the hash gate IS the proof
     // that disjoint-prefix batching equals the per-merge loop on real data
+    // SentencePiece-unigram trainer (Kudo 2018, hard-EM form): seed
+    // substrings -> 2 Viterbi-EM iterations -> prune, all integer
+    // micro-nat fixed-pointed; the oracle unrolls the per-position DP
+    // (maxWordLen=8 caps the unroll; maxPieceLen=3)
+    "sp1_sp_unigram_train" -> ((s, dir) => {
+      sortAll(graft.llm.SpUnigram.train(docs(s, dir), "doc_id", "text",
+        vocab = 120, iters = 2, maxPieceLen = 3, seedVocab = 200,
+        maxWordLen = 8))
+    }),
+
     "bp1_bpe_train" -> ((s, dir) => {
       sortAll(Bpe.train(docs(s, dir), "doc_id", "text", 6, maxBatch = 8,
         driverTypeCap = 0L))
@@ -1017,6 +1027,50 @@ object LlmQueries {
     * singleton lists (the accumulator must be list-typed, and DuckDB's
     * reduce keeps the element type). Returns the full `WITH`-body prefix
     * ending at `w$n`; callers append their consumer CTE/SELECT. */
+  /** One unrolled hard-EM iteration of the SentencePiece-unigram replay
+    * (sp1's oracle): micro-nat piece scores from vocab `prev`, the
+    * 8-position Viterbi DP (max over (score, path) structs — DuckDB's
+    * struct comparison is the same lexicographic order the kernel
+    * implements, path compared in binary), segment paths split on
+    * chr(1), recount, singles floored back in. */
+  private def spEmIter(n: Int, prev: String): String = {
+    val dp = (1 to 8).map { i =>
+      val arms = (1 to 3).filter(_ <= i).map { l =>
+        s"""    SELECT b.w, b.freq, b.sc + x.lsc AS sc,
+           |      CASE WHEN b.path = '' THEN x.piece
+           |           ELSE b.path || chr(1) || x.piece END AS path
+           |    FROM b$n${i - l} b JOIN l$n x
+           |      ON x.piece = substr(b.w, ${i - l + 1}, $l)
+           |    WHERE len(b.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""b$n$i AS MATERIALIZED (
+         |  SELECT w, freq, struct_extract(mx, 'sc') AS sc,
+         |    struct_extract(mx, 'path') AS path FROM (
+         |    SELECT w, freq, max({'sc': sc, 'path': path}) AS mx FROM (
+         |$arms) GROUP BY w, freq))""".stripMargin
+    }.mkString(",\n")
+    s"""t$n AS MATERIALIZED (SELECT CAST(round(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000)
+       |    AS BIGINT) AS lt FROM $prev),
+       |l$n AS MATERIALIZED (SELECT piece,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+       |      - (SELECT lt FROM t$n) AS lsc
+       |  FROM $prev),
+       |b${n}0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS sc, '' AS path
+       |  FROM wtc),
+       |$dp,
+       |seg$n AS MATERIALIZED (${(1 to 8).map(i =>
+            s"SELECT freq, path FROM b$n$i WHERE len(w) = $i")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cc$n AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(path, chr(1))) AS piece, freq
+       |    FROM seg$n) GROUP BY piece),
+       |v$n AS MATERIALIZED (SELECT piece, cnt FROM cc$n
+       |  UNION ALL
+       |  SELECT s.piece, greatest(1, coalesce(c.cnt, 1)) AS cnt
+       |  FROM sing s LEFT JOIN cc$n c USING (piece)
+       |  WHERE s.piece NOT IN (SELECT piece FROM cc$n))""".stripMargin
+  }
+
   private def bpeCtes(n: Int): String = {
     val iters = (1 to n).map { i =>
       s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
@@ -2373,6 +2427,38 @@ object LlmQueries {
 
     // every training iteration replayed: pair counts → deterministic
     // argmax → one merge pass (see bpeCtes)
+    "sp1_sp_unigram_train" ->
+      s"""WITH wt AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM $docsPq
+         |    WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY w),
+         |wtc AS MATERIALIZED (SELECT w, freq FROM wt WHERE len(w) <= 8),
+         |poss AS (SELECT unnest(generate_series(1, 8)) AS i),
+         |lns AS (SELECT unnest(generate_series(1, 3)) AS l),
+         |seed AS MATERIALIZED (SELECT substr(w, i, l) AS piece,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM wtc, poss, lns WHERE i + l - 1 <= len(w) GROUP BY 1),
+         |sing AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
+         |  FROM wtc, poss WHERE i <= len(w)),
+         |ts AS MATERIALIZED (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece
+         |  LIMIT 200),
+         |v0 AS MATERIALIZED (SELECT piece, cnt FROM ts
+         |  UNION ALL
+         |  SELECT s.piece, greatest(1, coalesce(seed.cnt, 1)) AS cnt
+         |  FROM sing s LEFT JOIN seed ON s.piece = seed.piece
+         |  WHERE s.piece NOT IN (SELECT piece FROM ts)),
+         |${spEmIter(1, "v0")},
+         |${spEmIter(2, "v1")},
+         |fin AS MATERIALIZED (SELECT piece, cnt FROM v2 ORDER BY cnt DESC, piece
+         |  LIMIT 120)
+         |SELECT piece, cnt FROM (
+         |  SELECT piece, cnt FROM fin
+         |  UNION ALL
+         |  SELECT s.piece, greatest(1, coalesce(v.cnt, 1)) AS cnt
+         |  FROM sing s LEFT JOIN v2 v USING (piece)
+         |  WHERE s.piece NOT IN (SELECT piece FROM fin))
+         |${orderBySql("piece", "cnt")}""".stripMargin,
+
     "bp1_bpe_train" ->
       s"""WITH ${bpeCtes(6)}
          |SELECT * FROM (

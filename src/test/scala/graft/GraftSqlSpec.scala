@@ -1160,6 +1160,16 @@ class GraftSqlSpec extends AnyFunSuite {
         'lm_model_v', 'lm_model_v')""")
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))
     assert(sqlRatio.nonEmpty && sqlRatio.forall(t => t._1 == 0.0 && t._2 == 0.0))
+    // SentencePiece-unigram trainer from SQL ≡ typed
+    val sqlSp = spark.sql(
+      "SELECT * FROM graft_sp_unigram_train_t('lm_docs_v', 'doc_id', " +
+        "'text', 120, 2, 3)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val typedSp = graft.llm.SpUnigram.train(d, "doc_id", "text",
+        vocab = 120, iters = 2, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(sqlSp === typedSp && sqlSp.nonEmpty)
+
     // multi-class trainer + trained langid from SQL ≡ typed
     Seq((1L, "alpha beta gamma", "en"), (2L, "alpha beta delta", "en"),
       (3L, "uno dos tres", "es"), (4L, "uno dos cuatro", "es"),
