@@ -78,13 +78,20 @@ object IngestProbe {
     val bi = Quality.bigramLm(ref, "text", uni, 8000).localCheckpoint()
     val bench = Seq(0L -> benchText).toDF("doc_id", "text")
 
-    // empty-seeded semantic index: 8 one-hot-ish centroids
-    val cents = (0L until 8L).map { c =>
-      val a = new Array[Float](16); a(c.toInt * 2) = 1.0f; (c, a)
-    }.toDF("cell", "_cv")
+    // empty-seeded semantic index. 64 cells, not a handful: the
+    // within-cell pair join costs delivery_c x state_c per cell — a
+    // too-coarse partition makes every delivery rescan ~all accumulated
+    // state (measured: walls grew ~2.5x over 10 deliveries at nlist=8);
+    // production runs use nlist in the thousands so the probed slice
+    // stays a sliver. Deterministic signed-hash centroid directions
+    // match the delivery vectors' own distribution.
+    val rnd16 = (c: Long) => Array.tabulate(16) { i =>
+      (((c * 31L + i) * 0x9e3779b97f4a7c15L >>> 40) % 2001 - 1000) / 1000.0f
+    }
+    val cents = (0L until 64L).map(c => (c, rnd16(c))).toDF("cell", "_cv")
     Similarity.saveIvfIndex(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
-      "vec_id", "embedding", index, nlist = 8, centroids = Some(cents))
+      "vec_id", "embedding", index, nlist = 64, centroids = Some(cents))
 
     val p = DedupStream.Params()
 
