@@ -314,8 +314,17 @@ object Quality {
     * table) and [[gopherPass]] (the scan-filter predicate) so the two
     * can never diverge on the math. */
   private def gopherSignals(t: Column, stops: Seq[String], sep: String):
+      (Column, Column, Column, Column, Column, Column, Column) =
+    gopherSignalsFrom(t, split(lower(t), " "),
+      split(t, java.util.regex.Pattern.quote(sep)), stops)
+
+  /** [[gopherSignals]] over PRE-STAGED token/line arrays — `gopherRules`
+    * stages `w`/`lines` as their own projection columns so the two
+    * splits run once per row instead of once per signal (the Quadrants
+    * lesson: source-level sharing, not hoped-for codegen CSE). */
+  private def gopherSignalsFrom(t: Column, w: Column, lines: Column,
+      stops: Seq[String]):
       (Column, Column, Column, Column, Column, Column, Column) = {
-    val w = split(lower(t), " ")
     val nW = size(w)
     val meanWl = round((length(t) - nW + 1).cast("double") / nW, 6)
     // '#' by character deletion; '...' by literal (non-regex) replace —
@@ -323,7 +332,6 @@ object Quality {
     val nHash = length(t) - length(translate(t, "#", ""))
     val nEll = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
     val symbolRatio = round((nHash + nEll).cast("double") / nW, 6)
-    val lines = split(t, java.util.regex.Pattern.quote(sep))
     val nL = size(lines)
     // compiled membership/regex counts (Cols.tokenSetHits /
     // tokenRegexHits): the filter(...) lambda forms ran interpreted and
@@ -376,9 +384,17 @@ object Quality {
       stops: Seq[String] = GopherStops, minStopHits: Long = 2,
       sep: String = "\n"): DataFrame = {
     require(sep.nonEmpty, "gopherRules: sep must be non-empty")
+    // stage the two splits as their own projection columns (computed
+    // once per row; four signals share w, two share lines — inlined they
+    // re-evaluated per signal)
     val (nW, meanWl, symbolRatio, bulletFrac, ellipsisFrac, alphaFrac,
-      stopHits) = gopherSignals(col(textCol), stops, sep)
+      stopHits) = gopherSignalsFrom(col(textCol), col("__gw"),
+      col("__gl"), stops)
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumns(Map(
+        "__gw" -> split(lower(col(textCol)), " "),
+        "__gl" -> split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
       .select(col(idCol).as("doc_id"), nW.as("n_words"),
         meanWl.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
         bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
@@ -772,13 +788,25 @@ object Quality {
         val md = java.security.MessageDigest.getInstance("MD5")
         // md5-low-32 mod dim — bit-identical to the column path's
         // conv(substring(md5(ngram), 1, 8), 16, 10) % dim (first 8 hex
-        // chars = the first 4 digest bytes, big-endian, unsigned)
+        // chars = the first 4 digest bytes, big-endian, unsigned).
+        // Per-partition memo: natural text repeats tokens heavily
+        // (stopwords, common bigrams), and MD5 is ~700 ns a call — the
+        // cache only short-circuits identical inputs, so values are
+        // unchanged; capped so adversarial vocabulary can't grow it
+        // unboundedly
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 14)
         def feat(ngram: String): Long = {
-          md.reset()
-          val d = md.digest(ngram.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          java.lang.Integer.toUnsignedLong(
-            java.nio.ByteBuffer.wrap(d).getInt) % dimL
+          val hit = memo.get(ngram)
+          if (hit != null) hit.longValue()
+          else {
+            md.reset()
+            val d = md.digest(ngram.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            val f = java.lang.Integer.toUnsignedLong(
+              java.nio.ByteBuffer.wrap(d).getInt) % dimL
+            if (memo.size < (1 << 16)) memo.put(ngram, f)
+            f
+          }
         }
         val counts = new scala.collection.mutable.LongMap[Long]()
         rows.map { case (id, text) =>
@@ -987,12 +1015,20 @@ object Quality {
         val (cls, bs, ws) = bc.value
         val k = cls.length
         val md = java.security.MessageDigest.getInstance("MD5")
+        // per-partition memo, as in scoreTextClassifier (values unchanged)
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 14)
         def feat(ngram: String): Long = {
-          md.reset()
-          val dg = md.digest(ngram.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          java.lang.Integer.toUnsignedLong(
-            java.nio.ByteBuffer.wrap(dg).getInt) % dimL
+          val hit = memo.get(ngram)
+          if (hit != null) hit.longValue()
+          else {
+            md.reset()
+            val dg = md.digest(ngram.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            val f = java.lang.Integer.toUnsignedLong(
+              java.nio.ByteBuffer.wrap(dg).getInt) % dimL
+            if (memo.size < (1 << 16)) memo.put(ngram, f)
+            f
+          }
         }
         val counts = new scala.collection.mutable.LongMap[Long]()
         rows.map { case (id, text) =>
