@@ -253,6 +253,73 @@ object AlnumRunCount {
   }
 }
 
+/** Text canonicalization (control-strip → whitespace-collapse → trim)
+  * as ONE compiled byte scan — `Quality.normalizeText`'s kernel,
+  * replacing two full-text regex replaces plus trim (three string
+  * rebuilds per evaluation; predicate pushdown can replicate the
+  * normalize expression into quality/language filters several times per
+  * row, so the per-evaluation cost is the lever). Byte-exact to the
+  * regex form: control chars ([\x00-\x08\x0E-\x1F\x7F]) vanish without
+  * splitting words, whitespace runs ([ \t\n\r\f\x0B]+, control chars
+  * inside a run notwithstanding) collapse to one space, leading/trailing
+  * whitespace drops. ASCII classes only — multi-byte UTF-8 units are
+  * all ≥ 0x80 and pass through untouched. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(s: Any): Any =
+    NormalizeTextExpr.compute(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.expressions.NormalizeTextExpr.compute($s);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeTextExpr = copy(child = newChild)
+}
+
+object NormalizeTextExpr {
+  private def isCtrl(b: Byte): Boolean =
+    (b >= 0x00 && b <= 0x08) || (b >= 0x0E && b <= 0x1F) || b == 0x7F
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || (b >= 0x09 && b <= 0x0D)
+
+  /** The compiled kernel both eval paths share: one pass, one output
+    * buffer (≤ input size). */
+  def compute(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new Array[Byte](n)
+    var o = 0
+    var pending = false
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (isCtrl(b)) { /* stripped; never splits a word or a ws run */ }
+      else if (isWs(b)) pending = true
+      else {
+        if (pending && o > 0) { out(o) = ' '; o += 1 }
+        pending = false
+        out(o) = b; o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+}
+
 /** Count of a string's CODEPOINTS that fall in a bound ASCII character
   * set, as one compiled byte scan — the
   * `length(regexp_replace(t, "[^...]", ""))` counting shape (tx2's
