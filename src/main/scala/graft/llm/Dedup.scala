@@ -37,9 +37,14 @@ object Dedup {
   /** [[shingles]] over an ALREADY-TOKENIZED column (ideally a bound
     * attribute — see the performance note there). */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    // compiled one-pass windows ([[graft.functions.Cols.windowStrings]]
+    // — zero-copy views over one joined buffer, byte-identical to the
+    // transform/slice/array_join form it replaces, which re-ran an
+    // interpreted lambda per position and allocated every window);
+    // short arrays yield [] inside the kernel, null arrays keep the
+    // historical empty-array result
+    when(toks.isNotNull,
+      array_distinct(graft.functions.Cols.windowStrings(toks, n)))
       .otherwise(array().cast("array<string>"))
 
   /** Exact dedup by content hash: one row per distinct content with the
