@@ -152,6 +152,53 @@ object WindowStrings {
   }
 }
 
+/** Per-element xxhash64 of a string array in one compiled pass —
+  * value-identical to `transform(arr, x => xxhash64(x))` (seed 42, null
+  * elements hash to the seed, Spark's null contract), replacing the
+  * interpreted lambda in the hashed line/shingle key paths. Because the
+  * VALUES are unchanged, persisted stream state keyed by these hashes
+  * stays valid across the swap. */
+case class ElementXxHash(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "element_xxhash64"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(arr: Any): Any =
+    ElementXxHash.compute(arr.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = graft.expressions.ElementXxHash.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ElementXxHash = copy(child = newChild)
+}
+
+object ElementXxHash {
+  private val Seed = 42L
+  /** The compiled kernel both eval paths share. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) Seed
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object WindowHashes {
   /** Odd multiplier (golden-ratio constant): odd ⇒ invertible mod 2⁶⁴, so
     * distinct hash sequences stay distinct under the roll. */

@@ -135,6 +135,16 @@ object Cols {
       ColumnBridge.expression(lines), ColumnBridge.expression(kpos), sep))
   }
 
+  /** Per-element xxhash64 of a string array in one compiled pass
+    * ([[graft.expressions.ElementXxHash]]) — value-identical to
+    * `transform(arr, x => xxhash64(x))`, so persisted hash-keyed state
+    * survives the swap. */
+  def elementXxHash(arr: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ElementXxHash(
+      ColumnBridge.expression(arr)))
+  }
+
   /** Point in annulus ROI (reference arena inner/outer radius test,
     * `social_behaviour_detection.py:241-257`): squared-distance form avoids
     * the sqrt in the hot path. */

@@ -966,7 +966,7 @@ object Dedup {
     val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), sepRe).as("_ln"))
     val lineKey = if (hashLines)
-      transform(col("_ln"), l => xxhash64(l)) else col("_ln")
+      graft.functions.Cols.elementXxHash(col("_ln")) else col("_ln")
     val w = base.select(col("doc_id"), posexplode(lineKey).as(Seq("_p0", "_w")))
       .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_w"))
     // the complement, in ONE line-key exchange: only NON-duplicated lines
@@ -1019,7 +1019,8 @@ object Dedup {
     // tokens materialized into a bound column before the shingle lambda
     // (see [[shingles]]' performance note)
     val sh = shinglesFromTokens(col("_tk"), n)
-    val key = if (hashShingles) transform(sh, s => xxhash64(s)) else sh
+    val key = if (hashShingles) graft.functions.Cols.elementXxHash(sh)
+      else sh
     val corp = corpus.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_tk"))
     val benchSet = bench.filter(col(textCol).isNotNull)
