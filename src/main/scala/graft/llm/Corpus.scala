@@ -32,11 +32,11 @@ object Corpus {
     * `maxDupWordFrac` / `maxTopBigramFrac < 1.0` additionally apply the
     * WITHIN-document repetition floor (the Gopher-style filters from
     * [[Quality.repetitionStats]]): documents whose duplicate-word
-    * fraction or top-bigram fraction exceeds its threshold are dropped,
-    * again by a doc_id-only left-anti — the repetition join shuffles
-    * (doc_id, three fractions), never text. The two floors target
-    * different pathologies (cross-corpus boilerplate vs within-doc
-    * looping) and compose independently.
+    * fraction or top-bigram fraction exceeds its threshold are dropped
+    * by a TRUE scan filter ([[Quality.repetitionPass]], one compiled
+    * doc-local pass — no drop list, no join, no shuffle). The two floors
+    * target different pathologies (cross-corpus boilerplate vs
+    * within-doc looping) and compose independently.
     *
     * `normalize = true` canonicalizes text FIRST ([[Quality.normalizeText]]
     * — control-strip, whitespace collapse, trim), so byte-level transport
