@@ -158,9 +158,15 @@ object RepetitionCounts {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** One-pass floor predicate sharing [[compute]]'s tallies. */
+  /** One-pass floor predicate sharing [[compute]]'s tallies. An EMPTY
+    * token array passes (no tokens ⇒ no repetition evidence; the
+    * explicit guard keeps the 0/0 fraction math unreachable —
+    * `Quality.repetitionPass` can't produce it, split always yields ≥ 1
+    * element, but `Cols.repetitionPass` is a public column API over
+    * arbitrary array<string>). */
   def pass(tokens: ArrayData, maxDupWordFrac: Double,
       maxTopBigramFrac: Double): Boolean = {
+    if (tokens.numElements() == 0) return true
     val r = compute(tokens)
     val nt = r.getLong(0).toDouble
     val ndt = r.getLong(1).toDouble

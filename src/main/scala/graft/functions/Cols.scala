@@ -135,6 +135,19 @@ object Cols {
       ColumnBridge.expression(lines), ColumnBridge.expression(kpos), sep))
   }
 
+  /** Per-document n-gram NLL sum (struct(n_tokens, s6), exact micro-nat
+    * integers) over a token array against a broadcast
+    * [[graft.expressions.LmModel]] in one compiled pass
+    * ([[graft.expressions.NgramNll6]]) — the zero-shuffle scoring kernel
+    * under the perplexity/DSIR family. */
+  def ngramNll6(tok: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.expressions.LmModel])
+      : Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NgramNll6(
+      ColumnBridge.expression(tok), model))
+  }
+
   /** Per-element xxhash64 of a string array in one compiled pass
     * ([[graft.expressions.ElementXxHash]]) — value-identical to
     * `transform(arr, x => xxhash64(x))`, so persisted hash-keyed state

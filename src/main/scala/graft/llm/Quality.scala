@@ -107,22 +107,103 @@ object Quality {
     * across engines). Tokens are lowercased `' '`-split ([[Dedup.tokens]]
     * semantics, shared with the dedup tier).
     *
-    * Scale shape: one (token) count aggregation — partial-agg/map-side
-    * combined, so viral stopword keys cost merges of longs, not row
-    * funnels — then a top-`vocab` TakeOrdered. The model is vocab-sized:
-    * broadcast it to score ([[lmPerplexity]]).
+    * Scale shape: per-partition PARTIAL COUNTING in a typed scan (each
+    * task tallies tokens into a bounded hash map — flushed in chunks, so
+    * adversarial vocabularies spill partials instead of memory — and
+    * emits (token, partial) rows), then one vocab-shaped final sum and a
+    * top-`vocab` TakeOrdered. Exactly the map-side-combine the old
+    * explode → groupBy form relied on, minus the corpus-TOKEN-scale
+    * generate operator materializing one row per token just to count it
+    * (measured ~2× the scan cost at sf1; the shuffle was never the
+    * problem — viral stopword keys always merged to longs). The model is
+    * vocab-sized: broadcast it to score ([[lmPerplexity]]).
     *
     * Output: (token, cnt), ≤ `vocab` rows. Everything [[lmPerplexity]]
     * needs (total count N, vocab size V) derives from this table alone,
     * so a persisted model is self-contained. */
   def unigramLm(ref: DataFrame, textCol: String, vocab: Int): DataFrame = {
     require(vocab >= 1, s"unigramLm: vocab must be >= 1, got $vocab")
-    ref.filter(col(textCol).isNotNull)
-      .select(explode(Dedup.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    tokenPartials(ref, textCol)
+      .groupBy("token").agg(sum("cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(vocab)
   }
+
+  /** Per-partition partial token counts over the TUNGSTEN rows of the
+    * staged `Dedup.tokens` column — UTF8String views probe the hash map
+    * and only DISTINCT tokens are cloned out of the reused row buffer
+    * (the typed `Dataset[String]` route re-materialized every document
+    * as a java String just to split it again — measured ~2× the kernel
+    * cost at sf1). Output: ("token", "cnt") partials, exact under any
+    * chunking; the caller's final sum merges them. */
+  private def tokenPartials(ref: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = ref.sparkSession
+    val toks = ref.filter(col(textCol).isNotNull)
+      .select(lower(col(textCol)).as("_lt"))
+    val rdd = PlanBridge.toInternalRdd(toks).mapPartitions { rows =>
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Boolean = {
+          while (!pending.hasNext && rows.hasNext) {
+            val m = new java.util.HashMap[UTF8String, LongCnt]()
+            while (rows.hasNext && m.size < PartialFlushAt) {
+              // byte-level ' ' split over the lowered text (trailing
+              // empties kept — ≡ Dedup.tokens), zero-copy views
+              val text = rows.next().getUTF8String(0)
+              val base = text.getBaseObject
+              val off = text.getBaseOffset
+              val nb = text.numBytes()
+              var start = 0
+              var i = 0
+              while (i <= nb) {
+                if (i == nb || org.apache.spark.unsafe.Platform
+                    .getByte(base, off + i) == ' '.toByte) {
+                  val t = UTF8String.fromAddress(base, off + start, i - start)
+                  var c = m.get(t)
+                  if (c == null) { c = new LongCnt; m.put(t.clone(), c) }
+                  c.v += 1L
+                  start = i + 1
+                }
+                i += 1
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            pending = m.entrySet().asScala.iterator.map(e =>
+              new GenericInternalRow(
+                Array[Any](e.getKey, e.getValue.v)): InternalRow)
+          }
+          pending.hasNext
+        }
+        override def hasNext: Boolean = fill()
+        override def next(): InternalRow = {
+          if (!fill()) throw new NoSuchElementException("empty partition")
+          pending.next()
+        }
+      }
+    }
+    PlanBridge.fromInternalRdd(spark, rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Partial-count map flush bound (entries) for the LM trainers — the
+    * spill discipline of a hash aggregate, explicit: a partition whose
+    * distinct-key count exceeds this emits its partials and starts a
+    * fresh map (the final sum merges chunks exactly). */
+  private val PartialFlushAt = 1 << 21
+
+  /** Mutable long counter — hash-map values without per-increment boxing. */
+  private final class LongCnt { var v: Long = 0L }
+
+  /** Two-channel counter for [[tokenPartials2]]. */
+  private final class LongCnt2 { var all: Long = 0L; var tgt: Long = 0L }
 
   /** Per-document perplexity under a [[unigramLm]] model — the CCNet-style
     * quality signal (filter or bucket a corpus by how language-like its
@@ -132,18 +213,23 @@ object Quality {
     * 1 / (N + V + 1) for out-of-vocabulary tokens (the `+ 1` numerator of
     * an unseen token — one uniform formula via `coalesce(cnt, 0)`).
     *
-    * Scale shape: the vocab-sized model BROADCASTS; the corpus side is
-    * scan → explode → broadcast-hash left join → per-doc aggregate keyed
-    * by doc_id (uniform) — nothing corpus-sized shuffles, no key a viral
-    * token can concentrate (token keys never leave the map side of the
-    * broadcast join).
+    * Scale shape: the whole statistic is DOC-LOCAL against a vocab-sized
+    * model, so this is a ZERO-SHUFFLE compiled scan
+    * ([[graft.expressions.NgramNll6]]): every per-token micro-nat
+    * log-prob the chain can produce is pre-fixed-pointed on the DRIVER
+    * and broadcast as primitive-keyed maps; each row tokenizes and sums
+    * exact integers in one pass. The earlier declarative form (explode →
+    * broadcast-hash join → doc_id aggregate) shuffled corpus-TOKEN-scale
+    * (doc_id, lp6) rows — measured 24× its oracle at sf1 for per-row
+    * math (the [[scoreTextClassifier]] anti-pattern).
     *
     * Determinism across engines (the differential-oracle contract): each
     * token's log-probability is fixed-pointed to MICRO-NATS
-    * (`round(ln(p)·10⁶)` as a long) BEFORE the per-doc sum, so summation
-    * order cannot drift a last ulp — only ~V+1 DISTINCT ln evaluations
-    * exist corpus-wide, and the per-doc sum is exact integer math. The
-    * per-token MEAN stays integer too: `(2·Σ + n) div (2n)` is
+    * (`round(ln(p)·10⁶)` as a long — computed on the driver with the
+    * exact algebra of Spark's `round`) BEFORE the per-doc sum, so
+    * summation order cannot drift a last ulp — only ~V+1 DISTINCT ln
+    * evaluations exist corpus-wide, and the per-doc sum is exact integer
+    * math. The per-token MEAN stays integer too: `(2·Σ + n) div (2n)` is
     * half-away-from-zero division on positive longs (float division by n
     * would re-open the very midpoint boundary the fixed-point closed —
     * measured: 2 of 5000 docs at sf0.1 landed on a 6-decimal midpoint
@@ -153,23 +239,64 @@ object Quality {
     * sides; exp's last-ulp is absorbed by the 6-decimal round except on
     * a measure-zero midpoint).
     *
-    * Output: (doc_id, n_tokens, nll, ppl) per input document with
-    * non-null id and text, both rounded to 6 decimals. */
+    * Output: (doc_id, n_tokens, nll, ppl) per input ROW with non-null id
+    * and text (ids are expected unique per the corpus contract —
+    * duplicate-id rows each score their own text, the
+    * [[repetitionStats]] convention), both rounded to 6 decimals. */
   def lmPerplexity(docs: DataFrame, model: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val m = model.select(col("token").as("_t"), col("cnt").as("_c"))
-    val stats = m.agg(sum(col("_c")).cast("double").as("_N"),
-      count(lit(1)).cast("double").as("_V"))
-    val lp6 = round(log((coalesce(col("_c"), lit(0L)) + 1.0) /
-      (col("_N") + col("_V") + 1.0)) * 1e6).cast("long")
+      textCol: String): DataFrame =
+    scoreNll(docs, idCol, textCol,
+      graft.expressions.LmModel.build(
+        collectUniModel(model, "lmPerplexity"),
+        Array.empty, Array.empty, backoff = 1.0, level = 1))
+
+  /** Collect a vocab-capped (token, cnt) model table for broadcast
+    * scoring — require-bounded (the [[scoreTextClassifier]] guard: a
+    * mistakenly corpus-sized view must not collect onto the driver).
+    * Null-token rows are skipped (the old join form ignored them by
+    * null-never-equal). */
+  private def collectUniModel(model: DataFrame, what: String)
+      : Array[(String, Long)] = {
+    val cap = (1 << 21) - 1
+    // ONE execution: the limit bounds driver memory and the length check
+    // detects overflow — a separate count() guard would run the model
+    // pipeline (often a full corpus aggregation) twice
+    val rows = model.select(col("token").cast("string"),
+      col("cnt").cast("long")).limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: model table has > $cap rows — not a vocab-capped LM table")
+    rows.filter(!_.isNullAt(0)).map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** Collect a vocab-capped (w1, w2, cnt, w1_cnt) bigram table. */
+  private def collectBiModel(model: DataFrame, what: String)
+      : Array[(String, String, Long, Long)] = {
+    val cap = (1 << 21) - 1
+    val rows = model.select(col("w1").cast("string"), col("w2").cast("string"),
+        col("cnt").cast("long"), col("w1_cnt").cast("long"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: bigram table has > $cap rows — not a vocab-capped LM table")
+    rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+  }
+
+  /** The shared zero-shuffle scoring tail: broadcast the model, stage
+    * the lowered text once, one compiled split-and-score NLL pass per
+    * row ([[graft.expressions.NgramNll6]] — byte-level `' '` split,
+    * zero-copy token views), then the integer mean / nll / ppl algebra
+    * in column math (byte-identical to the old aggregate form — the
+    * fixed point is the same; `' '`-split always yields ≥ 1 token, so
+    * every row scores, exactly like the explode form). */
+  private def scoreNll(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.expressions.LmModel): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(Dedup.tokens(col(textCol))).as("_t"))
-      .join(broadcast(m), Seq("_t"), "left")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), lp6.as("_lp6"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_lp6")).as("_s6"))
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("_lt"))
+      .select(col("doc_id"),
+        graft.functions.Cols.ngramNll6(col("_lt"), bc).as("_r"))
+      .select(col("doc_id"), col("_r.n_tokens").as("n_tokens"),
+        col("_r.s6").as("_s6"))
       // integer half-up mean in micro-nats: −s6 ≥ 0 (log-probs are ≤ 0),
       // so `div`'s truncation equals floor and both engines agree
       .withColumn("_m6",
@@ -190,27 +317,310 @@ object Quality {
     * deterministic across engines). Each row carries its context count
     * so a persisted model is self-contained.
     *
-    * Scale shape: one (w1, w2) count aggregation — partial-agg friendly,
-    * no key a viral pair can concentrate beyond a merge of longs — then
-    * a broadcast join against the vocab-sized unigram table and a
-    * top-`vocab` TakeOrdered. Output: (w1, w2, cnt, w1_cnt), ≤ `vocab`
-    * rows, model-scale. */
+    * Scale shape: per-partition PARTIAL COUNTING in a typed scan (the
+    * [[unigramLm]] discipline — bounded flushed maps, final sum), then a
+    * broadcast join against the vocab-sized unigram table and a
+    * top-`vocab` TakeOrdered. The old zip_with-structs → explode →
+    * groupBy form materialized one struct ROW per corpus token just to
+    * count adjacent pairs — the heaviest operator in the tx18 plan at
+    * sf1. Output: (w1, w2, cnt, w1_cnt), ≤ `vocab` rows, model-scale. */
   def bigramLm(ref: DataFrame, textCol: String, uni: DataFrame,
       vocab: Int): DataFrame = {
     require(vocab >= 1, s"bigramLm: vocab must be >= 1, got $vocab")
-    val tok = Dedup.tokens(col(textCol))
-    val m = size(tok) - 1
-    val pairs = when(m < 1, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(zip_with(slice(tok, lit(1), m), slice(tok, lit(2), m),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-    ref.filter(col(textCol).isNotNull)
-      .select(explode(pairs).as("_p"))
-      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    pairPartials(ref, textCol)
+      .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
       .join(broadcast(uni.select(col("token").as("w1"),
         col("cnt").as("w1_cnt"))), Seq("w1"))
       .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
       .limit(vocab)
+  }
+
+  /** Train the [[unigramLm]] + [[bigramLm]] pair in ONE corpus scan —
+    * the KenLM-shaped trainer (all n-gram orders from one pass): the
+    * partial-count kernel tallies tokens AND adjacent pairs together,
+    * the merged distinct-gram table materializes once
+    * (`localCheckpoint` — gram-distinct-sized, ≪ corpus; it is exactly
+    * the table the separate trainers each rebuilt by re-scanning the
+    * corpus), and both models derive from it. Output ≡
+    * `(unigramLm(docs, textCol, uniVocab),
+    *   bigramLm(docs, textCol, uni, biVocab))` bit for bit
+    * (spec-pinned): same counts, same (cnt DESC, gram ASC) pruning.
+    * The composed form costs 3 corpus scans (bigramLm re-executes the
+    * unigram plan for its context join; a downstream scorer collects
+    * uni again); this costs 1. */
+  def ngramLm(docs: DataFrame, textCol: String, uniVocab: Int,
+      biVocab: Int): (DataFrame, DataFrame) = {
+    require(uniVocab >= 1, s"ngramLm: uniVocab must be >= 1, got $uniVocab")
+    require(biVocab >= 1, s"ngramLm: biVocab must be >= 1, got $biVocab")
+    val grams = combinedPartials(docs, textCol)
+      .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
+      .localCheckpoint()
+    val uni = grams.filter(col("w2").isNull)
+      .select(col("w1").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(uniVocab)
+      .localCheckpoint()
+    val bi = grams.filter(col("w2").isNotNull)
+      .join(broadcast(uni.select(col("token").as("w1"),
+        col("cnt").as("w1_cnt"))), Seq("w1"))
+      .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(biVocab)
+    (uni, bi)
+  }
+
+  /** Train the DSIR target + source [[unigramLm]] pair in ONE corpus
+    * scan — the importance-resampling setup ([[lmLogRatio]]) always
+    * trains the source model on the pool and the target model on a
+    * SUBSET of it (`target` predicate; null ≡ false), so the two count
+    * aggregations share every byte read. Output ≡
+    * `(unigramLm(docs.filter(target)), unigramLm(docs))` bit for bit
+    * (spec-pinned). The token-distinct table materializes once
+    * (`localCheckpoint`) and both top-`vocab` prunes read it. */
+  def dsirModels(docs: DataFrame, target: Column, textCol: String,
+      vocab: Int): (DataFrame, DataFrame) = {
+    require(vocab >= 1, s"dsirModels: vocab must be >= 1, got $vocab")
+    val counts = tokenPartials2(docs, textCol, target)
+      .groupBy("token").agg(sum("cnt_all").as("cnt_all"),
+        sum("cnt_tgt").as("cnt_tgt"))
+      .localCheckpoint()
+    val tgt = counts.filter(col("cnt_tgt") > 0)
+      .select(col("token"), col("cnt_tgt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocab)
+    val src = counts.select(col("token"), col("cnt_all").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocab)
+    (tgt, src)
+  }
+
+  /** [[tokenPartials]]' adjacent-pair sibling — a two-level map (outer
+    * keyed by w1 views, inner by w2) so probing allocates nothing; keys
+    * clone only on first sight. A chunk of pair-less docs (all < 2
+    * tokens) yields an empty map and the fill loop continues — no
+    * phantom elements. Output: ("w1", "w2", "cnt") partials. */
+  private def pairPartials(ref: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = ref.sparkSession
+    val toks = ref.filter(col(textCol).isNotNull)
+      .select(lower(col(textCol)).as("_lt"))
+    val rdd = PlanBridge.toInternalRdd(toks).mapPartitions { rows =>
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Boolean = {
+          while (!pending.hasNext && rows.hasNext) {
+            val m = new java.util.HashMap[UTF8String,
+              java.util.HashMap[UTF8String, LongCnt]]()
+            var entries = 0
+            while (rows.hasNext && entries < PartialFlushAt) {
+              val text = rows.next().getUTF8String(0)
+              val base = text.getBaseObject
+              val off = text.getBaseOffset
+              val nb = text.numBytes()
+              var prev: UTF8String = null
+              var start = 0
+              var i = 0
+              while (i <= nb) {
+                if (i == nb || org.apache.spark.unsafe.Platform
+                    .getByte(base, off + i) == ' '.toByte) {
+                  val b = UTF8String.fromAddress(base, off + start, i - start)
+                  if (prev != null) {
+                    var inner = m.get(prev)
+                    if (inner == null) {
+                      inner = new java.util.HashMap[UTF8String, LongCnt]()
+                      m.put(prev.clone(), inner)
+                    }
+                    var c = inner.get(b)
+                    if (c == null) {
+                      c = new LongCnt; inner.put(b.clone(), c); entries += 1
+                    }
+                    c.v += 1L
+                  }
+                  prev = b
+                  start = i + 1
+                }
+                i += 1
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            pending = m.entrySet().asScala.iterator.flatMap { e =>
+              val w1 = e.getKey
+              e.getValue.entrySet().asScala.iterator.map(e2 =>
+                new GenericInternalRow(
+                  Array[Any](w1, e2.getKey, e2.getValue.v)): InternalRow)
+            }
+          }
+          pending.hasNext
+        }
+        override def hasNext: Boolean = fill()
+        override def next(): InternalRow = {
+          if (!fill()) throw new NoSuchElementException("empty partition")
+          pending.next()
+        }
+      }
+    }
+    PlanBridge.fromInternalRdd(spark, rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** [[ngramLm]]'s one-pass partial counter: emits BOTH per-token rows
+    * (w1, NULL, cnt) and adjacent-pair rows (w1, w2, cnt) from one pass
+    * over the staged token arrays — the [[tokenPartials]] discipline
+    * (Tungsten views probe, distinct keys clone, bounded flush). */
+  private def combinedPartials(ref: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = ref.sparkSession
+    val toks = ref.filter(col(textCol).isNotNull)
+      .select(lower(col(textCol)).as("_lt"))
+    val rdd = PlanBridge.toInternalRdd(toks).mapPartitions { rows =>
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Boolean = {
+          while (!pending.hasNext && rows.hasNext) {
+            val um = new java.util.HashMap[UTF8String, LongCnt]()
+            val bm = new java.util.HashMap[UTF8String,
+              java.util.HashMap[UTF8String, LongCnt]]()
+            var entries = 0
+            while (rows.hasNext && entries < PartialFlushAt) {
+              val text = rows.next().getUTF8String(0)
+              val base = text.getBaseObject
+              val off = text.getBaseOffset
+              val nb = text.numBytes()
+              var prev: UTF8String = null
+              var start = 0
+              var i = 0
+              while (i <= nb) {
+                if (i == nb || org.apache.spark.unsafe.Platform
+                    .getByte(base, off + i) == ' '.toByte) {
+                  val a = UTF8String.fromAddress(base, off + start, i - start)
+                  var c = um.get(a)
+                  if (c == null) {
+                    c = new LongCnt; um.put(a.clone(), c); entries += 1
+                  }
+                  c.v += 1L
+                  if (prev != null) {
+                    var inner = bm.get(prev)
+                    if (inner == null) {
+                      inner = new java.util.HashMap[UTF8String, LongCnt]()
+                      bm.put(prev.clone(), inner)
+                    }
+                    var bc = inner.get(a)
+                    if (bc == null) {
+                      bc = new LongCnt; inner.put(a.clone(), bc); entries += 1
+                    }
+                    bc.v += 1L
+                  }
+                  prev = a
+                  start = i + 1
+                }
+                i += 1
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            pending = um.entrySet().asScala.iterator.map(e =>
+              new GenericInternalRow(
+                Array[Any](e.getKey, null, e.getValue.v)): InternalRow) ++
+              bm.entrySet().asScala.iterator.flatMap { e =>
+                val w1 = e.getKey
+                e.getValue.entrySet().asScala.iterator.map(e2 =>
+                  new GenericInternalRow(
+                    Array[Any](w1, e2.getKey, e2.getValue.v)): InternalRow)
+              }
+          }
+          pending.hasNext
+        }
+        override def hasNext: Boolean = fill()
+        override def next(): InternalRow = {
+          if (!fill()) throw new NoSuchElementException("empty partition")
+          pending.next()
+        }
+      }
+    }
+    PlanBridge.fromInternalRdd(spark, rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** [[dsirModels]]' one-pass partial counter: (token, cnt_all,
+    * cnt_tgt) — the target flag (null ≡ false) rides the staged
+    * projection so both counts tally from one pass. */
+  private def tokenPartials2(ref: DataFrame, textCol: String,
+      target: Column): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = ref.sparkSession
+    val toks = ref.filter(col(textCol).isNotNull)
+      .select(lower(col(textCol)).as("_lt"),
+        coalesce(target, lit(false)).as("_tgt"))
+    val rdd = PlanBridge.toInternalRdd(toks).mapPartitions { rows =>
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Boolean = {
+          while (!pending.hasNext && rows.hasNext) {
+            val m = new java.util.HashMap[UTF8String, LongCnt2]()
+            while (rows.hasNext && m.size < PartialFlushAt) {
+              val row = rows.next()
+              val text = row.getUTF8String(0)
+              val tgt = row.getBoolean(1)
+              val base = text.getBaseObject
+              val off = text.getBaseOffset
+              val nb = text.numBytes()
+              var start = 0
+              var i = 0
+              while (i <= nb) {
+                if (i == nb || org.apache.spark.unsafe.Platform
+                    .getByte(base, off + i) == ' '.toByte) {
+                  val t = UTF8String.fromAddress(base, off + start, i - start)
+                  var c = m.get(t)
+                  if (c == null) { c = new LongCnt2; m.put(t.clone(), c) }
+                  c.all += 1L
+                  if (tgt) c.tgt += 1L
+                  start = i + 1
+                }
+                i += 1
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            pending = m.entrySet().asScala.iterator.map(e =>
+              new GenericInternalRow(Array[Any](
+                e.getKey, e.getValue.all, e.getValue.tgt)): InternalRow)
+          }
+          pending.hasNext
+        }
+        override def hasNext: Boolean = fill()
+        override def next(): InternalRow = {
+          if (!fill()) throw new NoSuchElementException("empty partition")
+          pending.next()
+        }
+      }
+    }
+    PlanBridge.fromInternalRdd(spark, rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt_all",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt_tgt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Per-document perplexity under a bigram model with STUPID BACKOFF
@@ -224,55 +634,27 @@ object Quality {
     *     p = cnt(t_{i-1} t_i) / cnt(t_{i-1}) (≤ 1 by construction);
     *   - otherwise: p = `backoff` × the smoothed unigram probability.
     *
-    * Same scale + determinism contract as [[lmPerplexity]]: both models
-    * BROADCAST (model-scale tables), the corpus side is scan → pair
-    * explode → two broadcast left joins → one doc_id-keyed aggregate;
-    * each token's log-prob fixed-points to micro-nats before the exact
-    * integer sum and half-up integer mean, so engines cannot drift a
-    * last ulp. With `backoff = 1.0` and an EMPTY bigram table this is
-    * bit-identical to [[lmPerplexity]] (spec-pinned) — the fallback path
-    * IS the unigram model.
+    * Same scale + determinism contract as [[lmPerplexity]]: a
+    * ZERO-SHUFFLE compiled scan against the broadcast models
+    * ([[graft.expressions.NgramNll6]] at level 2 — every chain arm's
+    * micro-nat fixed point precomputed on the driver), exact integer sum
+    * and half-up integer mean, so engines cannot drift a last ulp. The
+    * old explode → two broadcast joins → doc_id aggregate form paid
+    * three corpus-token-scale operators for per-row math (6.0 s vs the
+    * oracle's 1.08 s at sf1 on its debut). With `backoff = 1.0` and an
+    * EMPTY bigram table this is bit-identical to [[lmPerplexity]]
+    * (spec-pinned) — the fallback path IS the unigram model.
     *
     * Output: (doc_id, n_tokens, nll, ppl), rounded to 6 decimals. */
   def ngramPerplexity(docs: DataFrame, uni: DataFrame, bi: DataFrame,
       idCol: String, textCol: String, backoff: Double = 0.4): DataFrame = {
     require(backoff > 0.0 && backoff <= 1.0,
       s"ngramPerplexity: backoff must be in (0, 1], got $backoff")
-    val m = uni.select(col("token").as("_t"), col("cnt").as("_c"))
-    val b = bi.select(col("w1").as("_prev"), col("w2").as("_t"),
-      col("cnt").as("_bc"), col("w1_cnt").as("_w1c"))
-    val stats = m.agg(sum(col("_c")).cast("double").as("_N"),
-      count(lit(1)).cast("double").as("_V"))
-    val tok = Dedup.tokens(col(textCol))
-    val n = size(tok)
-    // (prev, cur) pairs with a null prev for the document's first token
-    val pairs = zip_with(
-      concat(array(lit(null).cast("string")), slice(tok, lit(1), n - 1)),
-      tok, (p, c) => struct(p.as("prev"), c.as("cur")))
-    val lpUni6 = round(log((coalesce(col("_c"), lit(0L)) + 1.0) /
-      (col("_N") + col("_V") + 1.0)) * 1e6).cast("long")
-    val lpBack6 = round(log(lit(backoff) *
-      ((coalesce(col("_c"), lit(0L)) + 1.0) /
-        (col("_N") + col("_V") + 1.0))) * 1e6).cast("long")
-    val lpBi6 = round(log(col("_bc").cast("double") /
-      col("_w1c").cast("double")) * 1e6).cast("long")
-    val lp6 = when(col("_prev").isNull, lpUni6)
-      .otherwise(when(col("_bc").isNotNull, lpBi6).otherwise(lpBack6))
-    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), explode(pairs).as("_p"))
-      .select(col("doc_id"), col("_p.prev").as("_prev"),
-        col("_p.cur").as("_t"))
-      .join(broadcast(m), Seq("_t"), "left")
-      .join(broadcast(b), Seq("_prev", "_t"), "left")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), lp6.as("_lp6"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_lp6")).as("_s6"))
-      .withColumn("_m6",
-        expr("(-_s6 * 2 + n_tokens) div (2 * n_tokens)"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("_m6") / 1e6, 6).as("nll"),
-        round(exp(col("_m6") / 1e6), 6).as("ppl"))
+    scoreNll(docs, idCol, textCol,
+      graft.expressions.LmModel.build(
+        collectUniModel(uni, "ngramPerplexity"),
+        collectBiModel(bi, "ngramPerplexity"),
+        Array.empty, backoff, level = 2))
   }
 
   /** Gopher's default stop list (Rae et al. 2021 §A1.1.2). */
@@ -420,33 +802,30 @@ object Quality {
     * with [[Sampling.stratifiedQuota]]/[[Sampling.hashSample]] for the
     * resampling step).
     *
-    * Same scale and determinism contract as [[lmPerplexity]]: both
-    * models broadcast, one doc_id-keyed aggregate, per-token log-probs
-    * fixed-pointed to micro-nats so the ratio sum is integer-exact.
+    * Same scale and determinism contract as [[lmPerplexity]]: two
+    * zero-shuffle compiled NLL passes over the SAME staged token array
+    * (one per broadcast model — the per-token ratio sum Σ(lpT − lpS)
+    * equals ΣlpT − ΣlpS exactly in integer micro-nats), no explode, no
+    * join, no aggregate.
     *
     * Output: (doc_id, n_tokens, log_ratio, log_ratio_mean) — the summed
     * and per-token ratios in nats, rounded to 6 decimals. */
   def lmLogRatio(docs: DataFrame, targetLm: DataFrame, sourceLm: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val mt = targetLm.select(col("token").as("_t"), col("cnt").as("_ct"))
-    val ms = sourceLm.select(col("token").as("_t"), col("cnt").as("_cs"))
-    val st = mt.agg(sum(col("_ct")).cast("double").as("_Nt"),
-      count(lit(1)).cast("double").as("_Vt"))
-    val ss = ms.agg(sum(col("_cs")).cast("double").as("_Ns"),
-      count(lit(1)).cast("double").as("_Vs"))
-    val lpT = round(log((coalesce(col("_ct"), lit(0L)) + 1.0) /
-      (col("_Nt") + col("_Vt") + 1.0)) * 1e6).cast("long")
-    val lpS = round(log((coalesce(col("_cs"), lit(0L)) + 1.0) /
-      (col("_Ns") + col("_Vs") + 1.0)) * 1e6).cast("long")
+    val sc = docs.sparkSession.sparkContext
+    val bcT = sc.broadcast(graft.expressions.LmModel.build(
+      collectUniModel(targetLm, "lmLogRatio(target)"),
+      Array.empty, Array.empty, backoff = 1.0, level = 1))
+    val bcS = sc.broadcast(graft.expressions.LmModel.build(
+      collectUniModel(sourceLm, "lmLogRatio(source)"),
+      Array.empty, Array.empty, backoff = 1.0, level = 1))
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(Dedup.tokens(col(textCol))).as("_t"))
-      .join(broadcast(mt), Seq("_t"), "left")
-      .join(broadcast(ms), Seq("_t"), "left")
-      .crossJoin(broadcast(st)).crossJoin(broadcast(ss))
-      .select(col("doc_id"), (lpT - lpS).as("_d6"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_d6")).as("_s6"))
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("_lt"))
+      .select(col("doc_id"),
+        graft.functions.Cols.ngramNll6(col("_lt"), bcT).as("_rt"),
+        graft.functions.Cols.ngramNll6(col("_lt"), bcS).as("_rs"))
+      .select(col("doc_id"), col("_rt.n_tokens").as("n_tokens"),
+        (col("_rt.s6") - col("_rs.s6")).as("_s6"))
       // the ratio sum is SIGNED — integer half-away-from-zero mean via
       // abs + reapplied sign (Spark `div` truncates toward zero while
       // DuckDB `//` floors: they disagree on negatives, so divide
@@ -598,6 +977,19 @@ object Quality {
   // 2016; the CCNet/GPT-3-style "looks like the reference corpus" gate)
   // ---------------------------------------------------------------------
 
+  /** `id` cast to long, erroring LOUDLY on a non-castable value — the
+    * classifier family keys every join/scan by a LONG doc id, and a
+    * silent null cast would make gates built on these scores fail
+    * closed (a left-semi language gate would drop the ENTIRE corpus)
+    * or fail open (a left-anti floor would drop nothing) with no
+    * diagnostic. One per-row null check in the scan; null RAW ids are
+    * filtered before this ever evaluates. */
+  private def longId(id: Column): Column =
+    when(id.cast("long").isNotNull, id.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("graft classifier: doc id not castable to long: "),
+        id.cast("string"))).cast("long"))
+
   /** Hashed bag-of-ngrams features: (doc_id, feature, cnt) with
     * feature = md5-low-32(ngram) mod `dim` over the lowercased
     * space-split unigrams (and bigrams when `bigrams`) — the hashing
@@ -618,7 +1010,7 @@ object Quality {
       slice(w, lit(2), size(w) - 1), (a, b) => concat(a, lit(" "), b))
     val ngrams = if (bigrams) concat(uni, big) else uni
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(longId(col(idCol)).as("doc_id"),
         explode(ngrams).as("_ng"))
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("_ng").cast("binary")), 1, 8), 16, 10)
@@ -662,7 +1054,7 @@ object Quality {
     val base = labeled.filter(col(idCol).isNotNull &&
       col(textCol).isNotNull && col(labelCol).isNotNull)
     val feats = hashedTextFeatures(base, idCol, textCol, dim, bigrams)
-    val labels = base.select(col(idCol).cast("long").as("doc_id"),
+    val labels = base.select(longId(col(idCol)).as("doc_id"),
       col(labelCol).cast("int").as("_y"))
     // duplicate ids would fan the feats-join out (double-counting every
     // feature) and make ys(d) depend on row order under conflicting
@@ -790,7 +1182,7 @@ object Quality {
     val bc = spark.sparkContext.broadcast(wMap)
     val dimL = dim.toLong
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .select(longId(col(idCol)).as("_1"), col(textCol).as("_2"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val w = bc.value
@@ -874,7 +1266,7 @@ object Quality {
     val base = labeled.filter(col(idCol).isNotNull &&
       col(textCol).isNotNull && col(labelCol).isNotNull)
     val feats = hashedTextFeatures(base, idCol, textCol, dim, bigrams)
-    val labels = base.select(col(idCol).cast("long").as("doc_id"),
+    val labels = base.select(longId(col(idCol)).as("doc_id"),
       col(labelCol).cast("string").as("_y"))
     val labelCounts = labels.groupBy("doc_id")
       .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
@@ -1018,7 +1410,7 @@ object Quality {
     val bc = spark.sparkContext.broadcast((classes, intercepts, maps))
     val dimL = dim.toLong
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .select(longId(col(idCol)).as("_1"), col(textCol).as("_2"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val (cls, bs, ws) = bc.value

@@ -58,7 +58,14 @@ object SpUnigram {
     require(seedVocab >= 1, s"seedVocab must be >= 1, got $seedVocab")
     val spark = docs.sparkSession
     import spark.implicits._
+    // word types containing U+0001 are excluded from TRAINING: the EM
+    // kernel's Viterbi path joins pieces on that separator, so a piece
+    // containing it would fragment on the recount split and silently
+    // skew counts/tie-breaks. Real tokenizer corpora normalize control
+    // bytes away first ([[Quality.normalizeText]] strips C0 controls);
+    // the exclusion makes the contract explicit instead of silent.
     val freqs0 = wordFreqs(docs, idCol, textCol)
+      .filter(!col("w").contains(""))
     val freqs = if (maxWordLen > 0) freqs0.filter(length(col("w")) <= maxWordLen)
       else freqs0
     val nTypes = freqs.count()

@@ -57,6 +57,16 @@ object Quadrants {
   def withQuadrants(df: DataFrame, xCol: String, yCol: String,
       fovs: Seq[Seq[(Double, Double)]]): DataFrame = {
     require(fovs.nonEmpty, "withQuadrants needs at least one FOV")
+    // the staged columns below REPLACE same-named caller columns via
+    // withColumns and are dropped at the end — a caller column with one
+    // of these names would be silently destroyed; refuse instead
+    val stagingNames = fovs.indices.flatMap(i =>
+      Seq(s"__q_in$i", s"__q_d$i", s"__q_m$i")) :+ "__q_dmin"
+    val clash = df.columns.toSet.intersect(stagingNames.toSet)
+    require(clash.isEmpty,
+      s"withQuadrants: input columns ${clash.mkString(", ")} collide with " +
+        "internal staging names (__q_in*/__q_d*/__q_m*/__q_dmin) — rename " +
+        "them before calling")
     // least() demands >= 2 children (AnalysisException otherwise), so a
     // single-FOV rig degenerates to the lone candidate
     def leastOf(cands: Seq[Column]): Column =

@@ -684,9 +684,10 @@ object LlmQueries {
     // the ratio sum integer-exact in both engines
     "sm5_dsir_weights" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tgt = Quality.unigramLm(d.filter(col("source") === "src0"),
+      // one-pass trainer: ≡ (unigramLm(filter src0), unigramLm(pool))
+      // bit for bit (spec-pinned), one corpus scan instead of two
+      val (tgt, src) = Quality.dsirModels(d, col("source") === "src0",
         "text", 16)
-      val src = Quality.unigramLm(d, "text", 16)
       sortAll(Quality.lmLogRatio(d, tgt, src, "doc_id", "text"))
     }),
 
@@ -698,8 +699,9 @@ object LlmQueries {
     // fixed-pointed, so the oracle replay is integer-exact
     "tx18_ngram_perplexity" -> ((s, dir) => {
       val d = docs(s, dir)
-      val uni = Quality.unigramLm(d, "text", 16)
-      val bi = Quality.bigramLm(d, "text", uni, 64)
+      // one-pass trainer: ≡ (unigramLm, bigramLm) bit for bit
+      // (spec-pinned), one corpus scan instead of three
+      val (uni, bi) = Quality.ngramLm(d, "text", 16, 64)
       sortAll(Quality.ngramPerplexity(d, uni, bi, "doc_id", "text"))
     }),
 
