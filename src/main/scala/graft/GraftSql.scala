@@ -1256,11 +1256,14 @@ object GraftSql {
     val id = strLit(args(1), fn, "id column")
     val text = strLit(args(2), fn, "text column")
     import org.apache.spark.sql.functions.col
+    // one compiled byte scan for the scrub and all three counts
     d.select(col(id).as("doc_id"),
-      graft.llm.Quality.scrubPii(col(text)).as("clean_text"),
-      graft.llm.Quality.piiCount(col(text), graft.llm.Quality.EmailRe).as("n_email"),
-      graft.llm.Quality.piiCount(col(text), graft.llm.Quality.Ipv4Re).as("n_ip"),
-      graft.llm.Quality.piiCount(col(text), graft.llm.Quality.PhoneRe).as("n_phone"))
+      graft.llm.Quality.piiStats(col(text)).as("_p"))
+      .select(col("doc_id"),
+        col("_p.scrubbed").as("clean_text"),
+        col("_p.n_email").as("n_email"),
+        col("_p.n_ip").as("n_ip"),
+        col("_p.n_phone").as("n_phone"))
       .queryExecution.logical
   }
 

@@ -135,6 +135,24 @@ object Cols {
       ColumnBridge.expression(lines), ColumnBridge.expression(kpos), sep))
   }
 
+  /** PII scrub (email → IPv4 → phone, `Quality.scrubPii` semantics) as
+    * one compiled byte scan ([[graft.expressions.PiiScrubExpr]]). */
+  def piiScrub(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PiiScrubExpr(
+      ColumnBridge.expression(text)))
+  }
+
+  /** PII counts + scrub in one compiled byte scan
+    * ([[graft.expressions.PiiStatsExpr]]) — struct(n_email, n_ip,
+    * n_phone, scrubbed); counts on the original text, scrub
+    * sequential. */
+  def piiStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PiiStatsExpr(
+      ColumnBridge.expression(text)))
+  }
+
   /** Per-document n-gram NLL sum (struct(n_tokens, s6), exact micro-nat
     * integers) over a token array against a broadcast
     * [[graft.expressions.LmModel]] in one compiled pass

@@ -78,6 +78,111 @@ object SpUnigram {
     pieces.toSeq.toDF("piece", "cnt")
   }
 
+  /** Tokenize a corpus with a trained [[train]] vocabulary — the encode
+    * half that makes the SP tier usable (a trained vocab without an
+    * encoder cannot produce token streams, token counts, or packing
+    * inputs; [[Bpe.encode]] is the sibling contract). Per WORD, the
+    * IDENTICAL integer micro-nat Viterbi the trainer runs — same
+    * lsc(c) = round(ln c·10⁶) − round(ln T·10⁶) scores over the model's
+    * own counts, same greater-path-string tie-break — so encoding a
+    * training-corpus word reproduces the trainer's final segmentation
+    * bit for bit (spec-pinned; the sp2 oracle replays the DP in
+    * DuckDB). A word with NO segmentation under the vocab (a character
+    * outside it — impossible for training-corpus words, whose singles
+    * are coverage-floored) emits the single piece `<unk>`, the
+    * SentencePiece unknown convention.
+    *
+    * Scale shape: the model is driver-bounded (require-guarded) and
+    * broadcast via the task closure; the corpus side is one typed scan,
+    * Viterbi memoized per DISTINCT word per partition (the Zipfian
+    * cache contract of [[Bpe.encode]], bounded + droppable). Words are
+    * the lowercased `' '`-split with empties skipped ([[wordFreqs]]
+    * semantics). Output: (doc_id, n_pieces, fp) per input document with
+    * non-null id and text — fp = md5 of the piece stream joined by
+    * `' '` (word-less docs keep a (0, md5('')) row). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"encode requires a numeric id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = (1 << 21) - 1
+    val rows = model.select(col("piece").cast("string"),
+      col("cnt").cast("long")).limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"spEncode: model has > $cap rows — not a trained SP vocab")
+    val pieces = rows.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(pieces.map(_._1).distinct.length == pieces.length,
+      "spEncode: duplicate pieces in the model table")
+    var t = 0L
+    pieces.foreach { case (_, c) => t += c }
+    val lnT6 = math.round(math.log(t.toDouble) * 1e6)
+    val lscMap = new java.util.HashMap[String, java.lang.Long](
+      math.max(8, pieces.length * 2))
+    var maxPieceLen = 1
+    pieces.foreach { case (p, c) =>
+      lscMap.put(p, java.lang.Long.valueOf(
+        math.round(math.log(c.toDouble) * 1e6) - lnT6))
+      if (p.length > maxPieceLen) maxPieceLen = p.length
+    }
+    val mpl = maxPieceLen
+    val in = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        lower(col(textCol)).as("_t"))
+      .as[(Long, String)]
+    in.mapPartitions { it =>
+      val cache = scala.collection.mutable.HashMap.empty[String, String]
+      def segmentWord(w: String): String = {
+        if (cache.size >= 2000000) cache.clear()
+        cache.getOrElseUpdate(w, {
+          val n = w.length
+          val sc = new Array[Long](n + 1)
+          val path = new Array[String](n + 1)
+          path(0) = ""
+          var i = 1
+          while (i <= n) {
+            var bestSc = Long.MinValue
+            var bestPath: String = null
+            var l = 1
+            while (l <= mpl && l <= i) {
+              val piece = w.substring(i - l, i)
+              val lsc = lscMap.get(piece)
+              if (lsc != null && path(i - l) != null) {
+                val s2 = sc(i - l) + lsc.longValue()
+                val p2 = if (i - l == 0) piece
+                  else path(i - l) + '' + piece
+                if (s2 > bestSc || (s2 == bestSc && (bestPath == null ||
+                    UTF8String.fromString(p2).compareTo(
+                      UTF8String.fromString(bestPath)) > 0))) {
+                  bestSc = s2; bestPath = p2
+                }
+              }
+              l += 1
+            }
+            sc(i) = bestSc
+            path(i) = bestPath
+            i += 1
+          }
+          val chosen = path(n)
+          if (chosen == null) "<unk>" else chosen.replace('', ' ')
+        })
+      }
+      it.map { case (id, t) =>
+        val stream = t.split(" ").iterator.filter(_.nonEmpty)
+          .map(segmentWord).mkString(" ")
+        val n = if (stream.isEmpty) 0L
+          else stream.count(_ == ' ').toLong + 1L
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(stream.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (id, n, fp)
+      }
+    }.toDF("doc_id", "n_pieces", "fp")
+  }
+
   /** The driver kernel (deterministic; spec-pinned against hand goldens
     * and the unrolled DuckDB replay). */
   private[llm] def kernel(words: Array[(String, Long)], vocab: Int,

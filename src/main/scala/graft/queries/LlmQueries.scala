@@ -571,11 +571,14 @@ object LlmQueries {
         lit(".7 call +1 415 555 "),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
       val d = docs(s, dir).select(col("doc_id"), aug.as("_t"))
-      sortAll(d.select(col("doc_id"),
-        Quality.piiCount(col("_t"), Quality.EmailRe).as("n_email"),
-        Quality.piiCount(col("_t"), Quality.Ipv4Re).as("n_ip"),
-        Quality.piiCount(col("_t"), Quality.PhoneRe).as("n_phone"),
-        md5(Quality.scrubPii(col("_t")).cast("binary")).as("scrub_fp")))
+      // one compiled byte scan for all three counts + the sequential
+      // scrub (Quality.piiStats) — the regex form paid six regex passes
+      sortAll(d.select(col("doc_id"), Quality.piiStats(col("_t")).as("_p"))
+        .select(col("doc_id"),
+          col("_p.n_email").as("n_email"),
+          col("_p.n_ip").as("n_ip"),
+          col("_p.n_phone").as("n_phone"),
+          md5(col("_p.scrubbed").cast("binary")).as("scrub_fp")))
     }),
 
     // Deterministic ~37% corpus sample by content-addressed md5 draw —
@@ -1035,6 +1038,74 @@ object LlmQueries {
     * struct comparison is the same lexicographic order the kernel
     * implements, path compared in binary), segment paths split on
     * chr(1), recount, singles floored back in. */
+  /** sp1's full training replay as a WITH-chain prefix (wt → … → fin):
+    * shared by the sp1 oracle (reads fin ∪ floored singles) and the sp2
+    * encode oracle (segments the corpus under that same final model). */
+  private def spTrainCtes: String =
+    s"""wt AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM $docsPq
+       |    WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |  WHERE w <> '' GROUP BY w),
+       |wtc AS MATERIALIZED (SELECT w, freq FROM wt WHERE len(w) <= 8),
+       |poss AS (SELECT unnest(generate_series(1, 8)) AS i),
+       |lns AS (SELECT unnest(generate_series(1, 3)) AS l),
+       |seed AS MATERIALIZED (SELECT substr(w, i, l) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wtc, poss, lns WHERE i + l - 1 <= len(w) GROUP BY 1),
+       |sing AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
+       |  FROM wtc, poss WHERE i <= len(w)),
+       |ts AS MATERIALIZED (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece
+       |  LIMIT 200),
+       |v0 AS MATERIALIZED (SELECT piece, cnt FROM ts
+       |  UNION ALL
+       |  SELECT s.piece, greatest(1, coalesce(seed.cnt, 1)) AS cnt
+       |  FROM sing s LEFT JOIN seed ON s.piece = seed.piece
+       |  WHERE s.piece NOT IN (SELECT piece FROM ts)),
+       |${spEmIter(1, "v0")},
+       |${spEmIter(2, "v1")},
+       |fin AS MATERIALIZED (SELECT piece, cnt FROM v2 ORDER BY cnt DESC, piece
+       |  LIMIT 120)""".stripMargin
+
+  /** The encode-side Viterbi unroll against sp1's final model (fin ∪
+    * floored singles — exactly the trained table the engine collects):
+    * per-word DP over positions 1..8, pieces 1..3 chars, max by
+    * (score, path) — DuckDB's struct max is the trainer's
+    * greater-path-string tie rule. Ends with sege(w, path). */
+  private def spEncodeCtes: String = {
+    val dp = (1 to 8).map { i =>
+      val arms = (1 to 3).filter(_ <= i).map { l =>
+        s"""    SELECT b.w, b.sc + x.lsc AS sc,
+           |      CASE WHEN b.path = '' THEN x.piece
+           |           ELSE b.path || chr(1) || x.piece END AS path
+           |    FROM be${i - l} b JOIN lle x
+           |      ON x.piece = substr(b.w, ${i - l + 1}, $l)
+           |    WHERE len(b.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""be$i AS MATERIALIZED (
+         |  SELECT w, struct_extract(mx, 'sc') AS sc,
+         |    struct_extract(mx, 'path') AS path FROM (
+         |    SELECT w, max({'sc': sc, 'path': path}) AS mx FROM (
+         |$arms) GROUP BY w))""".stripMargin
+    }.mkString(",\n")
+    s"""modele AS MATERIALIZED (SELECT piece, cnt FROM fin
+       |  UNION ALL
+       |  SELECT s.piece, greatest(1, coalesce(v.cnt, 1)) AS cnt
+       |  FROM sing s LEFT JOIN v2 v USING (piece)
+       |  WHERE s.piece NOT IN (SELECT piece FROM fin)),
+       |tte AS MATERIALIZED (SELECT CAST(round(ln(CAST(sum(cnt) AS DOUBLE))
+       |    * 1000000) AS BIGINT) AS lt FROM modele),
+       |lle AS MATERIALIZED (SELECT piece,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+       |      - (SELECT lt FROM tte) AS lsc
+       |  FROM modele),
+       |be0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS sc, '' AS path
+       |  FROM wtc),
+       |$dp,
+       |sege AS MATERIALIZED (${(1 to 8).map(i =>
+            s"SELECT w, path FROM be$i WHERE len(w) = $i")
+            .mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
+
   private def spEmIter(n: Int, prev: String): String = {
     val dp = (1 to 8).map { i =>
       val arms = (1 to 3).filter(_ <= i).map { l =>
