@@ -473,6 +473,10 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_bpe_encode_t"),
       (args: Seq[Expression]) => bpeEncodeTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_sp_encode_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_sp_encode_t"),
+      (args: Seq[Expression]) => spEncodeTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_ffill_t"),
       new ExpressionInfo("graft.GraftSql", "graft_ffill_t"),
       (args: Seq[Expression]) => ffillTablePlan(args))
@@ -1243,6 +1247,21 @@ object GraftSql {
       SparkSession.active.table(strLit(args(0), fn, "docs view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
       SparkSession.active.table(strLit(args(3), fn, "merges view")))
+      .queryExecution.logical
+  }
+
+  /** `graft_sp_encode_t('docsV', 'id', 'text', 'modelV')` —
+    * [[graft.llm.SpUnigram.encode]] from SQL against a (piece, cnt)
+    * vocab view (typically a persisted `graft_sp_unigram_train_t`
+    * result) — the [[bpeEncodeTablePlan]] contract for the SP tier. */
+  private def spEncodeTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_sp_encode_t"
+    require(args.length == 4,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'modelView')")
+    graft.llm.SpUnigram.encode(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      SparkSession.active.table(strLit(args(3), fn, "model view")))
       .queryExecution.logical
   }
 

@@ -89,6 +89,11 @@ object TxProbe {
           hashLines = true)
         .write.format("noop").mode("overwrite").save()
     }
+    time("d16_removal_md5keys") {
+      graft.llm.Dedup.removeDupLines(lined, "doc_id", "text", minDocs = 2,
+          hashLines = true, md5Keys = true)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -199,6 +199,65 @@ object ElementXxHash {
   }
 }
 
+/** Per-element CROSS-ENGINE hash of a string array in one compiled
+  * pass: the first 60 bits of md5 (15 hex chars — first 8 digest bytes,
+  * big-endian, unsigned, >> 4), which DuckDB reproduces as
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT`. [[ElementXxHash]]'s
+  * sibling for hashed key paths that must stay DIFFERENTIALLY
+  * REPLAYABLE (the d4-simhash md5-low-64 convention, one nibble shorter
+  * to stay inside a signed BIGINT): same 8-byte-key exchange shape as
+  * the xxhash64 path, a pricier hash, a replayable oracle. Null
+  * elements hash as empty strings. */
+case class ElementMd5Low60(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "element_md5_low60"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(arr: Any): Any =
+    ElementMd5Low60.compute(arr.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = graft.expressions.ElementMd5Low60.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ElementMd5Low60 = copy(child = newChild)
+}
+
+object ElementMd5Low60 {
+  // MessageDigest is stateful but reset-able: one per task thread, not
+  // one per row (getInstance walks the provider registry)
+  private val LocalMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The compiled kernel both eval paths share. */
+  def compute(arr: ArrayData): ArrayData = {
+    val md = LocalMd.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      md.reset()
+      val d = md.digest(s.getBytes)
+      out(i) = java.nio.ByteBuffer.wrap(d).getLong >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object WindowHashes {
   /** Odd multiplier (golden-ratio constant): odd ⇒ invertible mod 2⁶⁴, so
     * distinct hash sequences stay distinct under the roll. */

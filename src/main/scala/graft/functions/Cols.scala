@@ -176,6 +176,16 @@ object Cols {
       ColumnBridge.expression(arr)))
   }
 
+  /** Per-element cross-engine md5-low-60 hash of a string array in one
+    * compiled pass ([[graft.expressions.ElementMd5Low60]]) — DuckDB
+    * reproduces the values as `('0x' || substr(md5(x), 1, 15))::BIGINT`,
+    * so hashed key paths keyed by this stay differentially replayable. */
+  def elementMd5Low60(arr: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ElementMd5Low60(
+      ColumnBridge.expression(arr)))
+  }
+
   /** Point in annulus ROI (reference arena inner/outer radius test,
     * `social_behaviour_detection.py:241-257`): squared-distance form avoids
     * the sqrt in the hot path. */

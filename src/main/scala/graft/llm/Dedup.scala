@@ -960,13 +960,21 @@ object Dedup {
     * whose every line is duplicated keeps an empty clean_text row). */
   def removeDupLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, sep: String = "\n",
-      hashLines: Boolean = true): DataFrame = {
+      hashLines: Boolean = true, md5Keys: Boolean = false): DataFrame = {
     require(sep.nonEmpty, "removeDupLines: sep must be non-empty")
     val sepRe = java.util.regex.Pattern.quote(sep)
     val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), sepRe).as("_ln"))
-    val lineKey = if (hashLines)
-      graft.functions.Cols.elementXxHash(col("_ln")) else col("_ln")
+    // md5Keys swaps the xxhash64 line keys for the cross-engine
+    // md5-low-60 ([[graft.expressions.ElementMd5Low60]]): the SAME
+    // 8-byte-key exchange shape — line text never shuffles either way —
+    // but an oracle can replay the keys, so the hashed path itself is
+    // hash-gateable (the d16 gate runs it; spec pins all three key
+    // modes equal on real data)
+    val lineKey =
+      if (hashLines && md5Keys) graft.functions.Cols.elementMd5Low60(col("_ln"))
+      else if (hashLines) graft.functions.Cols.elementXxHash(col("_ln"))
+      else col("_ln")
     val w = base.select(col("doc_id"), posexplode(lineKey).as(Seq("_p0", "_w")))
       .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_w"))
     // the complement, in ONE line-key exchange: only NON-duplicated lines

@@ -153,7 +153,7 @@ object SpUnigram {
               if (lsc != null && path(i - l) != null) {
                 val s2 = sc(i - l) + lsc.longValue()
                 val p2 = if (i - l == 0) piece
-                  else path(i - l) + '' + piece
+                  else path(i - l) + '\u0001' + piece
                 if (s2 > bestSc || (s2 == bestSc && (bestPath == null ||
                     UTF8String.fromString(p2).compareTo(
                       UTF8String.fromString(bestPath)) > 0))) {
@@ -167,7 +167,8 @@ object SpUnigram {
             i += 1
           }
           val chosen = path(n)
-          if (chosen == null) "<unk>" else chosen.replace('', ' ')
+          if (chosen == null) "<unk>"
+          else chosen.replace('\u0001', ' ')
         })
       }
       it.map { case (id, t) =>

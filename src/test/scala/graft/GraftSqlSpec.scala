@@ -1170,6 +1170,20 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
     assert(sqlSp === typedSp && sqlSp.nonEmpty)
 
+    // SP encode from SQL against the persisted trained vocab ≡ typed
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW sp_model_v AS
+      SELECT * FROM graft_sp_unigram_train_t('lm_docs_v', 'doc_id',
+        'text', 120, 2, 3)""")
+    val sqlEnc = spark.sql(
+      "SELECT * FROM graft_sp_encode_t('lm_docs_v', 'doc_id', 'text', " +
+        "'sp_model_v')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val typedEnc = graft.llm.SpUnigram.encode(d, "doc_id", "text",
+        graft.llm.SpUnigram.train(d, "doc_id", "text", vocab = 120,
+          iters = 2, maxPieceLen = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(sqlEnc === typedEnc && sqlEnc.nonEmpty)
+
     // multi-class trainer + trained langid from SQL ≡ typed
     Seq((1L, "alpha beta gamma", "en"), (2L, "alpha beta delta", "en"),
       (3L, "uno dos tres", "es"), (4L, "uno dos cuatro", "es"),

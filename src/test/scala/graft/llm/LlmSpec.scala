@@ -180,11 +180,15 @@ class LlmSpec extends AnyFunSuite {
     val lined = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"),
         regexp_replace(col("text"), "((\\S+ ){3}\\S+) ", "$1\n").as("text"))
-    def rows(h: Boolean) = Dedup.removeDupLines(lined, "doc_id", "text",
-        hashLines = h).collect()
+    def rows(h: Boolean, m: Boolean = false) =
+      Dedup.removeDupLines(lined, "doc_id", "text",
+        hashLines = h, md5Keys = m).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
     val hashed = rows(true)
     assert(hashed === rows(false))
+    // the cross-engine md5-low-60 key mode (the d16 gate's path) agrees
+    // with both the xxhash64 default and the string mode
+    assert(hashed === rows(true, m = true))
     assert(hashed.exists(_._3 > 0L), "injected corpus should drop some lines")
   }
 

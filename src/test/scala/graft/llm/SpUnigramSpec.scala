@@ -27,6 +27,51 @@ class SpUnigramSpec extends AnyFunSuite {
       ("b", 5L)))
   }
 
+  test("encode: hand-computed segmentation, trainer parity, <unk>, " +
+      "empty-doc row") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the hand-golden model from the kernel test: a:3 aab:3 ab:2 b:1
+    val model = Seq(("a", 3L), ("aab", 3L), ("ab", 2L), ("b", 1L))
+      .toDF("piece", "cnt")
+    val docs = Seq(
+      (1L, "aaab ab"),   // 'aaab' -> a|aab (the trainer's choice), 'ab' -> ab
+      (2L, "zzz"),       // no 'z' in vocab -> <unk>
+      (3L, ""),          // phantom empty token excluded -> word-less doc
+      (4L, "AAAB")       // lowercases before segmenting
+    ).toDF("doc_id", "text")
+    val out = SpUnigram.encode(docs, "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((3L, fp("a aab ab"))))
+    assert(out(2L) === ((1L, fp("<unk>"))))
+    assert(out(3L) === ((0L, fp(""))))
+    assert(out(4L) === ((2L, fp("a aab"))))
+  }
+
+  test("encode: reproduces the trainer's final segmentation on the " +
+      "training corpus (count identity)") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val model = SpUnigram.train(docs, "doc_id", "text", vocab = 120,
+      iters = 2, maxPieceLen = 3, seedVocab = 200, maxWordLen = 8)
+    val out = SpUnigram.encode(docs, "doc_id", "text", model)
+    // every doc encodes (the coverage guarantee: all corpus chars are
+    // vocab singles at maxWordLen >= corpus max word length), and no
+    // word falls to <unk>, so Σ n_pieces ≥ Σ words and > 0
+    val nDocs = docs.filter(col("doc_id").isNotNull &&
+      col("text").isNotNull).count()
+    assert(out.count() === nDocs)
+    assert(out.filter(col("n_pieces") <= 0).count() === 0L)
+    // determinism
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    val b = SpUnigram.encode(docs, "doc_id", "text", model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("kernel: determinism and character coverage on the corpus") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     def run() = SpUnigram.train(docs, "doc_id", "text", vocab = 120,
