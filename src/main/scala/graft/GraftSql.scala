@@ -293,6 +293,14 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_ngram_score_t"),
       (args: Seq[Expression]) => ngramScoreTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_trigram_lm_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_trigram_lm_t"),
+      (args: Seq[Expression]) => trigramLmTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_trigram_score_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_trigram_score_t"),
+      (args: Seq[Expression]) => trigramScoreTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_lm_ratio_t"),
       new ExpressionInfo("graft.GraftSql", "graft_lm_ratio_t"),
       (args: Seq[Expression]) => lmRatioTablePlan(args))
@@ -993,6 +1001,40 @@ object GraftSql {
       SparkSession.active.table(strLit(args(4), fn, "bigram model view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
       if (args.length == 6) dblLit(args(5), fn, "backoff") else 0.4)
+      .queryExecution.logical
+  }
+
+  /** `graft_trigram_lm_t('refV', 'textCol', 'biV', vocab)` —
+    * [[graft.llm.Quality.trigramLm]] from SQL: top-`vocab` trigram
+    * counts with context counts from the bound bigram model view. */
+  private def trigramLmTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_trigram_lm_t"
+    require(args.length == 4,
+      s"usage: $fn('refView', 'textCol', 'biModelView', vocab)")
+    graft.llm.Quality.trigramLm(
+      SparkSession.active.table(strLit(args(0), fn, "ref view")),
+      strLit(args(1), fn, "text column"),
+      SparkSession.active.table(strLit(args(2), fn, "bigram model view")),
+      lngLit(args(3), fn, "vocab").toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_trigram_score_t('docsV', 'id', 'text', 'uniV', 'biV',
+    * 'triV'[, backoff])` — [[graft.llm.Quality.trigramPerplexity]] from
+    * SQL: the tri → bi → uni stupid-backoff chain (backoff defaults to
+    * 0.4). */
+  private def trigramScoreTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_trigram_score_t"
+    require(args.length == 6 || args.length == 7,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'uniModelView', " +
+        "'biModelView', 'triModelView'[, backoff])")
+    graft.llm.Quality.trigramPerplexity(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      SparkSession.active.table(strLit(args(3), fn, "unigram model view")),
+      SparkSession.active.table(strLit(args(4), fn, "bigram model view")),
+      SparkSession.active.table(strLit(args(5), fn, "trigram model view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      if (args.length == 7) dblLit(args(6), fn, "backoff") else 0.4)
       .queryExecution.logical
   }
 

@@ -358,23 +358,52 @@ object Quality {
     * uni again); this costs 1. */
   def ngramLm(docs: DataFrame, textCol: String, uniVocab: Int,
       biVocab: Int): (DataFrame, DataFrame) = {
+    val (uni, bi, _) = ngramModels(docs, textCol, uniVocab, biVocab, 0)
+    (uni, bi)
+  }
+
+  /** [[ngramLm]] extended one order: (uni, bi, tri) from ONE corpus
+    * scan — tri ≡ `trigramLm(docs, textCol, bi, triVocab)` bit for bit
+    * (spec-pinned). */
+  def ngramLm3(docs: DataFrame, textCol: String, uniVocab: Int,
+      biVocab: Int, triVocab: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(triVocab >= 1, s"ngramLm3: triVocab must be >= 1, got $triVocab")
+    val (uni, bi, tri) = ngramModels(docs, textCol, uniVocab, biVocab,
+      triVocab)
+    (uni, bi, tri.get)
+  }
+
+  private def ngramModels(docs: DataFrame, textCol: String, uniVocab: Int,
+      biVocab: Int, triVocab: Int)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
     require(uniVocab >= 1, s"ngramLm: uniVocab must be >= 1, got $uniVocab")
     require(biVocab >= 1, s"ngramLm: biVocab must be >= 1, got $biVocab")
-    val grams = combinedPartials(docs, textCol)
-      .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
+    val grams = combinedPartials(docs, textCol, tri = triVocab > 0)
+      .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
       .localCheckpoint()
-    val uni = grams.filter(col("w2").isNull)
+    val uni = grams.filter(col("w2").isNull && col("w3").isNull)
       .select(col("w1").as("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(uniVocab)
       .localCheckpoint()
-    val bi = grams.filter(col("w2").isNotNull)
+    val bi = grams.filter(col("w2").isNotNull && col("w3").isNull)
       .join(broadcast(uni.select(col("token").as("w1"),
         col("cnt").as("w1_cnt"))), Seq("w1"))
       .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"))
       .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
       .limit(biVocab)
-    (uni, bi)
+    if (triVocab <= 0) (uni, bi, None)
+    else {
+      val biCk = bi.localCheckpoint()
+      val tri = grams.filter(col("w3").isNotNull)
+        .join(broadcast(biCk.select(col("w1"), col("w2"),
+          col("cnt").as("ctx_cnt"))), Seq("w1", "w2"))
+        .select(col("w1"), col("w2"), col("w3"), col("cnt"), col("ctx_cnt"))
+        .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc,
+          col("w3").asc)
+        .limit(triVocab)
+      (uni, biCk, Some(tri))
+    }
   }
 
   /** Train the DSIR target + source [[unigramLm]] pair in ONE corpus
@@ -480,11 +509,16 @@ object Quality {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
-  /** [[ngramLm]]'s one-pass partial counter: emits BOTH per-token rows
-    * (w1, NULL, cnt) and adjacent-pair rows (w1, w2, cnt) from one pass
-    * over the staged token arrays — the [[tokenPartials]] discipline
-    * (Tungsten views probe, distinct keys clone, bounded flush). */
-  private def combinedPartials(ref: DataFrame, textCol: String): DataFrame = {
+  /** [[ngramLm]]/[[ngramLm3]]'s one-pass partial counter: emits
+    * per-token rows (w1, NULL, NULL, cnt), adjacent-pair rows
+    * (w1, w2, NULL, cnt), and — when `tri` — adjacent-triple rows
+    * (w1, w2, w3, cnt) from one pass over the lowered text (byte-level
+    * `' '` split, the [[tokenPartials]] discipline). Tokens INTERN to
+    * dense chunk-local ids on first sight (one clone per distinct
+    * token), so pair/triple counting probes open Long maps keyed by
+    * 21-bit id packing instead of hashing strings again. */
+  private def combinedPartials(ref: DataFrame, textCol: String,
+      tri: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -497,54 +531,71 @@ object Quality {
         private var pending: Iterator[InternalRow] = Iterator.empty
         private def fill(): Boolean = {
           while (!pending.hasNext && rows.hasNext) {
-            val um = new java.util.HashMap[UTF8String, LongCnt]()
-            val bm = new java.util.HashMap[UTF8String,
-              java.util.HashMap[UTF8String, LongCnt]]()
-            var entries = 0
-            while (rows.hasNext && entries < PartialFlushAt) {
+            val interner = new java.util.HashMap[UTF8String, Integer]()
+            val names = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+            def intern(t: UTF8String): Int = {
+              val hit = interner.get(t)
+              if (hit != null) hit.intValue()
+              else {
+                val id = names.length
+                val copy = t.clone()
+                interner.put(copy, Integer.valueOf(id))
+                names += copy
+                id
+              }
+            }
+            val um = new scala.collection.mutable.LongMap[Long]()
+            val bm = new scala.collection.mutable.LongMap[Long]()
+            val tm = new scala.collection.mutable.LongMap[Long]()
+            // flush on distinct TOKENS: ids must stay < 2^21 for the
+            // packing; pair/triple entries are bounded by token entries
+            // × window, and the maps hold plain longs either way
+            while (rows.hasNext && names.length < (PartialFlushAt >> 1)) {
               val text = rows.next().getUTF8String(0)
               val base = text.getBaseObject
               val off = text.getBaseOffset
               val nb = text.numBytes()
-              var prev: UTF8String = null
+              var prev = -1
+              var prev2 = -1
               var start = 0
               var i = 0
               while (i <= nb) {
                 if (i == nb || org.apache.spark.unsafe.Platform
                     .getByte(base, off + i) == ' '.toByte) {
-                  val a = UTF8String.fromAddress(base, off + start, i - start)
-                  var c = um.get(a)
-                  if (c == null) {
-                    c = new LongCnt; um.put(a.clone(), c); entries += 1
-                  }
-                  c.v += 1L
-                  if (prev != null) {
-                    var inner = bm.get(prev)
-                    if (inner == null) {
-                      inner = new java.util.HashMap[UTF8String, LongCnt]()
-                      bm.put(prev.clone(), inner)
+                  val id = intern(
+                    UTF8String.fromAddress(base, off + start, i - start))
+                  val uk = id.toLong
+                  um.update(uk, um.getOrElse(uk, 0L) + 1L)
+                  if (prev >= 0) {
+                    val bk = (prev.toLong << 21) | id
+                    bm.update(bk, bm.getOrElse(bk, 0L) + 1L)
+                    if (tri && prev2 >= 0) {
+                      val tk = (prev2.toLong << 42) | bk
+                      tm.update(tk, tm.getOrElse(tk, 0L) + 1L)
                     }
-                    var bc = inner.get(a)
-                    if (bc == null) {
-                      bc = new LongCnt; inner.put(a.clone(), bc); entries += 1
-                    }
-                    bc.v += 1L
                   }
-                  prev = a
+                  prev2 = prev
+                  prev = id
                   start = i + 1
                 }
                 i += 1
               }
             }
-            import scala.jdk.CollectionConverters._
-            pending = um.entrySet().asScala.iterator.map(e =>
-              new GenericInternalRow(
-                Array[Any](e.getKey, null, e.getValue.v)): InternalRow) ++
-              bm.entrySet().asScala.iterator.flatMap { e =>
-                val w1 = e.getKey
-                e.getValue.entrySet().asScala.iterator.map(e2 =>
-                  new GenericInternalRow(
-                    Array[Any](w1, e2.getKey, e2.getValue.v)): InternalRow)
+            pending =
+              um.iterator.map { case (k, c) =>
+                new GenericInternalRow(Array[Any](
+                  names(k.toInt), null, null, c)): InternalRow
+              } ++
+              bm.iterator.map { case (k, c) =>
+                new GenericInternalRow(Array[Any](
+                  names((k >>> 21).toInt), names((k & 0x1FFFFF).toInt),
+                  null, c)): InternalRow
+              } ++
+              tm.iterator.map { case (k, c) =>
+                new GenericInternalRow(Array[Any](
+                  names((k >>> 42).toInt),
+                  names(((k >>> 21) & 0x1FFFFF).toInt),
+                  names((k & 0x1FFFFF).toInt), c)): InternalRow
               }
           }
           pending.hasNext
@@ -561,6 +612,8 @@ object Quality {
         org.apache.spark.sql.types.StructField("w1",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("w3",
           org.apache.spark.sql.types.StringType, nullable = true),
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType, nullable = false))))
@@ -663,6 +716,80 @@ object Quality {
         collectUniModel(uni, "ngramPerplexity"),
         collectBiModel(bi, "ngramPerplexity"),
         Array.empty, backoff, level = 2))
+  }
+
+  /** Trigram counts over a REFERENCE corpus — the next order of the
+    * [[bigramLm]] tier (CCNet's actual recipe is a 5-gram KenLM; each
+    * order closes more of that gap). Triples are adjacent
+    * [[Dedup.tokens]]; only triples whose CONTEXT pair (w1, w2) survived
+    * the `bi` vocab cap are kept (the bigramLm context rule, one order
+    * up — a trigram without a denominator count cannot be scored), then
+    * pruned to the top `vocab` by count (ties by (w1, w2, w3) ascending).
+    * Each row carries its context count, so a persisted model is
+    * self-contained.
+    *
+    * Scale shape: one (w1, w2, w3) partial-count aggregation (the
+    * [[tokenPartials]] kernel discipline via [[combinedPartials]]'
+    * composed form here would re-scan — this compose form counts
+    * directly), a broadcast join against the model-scale bigram table,
+    * a top-`vocab` TakeOrdered. Output: (w1, w2, w3, cnt, ctx_cnt),
+    * ≤ `vocab` rows. Prefer [[ngramLm3]] to train all three orders in
+    * ONE corpus scan. */
+  def trigramLm(ref: DataFrame, textCol: String, bi: DataFrame,
+      vocab: Int): DataFrame = {
+    require(vocab >= 1, s"trigramLm: vocab must be >= 1, got $vocab")
+    combinedPartials(ref, textCol, tri = true)
+      .filter(col("w3").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
+      .join(broadcast(bi.select(col("w1"), col("w2"),
+        col("cnt").as("ctx_cnt"))), Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), col("cnt"), col("ctx_cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc,
+        col("w3").asc)
+      .limit(vocab)
+  }
+
+  /** Per-document perplexity under the trigram stupid-backoff chain
+    * (Brants et al. 2007, one order above [[ngramPerplexity]]):
+    *
+    *   - token 1: Laplace-smoothed unigram ([[lmPerplexity]]'s formula);
+    *   - token 2: known bigram relative frequency, else `backoff` ×
+    *     smoothed unigram (exactly the bigram chain);
+    *   - token i ≥ 3: known trigram cnt/ctx_cnt; else `backoff` × the
+    *     bigram relative frequency; else `backoff²` × smoothed unigram.
+    *
+    * Same zero-shuffle compiled scan and micro-nat determinism contract
+    * as [[ngramPerplexity]] ([[graft.expressions.NgramNll6]] at level
+    * 3). With an EMPTY trigram table and `backoff = 1.0` this is
+    * bit-identical to `ngramPerplexity(…, backoff = 1.0)` (spec-pinned
+    * — the α factors collapse to 1).
+    *
+    * Output: (doc_id, n_tokens, nll, ppl), rounded to 6 decimals. */
+  def trigramPerplexity(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      tri: DataFrame, idCol: String, textCol: String,
+      backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"trigramPerplexity: backoff must be in (0, 1], got $backoff")
+    scoreNll(docs, idCol, textCol,
+      graft.expressions.LmModel.build(
+        collectUniModel(uni, "trigramPerplexity"),
+        collectBiModel(bi, "trigramPerplexity"),
+        collectTriModel(tri, "trigramPerplexity"), backoff, level = 3))
+  }
+
+  /** Collect a vocab-capped (w1, w2, w3, cnt, ctx_cnt) trigram table. */
+  private def collectTriModel(model: DataFrame, what: String)
+      : Array[(String, String, String, Long, Long)] = {
+    val cap = (1 << 21) - 1
+    val rows = model.select(col("w1").cast("string"),
+        col("w2").cast("string"), col("w3").cast("string"),
+        col("cnt").cast("long"), col("ctx_cnt").cast("long"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: trigram table has > $cap rows — not a vocab-capped LM table")
+    rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
   }
 
   /** Gopher's default stop list (Rae et al. 2021 §A1.1.2). */
@@ -940,18 +1067,53 @@ object Quality {
   }
 
   /** Registrable domain of a URL or host — the CCNet/RefinedWeb
-    * grouping key: last two host labels, or three when the last two are
-    * a registry suffix ([[SecondLevelSuffixes]]); IPv4 hosts and one- or
-    * two-label hosts pass through whole. */
-  def registrableDomain(url: Column): Column = {
+    * grouping key: one more label than the LONGEST matching registry
+    * suffix (PSL longest-match rule; no match ⇒ the last two labels);
+    * IPv4 hosts, one- or two-label hosts, and hosts that ARE a suffix
+    * pass through whole. `suffixes` is the wildcard-free public-suffix
+    * list — the embedded [[SecondLevelSuffixes]] subset by default, the
+    * FULL PSL via [[suffixesFromTable]] (registrable-domain extraction
+    * is an algorithm plus a DATA file; suffixes of any label depth
+    * compose into the same longest-first chain, each depth one InSet
+    * membership probe — pure column math, scan-speed at any list
+    * size). */
+  def registrableDomain(url: Column,
+      suffixes: Seq[String] = SecondLevelSuffixes): Column = {
+    require(suffixes.nonEmpty, "registrableDomain: empty suffix list")
+    require(suffixes.forall(s => s.nonEmpty && !s.startsWith(".") &&
+        !s.endsWith(".") && !s.contains("*")),
+      "registrableDomain: suffixes must be wildcard-free dot-separated " +
+        "labels (resolve PSL wildcard rules before passing the table)")
     val h = urlHost(url)
     val labels = split(h, "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", slice(labels, n - 1, lit(2)))
-    val last3 = concat_ws(".", slice(labels, n - 2, lit(3)))
-    when(h.rlike("^[0-9.]+$") || n <= 2, h)
-      .when(last2.isInCollection(SecondLevelSuffixes), last3)
-      .otherwise(last2)
+    val byDepth = suffixes.groupBy(_.count(_ == '.') + 1)
+    val default = concat_ws(".", slice(labels, n - 1, lit(2)))
+    // longest-first when-chain: depth-k suffix match takes k+1 labels
+    // (or the whole host when the host IS the suffix)
+    val chain = byDepth.keys.toSeq.sorted.reverse
+      .foldRight(default) { (k, rest) =>
+        val lastK = concat_ws(".", slice(labels, n - (k - 1), lit(k)))
+        when(n > k && lastK.isInCollection(byDepth(k)),
+            concat_ws(".", slice(labels, n - k, lit(k + 1))))
+          .when(n === k && lastK.isInCollection(byDepth(k)), h)
+          .otherwise(rest)
+      }
+    when(h.rlike("^[0-9.]+$") || n <= 2, h).otherwise(chain)
+  }
+
+  /** Collect a one-column suffix CONFIG TABLE (e.g. the full Public
+    * Suffix List loaded as a parquet/CSV) into the `suffixes` argument —
+    * driver-bounded require (the PSL is ~10⁴ rows; a mistakenly
+    * corpus-sized view must not collect). Null rows are skipped. */
+  def suffixesFromTable(table: DataFrame,
+      suffixCol: String = "suffix"): Seq[String] = {
+    val cap = (1 << 17) - 1
+    val rows = table.select(col(suffixCol).cast("string"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"suffixesFromTable: > $cap rows — not a public-suffix config table")
+    rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSeq
   }
 
   /** Domain-level corpus aggregate — per registrable domain of `urlCol`:
@@ -965,10 +1127,11 @@ object Quality {
     * then mix on a `registrableDomain(url)` column. ONE shuffle, on the
     * domain key. */
   def domainStats(docs: DataFrame, idCol: String, urlCol: String,
-      textCol: String, stops: Seq[String]): DataFrame =
+      textCol: String, stops: Seq[String],
+      suffixes: Seq[String] = SecondLevelSuffixes): DataFrame =
     docs.filter(col(idCol).isNotNull && col(urlCol).isNotNull &&
         col(textCol).isNotNull)
-      .select(registrableDomain(col(urlCol)).as("domain"),
+      .select(registrableDomain(col(urlCol), suffixes).as("domain"),
         size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
           .cast("long").as("_tok"),
         round(TextStats.qualityScore(col(textCol), stops) * 1e6)

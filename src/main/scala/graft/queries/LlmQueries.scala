@@ -651,16 +651,17 @@ object LlmQueries {
     // every 4 tokens into a line (deterministic injection — the synthetic
     // docs carry no newlines; planted dup clusters make whole lines
     // recur across docs), drop every line appearing verbatim in ≥2
-    // distinct docs, re-join survivors. String-keyed so the DuckDB
-    // replay needs no hash-parity assumption (the hashed scale path is
-    // spec-pinned equal in LlmSpec, like d8/d9's)
+    // distinct docs, re-join survivors. Gated on the HASHED scale path
+    // (8-byte keys, line text never shuffles) via the cross-engine
+    // md5-low-60 keys the oracle replays; the xxhash64 production
+    // default and the string mode are spec-pinned equal in LlmSpec
     "d16_line_dedup" -> ((s, dir) => {
       val lined = docs(s, dir)
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"),
           regexp_replace(col("text"), LineChunkRe, "$1\n").as("text"))
       sortAll(Dedup.removeDupLines(lined, "doc_id", "text", minDocs = 2,
-        hashLines = false))
+        md5Keys = true))
     }),
 
     // Gopher/MassiveText composite quality rules over deterministically
@@ -706,6 +707,16 @@ object LlmQueries {
       // (spec-pinned), one corpus scan instead of three
       val (uni, bi) = Quality.ngramLm(d, "text", 16, 64)
       sortAll(Quality.ngramPerplexity(d, uni, bi, "doc_id", "text"))
+    }),
+
+    // Trigram stupid backoff (tx18 one order up, toward CCNet's 5-gram
+    // KenLM): uni-16 / bi-64 / tri-256 trained in ONE corpus scan
+    // (ngramLm3), the tri -> bi -> uni chain scored by the same
+    // zero-shuffle compiled scan; all chain arms micro-nat fixed-pointed
+    "tx20_trigram_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (uni, bi, tri) = Quality.ngramLm3(d, "text", 16, 64, 256)
+      sortAll(Quality.trigramPerplexity(d, uni, bi, tri, "doc_id", "text"))
     }),
 
     // Unigram-LM perplexity (the CCNet quality-scoring shape): model
@@ -821,10 +832,18 @@ object LlmQueries {
     // exact-dup count, summed fixed-point quality — the mix-strata
     // source table
     "tx16_domain_stats" -> ((s, dir) => {
+      import s.implicits._
       val d = docs(s, dir)
         .filter(col("doc_id").isNotNull && col("source").isNotNull)
         .withColumn("url", messyUrl)
-      sortAll(Quality.domainStats(d, "doc_id", "url", "text", STOPS))
+      // suffix CONFIG TABLE (the full-PSL path): the embedded subset
+      // plus a 3-label registry entry the fixture hosts hit — exercises
+      // longest-match-first, the host-IS-the-suffix pass-through, and
+      // the k+1-label take, all replayed by the oracle's CASE chain
+      val suffixes = Quality.suffixesFromTable(
+        (Quality.SecondLevelSuffixes :+ "src0-site.co.uk").toDF("suffix"))
+      sortAll(Quality.domainStats(d, "doc_id", "url", "text", STOPS,
+        suffixes = suffixes))
     }),
 
     // Quality-classifier SCORING with an EXPLICIT weight table (the
@@ -916,6 +935,17 @@ object LlmQueries {
         maxWordLen = 8))
     }),
 
+    // ENCODE under the sp1-trained vocab: the same per-word integer
+    // Viterbi the trainer runs, memoized per distinct word — per-doc
+    // piece count + md5 piece-stream fingerprint (the bp2 pattern)
+    "sp2_sp_unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.llm.SpUnigram.train(d, "doc_id", "text",
+        vocab = 120, iters = 2, maxPieceLen = 3, seedVocab = 200,
+        maxWordLen = 8)
+      sortAll(graft.llm.SpUnigram.encode(d, "doc_id", "text", model))
+    }),
+
     "bp1_bpe_train" -> ((s, dir) => {
       sortAll(Bpe.train(docs(s, dir), "doc_id", "text", 6, maxBatch = 8,
         driverTypeCap = 0L))
@@ -972,9 +1002,19 @@ object LlmQueries {
     * .registrableDomain]] step by step (same RE2/Java-agreeing
     * patterns, the embedded suffix list spliced in). Final CTE `dom`
     * exposes (doc_id, text, canon_url, domain). */
-  private def messyUrlCtes: String = {
+  private def messyUrlCtes: String = messyUrlCtes(None)
+
+  /** With `deepSuffix`, the domain CASE gains the 3-label
+    * longest-match-first arms the engine's generalized suffix chain
+    * produces for that entry (tx16's config-table fixture). */
+  private def messyUrlCtes(deepSuffix: Option[String]): String = {
     val suffixes = graft.llm.Quality.SecondLevelSuffixes
       .map(s => s"'$s'").mkString(", ")
+    val deepArms = deepSuffix.map { d =>
+      s"""      WHEN len(tk) > 3 AND array_to_string(tk[len(tk)-2:len(tk)], '.') = '$d' THEN array_to_string(tk[len(tk)-3:len(tk)], '.')
+         |      WHEN len(tk) = 3 AND array_to_string(tk[len(tk)-2:len(tk)], '.') = '$d' THEN h
+         |""".stripMargin
+    }.getOrElse("")
     // NOTE: this block is SPLICED into templates that run their own
     // stripMargin, so no line here may start with whitespace + '|' —
     // every '||' concatenation sits at END of line
@@ -1015,7 +1055,7 @@ object LlmQueries {
        |  FROM c3),
        |dom AS (SELECT doc_id, text, canon_url,
        |    CASE WHEN regexp_matches(h, '^[0-9.]+$$') OR len(tk) <= 2 THEN h
-       |      WHEN array_to_string(tk[len(tk)-1:len(tk)], '.')
+       |$deepArms      WHEN array_to_string(tk[len(tk)-1:len(tk)], '.')
        |        IN ($suffixes)
        |      THEN array_to_string(tk[len(tk)-2:len(tk)], '.')
        |      ELSE array_to_string(tk[len(tk)-1:len(tk)], '.') END AS domain
@@ -1969,16 +2009,18 @@ object LlmQueries {
          |${orderBySql("doc_id", "norm")}""".stripMargin,
 
     // the same 4-token line injection (the one Scala constant, RE2
-    // backref syntax), then: lines with positions, distinct-doc counts
-    // per line, keep positions of lines in < 2 docs, rebuild by list
-    // comprehension over the kept positions
+    // backref syntax), then: lines with positions keyed by the engine's
+    // OWN md5-low-60 hash (replayed exactly — the gated query IS the
+    // hashed scale path), distinct-doc counts per hash, keep positions
+    // of lines in < 2 docs, rebuild by list comprehension
     "d16_line_dedup" ->
       s"""WITH lined AS (
          |  SELECT doc_id,
          |    regexp_replace(text, '$LineChunkRe', '\\1' || chr(10), 'g') AS text
          |  FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          |t AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lined),
-         |w AS (SELECT doc_id, p, ln[p] AS ls
+         |w AS (SELECT doc_id, p,
+         |        ('0x' || substr(md5(ln[p]), 1, 15))::BIGINT AS ls
          |      FROM t, UNNEST(range(1, len(ln) + 1)) AS u(p)),
          |d AS (SELECT ls FROM w GROUP BY ls HAVING count(DISTINCT doc_id) >= 2),
          |k AS (SELECT doc_id, list(p ORDER BY p) AS kp
@@ -2119,6 +2161,77 @@ object LlmQueries {
          |       FROM toks
          |       LEFT JOIN m ON toks.cur = m.token
          |       LEFT JOIN bi ON toks.prev = bi.w1 AND toks.cur = bi.w2
+         |       CROSS JOIN st),
+         |g AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
+         |      FROM lp GROUP BY 1),
+         |q AS (SELECT doc_id, n_tokens,
+         |        (-s6 * 2 + n_tokens) // (2 * n_tokens) AS m6 FROM g)
+         |SELECT doc_id, n_tokens,
+         |  round(m6 / 1000000.0, 6) AS nll,
+         |  round(exp(m6 / 1000000.0), 6) AS ppl
+         |FROM q
+         |${orderBySql("doc_id", "n_tokens", "nll", "ppl")}""".stripMargin,
+
+    // tx18's replay one order up: trigram counts context-joined to the
+    // bi table (ctx_cnt), the tri -> 0.4*bi -> 0.4*0.4*uni chain, same
+    // integer micro-nat fixed point and half-up mean
+    "tx20_trigram_perplexity" ->
+      s"""WITH m AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |        FROM $docsPq WHERE text IS NOT NULL)
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 16),
+         |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+         |              CAST(count(*) AS DOUBLE) AS v FROM m),
+         |tw AS (SELECT string_split(lower(text), ' ') AS w
+         |       FROM $docsPq WHERE text IS NOT NULL),
+         |bi AS (SELECT w1, w2, cnt, w1_cnt FROM (
+         |    SELECT p.w1, p.w2, count(*) AS cnt
+         |    FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+         |          FROM tw, UNNEST(range(1, len(w))) AS u(i)) p
+         |    GROUP BY 1, 2) c
+         |  JOIN (SELECT token AS w1, cnt AS w1_cnt FROM m) mm USING (w1)
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 64),
+         |tri AS (SELECT w1, w2, w3, cnt, ctx_cnt FROM (
+         |    SELECT p.w1, p.w2, p.w3, count(*) AS cnt
+         |    FROM (SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+         |          FROM tw, UNNEST(range(1, len(w) - 1)) AS u(i)) p
+         |    GROUP BY 1, 2, 3) c
+         |  JOIN (SELECT w1, w2, cnt AS ctx_cnt FROM bi) bb USING (w1, w2)
+         |  ORDER BY cnt DESC, w1, w2, w3 LIMIT 256),
+         |toks AS (SELECT doc_id, i, w[i] AS cur,
+         |           CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev,
+         |           CASE WHEN i <= 2 THEN NULL ELSE w[i - 2] END AS prev2
+         |         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |               FROM $docsPq
+         |               WHERE doc_id IS NOT NULL AND text IS NOT NULL) dw,
+         |           UNNEST(range(1, len(w) + 1)) AS u(i)),
+         |lp AS (SELECT doc_id,
+         |         CASE
+         |           WHEN prev IS NULL THEN
+         |             CAST(round(ln((coalesce(m.cnt, 0) + 1.0) / (n + v + 1.0))
+         |               * 1000000) AS BIGINT)
+         |           WHEN prev2 IS NULL AND bi.cnt IS NOT NULL THEN
+         |             CAST(round(ln(CAST(bi.cnt AS DOUBLE) /
+         |               CAST(bi.w1_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+         |           WHEN prev2 IS NULL THEN
+         |             CAST(round(ln(0.4 * ((coalesce(m.cnt, 0) + 1.0) /
+         |               (n + v + 1.0))) * 1000000) AS BIGINT)
+         |           WHEN tri.cnt IS NOT NULL THEN
+         |             CAST(round(ln(CAST(tri.cnt AS DOUBLE) /
+         |               CAST(tri.ctx_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+         |           WHEN bi.cnt IS NOT NULL THEN
+         |             CAST(round(ln(0.4 * (CAST(bi.cnt AS DOUBLE) /
+         |               CAST(bi.w1_cnt AS DOUBLE))) * 1000000) AS BIGINT)
+         |           ELSE
+         |             CAST(round(ln(0.4 * 0.4 * ((coalesce(m.cnt, 0) + 1.0) /
+         |               (n + v + 1.0))) * 1000000) AS BIGINT)
+         |         END AS lp6
+         |       FROM toks
+         |       LEFT JOIN m ON toks.cur = m.token
+         |       LEFT JOIN bi ON toks.prev = bi.w1 AND toks.cur = bi.w2
+         |       LEFT JOIN tri ON toks.prev2 = tri.w1
+         |         AND toks.prev = tri.w2 AND toks.cur = tri.w3
          |       CROSS JOIN st),
          |g AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
          |      FROM lp GROUP BY 1),
@@ -2367,7 +2480,7 @@ object LlmQueries {
     // (count minus distinct texts ≡ the engine's distinct content
     // hashes), summed fixed-point quality (the tx2 inner computation)
     "tx16_domain_stats" ->
-      s"""WITH ${messyUrlCtes},
+      s"""WITH ${messyUrlCtes(Some("src0-site.co.uk"))},
          |pd AS (SELECT domain, text,
          |    CAST(len(list_filter(string_split(lower(text), ' '),
          |      t -> t <> '')) AS BIGINT) AS n_tok,
@@ -2501,29 +2614,7 @@ object LlmQueries {
     // every training iteration replayed: pair counts → deterministic
     // argmax → one merge pass (see bpeCtes)
     "sp1_sp_unigram_train" ->
-      s"""WITH wt AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
-         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM $docsPq
-         |    WHERE doc_id IS NOT NULL AND text IS NOT NULL)
-         |  WHERE w <> '' GROUP BY w),
-         |wtc AS MATERIALIZED (SELECT w, freq FROM wt WHERE len(w) <= 8),
-         |poss AS (SELECT unnest(generate_series(1, 8)) AS i),
-         |lns AS (SELECT unnest(generate_series(1, 3)) AS l),
-         |seed AS MATERIALIZED (SELECT substr(w, i, l) AS piece,
-         |    CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM wtc, poss, lns WHERE i + l - 1 <= len(w) GROUP BY 1),
-         |sing AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
-         |  FROM wtc, poss WHERE i <= len(w)),
-         |ts AS MATERIALIZED (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece
-         |  LIMIT 200),
-         |v0 AS MATERIALIZED (SELECT piece, cnt FROM ts
-         |  UNION ALL
-         |  SELECT s.piece, greatest(1, coalesce(seed.cnt, 1)) AS cnt
-         |  FROM sing s LEFT JOIN seed ON s.piece = seed.piece
-         |  WHERE s.piece NOT IN (SELECT piece FROM ts)),
-         |${spEmIter(1, "v0")},
-         |${spEmIter(2, "v1")},
-         |fin AS MATERIALIZED (SELECT piece, cnt FROM v2 ORDER BY cnt DESC, piece
-         |  LIMIT 120)
+      s"""WITH $spTrainCtes
          |SELECT piece, cnt FROM (
          |  SELECT piece, cnt FROM fin
          |  UNION ALL
@@ -2531,6 +2622,32 @@ object LlmQueries {
          |  FROM sing s LEFT JOIN v2 v USING (piece)
          |  WHERE s.piece NOT IN (SELECT piece FROM fin))
          |${orderBySql("piece", "cnt")}""".stripMargin,
+
+    // encode under sp1's trained model: per-word Viterbi (identical
+    // integer micro-nat scores + greater-path tie rule) replayed by the
+    // unrolled DP; per-doc piece count + md5 of the piece stream. Every
+    // corpus word is segmentable (singles are coverage-floored into the
+    // model), so the <unk> arm stays a unit-spec concern
+    "sp2_sp_unigram_encode" ->
+      s"""WITH $spTrainCtes,
+         |$spEncodeCtes,
+         |enums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |dws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |        FROM $docsPq WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |dw AS (SELECT doc_id, ws[i] AS w, i AS ord
+         |       FROM dws JOIN enums ON i <= len(ws) WHERE ws[i] <> ''),
+         |ence AS (SELECT doc_id,
+         |           CAST(sum(len(string_split(path, chr(1)))) AS BIGINT)
+         |             AS n_pieces,
+         |           md5(string_agg(replace(path, chr(1), ' '), ' '
+         |             ORDER BY ord)) AS fp
+         |         FROM dw JOIN sege USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_pieces, 0) AS n_pieces,
+         |  coalesce(fp, md5('')) AS fp
+         |FROM (SELECT doc_id FROM $docsPq
+         |      WHERE doc_id IS NOT NULL AND text IS NOT NULL) d
+         |LEFT JOIN ence USING (doc_id)
+         |${orderBySql("doc_id", "n_pieces", "fp")}""".stripMargin,
 
     "bp1_bpe_train" ->
       s"""WITH ${bpeCtes(6)}

@@ -1224,6 +1224,20 @@ class GraftSqlSpec extends AnyFunSuite {
         .toSet
     }
     assert(sqlNg === typedNg && sqlNg.nonEmpty)
+    // trigram model + chain scoring ≡ typed
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tri_model_v AS
+      SELECT * FROM graft_trigram_lm_t('lm_docs_v', 'text', 'bi_model_v', 256)""")
+    val sqlTri = spark.sql(
+      """SELECT * FROM graft_trigram_score_t('lm_docs_v', 'doc_id', 'text',
+        'lm_model_v', 'bi_model_v', 'tri_model_v')""")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    val typedTri = {
+      val (uni, bi, tri) = graft.llm.Quality.ngramLm3(d, "text", 16, 64, 256)
+      graft.llm.Quality.trigramPerplexity(d, uni, bi, tri, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    }
+    assert(sqlTri === typedTri && sqlTri.nonEmpty)
     // Gopher rules ≡ typed at an overridden word floor
     val sqlGopher = spark.sql(
       "SELECT * FROM graft_gopher_t('lm_docs_v', 'doc_id', 'text', 30)")
