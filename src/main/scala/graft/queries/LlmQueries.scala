@@ -929,6 +929,88 @@ object LlmQueries {
     // substrings -> 2 Viterbi-EM iterations -> prune, all integer
     // micro-nat fixed-pointed; the oracle unrolls the per-position DP
     // (maxWordLen=8 caps the unroll; maxPieceLen=3)
+    // THE WHOLE PIPELINE AS ONE PLAN — the RefinedWeb-shaped recipe end
+    // to end, every gate class composed and hash-gated as a single
+    // query: span excision -> line chunk -> line dedup (hashed keys) ->
+    // normalize -> [gopher + repetition + bigram-perplexity floor +
+    // classifier floor + trained langid + benchmark decontamination +
+    // semantic floor + quality floor + exact dedup] (Corpus.prepare) ->
+    // target-rate mix quota -> epoch shuffle shards -> context chunks.
+    // Each stage already has its own gated oracle (d9, d16, d14/tx7,
+    // d18, d11, tx18, d19, d20, d17, d15, d7, sm4, sh1, ck1); this
+    // composes their replays into one differential proof that the
+    // stages agree THROUGH each other's outputs.
+    "d21_full_pipeline" -> ((s, dir) => {
+      val dim = 1 << 16
+      val all = docs(s, dir)
+      val d0 = all.filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("source") =!= "src0")
+      val bench = all.filter(col("source") === "src0")
+      // span excision (d9's shape: 5-token windows in >= 2 docs)
+      val spanRm = Dedup.removeDupSpans(d0, "doc_id", "text",
+          spanTokens = 5, minDocs = 2, hashWindows = false)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      // line chunking + line-level dedup (d16's shape, md5-low-60 keys)
+      val lined = spanRm.select(col("doc_id"),
+        regexp_replace(col("text"), LineChunkRe, "$1\n").as("text"))
+      val lineRm = Dedup.removeDupLines(lined, "doc_id", "text",
+          minDocs = 2, md5Keys = true)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      // normalize: collapses the line separators back to canonical
+      // single-space text — every downstream floor tokenizes this
+      val normed = lineRm.select(col("doc_id"),
+        Quality.normalizeText(col("text")).as("text"))
+      // reference LM (one-pass uni+bi trainer) + frozen weight tables
+      val (uni, bi) = Quality.ngramLm(normed, "text", 16, 64)
+      val w19 = s.range(dim).select(col("id").as("feature"),
+          (col("id") % 2001 - 1000).as("w_micro"))
+        .unionByName(s.range(1).select(lit(-1L).as("feature"),
+          lit(12345L).as("w_micro")))
+      def cls(label: String, mod: Int, off: Int, b0: Long) =
+        s.range(dim).select(lit(label).as("label"),
+          col("id").as("feature"), (col("id") % mod - off).as("w_micro"))
+          .unionByName(s.range(1).select(lit(label).as("label"),
+            lit(-1L).as("feature"), lit(b0).as("w_micro")))
+      // equal intercepts: the argmax is decided by the feature sums, so
+      // the language gate genuinely splits the corpus (~1/3 'en')
+      val w20 = cls("en", 1999, 999, 0L)
+        .unionByName(cls("fr", 2003, 1001, 0L))
+        .unionByName(cls("de", 1993, 996, 0L))
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val prepared = Corpus.prepare(normed, "doc_id", "text", STOPS,
+        MARKERS, 0.5, Seq("en"),
+        maxDupWordFrac = 0.6, maxTopBigramFrac = 0.1,
+        lm = Some(uni), maxPpl = 2000.0, biLm = Some(bi),
+        embeddings = Some(e), semCentroids = Some(cents), semMinCos = 0.35,
+        gopher = true,
+        benchDocs = Some(bench), contamN = 5, maxContamFrac = 0.05,
+        contamHash = false,
+        classifier = Some(w19), classifierDim = dim,
+        minLogitMicro = 12000L,
+        langClassifier = Some(w20), langClassifierDim = dim)
+      // representatives back to text + source for the packaging tail
+      val sv = prepared.select(col("rep_id"))
+        .join(normed.select(col("doc_id").as("rep_id"), col("text")),
+          Seq("rep_id"))
+        .join(all.select(col("doc_id").as("rep_id"), col("source")),
+          Seq("rep_id"))
+      // equal target rates over every non-benchmark source: quota
+      // round(60/19) = 3 per source — bites once a source clears 3
+      // survivors (sf0.1+), keeps the tail populated at sf0.01
+      val quota = Sampling.mixQuota(sv, "source", "rep_id",
+        (1 to 19).map(i => s"src$i" -> 1.0 / 19).toMap, 60L)
+      val sharded = Sampling.shuffleShards(quota, "rep_id", 4, "ep1")
+      val chunks = Sampling.chunkDocs(sharded, "rep_id", "text", 32, 8)
+      sortAll(chunks
+        .join(sharded.select(col("rep_id").as("doc_id"), col("source"),
+          col("rk"), col("shard"), col("pos")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("rk"), col("shard"),
+          col("pos"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_fp")))
+    }),
+
     "sp1_sp_unigram_train" -> ((s, dir) => {
       sortAll(graft.llm.SpUnigram.train(docs(s, dir), "doc_id", "text",
         vocab = 120, iters = 2, maxPieceLen = 3, seedVocab = 200,
@@ -2622,6 +2704,252 @@ object LlmQueries {
          |  FROM sing s LEFT JOIN v2 v USING (piece)
          |  WHERE s.piece NOT IN (SELECT piece FROM fin))
          |${orderBySql("piece", "cnt")}""".stripMargin,
+
+    // THE WHOLE PIPELINE REPLAYED: every stage's existing oracle CTE
+    // composed through the previous stage's output text — span excision
+    // (d9) -> line chunk + line dedup on md5-low-60 keys (d16) ->
+    // normalize (tx7/d14) -> gopher (d18) + repetition (d11) + bigram
+    // perplexity (tx18) + classifier floor (d19) + trained langid (d20)
+    // + decontamination (d17) + semantic floor (d15) + quality floor and
+    // exact dedup (d7) -> mix quota (sm4) -> shuffle shards (sh1) ->
+    // context chunks (ck1)
+    "d21_full_pipeline" ->
+      s"""WITH RECURSIVE
+         |t0 AS MATERIALIZED (SELECT doc_id, source, text FROM $docsPq
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND source <> 'src0'),
+         |-- span excision (d9): 5-token windows in >= 2 distinct docs
+         |sat AS (SELECT doc_id, string_split(text, ' ') AS tok FROM t0),
+         |saw AS (SELECT doc_id, p, array_to_string(tok[p : p + 4], ' ') AS ws
+         |        FROM sat, UNNEST(range(1, greatest(len(tok) - 4, 0) + 1)) AS u(p)),
+         |sag AS (SELECT ws, doc_id, list(p) AS ps FROM saw GROUP BY 1, 2),
+         |sad AS (SELECT ws FROM sag GROUP BY ws HAVING count(*) >= 2),
+         |sas AS (SELECT doc_id, flatten(list(ps)) AS starts
+         |        FROM sag JOIN sad USING (ws) GROUP BY 1),
+         |sac AS (SELECT doc_id,
+         |          flatten(list_transform(starts, x -> range(x, x + 5))) AS cov
+         |        FROM sas),
+         |sak AS MATERIALIZED (SELECT sat.doc_id,
+         |        coalesce(array_to_string(
+         |          [tok[i] FOR i IN range(1, len(tok) + 1)
+         |           IF cov IS NULL OR NOT list_contains(cov, i)], ' '),
+         |          '') AS text
+         |      FROM sat LEFT JOIN sac USING (doc_id)),
+         |-- line chunk + line dedup on md5-low-60 keys (d16)
+         |lbt AS (SELECT doc_id, string_split(
+         |          regexp_replace(text, '$LineChunkRe', '\\1' || chr(10), 'g'),
+         |          chr(10)) AS ln FROM sak),
+         |lbw AS (SELECT doc_id, p,
+         |          ('0x' || substr(md5(ln[p]), 1, 15))::BIGINT AS ls
+         |        FROM lbt, UNNEST(range(1, len(ln) + 1)) AS u(p)),
+         |lbd AS (SELECT ls FROM lbw GROUP BY ls
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |lbk AS (SELECT doc_id, list(p ORDER BY p) AS kp
+         |        FROM lbw WHERE ls NOT IN (SELECT ls FROM lbd) GROUP BY 1),
+         |lbo AS MATERIALIZED (SELECT lbt.doc_id,
+         |        coalesce(array_to_string([ln[i] FOR i IN kp], chr(10)), '')
+         |          AS text
+         |      FROM lbt LEFT JOIN lbk USING (doc_id)),
+         |-- normalize (the engine's exact regex constants)
+         |nx AS MATERIALIZED (SELECT doc_id,
+         |        trim(regexp_replace(regexp_replace(text,
+         |          '${Quality.CtrlRe}', '', 'g'),
+         |          '${Quality.WsRe}', ' ', 'g')) AS text
+         |      FROM lbo),
+         |nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |-- reference models trained on the normalized corpus (tx18)
+         |m AS MATERIALIZED (SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM nx)
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 16),
+         |stx AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+         |               CAST(count(*) AS DOUBLE) AS v FROM m),
+         |bix AS MATERIALIZED (SELECT w1, w2, cnt, w1_cnt FROM (
+         |    SELECT p.w1, p.w2, count(*) AS cnt
+         |    FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+         |          FROM (SELECT string_split(lower(text), ' ') AS w FROM nx) tw,
+         |            UNNEST(range(1, len(w))) AS u(i)) p
+         |    GROUP BY 1, 2) c
+         |  JOIN (SELECT token AS w1, cnt AS w1_cnt FROM m) mm USING (w1)
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 64),
+         |-- gopher rules at the published defaults (d18)
+         |ggs AS (SELECT doc_id, text AS t, string_split(lower(text), ' ') AS gw,
+         |         string_split(text, chr(10)) AS gl FROM nx),
+         |ggm AS (SELECT doc_id,
+         |  CAST(len(gw) AS BIGINT) AS n_words,
+         |  round((length(t) - len(gw) + 1.0) / len(gw), 6) AS mwl,
+         |  round((length(t) - length(replace(t, '#', ''))
+         |         + (length(t) - length(replace(t, '...', ''))) // 3) * 1.0
+         |        / len(gw), 6) AS sym,
+         |  round(len(list_filter(gl, l -> starts_with(l, '- ')
+         |          OR starts_with(l, '* '))) * 1.0 / len(gl), 6) AS bf,
+         |  round(len(list_filter(gl, l -> ends_with(l, '...'))) * 1.0
+         |        / len(gl), 6) AS ef,
+         |  round(len(list_filter(gw, x -> regexp_matches(x, '[a-z]'))) * 1.0
+         |        / len(gw), 6) AS awf,
+         |  CAST(len(list_filter(gw, x -> x IN ('the','be','to','of','and',
+         |    'that','have','with'))) AS BIGINT) AS sh
+         | FROM ggs),
+         |gdrop AS (SELECT doc_id FROM ggm WHERE NOT (
+         |  n_words >= 50 AND n_words <= 100000
+         |  AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+         |  AND bf <= 0.9 AND ef <= 0.3 AND awf >= 0.8 AND sh >= 2)),
+         |-- within-doc repetition floor (d11; raw-case tokens)
+         |rrw AS (SELECT doc_id, string_split(text, ' ') AS w FROM nx),
+         |rtok AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS nt,
+         |         CAST(len(list_distinct(w)) AS DOUBLE) AS ndt FROM rrw),
+         |rbgc AS (SELECT doc_id, b, count(*) AS c FROM (
+         |          SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+         |          FROM rrw JOIN nums ON i <= len(w) - 1) GROUP BY 1, 2),
+         |ragg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS nb,
+         |         CAST(max(c) AS DOUBLE) AS mx FROM rbgc GROUP BY 1),
+         |rdrop AS (SELECT doc_id FROM rtok LEFT JOIN ragg USING (doc_id)
+         |          WHERE round((nt - ndt) / nt, 6) > 0.6
+         |             OR round(coalesce(mx / nb, 0.0), 6) > 0.1),
+         |-- bigram stupid-backoff perplexity floor (tx18)
+         |ptk AS (SELECT doc_id, i, w[i] AS cur,
+         |          CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+         |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |              FROM nx) dw,
+         |          UNNEST(range(1, len(w) + 1)) AS u(i)),
+         |plp AS (SELECT doc_id,
+         |          CASE
+         |            WHEN prev IS NULL THEN
+         |              CAST(round(ln((coalesce(m.cnt, 0) + 1.0) / (n + v + 1.0))
+         |                * 1000000) AS BIGINT)
+         |            WHEN bix.cnt IS NOT NULL THEN
+         |              CAST(round(ln(CAST(bix.cnt AS DOUBLE) /
+         |                CAST(bix.w1_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+         |            ELSE
+         |              CAST(round(ln(0.4 * ((coalesce(m.cnt, 0) + 1.0) /
+         |                (n + v + 1.0))) * 1000000) AS BIGINT)
+         |          END AS lp6
+         |        FROM ptk
+         |        LEFT JOIN m ON ptk.cur = m.token
+         |        LEFT JOIN bix ON ptk.prev = bix.w1 AND ptk.cur = bix.w2
+         |        CROSS JOIN stx),
+         |pg AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
+         |       FROM plp GROUP BY 1),
+         |pq AS (SELECT doc_id,
+         |         (-s6 * 2 + n_tokens) // (2 * n_tokens) AS m6 FROM pg),
+         |pdrop AS (SELECT doc_id FROM pq
+         |          WHERE round(exp(m6 / 1000000.0), 6) > 2000.0),
+         |-- classifier floor (d19's hashed features + formula weights)
+         |cw0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM nx),
+         |cng AS (SELECT doc_id, unnest(w) AS g FROM cw0
+         |        UNION ALL
+         |        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |        FROM cw0 JOIN nums ON i <= len(w) - 1),
+         |cfc AS (SELECT doc_id,
+         |          ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f,
+         |          count(*) AS cnt
+         |        FROM cng GROUP BY 1, 2),
+         |clg AS (SELECT doc_id,
+         |          12345 + sum(cnt * (f % 2001 - 1000)) AS lg
+         |        FROM cfc GROUP BY 1),
+         |cdrop AS (SELECT doc_id FROM clg WHERE lg < 12000),
+         |-- trained language id (d20's replay, equal intercepts)
+         |llg AS (SELECT doc_id,
+         |          CAST(sum(cnt * (f % 1999 - 999)) AS BIGINT) AS len_,
+         |          CAST(sum(cnt * (f % 2003 - 1001)) AS BIGINT) AS lfr,
+         |          CAST(sum(cnt * (f % 1993 - 996)) AS BIGINT) AS lde
+         |        FROM cfc GROUP BY doc_id),
+         |lpl AS (SELECT doc_id,
+         |          CASE WHEN lde >= len_ AND lde >= lfr THEN 'de'
+         |               WHEN len_ >= lfr THEN 'en' ELSE 'fr' END AS lang
+         |        FROM llg),
+         |-- benchmark decontamination (d17: corpus shingles vs src0)
+         |ksh AS (SELECT DISTINCT doc_id,
+         |          array_to_string(w[i : i + 4], ' ') AS sgl
+         |        FROM cw0 JOIN nums ON i <= len(w) - 4),
+         |bsh AS (SELECT DISTINCT array_to_string(w[i : i + 4], ' ') AS sgl
+         |        FROM (SELECT string_split(lower(text), ' ') AS w FROM $docsPq
+         |              WHERE source = 'src0' AND text IS NOT NULL) bw
+         |        JOIN nums ON i <= len(w) - 4),
+         |kcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |         FROM ksh GROUP BY 1),
+         |khit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+         |         FROM ksh JOIN bsh USING (sgl) GROUP BY 1),
+         |ddrop AS (SELECT doc_id FROM kcnt LEFT JOIN khit USING (doc_id)
+         |          WHERE round(coalesce(nc, 0) * 1.0 / nsh, 6) > 0.05),
+         |-- semantic floor (d15: within-cell cosine >= 0.35 components)
+         |ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM $embsPq),
+         |ecent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ev
+         |          FROM $embsPq WHERE vec_id < 8),
+         |easg AS (SELECT vec_id, cell FROM (
+         |           SELECT ec.vec_id, ecent.cell,
+         |             row_number() OVER (PARTITION BY ec.vec_id ORDER BY
+         |               list_inner_product(e, ev)
+         |                 / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(ev, ev)))
+         |               DESC, ecent.cell) AS rn
+         |           FROM ec, ecent) WHERE rn = 1),
+         |esp AS (SELECT a.vec_id AS i, b.vec_id AS j
+         |        FROM ec a JOIN easg aa ON a.vec_id = aa.vec_id
+         |        JOIN easg bb ON aa.cell = bb.cell
+         |        JOIN ec b ON b.vec_id = bb.vec_id
+         |        WHERE a.vec_id < b.vec_id
+         |          AND list_inner_product(a.e, b.e)
+         |            / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35),
+         |eedges AS (SELECT i, j FROM esp UNION SELECT j, i FROM esp),
+         |enodes AS (SELECT DISTINCT i AS id FROM eedges),
+         |ereach(id, r) AS (
+         |  SELECT id, id FROM enodes
+         |  UNION
+         |  SELECT e.i, ereach.r FROM eedges e JOIN ereach ON e.j = ereach.id),
+         |ecomp AS (SELECT id, min(r) AS component FROM ereach GROUP BY id),
+         |sdrop AS (SELECT id AS doc_id FROM ecomp WHERE id <> component),
+         |-- quality floor + every gate + exact dedup (d7's tail)
+         |fq AS (SELECT doc_id, text,
+         |  round(least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+         |          / 100.0, 1.0) * 0.5
+         |    + (CAST(len(list_filter(string_split(lower(text), ' '),
+         |         t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+         |       / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.3
+         |    + (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE CAST(length(regexp_replace(lower(text),
+         |          '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END)
+         |      * 0.2, 6) AS q
+         |  FROM nx),
+         |surv AS MATERIALIZED (
+         |  SELECT min(f.doc_id) AS rep_id, f.text
+         |  FROM fq f JOIN lpl USING (doc_id)
+         |  WHERE f.q >= 0.5 AND lpl.lang = 'en'
+         |    AND f.doc_id NOT IN (SELECT doc_id FROM gdrop)
+         |    AND f.doc_id NOT IN (SELECT doc_id FROM rdrop)
+         |    AND f.doc_id NOT IN (SELECT doc_id FROM pdrop)
+         |    AND f.doc_id NOT IN (SELECT doc_id FROM cdrop)
+         |    AND f.doc_id NOT IN (SELECT doc_id FROM ddrop)
+         |    AND f.doc_id NOT IN (SELECT doc_id FROM sdrop)
+         |  GROUP BY f.text),
+         |-- mix quota (sm4: md5 rank per source, round(60/19) = 3 each)
+         |sv AS (SELECT rep_id, surv.text, t0.source
+         |       FROM surv JOIN t0 ON rep_id = t0.doc_id),
+         |qr AS (SELECT rep_id, text, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(rep_id AS VARCHAR)), rep_id) AS BIGINT)
+         |           AS rk
+         |       FROM sv),
+         |qk AS (SELECT * FROM qr WHERE rk <= 3),
+         |-- epoch shuffle shards (sh1, 4 shards, salt 'ep1')
+         |shd AS (SELECT rep_id, text, source, rk,
+         |          ('0x' || substr(md5(CAST(rep_id AS VARCHAR) || 'ep1'), 1, 8))::BIGINT % 4
+         |            AS shard,
+         |          CAST(row_number() OVER (
+         |            PARTITION BY ('0x' || substr(md5(CAST(rep_id AS VARCHAR) || 'ep1'), 1, 8))::BIGINT % 4
+         |            ORDER BY md5(CAST(rep_id AS VARCHAR) || 'ep1'), rep_id)
+         |            AS BIGINT) AS pos
+         |        FROM qk),
+         |-- context chunks (ck1: 32 tokens, 8 overlap, stride 24)
+         |cht AS (SELECT rep_id, source, rk, shard, pos,
+         |          string_split(text, ' ') AS tk, len(string_split(text, ' ')) AS n,
+         |          unnest(generate_series(1, greatest(1, len(string_split(text, ' ')) - 8), 24)) AS cs
+         |        FROM shd)
+         |SELECT rep_id AS doc_id, source, rk, shard, pos,
+         |  CAST((cs - 1) // 24 AS BIGINT) AS chunk_id,
+         |  CAST(least(32, n - cs + 1) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(tk[cs : cs + 31], ' ')) AS chunk_fp
+         |FROM cht
+         |${orderBySql("doc_id", "source", "rk", "shard", "pos", "chunk_id",
+             "n_tokens", "chunk_fp")}""".stripMargin,
 
     // encode under sp1's trained model: per-word Viterbi (identical
     // integer micro-nat scores + greater-path tie rule) replayed by the
