@@ -51,7 +51,7 @@ object SpUnigram {
   def train(docs: DataFrame, idCol: String, textCol: String,
       vocab: Int, iters: Int = 2, maxPieceLen: Int = 4,
       seedVocab: Int = 4000, maxWordLen: Int = 0,
-      driverTypeCap: Long = 2000000L): DataFrame = {
+      driverTypeCap: Long = 2000000L, softEm: Boolean = false): DataFrame = {
     require(vocab >= 1, s"vocab must be >= 1, got $vocab")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
@@ -74,7 +74,7 @@ object SpUnigram {
         s"$driverTypeCap — the trainer is a driver kernel over the " +
         "vocab-scale type table")
     val words = freqs.as[(String, Long)].collect().sortBy(_._1)
-    val pieces = kernel(words, vocab, iters, maxPieceLen, seedVocab)
+    val pieces = kernel(words, vocab, iters, maxPieceLen, seedVocab, softEm)
     pieces.toSeq.toDF("piece", "cnt")
   }
 
@@ -187,7 +187,8 @@ object SpUnigram {
   /** The driver kernel (deterministic; spec-pinned against hand goldens
     * and the unrolled DuckDB replay). */
   private[llm] def kernel(words: Array[(String, Long)], vocab: Int,
-      iters: Int, maxPieceLen: Int, seedVocab: Int): Array[(String, Long)] = {
+      iters: Int, maxPieceLen: Int, seedVocab: Int,
+      softEm: Boolean = false): Array[(String, Long)] = {
     // ---- seed: substring counts, Σ freq · occurrences ----
     val seedCnt = new java.util.HashMap[String, Long]()
     words.foreach { case (w, f) =>
@@ -239,7 +240,85 @@ object SpUnigram {
       val lnT6 = math.round(math.log(t.toDouble) * 1e6)
       def lsc(c: Long): Long = math.round(math.log(c.toDouble) * 1e6) - lnT6
       val next = new java.util.HashMap[String, Long]()
-      words.foreach { case (w, f) =>
+      if (softEm) {
+        // SOFT E-step (Kudo's full EM, the ROUNDED integer form):
+        // forward/backward micro-nat sums with a DEFINED log-sum-exp —
+        // terms combine max-shifted, exp'd, summed in ASCENDING piece
+        // length (the order the oracle's ordered list fold replays),
+        // ln'd and re-fixed-pointed. A node with one incoming edge
+        // reduces to an exact integer sum (exp(0) = 1, ln(1) = 0 — no
+        // roundtrip drift), so a single-segmentation lattice reproduces
+        // hard-EM counts bit for bit (spec-pinned). Edge posteriors
+        // exp((α + lsc + β − Z)/10⁶) fix-point to micro-units; expected
+        // counts accumulate as freq × weight_micro integers and round
+        // HALF-UP back to whole counts for the M-step, keeping the
+        // model table's (piece, cnt) contract and making every
+        // iteration SQL-replayable.
+        val micro = new java.util.HashMap[String, Long]()
+        def lse(terms: Array[Long], nTerms: Int): Long = {
+          var mx = Long.MinValue
+          var i = 0
+          while (i < nTerms) { if (terms(i) > mx) mx = terms(i); i += 1 }
+          var sum = 0.0
+          i = 0
+          while (i < nTerms) {
+            sum += math.exp((terms(i) - mx).toDouble / 1e6); i += 1
+          }
+          mx + math.round(math.log(sum) * 1e6)
+        }
+        words.foreach { case (w, f) =>
+          val n = w.length
+          val a6 = new Array[Long](n + 1)
+          val b6 = new Array[Long](n + 1)
+          val terms = new Array[Long](maxPieceLen)
+          var i = 1
+          while (i <= n) {
+            var k = 0
+            var l = 1
+            while (l <= maxPieceLen && l <= i) {
+              val c = model.getOrDefault(w.substring(i - l, i), 0L)
+              if (c > 0L) { terms(k) = a6(i - l) + lsc(c); k += 1 }
+              l += 1
+            }
+            // singles coverage: every position reachable, k >= 1
+            a6(i) = lse(terms, k)
+            i += 1
+          }
+          i = n - 1
+          while (i >= 0) {
+            var k = 0
+            var l = 1
+            while (l <= maxPieceLen && i + l <= n) {
+              val c = model.getOrDefault(w.substring(i, i + l), 0L)
+              if (c > 0L) { terms(k) = lsc(c) + b6(i + l); k += 1 }
+              l += 1
+            }
+            b6(i) = lse(terms, k)
+            i -= 1
+          }
+          val z6 = a6(n)
+          i = 0
+          while (i < n) {
+            var l = 1
+            while (l <= maxPieceLen && i + l <= n) {
+              val piece = w.substring(i, i + l)
+              val c = model.getOrDefault(piece, 0L)
+              if (c > 0L) {
+                val w6 = a6(i) + lsc(c) + b6(i + l) - z6
+                val wMicro = math.round(math.exp(w6.toDouble / 1e6) * 1e6)
+                micro.merge(piece, f * wMicro, java.lang.Long.sum _)
+              }
+              l += 1
+            }
+            i += 1
+          }
+        }
+        // micro-units -> whole counts, half-up; zero-rounded pieces drop
+        micro.forEach { (p, c) =>
+          val whole = (c + 500000L) / 1000000L
+          if (whole > 0L) next.put(p, whole)
+        }
+      } else words.foreach { case (w, f) =>
         val n = w.length
         val sc = new Array[Long](n + 1)
         val path = new Array[String](n + 1)

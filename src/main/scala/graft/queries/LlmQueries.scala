@@ -1028,6 +1028,18 @@ object LlmQueries {
       sortAll(graft.llm.SpUnigram.encode(d, "doc_id", "text", model))
     }),
 
+    // SOFT-EM SentencePiece (Kudo's full forward-backward EM in the
+    // rounded integer form): one expectation iteration over the seed
+    // vocab, edge posteriors fixed-pointed to micro-units, expected
+    // counts rounded half-up back to whole counts. The oracle unrolls
+    // the alpha/beta lattice position by position with the SAME ordered
+    // log-sum-exp fold the kernel computes
+    "sp3_sp_unigram_soft" -> ((s, dir) => {
+      sortAll(graft.llm.SpUnigram.train(docs(s, dir), "doc_id", "text",
+        vocab = 120, iters = 1, maxPieceLen = 3, seedVocab = 200,
+        maxWordLen = 8, softEm = true))
+    }),
+
     "bp1_bpe_train" -> ((s, dir) => {
       sortAll(Bpe.train(docs(s, dir), "doc_id", "text", 6, maxBatch = 8,
         driverTypeCap = 0L))
@@ -1226,6 +1238,82 @@ object LlmQueries {
        |sege AS MATERIALIZED (${(1 to 8).map(i =>
             s"SELECT w, path FROM be$i WHERE len(w) = $i")
             .mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
+
+  /** One SOFT-EM iteration unrolled: forward alpha CTEs sa0..sa8 and
+    * backward beta CTEs sb8..sb0 (integer micro-nats; multi-edge nodes
+    * combine by the ordered log-sum-exp fold — max-shift, exp, LEFT
+    * fold in ascending piece length, ln, re-fix-point — exactly the
+    * kernel's arithmetic), then per-edge posterior weights
+    * round(exp((alpha + lsc + beta − Z)/10⁶)·10⁶) summed as
+    * freq-weighted micro-units and rounded half-up to whole counts.
+    * Reads model `v0`, word table `wtc`, singles `sing`; ends with
+    * `sv1` (the recounted model, singles floored). */
+  private def spSoftIter: String = {
+    def lse(inner: String) =
+      s"""SELECT w, freq, CAST(amx + round(ln(list_reduce(
+         |      list_transform(ts, x -> exp(CAST(x - amx AS DOUBLE) / 1000000.0)),
+         |      (p, q) -> p + q)) * 1000000) AS BIGINT) AS v
+         |  FROM (SELECT w, freq, max(t) AS amx, list(t ORDER BY l) AS ts
+         |        FROM ($inner) GROUP BY w, freq)""".stripMargin
+    val fwd = (1 to 8).map { i =>
+      val arms = (1 to 3).filter(_ <= i).map { l =>
+        s"""    SELECT b.w, b.freq, $l AS l, b.a + x.lsc AS t
+           |    FROM sa${i - l} b JOIN sl x
+           |      ON x.piece = substr(b.w, ${i - l + 1}, $l)
+           |    WHERE len(b.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""sa$i AS MATERIALIZED (SELECT w, freq, v AS a FROM (
+         |${lse(arms)}))""".stripMargin
+    }.mkString(",\n")
+    val bwd = (0 to 7).reverse.map { i =>
+      val arms = (1 to 3).filter(_ + i <= 8).map { l =>
+        s"""    SELECT b.w, b.freq, $l AS l, x.lsc + b.b AS t
+           |    FROM sb${i + l} b JOIN sl x
+           |      ON x.piece = substr(b.w, ${i + 1}, $l)
+           |    WHERE len(b.w) > $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""sb$i AS MATERIALIZED (
+         |  SELECT w, freq, CAST(0 AS BIGINT) AS b FROM wtc WHERE len(w) = $i
+         |  UNION ALL
+         |  SELECT w, freq, v AS b FROM (
+         |${lse(arms)}))""".stripMargin
+    }.mkString(",\n")
+    val edgeArms = (for (i <- 0 to 7; l <- 1 to 3 if i + l <= 8) yield
+      s"""    SELECT au.w, au.freq, substr(au.w, ${i + 1}, $l) AS piece,
+         |      au.a + x.lsc + bu.b AS num
+         |    FROM sa$i au JOIN sl x ON x.piece = substr(au.w, ${i + 1}, $l)
+         |    JOIN sb${i + l} bu ON au.w = bu.w
+         |    WHERE len(au.w) >= ${i + l}""".stripMargin)
+      .mkString("\n    UNION ALL\n")
+    val zArms = (1 to 8).map(i =>
+      s"SELECT w, a AS z FROM sa$i WHERE len(w) = $i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""st1 AS MATERIALIZED (SELECT CAST(round(ln(CAST(sum(cnt) AS DOUBLE))
+       |    * 1000000) AS BIGINT) AS lt FROM v0),
+       |sl AS MATERIALIZED (SELECT piece,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+       |      - (SELECT lt FROM st1) AS lsc
+       |  FROM v0),
+       |sa0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS a FROM wtc),
+       |sb8 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS b
+       |  FROM wtc WHERE len(w) = 8),
+       |$fwd,
+       |$bwd,
+       |szu AS MATERIALIZED ($zArms),
+       |sedge AS MATERIALIZED (
+       |$edgeArms),
+       |scc AS MATERIALIZED (SELECT piece,
+       |    CAST(sum(freq * CAST(round(exp(CAST(num - z AS DOUBLE) / 1000000.0)
+       |      * 1000000) AS BIGINT)) AS BIGINT) AS micro
+       |  FROM sedge JOIN szu USING (w) GROUP BY piece),
+       |swhole AS MATERIALIZED (SELECT piece, (micro + 500000) // 1000000 AS cnt
+       |  FROM scc WHERE (micro + 500000) // 1000000 > 0),
+       |sv1 AS MATERIALIZED (SELECT piece, cnt FROM swhole
+       |  UNION ALL
+       |  SELECT s.piece, greatest(1, coalesce(c.cnt, 1)) AS cnt
+       |  FROM sing s LEFT JOIN swhole c USING (piece)
+       |  WHERE s.piece NOT IN (SELECT piece FROM swhole))""".stripMargin
   }
 
   private def spEmIter(n: Int, prev: String): String = {
@@ -2950,6 +3038,40 @@ object LlmQueries {
          |FROM cht
          |${orderBySql("doc_id", "source", "rk", "shard", "pos", "chunk_id",
              "n_tokens", "chunk_fp")}""".stripMargin,
+
+    // seed exactly as sp1 (wt -> wtc -> seed -> sing -> ts -> v0), ONE
+    // soft iteration (alpha/beta lattice, ordered log-sum-exp, rounded
+    // posteriors), then the same prune + singles floor
+    "sp3_sp_unigram_soft" ->
+      s"""WITH wt AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM $docsPq
+         |    WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY w),
+         |wtc AS MATERIALIZED (SELECT w, freq FROM wt WHERE len(w) <= 8),
+         |poss AS (SELECT unnest(generate_series(1, 8)) AS i),
+         |lns AS (SELECT unnest(generate_series(1, 3)) AS l),
+         |seed AS MATERIALIZED (SELECT substr(w, i, l) AS piece,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM wtc, poss, lns WHERE i + l - 1 <= len(w) GROUP BY 1),
+         |sing AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
+         |  FROM wtc, poss WHERE i <= len(w)),
+         |ts AS MATERIALIZED (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece
+         |  LIMIT 200),
+         |v0 AS MATERIALIZED (SELECT piece, cnt FROM ts
+         |  UNION ALL
+         |  SELECT s.piece, greatest(1, coalesce(seed.cnt, 1)) AS cnt
+         |  FROM sing s LEFT JOIN seed ON s.piece = seed.piece
+         |  WHERE s.piece NOT IN (SELECT piece FROM ts)),
+         |$spSoftIter,
+         |sfin AS MATERIALIZED (SELECT piece, cnt FROM sv1
+         |  ORDER BY cnt DESC, piece LIMIT 120)
+         |SELECT piece, cnt FROM (
+         |  SELECT piece, cnt FROM sfin
+         |  UNION ALL
+         |  SELECT s.piece, greatest(1, coalesce(v.cnt, 1)) AS cnt
+         |  FROM sing s LEFT JOIN sv1 v USING (piece)
+         |  WHERE s.piece NOT IN (SELECT piece FROM sfin))
+         |${orderBySql("piece", "cnt")}""".stripMargin,
 
     // encode under sp1's trained model: per-word Viterbi (identical
     // integer micro-nat scores + greater-path tie rule) replayed by the

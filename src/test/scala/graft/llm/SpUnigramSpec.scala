@@ -27,6 +27,31 @@ class SpUnigramSpec extends AnyFunSuite {
       ("b", 5L)))
   }
 
+  test("soft-EM ≡ hard-EM on single-segmentation lattices; deterministic " +
+      "and singles-covered with real alternatives") {
+    // maxPieceLen = 1: every word has exactly ONE lattice path (chars),
+    // so every edge posterior is exactly 1 — exp(0) = 1 and ln(1) = 0
+    // are exact in IEEE, the rounded soft counts equal the hard Viterbi
+    // recount bit for bit (the spec the rounded-integer contract pins)
+    val words = Array(("abc", 5L), ("ab", 3L), ("dd", 2L))
+    val hard = SpUnigram.kernel(words, vocab = 10, iters = 2,
+      maxPieceLen = 1, seedVocab = 100)
+    val soft = SpUnigram.kernel(words, vocab = 10, iters = 2,
+      maxPieceLen = 1, seedVocab = 100, softEm = true)
+    assert(soft.toSeq === hard.toSeq)
+    // real alternatives: mass splits across segmentations — still a
+    // valid, deterministic, singles-covered model
+    val w2 = Array(("aaab", 3L), ("ab", 2L))
+    val s1 = SpUnigram.kernel(w2, vocab = 3, iters = 1, maxPieceLen = 3,
+      seedVocab = 100, softEm = true)
+    val s2 = SpUnigram.kernel(w2, vocab = 3, iters = 1, maxPieceLen = 3,
+      seedVocab = 100, softEm = true)
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.nonEmpty && s1.forall(_._2 >= 1L))
+    val vocabSet = s1.map(_._1).toSet
+    assert(Set("a", "b").subsetOf(vocabSet), "singles floored in")
+  }
+
   test("encode: hand-computed segmentation, trainer parity, <unk>, " +
       "empty-doc row") {
     val spark2 = spark
