@@ -156,6 +156,38 @@ object MixProbe {
       concat(lit("top"), col("doc_id"), lit("\nbot"), col("doc_id"))).count() == 0,
       "unique flank lines kept in order")
 
+    // --- trigram tier: ngramLm3 one-scan trainer + the tri->bi->uni
+    // chain; looped docs are wall-to-wall known trigrams and must sit
+    // strictly below the unique docs' double-backed-off scores ---
+    val (u3, b3, t3) = time("ngramLm3")(
+      Quality.ngramLm3(docs, "text", 4000, 8000, 8000))
+    require(t3.count() > 0, "trigram vocab non-empty")
+    val tppl = time("trigramPerplexity")(
+      Quality.trigramPerplexity(docs, u3, b3, t3, "doc_id", "text")
+        .localCheckpoint())
+    require(tppl.count() == n, "one trigram ppl row per doc")
+    val tLoopMax = tppl.filter(col("doc_id") < half)
+      .agg(max("ppl")).head.getDouble(0)
+    val tUniqMin = tppl.filter(col("doc_id") >= half)
+      .agg(min("ppl")).head.getDouble(0)
+    require(tLoopMax < tUniqMin,
+      s"looped trigram ppl $tLoopMax must sit below the unique floor $tUniqMin")
+
+    // --- compiled PII scrub: one injected payload per category in every
+    // doc — exact counts, exact redaction, at corpus scale ---
+    val piiDocs = docs.select(col("doc_id"), concat(col("text"),
+      lit(" u"), col("doc_id").cast("string"),
+      lit("@x.io 10.0.0.7 +1 415 555 0000")).as("text"))
+    val pii = time("piiStats")(
+      piiDocs.select(col("doc_id"),
+        Quality.piiStats(col("text")).as("p")).localCheckpoint())
+    require(pii.count() == n, "one pii row per doc")
+    require(pii.filter(col("p.n_email") =!= 1L || col("p.n_ip") =!= 1L ||
+      col("p.n_phone") =!= 1L).count() == 0, "exactly one hit per category")
+    require(pii.filter(!col("p.scrubbed")
+      .endsWith("<EMAIL> <IP> <PHONE>")).count() == 0,
+      "payload redacted in order")
+
     println(s"[mix] OK docs=$n")
     spark.stop()
   }

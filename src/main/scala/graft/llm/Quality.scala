@@ -204,8 +204,13 @@ object Quality {
   /** Partial-count map flush bound (entries) for the LM trainers — the
     * spill discipline of a hash aggregate, explicit: a partition whose
     * distinct-key count exceeds this emits its partials and starts a
-    * fresh map (the final sum merges chunks exactly). */
-  private val PartialFlushAt = 1 << 21
+    * fresh map (the final sum merges chunks exactly). Sized for ALL
+    * partitions flushing concurrently: 2¹⁸ entries × ~150 B × 32 tasks
+    * ≈ 1.2 GB — the 2²¹ bound OOM'd the 1 M-doc MixProbe fixture
+    * (~20 M distinct tokens across tasks) where the old explode form
+    * spilled; flushing earlier only sends more partial rows to the
+    * exact final sum. */
+  private val PartialFlushAt = 1 << 18
 
   /** Mutable long counter — hash-map values without per-increment boxing. */
   private final class LongCnt { var v: Long = 0L }
@@ -335,7 +340,9 @@ object Quality {
   def bigramLm(ref: DataFrame, textCol: String, uni: DataFrame,
       vocab: Int): DataFrame = {
     require(vocab >= 1, s"bigramLm: vocab must be >= 1, got $vocab")
-    pairPartials(ref, textCol)
+    combinedPartials(ref, textCol, uni = false, tri = false)
+      .filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cnt"))
       .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
       .join(broadcast(uni.select(col("token").as("w1"),
         col("cnt").as("w1_cnt"))), Seq("w1"))
@@ -378,9 +385,15 @@ object Quality {
       : (DataFrame, DataFrame, Option[DataFrame]) = {
     require(uniVocab >= 1, s"ngramLm: uniVocab must be >= 1, got $uniVocab")
     require(biVocab >= 1, s"ngramLm: biVocab must be >= 1, got $biVocab")
-    val grams = combinedPartials(docs, textCol, tri = triVocab > 0)
+    // columnar spillable cache, NOT localCheckpoint: the gram table is
+    // model-scale on real (Zipfian) corpora but can reach corpus scale
+    // on adversarial all-unique vocabularies, where checkpointed
+    // deserialized rows OOM'd — the columnar cache stores compact and
+    // spills (probe-measured at 1M unique-token docs)
+    val grams = combinedPartials(docs, textCol, uni = true,
+      tri = triVocab > 0)
       .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = grams.filter(col("w2").isNull && col("w3").isNull)
       .select(col("w1").as("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
@@ -420,7 +433,7 @@ object Quality {
     val counts = tokenPartials2(docs, textCol, target)
       .groupBy("token").agg(sum("cnt_all").as("cnt_all"),
         sum("cnt_tgt").as("cnt_tgt"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgt = counts.filter(col("cnt_tgt") > 0)
       .select(col("token"), col("cnt_tgt").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
@@ -431,86 +444,9 @@ object Quality {
     (tgt, src)
   }
 
-  /** [[tokenPartials]]' adjacent-pair sibling — a two-level map (outer
-    * keyed by w1 views, inner by w2) so probing allocates nothing; keys
-    * clone only on first sight. A chunk of pair-less docs (all < 2
-    * tokens) yields an empty map and the fill loop continues — no
-    * phantom elements. Output: ("w1", "w2", "cnt") partials. */
-  private def pairPartials(ref: DataFrame, textCol: String): DataFrame = {
-    import org.apache.spark.sql.graft.PlanBridge
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-    import org.apache.spark.unsafe.types.UTF8String
-    val spark = ref.sparkSession
-    val toks = ref.filter(col(textCol).isNotNull)
-      .select(lower(col(textCol)).as("_lt"))
-    val rdd = PlanBridge.toInternalRdd(toks).mapPartitions { rows =>
-      new Iterator[InternalRow] {
-        private var pending: Iterator[InternalRow] = Iterator.empty
-        private def fill(): Boolean = {
-          while (!pending.hasNext && rows.hasNext) {
-            val m = new java.util.HashMap[UTF8String,
-              java.util.HashMap[UTF8String, LongCnt]]()
-            var entries = 0
-            while (rows.hasNext && entries < PartialFlushAt) {
-              val text = rows.next().getUTF8String(0)
-              val base = text.getBaseObject
-              val off = text.getBaseOffset
-              val nb = text.numBytes()
-              var prev: UTF8String = null
-              var start = 0
-              var i = 0
-              while (i <= nb) {
-                if (i == nb || org.apache.spark.unsafe.Platform
-                    .getByte(base, off + i) == ' '.toByte) {
-                  val b = UTF8String.fromAddress(base, off + start, i - start)
-                  if (prev != null) {
-                    var inner = m.get(prev)
-                    if (inner == null) {
-                      inner = new java.util.HashMap[UTF8String, LongCnt]()
-                      m.put(prev.clone(), inner)
-                    }
-                    var c = inner.get(b)
-                    if (c == null) {
-                      c = new LongCnt; inner.put(b.clone(), c); entries += 1
-                    }
-                    c.v += 1L
-                  }
-                  prev = b
-                  start = i + 1
-                }
-                i += 1
-              }
-            }
-            import scala.jdk.CollectionConverters._
-            pending = m.entrySet().asScala.iterator.flatMap { e =>
-              val w1 = e.getKey
-              e.getValue.entrySet().asScala.iterator.map(e2 =>
-                new GenericInternalRow(
-                  Array[Any](w1, e2.getKey, e2.getValue.v)): InternalRow)
-            }
-          }
-          pending.hasNext
-        }
-        override def hasNext: Boolean = fill()
-        override def next(): InternalRow = {
-          if (!fill()) throw new NoSuchElementException("empty partition")
-          pending.next()
-        }
-      }
-    }
-    PlanBridge.fromInternalRdd(spark, rdd,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("w1",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("w2",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("cnt",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-  }
-
-  /** [[ngramLm]]/[[ngramLm3]]'s one-pass partial counter: emits
-    * per-token rows (w1, NULL, NULL, cnt), adjacent-pair rows
+  /** The n-gram partial counter behind [[bigramLm]]/[[ngramLm]]/
+    * [[ngramLm3]]/[[trigramLm]]: emits per-token rows
+    * (w1, NULL, NULL, cnt) when `uni`, adjacent-pair rows
     * (w1, w2, NULL, cnt), and — when `tri` — adjacent-triple rows
     * (w1, w2, w3, cnt) from one pass over the lowered text (byte-level
     * `' '` split, the [[tokenPartials]] discipline). Tokens INTERN to
@@ -518,7 +454,7 @@ object Quality {
     * token), so pair/triple counting probes open Long maps keyed by
     * 21-bit id packing instead of hashing strings again. */
   private def combinedPartials(ref: DataFrame, textCol: String,
-      tri: Boolean): DataFrame = {
+      uni: Boolean, tri: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -547,10 +483,13 @@ object Quality {
             val um = new scala.collection.mutable.LongMap[Long]()
             val bm = new scala.collection.mutable.LongMap[Long]()
             val tm = new scala.collection.mutable.LongMap[Long]()
-            // flush on distinct TOKENS: ids must stay < 2^21 for the
-            // packing; pair/triple entries are bounded by token entries
-            // × window, and the maps hold plain longs either way
-            while (rows.hasNext && names.length < (PartialFlushAt >> 1)) {
+            // two independent flush bounds: distinct TOKENS (each costs
+            // a cloned UTF8String + interner entry, and ids must stay
+            // < 2^21 for the packing) and total long-map ENTRIES (16 B
+            // each). Sized for 32 concurrent tasks flushing together.
+            var entries = 0
+            while (rows.hasNext && names.length < (1 << 19) &&
+                entries < (1 << 20)) {
               val text = rows.next().getUTF8String(0)
               val base = text.getBaseObject
               val off = text.getBaseOffset
@@ -564,14 +503,22 @@ object Quality {
                     .getByte(base, off + i) == ' '.toByte) {
                   val id = intern(
                     UTF8String.fromAddress(base, off + start, i - start))
-                  val uk = id.toLong
-                  um.update(uk, um.getOrElse(uk, 0L) + 1L)
+                  if (uni) {
+                    val uk = id.toLong
+                    val c = um.getOrElse(uk, 0L)
+                    if (c == 0L) entries += 1
+                    um.update(uk, c + 1L)
+                  }
                   if (prev >= 0) {
                     val bk = (prev.toLong << 21) | id
-                    bm.update(bk, bm.getOrElse(bk, 0L) + 1L)
+                    val c = bm.getOrElse(bk, 0L)
+                    if (c == 0L) entries += 1
+                    bm.update(bk, c + 1L)
                     if (tri && prev2 >= 0) {
                       val tk = (prev2.toLong << 42) | bk
-                      tm.update(tk, tm.getOrElse(tk, 0L) + 1L)
+                      val tc = tm.getOrElse(tk, 0L)
+                      if (tc == 0L) entries += 1
+                      tm.update(tk, tc + 1L)
                     }
                   }
                   prev2 = prev
@@ -738,7 +685,7 @@ object Quality {
   def trigramLm(ref: DataFrame, textCol: String, bi: DataFrame,
       vocab: Int): DataFrame = {
     require(vocab >= 1, s"trigramLm: vocab must be >= 1, got $vocab")
-    combinedPartials(ref, textCol, tri = true)
+    combinedPartials(ref, textCol, uni = false, tri = true)
       .filter(col("w3").isNotNull)
       .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
       .join(broadcast(bi.select(col("w1"), col("w2"),
