@@ -957,9 +957,15 @@ object LlmQueries {
           minDocs = 2, md5Keys = true)
         .select(col("doc_id"), col("clean_text").as("text"))
       // normalize: collapses the line separators back to canonical
-      // single-space text — every downstream floor tokenizes this
+      // single-space text — every downstream floor tokenizes this.
+      // CACHED (columnar, spillable): the span+line+normalize prefix
+      // costs three shuffles, and prepare's gate branches plus the
+      // model trainers and the packaging tail would each re-execute it
+      // — a production pipeline writes this canonical table out; the
+      // cache is that materialization point in one plan
       val normed = lineRm.select(col("doc_id"),
         Quality.normalizeText(col("text")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // reference LM (one-pass uni+bi trainer) + frozen weight tables
       val (uni, bi) = Quality.ngramLm(normed, "text", 16, 64)
       val w19 = s.range(dim).select(col("id").as("feature"),
