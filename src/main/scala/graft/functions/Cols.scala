@@ -176,6 +176,17 @@ object Cols {
       ColumnBridge.expression(arr)))
   }
 
+  /** Line-chunk staging (`regexp_replace(text, "((\\S+ ){n-1}\\S+) ",
+    * "$1\\n")`) as one compiled byte scan
+    * ([[graft.expressions.ChunkLines]]) — property-pinned identical to
+    * the java regex form. */
+  def chunkLines(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ChunkLines(
+      ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+  }
+
   /** Per-element cross-engine md5-low-60 hash of a string array in one
     * compiled pass ([[graft.expressions.ElementMd5Low60]]) — DuckDB
     * reproduces the values as `('0x' || substr(md5(x), 1, 15))::BIGINT`,

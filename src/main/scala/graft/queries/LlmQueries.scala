@@ -21,10 +21,13 @@ object LlmQueries {
     "de" -> Seq("der", "die", "das", "und"),
     "es" -> Seq("el", "la", "los", "y"))
 
-  /** Chunk-every-4-tokens line injection for d16 — alternation-free and
-    * backtracking-trivial so Java and RE2 replace the same spans; the
-    * oracle interpolates this constant (replacement backref syntax is the
-    * engines' own: `$1` Java, `\1` RE2). */
+  /** Chunk-every-4-tokens line injection for d16/tx9/d21 —
+    * alternation-free and backtracking-trivial so Java and RE2 replace
+    * the same spans; the oracle interpolates this constant (replacement
+    * backref syntax is the engines' own: `$1` Java, `\1` RE2). The
+    * ENGINE side runs the compiled byte-scan twin
+    * ([[graft.functions.Cols.chunkLines]], property-pinned ≡ this
+    * regex). */
   private val LineChunkRe = "((\\S+ ){3}\\S+) "
 
   private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
@@ -659,7 +662,7 @@ object LlmQueries {
       val lined = docs(s, dir)
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"),
-          regexp_replace(col("text"), LineChunkRe, "$1\n").as("text"))
+          graft.functions.Cols.chunkLines(col("text"), 4).as("text"))
       sortAll(Dedup.removeDupLines(lined, "doc_id", "text", minDocs = 2,
         md5Keys = true))
     }),
@@ -670,7 +673,7 @@ object LlmQueries {
     // tightened so the staged defects actually flip the pass flag. Pure
     // per-row column math; the oracle replays staging and all 7 rules
     "tx9_gopher_rules" -> ((s, dir) => {
-      val lined = regexp_replace(col("text"), LineChunkRe, "$1\n")
+      val lined = graft.functions.Cols.chunkLines(col("text"), 4)
       val withBullet = when(col("doc_id") % 3 === 0,
         concat(lit("- "), lined)).otherwise(lined)
       val aug = when(col("doc_id") % 4 === 0,
@@ -952,7 +955,7 @@ object LlmQueries {
         .select(col("doc_id"), col("clean_text").as("text"))
       // line chunking + line-level dedup (d16's shape, md5-low-60 keys)
       val lined = spanRm.select(col("doc_id"),
-        regexp_replace(col("text"), LineChunkRe, "$1\n").as("text"))
+        graft.functions.Cols.chunkLines(col("text"), 4).as("text"))
       val lineRm = Dedup.removeDupLines(lined, "doc_id", "text",
           minDocs = 2, md5Keys = true)
         .select(col("doc_id"), col("clean_text").as("text"))
