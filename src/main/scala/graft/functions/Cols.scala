@@ -135,6 +135,15 @@ object Cols {
       ColumnBridge.expression(lines), ColumnBridge.expression(kpos), sep))
   }
 
+  /** Per-document (term, tf) pairs of a token array in one compiled
+    * pass ([[graft.expressions.TermCounts]]) — term frequency without
+    * the corpus-token-scale groupBy exchange. */
+  def termCounts(tok: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TermCounts(
+      ColumnBridge.expression(tok)))
+  }
+
   /** PII scrub (email → IPv4 → phone, `Quality.scrubPii` semantics) as
     * one compiled byte scan ([[graft.expressions.PiiScrubExpr]]). */
   def piiScrub(text: Column): Column = {

@@ -54,9 +54,14 @@ object Relevance {
       .filter(col("_dl") >= 1)
     // single-row corpus stats broadcast into the plan — no driver action
     val n = base.agg(count(lit(1)).as("_n"))
+    // tf is DOC-LOCAL: one compiled pass per row, then explode the
+    // (term, tf) pairs — no corpus-token-scale groupBy exchange (the
+    // RepetitionCounts lesson); df and the term join below are the
+    // genuinely corpus-level steps and keep their shuffles
     val dt = base.select(col("doc_id"), col("_dl"),
-        explode(col("_toks")).as("term"))
-      .groupBy("doc_id", "_dl", "term").agg(count(lit(1)).as("tf"))
+        explode(graft.functions.Cols.termCounts(col("_toks"))).as("_tc"))
+      .select(col("doc_id"), col("_dl"), col("_tc.term").as("term"),
+        col("_tc.tf").as("tf"))
     val df = dt.groupBy("term").agg(count(lit(1)).as("_df"))
     val scored = dt.join(df, "term")
       .crossJoin(broadcast(n))
@@ -121,6 +126,9 @@ object Relevance {
       count(lit(1)).as("_n"))
     // the explode filters to the broadcast query-term set FIRST — only
     // query-term occurrences survive the map side
+    // NOTE: unlike tfidfTopTerms, the tf exchange here is already
+    // query-term-pruned (tiny), so the compiled per-row counter costs
+    // more than it saves — measured; keep the pruned groupBy
     val qt = base.select(col("doc_id"), col("_dl"),
         explode(col("_toks")).as("term"))
       .filter(col("term").isin(terms: _*))
@@ -205,7 +213,9 @@ object Relevance {
     val stats = base.agg(sum(col("_dl")).cast("long").as("_s"),
       count(lit(1)).as("_n"))
     // one corpus explode, left-semi-pruned to the union of query terms
-    // on the map side — the only corpus-sized pass in the operator
+    // on the map side — the only corpus-sized pass in the operator (the
+    // tf exchange is query-term-pruned and tiny; the compiled per-row
+    // counter measured slower here, unlike tfidfTopTerms)
     val qt = base.select(col("doc_id"), col("_dl"),
         explode(col("_toks")).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"),
