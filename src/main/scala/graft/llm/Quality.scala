@@ -1108,6 +1108,74 @@ object Quality {
         lit("graft classifier: doc id not castable to long: "),
         id.cast("string"))).cast("long"))
 
+  /** Per-partition hashed-ngram featurizer over LOWERED text BYTES —
+    * the scorer-side twin of [[hashedTextFeatures]] (spec-pinned equal:
+    * the md5-low-32-mod-dim values are over the identical UTF-8 bytes).
+    * Tokenizes by byte-level `' '` split (zero-copy views; the old
+    * typed scan re-materialized every ngram as a java String just to
+    * hash it), and exploits that a BIGRAM's bytes are CONTIGUOUS in the
+    * source (the separator is exactly the single space the tokenizer
+    * splits on), so bigram hashing is a longer view — no concatenation.
+    * Memo: distinct ngrams clone once (bounded, droppable — values are
+    * pure). */
+  private final class NgramFeaturizer(dim: Long, bigrams: Boolean) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val memo =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long](1 << 14)
+    private var scratch = new Array[Byte](256)
+    val counts = new scala.collection.mutable.LongMap[Long]()
+
+    private def featOf(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val hit = memo.get(u)
+      if (hit != null) return hit.longValue()
+      val len = u.numBytes()
+      if (scratch.length < len)
+        scratch = new Array[Byte](math.max(len, scratch.length * 2))
+      u.writeToMemory(scratch,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      md.reset()
+      md.update(scratch, 0, len)
+      val d = md.digest()
+      val f = java.lang.Integer.toUnsignedLong(
+        java.nio.ByteBuffer.wrap(d).getInt) % dim
+      if (memo.size < (1 << 16))
+        memo.put(u.clone(), java.lang.Long.valueOf(f))
+      f
+    }
+
+    /** Hashed uni(+bi)gram feature counts of the lowered text into
+      * [[counts]] (cleared first). */
+    def featurize(text: org.apache.spark.unsafe.types.UTF8String): Unit = {
+      counts.clear()
+      val base = text.getBaseObject
+      val off = text.getBaseOffset
+      val nb = text.numBytes()
+      var prevStart = -1
+      var prevLen = 0
+      var start = 0
+      var i = 0
+      while (i <= nb) {
+        if (i == nb || org.apache.spark.unsafe.Platform
+            .getByte(base, off + i) == ' '.toByte) {
+          val tokLen = i - start
+          val f = featOf(org.apache.spark.unsafe.types.UTF8String
+            .fromAddress(base, off + start, tokLen))
+          counts.update(f, counts.getOrElse(f, 0L) + 1L)
+          if (bigrams && prevStart >= 0) {
+            val g = featOf(org.apache.spark.unsafe.types.UTF8String
+              .fromAddress(base, off + prevStart, prevLen + 1 + tokLen))
+            counts.update(g, counts.getOrElse(g, 0L) + 1L)
+          }
+          prevStart = start
+          prevLen = tokLen
+          start = i + 1
+        }
+        i += 1
+      }
+    }
+  }
+
   /** Hashed bag-of-ngrams features: (doc_id, feature, cnt) with
     * feature = md5-low-32(ngram) mod `dim` over the lowercased
     * space-split unigrams (and bigrams when `bigrams`) — the hashing
@@ -1299,58 +1367,39 @@ object Quality {
     }
     val bc = spark.sparkContext.broadcast(wMap)
     val dimL = dim.toLong
-    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(longId(col(idCol)).as("_1"), col(textCol).as("_2"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        val w = bc.value
-        val md = java.security.MessageDigest.getInstance("MD5")
-        // md5-low-32 mod dim — bit-identical to the column path's
-        // conv(substring(md5(ngram), 1, 8), 16, 10) % dim (first 8 hex
-        // chars = the first 4 digest bytes, big-endian, unsigned).
-        // Per-partition memo: natural text repeats tokens heavily
-        // (stopwords, common bigrams), and MD5 is ~700 ns a call — the
-        // cache only short-circuits identical inputs, so values are
-        // unchanged; capped so adversarial vocabulary can't grow it
-        // unboundedly
-        val memo = new java.util.HashMap[String, java.lang.Long](1 << 14)
-        def feat(ngram: String): Long = {
-          val hit = memo.get(ngram)
-          if (hit != null) hit.longValue()
-          else {
-            md.reset()
-            val d = md.digest(ngram.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            val f = java.lang.Integer.toUnsignedLong(
-              java.nio.ByteBuffer.wrap(d).getInt) % dimL
-            if (memo.size < (1 << 16)) memo.put(ngram, f)
-            f
-          }
+    // md5-low-32 mod dim — bit-identical to the column path's
+    // conv(substring(md5(ngram), 1, 8), 16, 10) % dim (first 8 hex
+    // chars = the first 4 digest bytes, big-endian, unsigned); the
+    // byte-level featurizer hashes the identical UTF-8 bytes the old
+    // String path encoded. Tungsten rows in, Tungsten rows out
+    // ([[org.apache.spark.sql.graft.PlanBridge]]).
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val in = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(longId(col(idCol)).as("_id"), lower(col(textCol)).as("_lt"))
+    val rdd = PlanBridge.toInternalRdd(in).mapPartitions { rows =>
+      val w = bc.value
+      val fz = new NgramFeaturizer(dimL, bigrams)
+      rows.map { r =>
+        val id = r.getLong(0)
+        fz.featurize(r.getUTF8String(1))
+        var logit = intercept
+        fz.counts.foreachEntry { (f, cnt) =>
+          logit += cnt * w.getOrElse(f, 0L)
         }
-        val counts = new scala.collection.mutable.LongMap[Long]()
-        rows.map { case (id, text) =>
-          counts.clear()
-          // Locale.ROOT + limit −1: the [[graft.llm.Dedup.tokens]]
-          // contract (lower() ∘ split-on-single-space, trailing empties
-          // kept) that every oracle replays
-          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-          var i = 0
-          while (i < toks.length) {
-            val f = feat(toks(i))
-            counts(f) = counts.getOrElse(f, 0L) + 1L
-            if (bigrams && i + 1 < toks.length) {
-              val g = feat(toks(i) + " " + toks(i + 1))
-              counts(g) = counts.getOrElse(g, 0L) + 1L
-            }
-            i += 1
-          }
-          var logit = intercept
-          counts.foreachEntry { (f, cnt) =>
-            logit += cnt * w.getOrElse(f, 0L)
-          }
-          (id, counts.size.toLong, logit)
-        }
-      }.toDF("doc_id", "n_feats", "logit_micro")
+        new GenericInternalRow(
+          Array[Any](id, fz.counts.size.toLong, logit)): InternalRow
+      }
+    }
+    PlanBridge.fromInternalRdd(spark, rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_feats",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("logit_micro",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Multi-class extension of [[trainTextClassifier]] — softmax
@@ -1527,59 +1576,47 @@ object Quality {
     }
     val bc = spark.sparkContext.broadcast((classes, intercepts, maps))
     val dimL = dim.toLong
-    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(longId(col(idCol)).as("_1"), col(textCol).as("_2"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        val (cls, bs, ws) = bc.value
-        val k = cls.length
-        val md = java.security.MessageDigest.getInstance("MD5")
-        // per-partition memo, as in scoreTextClassifier (values unchanged)
-        val memo = new java.util.HashMap[String, java.lang.Long](1 << 14)
-        def feat(ngram: String): Long = {
-          val hit = memo.get(ngram)
-          if (hit != null) hit.longValue()
-          else {
-            md.reset()
-            val dg = md.digest(ngram.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            val f = java.lang.Integer.toUnsignedLong(
-              java.nio.ByteBuffer.wrap(dg).getInt) % dimL
-            if (memo.size < (1 << 16)) memo.put(ngram, f)
-            f
+    val in = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(longId(col(idCol)).as("_id"), lower(col(textCol)).as("_lt"))
+    // the [[NgramFeaturizer]] byte path (see scoreTextClassifier) —
+    // one featurize per row, all K exact integer logits from the counts
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val rdd = PlanBridge.toInternalRdd(in).mapPartitions { rows =>
+      val (cls, bs, ws) = bc.value
+      val clsU = cls.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      val k = cls.length
+      val fz = new NgramFeaturizer(dimL, bigrams)
+      rows.map { r =>
+        val id = r.getLong(0)
+        fz.featurize(r.getUTF8String(1))
+        var best = 0
+        var bestLogit = Long.MinValue
+        var c = 0
+        while (c < k) {
+          var logit = bs(c)
+          val w = ws(c)
+          fz.counts.foreachEntry { (f, cnt) =>
+            logit += cnt * w.getOrElse(f, 0L)
           }
+          // strict >: classes iterate in sorted label order, so ties
+          // keep the lexicographically smallest
+          if (logit > bestLogit) { best = c; bestLogit = logit }
+          c += 1
         }
-        val counts = new scala.collection.mutable.LongMap[Long]()
-        rows.map { case (id, text) =>
-          counts.clear()
-          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-          var i = 0
-          while (i < toks.length) {
-            val f = feat(toks(i))
-            counts(f) = counts.getOrElse(f, 0L) + 1L
-            if (bigrams && i + 1 < toks.length) {
-              val g = feat(toks(i) + " " + toks(i + 1))
-              counts(g) = counts.getOrElse(g, 0L) + 1L
-            }
-            i += 1
-          }
-          var best = 0
-          var bestLogit = Long.MinValue
-          var c = 0
-          while (c < k) {
-            var logit = bs(c)
-            val w = ws(c)
-            counts.foreachEntry { (f, cnt) =>
-              logit += cnt * w.getOrElse(f, 0L)
-            }
-            // strict >: classes iterate in sorted label order, so ties
-            // keep the lexicographically smallest
-            if (logit > bestLogit) { best = c; bestLogit = logit }
-            c += 1
-          }
-          (id, cls(best), bestLogit)
-        }
-      }.toDF("doc_id", "label", "logit_micro")
+        new GenericInternalRow(
+          Array[Any](id, clsU(best), bestLogit)): InternalRow
+      }
+    }
+    PlanBridge.fromInternalRdd(spark, rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("logit_micro",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Trained language ID — [[scoreTextClassifierMulti]] with the langid
