@@ -301,6 +301,10 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_trigram_score_t"),
       (args: Seq[Expression]) => trigramScoreTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_kn_score_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_kn_score_t"),
+      (args: Seq[Expression]) => knScoreTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_lm_ratio_t"),
       new ExpressionInfo("graft.GraftSql", "graft_lm_ratio_t"),
       (args: Seq[Expression]) => lmRatioTablePlan(args))
@@ -1035,6 +1039,24 @@ object GraftSql {
       SparkSession.active.table(strLit(args(5), fn, "trigram model view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
       if (args.length == 7) dblLit(args(6), fn, "backoff") else 0.4)
+      .queryExecution.logical
+  }
+
+  /** `graft_kn_score_t('docsV', 'id', 'text', 'uniV', 'biV'[, discount])`
+    * — [[graft.llm.Quality.knPerplexity]] from SQL: interpolated
+    * Kneser–Ney bigram perplexity against the same `graft_lm_t` /
+    * `graft_bigram_lm_t` model views (discount defaults to 0.75). */
+  private def knScoreTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_kn_score_t"
+    require(args.length == 5 || args.length == 6,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'uniModelView', " +
+        "'biModelView'[, discount])")
+    graft.llm.Quality.knPerplexity(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      SparkSession.active.table(strLit(args(3), fn, "unigram model view")),
+      SparkSession.active.table(strLit(args(4), fn, "bigram model view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      if (args.length == 6) dblLit(args(5), fn, "discount") else 0.75)
       .queryExecution.logical
   }
 

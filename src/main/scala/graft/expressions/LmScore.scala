@@ -49,7 +49,8 @@ final class LmModel(
     val oovBack26: Long,
     val bi: scala.collection.mutable.LongMap[Long],
     val biBack: scala.collection.mutable.LongMap[Long],
-    val tri: scala.collection.mutable.LongMap[Long]) extends Serializable {
+    val tri: scala.collection.mutable.LongMap[Long],
+    val lam6: Array[Long]) extends Serializable {
 
   /** struct(n_tokens, s6): token count and the exact micro-nat integer
     * sum of per-token log-probs under the backoff chain, over the
@@ -80,8 +81,15 @@ final class LmModel(
         } else if (level == 2 || n == 1L) {
           if (prev >= 0 && id >= 0)
             lp = bi.getOrElse((prev.toLong << 21) | id, LmModel.Miss)
-          if (lp == LmModel.Miss)
+          if (lp == LmModel.Miss) {
             lp = if (id >= 0) lpBack6(id) else oovBack6
+            // Kneser–Ney's per-context interpolation weight: unseen
+            // (prev, cur) scores λ(prev) · Pcont(cur) — two separately
+            // rounded micro-nat logs summed (the defined contract both
+            // engines replay). A context with no table pairs — or an
+            // OOV context — carries λ = 1 (lam6 = 0 / prev < 0).
+            if (lam6 != null && prev >= 0) lp += lam6(prev)
+          }
         } else {
           if (prev2 >= 0 && prev >= 0 && id >= 0)
             lp = tri.getOrElse(
@@ -200,7 +208,112 @@ object LmModel {
       }
     }
     new LmModel(level, ids, lpUni6, lpBack6, lpBack26,
-      oovUni6, oovBack6, oovBack26, biMap, biBackMap, triMap)
+      oovUni6, oovBack6, oovBack26, biMap, biBackMap, triMap, null)
+  }
+
+  /** Build an interpolated Kneser–Ney bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form with one fixed absolute
+    * discount `d`) from the SAME collected vocab-capped tables the
+    * stupid-backoff builder takes — the continuation statistics derive
+    * from the pair table itself, so a persisted `(unigramLm, bigramLm)`
+    * model is KN-scorable with no retraining:
+    *
+    *   - N1+(w1, ·) = distinct pairs with context w1 in the table,
+    *     N1+(·, w2) = distinct pairs ending in w2, NP = table rows;
+    *   - Pcont(w) = (N1+(·, w) + 1) / (NP + V + 1) — Laplace-smoothed so
+    *     OOV / continuation-free tokens stay scoreable (V = unigram
+    *     vocab rows, the [[graft.llm.Quality.lmPerplexity]] convention);
+    *   - token 1 scores the Laplace-smoothed UNIGRAM (the family's
+    *     first-token contract — tx8/tx18/tx20 share it);
+    *   - seen pair: p = max(c − d, 0)/c(w1) + d·N1+(w1,·)/c(w1) ·
+    *     Pcont(w2), ONE rounding of the full interpolated value;
+    *   - unseen pair: λ(w1) · Pcont(w2) as round(ln λ·10⁶) +
+    *     round(ln Pcont·10⁶) — two rounded integer arms summed, with
+    *     λ(w1) = d·N1+(w1,·)/c(w1), and λ = 1 (micro-log 0) when the
+    *     context is OOV or has no table pairs (nothing was discounted
+    *     from it).
+    *
+    * The capped table IS the model: counts need not sum to c(w1) — KN
+    * over the top-`vocab` pair table is the deterministic contract both
+    * engines replay. */
+  def buildKn(uni: Array[(String, Long)], bi: Array[(String, String, Long, Long)],
+      discount: Double): LmModel = {
+    require(discount > 0.0 && discount < 1.0,
+      s"LmModel.buildKn: discount must be in (0, 1), got $discount")
+    val ids = new java.util.HashMap[UTF8String, Integer]()
+    def id(w: String): Int = {
+      val u = UTF8String.fromString(w)
+      var v = ids.get(u)
+      if (v == null) {
+        require(ids.size() <= MaxIds,
+          s"LmModel: > $MaxIds distinct model tokens — not a vocab-capped " +
+            "LM table")
+        v = Integer.valueOf(ids.size())
+        ids.put(u, v)
+      }
+      v.intValue()
+    }
+    val uniClean = uni.filter(_._1 != null)
+    require(uniClean.map(_._1).distinct.length == uniClean.length,
+      "LmModel: duplicate tokens in the unigram table — pass a " +
+        "unigramLm-shaped model (distinct tokens)")
+    val biClean = bi.filter(r => r._1 != null && r._2 != null)
+    var nSum = 0L
+    uniClean.foreach { case (_, c) => nSum += c }
+    val denom = nSum.toDouble + uniClean.length.toDouble + 1.0
+    uniClean.foreach { case (w, _) => id(w) }
+    biClean.foreach { case (a, b, _, _) => id(a); id(b) }
+    val k = ids.size()
+    // continuation statistics over the (distinct-by-require) pair table
+    val n1fw = new Array[Long](k) // N1+(w1, ·)
+    val ctxCnt = new Array[Long](k) // c(w1) carried on the rows
+    val n1bw = new Array[Long](k) // N1+(·, w2)
+    val seen = new java.util.HashSet[Long]()
+    biClean.foreach { case (a, b, _, ctx) =>
+      val ia = id(a); val ib = id(b)
+      val key = (ia.toLong << 21) | ib
+      require(seen.add(key),
+        s"LmModel: duplicate bigram ($a, $b) — pass a bigramLm-shaped model")
+      require(ctx > 0L && (n1fw(ia) == 0L || ctxCnt(ia) == ctx),
+        s"LmModel: inconsistent w1_cnt for context '$a' — pass a " +
+          "bigramLm-shaped model (one context count per w1)")
+      n1fw(ia) += 1L
+      ctxCnt(ia) = ctx
+      n1bw(ib) += 1L
+    }
+    val npD = biClean.length.toDouble
+    val contDenom = npD + uniClean.length.toDouble + 1.0
+    val lpUni6 = new Array[Long](k)
+    val lpCont6 = new Array[Long](k)
+    val lam6 = new Array[Long](k)
+    val oovUni6 = fix6(math.log(1.0 / denom) * 1e6)
+    val oovCont6 = fix6(math.log(1.0 / contDenom) * 1e6)
+    java.util.Arrays.fill(lpUni6, oovUni6)
+    var i = 0
+    while (i < k) {
+      lpCont6(i) = fix6(math.log((n1bw(i) + 1.0) / contDenom) * 1e6)
+      if (n1fw(i) > 0L)
+        lam6(i) = fix6(
+          math.log(discount * n1fw(i).toDouble / ctxCnt(i).toDouble) * 1e6)
+      i += 1
+    }
+    uniClean.foreach { case (w, c) =>
+      lpUni6(id(w)) = fix6(math.log((c + 1.0) / denom) * 1e6)
+    }
+    val biMap = new scala.collection.mutable.LongMap[Long](
+      math.max(8, biClean.length * 2))
+    biClean.foreach { case (a, b, c, ctx) =>
+      val ia = id(a); val ib = id(b)
+      val ctxD = ctx.toDouble
+      val pc = (n1bw(ib) + 1.0) / contDenom
+      val p = math.max(c.toDouble - discount, 0.0) / ctxD +
+        discount * n1fw(ia).toDouble / ctxD * pc
+      biMap((ia.toLong << 21) | ib) = fix6(math.log(p) * 1e6)
+    }
+    new LmModel(2, ids, lpUni6, lpCont6, new Array[Long](k),
+      oovUni6, oovCont6, oovCont6, biMap,
+      new scala.collection.mutable.LongMap[Long](8),
+      new scala.collection.mutable.LongMap[Long](8), lam6)
   }
 }
 

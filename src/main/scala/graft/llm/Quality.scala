@@ -665,6 +665,35 @@ object Quality {
         Array.empty, backoff, level = 2))
   }
 
+  /** Per-document perplexity under an interpolated Kneser–Ney bigram
+    * model (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothing the
+    * stupid-backoff chain ([[ngramPerplexity]]) approximates: instead of
+    * a constant α, unseen bigrams back off through a per-context weight
+    * λ(w1) = d·N1+(w1,·)/c(w1) into the CONTINUATION distribution
+    * Pcont(w2) ∝ N1+(·,w2) (how many contexts a word completes, not how
+    * often it occurs — "francisco" is frequent but completes only
+    * "san"), and seen bigrams are discounted by `d` and interpolated
+    * with the same mass: p = max(c−d,0)/c(w1) + λ(w1)·Pcont(w2). Both
+    * continuation statistics derive from the SAME vocab-capped
+    * `(unigramLm, bigramLm)` tables the backoff scorer takes, so any
+    * persisted model of that shape is KN-scorable with no retraining.
+    *
+    * Same zero-shuffle compiled scan and micro-nat determinism contract
+    * as [[ngramPerplexity]] ([[graft.expressions.NgramNll6]] with the
+    * KN-built model — [[graft.expressions.LmModel.buildKn]] documents
+    * the exact per-arm rounding the oracle replays).
+    *
+    * Output: (doc_id, n_tokens, nll, ppl), rounded to 6 decimals. */
+  def knPerplexity(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"knPerplexity: discount must be in (0, 1), got $discount")
+    scoreNll(docs, idCol, textCol,
+      graft.expressions.LmModel.buildKn(
+        collectUniModel(uni, "knPerplexity"),
+        collectBiModel(bi, "knPerplexity"), discount))
+  }
+
   /** Trigram counts over a REFERENCE corpus — the next order of the
     * [[bigramLm]] tier (CCNet's actual recipe is a 5-gram KenLM; each
     * order closes more of that gap). Triples are adjacent

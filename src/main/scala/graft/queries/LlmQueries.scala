@@ -722,6 +722,19 @@ object LlmQueries {
       sortAll(Quality.trigramPerplexity(d, uni, bi, tri, "doc_id", "text"))
     }),
 
+    // Interpolated Kneser–Ney (Kneser & Ney 1995; Chen & Goodman 1999)
+    // over the SAME uni-16/bi-64 tables as tx18 — the real smoothing
+    // the stupid-backoff chain approximates: seen pairs discounted by
+    // 0.75 and interpolated with λ(w1)·Pcont(w2); unseen pairs back off
+    // through the per-context λ into the smoothed CONTINUATION
+    // distribution (N1+(·,w2), not raw frequency). The oracle replays
+    // the continuation statistics and every rounding arm
+    "tx21_kn_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (uni, bi) = Quality.ngramLm(d, "text", 16, 64)
+      sortAll(Quality.knPerplexity(d, uni, bi, "doc_id", "text"))
+    }),
+
     // Unigram-LM perplexity (the CCNet quality-scoring shape): model
     // trained on the corpus itself pruned to the top-16 tokens (of 31
     // distinct — the OOV smoothing path is exercised), every doc scored
@@ -2412,6 +2425,74 @@ object LlmQueries {
          |       LEFT JOIN tri ON toks.prev2 = tri.w1
          |         AND toks.prev = tri.w2 AND toks.cur = tri.w3
          |       CROSS JOIN st),
+         |g AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
+         |      FROM lp GROUP BY 1),
+         |q AS (SELECT doc_id, n_tokens,
+         |        (-s6 * 2 + n_tokens) // (2 * n_tokens) AS m6 FROM g)
+         |SELECT doc_id, n_tokens,
+         |  round(m6 / 1000000.0, 6) AS nll,
+         |  round(exp(m6 / 1000000.0), 6) AS ppl
+         |FROM q
+         |${orderBySql("doc_id", "n_tokens", "nll", "ppl")}""".stripMargin,
+
+    // tx18's tables scored under interpolated Kneser–Ney: continuation
+    // statistics (fw = N1+(w1,·) with the carried context count, bw =
+    // N1+(·,w2), np = pair-table rows) derived from the SAME capped bi
+    // CTE, then the three rounding arms — first-token smoothed unigram,
+    // seen-pair ONE rounding of the full interpolated value, unseen
+    // pair round(ln λ)+round(ln Pcont) as two summed integer arms with
+    // λ = 1 (0 micro-nats) for pair-free/OOV contexts
+    "tx21_kn_perplexity" ->
+      s"""WITH m AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |        FROM $docsPq WHERE text IS NOT NULL)
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 16),
+         |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+         |              CAST(count(*) AS DOUBLE) AS v FROM m),
+         |tw AS (SELECT string_split(lower(text), ' ') AS w
+         |       FROM $docsPq WHERE text IS NOT NULL),
+         |bi AS (SELECT w1, w2, cnt, w1_cnt FROM (
+         |    SELECT p.w1, p.w2, count(*) AS cnt
+         |    FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+         |          FROM tw, UNNEST(range(1, len(w))) AS u(i)) p
+         |    GROUP BY 1, 2) c
+         |  JOIN (SELECT token AS w1, cnt AS w1_cnt FROM m) mm USING (w1)
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 64),
+         |fw AS (SELECT w1, count(*) AS n1p, max(w1_cnt) AS w1c
+         |       FROM bi GROUP BY w1),
+         |bw AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
+         |s2 AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM bi),
+         |toks AS (SELECT doc_id, i, w[i] AS cur,
+         |           CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+         |         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |               FROM $docsPq
+         |               WHERE doc_id IS NOT NULL AND text IS NOT NULL) dw,
+         |           UNNEST(range(1, len(w) + 1)) AS u(i)),
+         |lp AS (SELECT doc_id,
+         |         CASE
+         |           WHEN prev IS NULL THEN
+         |             CAST(round(ln((coalesce(m.cnt, 0) + 1.0) / (n + v + 1.0))
+         |               * 1000000) AS BIGINT)
+         |           WHEN bi.cnt IS NOT NULL THEN
+         |             CAST(round(ln(
+         |               greatest(CAST(bi.cnt AS DOUBLE) - 0.75, 0) / bi.w1_cnt
+         |               + 0.75 * fw.n1p / bi.w1_cnt *
+         |                 ((coalesce(bw.n1b, 0) + 1.0) / (np + v + 1.0)))
+         |               * 1000000) AS BIGINT)
+         |           ELSE
+         |             (CASE WHEN fw.n1p IS NULL THEN 0 ELSE
+         |                CAST(round(ln(0.75 * fw.n1p / fw.w1c) * 1000000)
+         |                  AS BIGINT) END)
+         |             + CAST(round(ln((coalesce(bw.n1b, 0) + 1.0) /
+         |                 (np + v + 1.0)) * 1000000) AS BIGINT)
+         |         END AS lp6
+         |       FROM toks
+         |       LEFT JOIN m ON toks.cur = m.token
+         |       LEFT JOIN bi ON toks.prev = bi.w1 AND toks.cur = bi.w2
+         |       LEFT JOIN fw ON toks.prev = fw.w1
+         |       LEFT JOIN bw ON toks.cur = bw.w2
+         |       CROSS JOIN st CROSS JOIN s2),
          |g AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
          |      FROM lp GROUP BY 1),
          |q AS (SELECT doc_id, n_tokens,

@@ -1238,6 +1238,19 @@ class GraftSqlSpec extends AnyFunSuite {
         .toSet
     }
     assert(sqlTri === typedTri && sqlTri.nonEmpty)
+    // interpolated Kneser–Ney scoring ≡ typed (default + explicit discount)
+    val sqlKn = spark.sql(
+      """SELECT * FROM graft_kn_score_t('lm_docs_v', 'doc_id', 'text',
+        'lm_model_v', 'bi_model_v', 0.75D)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    val typedKn = {
+      val uni = graft.llm.Quality.unigramLm(d, "text", 16)
+      graft.llm.Quality.knPerplexity(d, uni,
+        graft.llm.Quality.bigramLm(d, "text", uni, 64), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    }
+    assert(sqlKn === typedKn && sqlKn.nonEmpty)
     // Gopher rules ≡ typed at an overridden word floor
     val sqlGopher = spark.sql(
       "SELECT * FROM graft_gopher_t('lm_docs_v', 'doc_id', 'text', 30)")
