@@ -433,6 +433,14 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_mix_quota_t"),
       (args: Seq[Expression]) => mixQuotaTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_temperature_quota_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_temperature_quota_t"),
+      (args: Seq[Expression]) => temperatureQuotaTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_ppl_buckets_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_ppl_buckets_t"),
+      (args: Seq[Expression]) => pplBucketsTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_normalize_t"),
       new ExpressionInfo("graft.GraftSql", "graft_normalize_t"),
       (args: Seq[Expression]) => normalizeTablePlan(args))
@@ -1455,6 +1463,38 @@ object GraftSql {
       strLit(args(1), fn, "strata column"), strLit(args(2), fn, "id column"),
       strataMap(strLit(args(3), fn, "weights view"), fn),
       lngLit(args(4), fn, "total"))
+      .queryExecution.logical
+  }
+
+  /** `graft_temperature_quota_t('docsV', 'strataCol', 'idCol', tau,
+    * total)` — [[graft.llm.Sampling.temperatureQuota]] from SQL:
+    * per-stratum quotas ∝ n^τ. */
+  private def temperatureQuotaTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_temperature_quota_t"
+    require(args.length == 5,
+      s"usage: $fn('docsView', 'strataCol', 'idCol', tau, total)")
+    graft.llm.Sampling.temperatureQuota(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "strata column"), strLit(args(2), fn, "id column"),
+      dblLit(args(3), fn, "tau"), lngLit(args(4), fn, "total"))
+      .queryExecution.logical
+  }
+
+  /** `graft_ppl_buckets_t('docsV', 'id', 'text', 'uniV', 'biV', t1,
+    * t2[, backoff])` — [[graft.llm.Quality.pplBuckets]] from SQL: the
+    * CCNet head/middle/tail assignment under a bigram reference LM. */
+  private def pplBucketsTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ppl_buckets_t"
+    require(args.length == 7 || args.length == 8,
+      s"usage: $fn('docsView', 'idCol', 'textCol', 'uniModelView', " +
+        "'biModelView', t1, t2[, backoff])")
+    graft.llm.Quality.pplBuckets(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      SparkSession.active.table(strLit(args(3), fn, "unigram model view")),
+      SparkSession.active.table(strLit(args(4), fn, "bigram model view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      dblLit(args(5), fn, "t1"), dblLit(args(6), fn, "t2"),
+      if (args.length == 8) dblLit(args(7), fn, "backoff") else 0.4)
       .queryExecution.logical
   }
 

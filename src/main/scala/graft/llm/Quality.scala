@@ -665,6 +665,31 @@ object Quality {
         Array.empty, backoff, level = 2))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): assign each
+    * document to `head` / `middle` / `tail` by its [[ngramPerplexity]]
+    * under a reference LM and two fixed thresholds (`ppl < t1` → head,
+    * `< t2` → middle, else tail). CCNet calibrates the cutoffs once per
+    * language from a sample, then applies them corpus-wide — applying
+    * them IS this operator, and it stays a pure scan: the zero-shuffle
+    * compiled NLL pass plus a CASE, no shuffle at any corpus size. The
+    * bucket column feeds [[Sampling.mixSample]] for the classic
+    * keep-head / downsample-tail recipe (both row-local → the composed
+    * pipeline never exchanges).
+    *
+    * Output: (doc_id, n_tokens, nll, ppl, bucket) — the comparison runs
+    * on the 6-decimal-rounded ppl, so both engines bucket identically. */
+  def pplBuckets(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      idCol: String, textCol: String, t1: Double, t2: Double,
+      backoff: Double = 0.4): DataFrame = {
+    require(t1 > 0.0 && t2 > t1,
+      s"pplBuckets: need 0 < t1 < t2, got t1=$t1 t2=$t2")
+    ngramPerplexity(docs, uni, bi, idCol, textCol, backoff)
+      .withColumn("bucket",
+        when(col("ppl") < t1, lit("head"))
+          .when(col("ppl") < t2, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
   /** Per-document perplexity under an interpolated Kneser–Ney bigram
     * model (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothing the
     * stupid-backoff chain ([[ngramPerplexity]]) approximates: instead of

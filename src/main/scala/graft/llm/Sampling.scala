@@ -133,6 +133,68 @@ object Sampling {
       .filter(col("rk") <= kCol)
   }
 
+  /** Exact per-stratum quotas — [[mixQuota]] with the quota GIVEN per
+    * stratum instead of derived from weights: stratum s keeps its
+    * `quotas(s)` lowest rows by (md5(id), id); unlisted strata drop
+    * before the window (the mixQuota pre-filter — a corpus-scale
+    * unlisted stratum never funnels through one window task). Same
+    * sizing contract as [[mixQuota]]: one shuffle on the stratum key,
+    * each stratum ranks in one task. Adds `rk`. */
+  def quotaExact(df: DataFrame, strataCol: String, idCol: String,
+      quotas: Map[String, Long]): DataFrame = {
+    quotas.values.foreach(k =>
+      require(k >= 0L, s"quotas must be >= 0, got $k"))
+    require(!df.columns.contains("rk"),
+      "quotaExact adds a 'rk' column; the input already has one — rename it first")
+    val kCol = quotas.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, k)) =>
+        when(col(strataCol) === lit(s), lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
+    df.filter(col(strataCol).isin(quotas.keys.toSeq: _*))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kCol)
+  }
+
+  /** Temperature-scaled mixing (the multilingual-LM recipe — e.g.
+    * Arivazhagan et al. 2019 §4, mT5): per-stratum quotas ∝ n_s^τ, so
+    * τ = 1 reproduces natural proportions, τ → 0 flattens toward
+    * uniform, and 0 < τ < 1 up-weights small domains without drowning
+    * large ones. The arithmetic is fixed-pointed so both engines derive
+    * identical quotas: w6_s = round(n_s^τ · 10⁶) per stratum (one
+    * rounding, order-free), W = Σ w6_s exact integer, quota_s =
+    * ⌊(2·total·w6_s + W) / (2·W)⌋ — the engine-wide integer half-up
+    * division, in arbitrary precision so no count scale overflows.
+    *
+    * Scale shape: one tiny stratum-count aggregation (driver-bounded by
+    * `maxStrata` — strata are domains/languages, not documents), then
+    * [[quotaExact]]. Null strata drop (no quota can name them). */
+  def temperatureQuota(df: DataFrame, strataCol: String, idCol: String,
+      tau: Double, total: Long, maxStrata: Int = 100000): DataFrame = {
+    require(tau >= 0.0 && !tau.isNaN && !tau.isInfinite,
+      s"tau must be a finite value >= 0, got $tau")
+    require(total >= 0L, s"total must be >= 0, got $total")
+    require(maxStrata >= 1, s"maxStrata must be >= 1, got $maxStrata")
+    // ONE execution, limit-bounded (the collectUniModel guard shape)
+    val rows = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("_s")).count()
+      .limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"temperatureQuota: > $maxStrata strata — not a domain-scale column")
+    val w6 = rows.map { r =>
+      val p = math.pow(r.getLong(1).toDouble, tau) * 1e6
+      r.getString(0) -> java.math.BigDecimal.valueOf(p)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val bigW = w6.iterator.map(e => BigInt(e._2)).sum
+    val quotas = w6.map { case (s, v) =>
+      s -> (if (bigW == 0) 0L
+            else ((BigInt(2) * total * v + bigW) / (BigInt(2) * bigW)).toLong)
+    }.toMap
+    quotaExact(df, strataCol, idCol, quotas)
+  }
+
   /** Context-length CHUNKING — the dual of [[packGreedy]]: split every
     * document into `maxTokens`-token training chunks, consecutive chunks
     * overlapping by `overlap` tokens (the sliding-window long-document

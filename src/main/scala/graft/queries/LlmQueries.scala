@@ -637,6 +637,29 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("rk")))
     }),
 
+    // CCNet's head/middle/tail recipe end to end (Wenzek et al. 2020):
+    // bucket every doc by its bigram-LM perplexity at fixed cutoffs
+    // (500/900 ≈ the corpus terciles), then keep head 100% / middle
+    // 50% / tail 10% by the row-local md5 draw — scoring AND sampling
+    // are both shuffle-free scans
+    "sm6_ppl_bucket_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (uni, bi) = Quality.ngramLm(d, "text", 16, 64)
+      val b = Quality.pplBuckets(d, uni, bi, "doc_id", "text", 500.0, 900.0)
+      sortAll(Sampling.mixSample(b, "bucket", "doc_id",
+          Map("head" -> 100, "middle" -> 50, "tail" -> 10))
+        .select(col("doc_id"), col("n_tokens"), col("ppl"), col("bucket")))
+    }),
+
+    // Temperature-scaled mixing at τ = 0.5 (the multilingual-LM
+    // up-weight-small-domains recipe): per-source quotas ∝ √n_s, the
+    // fixed-pointed weight/quota arithmetic replayed integer-exactly
+    "sm7_temperature_quota" -> ((s, dir) => {
+      sortAll(Sampling.temperatureQuota(docs(s, dir), "source", "doc_id",
+          tau = 0.5, total = 60L)
+        .select(col("doc_id"), col("source"), col("rk")))
+    }),
+
     // d7's composition with the SEMANTIC floor in front: SemDeDup's
     // within-cell embedding near-dups (d13's construction over the same
     // id space) drop before quality/language/dedup — the full
@@ -2181,6 +2204,86 @@ object LlmQueries {
          |  FROM $docsPq)
          |WHERE rk <= CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30
          |                        WHEN 'src2' THEN 20 ELSE 0 END
+         |${orderBySql("doc_id", "source", "rk")}""".stripMargin,
+
+    // tx18's perplexity replay + the bucket CASE + the md5 keep-draw at
+    // per-bucket rates (head 100 / middle 50 / tail 10) — buckets
+    // compare on the 6-decimal-rounded ppl, so both engines agree
+    "sm6_ppl_bucket_sample" ->
+      s"""WITH m AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |        FROM $docsPq WHERE text IS NOT NULL)
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 16),
+         |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+         |              CAST(count(*) AS DOUBLE) AS v FROM m),
+         |tw AS (SELECT string_split(lower(text), ' ') AS w
+         |       FROM $docsPq WHERE text IS NOT NULL),
+         |bi AS (SELECT w1, w2, cnt, w1_cnt FROM (
+         |    SELECT p.w1, p.w2, count(*) AS cnt
+         |    FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+         |          FROM tw, UNNEST(range(1, len(w))) AS u(i)) p
+         |    GROUP BY 1, 2) c
+         |  JOIN (SELECT token AS w1, cnt AS w1_cnt FROM m) mm USING (w1)
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 64),
+         |toks AS (SELECT doc_id, i, w[i] AS cur,
+         |           CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+         |         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |               FROM $docsPq
+         |               WHERE doc_id IS NOT NULL AND text IS NOT NULL) dw,
+         |           UNNEST(range(1, len(w) + 1)) AS u(i)),
+         |lp AS (SELECT doc_id,
+         |         CASE
+         |           WHEN prev IS NULL THEN
+         |             CAST(round(ln((coalesce(m.cnt, 0) + 1.0) / (n + v + 1.0))
+         |               * 1000000) AS BIGINT)
+         |           WHEN bi.cnt IS NOT NULL THEN
+         |             CAST(round(ln(CAST(bi.cnt AS DOUBLE) /
+         |               CAST(bi.w1_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+         |           ELSE
+         |             CAST(round(ln(0.4 * ((coalesce(m.cnt, 0) + 1.0) /
+         |               (n + v + 1.0))) * 1000000) AS BIGINT)
+         |         END AS lp6
+         |       FROM toks
+         |       LEFT JOIN m ON toks.cur = m.token
+         |       LEFT JOIN bi ON toks.prev = bi.w1 AND toks.cur = bi.w2
+         |       CROSS JOIN st),
+         |g AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6
+         |      FROM lp GROUP BY 1),
+         |q AS (SELECT doc_id, n_tokens,
+         |        (-s6 * 2 + n_tokens) // (2 * n_tokens) AS m6 FROM g),
+         |b AS (SELECT doc_id, n_tokens,
+         |        round(exp(m6 / 1000000.0), 6) AS ppl FROM q),
+         |bk AS (SELECT doc_id, n_tokens, ppl,
+         |         CASE WHEN ppl < 500.0 THEN 'head'
+         |              WHEN ppl < 900.0 THEN 'middle'
+         |              ELSE 'tail' END AS bucket
+         |       FROM b)
+         |SELECT doc_id, n_tokens, ppl, bucket
+         |FROM bk
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % 100 <
+         |  CASE bucket WHEN 'head' THEN 100 WHEN 'middle' THEN 50 ELSE 10 END
+         |${orderBySql("doc_id", "n_tokens", "ppl", "bucket")}""".stripMargin,
+
+    // the temperature arithmetic replayed integer-exactly: per-source
+    // w6 = round(n^0.5 * 1e6), W = Σ w6, quota = (2*total*w6 + W) //
+    // (2*W) in HUGEINT, then the md5-rank quota selection (sm4's rule)
+    "sm7_temperature_quota" ->
+      s"""WITH c AS (SELECT source AS s, count(*) AS n FROM $docsPq
+         |           WHERE source IS NOT NULL GROUP BY 1),
+         |w AS (SELECT s, CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1000000)
+         |        AS BIGINT) AS w6 FROM c),
+         |t AS (SELECT CAST(sum(w6) AS HUGEINT) AS wt FROM w),
+         |k AS (SELECT s, CAST((CAST(120 AS HUGEINT) * w6 + wt) //
+         |        (2 * wt) AS BIGINT) AS kq
+         |      FROM w CROSS JOIN t),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |      FROM $docsPq WHERE source IS NOT NULL)
+         |SELECT doc_id, source, rk FROM r JOIN k ON r.source = k.s
+         |WHERE rk <= kq
          |${orderBySql("doc_id", "source", "rk")}""".stripMargin,
 
     // normalization replay over the same deterministic mess (control

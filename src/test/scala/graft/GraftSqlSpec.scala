@@ -1251,6 +1251,30 @@ class GraftSqlSpec extends AnyFunSuite {
         .toSet
     }
     assert(sqlKn === typedKn && sqlKn.nonEmpty)
+    // CCNet perplexity buckets ≡ typed
+    val sqlBk = spark.sql(
+      """SELECT * FROM graft_ppl_buckets_t('lm_docs_v', 'doc_id', 'text',
+        'lm_model_v', 'bi_model_v', 500.0D, 900.0D)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getString(4))).toSet
+    val typedBk = {
+      val uni = graft.llm.Quality.unigramLm(d, "text", 16)
+      graft.llm.Quality.pplBuckets(d, uni,
+        graft.llm.Quality.bigramLm(d, "text", uni, 64), "doc_id", "text",
+        500.0, 900.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+        .toSet
+    }
+    assert(sqlBk === typedBk && sqlBk.nonEmpty)
+    // temperature quota ≡ typed
+    val sqlTq = spark.sql(
+      """SELECT doc_id, source FROM graft_temperature_quota_t('lm_docs_v',
+        'source', 'doc_id', 0.5D, 60)""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val typedTq = graft.llm.Sampling.temperatureQuota(d, "source", "doc_id",
+        0.5, 60L)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sqlTq === typedTq && sqlTq.nonEmpty)
     // Gopher rules ≡ typed at an overridden word floor
     val sqlGopher = spark.sql(
       "SELECT * FROM graft_gopher_t('lm_docs_v', 'doc_id', 'text', 30)")
