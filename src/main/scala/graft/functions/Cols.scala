@@ -102,6 +102,23 @@ object Cols {
 
   /** Count of a token array's members containing at least one byte
     * from a bound ASCII set ([[graft.expressions.TokenAnyAsciiHits]]). */
+  /** struct(n_words, n_alpha, stop_hits) over LOWERED text in one
+    * compiled byte pass ([[graft.expressions.GopherWordCounts]]). */
+  def gopherWordCounts(loweredText: Column, stops: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.GopherWordCounts(
+      ColumnBridge.expression(loweredText), stops))
+  }
+
+  /** struct(n_chars, n_hash, n_ellipsis, n_lines, n_bullet, n_ell_lines)
+    * over RAW text in compiled byte passes
+    * ([[graft.expressions.GopherRawCounts]]). */
+  def gopherRawCounts(text: Column, sep: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.GopherRawCounts(
+      ColumnBridge.expression(text), sep))
+  }
+
   def tokenAnyAsciiHits(tok: Column, chars: String): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.expressions.TokenAnyAsciiHits(

@@ -831,40 +831,34 @@ object Quality {
     * alpha_word_frac, stop_hits). Shared by [[gopherRules]] (the audit
     * table) and [[gopherPass]] (the scan-filter predicate) so the two
     * can never diverge on the math. */
-  private def gopherSignals(t: Column, stops: Seq[String], sep: String):
-      (Column, Column, Column, Column, Column, Column, Column) =
-    gopherSignalsFrom(t, split(lower(t), " "),
-      split(t, java.util.regex.Pattern.quote(sep)), stops)
-
-  /** [[gopherSignals]] over PRE-STAGED token/line arrays — `gopherRules`
-    * stages `w`/`lines` as their own projection columns so the two
-    * splits run once per row instead of once per signal (the Quadrants
-    * lesson: source-level sharing, not hoped-for codegen CSE). */
-  private def gopherSignalsFrom(t: Column, w: Column, lines: Column,
-      stops: Seq[String]):
+  /** The seven Gopher signals from the two PRE-STAGED count structs
+    * ([[graft.expressions.GopherWordCounts]] over the lowered text,
+    * [[graft.expressions.GopherRawCounts]] over the raw text) —
+    * `gopherRules` stages both as their own projection columns so each
+    * kernel runs once per row (the Quadrants lesson: source-level
+    * sharing, not hoped-for codegen CSE). The fraction/rounding algebra
+    * is value-identical to the split-array form it replaced (the counts
+    * are the same integers; `n_ellipsis` is exact — `replace`'s removal
+    * count is always a multiple of 3, so the old double division was
+    * integer-valued too), which two split() materializations, a
+    * per-line regex Matcher, and two full-text string rebuilds used to
+    * compute (tx9 measured 2.8 s vs its 0.12 s oracle at sf1). */
+  private def gopherSignalsFrom(wc: Column, rc: Column):
       (Column, Column, Column, Column, Column, Column, Column) = {
-    val nW = size(w)
-    val meanWl = round((length(t) - nW + 1).cast("double") / nW, 6)
-    // '#' by character deletion; '...' by literal (non-regex) replace —
-    // non-overlapping left-to-right in both engines
-    val nHash = length(t) - length(translate(t, "#", ""))
-    val nEll = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
-    val symbolRatio = round((nHash + nEll).cast("double") / nW, 6)
-    val nL = size(lines)
-    // compiled membership/regex counts (Cols.tokenSetHits /
-    // tokenRegexHits): the filter(...) lambda forms ran interpreted and
-    // allocated the kept array per row just to size() it. \A / \z
-    // anchors, not ^ / $ — $ also matches before a final \r, where
-    // endsWith does not
-    val bulletFrac = round(graft.functions.Cols.tokenRegexHits(lines,
-      "\\A- |\\A\\* ").cast("double") / nL, 6)
-    val ellipsisFrac = round(graft.functions.Cols.tokenRegexHits(lines,
-      "\\.\\.\\.\\z").cast("double") / nL, 6)
-    val alphaFrac = round(graft.functions.Cols.tokenAnyAsciiHits(w,
-      "abcdefghijklmnopqrstuvwxyz").cast("double") / nW, 6)
-    val stopHits = graft.functions.Cols.tokenSetHits(w, stops)
-    (nW.cast("long"), meanWl, symbolRatio, bulletFrac, ellipsisFrac,
-      alphaFrac, stopHits)
+    val nW = wc.getField("n_words")
+    val meanWl = round(
+      (rc.getField("n_chars") - nW + 1).cast("double") / nW, 6)
+    val symbolRatio = round((rc.getField("n_hash") +
+      rc.getField("n_ellipsis")).cast("double") / nW, 6)
+    val nL = rc.getField("n_lines")
+    val bulletFrac = round(
+      rc.getField("n_bullet").cast("double") / nL, 6)
+    val ellipsisFrac = round(
+      rc.getField("n_ell_lines").cast("double") / nL, 6)
+    val alphaFrac = round(
+      wc.getField("n_alpha").cast("double") / nW, 6)
+    (nW, meanWl, symbolRatio, bulletFrac, ellipsisFrac,
+      alphaFrac, wc.getField("stop_hits"))
   }
 
   /** The Gopher rule set as a single boolean COLUMN over a text column —
@@ -884,13 +878,17 @@ object Quality {
       stops: Seq[String] = GopherStops, minStopHits: Long = 2,
       sep: String = "\n"): Column = {
     require(sep.nonEmpty, "gopherPass: sep must be non-empty")
-    val (nW, meanWl, symbolRatio, bulletFrac, ellipsisFrac, alphaFrac,
-      stopHits) = gopherSignals(t, stops, sep)
-    nW >= minWords && nW <= maxWords &&
-      meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen &&
-      symbolRatio <= maxSymbolRatio &&
-      bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
-      alphaFrac >= minAlphaWordFrac && stopHits >= minStopHits
+    // ONE fused compiled expression — both count kernels plus the
+    // threshold algebra at the identical round(…, 6) fixed point
+    // (graft.expressions.GopherPassExpr); the text lowers once inside
+    // the binary expression, and no arrays / rebuilt strings ever
+    // materialize. Value-identical to the signal-column conjunction.
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.GopherPassExpr(
+      ColumnBridge.expression(t), ColumnBridge.expression(lower(t)),
+      stops, sep, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, maxBulletFrac, maxEllipsisFrac, minAlphaWordFrac,
+      minStopHits))
   }
 
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
@@ -902,17 +900,19 @@ object Quality {
       stops: Seq[String] = GopherStops, minStopHits: Long = 2,
       sep: String = "\n"): DataFrame = {
     require(sep.nonEmpty, "gopherRules: sep must be non-empty")
-    // stage the two splits as their own projection columns (computed
-    // once per row; four signals share w, two share lines — inlined they
-    // re-evaluated per signal)
+    // stage the two count structs as their own projection columns
+    // (computed once per row; four signals share the word counts, four
+    // the raw counts — inlined they would re-evaluate per signal)
+    Seq("__gwc", "__grc").foreach(c => require(!docs.columns.contains(c),
+      s"gopherRules stages a '$c' column; the input already has one — " +
+        "rename it first"))
     val (nW, meanWl, symbolRatio, bulletFrac, ellipsisFrac, alphaFrac,
-      stopHits) = gopherSignalsFrom(col(textCol), col("__gw"),
-      col("__gl"), stops)
+      stopHits) = gopherSignalsFrom(col("__gwc"), col("__grc"))
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .withColumns(Map(
-        "__gw" -> split(lower(col(textCol)), " "),
-        "__gl" -> split(col(textCol),
-          java.util.regex.Pattern.quote(sep))))
+        "__gwc" -> graft.functions.Cols.gopherWordCounts(
+          lower(col(textCol)), stops),
+        "__grc" -> graft.functions.Cols.gopherRawCounts(col(textCol), sep)))
       .select(col(idCol).as("doc_id"), nW.as("n_words"),
         meanWl.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
         bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
