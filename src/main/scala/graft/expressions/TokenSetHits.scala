@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -317,6 +317,72 @@ object NormalizeTextExpr {
       i += 1
     }
     UTF8String.fromBytes(out, 0, o)
+  }
+}
+
+/** The fingerprint normalization (`trim(regexp_replace(lower(t),
+  * "[^a-z0-9]+", " "))`, falling back to the RAW text when the
+  * normalization is empty — non-Latin documents must not collapse into
+  * one dedup bucket) as ONE compiled byte scan over (raw, lowered) —
+  * `TextStats.fingerprint`'s kernel, replacing a full-text regex
+  * rebuild per row (tx4 measured 1.7 s vs its 0.12 s oracle at sf1).
+  * Byte-exact: runs of non-`[a-z0-9]` bytes collapse to one space (a
+  * multi-byte codepoint's bytes are all ≥ 0x80, so the whole codepoint
+  * run is a separator exactly as the codepoint-level regex treats it),
+  * edges trim. */
+case class AlnumNormExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string raw, string lowered), got $other")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "alnum_norm"
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(raw: Any, lowered: Any): Any =
+    AlnumNormExpr.compute(raw.asInstanceOf[UTF8String],
+      lowered.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (raw, lowered) => {
+      s"${ev.value} = graft.expressions.AlnumNormExpr.compute($raw, $lowered);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AlnumNormExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object AlnumNormExpr {
+  private def isKeep(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** The compiled kernel both eval paths share: one pass over the
+    * lowered bytes, one output buffer; the raw text is returned
+    * UNTOUCHED (zero-copy) when nothing survives. */
+  def compute(raw: UTF8String, lowered: UTF8String): UTF8String = {
+    val n = lowered.numBytes()
+    val base = lowered.getBaseObject
+    val off = lowered.getBaseOffset
+    val out = new Array[Byte](n)
+    var o = 0
+    var pending = false
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (isKeep(b)) {
+        if (pending && o > 0) { out(o) = ' '; o += 1 }
+        pending = false
+        out(o) = b; o += 1
+      } else pending = true
+      i += 1
+    }
+    if (o == 0) raw else UTF8String.fromBytes(out, 0, o)
   }
 }
 

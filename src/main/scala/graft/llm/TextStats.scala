@@ -75,8 +75,13 @@ object TextStats {
     * hashing the raw text, so distinct non-Latin documents never collapse
     * into one dedup bucket. */
   def fingerprint(text: Column): Column = {
-    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
-    md5(when(norm === "", text).otherwise(norm).cast("binary"))
+    // one compiled byte pass (graft.expressions.AlnumNormExpr) — the
+    // regex form built the normalized string per row AND evaluated it
+    // twice (empty test + value); byte-exact, raw-fallback included
+    import org.apache.spark.sql.graft.ColumnBridge
+    md5(ColumnBridge.column(graft.expressions.AlnumNormExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(lower(text))))
+      .cast("binary"))
   }
 
   /** Winnowing document sketch (rolling k-gram hashes, window minima) —
