@@ -44,6 +44,91 @@ case class TermCounts(child: Expression) extends UnaryExpression {
       newChild: Expression): TermCounts = copy(child = newChild)
 }
 
+/** Per-document counts of a BOUND query-term set over LOWERED text, in
+  * one compiled byte pass — struct(dl, counts): `dl` is the non-empty
+  * token count (`size(filter(split(lower(t), " "), _ =!= ""))`) and
+  * `counts(i)` the occurrences of `terms(i)` among those tokens. The
+  * BM25 operators' old shape materialized the token array and EXPLODED
+  * every corpus token just to keep the handful matching the query set
+  * ([[TermCounts]]' general counter measured slower there — it builds a
+  * per-doc map of ALL distinct terms; this probes a fixed K-term map
+  * and fills a long[K]). Zero-copy token views, no array, no explode:
+  * `posexplode(counts)` yields the identical query-term tf rows with K
+  * elements per document instead of one per corpus token. */
+case class QueryTermCounts(child: Expression, terms: Seq[String])
+  extends UnaryExpression {
+  require(terms.nonEmpty, "QueryTermCounts: terms must be non-empty")
+  require(terms.distinct.length == terms.length,
+    "QueryTermCounts: terms must be distinct")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string (lowered text), got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = QueryTermCounts.Schema
+  override def prettyName: String = "query_term_counts"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](
+      math.max(8, terms.size * 2))
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    QueryTermCounts.compute(s.asInstanceOf[UTF8String], idx, terms.size)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("termIdx", idx, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.expressions.QueryTermCounts.compute($s, " +
+        s"$idxRef, ${terms.size});"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QueryTermCounts = copy(child = newChild)
+}
+
+object QueryTermCounts {
+  val Schema: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("counts", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** The compiled kernel both eval paths share: one pass over the
+    * lowered bytes, one long[K] output. */
+  def compute(s: UTF8String, idx: java.util.HashMap[UTF8String, Integer],
+      k: Int): InternalRow = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val counts = new Array[Long](k)
+    var dl = 0L
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || org.apache.spark.unsafe.Platform.getByte(base, off + i)
+          == ' '.toByte) {
+        if (i > start) {
+          dl += 1L
+          val h = idx.get(UTF8String.fromAddress(base, off + start, i - start))
+          if (h != null) counts(h.intValue()) += 1L
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    InternalRow(dl, new GenericArrayData(counts))
+  }
+}
+
 object TermCounts {
   val Schema: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),

@@ -102,6 +102,15 @@ object Cols {
 
   /** Count of a token array's members containing at least one byte
     * from a bound ASCII set ([[graft.expressions.TokenAnyAsciiHits]]). */
+  /** struct(dl, counts) — non-empty token count and per-bound-term
+    * occurrence counts over LOWERED text in one compiled byte pass
+    * ([[graft.expressions.QueryTermCounts]]). */
+  def queryTermCounts(loweredText: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.QueryTermCounts(
+      ColumnBridge.expression(loweredText), terms))
+  }
+
   /** struct(n_words, n_alpha, stop_hits) over LOWERED text in one
     * compiled byte pass ([[graft.expressions.GopherWordCounts]]). */
   def gopherWordCounts(loweredText: Column, stops: Seq[String]): Column = {

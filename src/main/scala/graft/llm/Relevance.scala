@@ -117,22 +117,16 @@ object Relevance {
     require(terms.nonEmpty, "bm25TopK: terms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     require(longBound >= 1L, s"longBound must be >= 1, got $longBound")
-    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
-      .select(col("doc_id"), col("_toks"), size(col("_toks")).as("_dl"))
-      .filter(col("_dl") >= 1)
+    // one compiled pass per row counts the K query terms and the doc
+    // length together (graft.expressions.QueryTermCounts): the old shape
+    // materialized the token array and exploded every corpus token just
+    // to keep the handful matching the query set — the tf EXCHANGE was
+    // already pruned, but the explode wasn't
+    val qts = terms.distinct
+    val base = queryTermBase(docs, idCol, textCol, qts)
     val stats = base.agg(sum(col("_dl")).cast("long").as("_s"),
       count(lit(1)).as("_n"))
-    // the explode filters to the broadcast query-term set FIRST — only
-    // query-term occurrences survive the map side
-    // NOTE: unlike tfidfTopTerms, the tf exchange here is already
-    // query-term-pruned (tiny), so the compiled per-row counter costs
-    // more than it saves — measured; keep the pruned groupBy
-    val qt = base.select(col("doc_id"), col("_dl"),
-        explode(col("_toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "_dl", "term").agg(count(lit(1)).as("tf"))
+    val qt = queryTermRows(base, qts)
     val df = qt.groupBy("term").agg(count(lit(1)).as("_df"))
     qt.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
@@ -142,6 +136,29 @@ object Relevance {
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** (doc_id, _dl, _cnts) via the compiled per-row query-term counter —
+    * `_dl` ≡ `size(filter(split(lower(t), " "), _ =!= ""))`, `_cnts(i)`
+    * the tf of `terms(i)`. */
+  private def queryTermBase(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame =
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Cols.queryTermCounts(lower(col(textCol)), terms)
+          .as("_qtc"))
+      .select(col("doc_id"), col("_qtc.dl").as("_dl"),
+        col("_qtc.counts").as("_cnts"))
+      .filter(col("_dl") >= 1)
+
+  /** (doc_id, _dl, term, tf) rows for present query terms — K array
+    * elements per doc via posexplode, no corpus-token generator, no
+    * exchange. Row set ≡ the old explode → prune → groupBy form. */
+  private def queryTermRows(base: DataFrame, terms: Seq[String]): DataFrame =
+    base.select(col("doc_id"), col("_dl"),
+        posexplode(col("_cnts")).as(Seq("_i", "tf")))
+      .filter(col("tf") > 0L)
+      .select(col("doc_id"), col("_dl"),
+        element_at(typedlit(terms), col("_i") + 1).as("term"), col("tf"))
 
   /** `round(ln(1 + (N − df + 0.5)/(df + 0.5)) * 1e6)` over bound `_n`/`_df`. */
   private def idfMicro =
@@ -205,22 +222,21 @@ object Relevance {
       .select(col(qidCol).as("query_id"), explode(col(termsCol)).as("term"))
       .filter(col("query_id").isNotNull && col("term").isNotNull)
       .distinct()
-    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
-      .select(col("doc_id"), col("_toks"), size(col("_toks")).as("_dl"))
-      .filter(col("_dl") >= 1)
+    // the term UNION binds into the compiled per-row counter — query
+    // batches are driver-scale by the operator's own broadcast contract
+    // (require-bounded, the collectUniModel guard shape); sorted so the
+    // bound plan is stable across input orderings
+    val cap = 1 << 20
+    val termRows = qterms.select("term").distinct().limit(cap + 1).collect()
+    require(termRows.length <= cap,
+      s"bm25TopKBatch: > $cap distinct query terms — not a broadcastable " +
+        "query batch")
+    val unionTerms = termRows.map(_.getString(0)).sorted.toSeq
+    require(unionTerms.nonEmpty, "bm25TopKBatch: no query terms")
+    val base = queryTermBase(docs, idCol, textCol, unionTerms)
     val stats = base.agg(sum(col("_dl")).cast("long").as("_s"),
       count(lit(1)).as("_n"))
-    // one corpus explode, left-semi-pruned to the union of query terms
-    // on the map side — the only corpus-sized pass in the operator (the
-    // tf exchange is query-term-pruned and tiny; the compiled per-row
-    // counter measured slower here, unlike tfidfTopTerms)
-    val qt = base.select(col("doc_id"), col("_dl"),
-        explode(col("_toks")).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
-        "left_semi")
-      .groupBy("doc_id", "_dl", "term").agg(count(lit(1)).as("tf"))
+    val qt = queryTermRows(base, unionTerms)
     val df = qt.groupBy("term").agg(count(lit(1)).as("_df"))
     val scored = qt.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
