@@ -171,15 +171,45 @@ object SpUnigram {
           else chosen.replace('\u0001', ' ')
         })
       }
+      // one digest + hex table per PARTITION (getInstance and
+      // per-byte format allocated per row before); words iterate in
+      // place — no split array per document
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexDigits = "0123456789abcdef".toCharArray
       it.map { case (id, t) =>
-        val stream = t.split(" ").iterator.filter(_.nonEmpty)
-          .map(segmentWord).mkString(" ")
-        val n = if (stream.isEmpty) 0L
-          else stream.count(_ == ' ').toLong + 1L
-        val fp = java.security.MessageDigest.getInstance("MD5")
-          .digest(stream.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        (id, n, fp)
+        val sb = new java.lang.StringBuilder(t.length + 8)
+        var start = 0
+        var i = 0
+        while (i <= t.length) {
+          if (i == t.length || t.charAt(i) == ' ') {
+            if (i > start) {
+              if (sb.length() > 0) sb.append(' ')
+              sb.append(segmentWord(t.substring(start, i)))
+            }
+            start = i + 1
+          }
+          i += 1
+        }
+        val stream = sb.toString
+        var n = 0L
+        if (stream.nonEmpty) {
+          n = 1L
+          var j = 0
+          while (j < stream.length) {
+            if (stream.charAt(j) == ' ') n += 1L
+            j += 1
+          }
+        }
+        md.reset()
+        val dig = md.digest(stream.getBytes("UTF-8"))
+        val hex = new Array[Char](dig.length * 2)
+        var b = 0
+        while (b < dig.length) {
+          hex(b * 2) = hexDigits((dig(b) >> 4) & 0xF)
+          hex(b * 2 + 1) = hexDigits(dig(b) & 0xF)
+          b += 1
+        }
+        (id, n, new String(hex))
       }
     }.toDF("doc_id", "n_pieces", "fp")
   }
