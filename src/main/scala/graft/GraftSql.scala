@@ -237,6 +237,10 @@ object GraftSql {
       new ExpressionInfo("graft.GraftSql", "graft_band_t"),
       (args: Seq[Expression]) => bandTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_winnow_pairs_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_winnow_pairs_t"),
+      (args: Seq[Expression]) => winnowPairsTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_neardup_t"),
       new ExpressionInfo("graft.GraftSql", "graft_neardup_t"),
       (args: Seq[Expression]) => neardupTablePlan(args))
@@ -1495,6 +1499,24 @@ object GraftSql {
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
       dblLit(args(5), fn, "t1"), dblLit(args(6), fn, "t2"),
       if (args.length == 8) dblLit(args(7), fn, "backoff") else 0.4)
+      .queryExecution.logical
+  }
+
+  /** `graft_winnow_pairs_t('docsV', 'id', 'text'[, k, window, minShared,
+    * maxBucket])` — [[graft.llm.Dedup.winnowPairs]] from SQL: winnowing-
+    * fingerprint near-dup candidate pairs. */
+  private def winnowPairsTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_winnow_pairs_t"
+    require(args.length >= 3 && args.length <= 7,
+      s"usage: $fn('docsView', 'idCol', 'textCol'[, k, window, " +
+        "minShared, maxBucket])")
+    graft.llm.Dedup.winnowPairs(
+      SparkSession.active.table(strLit(args(0), fn, "docs view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      if (args.length > 3) lngLit(args(3), fn, "k").toInt else 8,
+      if (args.length > 4) lngLit(args(4), fn, "window").toInt else 4,
+      if (args.length > 5) lngLit(args(5), fn, "minShared") else 2L,
+      if (args.length > 6) lngLit(args(6), fn, "maxBucket") else 50L)
       .queryExecution.logical
   }
 

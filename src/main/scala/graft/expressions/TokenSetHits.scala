@@ -71,6 +71,96 @@ object TokenSetHits {
   }
 }
 
+/** [[TokenSetHits]] against a RUNTIME broadcast set (data-derived, too
+  * large to inline into the plan as literals — the decontamination
+  * bench-shingle set): count of a string array's members present in the
+  * broadcast `HashSet`, multiplicity included. The old shape exploded
+  * one row per corpus shingle into a broadcast hash JOIN and re-grouped
+  * by doc_id just to count the survivors — this is the same probe
+  * against the same hash set, done per row with no generator, no join
+  * operator, and no aggregate (d12 measured 2.7 s vs its 0.5 s oracle
+  * at sf1 on that). The set ships once per executor via the broadcast;
+  * the expression carries only the handle. */
+case class BcStringSetHits(child: Expression,
+    set: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bc_string_set_hits"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(toks: Any): Any =
+    TokenSetHits.count(toks.asInstanceOf[ArrayData], set.value)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcStringSet", set,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, toks => {
+      s"${ev.value} = graft.expressions.TokenSetHits.count($toks, " +
+        s"(java.util.HashSet) $bcRef.value());"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BcStringSetHits = copy(child = newChild)
+}
+
+/** [[BcStringSetHits]] for hashed keys: count of an array<long>'s
+  * members present in a broadcast unboxed long set. */
+case class BcLongSetHits(child: Expression,
+    set: org.apache.spark.broadcast.Broadcast[
+      scala.collection.mutable.LongMap[Unit]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bc_long_set_hits"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(arr: Any): Any =
+    BcLongSetHits.count(arr.asInstanceOf[ArrayData], set.value)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcLongSet", set,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = graft.expressions.BcLongSetHits.count($arr, " +
+        s"(scala.collection.mutable.LongMap) $bcRef.value());"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BcLongSetHits = copy(child = newChild)
+}
+
+object BcLongSetHits {
+  /** The compiled kernel both eval paths share. */
+  def count(arr: ArrayData, set: scala.collection.mutable.LongMap[Unit])
+      : Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getLong(i))) c += 1L
+      i += 1
+    }
+    c
+  }
+}
+
 /** Count of a string array's members matching a BOUND regex (java
   * `find()` = `rlike` semantics), in one compiled pass — the
   * `size(filter(arr, x => x.rlike(p)))` / startsWith / endsWith shapes
@@ -318,6 +408,52 @@ object NormalizeTextExpr {
     }
     UTF8String.fromBytes(out, 0, o)
   }
+}
+
+/** The winnowing document sketch (Schleimer et al. 2003, the MOSS
+  * fingerprint) as an expression — array<long> of the distinct sliding-
+  * window minima over the rolling k-gram hashes of the lowercased text.
+  * Delegates to [[graft.llm.TextStats.winnow]] verbatim (the property-
+  * tested driver kernel: Java-long wrapping 31-base polynomial over
+  * UTF-16 code units, full windows, ≤-window texts sketch to their
+  * single minimum, sub-k texts to an empty sketch), so the column
+  * operator and the typed kernel can never drift. */
+case class WinnowSketchExpr(child: Expression, k: Int, window: Int)
+  extends UnaryExpression {
+  require(k >= 1, s"WinnowSketchExpr: k must be >= 1, got $k")
+  require(window >= 1, s"WinnowSketchExpr: window must be >= 1, got $window")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_sketch"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowSketchExpr.compute(s.asInstanceOf[UTF8String], k, window)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.expressions.WinnowSketchExpr.compute($s, " +
+        s"$k, $window);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowSketchExpr = copy(child = newChild)
+}
+
+object WinnowSketchExpr {
+  /** The compiled kernel both eval paths share. */
+  def compute(s: UTF8String, k: Int, window: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.llm.TextStats.winnow(s.toString, k, window).toArray)
 }
 
 /** The fingerprint normalization (`trim(regexp_replace(lower(t),

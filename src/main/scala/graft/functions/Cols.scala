@@ -102,6 +102,16 @@ object Cols {
 
   /** Count of a token array's members containing at least one byte
     * from a bound ASCII set ([[graft.expressions.TokenAnyAsciiHits]]). */
+  /** Winnowing document sketch (Schleimer et al. 2003) — array<long> of
+    * distinct k-gram rolling-hash window minima
+    * ([[graft.expressions.WinnowSketchExpr]], delegating to the
+    * property-tested [[graft.llm.TextStats.winnow]] kernel). */
+  def winnowSketch(text: Column, k: Int, window: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WinnowSketchExpr(
+      ColumnBridge.expression(text), k, window))
+  }
+
   /** struct(dl, counts) — non-empty token count and per-bound-term
     * occurrence counts over LOWERED text in one compiled byte pass
     * ([[graft.expressions.QueryTermCounts]]). */

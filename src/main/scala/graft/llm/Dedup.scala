@@ -1034,17 +1034,103 @@ object Dedup {
     val benchSet = bench.filter(col(textCol).isNotNull)
       .select(tokens(col(textCol)).as("_tk"))
       .select(explode(key).as("_s")).distinct()
-    val b = if (broadcastBench) broadcast(benchSet) else benchSet
-    val hits = corp.select(col("doc_id"), explode(key).as("_s"))
-      .join(b, Seq("_s"))
-      .groupBy("doc_id").agg(count(lit(1)).as("_hits"))
-    corp.select(col("doc_id"), size(key).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("_hits"), lit(0L)).as("n_contaminated"))
+    val nContaminated: DataFrame => DataFrame =
+      if (broadcastBench) {
+        // bench sets are broadcast-by-contract — collect the distinct
+        // keys once (require-bounded) and probe them PER ROW in one
+        // compiled pass: the join form exploded one row per corpus
+        // shingle into a broadcast hash join and re-grouped by doc_id
+        // just to count the survivors (two corpus-scale operators for a
+        // doc-local count)
+        val sc = corpus.sparkSession.sparkContext
+        val cap = 1 << 24
+        val rows = benchSet.limit(cap + 1).collect()
+        require(rows.length <= cap,
+          s"contaminationStats: > $cap distinct bench shingles — pass " +
+            "broadcastBench = false for a corpus-scale bench side")
+        import org.apache.spark.sql.graft.ColumnBridge
+        val hitsCol = if (hashShingles) {
+          val set = new scala.collection.mutable.LongMap[Unit](
+            math.max(8, rows.length * 2))
+          rows.foreach(r => if (!r.isNullAt(0)) set(r.getLong(0)) = ())
+          val bc = sc.broadcast(set)
+          ColumnBridge.column(graft.expressions.BcLongSetHits(
+            ColumnBridge.expression(key), bc))
+        } else {
+          val set = new java.util.HashSet[
+            org.apache.spark.unsafe.types.UTF8String](
+            math.max(8, rows.length * 2))
+          rows.foreach(r => if (!r.isNullAt(0)) set.add(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              r.getString(0))))
+          val bc = sc.broadcast(set)
+          ColumnBridge.column(graft.expressions.BcStringSetHits(
+            ColumnBridge.expression(key), bc))
+        }
+        df => df.select(col("doc_id"),
+          size(key).cast("long").as("n_shingles"),
+          hitsCol.as("n_contaminated"))
+      } else { df =>
+        val hits = df.select(col("doc_id"), explode(key).as("_s"))
+          .join(benchSet, Seq("_s"))
+          .groupBy("doc_id").agg(count(lit(1)).as("_hits"))
+        df.select(col("doc_id"), size(key).cast("long").as("n_shingles"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("_hits"), lit(0L)).as("n_contaminated"))
+      }
+    nContaminated(corp)
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         when(col("n_shingles") === 0L, 0.0)
           .otherwise(round(col("n_contaminated") / col("n_shingles"), 6))
           .as("contam_frac"))
+  }
+
+  /** Winnowing document sketch (Schleimer et al. 2003 — the MOSS local
+    * fingerprint): one (doc_id, wh) row per DISTINCT sliding-window
+    * minimum of the rolling k-gram hashes of the lowercased text. Unlike
+    * token-shingle MinHash (d3), winnowing guarantees a LOCAL match
+    * property: any shared substring of length ≥ k + window − 1 is
+    * caught by at least one shared fingerprint regardless of position —
+    * the plagiarism/quotation detector the token-level family can miss
+    * under heavy reordering. Per-row compiled kernel
+    * ([[graft.expressions.WinnowSketchExpr]] ≡ the property-tested
+    * [[TextStats.winnow]]), one explode, no shuffle — the sketch
+    * inherits the scan's partitioning. Texts shorter than `k` sketch to
+    * no rows. */
+  def winnowSketch(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4): DataFrame =
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.Cols.winnowSketch(col(textCol), k, window))
+          .as("wh"))
+
+  /** Candidate near-duplicate pairs by shared winnowing fingerprints:
+    * documents sharing ≥ `minShared` sketch hashes, with the shared
+    * count. Fingerprints present in more than `maxBucket` documents are
+    * dropped FIRST (MOSS's over-represented-fingerprint rule —
+    * boilerplate substrings every document carries would otherwise pair
+    * everything with everything), which also bounds the bucket
+    * self-join: a kept fingerprint yields ≤ maxBucket·(maxBucket−1)/2
+    * pair rows, so the quadratic term is capped by a constant at any
+    * corpus size. Shape: sketch → per-hash doc-frequency aggregate →
+    * semi-join keep → bucket self-join → pair-keyed count (the d2/d3
+    * family with the frequency cap in front). Output:
+    * (doc_a, doc_b, n_shared), doc_a < doc_b. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4, minShared: Long = 2L,
+      maxBucket: Long = 50L): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2L, s"maxBucket must be >= 2, got $maxBucket")
+    val sk = winnowSketch(docs, idCol, textCol, k, window)
+    val kept = sk.join(
+      sk.groupBy("wh").agg(count(lit(1)).as("_docs"))
+        .filter(col("_docs") <= maxBucket).select("wh"),
+      Seq("wh"), "left_semi")
+    kept.select(col("doc_id").as("doc_a"), col("wh"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("wh")), Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

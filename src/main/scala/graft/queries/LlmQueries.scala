@@ -539,6 +539,20 @@ object LlmQueries {
     // src0) — broadcast bench shingles, nothing corpus-sized shuffles.
     // String-keyed so the DuckDB replay needs no hash-parity assumption
     // (the hashed scale path is spec-pinned equal, the d9 pattern)
+    // Winnowing fingerprint near-dup pairs (Schleimer et al. 2003 —
+    // MOSS): rolling 8-gram char hashes, window-4 minima, fingerprints
+    // in > 8 docs dropped (the over-represented rule — the cap that
+    // bounds the bucket join at any scale), docs sharing >= 3 kept
+    // fingerprints. The oracle replays the Java-long wrapping
+    // polynomial exactly (HUGEINT arithmetic, one mod-2^64 wrap — a
+    // ring homomorphism, so wrapping once equals wrapping at every
+    // step), the full-window minima incl. the <=window single-min arm,
+    // the distinct sketch, the frequency cap, and the bucket self-join
+    "d22_winnow_pairs" -> ((s, dir) => {
+      sortAll(Dedup.winnowPairs(docs(s, dir), "doc_id", "text",
+        k = 8, window = 4, minShared = 3L, maxBucket = 8L))
+    }),
+
     "d12_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       sortAll(Dedup.contaminationStats(
@@ -2044,6 +2058,53 @@ object LlmQueries {
 
     // distinct 5-shingles per side (lowercased, the d2 convention); the
     // corpus row set includes shingle-less short docs via the left joins
+    // the Java-long rolling hash replayed in HUGEINT: h_i = wrap(B·31^k
+    // + Σ_j unicode(c_{i+j})·31^(k−1−j)) with ONE mod-2^64 wrap (ring
+    // homomorphism ≡ per-step wrapping), full-window minima, the
+    // <=window single-min arm, distinct sketch, bucket self-join
+    "d22_winnow_pairs" -> {
+      val k = 8
+      val w = 4
+      val b31k = (BigInt(1125899906842597L) * BigInt(31).pow(k)).toString
+      val terms = (0 until k).map { j =>
+        val coef = BigInt(31).pow(k - 1 - j)
+        s"CAST($coef AS BIGINT) * unicode(substr(s, i + $j, 1))"
+      }.mkString("\n         |           + ")
+      s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM $docsPq
+         |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |g AS (SELECT doc_id, i,
+         |        CAST(CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT)
+         |               THEN m - CAST('18446744073709551616' AS HUGEINT)
+         |               ELSE m END AS BIGINT) AS h
+         |      FROM (
+         |        SELECT doc_id, i,
+         |          (CAST('$b31k' AS HUGEINT)
+         |           + $terms)
+         |          % CAST('18446744073709551616' AS HUGEINT) AS m
+         |        FROM t, UNNEST(range(1, length(s) - $k + 2)) AS u(i)) rawh),
+         |cnt AS (SELECT doc_id, count(*) AS nh FROM g GROUP BY 1),
+         |mins AS (
+         |  SELECT a.doc_id, a.i AS p, min(b.h) AS wh
+         |  FROM g a
+         |  JOIN g b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + $w
+         |  JOIN cnt c ON c.doc_id = a.doc_id
+         |  WHERE c.nh > $w AND a.i <= c.nh - $w + 1
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT g.doc_id, 1 AS p, min(h) AS wh
+         |  FROM g JOIN cnt c USING (doc_id)
+         |  WHERE c.nh <= $w
+         |  GROUP BY 1),
+         |sk0 AS (SELECT DISTINCT doc_id, wh FROM mins),
+         |keep AS (SELECT wh FROM sk0 GROUP BY wh HAVING count(*) <= 8),
+         |sk AS (SELECT doc_id, wh FROM sk0 JOIN keep USING (wh))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared
+         |FROM sk a JOIN sk b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |${orderBySql("doc_a", "doc_b", "n_shared")}""".stripMargin
+    },
+
     "d12_decontaminate" ->
       s"""WITH cw AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
          |           FROM $docsPq),

@@ -176,6 +176,15 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT count(*) FROM graft_neardup_t('neardup_docs', 'doc_id', 'text') WHERE doc_id = rep_id")
       .head.getLong(0)
     assert(survivors === 11L)
+    // winnowing pairs from SQL ≡ typed on the same fixture
+    val sqlWn = spark.sql(
+      """SELECT * FROM graft_winnow_pairs_t('neardup_docs', 'doc_id',
+        'text', 8, 4, 2, 50)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val typedWn = graft.llm.Dedup.winnowPairs(docs, "doc_id", "text",
+        8, 4, 2L, 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlWn === typedWn && sqlWn.nonEmpty)
   }
 
   test("graft_topk_t equals the typed cosineTopK") {

@@ -1708,4 +1708,46 @@ class LlmSpec extends AnyFunSuite {
     assert(kept.columns.toSeq === embs.columns.toSeq, "original schema out")
     assert(kept.count() < embs.count(), "something must dedup at 0.35")
   }
+
+  test("winnowSketch/winnowPairs: shared substrings pair, the " +
+      "over-represented rule drops boilerplate, sketch ≡ the driver kernel") {
+    val spark2 = spark
+    import spark2.implicits._
+    val shared = "identical long shared passage of text here"
+    val boiler = "common boilerplate footer all docs carry"
+    val fix = Seq(
+      (1L, s"alpha $shared tail one $boiler"),
+      (2L, s"beta prefix $shared different end $boiler"),
+      (3L, s"completely unrelated content zed $boiler")) ++
+      (4L to 12L).map(i => (i, s"filler doc number unique$i $boiler"))
+    val df = fix.toDF("doc_id", "text")
+    // the sketch column ≡ the property-tested driver kernel, per doc
+    val viaCol = Dedup.winnowSketch(df, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    fix.foreach { case (id, t) =>
+      assert(viaCol.getOrElse(id, Set.empty[Long]) ===
+        TextStats.winnow(t, 8, 4).toSet, s"sketch of doc $id")
+    }
+    // (1, 2) share a 43-char passage (≥ k + window − 1 ⇒ guaranteed
+    // shared fingerprints); the boilerplate is in 12 docs > maxBucket 8
+    // so its fingerprints drop — doc 3 (boilerplate-only overlap)
+    // pairs with nobody
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", 8, 4,
+        minShared = 2L, maxBucket = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the shared-passage pair must survive")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "boilerplate-only overlap must not pair")
+    // without the cap the boilerplate pairs everything with everything
+    val uncapped = Dedup.winnowPairs(df, "doc_id", "text", 8, 4,
+      minShared = 2L, maxBucket = 1000000L).count()
+    assert(uncapped > pairs.size.toLong, "the cap must prune pairs")
+    // sub-k text sketches to no rows
+    assert(Dedup.winnowSketch(Seq((9L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 4).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.winnowPairs(df, "doc_id", "text", 8, 4, minShared = 0L)
+    }
+  }
 }
