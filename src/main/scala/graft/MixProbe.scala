@@ -188,6 +188,94 @@ object MixProbe {
       .endsWith("<EMAIL> <IP> <PHONE>")).count() == 0,
       "payload redacted in order")
 
+    // --- interpolated Kneser–Ney over the same model tables: looped
+    // docs are wall-to-wall SEEN pairs (discounted-interpolated, high p)
+    // and must sit strictly below the unique docs, whose every pair
+    // falls through λ(prev)·Pcont to the OOV continuation floor ---
+    val kppl = time("knPerplexity")(
+      Quality.knPerplexity(docs, lm, bi, "doc_id", "text")
+        .localCheckpoint())
+    require(kppl.count() == n, "one KN ppl row per doc")
+    val kLoopMax = kppl.filter(col("doc_id") < half)
+      .agg(max("ppl")).head.getDouble(0)
+    val kUniqMin = kppl.filter(col("doc_id") >= half)
+      .agg(min("ppl")).head.getDouble(0)
+    require(kLoopMax < kUniqMin,
+      s"looped KN ppl $kLoopMax must sit below the unique floor $kUniqMin")
+
+    // --- CCNet buckets + per-bucket sampling: cutoffs placed between
+    // the two populations' (structurally separated) perplexity bands →
+    // head = exactly the looped half, tail = exactly the unique half,
+    // middle empty; the 100/0/10 mix keeps all head + ~10% tail ---
+    val t1 = (loopMax + uniqMin) / 2.0
+    val t2 = (t1 + uniqMin) / 2.0
+    val buckets = time("pplBuckets")(
+      Quality.pplBuckets(docs, lm, bi, "doc_id", "text", t1, t2)
+        .localCheckpoint())
+    val byBucket = buckets.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byBucket.getOrElse("head", 0L) == half &&
+      byBucket.getOrElse("middle", 0L) == 0L &&
+      byBucket.getOrElse("tail", 0L) == n - half,
+      s"buckets must split the populations exactly, got $byBucket")
+    val mixed = Sampling.mixSample(buckets, "bucket", "doc_id",
+      Map("head" -> 100, "tail" -> 10))
+    val mixedN = mixed.count()
+    require(mixedN > half && mixedN < half + (n - half) / 5,
+      s"head kept whole, tail down-sampled: $mixedN of $n")
+
+    // --- temperature quota at scale: 16 equal strata → n^τ equal →
+    // exactly total/16 per stratum at any τ; the per-stratum rank
+    // window carries ~n/16 rows per task (the training-mix sizing
+    // contract) ---
+    val tq = time("temperatureQuota")(
+      Sampling.temperatureQuota(docs, "strata", "doc_id",
+        tau = 0.5, total = 16000L).localCheckpoint())
+    val perStratum = tq.groupBy("strata").agg(count(lit(1)).as("c"))
+      .agg(countDistinct("c").as("d"), min("c").as("mn")).head
+    require(perStratum.getLong(0) == 1L && perStratum.getLong(1) == 1000L,
+      "equal strata must draw exactly total/16 each")
+
+    // --- winnowing at scale: the sketch over every doc; docs of the
+    // same looped class carry IDENTICAL text → identical fingerprint
+    // sets; pairing on a 4-per-class subset (bounded buckets) at a
+    // minShared only identical texts reach → exactly the
+    // 1000 · C(4,2) same-class pairs ---
+    val sk = time("winnowSketch")(
+      Dedup.winnowSketch(docs, "doc_id", "text").localCheckpoint())
+    require(sk.count() > 0, "sketches non-empty")
+    val s5 = sk.filter(col("doc_id") === 5L).select("wh")
+      .collect().map(_.getLong(0)).toSet
+    val s1005 = sk.filter(col("doc_id") === 1005L).select("wh")
+      .collect().map(_.getLong(0)).toSet
+    require(s5 == s1005 && s5.nonEmpty,
+      "identical texts must sketch identically")
+    // pairing on a planted 2 000-doc fixture: each class c carries one
+    // pair (c, c+1000) sharing a 60-char passage (≫ k + window − 1 ⇒
+    // many guaranteed shared fingerprints); a 29-char boilerplate
+    // prefix common to ALL docs must be excised by the
+    // over-represented-fingerprint cap, unique tails share nothing
+    // the shared passage embeds the class id in EVERY word (each word
+    // ≤ 7 chars < k, so every 8-gram spans a boundary and carries the
+    // class digits — all passage fingerprints are class-specific and
+    // survive any cap ≥ 2), while the boilerplate prefix recurs in all
+    // 2 000 docs and must be excised by the over-represented rule
+    val cls = (col("id") % 1000).cast("string")
+    val pairDocs = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("all docs carry this exact boilerplate prefix"),
+        lit(" s"), cls, lit("a s"), cls, lit("b s"), cls,
+        lit("c s"), cls, lit("d s"), cls, lit("e s"), cls,
+        lit("f s"), cls, lit("g tail"),
+        (col("id") * 7919 + 13).cast("string"),
+        lit("x"), (col("id") * 104729 + 7).cast("string")).as("text"))
+    val wp = time("winnowPairs(2k planted)")(
+      Dedup.winnowPairs(pairDocs, "doc_id", "text",
+        minShared = 3L).localCheckpoint())
+    require(wp.filter(col("doc_b") === col("doc_a") + 1000).count() == 1000L,
+      "every planted same-class pair must surface")
+    require(wp.filter(col("doc_b") =!= col("doc_a") + 1000).count() == 0L,
+      "no cross-class pair may survive the boilerplate cap")
+
     println(s"[mix] OK docs=$n")
     spark.stop()
   }

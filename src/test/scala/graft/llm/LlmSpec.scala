@@ -1721,6 +1721,25 @@ class LlmSpec extends AnyFunSuite {
       (3L, s"completely unrelated content zed $boiler")) ++
       (4L to 12L).map(i => (i, s"filler doc number unique$i $boiler"))
     val df = fix.toDF("doc_id", "text")
+    // the compiled kernel ≡ the reference kernel on 2000 randomized
+    // strings (ORDER included — first-occurrence dedup, the ≤-window
+    // single-min arm, sub-k empties, mixed case, unicode)
+    locally {
+      import org.apache.spark.unsafe.types.UTF8String
+      val frags = Seq("the cat", "...", "ABCdef", "é中😀", " ", "",
+        "repeat repeat repeat", "x", "1234567890", "shared passage here")
+      val rnd = new scala.util.Random(41)
+      (0 until 2000).foreach { _ =>
+        val s = (0 until rnd.nextInt(6))
+          .map(_ => frags(rnd.nextInt(frags.length))).mkString(" ")
+        val k = 1 + rnd.nextInt(9)
+        val win = 1 + rnd.nextInt(6)
+        val got = graft.expressions.WinnowSketchExpr
+          .compute(UTF8String.fromString(s), k, win)
+        assert(got.toLongArray().toSeq === TextStats.winnow(s, k, win),
+          s"on <$s> k=$k w=$win")
+      }
+    }
     // the sketch column ≡ the property-tested driver kernel, per doc
     val viaCol = Dedup.winnowSketch(df, "doc_id", "text", 8, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
