@@ -1456,6 +1456,164 @@ object Quality {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** HALF_UP (half away from zero) fixed-point rounding of a finite
+    * double to a Long — the cross-engine rounding every oracle replays
+    * (`java.math.RoundingMode.HALF_UP` ≡ DuckDB `round()` on doubles;
+    * `Math.round` would differ on negative ties). */
+  private def halfAway(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** DISTRIBUTED full-batch gradient-descent trainer for the quality
+    * classifier — the corpus-scale counterpart of the driver kernel
+    * [[trainTextClassifier]], for when the labeled set outgrows a
+    * driver collect (the 100-TB regime: label by weak supervision —
+    * a reference-corpus join, a heuristic floor — and millions of
+    * labeled documents result; `maxTrainDocs` there is 200 k).
+    *
+    * Shape per iteration (ALL corpus-sized work is one zero-shuffle
+    * scan): documents are featurized ONCE into a cached corpus of
+    * `(y, features, counts)` primitive arrays (the
+    * [[scoreTextClassifier]] byte-level featurizer — spec-pinned equal
+    * to [[hashedTextFeatures]]); each iteration maps over the cache
+    * computing every document's exact integer logit against the
+    * broadcast weights, fixed-points the logistic residual to
+    * micro-units, and partially aggregates `feature → Σ gm·cnt` INSIDE
+    * the partition, so the only exchange per iteration is the
+    * dim-bounded gradient table (map-side-combined `reduceByKey`,
+    * ≤ `dim`+1 rows collected — the same driver-bounded contract as a
+    * centroid collect). Weight update runs on the driver in integer
+    * micro-units and re-broadcasts.
+    *
+    * Determinism/oracle contract (what makes a TRAINER hash-gateable —
+    * [[trainTextClassifier]] is float-sequential and only spec-gated):
+    * weights are integer micro-units at ALL times, so per-document
+    * logits are exact integers in any evaluation order; per-document
+    * residuals fix-point as `gm = HALF_UP((σ(z_micro/1e6) − y)·1e6)`
+    * (the only transcendental, quantized immediately — the tx8
+    * micro-nat recipe); gradient sums are exact integer sums
+    * (order-free); the update
+    * `w ← w − HALF_UP(lr·(S/n + l2·w))`,
+    * `b ← b − HALF_UP(lr·Sb/n)` computes one IEEE expression from
+    * exact integers on both engines. A DuckDB oracle replays training
+    * by unrolling iterations as CTEs (see `tx22`); iteration 1 from
+    * zero weights is even exp-free (σ(0) = 1/2 exactly).
+    *
+    * Long bounds: |gm| ≤ 1e6, so a feature's gradient sum |S| ≤
+    * 1e6·Σcnt — safe through ~9×10¹² corpus tokens; per-document
+    * logits need |Σ cnt·w_micro| < 2⁶³, comfortable for any real
+    * weight scale (|w| ≤ 10³ ⇒ ~4×10⁹ tokens per document).
+    *
+    * Output: (feature, w_micro) — nonzero integer micro-unit weights
+    * plus the intercept at feature = −1; drop-in for
+    * [[scoreTextClassifier]]. Same duplicate-label refusal as the
+    * driver kernel; labels must be exactly {0, 1}-valued. */
+  def trainTextClassifierGd(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int = 1 << 18,
+      bigrams: Boolean = true, iters: Int = 10, lr: Double = 0.5,
+      l2: Double = 0.0): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 22),
+      s"dim must be in [2, 2^22], got $dim (the driver holds one " +
+        "dense dim-long weight vector; the per-iteration collect is " +
+        "dim-bounded)")
+    require(iters >= 1 && iters <= 10000, s"iters must be in [1, 10000], got $iters")
+    require(lr > 0.0 && lr.isFinite, s"lr must be finite > 0, got $lr")
+    require(l2 >= 0.0 && l2.isFinite, s"l2 must be finite >= 0, got $l2")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val base = labeled.filter(col(idCol).isNotNull &&
+      col(textCol).isNotNull && col(labelCol).isNotNull)
+    // duplicate ids would double-count every feature of the document in
+    // each gradient — refuse malformed input (the trainTextClassifier
+    // contract), distributed instead of collected
+    val dup = base.select(longId(col(idCol)).as("_id"))
+      .groupBy("_id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"trainTextClassifierGd: duplicate labeled doc_id " +
+        s"${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} — label " +
+        "each document exactly once (dedup before training)")
+    import org.apache.spark.sql.graft.PlanBridge
+    val in = base.select(lower(col(textCol)).as("_lt"),
+      col(labelCol).cast("int").as("_y"))
+    val dimL = dim.toLong
+    // featurize ONCE into compact primitive arrays — iterations re-scan
+    // hashed integers, never text
+    val feats = PlanBridge.toInternalRdd(in).mapPartitions { rows =>
+      val fz = new NgramFeaturizer(dimL, bigrams)
+      rows.map { r =>
+        fz.featurize(r.getUTF8String(0))
+        val y = r.getInt(1)
+        val k = fz.counts.size
+        val fs = new Array[Int](k)
+        val cs = new Array[Long](k)
+        var i = 0
+        fz.counts.foreachEntry { (f, c) => fs(i) = f.toInt; cs(i) = c; i += 1 }
+        (y, fs, cs)
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labelHist = feats.map(t => (t._1, 1L)).reduceByKey(_ + _)
+        .collect().toMap
+      val n = labelHist.valuesIterator.sum
+      require(n >= 1, "trainTextClassifierGd: no labeled documents")
+      require(labelHist.keySet.subsetOf(Set(0, 1)),
+        s"trainTextClassifierGd: labels must be 0/1, got " +
+          s"${labelHist.keySet.toSeq.sorted.mkString(",")}")
+      val sc = spark.sparkContext
+      val w = new Array[Long](dim)
+      var b = 0L
+      var it = 0
+      while (it < iters) {
+        val bcW = sc.broadcast(w)
+        val bLoc = b
+        val sums = feats.mapPartitions { docs =>
+          val wv = bcW.value
+          val grad = new scala.collection.mutable.LongMap[Long]()
+          var gb = 0L
+          docs.foreach { case (y, fs, cs) =>
+            var z = bLoc
+            var i = 0
+            while (i < fs.length) { z += cs(i) * wv(fs(i)); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-(z.toDouble / 1e6)))
+            val gm = halfAway((p - y) * 1e6)
+            gb += gm
+            i = 0
+            while (i < fs.length) {
+              val f = fs(i).toLong
+              grad.update(f, grad.getOrElse(f, 0L) + gm * cs(i))
+              i += 1
+            }
+          }
+          grad.iterator ++ Iterator((-1L, gb))
+        }.reduceByKey(_ + _).collect()
+        bcW.destroy()
+        var gbSum = 0L
+        val gArr = new Array[Long](dim)
+        sums.foreach { case (f, s) =>
+          if (f == -1L) gbSum = s else gArr(f.toInt) = s
+        }
+        var f = 0
+        while (f < dim) {
+          val s = gArr(f)
+          if (s != 0L || w(f) != 0L)
+            w(f) -= halfAway(lr * (s.toDouble / n + l2 * w(f)))
+          f += 1
+        }
+        b -= halfAway(lr * (gbSum.toDouble / n))
+        it += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      out += ((-1L, b))
+      var f = 0
+      while (f < dim) {
+        if (w(f) != 0L) out += ((f.toLong, w(f)))
+        f += 1
+      }
+      out.toSeq.toDF("feature", "w_micro")
+    } finally { feats.unpersist(blocking = false); () }
+  }
+
   /** Multi-class extension of [[trainTextClassifier]] — softmax
     * regression over the same [[hashedTextFeatures]], the step that
     * turns language ID from a marker-vote fixture into a TRAINED,

@@ -959,6 +959,21 @@ object LlmQueries {
         weights, dim))
     }),
 
+    // The DISTRIBUTED gradient-descent trainer ITSELF, hash-gated — the
+    // step past the tx17/tx19 trick (explicit weights because float-
+    // sequential training isn't SQL-expressible): integer micro-unit
+    // weights at all times make every iteration's gradient an exact
+    // integer sum, so the ORACLE REPLAYS TRAINING by unrolling the three
+    // iterations as CTEs (iteration 1 from zero weights is exp-free:
+    // sigma(0) = 1/2 exactly). Labels are a deterministic fixture rule
+    // (doc_id mod 3) both engines derive
+    "tx22_classifier_train_gd" -> ((s, dir) => {
+      sortAll(Quality.trainTextClassifierGd(
+        docs(s, dir).withColumn("y", (col("doc_id") % 3 === 0).cast("int")),
+        "doc_id", "text", "y", dim = 1 << 16, bigrams = true,
+        iters = 3, lr = 0.5, l2 = 0.0))
+    }),
+
     // multi-query batch BM25: 3 keyword queries scored in ONE corpus
     // pass (per-query top-10), overlapping terms included — the oracle
     // replays the shared df/tf/contrib computation and the per-query
@@ -2899,6 +2914,82 @@ object LlmQueries {
          |    AS logit_micro
          |FROM fc GROUP BY doc_id
          |${orderBySql("doc_id", "n_feats", "logit_micro")}""".stripMargin,
+
+    // the distributed GD trainer replayed by UNROLLING its three
+    // iterations: the shared feature table (tx17's fc), the label rule,
+    // then per iteration the exact integer per-doc logit, the micro-
+    // rounded logistic residual, the integer gradient sums, and the
+    // HALF_UP fixed-point update — iteration 1 is exp-free (zero
+    // weights), 2 and 3 exercise the sigmoid at the shared micro fixed
+    // point. DuckDB round() on doubles is half-away-from-zero ==
+    // BigDecimal HALF_UP; integer "/" is float division in DuckDB, the
+    // same IEEE expression the engine computes from the same integers
+    "tx22_classifier_train_gd" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |           FROM $docsPq
+         |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |ng AS (SELECT doc_id, unnest(w) AS g FROM d
+         |       UNION ALL
+         |       SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM d JOIN nums ON i <= len(w) - 1),
+         |fc AS (SELECT doc_id,
+         |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |       FROM ng GROUP BY 1, 2),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y FROM d),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+         |g1 AS (SELECT doc_id,
+         |         CAST(500000 - 1000000 * y AS BIGINT) AS gm FROM lab),
+         |s1 AS (SELECT f, CAST(sum(gm * cnt) AS BIGINT) AS s
+         |       FROM fc JOIN g1 USING (doc_id) GROUP BY f),
+         |w1 AS (SELECT f, -CAST(round(0.5 * (s / n)) AS BIGINT) AS w
+         |       FROM s1, nn),
+         |b1 AS (SELECT -CAST(round(0.5 * (sum(gm) / n)) AS BIGINT) AS b
+         |       FROM g1, nn GROUP BY n),
+         |z2 AS (SELECT fc.doc_id,
+         |         CAST(b1.b + sum(fc.cnt * coalesce(w1.w, 0)) AS BIGINT)
+         |           AS z
+         |       FROM fc LEFT JOIN w1 USING (f), b1
+         |       GROUP BY fc.doc_id, b1.b),
+         |g2 AS (SELECT doc_id,
+         |         CAST(round((1.0 / (1.0 + exp(-(z / 1000000.0))) - y)
+         |           * 1000000) AS BIGINT) AS gm
+         |       FROM z2 JOIN lab USING (doc_id)),
+         |s2 AS (SELECT f, CAST(sum(gm * cnt) AS BIGINT) AS s
+         |       FROM fc JOIN g2 USING (doc_id) GROUP BY f),
+         |w2 AS (SELECT f,
+         |         coalesce(w1.w, 0) - CAST(round(0.5 * (s2.s / n))
+         |           AS BIGINT) AS w
+         |       FROM s2 LEFT JOIN w1 USING (f), nn),
+         |b2 AS (SELECT b1.b - CAST(round(0.5 * (sum(gm) / n)) AS BIGINT)
+         |         AS b
+         |       FROM g2, nn, b1 GROUP BY n, b1.b),
+         |z3 AS (SELECT fc.doc_id,
+         |         CAST(b2.b + sum(fc.cnt * coalesce(w2.w, 0)) AS BIGINT)
+         |           AS z
+         |       FROM fc LEFT JOIN w2 USING (f), b2
+         |       GROUP BY fc.doc_id, b2.b),
+         |g3 AS (SELECT doc_id,
+         |         CAST(round((1.0 / (1.0 + exp(-(z / 1000000.0))) - y)
+         |           * 1000000) AS BIGINT) AS gm
+         |       FROM z3 JOIN lab USING (doc_id)),
+         |s3 AS (SELECT f, CAST(sum(gm * cnt) AS BIGINT) AS s
+         |       FROM fc JOIN g3 USING (doc_id) GROUP BY f),
+         |w3 AS (SELECT f,
+         |         coalesce(w2.w, 0) - CAST(round(0.5 * (s3.s / n))
+         |           AS BIGINT) AS w
+         |       FROM s3 LEFT JOIN w2 USING (f), nn),
+         |b3 AS (SELECT b2.b - CAST(round(0.5 * (sum(gm) / n)) AS BIGINT)
+         |         AS b
+         |       FROM g3, nn, b2 GROUP BY n, b2.b),
+         |res AS (SELECT CAST(-1 AS BIGINT) AS feature, b AS w_micro
+         |        FROM b3
+         |        UNION ALL
+         |        SELECT f AS feature, w AS w_micro FROM w3 WHERE w <> 0)
+         |SELECT feature, w_micro FROM res
+         |${orderBySql("feature", "w_micro")}""".stripMargin,
 
     // domain aggregate: docs, filtered token counts, exact-dup count
     // (count minus distinct texts ≡ the engine's distinct content

@@ -1388,6 +1388,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sSql === sTyped && sSql.size === 20)
   }
 
+  test("graft_classifier_train_gd_t: distributed GD trainer from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    (0L until 20L).map { i =>
+      val y = (i % 2).toInt
+      (i, if (y == 1) s"thoughtful prose piece$i" else s"spam click bait$i", y)
+    }.toDF("doc_id", "text", "label")
+      .createOrReplaceTempView("clf_gd_labeled_v")
+    val dim = 1 << 14
+    val wSql = spark.sql("SELECT * FROM graft_classifier_train_gd_t(" +
+      s"'clf_gd_labeled_v', 'doc_id', 'text', 'label', $dim, true, 20, " +
+      "0.5D, 0.0D)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedW = graft.llm.Quality.trainTextClassifierGd(
+        spark.table("clf_gd_labeled_v"), "doc_id", "text", "label", dim,
+        iters = 20, lr = 0.5, l2 = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wSql === typedW && wSql.nonEmpty)
+  }
+
   test("graft_ingest_sem_repair_t: semantic bridge repair from SQL ≡ typed survivors") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

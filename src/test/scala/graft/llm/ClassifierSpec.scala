@@ -179,4 +179,92 @@ class ClassifierSpec extends AnyFunSuite {
       .head
     assert(got.getLong(2) === b, "no carried feature → intercept exactly")
   }
+
+  /** HALF_UP (away from zero) — the trainer's cross-engine rounding,
+    * recomputed here independently. */
+  private def halfUp(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  test("trainTextClassifierGd: bit-equal to an independent sequential " +
+      "integer-GD replay, deterministic, separates the planted corpus") {
+    import spark.implicits._
+    val labeled = (0L until 40L).map { i =>
+      val y = (i % 2).toInt
+      val marker = if (y == 1) "thoughtful analysis prose" else "click spam win"
+      (i, s"$marker filler${i / 2} common word", y)
+    }.toDF("doc_id", "text", "label")
+    val dim = 1 << 14
+    val iters = 40
+    val lr = 0.5
+    val l2 = 1e-4
+    def train() = Quality.trainTextClassifierGd(labeled, "doc_id", "text",
+        "label", dim, iters = iters, lr = lr, l2 = l2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = train()
+    assert(got === train(), "distributed GD is bit-deterministic")
+    // independent replay: features via the DECLARATIVE hashedTextFeatures
+    // path (itself spec-pinned ≡ the byte featurizer), then the exact
+    // integer-fixed-point recursion re-implemented sequentially here
+    val featRows = Quality.hashedTextFeatures(labeled, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ys = (0L until 40L).map(i => i -> (i % 2).toInt).toMap
+    val byDoc = featRows.groupBy(_._1).toArray.sortBy(_._1)
+    val n = byDoc.length
+    val w = new Array[Long](dim)
+    var b = 0L
+    for (_ <- 0 until iters) {
+      val grad = new Array[Long](dim)
+      var gb = 0L
+      byDoc.foreach { case (doc, rows) =>
+        var z = b
+        rows.foreach { case (_, f, c) => z += c * w(f.toInt) }
+        val p = 1.0 / (1.0 + math.exp(-(z.toDouble / 1e6)))
+        val gm = halfUp((p - ys(doc)) * 1e6)
+        gb += gm
+        rows.foreach { case (_, f, c) => grad(f.toInt) += gm * c }
+      }
+      for (f <- 0 until dim)
+        if (grad(f) != 0L || w(f) != 0L)
+          w(f) -= halfUp(lr * (grad(f).toDouble / n + l2 * w(f)))
+      b -= halfUp(lr * (gb.toDouble / n))
+    }
+    val expected = ((-1L, b) +:
+      (0 until dim).collect { case f if w(f) != 0L => (f.toLong, w(f)) })
+      .toMap
+    assert(got === expected,
+      "distributed ≡ sequential on the identical integer recursion")
+    // the trained model separates the planted boundary at logit 0
+    val scored = Quality.scoreTextClassifier(labeled, "doc_id", "text",
+        got.toSeq.toDF("feature", "w_micro"), dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val qMin = (0L until 40L).filter(_ % 2 == 1).map(scored).min
+    val sMax = (0L until 40L).filter(_ % 2 == 0).map(scored).max
+    assert(qMin > 0 && sMax < 0,
+      s"GD-trained boundary separates: qualityMin=$qMin spamMax=$sMax")
+  }
+
+  test("trainTextClassifierGd: refuses duplicate ids and non-0/1 labels") {
+    import spark.implicits._
+    val ok = Seq((1L, "a b", 0), (2L, "c d", 1)).toDF("doc_id", "text", "label")
+    val dup = ok.unionByName(
+      Seq((1L, "a b", 0)).toDF("doc_id", "text", "label"))
+    val exDup = intercept[IllegalArgumentException] {
+      Quality.trainTextClassifierGd(dup, "doc_id", "text", "label",
+        dim = 1 << 10, iters = 1)
+    }
+    assert(exDup.getMessage.contains("duplicate"))
+    val bad = Seq((1L, "a b", 0), (2L, "c d", 2)).toDF("doc_id", "text", "label")
+    val exLab = intercept[IllegalArgumentException] {
+      Quality.trainTextClassifierGd(bad, "doc_id", "text", "label",
+        dim = 1 << 10, iters = 1)
+    }
+    assert(exLab.getMessage.contains("labels must be 0/1"))
+    val exEmpty = intercept[IllegalArgumentException] {
+      Quality.trainTextClassifierGd(
+        ok.filter(col("doc_id") < 0), "doc_id", "text", "label",
+        dim = 1 << 10, iters = 1)
+    }
+    assert(exEmpty.getMessage.contains("no labeled documents"))
+  }
 }
