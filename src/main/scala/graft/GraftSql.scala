@@ -195,9 +195,11 @@ import scala.collection.mutable
   *     quality classifier: driver-kernel training on a bounded labeled
   *     sample, exact integer logits per document at corpus scale;
   *   - `graft_classifier_train_gd_t('labeledV', 'id', 'text', 'label',
-  *     dim[, bigrams[, iters[, lr[, l2]]]])` — the DISTRIBUTED
-  *     integer-fixed-point GD trainer (no labeled-sample bound; the
-  *     hash-gateable corpus-scale training path);
+  *     dim[, bigrams[, iters[, lr[, l2]]]])` /
+  *     `graft_classifier_train_multi_gd_t(...)` — the DISTRIBUTED
+  *     integer-fixed-point GD trainers, binary and K-class softmax (no
+  *     labeled-sample bound; the hash-gateable corpus-scale training
+  *     path);
   *   - `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` /
   *     `graft_bpe_encode_t('docsV', 'id', 'text', 'mergesV')` — BPE
   *     tokenizer training (the merge table) and subword encoding
@@ -484,6 +486,10 @@ object GraftSql {
       FunctionIdentifier("graft_classifier_train_multi_t"),
       new ExpressionInfo("graft.GraftSql", "graft_classifier_train_multi_t"),
       (args: Seq[Expression]) => classifierTrainMultiTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_classifier_train_multi_gd_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_classifier_train_multi_gd_t"),
+      (args: Seq[Expression]) => classifierTrainMultiGdTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_langid_t"),
       new ExpressionInfo("graft.GraftSql", "graft_langid_t"),
@@ -1213,6 +1219,31 @@ object GraftSql {
       s"usage: $fn('labeledView', 'idCol', 'textCol', 'labelCol', dim[, " +
         "bigrams[, iters[, lr[, l2]]]])")
     graft.llm.Quality.trainTextClassifierGd(
+      SparkSession.active.table(strLit(args(0), fn, "labeled view")),
+      strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
+      strLit(args(3), fn, "label column"),
+      lngLit(args(4), fn, "dim").toInt,
+      bigrams = args.length < 6 || boolLit(args(5), fn, "bigrams"),
+      iters = if (args.length >= 7) lngLit(args(6), fn, "iters").toInt
+        else 10,
+      lr = if (args.length >= 8) dblLit(args(7), fn, "lr") else 0.5,
+      l2 = if (args.length == 9) dblLit(args(8), fn, "l2") else 0.0)
+      .queryExecution.logical
+  }
+
+  /** `graft_classifier_train_multi_gd_t('labeledV', 'id', 'text',
+    * 'label', dim[, bigrams[, iters[, lr[, l2]]]])` —
+    * [[graft.llm.Quality.trainTextClassifierMultiGd]] from SQL: the
+    * distributed K-class softmax GD trainer (corpus-scale language ID);
+    * returns (label, feature, w_micro). Training RUNS at plan build
+    * (the `graft_bpe_train_t` adjudication). */
+  private def classifierTrainMultiGdTablePlan(args: Seq[Expression])
+      : LogicalPlan = {
+    val fn = "graft_classifier_train_multi_gd_t"
+    require(args.length >= 5 && args.length <= 9,
+      s"usage: $fn('labeledView', 'idCol', 'textCol', 'labelCol', dim[, " +
+        "bigrams[, iters[, lr[, l2]]]])")
+    graft.llm.Quality.trainTextClassifierMultiGd(
       SparkSession.active.table(strLit(args(0), fn, "labeled view")),
       strLit(args(1), fn, "id column"), strLit(args(2), fn, "text column"),
       strLit(args(3), fn, "label column"),

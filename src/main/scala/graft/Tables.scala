@@ -34,6 +34,19 @@ object Tables {
     // fall back to sort instead of OOMing.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       "262144")
+    // Parquet split sizing: the default 4 MB file-open cost FLOORS the
+    // split size, so a compact compressed file (text/ids compress ~10×)
+    // scans as 1–2 tasks however many cores are idle — and the
+    // downstream per-row kernels (tokenize, hash, score) then run
+    // single-threaded while 30 cores wait. Those kernels, not the I/O,
+    // are the cost: a 256 KB compressed split carries megabytes of
+    // decompressed compute, and DuckDB already parallelizes the same
+    // file per row group (its scans beat ours 10–50× on exactly the
+    // scan-bound text queries before this). Large files are unaffected
+    // (splits still cap at maxPartitionBytes = 128 MB); at cluster
+    // scale splits should track row groups, not raw compressed bytes.
+    .config("spark.sql.files.openCostInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", String.valueOf(256 * 1024)))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

@@ -1614,6 +1614,174 @@ object Quality {
     } finally { feats.unpersist(blocking = false); () }
   }
 
+  /** Multi-class (softmax) counterpart of [[trainTextClassifierGd]] —
+    * the DISTRIBUTED trainer behind corpus-scale language ID, for when
+    * the labeled set outgrows [[trainTextClassifierMulti]]'s driver
+    * collect. Same per-iteration shape (one zero-shuffle scan over the
+    * featurized cache + a model-bounded map-side-combined `reduceByKey`
+    * collect) and the same integer determinism contract: per-document
+    * per-class logits are exact integer dots against micro-unit
+    * weights; softmax residuals max-shift on the exact integer maximum
+    * and sum `exp((z_c − M)/1e6)` in SORTED CLASS ORDER (the one float
+    * reduction, canonically ordered), then fix-point per class as
+    * `gm_c = HALF_UP((p_c − 1{y=c})·1e6)`; gradient sums and updates
+    * are the binary trainer's exact integer recursion per class.
+    *
+    * Classes are the sorted distinct label strings (the
+    * [[trainTextClassifierMulti]] contract: sorted order makes training
+    * bit-deterministic); K·dim is bounded so the broadcast weights and
+    * the per-iteration gradient collect stay model-sized.
+    *
+    * Output: (label, feature, w_micro) — per-class nonzero micro-unit
+    * weights, intercepts at feature = −1 (every class emits its
+    * intercept row); drop-in for [[scoreTextClassifierMulti]] /
+    * [[langIdTrained]]. */
+  def trainTextClassifierMultiGd(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int = 1 << 18,
+      bigrams: Boolean = true, iters: Int = 10, lr: Double = 0.5,
+      l2: Double = 0.0): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20),
+      s"dim must be in [2, 2^20], got $dim (K dense dim-long vectors " +
+        "broadcast per iteration)")
+    require(iters >= 1 && iters <= 10000, s"iters must be in [1, 10000], got $iters")
+    require(lr > 0.0 && lr.isFinite, s"lr must be finite > 0, got $lr")
+    require(l2 >= 0.0 && l2.isFinite, s"l2 must be finite >= 0, got $l2")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val base = labeled.filter(col(idCol).isNotNull &&
+      col(textCol).isNotNull && col(labelCol).isNotNull)
+    val dup = base.select(longId(col(idCol)).as("_id"))
+      .groupBy("_id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"trainTextClassifierMultiGd: duplicate labeled doc_id " +
+        s"${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} — label " +
+        "each document exactly once (dedup before training)")
+    import org.apache.spark.sql.graft.PlanBridge
+    val in = base.select(lower(col(textCol)).as("_lt"),
+      col(labelCol).cast("string").as("_y"))
+    val dimL = dim.toLong
+    // class inventory first (a sorted label-distinct — label-cardinality
+    // rows), so the featurized cache can carry compact class indices
+    val classes = in.select(col("_y")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = classes.length
+    require(k >= 2, s"trainTextClassifierMultiGd: need >= 2 classes, got $k")
+    require(k.toLong * dim <= (1L << 24),
+      s"trainTextClassifierMultiGd: K*dim = ${k.toLong * dim} exceeds " +
+        "2^24 — the broadcast model and per-iteration gradient collect " +
+        "are bounded by K*dim")
+    val classIdx = classes.zipWithIndex.toMap
+    val bcIdx = spark.sparkContext.broadcast(classIdx)
+    val feats = PlanBridge.toInternalRdd(in).mapPartitions { rows =>
+      val fz = new NgramFeaturizer(dimL, bigrams)
+      val idx = bcIdx.value
+      rows.map { r =>
+        fz.featurize(r.getUTF8String(0))
+        val y = idx(r.getUTF8String(1).toString)
+        val nf = fz.counts.size
+        val fs = new Array[Int](nf)
+        val cs = new Array[Long](nf)
+        var i = 0
+        fz.counts.foreachEntry { (f, c) => fs(i) = f.toInt; cs(i) = c; i += 1 }
+        (y, fs, cs)
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.count()
+      require(n >= 1, "trainTextClassifierMultiGd: no labeled documents")
+      val sc = spark.sparkContext
+      // w(c)(f) micro-units; gradient keys pack (class, feature) into
+      // one long: c * 2^22 + f (f < 2^22 by the dim guard); intercept
+      // partials at -(c + 1)
+      val w = Array.ofDim[Long](k, dim)
+      val b = new Array[Long](k)
+      var it = 0
+      while (it < iters) {
+        val bcW = sc.broadcast(w)
+        val bcB = sc.broadcast(b)
+        val kk = k
+        val sums = feats.mapPartitions { docs =>
+          val wv = bcW.value
+          val bv = bcB.value
+          val grad = new scala.collection.mutable.LongMap[Long]()
+          val z = new Array[Long](kk)
+          val e = new Array[Double](kk)
+          docs.foreach { case (y, fs, cs) =>
+            var c = 0
+            while (c < kk) {
+              var zz = bv(c)
+              val wc = wv(c)
+              var i = 0
+              while (i < fs.length) { zz += cs(i) * wc(fs(i)); i += 1 }
+              z(c) = zz
+              c += 1
+            }
+            var mx = z(0); c = 1
+            while (c < kk) { if (z(c) > mx) mx = z(c); c += 1 }
+            var denom = 0.0; c = 0
+            while (c < kk) {
+              e(c) = math.exp((z(c) - mx).toDouble / 1e6)
+              denom += e(c)
+              c += 1
+            }
+            c = 0
+            while (c < kk) {
+              val p = e(c) / denom
+              val gm = halfAway((p - (if (y == c) 1.0 else 0.0)) * 1e6)
+              if (gm != 0L) {
+                val ic = -(c + 1).toLong
+                grad.update(ic, grad.getOrElse(ic, 0L) + gm)
+                val cBase = c.toLong << 22
+                var i = 0
+                while (i < fs.length) {
+                  val key = cBase | fs(i).toLong
+                  grad.update(key, grad.getOrElse(key, 0L) + gm * cs(i))
+                  i += 1
+                }
+              }
+              c += 1
+            }
+          }
+          grad.iterator
+        }.reduceByKey(_ + _).collect()
+        bcW.destroy(); bcB.destroy()
+        val gArr = Array.ofDim[Long](k, dim)
+        val gbArr = new Array[Long](k)
+        sums.foreach { case (key, s) =>
+          if (key < 0L) gbArr((-key - 1L).toInt) = s
+          else gArr((key >> 22).toInt)((key & ((1L << 22) - 1)).toInt) = s
+        }
+        var c = 0
+        while (c < k) {
+          val wc = w(c)
+          val gc = gArr(c)
+          var f = 0
+          while (f < dim) {
+            if (gc(f) != 0L || wc(f) != 0L)
+              wc(f) -= halfAway(lr * (gc(f).toDouble / n + l2 * wc(f)))
+            f += 1
+          }
+          b(c) -= halfAway(lr * (gbArr(c).toDouble / n))
+          c += 1
+        }
+        it += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var c = 0
+      while (c < k) {
+        out += ((classes(c), -1L, b(c)))
+        var f = 0
+        while (f < dim) {
+          if (w(c)(f) != 0L) out += ((classes(c), f.toLong, w(c)(f)))
+          f += 1
+        }
+        c += 1
+      }
+      out.toSeq.toDF("label", "feature", "w_micro")
+    } finally { feats.unpersist(blocking = false); () }
+  }
+
   /** Multi-class extension of [[trainTextClassifier]] — softmax
     * regression over the same [[hashedTextFeatures]], the step that
     * turns language ID from a marker-vote fixture into a TRAINED,

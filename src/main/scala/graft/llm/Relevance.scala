@@ -47,18 +47,23 @@ object Relevance {
       k: Int, longBound: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(longBound >= 1L, s"longBound must be >= 1, got $longBound")
-    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val tok = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
-      .select(col("doc_id"), col("_toks"), size(col("_toks")).as("_dl"))
-      .filter(col("_dl") >= 1)
-    // single-row corpus stats broadcast into the plan — no driver action
-    val n = base.agg(count(lit(1)).as("_n"))
+    // single-row corpus stats broadcast into the plan — no driver
+    // action. "Has ≥ 1 non-empty space-split token" ⟺ "some non-space
+    // character exists" ⟺ `trim(text) ≠ ''` — so this branch never
+    // tokenizes at all; and on the dt branches below, `explode` of an
+    // empty term array drops the row on its own, so no branch carries
+    // the split inside a Filter condition (which would re-evaluate the
+    // whole tokenize once per operator that mentions it).
+    val n = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        trim(col(textCol)) =!= "").agg(count(lit(1)).as("_n"))
     // tf is DOC-LOCAL: one compiled pass per row, then explode the
     // (term, tf) pairs — no corpus-token-scale groupBy exchange (the
     // RepetitionCounts lesson); df and the term join below are the
     // genuinely corpus-level steps and keep their shuffles
-    val dt = base.select(col("doc_id"), col("_dl"),
+    val dt = tok.select(col("doc_id"), size(col("_toks")).as("_dl"),
         explode(graft.functions.Cols.termCounts(col("_toks"))).as("_tc"))
       .select(col("doc_id"), col("_dl"), col("_tc.term").as("term"),
         col("_tc.tf").as("tf"))

@@ -974,6 +974,21 @@ object LlmQueries {
         iters = 3, lr = 0.5, l2 = 0.0))
     }),
 
+    // the K-class softmax GD trainer hash-gated the same way (tx22's
+    // contract, lifted to K = 3): iteration 1 from zero weights is
+    // exp-free — softmax of all-equal logits is exactly 1/K — and
+    // iteration 2's softmax replays with the max-shift on the exact
+    // integer logits and the denominator as an EXPLICIT ordered sum
+    // (de + en + es, the engine's ascending-class fold)
+    "tx23_classifier_train_multi_gd" -> ((s, dir) => {
+      sortAll(Quality.trainTextClassifierMultiGd(
+        docs(s, dir).withColumn("lang",
+          when(col("doc_id") % 3 === 0, "en")
+            .when(col("doc_id") % 3 === 1, "de").otherwise("es")),
+        "doc_id", "text", "lang", dim = 1 << 16, bigrams = true,
+        iters = 2, lr = 0.5, l2 = 0.0))
+    }),
+
     // multi-query batch BM25: 3 keyword queries scored in ONE corpus
     // pass (per-query top-10), overlapping terms included — the oracle
     // replays the shared df/tf/contrib computation and the per-query
@@ -2990,6 +3005,83 @@ object LlmQueries {
          |        SELECT f AS feature, w AS w_micro FROM w3 WHERE w <> 0)
          |SELECT feature, w_micro FROM res
          |${orderBySql("feature", "w_micro")}""".stripMargin,
+
+    // the K-class softmax GD trainer unrolled (tx22's scheme at K = 3):
+    // iteration 1 is exp-free (softmax of zeros = 1/3 exactly, the same
+    // IEEE double both engines compute), iteration 2 pivots the three
+    // classes to columns so the max-shift and the denominator replay as
+    // explicit expressions in the engine's ascending class order
+    "tx23_classifier_train_multi_gd" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |           FROM $docsPq
+         |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |nums AS (SELECT unnest(generate_series(1, 4000)) AS i),
+         |ng AS (SELECT doc_id, unnest(w) AS g FROM d
+         |       UNION ALL
+         |       SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM d JOIN nums ON i <= len(w) - 1),
+         |fc AS (SELECT doc_id,
+         |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |       FROM ng GROUP BY 1, 2),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN doc_id % 3 = 0 THEN 'en'
+         |               WHEN doc_id % 3 = 1 THEN 'de'
+         |               ELSE 'es' END AS lang FROM d),
+         |cl AS (SELECT unnest(['de', 'en', 'es']) AS lab),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+         |g1 AS (SELECT doc_id, lab,
+         |         CAST(round((1.0 / 3.0 -
+         |           CASE WHEN lang = lab THEN 1.0 ELSE 0.0 END)
+         |           * 1000000) AS BIGINT) AS gm
+         |       FROM lab CROSS JOIN cl),
+         |s1 AS (SELECT lab, f, CAST(sum(gm * cnt) AS BIGINT) AS s
+         |       FROM fc JOIN g1 USING (doc_id) GROUP BY lab, f),
+         |w1 AS (SELECT lab, f, -CAST(round(0.5 * (s / n)) AS BIGINT) AS w
+         |       FROM s1, nn),
+         |b1 AS (SELECT lab, -CAST(round(0.5 * (sum(gm) / n)) AS BIGINT)
+         |         AS b
+         |       FROM g1, nn GROUP BY lab, n),
+         |z2 AS (SELECT fc.doc_id, w1.lab,
+         |         CAST(sum(fc.cnt * w1.w) AS BIGINT) AS dot
+         |       FROM fc JOIN w1 USING (f) GROUP BY 1, 2),
+         |zb2 AS (SELECT z2.doc_id, z2.lab, z2.dot + b1.b AS z
+         |        FROM z2 JOIN b1 USING (lab)),
+         |zp AS (SELECT doc_id,
+         |         max(CASE WHEN lab = 'de' THEN z END) AS zde,
+         |         max(CASE WHEN lab = 'en' THEN z END) AS zen,
+         |         max(CASE WHEN lab = 'es' THEN z END) AS zes
+         |       FROM zb2 GROUP BY doc_id),
+         |sm AS (SELECT doc_id, zde, zen, zes,
+         |         greatest(zde, zen, zes) AS mx FROM zp),
+         |den AS (SELECT doc_id, zde, zen, zes,
+         |          exp((zde - mx) / 1000000.0) AS ede,
+         |          exp((zen - mx) / 1000000.0) AS een,
+         |          exp((zes - mx) / 1000000.0) AS ees FROM sm),
+         |g2 AS (SELECT den.doc_id, cl.lab,
+         |         CAST(round((CASE cl.lab WHEN 'de' THEN ede
+         |             WHEN 'en' THEN een ELSE ees END
+         |           / (ede + een + ees)
+         |           - CASE WHEN lang = cl.lab THEN 1.0 ELSE 0.0 END)
+         |           * 1000000) AS BIGINT) AS gm
+         |       FROM den JOIN lab USING (doc_id) CROSS JOIN cl),
+         |s2 AS (SELECT lab, f, CAST(sum(gm * cnt) AS BIGINT) AS s
+         |       FROM fc JOIN g2 USING (doc_id) GROUP BY lab, f),
+         |w2 AS (SELECT lab, f,
+         |         coalesce(w1.w, 0) - CAST(round(0.5 * (s2.s / n))
+         |           AS BIGINT) AS w
+         |       FROM s2 LEFT JOIN w1 USING (lab, f), nn),
+         |b2 AS (SELECT g2.lab,
+         |         b1.b - CAST(round(0.5 * (sum(gm) / n)) AS BIGINT) AS b
+         |       FROM g2 JOIN b1 USING (lab), nn GROUP BY g2.lab, b1.b, n),
+         |res AS (SELECT lab AS label, CAST(-1 AS BIGINT) AS feature,
+         |          b AS w_micro
+         |        FROM b2
+         |        UNION ALL
+         |        SELECT lab AS label, f AS feature, w AS w_micro
+         |        FROM w2 WHERE w <> 0)
+         |SELECT label, feature, w_micro FROM res
+         |${orderBySql("label", "feature", "w_micro")}""".stripMargin,
 
     // domain aggregate: docs, filtered token counts, exact-dup count
     // (count minus distinct texts ≡ the engine's distinct content

@@ -1408,6 +1408,25 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(wSql === typedW && wSql.nonEmpty)
   }
 
+  test("graft_classifier_train_multi_gd_t: distributed softmax GD from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    (0L until 30L).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "es"
+      (i, s"word$lang token${i % 5} text$lang", lang)
+    }.toDF("doc_id", "text", "lang")
+      .createOrReplaceTempView("clf_mgd_labeled_v")
+    val dim = 1 << 14
+    val wSql = spark.sql("SELECT * FROM graft_classifier_train_multi_gd_t(" +
+      s"'clf_mgd_labeled_v', 'doc_id', 'text', 'lang', $dim, true, 15)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val typedW = graft.llm.Quality.trainTextClassifierMultiGd(
+        spark.table("clf_mgd_labeled_v"), "doc_id", "text", "lang", dim,
+        iters = 15)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wSql === typedW && wSql.nonEmpty)
+  }
+
   test("graft_ingest_sem_repair_t: semantic bridge repair from SQL ≡ typed survivors") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -244,6 +244,106 @@ class ClassifierSpec extends AnyFunSuite {
       s"GD-trained boundary separates: qualityMin=$qMin spamMax=$sMax")
   }
 
+  test("trainTextClassifierMultiGd: bit-equal to an independent " +
+      "sequential softmax replay, deterministic, langid separates") {
+    import spark.implicits._
+    val enV = Seq("house", "water", "friend", "morning")
+    val deV = Seq("haus", "wasser", "freund", "morgen")
+    val esV = Seq("casa", "agua", "amigo", "manana")
+    def doc(i: Long, lang: String, v: Seq[String]) =
+      (i, s"${v(i.toInt % 4)} ${v((i.toInt + 1) % 4)} mid${i % 3} " +
+        s"${v((i.toInt + 2) % 4)}", lang)
+    val labeled = ((0L until 30L).map(i => doc(i, "en", enV))
+      ++ (30L until 60L).map(i => doc(i, "de", deV))
+      ++ (60L until 90L).map(i => doc(i, "es", esV)))
+      .toDF("doc_id", "text", "lang")
+    val dim = 1 << 14
+    val iters = 30
+    val lr = 0.5
+    val l2 = 1e-4
+    def train() = Quality.trainTextClassifierMultiGd(labeled, "doc_id",
+        "text", "lang", dim, iters = iters, lr = lr, l2 = l2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val got = train()
+    assert(got === train(), "distributed multi-class GD is bit-deterministic")
+    // independent sequential replay of the integer softmax recursion
+    val featRows = Quality.hashedTextFeatures(labeled, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val classes = Seq("de", "en", "es") // sorted
+    val yOf = (0L until 90L).map(i =>
+      i -> classes.indexOf(if (i < 30) "en" else if (i < 60) "de" else "es"))
+      .toMap
+    val byDoc = featRows.groupBy(_._1).toArray.sortBy(_._1)
+    val n = byDoc.length
+    val k = classes.length
+    val w = Array.ofDim[Long](k, dim)
+    val b = new Array[Long](k)
+    for (_ <- 0 until iters) {
+      val grad = Array.ofDim[Long](k, dim)
+      val gb = new Array[Long](k)
+      byDoc.foreach { case (docId, rows) =>
+        val z = (0 until k).map { c =>
+          var zz = b(c)
+          rows.foreach { case (_, f, cnt) => zz += cnt * w(c)(f.toInt) }
+          zz
+        }
+        val mx = z.max
+        val e = (0 until k).map(c => math.exp((z(c) - mx).toDouble / 1e6))
+        val denom = e.sum // ascending class order, the canonical fold
+        for (c <- 0 until k) {
+          val gm = halfUp(
+            (e(c) / denom - (if (yOf(docId) == c) 1.0 else 0.0)) * 1e6)
+          gb(c) += gm
+          rows.foreach { case (_, f, cnt) => grad(c)(f.toInt) += gm * cnt }
+        }
+      }
+      for (c <- 0 until k) {
+        for (f <- 0 until dim)
+          if (grad(c)(f) != 0L || w(c)(f) != 0L)
+            w(c)(f) -= halfUp(lr * (grad(c)(f).toDouble / n + l2 * w(c)(f)))
+        b(c) -= halfUp(lr * (gb(c).toDouble / n))
+      }
+    }
+    val expected = (for (c <- 0 until k) yield {
+      ((classes(c), -1L) -> b(c)) +: (0 until dim).collect {
+        case f if w(c)(f) != 0L => (classes(c), f.toLong) -> w(c)(f)
+      }
+    }).flatten.toMap
+    assert(got === expected,
+      "distributed ≡ sequential on the identical integer softmax recursion")
+    // the trained model separates the three languages via langIdTrained
+    val wdf = got.toSeq.map { case ((l, f), wm) => (l, f, wm) }
+      .toDF("label", "feature", "w_micro")
+    val fix = Seq((101L, "water friend morning house"),
+      (102L, "wasser freund morgen haus"),
+      (103L, "agua amigo manana casa")).toDF("doc_id", "text")
+    val langs = Quality.langIdTrained(fix, "doc_id", "text", wdf, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs === Map(101L -> "en", 102L -> "de", 103L -> "es"),
+      s"GD-trained langid separates: $langs")
+  }
+
+  test("trainTextClassifierMultiGd: refuses duplicates and single-class input") {
+    import spark.implicits._
+    val ok = Seq((1L, "a b", "en"), (2L, "c d", "de"))
+      .toDF("doc_id", "text", "lang")
+    val dup = ok.unionByName(
+      Seq((1L, "a b", "en")).toDF("doc_id", "text", "lang"))
+    val exDup = intercept[IllegalArgumentException] {
+      Quality.trainTextClassifierMultiGd(dup, "doc_id", "text", "lang",
+        dim = 1 << 10, iters = 1)
+    }
+    assert(exDup.getMessage.contains("duplicate"))
+    val one = Seq((1L, "a b", "en"), (2L, "c d", "en"))
+      .toDF("doc_id", "text", "lang")
+    val exOne = intercept[IllegalArgumentException] {
+      Quality.trainTextClassifierMultiGd(one, "doc_id", "text", "lang",
+        dim = 1 << 10, iters = 1)
+    }
+    assert(exOne.getMessage.contains(">= 2 classes"))
+  }
+
   test("trainTextClassifierGd: refuses duplicate ids and non-0/1 labels") {
     import spark.implicits._
     val ok = Seq((1L, "a b", 0), (2L, "c d", 1)).toDF("doc_id", "text", "label")
