@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * All math is double-precision column arithmetic in index order (zip_with +
   * aggregate), keeping results deterministic and differential-testable.
   */
-object Similarity {
+// Serializable: the typed-pass closures reference the shared
+// per-vector kernels (topCellsKernel / rotateKernel) as object methods,
+// so task serialization captures the singleton — stateless by
+// construction, it deserializes as the same module.
+object Similarity extends Serializable {
 
   /** Double-precision dot product of two float arrays, summed in index
     * order (bit-exact reproducible). Higher-order-function form — correct
@@ -198,11 +202,7 @@ object Similarity {
     // with java.lang.Double.compare — NaN GREATEST, like Spark SQL's
     // ordering (a zero-norm CENTROID still outranks all, unchanged;
     // zero/NaN-norm VECTORS are dropped, the guard below).
-    val cents: Array[(Long, Array[Float], Double)] = centroids
-      .select(col("cell").cast("long"), col("_cv"))
-      .as[(Long, Array[Float])].collect()
-      .sortBy(_._1)
-      .map { case (c, v) => (c, v, math.sqrt(dotKernel(v, v))) }
+    val cents = collectCents(centroids)
     val bc = spark.sparkContext.broadcast(cents)
     val np = math.min(nprobe, cents.length)
     vectors.select(col(idCol).cast("long"), col(vecCol))
@@ -211,37 +211,60 @@ object Similarity {
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (id, vec) =>
-          val vn = math.sqrt(dotKernel(vec, vec))
+          val (vn, topC, filled) = topCellsKernel(vec, cs, np)
           if (vn.isNaN || vn <= 0.0) Iterator.empty
-          else {
-            // insertion top-np by (d desc, cell asc); np is tiny
-            val topC = new Array[Long](np)
-            val topD = new Array[Double](np)
-            var filled = 0
-            var i = 0
-            while (i < cs.length) {
-              val (cell, cv, cn) = cs(i)
-              val d = dotKernel(vec, cv) / (vn * cn)
-              var pos = filled
-              while (pos > 0 && {
-                val c = java.lang.Double.compare(d, topD(pos - 1))
-                c > 0 || (c == 0 && cell < topC(pos - 1))
-              }) pos -= 1
-              if (pos < np) {
-                val last = math.min(filled, np - 1)
-                var m = last
-                while (m > pos) {
-                  topC(m) = topC(m - 1); topD(m) = topD(m - 1); m -= 1
-                }
-                topC(pos) = cell; topD(pos) = d
-                if (filled < np) filled += 1
-              }
-              i += 1
-            }
-            (0 until filled).iterator.map(r => (id, topC(r)))
-          }
+          else (0 until filled).iterator.map(r => (id, topC(r)))
         }
       }.toDF(idCol, "cell")
+  }
+
+  private def collectCents(
+      centroids: DataFrame): Array[(Long, Array[Float], Double)] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids
+      .select(col("cell").cast("long"), col("_cv"))
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map { case (c, v) => (c, v, math.sqrt(dotKernel(v, v))) }
+  }
+
+  /** The per-vector top-`np` cell scan behind [[assignCells]] (and the
+    * inline probed-query pass): insertion top-np by (cosine DESC, cell
+    * ASC) with java.lang.Double.compare — NaN GREATEST, like Spark SQL's
+    * ordering. Returns (norm, cells, filled); a zero/NaN-norm vector
+    * reports filled = 0 via the caller's norm guard. */
+  private def topCellsKernel(vec: Array[Float],
+      cs: Array[(Long, Array[Float], Double)],
+      np: Int): (Double, Array[Long], Int) = {
+    val vn = math.sqrt(dotKernel(vec, vec))
+    if (vn.isNaN || vn <= 0.0) (vn, Array.empty[Long], 0)
+    else {
+      val topC = new Array[Long](np)
+      val topD = new Array[Double](np)
+      var filled = 0
+      var i = 0
+      while (i < cs.length) {
+        val (cell, cv, cn) = cs(i)
+        val d = dotKernel(vec, cv) / (vn * cn)
+        var pos = filled
+        while (pos > 0 && {
+          val c = java.lang.Double.compare(d, topD(pos - 1))
+          c > 0 || (c == 0 && cell < topC(pos - 1))
+        }) pos -= 1
+        if (pos < np) {
+          val last = math.min(filled, np - 1)
+          var m = last
+          while (m > pos) {
+            topC(m) = topC(m - 1); topD(m) = topD(m - 1); m -= 1
+          }
+          topC(pos) = cell; topD(pos) = d
+          if (filled < np) filled += 1
+        }
+        i += 1
+      }
+      (vn, topC, filled)
+    }
   }
 
   /** Per-cell occupancy of an IVF corpus assignment — the skew diagnostic
@@ -287,14 +310,29 @@ object Similarity {
   }
 
   /** Query side of the IVF scoring join: (query_id, _qv, _qn, cell) with
-    * one row per probed cell. */
+    * one row per probed cell. ONE typed pass — the earlier form joined
+    * [[assignCells]]' output back to a second scan of the same query
+    * table (two exchanges per serve for columns the assignment pass
+    * already held); the kernel's double norm is bit-identical to the
+    * `sqrt(dotNative(v,v))` column form it replaces. */
   private def probedQueries(queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nprobe: Int): DataFrame = {
-    val queryCells = assignCells(queries, centroids, idCol, vecCol, nprobe)
-      .withColumnRenamed(idCol, "query_id")
-    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"))
-      .join(queryCells, "query_id")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = collectCents(centroids)
+    val bc = spark.sparkContext.broadcast(cents)
+    val np = math.min(nprobe, cents.length)
+    queries.select(col(idCol).cast("long").as("query_id"), col(vecCol))
+      .filter(col("query_id").isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, vec) =>
+          val (vn, topC, filled) = topCellsKernel(vec, cs, np)
+          if (vn.isNaN || vn <= 0.0) Iterator.empty
+          else (0 until filled).iterator.map(r => (id, vec, vn, topC(r)))
+        }
+      }.toDF("query_id", "_qv", "_qn", "cell")
   }
 
   /** Shared IVF scoring tail over a prepared query side (query_id, _qv,
@@ -607,17 +645,8 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(rot)
-    @inline def rotate(r: Array[Array[Float]], x: Array[Float]) = {
-      val d = r.length
-      val y = new Array[Float](d)
-      var i = 0
-      while (i < d) {
-        val ri = r(i); var s = 0.0; var j = 0
-        while (j < d) { s += ri(j).toDouble * x(j); j += 1 }
-        y(i) = s.toFloat; i += 1
-      }
-      y
-    }
+    @inline def rotate(r: Array[Array[Float]], x: Array[Float]) =
+      rotateKernel(r, x)
     (extraVec, extraLong) match {
       case (Some(ev), Some(el)) =>
         df.select(col(longCol).cast("long"), col(vecCol), col(ev),
@@ -650,6 +679,23 @@ object Similarity {
             it.map { case (id, v) => (id, rotate(r, v)) }
           }.toDF(longCol, vecCol)
     }
+  }
+
+  /** Dense row-major rotation of one vector — float output, double
+    * accumulate. The single rotation kernel behind [[rotateVecCol]] and
+    * the fused PQ query pass: both sides of an OPQ index MUST rotate
+    * with bit-identical arithmetic. */
+  private def rotateKernel(r: Array[Array[Float]],
+      x: Array[Float]): Array[Float] = {
+    val d = r.length
+    val y = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      val ri = r(i); var s = 0.0; var j = 0
+      while (j < d) { s += ri(j).toDouble * x(j); j += 1 }
+      y(i) = s.toFloat; i += 1
+    }
+    y
   }
 
   /** (neighbor_id, _rv, _ov) for residual encoding: each vector joined to
@@ -1061,9 +1107,41 @@ object Similarity {
           dotNative(col("_rqv"), col("_rcv")) / (col("_rqn") * col("_rcn")),
           col("_qcos")).as("cos"),
         col("_rcv").isNotNull.as("refined"))
+    // per-partition bounded k-heap PRE-REDUCE before the final window
+    // (the [[ivfScore]] contract): at full refine width the candidate
+    // set is corpus-sized per query, and the window would otherwise
+    // shuffle and sort every rescored pair — the reduced shuffle
+    // carries ≤ partitions·k rows per query. Eviction mirrors the
+    // window tie-break (refined desc, cos desc, neighbor asc) exactly,
+    // so the reduced set contains the window's winners. cos is non-null
+    // here by construction (exact falls back to the candidate's own
+    // score, which [[ivfScore]] null-filtered).
+    val spark = rescored.sparkSession
+    import spark.implicits._
+    val reduced = rescored.as[(Long, Long, Double, Boolean)]
+      .mapPartitions { it =>
+        type E = (Boolean, Double, Long)
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[E]]
+        def better(a: E, b: E): Boolean =
+          a._1 != b._1 && a._1 ||
+            (a._1 == b._1 && (a._2 > b._2 ||
+              (a._2 == b._2 && a._3 < b._3)))
+        it.foreach { case (qid, nid, cos, ref) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty[E](
+              Ordering.fromLessThan[E]((x, y) => better(x, y))))
+          val e = (ref, cos, nid)
+          if (h.size < k) h.enqueue(e)
+          else if (better(e, h.head)) { h.dequeue(); h.enqueue(e) }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (ref, cos, nid) => (qid, nid, cos, ref) }
+        }
+      }.toDF("query_id", "neighbor_id", "cos", "refined")
     val w = Window.partitionBy("query_id")
       .orderBy(col("refined").desc, col("cos").desc, col("neighbor_id"))
-    rescored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    reduced.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select("query_id", "neighbor_id", "cos", "refined")
   }
 
@@ -1993,84 +2071,122 @@ object Similarity {
     val cents = spark.read.parquet(s"$vdir/centroids")
     val cbs = spark.read.parquet(s"$vdir/codebooks")
     val (mk, sub) = pqShape(cbs)
-    // the per-query LUT is a NESTED DENSE array — lut[m][code] — built
-    // by per-subspace sorted collects (codes are dense 0..k_m−1 per
-    // subspace by the trainer's construction, so sorting by code IS the
-    // scatter). Earlier forms paid dearly for being clever: a map
-    // column's element_at is a LINEAR scan of its entries (O(m·k) per
-    // scored candidate), and even scattering that map into a flat array
-    // costs O((m·k)²) map probes per query — both measured ~25× slower
-    // than this shape at a 200 k corpus
+    // the per-query LUT is a NESTED DENSE array — lut[m][code] (codes
+    // dense 0..k_m−1 per subspace by the trainer's construction). Earlier
+    // forms paid dearly for being clever: a map column's element_at is a
+    // LINEAR scan of its entries (O(m·k) per scored candidate), and even
+    // scattering that map into a flat array costs O((m·k)²) map probes
+    // per query — both measured ~25× slower than this shape at a 200 k
+    // corpus.
+    //
+    // The WHOLE query side is ONE typed pass: cell probe, OPQ rotation,
+    // LUT build, and the residual add-back all evaluate per query row
+    // against DRIVER-BOUNDED tables the serve already collected or
+    // broadcast (centroids and rotation by the assignCells/rotateVecCol
+    // contract; codebooks were broadcast into every earlier join form).
+    // The previous shape paid a join of the probed rows back to the LUT
+    // rows (both derived from the same query scan), a localCheckpoint on
+    // the per-cell branch, and a broadcast centroid join for the
+    // residual dot — five-plus exchanges per serve for per-row math.
+    // Per-row work is O(nlist + m·k·(dim/m)); kernels are the shared
+    // bit-identical ones (topCellsKernel / rotateKernel / dotKernel —
+    // the DotProduct contract).
     val local = isLocalPqVersion(spark, vdir)
-    // ROTATED (OPQ) version: the LUT's partial dots must happen in the
-    // rotated space — rotate the QUERY once (a query-batch-sized typed
-    // pass); dot(Rq, Rv̂) = dot(q, v̂), so scores, norms, and the
-    // residual add-back all stay in the original space
-    val qv0: DataFrame = {
-      val plain = queries
-        .select(col(idCol).cast("long").as("query_id"),
-          col(vecCol).as("_qv0"))
-        .filter(col("query_id").isNotNull && col("_qv0").isNotNull)
-      if (isRotatedPqVersion(spark, vdir))
-        rotateVecCol(plain, "query_id", "_qv0", readRotation(spark, vdir))
-      else plain
-    }
-    // the local branch consumes the probed-query side TWICE (the LUT is
-    // built FROM it and joined BACK to it) — checkpoint the query-batch-
-    // sized table so cell assignment doesn't run twice per serve
-    val probed0 = probedQueries(queries, cents, idCol, vecCol, nprobe)
-    val probed = if (local) probed0.localCheckpoint() else probed0
-    val q0 =
-      if (local) {
-        // PER-CELL codebooks: the lookup table is keyed (query, probed
-        // cell) — each probed row joins only ITS cell's m×k codebook rows
-        // (broadcast; nprobe·m·k rows per query, the small side), so the
-        // LUT work scales with what the query actually probes, never
-        // with nlist
-        val lutL = probed
-          .select(col("query_id"), col("cell"))
-          .join(qv0, "query_id")
-          .join(broadcast(cbs), "cell")
-          .select(col("query_id"), col("cell"), col("m"), col("code"),
-            dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
-              col("_cbv")).as("_pd"))
-          .groupBy("query_id", "cell", "m")
-          .agg(transform(
-            array_sort(collect_list(struct(col("code"), col("_pd")))),
-            s => s("_pd")).as("_sl"))
-          .groupBy("query_id", "cell")
-          .agg(transform(
-            array_sort(collect_list(struct(col("m"), col("_sl")))),
-            s => s("_sl")).as("_lut"))
-        probed.join(lutL, Seq("query_id", "cell"))
-      } else {
-        val lut = qv0
-          .crossJoin(broadcast(cbs))
-          .select(col("query_id"), col("m"), col("code"),
-            dotNative(slice(col("_qv0"), col("m") * sub + 1, lit(sub)),
-              col("_cbv")).as("_pd"))
-          .groupBy("query_id", "m")
-          .agg(transform(
-            array_sort(collect_list(struct(col("code"), col("_pd")))),
-            s => s("_pd")).as("_sl"))
-          .groupBy("query_id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("m"), col("_sl")))),
-            s => s("_sl")).as("_lut"))
-        probed.join(lut, "query_id")
-      }
-    // residual flavor: candidates store codes of v − c(cell), so the ADC
-    // sum approximates dot(q, v − c) and the exact dot(q, c) is added
-    // back PER PROBED CELL — a broadcast join on the nlist-row centroid
-    // table against the (query × nprobe)-row side, nothing corpus-sized
     val residual = isResidualPqVersion(spark, vdir)
-    val q =
-      if (residual)
-        q0.join(broadcast(cents.select(col("cell"), col("_cv").as("_ctv"))),
-            "cell")
-          .withColumn("_qc", dotNative(col("_qv"), col("_ctv")))
-          .drop("_ctv")
-      else q0
+    val rotOpt: Option[Array[Array[Float]]] =
+      if (isRotatedPqVersion(spark, vdir)) Some(readRotation(spark, vdir))
+      else None
+    val centArr = collectCents(cents)
+    // per-cell lookup for the residual add-back (cells are the probe
+    // output, so every probed cell resolves)
+    val centByCell: Map[Long, Array[Float]] =
+      centArr.iterator.map { case (c, v, _) => (c, v) }.toMap
+    // codebooks as [m][code] → subvector; the per-cell flavor keys by
+    // cell first. A probed cell with no codebook rows is unservable and
+    // its probed row is dropped — the inner LUT join's behavior.
+    val cbL: Map[Long, Array[Array[Array[Float]]]] =
+      if (!local) Map.empty
+      else cbs.select(col("cell").cast("long"), col("m").cast("int"),
+          col("code").cast("int"), col("_cbv")).collect()
+        .groupBy(_.getLong(0)).map { case (cell, rows) =>
+          cell -> Array.tabulate(mk) { mi =>
+            rows.filter(_.getInt(1) == mi).sortBy(_.getInt(2))
+              .map(_.getSeq[Float](3).toArray)
+          }
+        }
+    val cbG: Array[Array[Array[Float]]] =
+      if (local) Array.empty
+      else {
+        val rows = cbs.select(col("m").cast("int"), col("code").cast("int"),
+          col("_cbv")).collect()
+        Array.tabulate(mk) { mi =>
+          rows.filter(_.getInt(0) == mi).sortBy(_.getInt(1))
+            .map(_.getSeq[Float](2).toArray)
+        }
+      }
+    val sc = spark.sparkContext
+    val bcCents = sc.broadcast(centArr)
+    val bcCentMap = sc.broadcast(centByCell)
+    val bcCbL = sc.broadcast(cbL)
+    val bcCbG = sc.broadcast(cbG)
+    val bcRot = sc.broadcast(rotOpt)
+    val np = math.min(nprobe, centArr.length)
+    import spark.implicits._
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol))
+      .filter(col("query_id").isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        val cMap = bcCentMap.value
+        val rm = bcRot.value
+        // lut[m][code] for one (possibly rotated) query vector; a
+        // codebook row of the wrong width or a dimension-mismatched
+        // query made every candidate score NULL in the column form —
+        // the query served no results, so returning None here drops it
+        // identically (NaN would instead sort GREATEST and leak in)
+        def buildLut(cb: Array[Array[Array[Float]]],
+            lv: Array[Float]): Option[Array[Array[Double]]] = {
+          if (lv.length != cb.length * sub) return None
+          val lut = new Array[Array[Double]](cb.length)
+          var mi = 0
+          while (mi < cb.length) {
+            val codes = cb(mi)
+            val row = new Array[Double](codes.length)
+            var c = 0
+            val off = mi * sub
+            while (c < codes.length) {
+              val cbv = codes(c)
+              if (cbv.length != sub) return None
+              var s = 0.0; var j = 0
+              while (j < sub) { s += lv(off + j).toDouble * cbv(j); j += 1 }
+              row(c) = s; c += 1
+            }
+            lut(mi) = row; mi += 1
+          }
+          Some(lut)
+        }
+        it.flatMap { case (id, vec) =>
+          val (vn, topC, filled) = topCellsKernel(vec, cs, np)
+          if (vn.isNaN || vn <= 0.0) Iterator.empty
+          else {
+            val lv = rm.map(rotateKernel(_, vec)).getOrElse(vec)
+            val lutG =
+              if (local) None
+              else buildLut(bcCbG.value, lv)
+            (0 until filled).iterator.flatMap { r =>
+              val cell = topC(r)
+              val lut =
+                if (local) bcCbL.value.get(cell).flatMap(buildLut(_, lv))
+                else lutG
+              lut.iterator.map { l =>
+                val qc = if (residual) dotKernel(vec, cMap(cell)) else 0.0
+                (id, vec, vn, cell, qc, l)
+              }
+            }
+          }
+        }
+      }.toDF("query_id", "_qv", "_qn", "cell", "_qc", "_lut")
     // the per-candidate ADC sum is UNROLLED (m is known at plan time):
     // a higher-order aggregate would interpret its lambda per scored
     // pair, m steps each — the unrolled element_at chain stays inside
