@@ -442,10 +442,7 @@ object Similarity extends Serializable {
     // (`nlist`/`sampleFraction`/`seed`/`maxIter` unused then)
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
-    val cells = assignCells(corpus, cents, idCol, vecCol, 1)
-      .withColumnRenamed(idCol, "neighbor_id")
-    floatRows(corpus, idCol, vecCol)
-      .join(cells, "neighbor_id")
+    assignedRows(corpus, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
     cents.select(col("cell"), col("_cv"))
       .write.mode("overwrite").parquet(s"$vdir/centroids")
@@ -453,15 +450,23 @@ object Similarity extends Serializable {
     sweepOldVersions(spark, dir, n, retain)
   }
 
-  /** The float serving projection (neighbor_id, _cv, _cn) — shared by
-    * [[saveIvfIndex]] and the float branch of [[appendIvfIndex]]. */
-  private def floatRows(vectors: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
-    vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
+  /** The float serving projection WITH its cell assignment —
+    * (neighbor_id, _cv, _cn, cell) in ONE typed pass: the corpus-side
+    * twin of [[probedQueries]] (nprobe = 1). Every save/append flavor
+    * previously joined [[assignCells]]' output back to a SECOND scan of
+    * the same vectors — two exchanges per index write for columns the
+    * assignment pass already held. Norms are [[dotKernel]] doubles,
+    * bit-identical to the sqrt(dotNative) column form they replace
+    * (the DotProduct contract); zero/NaN-norm and null rows drop
+    * exactly as the join against [[assignCells]] output did. */
+  private def assignedRows(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    probedQueries(vectors, centroids, idCol, vecCol, 1)
+      .toDF("neighbor_id", "_cv", "_cn", "cell")
 
-  /** The SQ8 serving projection (neighbor_id, _qoff, _qstep, _cq, _cn) —
-    * shared by [[saveIvfIndexQuantized]] and the quantized branch of
+  /** The SQ8 serving projection (neighbor_id, _qoff, _qstep, _cq, _cn,
+    * cell) over an [[assignedRows]] input — shared by
+    * [[saveIvfIndexQuantized]] and the quantized branch of
     * [[appendIvfIndex]]. Quantization params are PER ROW, so encoding a
     * delivery needs nothing from the stored corpus — what makes quantized
     * append delivery-proportional. Bytes are CENTERED: b = round((x −
@@ -469,17 +474,16 @@ object Similarity extends Serializable {
     * reconstructed as v̂ = o + step·b with offset o = lo + 128·step. A
     * constant vector (step 0) stores b = 0 and o = lo — exact
     * reconstruction. Pure column math — stays in codegen. */
-  private def quantizedRows(vectors: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val v = col(vecCol)
+  private def quantizeProjection(assigned: DataFrame): DataFrame = {
+    val v = col("_cv")
     val lo = array_min(v)
     val step = ((array_max(v) - array_min(v)) / lit(255.0f)).cast("float")
-    vectors.select(col(idCol).as("neighbor_id"),
+    assigned.select(col("neighbor_id"),
       (lo + lit(128.0f) * step).as("_qoff"), step.as("_qstep"),
       transform(v, x => when(step === 0.0f, lit(0))
         .otherwise(round((x - lo) / step) - lit(128))
         .cast("tinyint")).as("_cq"),
-      sqrt(dotNative(v, v)).as("_cn"))
+      col("_cn"), col("cell"))
   }
 
   /** Sweep version dirs older than `n`, keeping the newest `retain`
@@ -698,17 +702,19 @@ object Similarity extends Serializable {
     y
   }
 
-  /** (neighbor_id, _rv, _ov) for residual encoding: each vector joined to
-    * its assigned cell's centroid (broadcast — nlist rows), `_rv` =
-    * v − c elementwise, `_ov` the original vector (norm source — the
-    * cosine denominator and the `_qerr` scale stay relative to v, never
-    * to the residual). The zip_with lambda is interpreted, but it is
-    * consumed exactly once, by the typed encode pass right behind it. */
-  private def residualVectors(vectors: DataFrame, idCol: String,
-      vecCol: String, cells: DataFrame, cents: DataFrame): DataFrame =
-    vectors
-      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_ov"))
-      .join(cells.select(col("neighbor_id"), col("cell")), "neighbor_id")
+  /** (neighbor_id, _rv, _ov, cell) for residual encoding over an
+    * [[assignedRows]] input (which already carries the cell — the
+    * earlier form joined the raw vectors to a separate assignment pass):
+    * each row joined to its cell's centroid (broadcast — nlist rows),
+    * `_rv` = v − c elementwise, `_ov` the original vector (norm source —
+    * the cosine denominator and the `_qerr` scale stay relative to v,
+    * never to the residual). The zip_with lambda is interpreted, but it
+    * is consumed exactly once, by the typed encode pass right behind
+    * it. */
+  private def residualVectors(assigned: DataFrame,
+      cents: DataFrame): DataFrame =
+    assigned
+      .select(col("neighbor_id"), col("_cv").as("_ov"), col("cell"))
       .join(broadcast(cents.select(col("cell"), col("_cv").as("_ccv"))),
         "cell")
       .withColumn("_rv", zip_with(col("_ov"), col("_ccv"), (a, b) => a - b))
@@ -907,7 +913,7 @@ object Similarity extends Serializable {
     * The delta's row format FOLLOWS THE INDEX FLAVOR (the version's
     * `_QUANTIZED` marker): on an SQ8 index the delivery is quantized
     * per-row before landing — quantization params are per-row
-    * ([[quantizedRows]]), so nothing corpus-proportional happens and the
+    * ([[quantizeProjection]]), so nothing corpus-proportional happens and the
     * cheapest serving tier stays fresh by the same delivery-proportional
     * appends as the float tier. Served results after a quantized append
     * are exactly [[saveIvfIndexQuantized]] over the grown corpus with the
@@ -929,13 +935,13 @@ object Similarity extends Serializable {
       // FIRST, so a crash mid-rewrite cannot leave half-written files
       // behind a stale commit
       f.delete(new org.apache.hadoop.fs.Path(ddir, "_COMMIT"), false)
-      val cellsLazy = assignCells(newVectors, cents, idCol, vecCol, 1)
-        .withColumnRenamed(idCol, "neighbor_id")
+      // ONE assignment pass carrying (_cv, _cn, cell) — every encode
+      // branch consumes the cell from here (the earlier shape joined a
+      // separate assignCells output back to the delivery, checkpointed
+      // on the residual path because that join read it twice)
+      val assigned = assignedRows(newVectors, cents, idCol, vecCol)
       val residualIdx = isPqVersion(spark, vdir) &&
         isResidualPqVersion(spark, vdir)
-      // residual encode consumes the assignment twice (residualVectors +
-      // the delta join) — checkpoint the delivery-sized projection once
-      val cells = if (residualIdx) cellsLazy.localCheckpoint() else cellsLazy
       val rows =
         if (isPqVersion(spark, vdir)) {
           val cbs = spark.read.parquet(s"$vdir/codebooks")
@@ -947,7 +953,7 @@ object Similarity extends Serializable {
               Some(readRotation(spark, vdir))
             else None
           def residualRows() = {
-            val r = residualVectors(newVectors, idCol, vecCol, cells, cents)
+            val r = residualVectors(assigned, cents)
             rotM match {
               case Some(rm) => rotateVecCol(r, "neighbor_id", "_rv", rm,
                 extraVec = Some("_ov"), extraLong = Some("cell"))
@@ -962,20 +968,18 @@ object Similarity extends Serializable {
           else rotM match {
             case Some(rm) =>
               pqRows(rotateVecCol(
-                newVectors.filter(col(idCol).isNotNull &&
-                    col(vecCol).isNotNull)
-                  .select(col(idCol).cast("long").as("neighbor_id"),
-                    col(vecCol).as("_rot"), col(vecCol).as("_ov")),
-                "neighbor_id", "_rot", rm, extraVec = Some("_ov")),
+                assigned.select(col("neighbor_id"), col("_cv").as("_rot"),
+                  col("_cv").as("_ov"), col("cell")),
+                "neighbor_id", "_rot", rm, extraVec = Some("_ov"),
+                extraLong = Some("cell")),
                 "neighbor_id", "_rot", cbs, Some("_ov"))
-            case None => pqRows(newVectors, idCol, vecCol, cbs)
+            case None => pqRows(assigned, "neighbor_id", "_cv", cbs)
           }
         }
         else if (isQuantizedVersion(spark, vdir))
-          quantizedRows(newVectors, idCol, vecCol)
-        else floatRows(newVectors, idCol, vecCol)
-      rows.join(cells, "neighbor_id")
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$ddir/corpus")
+          quantizeProjection(assigned)
+        else assigned
+      rows.write.mode("overwrite").partitionBy("cell").parquet(s"$ddir/corpus")
       // an all-rows-excluded delivery (empty batch, or every vector
       // zero/NaN-norm — assignCells drops those by contract) writes a
       // partitioned dir with NO cell= children, which parquet schema
@@ -1025,10 +1029,7 @@ object Similarity extends Serializable {
     val vdir = s"$dir/v$n"
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
-    val cells = assignCells(corpus, cents, idCol, vecCol, 1)
-      .withColumnRenamed(idCol, "neighbor_id")
-    quantizedRows(corpus, idCol, vecCol)
-      .join(cells, "neighbor_id")
+    quantizeProjection(assignedRows(corpus, cents, idCol, vecCol))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
     cents.select(col("cell"), col("_cv"))
       .write.mode("overwrite").parquet(s"$vdir/centroids")
@@ -1700,14 +1701,16 @@ object Similarity extends Serializable {
               m += 1
             }
             Some((id, codes.toSeq, math.sqrt(n2),
-              math.sqrt(errSum / n2).toFloat))
+              math.sqrt(errSum / n2).toFloat, cell.toLong))
           }
         }
-      }.toDF("neighbor_id", "_pq", "_cn", "_qerr")
+      }.toDF("neighbor_id", "_pq", "_cn", "_qerr", "cell")
   }
 
   /** PQ-encode rows for the serving corpus: (neighbor_id, _pq, _cn,
-    * _qerr) — `_pq` is the m-byte code array (codes centered at −128,
+    * _qerr, cell) — the input must carry its cell assignment (an
+    * [[assignedRows]]/[[residualVectors]] shape), which passes through
+    * to the write untouched. `_pq` is the m-byte code array (codes centered at −128,
     * tinyint cannot hold 0..255), `_cn` the EXACT float-precision norm so
     * the cosine denominator never degrades. Nearest sub-centroid by L2
     * (the PQ metric; lowest code wins a distance tie — deterministic):
@@ -1753,11 +1756,12 @@ object Similarity extends Serializable {
     vectors
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"),
-        col(normVecCol.getOrElse(vecCol)).as("_3"))
-      .as[(Long, Array[Float], Array[Float])]
+        col(normVecCol.getOrElse(vecCol)).as("_3"),
+        col("cell").cast("long").as("_4"))
+      .as[(Long, Array[Float], Array[Float], Long)]
       .mapPartitions { rows =>
         val cb = bc.value
-        rows.flatMap { case (id, v, ov) =>
+        rows.flatMap { case (id, v, ov, cell) =>
           var n2 = 0.0; var i = 0
           while (i < ov.length) { n2 += ov(i).toDouble * ov(i); i += 1 }
           // zero/NaN-norm rows are excluded — the assignCells contract
@@ -1785,10 +1789,10 @@ object Similarity extends Serializable {
               m += 1
             }
             Some((id, codes.toSeq, math.sqrt(n2),
-              math.sqrt(errSum / n2).toFloat))
+              math.sqrt(errSum / n2).toFloat, cell))
           }
         }
-      }.toDF("neighbor_id", "_pq", "_cn", "_qerr")
+      }.toDF("neighbor_id", "_pq", "_cn", "_qerr", "cell")
   }
 
   /** (subspace count, subspace dim) of a codebook table — ONE driver
@@ -1842,15 +1846,12 @@ object Similarity extends Serializable {
     // residual frame keeps the ADC add-back machinery shared with
     // `_PQRES`.
     val useResidual = residual || perCell
-    // residual path: the assignment feeds residualVectors AND the final
-    // corpus join, and the residual table behind it is consumed by every
-    // k-means action in trainPqCodebooks (~2 per subspace) plus the
-    // encode pass — localCheckpoint both so the corpus-wide assignment
-    // runs once, not once per downstream action (the semDedupPairs
-    // discipline; the plain path consumes cells once and stays lazy)
-    val cellsLazy = assignCells(corpus, cents, idCol, vecCol, 1)
-      .withColumnRenamed(idCol, "neighbor_id")
-    val cells = if (useResidual) cellsLazy.localCheckpoint() else cellsLazy
+    // ONE assignment pass carrying (_cv, _cn, cell) — every downstream
+    // branch (residual frame, plain encode, the corpus write) consumes
+    // the cell from here; the earlier shape joined a separate
+    // assignCells output back to the corpus twice (residualVectors and
+    // the final write join)
+    val assigned = assignedRows(corpus, cents, idCol, vecCol)
     // `residual = true` is the FAISS IVFPQ layout: codebooks train on
     // and codes quantize v − c(cell) instead of v. Residuals concentrate
     // where the data actually clusters (the coarse structure is already
@@ -1868,34 +1869,41 @@ object Similarity extends Serializable {
     // codes quantize.
     val rotM = rotation.map(rotationMatrix)
     val res0 =
-      if (useResidual)
-        Some(residualVectors(corpus, idCol, vecCol, cells, cents))
+      if (useResidual) Some(residualVectors(assigned, cents))
       else None
+    // the residual table is consumed by every k-means action in
+    // trainPqCodebooks (~2 per subspace) plus the encode pass —
+    // checkpoint it when TRAINING happens; with explicit codebooks the
+    // encode pass is the only consumer and the materialization job
+    // would be pure overhead
     val res = res0.map { r =>
-      (rotM match {
+      val rr = rotM match {
         case Some(rm) =>
           rotateVecCol(r, "neighbor_id", "_rv", rm, extraVec = Some("_ov"),
             extraLong = Some("cell"))
         case None => r
-      }).localCheckpoint()
+      }
+      if (codebooks.isEmpty) rr.localCheckpoint() else rr
     }
     val sampledRes = res.map { r =>
       if (perCell && sampleFraction < 1.0)
         r.sample(withReplacement = false, sampleFraction, seed)
       else r
     }
-    // plain-path rotation: (neighbor_id, _rot = R·v, _ov = v) — codes
-    // quantize the rotated vector, norms stay on the original; consumed
-    // by training (~2 actions per subspace) and encode → checkpoint once
+    // plain-path rotation: (neighbor_id, _rot = R·v, _ov = v, cell) —
+    // codes quantize the rotated vector, norms stay on the original;
+    // consumed by training (~2 actions per subspace) and encode →
+    // checkpoint when training happens (explicit codebooks: encode is
+    // the only consumer)
     val plainRot: Option[DataFrame] =
       if (useResidual) None
       else rotM.map { rm =>
-        rotateVecCol(
-          corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-            .select(col(idCol).cast("long").as("neighbor_id"),
-              col(vecCol).as("_rot"), col(vecCol).as("_ov")),
-          "neighbor_id", "_rot", rm, extraVec = Some("_ov"))
-          .localCheckpoint()
+        val rp = rotateVecCol(
+          assigned.select(col("neighbor_id"), col("_cv").as("_rot"),
+            col("_cv").as("_ov"), col("cell")),
+          "neighbor_id", "_rot", rm, extraVec = Some("_ov"),
+          extraLong = Some("cell"))
+        if (codebooks.isEmpty) rp.localCheckpoint() else rp
       }
     val cbs = codebooks.getOrElse {
       if (perCell) {
@@ -1942,11 +1950,10 @@ object Similarity extends Serializable {
         case Some(r) => pqRows(r, "neighbor_id", "_rv", cbs, Some("_ov"))
         case None => plainRot match {
           case Some(rp) => pqRows(rp, "neighbor_id", "_rot", cbs, Some("_ov"))
-          case None => pqRows(corpus, idCol, vecCol, cbs)
+          case None => pqRows(assigned, "neighbor_id", "_cv", cbs)
         }
       }
-    rows.join(cells, "neighbor_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
+    rows.write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
     cents.select(col("cell"), col("_cv"))
       .write.mode("overwrite").parquet(s"$vdir/centroids")
     val cbCols =
