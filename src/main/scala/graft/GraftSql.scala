@@ -200,6 +200,9 @@ import scala.collection.mutable
   *     integer-fixed-point GD trainers, binary and K-class softmax (no
   *     labeled-sample bound; the hash-gateable corpus-scale training
   *     path);
+  *   - `graft_kmeans_t('vectorsV', 'vecCol', 'seedsV', iters)` — the
+  *     deterministic integer-fixed-point Lloyd k-means trainer
+  *     (explicit seeds; (cell, j, c_micro, n) out);
   *   - `graft_bpe_train_t('docsV', 'id', 'text', numMerges)` /
   *     `graft_bpe_encode_t('docsV', 'id', 'text', 'mergesV')` — BPE
   *     tokenizer training (the merge table) and subword encoding
@@ -498,6 +501,10 @@ object GraftSql {
       FunctionIdentifier("graft_classifier_score_t"),
       new ExpressionInfo("graft.GraftSql", "graft_classifier_score_t"),
       (args: Seq[Expression]) => classifierScoreTablePlan(args))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_kmeans_t"),
+      new ExpressionInfo("graft.GraftSql", "graft_kmeans_t"),
+      (args: Seq[Expression]) => kmeansTablePlan(args))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_opq_train_t"),
       new ExpressionInfo("graft.GraftSql", "graft_opq_train_t"),
@@ -1201,6 +1208,23 @@ object GraftSql {
       bigrams = args.length < 6 || boolLit(args(5), fn, "bigrams"),
       iters = if (args.length == 7) lngLit(args(6), fn, "iters").toInt
         else 100)
+      .queryExecution.logical
+  }
+
+  /** `graft_kmeans_t('vectorsV', 'vecCol', 'seedsV', iters)` —
+    * [[graft.llm.Similarity.kmeansLloyd]] from SQL: the deterministic
+    * integer-fixed-point Lloyd trainer over explicit seeds (`seedsV`
+    * is a (cell, _cv) view); returns (cell, j, c_micro, n). Training
+    * RUNS at plan build (the `graft_bpe_train_t` adjudication). */
+  private def kmeansTablePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_kmeans_t"
+    require(args.length == 4,
+      s"usage: $fn('vectorsView', 'vecCol', 'seedsView', iters)")
+    graft.llm.Similarity.kmeansLloyd(
+      SparkSession.active.table(strLit(args(0), fn, "vectors view")),
+      strLit(args(1), fn, "vector column"),
+      SparkSession.active.table(strLit(args(2), fn, "seeds view")),
+      lngLit(args(3), fn, "iters").toInt)
       .queryExecution.logical
   }
 

@@ -267,6 +267,121 @@ object Similarity extends Serializable {
     }
   }
 
+  /** DISTRIBUTED deterministic Lloyd k-means over integer-fixed-point
+    * vectors — the clustering primitive behind cluster-balanced
+    * curation (SemDeDup-style cells, cluster-coverage sampling; Lloyd
+    * 1982), hash-gated because every step is EXACT integer arithmetic
+    * both engines compute bit-identically:
+    *
+    *   - vectors and seeds fix-point per dimension as
+    *     `v_micro = HALF_UP(v · 1e6)` (half away from zero — DuckDB
+    *     `round()`, `java.math.RoundingMode.HALF_UP`);
+    *   - assignment: argmin of the exact integer squared L2 distance
+    *     `Σ_j (v_j − c_j)²` (Long — |micro| ≤ ~2²¹ for unit-scale
+    *     embeddings, squared·dim ≪ 2⁶³), ties to the LOWEST cell id;
+    *   - update: per-dimension integer mean of the assigned vectors,
+    *     HALF_UP away from zero, computed EXACTLY in arbitrary
+    *     precision via the sign-split positive form
+    *     `(2·|s| + n) quot (2·n)` (identical under truncating and
+    *     floor integer division — what lets DuckDB replay it in
+    *     HUGEINT); an empty cell keeps its previous centroid.
+    *
+    * Per iteration: ONE zero-shuffle scan producing per-partition
+    * k×dim partial sums + counts, reduced to the driver (k·dim longs —
+    * model-bounded, the trainTextClassifierGd collect contract). Seeds
+    * are EXPLICIT (cell, _cv): deterministic clustering needs
+    * deterministic starts — k-means++ quality seeding lives in
+    * [[trainCentroids]] (Spark ML) for callers who want it, and its
+    * centers can be fed here as seeds for a gated refinement.
+    * Output: (cell, j, c_micro, n) exploded per dimension, `n` the
+    * cell's final assignment count (repeated per j; j is 0-based). */
+  def kmeansLloyd(vectors: DataFrame, vecCol: String, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 1000,
+      s"iters must be in [1, 1000], got $iters")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val seedRows = seeds.select(col("cell").cast("long"), col("_cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(seedRows.nonEmpty, "kmeansLloyd: empty seed table")
+    require(seedRows.map(_._1).distinct.length == seedRows.length,
+      "kmeansLloyd: duplicate seed cell ids")
+    val dim = seedRows.head._2.length
+    require(dim >= 1 && seedRows.forall(_._2.length == dim),
+      "kmeansLloyd: ragged seed vectors")
+    val k = seedRows.length
+    val cellIds = seedRows.map(_._1)
+    def micro(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    // centroids as k×dim micro longs, row r ↔ cellIds(r)
+    var cent: Array[Array[Long]] =
+      seedRows.map(_._2.map(f => micro(f.toDouble * 1e6)))
+    var counts = new Array[Long](k)
+    val vecs = vectors.select(col(vecCol))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .as[Array[Float]]
+    val sc = spark.sparkContext
+    var it = 0
+    while (it < iters) {
+      val bcC = sc.broadcast(cent)
+      val (sums, ns) = vecs.rdd.mapPartitions { rows =>
+        val cs = bcC.value
+        val s = Array.fill(cs.length)(new Array[Long](dim))
+        val n = new Array[Long](cs.length)
+        val vm = new Array[Long](dim)
+        rows.foreach { v =>
+          var j = 0
+          while (j < dim) { vm(j) = micro(v(j).toDouble * 1e6); j += 1 }
+          var best = Long.MaxValue; var bi = -1
+          var r = 0
+          while (r < cs.length) {
+            val c = cs(r); var d = 0L; var jj = 0
+            while (jj < dim) {
+              val diff = vm(jj) - c(jj); d += diff * diff; jj += 1
+            }
+            if (d < best) { best = d; bi = r }
+            r += 1
+          }
+          n(bi) += 1L
+          val sr = s(bi)
+          var jj = 0
+          while (jj < dim) { sr(jj) += vm(jj); jj += 1 }
+        }
+        Iterator.single((s, n))
+      }.reduce { (a, b) =>
+        var r = 0
+        while (r < k) {
+          var j = 0
+          while (j < dim) { a._1(r)(j) += b._1(r)(j); j += 1 }
+          a._2(r) += b._2(r); r += 1
+        }
+        a
+      }
+      bcC.destroy()
+      // exact half-away mean; sums fit Long at any realistic scale but
+      // the 2·s doubling runs in BigInt so the formula never wraps
+      cent = Array.tabulate(k) { r =>
+        if (ns(r) == 0L) cent(r)
+        else {
+          val n2 = BigInt(2L * ns(r))
+          Array.tabulate(dim) { j =>
+            val s = BigInt(sums(r)(j))
+            val q = (s.abs * 2 + BigInt(ns(r))) / n2
+            (if (s.signum < 0) -q else q).toLong
+          }
+        }
+      }
+      counts = ns
+      it += 1
+    }
+    val out = for {
+      r <- 0 until k
+      j <- 0 until dim
+    } yield (cellIds(r), j, cent(r)(j), counts(r))
+    out.toDF("cell", "j", "c_micro", "n")
+  }
+
   /** Per-cell occupancy of an IVF corpus assignment — the skew diagnostic
     * for [[ivfTopK]]'s scoring join. Input: any (…, cell) assignment
     * (e.g. [[assignCells]] output); output: one row per cell

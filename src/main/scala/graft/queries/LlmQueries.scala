@@ -362,6 +362,20 @@ object LlmQueries {
         .withColumnRenamed("rows", "n_rows"))
     }),
 
+    // Deterministic Lloyd k-means (integer fixed point, explicit seeds,
+    // two unrolled iterations) — the clustering primitive behind
+    // cluster-balanced curation, hash-gated because assignment and the
+    // half-away integer means are exact in both engines. The oracle
+    // replays both iterations as CTEs: argmin by (squared distance,
+    // cell), per-(cell, dim) HUGEINT sums, and the sign-split positive
+    // quotient that equals HALF_UP under truncating or floor division.
+    "km1_kmeans_lloyd" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id").isNotNull)
+      val seeds = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      sortAll(Similarity.kmeansLloyd(e, "embedding", seeds, iters = 2))
+    }),
+
     // Exact substring-span duplication: per-doc fraction of 5-token
     // windows appearing verbatim in ≥2 distinct documents. The hashed
     // scale path (8-byte keys shuffle, not window text): the oracle
@@ -1560,7 +1574,46 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
        |${orderBySql("query_id", "neighbor_id", "cos")}""".stripMargin
 
+  /** One unrolled Lloyd iteration: distances from `cPrev`, argmin
+    * assignment (ties to the lowest cell), HUGEINT per-(cell, dim)
+    * sums, and the sign-split positive half-away quotient — suffix `i`
+    * names the iteration's CTEs d/a/s/c{i}. */
+  private def kmIterSql(i: Int, cPrev: String): String =
+    s"""d$i AS (SELECT vm.id, $cPrev.cell,
+       |  sum((vm.v - $cPrev.c) * (vm.v - $cPrev.c)) AS d
+       |  FROM vm JOIN $cPrev USING (j) GROUP BY vm.id, $cPrev.cell),
+       |a$i AS (SELECT id, cell FROM (SELECT id, cell,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+       |  FROM d$i) WHERE rn = 1),
+       |s$i AS (SELECT a$i.cell, vm.j, sum(CAST(vm.v AS HUGEINT)) AS s,
+       |    count(*) AS n
+       |  FROM a$i JOIN vm USING (id) GROUP BY a$i.cell, vm.j),
+       |c$i AS (SELECT $cPrev.cell, $cPrev.j, COALESCE(CAST(
+       |    CASE WHEN s$i.s < 0
+       |      THEN -(((-2) * s$i.s + s$i.n) // (2 * s$i.n))
+       |      ELSE (2 * s$i.s + s$i.n) // (2 * s$i.n) END AS BIGINT),
+       |    $cPrev.c) AS c
+       |  FROM $cPrev LEFT JOIN s$i
+       |    ON s$i.cell = $cPrev.cell AND s$i.j = $cPrev.j)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "km1_kmeans_lloyd" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS gj),
+         |vm AS (SELECT e.vec_id AS id, gj - 1 AS j,
+         |    CAST(round(CAST(e.embedding[gj] AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS v
+         |  FROM $embsPq e, dims
+         |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+         |    AND len(e.embedding) = 64),
+         |c0 AS (SELECT id AS cell, j, v AS c FROM vm WHERE id < 4),
+         |${kmIterSql(1, "c0")},
+         |${kmIterSql(2, "c1")}
+         |SELECT c2.cell, CAST(c2.j AS INTEGER) AS j, c2.c AS c_micro,
+         |  CAST(COALESCE(cn.n, 0) AS BIGINT) AS n
+         |FROM c2 LEFT JOIN (SELECT cell, count(*) AS n FROM a2
+         |  GROUP BY cell) cn USING (cell)
+         |${orderBySql("cell", "j", "c_micro", "n")}""".stripMargin,
+
     "d1_exact_dedup" ->
       s"""SELECT min(doc_id) AS rep_id, count(*) AS n_copies
          |FROM $docsPq GROUP BY text

@@ -1388,6 +1388,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sSql === sTyped && sSql.size === 20)
   }
 
+  test("graft_kmeans_t: deterministic Lloyd k-means from SQL ≡ typed") {
+    import spark.implicits._
+    GraftSql.registerFunctions(spark)
+    Seq(Array(0.1f), Array(0.2f), Array(0.9f), Array(0.8f)).toDF("v")
+      .createOrReplaceTempView("km_vecs_v")
+    Seq((0L, Array(0.0f)), (1L, Array(1.0f))).toDF("cell", "_cv")
+      .createOrReplaceTempView("km_seeds_v")
+    val sql = spark.sql(
+      "SELECT * FROM graft_kmeans_t('km_vecs_v', 'v', 'km_seeds_v', 2)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val typed = graft.llm.Similarity.kmeansLloyd(
+        spark.table("km_vecs_v"), "v", spark.table("km_seeds_v"), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(sql === typed && sql.nonEmpty)
+  }
+
   test("graft_classifier_train_gd_t: distributed GD trainer from SQL ≡ typed") {
     import spark.implicits._
     GraftSql.registerFunctions(spark)

@@ -1769,4 +1769,47 @@ class LlmSpec extends AnyFunSuite {
       Dedup.winnowPairs(df, "doc_id", "text", 8, 4, minShared = 0L)
     }
   }
+
+  test("kmeansLloyd hand golden: assignment, half-away means, empty-cell carry") {
+    import spark.implicits._
+    // 1-D micro view: seeds at 0.0 and 1.0; points 0.1, 0.2, 0.9 → cell 0
+    // gets {0.1, 0.2} (mean 150000), cell 1 gets {0.9} (mean 900000)
+    val vecs = Seq(Array(0.1f), Array(0.2f), Array(0.9f)).toDF("v")
+    val seeds = Seq((0L, Array(0.0f)), (1L, Array(1.0f))).toDF("cell", "_cv")
+    val out = Similarity.kmeansLloyd(vecs, "v", seeds, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq === Seq((0L, 0, 150000L, 2L), (1L, 0, 900000L, 1L)))
+    // second iteration re-assigns against the new centroids (0.15/0.9):
+    // same partition here, so convergence — centroids unchanged
+    val out2 = Similarity.kmeansLloyd(vecs, "v", seeds, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out2.toSeq === Seq((0L, 150000L), (1L, 900000L)))
+    // distance tie → LOWEST cell id: point 0.5 equidistant from 0 and 1
+    val tie = Similarity.kmeansLloyd(Seq(Array(0.5f)).toDF("v"), "v",
+        seeds, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(tie.toSeq === Seq((0L, 500000L, 1L), (1L, 1000000L, 0L)),
+      "tie must assign to cell 0 and leave empty cell 1's seed centroid")
+    // half-AWAY mean on a negative sum: {-0.1, -0.2} → -150000 (HALF_UP
+    // away from zero, not toward)
+    val neg = Similarity.kmeansLloyd(
+        Seq(Array(-0.1f), Array(-0.2f)).toDF("v"), "v",
+        Seq((0L, Array(0.0f))).toDF("cell", "_cv"), iters = 1)
+      .collect().map(_.getLong(2))
+    assert(neg.toSeq === Seq(-150000L))
+  }
+
+  test("kmeansLloyd is partitioning-invariant and matches on the corpus") {
+    val seeds = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansLloyd(df, "embedding", seeds, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val a = run(embs)
+    val b = run(embs.repartition(7))
+    assert(a === b && a.nonEmpty,
+      "integer sums are exact in any order — repartitioning must not move a bit")
+  }
 }
