@@ -382,6 +382,63 @@ object Similarity extends Serializable {
     out.toDF("cell", "j", "c_micro", "n")
   }
 
+  /** Serve-side assignment against [[kmeansLloyd]] centroids — the same
+    * exact integer squared-L2 argmin the trainer runs (micro fix-point
+    * HALF_UP, ties to the LOWEST cell id), one zero-shuffle typed pass
+    * against the driver-bounded (cell, j, c_micro) table. Rows with a
+    * null id/vector or the wrong dimensionality drop (the oracle's
+    * length predicate); non-finite components fail LOUDLY, like
+    * training. Output: (idCol, cell). */
+  def kmeansAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = centroids.select(col("cell").cast("long"),
+      col("j").cast("int"), col("c_micro").cast("long")).collect()
+    require(rows.nonEmpty, "kmeansAssign: empty centroid table")
+    val cellIds = rows.map(_.getLong(0)).distinct.sorted
+    val dim = rows.map(_.getInt(1)).max + 1
+    val byCell = rows.groupBy(_.getLong(0))
+    require(byCell.values.forall(rs =>
+      rs.length == dim && rs.map(_.getInt(1)).distinct.length == dim),
+      s"kmeansAssign: centroid table is not a complete cell × $dim matrix")
+    val cent: Array[Array[Long]] = cellIds.map { c =>
+      val a = new Array[Long](dim)
+      byCell(c).foreach(r => a(r.getInt(1)) = r.getLong(2))
+      a
+    }
+    def micro(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val bcC = spark.sparkContext.broadcast(cent)
+    val bcIds = spark.sparkContext.broadcast(cellIds)
+    vectors
+      .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
+      .filter(col("_1").isNotNull && col("_2").isNotNull &&
+        size(col("_2")) === dim)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val ids = bcIds.value
+        val vm = new Array[Long](dim)
+        it.map { case (id, v) =>
+          var j = 0
+          while (j < dim) { vm(j) = micro(v(j).toDouble * 1e6); j += 1 }
+          var best = Long.MaxValue; var bi = -1
+          var r = 0
+          while (r < cs.length) {
+            val c = cs(r); var d = 0L; var jj = 0
+            while (jj < dim) {
+              val diff = vm(jj) - c(jj); d += diff * diff; jj += 1
+            }
+            if (d < best) { best = d; bi = r }
+            r += 1
+          }
+          (id, ids(bi))
+        }
+      }.toDF(idCol, "cell")
+  }
+
   /** Per-cell occupancy of an IVF corpus assignment — the skew diagnostic
     * for [[ivfTopK]]'s scoring join. Input: any (…, cell) assignment
     * (e.g. [[assignCells]] output); output: one row per cell

@@ -376,6 +376,25 @@ object LlmQueries {
       sortAll(Similarity.kmeansLloyd(e, "embedding", seeds, iters = 2))
     }),
 
+    // Cluster-BALANCED sampling — the curation recipe the k-means
+    // primitive exists for (diversify by taking evenly across
+    // clusters): train on the corpus (km1's exact recipe), assign every
+    // vector to its nearest FINAL centroid with the same integer L2
+    // argmin, then an exact per-cluster quota by the deterministic
+    // md5-rank draw (the quotaExact/sm4 machinery). One more unrolled
+    // assignment CTE + the rank replay on top of km1's oracle.
+    "km2_cluster_sample" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id").isNotNull)
+      val seeds = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+      val cent = Similarity.kmeansLloyd(e, "embedding", seeds, iters = 2)
+      val assigned = Similarity.kmeansAssign(e, "vec_id", "embedding", cent)
+        .withColumn("stratum", col("cell").cast("string"))
+      sortAll(Sampling.quotaExact(assigned, "stratum", "vec_id",
+          (0 to 3).map(c => c.toString -> 25L).toMap)
+        .select(col("vec_id"), col("cell"), col("rk")))
+    }),
+
     // Exact substring-span duplication: per-doc fraction of 5-token
     // windows appearing verbatim in ≥2 distinct documents. The hashed
     // scale path (8-byte keys shuffle, not window text): the oracle
@@ -1613,6 +1632,31 @@ object LlmQueries {
          |FROM c2 LEFT JOIN (SELECT cell, count(*) AS n FROM a2
          |  GROUP BY cell) cn USING (cell)
          |${orderBySql("cell", "j", "c_micro", "n")}""".stripMargin,
+
+    "km2_cluster_sample" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS gj),
+         |vm AS (SELECT e.vec_id AS id, gj - 1 AS j,
+         |    CAST(round(CAST(e.embedding[gj] AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS v
+         |  FROM $embsPq e, dims
+         |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
+         |    AND len(e.embedding) = 64),
+         |c0 AS (SELECT id AS cell, j, v AS c FROM vm WHERE id < 4),
+         |${kmIterSql(1, "c0")},
+         |${kmIterSql(2, "c1")},
+         |d3 AS (SELECT vm.id, c2.cell,
+         |  sum((vm.v - c2.c) * (vm.v - c2.c)) AS d
+         |  FROM vm JOIN c2 USING (j) GROUP BY vm.id, c2.cell),
+         |a3 AS (SELECT id, cell FROM (SELECT id, cell,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+         |  FROM d3) WHERE rn = 1)
+         |SELECT vec_id, cell, rk FROM (
+         |  SELECT id AS vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
+         |  FROM a3)
+         |WHERE rk <= 25
+         |${orderBySql("vec_id", "cell", "rk")}""".stripMargin,
 
     "d1_exact_dedup" ->
       s"""SELECT min(doc_id) AS rep_id, count(*) AS n_copies

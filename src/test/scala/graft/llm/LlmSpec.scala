@@ -1800,6 +1800,35 @@ class LlmSpec extends AnyFunSuite {
     assert(neg.toSeq === Seq(-150000L))
   }
 
+  test("kmeansAssign: argmin vs trained centroids, count consistency, tie rule") {
+    import spark.implicits._
+    val seeds = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
+    val cent = Similarity.kmeansLloyd(embs, "embedding", seeds, iters = 3)
+    // assigning against the FINAL centroids with the trainer's own
+    // argmin reproduces the trainer's reported counts after one more
+    // no-op iteration (iters+1 from the same seeds ends on the same
+    // assignment step kmeansAssign replays)
+    val assignCounts = Similarity
+      .kmeansAssign(embs, "vec_id", "embedding", cent)
+      .groupBy("cell").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val trainerCounts = Similarity
+      .kmeansLloyd(embs, "embedding", seeds, iters = 4)
+      .filter(col("j") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(trainerCounts.forall { case (c, n) =>
+      assignCounts.getOrElse(c, 0L) == n })
+    // tie → lowest cell; wrong-dimension rows drop
+    val toyCent = Seq((0L, 0, 0L), (1L, 0, 1000000L))
+      .toDF("cell", "j", "c_micro")
+    val toy = Seq((10L, Array(0.5f)), (11L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "v")
+    val got = Similarity.kmeansAssign(toy, "vec_id", "v", toyCent)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((10L, 0L)))
+  }
+
   test("kmeansLloyd is partitioning-invariant and matches on the corpus") {
     val seeds = embs.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cell"), col("embedding").as("_cv"))
