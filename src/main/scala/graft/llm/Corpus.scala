@@ -188,12 +188,26 @@ object Corpus {
       if (!gopher) repFloored
       else repFloored.filter(col(idCol).isNull || col(textCol).isNull ||
         Quality.gopherPass(col(textCol), stops = gopherStops))
+    // EVERY per-document scorer gate (perplexity, classifier,
+    // decontamination, trained langid) scores the SAME base — the corpus
+    // after the scan-filter floors — instead of the previous gate's
+    // output. Each score is a pure per-document function under a frozen
+    // broadcast model/benchmark, so scoring a superset and intersecting
+    // the drop/keep decisions by anti/semi join is bit-identical to the
+    // chained composition (an id absent from the left side is inert in
+    // an anti OR semi join). The chained shape nested each gate's scorer
+    // over the previous gate's JOIN, so with k gates active the
+    // scan+floor subtree appeared 2^k times in the physical plan and no
+    // exchange could be reused across branches (d21's plan: 619 nodes,
+    // 336 Exchanges); the flat shape is k scorer branches over one
+    // shared base.
+    val scoreBase = gopherFloored
     val pplFloored = lm match {
       case Some(model) if maxPpl < Double.MaxValue =>
         val scored = biLm match {
-          case Some(bi) => Quality.ngramPerplexity(gopherFloored, model,
+          case Some(bi) => Quality.ngramPerplexity(scoreBase, model,
             bi, idCol, textCol, lmBackoff)
-          case None => Quality.lmPerplexity(gopherFloored, model, idCol,
+          case None => Quality.lmPerplexity(scoreBase, model, idCol,
             textCol)
         }
         gopherFloored.join(
@@ -212,7 +226,7 @@ object Corpus {
     val clfFloored = classifier match {
       case Some(w) if minLogitMicro > Long.MinValue =>
         pplFloored.join(
-          Quality.scoreTextClassifier(pplFloored, idCol, textCol, w,
+          Quality.scoreTextClassifier(scoreBase, idCol, textCol, w,
               classifierDim)
             .filter(col("logit_micro") < minLogitMicro)
             .select(col("doc_id").as(idCol)),
@@ -222,7 +236,7 @@ object Corpus {
     val base = benchDocs match {
       case Some(bench) if maxContamFrac < 1.0 =>
         clfFloored.join(
-          Dedup.contaminationStats(clfFloored, bench, idCol, textCol,
+          Dedup.contaminationStats(scoreBase, bench, idCol, textCol,
               contamN, hashShingles = contamHash)
             .filter(col("contam_frac") > maxContamFrac)
             .select(col("doc_id").as(idCol)),
@@ -235,7 +249,8 @@ object Corpus {
     val langGated = langClassifier match {
       case Some(w) if langs.nonEmpty =>
         base.join(
-          Quality.langIdTrained(base, idCol, textCol, w, langClassifierDim)
+          Quality.langIdTrained(scoreBase, idCol, textCol, w,
+              langClassifierDim)
             .filter(col("lang").isin(langs: _*))
             .select(col("doc_id").as(idCol)),
           Seq(idCol), "left_semi")

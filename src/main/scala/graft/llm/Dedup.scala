@@ -493,26 +493,41 @@ object Dedup {
     * @return (id, component) with component = min id reachable
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("i"), col("j"))
-      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+    // The ITERATION runs on RDDs: a DataFrame loop pays Catalyst planning
+    // plus one AQE query-stage job PER EXCHANGE per round (~10 driver
+    // round-trips each), which dominates wall time on metadata-sized
+    // frontiers — the RDD loop is one job per round (count on the
+    // checkpointed frontier) plus one cheap isEmpty. Ids are processed as
+    // longs and the result cast back to the caller's id type, so the
+    // output schema is unchanged.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val iType = pairs.schema("i").dataType
+    val edges = pairs
+      .select(col("i").cast("long"), col("j").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
       .distinct().localCheckpoint()
-    var labels = edges.select(col("i").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+    var labels = edges.map { case (i, _) => (i, i) }
+      .reduceByKey((a, _) => a).localCheckpoint()
+    labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges
-        .join(labels.select(col("id").as("j"), col("component").as("_nc")), "j")
-        .groupBy(col("i").as("id")).agg(min("_nc").as("_cand"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("_cand"), col("component")))
-            .as("component"))
-        .localCheckpoint()
-      converged = next.join(
-          labels.select(col("id"), col("component").as("_old")), "id")
-        .filter(col("component") =!= col("_old")).isEmpty
-      labels = next
+        .map { case (i, j) => (j, i) }
+        .join(labels)
+        .map { case (_, (i, c)) => (i, c) }
+        .reduceByKey(math.min)
+      // carry the previous label through the checkpoint so convergence is
+      // a scan of the just-materialized frontier — no second join
+      val next = labels.leftOuterJoin(neighborMin)
+        .mapValues { case (old, cand) =>
+          (old, math.min(old, cand.getOrElse(old)))
+        }.localCheckpoint()
+      next.count()
+      converged = next.filter { case (_, (old, nw)) => old != nw }.isEmpty()
+      labels = next.mapValues(_._2) // one narrow map over the checkpoint
       iter += 1
     }
     // silent non-convergence would split true clusters and under-dedup —
@@ -520,7 +535,9 @@ object Dedup {
     // pathological chains)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
-    labels
+    labels.toDF("id", "component")
+      .select(col("id").cast(iType).as("id"),
+        col("component").cast(iType).as("component"))
   }
 
   /** Connected components by alternating large-star / small-star edge
@@ -535,46 +552,71 @@ object Dedup {
     * identical to [[connectedComponents]] (equality-property-tested).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    val edges = starEdges(pairs, maxIter)
+    val ids = pairs.select(col("i").as("id"))
+      .unionByName(pairs.select(col("j").as("id"))).distinct()
+    ids.join(edges.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** The star-contraction FIXED POINT edge set of a pair table: one edge
+    * `u → v` per non-minimum member u of each connected component, with v
+    * the component's minimum id (the Kiveris stars-on-minima invariant —
+    * u values are unique at the fixed point, or small-star would contract
+    * further). Materialized (`localCheckpoint`ed), so consumers that only
+    * need the NON-SURVIVOR side — every dedup drop list — read a tiny
+    * checkpointed table instead of replaying the pair pipeline that
+    * [[connectedComponentsStar]]'s id-side join re-executes lazily. */
+  private[graft] def starEdges(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    // The iteration runs on RDDs for the same reason as
+    // [[connectedComponents]]: per-round Catalyst planning plus one AQE
+    // query-stage job per exchange (~10 driver round-trips each round)
+    // dominated wall time; the RDD round is one count job (+ a subtract
+    // check only when the counts already match). Long ids in flight, cast
+    // back to the caller's type on return.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val iType = pairs.schema("i").dataType
     // canonical directed edges: larger endpoint → smaller endpoint
     var edges = pairs
-      .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .select(greatest(col("i"), col("j")).cast("long").as("u"),
+        least(col("i"), col("j")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .as[(Long, Long)].rdd.localCheckpoint()
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // LARGE-STAR: gather the full neighborhood of each center c; link
       // every strictly-larger neighbor to m = min(N(c) ∪ {c})
-      val nbrs = edges.select(col("u").as("c"), col("v").as("n"))
-        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
-      val mins = nbrs.groupBy("c").agg(min(col("n")).as("_mn"))
-        .select(col("c"), least(col("_mn"), col("c")).as("m"))
-      val large = nbrs.join(mins, "c")
-        .filter(col("n") > col("c"))
-        .select(col("n").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+      val nbrs = edges.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val mins = nbrs.reduceByKey(math.min)
+      val large = nbrs.join(mins).flatMap { case (c, (n, mn)) =>
+        val m = math.min(mn, c)
+        if (n > c && n != m) Iterator((n, m)) else Iterator.empty
+      }.distinct()
       // SMALL-STAR: large-star edges all point larger → smaller, so each
       // center c's gathered neighbors are its smaller ones; link them AND
       // c itself to m = min(N(c))
-      val smins = large.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
-      val small = large.select(col("u").as("c"), col("v").as("n"))
-        .join(smins, "c")
-        .select(col("n").as("u"), col("m").as("v"))
-        .unionByName(smins.select(col("c").as("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
+      val smins = large.reduceByKey(math.min)
+      val small = large.join(smins).flatMap { case (c, (n, m)) =>
+        Iterator((n, m), (c, m))
+      }.filter { case (u, v) => u != v }.distinct().localCheckpoint()
       // fixed point: the edge set is unchanged (stars rooted at component
-      // minima — the paper's termination invariant)
-      converged = small.count() == edges.count() &&
-        small.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // minima — the paper's termination invariant); count equality gates
+      // the set-difference check so it only runs when it can pass
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.subtract(edges).isEmpty()
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[starEdges] iter=$iter edges=$edgeCount -> $smallCount converged=$converged")
       edges = small
+      edgeCount = smallCount
       iter += 1
     }
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds; raise maxIter")
-    val ids = pairs.select(col("i").as("id"))
-      .unionByName(pairs.select(col("j").as("id"))).distinct()
-    ids.join(edges.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    edges.toDF("u", "v")
+      .select(col("u").cast(iType).as("u"), col("v").cast(iType).as("v"))
   }
 
   /** Deduplicate a corpus given its near-duplicate pairs: every document

@@ -2787,7 +2787,12 @@ object Similarity extends Serializable {
       numBlocksPerCell: Int = 0, maxRowsPerBlock: Int = 1 << 16): DataFrame = {
     val pairs = semDedupPairs(vectors, centroids, idCol, vecCol, minCos,
       numBlocksPerCell, maxRowsPerBlock)
-    Dedup.connectedComponentsStar(pairs)
-      .filter(col("id") =!= col("component")).select(col("id").as("_drop"))
+    // the dropped set IS the star fixed point's u side: component labels
+    // are only needed to NAME survivors, and reading the checkpointed
+    // edge table directly keeps the block-triangle pair pass out of the
+    // consumer's lazy plan — connectedComponentsStar's id-side join would
+    // re-execute semDedupPairs once per plan branch that anti-joins this
+    // (prepare's gate stack replayed it up to 5×)
+    Dedup.starEdges(pairs).select(col("u").as("_drop"))
   }
 }
