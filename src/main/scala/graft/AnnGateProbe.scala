@@ -20,6 +20,8 @@ object AnnGateProbe {
     spark.sparkContext.setLogLevel("WARN")
     import java.nio.file.Files
 
+    val starts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
@@ -27,10 +29,16 @@ object AnnGateProbe {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          starts.put(j.jobId, (System.nanoTime(), j.stageInfos.map(si =>
+            s"${si.name.takeWhile(_ != '\n').take(60)}(${si.numTasks})")
+            .mkString(" | ")))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS"))
-            println(s"  JOB ${j.jobId}: " + j.stageInfos.map(si =>
-              s"${si.name.takeWhile(_ != '\n').take(60)}(${si.numTasks})")
-              .mkString(" | "))
+            Option(starts.get(j.jobId)).foreach { case (t0, nm) =>
+              println(f"  JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%7.1f ms  $nm")
+            }
         }
       })
     def timed[A](label: String)(f: => A): A = {

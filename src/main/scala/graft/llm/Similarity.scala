@@ -224,6 +224,9 @@ object Similarity extends Serializable {
     import spark.implicits._
     centroids
       .select(col("cell").cast("long"), col("_cv"))
+      // driver-bounded by contract; 1 task instead of one per source
+      // partition (a 32-partition range costs 32 tiny collect tasks)
+      .coalesce(1)
       .as[(Long, Array[Float])].collect()
       .sortBy(_._1)
       .map { case (c, v) => (c, v, math.sqrt(dotKernel(v, v))) }
@@ -616,7 +619,7 @@ object Similarity extends Serializable {
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
     assignedRows(corpus, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
-    cents.select(col("cell"), col("_cv"))
+    cents.select(col("cell"), col("_cv")).coalesce(1)
       .write.mode("overwrite").parquet(s"$vdir/centroids")
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
@@ -732,7 +735,7 @@ object Similarity extends Serializable {
       vold: String, vnew: String,
       f: org.apache.hadoop.fs.FileSystem): Unit = {
     if (isPqVersion(spark, vold)) {
-      spark.read.parquet(s"$vold/codebooks")
+      spark.read.parquet(s"$vold/codebooks").coalesce(1)
         .write.mode("overwrite").parquet(s"$vnew/codebooks")
       f.create(new org.apache.hadoop.fs.Path(vnew, "_PQ"), true).close()
       if (isResidualPqVersion(spark, vold))
@@ -740,7 +743,7 @@ object Similarity extends Serializable {
       if (isLocalPqVersion(spark, vold))
         f.create(new org.apache.hadoop.fs.Path(vnew, "_PQLOCAL"), true).close()
       if (isRotatedPqVersion(spark, vold)) {
-        spark.read.parquet(s"$vold/rotation")
+        spark.read.parquet(s"$vold/rotation").coalesce(1)
           .write.mode("overwrite").parquet(s"$vnew/rotation")
         f.create(new org.apache.hadoop.fs.Path(vnew, "_PQROT"), true).close()
       }
@@ -800,7 +803,8 @@ object Similarity extends Serializable {
     rotationMatrix(spark.read.parquet(s"$vdir/rotation"))
 
   private def rotationMatrix(rotation: DataFrame): Array[Array[Float]] = {
-    val rows = rotation.select(col("i").cast("int"), col("_rv")).collect()
+    val rows =
+      rotation.select(col("i").cast("int"), col("_rv")).coalesce(1).collect()
     require(rows.nonEmpty, "empty rotation table")
     val d = rows.map(_.getInt(0)).max + 1
     val r = new Array[Array[Float]](d)
@@ -1203,7 +1207,7 @@ object Similarity extends Serializable {
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
     quantizeProjection(assignedRows(corpus, cents, idCol, vecCol))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
-    cents.select(col("cell"), col("_cv"))
+    cents.select(col("cell"), col("_cv")).coalesce(1)
       .write.mode("overwrite").parquet(s"$vdir/centroids")
     f.create(new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
@@ -2126,15 +2130,15 @@ object Similarity extends Serializable {
         }
       }
     rows.write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
-    cents.select(col("cell"), col("_cv"))
+    cents.select(col("cell"), col("_cv")).coalesce(1)
       .write.mode("overwrite").parquet(s"$vdir/centroids")
     val cbCols =
       if (perCell) Seq(col("cell"), col("m"), col("code"), col("_cbv"))
       else Seq(col("m"), col("code"), col("_cbv"))
-    cbs.select(cbCols: _*)
+    cbs.select(cbCols: _*).coalesce(1)
       .write.mode("overwrite").parquet(s"$vdir/codebooks")
     rotation.foreach(_.select(col("i").cast("int").as("i"), col("_rv"))
-      .write.mode("overwrite").parquet(s"$vdir/rotation"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/rotation"))
     f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
     if (useResidual)
       f.create(new org.apache.hadoop.fs.Path(vdir, "_PQRES"), true).close()
@@ -2413,7 +2417,7 @@ object Similarity extends Serializable {
     val vnew = s"$indexDir/v$n"
     f(ivfCorpus(spark, vdir))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
-    spark.read.parquet(s"$vdir/centroids")
+    spark.read.parquet(s"$vdir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$vnew/centroids")
     val ledger = (foldedDeltas(spark, vdir) ++
       committedDeltas(spark, vdir).map(_._1)).toSeq.sorted
@@ -2453,7 +2457,7 @@ object Similarity extends Serializable {
       val vnew = s"$indexDir/v$n"
       ivfCorpus(spark, vdir)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
-      spark.read.parquet(s"$vdir/centroids")
+      spark.read.parquet(s"$vdir/centroids").coalesce(1)
         .write.mode("overwrite").parquet(s"$vnew/centroids")
       // the cumulative folded ledger (before _COMMIT): every delta name
       // ever folded, carried across versions, so a replayed streaming
