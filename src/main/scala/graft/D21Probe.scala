@@ -17,11 +17,24 @@ object D21Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val starts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          starts.put(j.jobId, (System.nanoTime(), j.stageInfos.map(si =>
+            s"${si.name.takeWhile(_ != '\n').take(60)}(${si.numTasks})")
+            .mkString(" | ")))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS"))
+            Option(starts.get(j.jobId)).foreach { case (t0, nm) =>
+              println(f"  JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%7.1f ms  $nm")
+            }
+        }
       })
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val j0 = jobs.get

@@ -503,25 +503,35 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val iType = pairs.schema("i").dataType
-    val edges = pairs
+    val edges0 = pairs
       .select(col("i").cast("long"), col("j").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
-      .distinct().localCheckpoint()
-    var labels = edges.map { case (i, _) => (i, i) }
-      .reduceByKey((a, _) => a).localCheckpoint()
+      .distinct()
+    // one fixed partitioner for the whole loop: the per-round
+    // reduceByKey and both joins then run NARROW against it, so a round
+    // costs ONE shuffle (the candidate label updates) instead of four —
+    // in particular the full edge set is never re-shuffled per round
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(edges0.getNumPartitions, 1))
+    // keyed by DEST (j): each edge row delivers its source id as a label
+    // candidate to j's partition
+    val edgesRev = edges0.map { case (i, j) => (j, i) }
+      .partitionBy(part).localCheckpoint()
+    var labels = edgesRev.mapPartitions(
+        _.map { case (j, _) => (j, j) }, preservesPartitioning = true)
+      .reduceByKey(part, (a, _) => a).localCheckpoint()
     labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .map { case (i, j) => (j, i) }
-        .join(labels)
+      val neighborMin = edgesRev
+        .join(labels) // narrow: both sides partitioned by `part`
         .map { case (_, (i, c)) => (i, c) }
-        .reduceByKey(math.min)
+        .reduceByKey(part, math.min(_: Long, _: Long))
       // carry the previous label through the checkpoint so convergence is
       // a scan of the just-materialized frontier — no second join
-      val next = labels.leftOuterJoin(neighborMin)
+      val next = labels.leftOuterJoin(neighborMin) // narrow
         .mapValues { case (old, cand) =>
           (old, math.min(old, cand.getOrElse(old)))
         }.localCheckpoint()
@@ -584,21 +594,31 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct()
       .as[(Long, Long)].rdd.localCheckpoint()
     var edgeCount = edges.count()
+    // one fixed partitioner per loop: each phase shuffles its edge list
+    // ONCE (partitionBy), then the min-reduce and the join both run
+    // NARROW against it — 3 shuffles per round instead of 6. The
+    // intermediate large-star distinct is dropped outright: duplicate
+    // (n, m) rows cannot change a min and the small-star distinct
+    // canonicalizes the round's output (the convergence count only ever
+    // reads that final distinct set).
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(edges.getNumPartitions, 1))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // LARGE-STAR: gather the full neighborhood of each center c; link
       // every strictly-larger neighbor to m = min(N(c) ∪ {c})
       val nbrs = edges.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
-      val mins = nbrs.reduceByKey(math.min)
+        .partitionBy(part)
+      val mins = nbrs.reduceByKey(part, math.min(_: Long, _: Long))
       val large = nbrs.join(mins).flatMap { case (c, (n, mn)) =>
         val m = math.min(mn, c)
         if (n > c && n != m) Iterator((n, m)) else Iterator.empty
-      }.distinct()
+      }.partitionBy(part)
       // SMALL-STAR: large-star edges all point larger → smaller, so each
       // center c's gathered neighbors are its smaller ones; link them AND
       // c itself to m = min(N(c))
-      val smins = large.reduceByKey(math.min)
+      val smins = large.reduceByKey(part, math.min(_: Long, _: Long))
       val small = large.join(smins).flatMap { case (c, (n, m)) =>
         Iterator((n, m), (c, m))
       }.filter { case (u, v) => u != v }.distinct().localCheckpoint()

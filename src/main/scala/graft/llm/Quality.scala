@@ -1402,16 +1402,20 @@ object Quality {
     val spark = docs.sparkSession
     import spark.implicits._
     // the weight table must be model-sized (≤ dim features + the
-    // intercept) — a mistakenly corpus-sized view would otherwise
-    // collect onto the driver; mirror the trainer's memory guard
-    val wCount = weights.limit((1 << 22) + 2).count()
-    require(wCount <= (1 << 22) + 1,
+    // intercept) — a mistakenly corpus-sized view must not collect onto
+    // the driver. One single-task bounded collect serves as both the
+    // guard and the read: coalesce(1) serializes the scan, the limit
+    // short-circuits a runaway table after 2^22 + 2 rows, and the
+    // length check below refuses it — the separate full-width count()
+    // job the guard used to pay is gone.
+    val wRows = weights
+      .select(col("feature").cast("long"), col("w_micro").cast("long"))
+      .coalesce(1).limit((1 << 22) + 2)
+      .collect()
+    require(wRows.length <= (1 << 22) + 1,
       s"scoreTextClassifier: weight table has > 2^22 + 1 rows — not a " +
         "trained model (pass trainTextClassifier output, nonzero " +
         "weights + intercept)")
-    val wRows = weights
-      .select(col("feature").cast("long"), col("w_micro").cast("long"))
-      .collect()
     val intercept = wRows.find(_.getLong(0) == -1L)
       .map(_.getLong(1)).getOrElse(0L)
     val wMap = {
@@ -1932,14 +1936,16 @@ object Quality {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wCount = weights.limit((1 << 22) + 2).count()
-    require(wCount <= (1 << 22) + 1,
-      "scoreTextClassifierMulti: weight table has > 2^22 + 1 rows — " +
-        "not a trained model")
+    // single-task bounded collect = guard + read in one job (the
+    // scoreTextClassifier contract — see the comment there)
     val wRows = weights
       .select(col("label").cast("string"), col("feature").cast("long"),
         col("w_micro").cast("long"))
+      .coalesce(1).limit((1 << 22) + 2)
       .collect()
+    require(wRows.length <= (1 << 22) + 1,
+      "scoreTextClassifierMulti: weight table has > 2^22 + 1 rows — " +
+        "not a trained model")
     val classes = wRows.map(_.getString(0)).distinct.sorted
     require(classes.nonEmpty, "scoreTextClassifierMulti: empty weight table")
     val intercepts = classes.map { c =>
