@@ -48,15 +48,34 @@ object Tables {
     .config("spark.sql.files.openCostInBytes",
       sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", String.valueOf(256 * 1024)))
 
+  /** Inferred schema per table path, memoized for the JVM: the driver's
+    * synthetic tables are immutable test fixtures, and every
+    * schema-INFERRING `spark.read.parquet` costs a one-task footer job —
+    * `table` used to pay two to three of those per call (the probe read
+    * plus the NTZ re-read), multiplied by queries × reps in a bench run.
+    * Only static test tables go through here; mutable layouts (index
+    * version dirs, deltas) never use this cache. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
     val path = s"$dir/$name.parquet"
-    val df = spark.read.parquet(path)
-    if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    if (name == "events" && schema("ts").dataType.typeName == "long")
+      spark.read.schema(schema).parquet(path)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else
       // NTZ columns imposed as instant TimestampType at the reader, so
-      // time predicates still push down (see Cols.readNtzAsInstant)
-      graft.functions.Cols.readNtzAsInstant(spark, path)
+      // time predicates still push down (the Cols.readNtzAsInstant
+      // contract, on the memoized schema): the parquet reader yields the
+      // wall-clock micros as UTC instants natively
+      spark.read.schema(StructType(schema.fields.map(f =>
+          if (f.dataType == TimestampNTZType) f.copy(dataType = TimestampType)
+          else f)))
+        .parquet(path)
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
