@@ -111,10 +111,9 @@ object D21Probe {
       val quota = Sampling.mixQuota(sv, "source", "rep_id",
         (1 to 19).map(i => s"src$i" -> 1.0 / 19).toMap, 60L)
       val sharded = Sampling.shuffleShards(quota, "rep_id", 4, "ep1")
-      val chunks = Sampling.chunkDocs(sharded, "rep_id", "text", 32, 8)
+      val chunks = Sampling.chunkDocs(sharded, "rep_id", "text", 32, 8,
+        carry = Seq("source", "rk", "shard", "pos"))
       val fin = chunks
-        .join(sharded.select(col("rep_id").as("doc_id"), col("source"),
-          col("rk"), col("shard"), col("pos")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("rk"), col("shard"),
           col("pos"), col("chunk_id"), col("n_tokens"),
           md5(col("chunk_text").cast("binary")).as("chunk_fp"))

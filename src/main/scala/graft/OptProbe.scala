@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
   * for each named [[SparkEntry.queries]] entry, times the noop-sink
   * materialization (min of SPARK_GRAFT_OPT_REPS, default 3, matching the
   * bench methodology) and writes the `explain("formatted")` plan to
-  * `plans/r13/<query>_<tag>.txt` so plan claims in OPTIMIZATION_r13.md are
+  * `plans/r14/<query>_<tag>.txt` so plan claims in OPTIMIZATION_r14.md are
   * checkable without running Spark. Jobs are labeled for the UI.
   */
 object OptProbe {
@@ -21,7 +21,7 @@ object OptProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r13"))
+    Files.createDirectories(Paths.get("plans/r14"))
     // same warm-up as Bench so first-query numbers are comparable
     try {
       Tables.events(spark, sfDir).limit(10000)
@@ -33,7 +33,7 @@ object OptProbe {
       val df = q(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(Paths.get(s"plans/r13/${name}_$tag.txt"), plan)
+      Files.writeString(Paths.get(s"plans/r14/${name}_$tag.txt"), plan)
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(s"optprobe: $name")

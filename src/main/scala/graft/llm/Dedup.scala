@@ -522,6 +522,14 @@ object Dedup {
         _.map { case (j, _) => (j, j) }, preservesPartitioning = true)
       .reduceByKey(part, (a, _) => a).localCheckpoint()
     labels.count()
+    // convergence piggybacks on the checkpoint-materializing count():
+    // the mapValues closure bumps the accumulator for every label that
+    // changed this round, so `value == 0` IS the fixed-point test — no
+    // second job per round. Task retries can only over-count real
+    // changes (a round with zero changes has nothing to add), so the
+    // == 0 test is exact; later reads of the checkpointed RDD replay
+    // stored blocks, not the closure.
+    val changed = spark.sparkContext.longAccumulator("cc label changes")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -529,15 +537,16 @@ object Dedup {
         .join(labels) // narrow: both sides partitioned by `part`
         .map { case (_, (i, c)) => (i, c) }
         .reduceByKey(part, math.min(_: Long, _: Long))
-      // carry the previous label through the checkpoint so convergence is
-      // a scan of the just-materialized frontier — no second join
+      changed.reset()
       val next = labels.leftOuterJoin(neighborMin) // narrow
         .mapValues { case (old, cand) =>
-          (old, math.min(old, cand.getOrElse(old)))
+          val nw = math.min(old, cand.getOrElse(old))
+          if (nw != old) changed.add(1L)
+          nw
         }.localCheckpoint()
       next.count()
-      converged = next.filter { case (_, (old, nw)) => old != nw }.isEmpty()
-      labels = next.mapValues(_._2) // one narrow map over the checkpoint
+      converged = changed.value == 0L
+      labels = next
       iter += 1
     }
     // silent non-convergence would split true clusters and under-dedup —

@@ -215,30 +215,46 @@ object Sampling {
     * the input's partitioning.
     *
     * Output: (doc_id, chunk_id, n_tokens, chunk_text) with chunk_id
-    * 0-based per document in stream order. */
+    * 0-based per document in stream order.
+    *
+    * `carry` passes extra input columns through to the output unchanged
+    * (appended after chunk_text). When the caller's id column is UNIQUE,
+    * carrying a column is exactly the inner equi-join of the chunks back
+    * to the input on doc_id — without re-deriving the input subtree a
+    * second time (chunking is a row-local flatmap, so the metadata rides
+    * the same pass; the self-join shape re-executes, or at best
+    * re-exchanges, everything upstream). */
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int, overlap: Int = 0): DataFrame = {
+      maxTokens: Int, overlap: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
+    val reserved = Set("doc_id", "chunk_id", "n_tokens", "chunk_text",
+      "_tok", "_n", "_s")
+    carry.foreach(c => require(!reserved(c),
+      s"chunkDocs cannot carry '$c': the name collides with an output or " +
+        "internal column — rename it first"))
     val stride = maxTokens - overlap
     val tok = col("_tok")
     val n = size(tok)
+    val cc = carry.map(col)
     docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_tok"))
-      .select(col("doc_id"), tok, n.as("_n"))
+      .select(col(idCol).as("doc_id") +: split(col(textCol), " ").as("_tok")
+        +: cc: _*)
+      .select(col("doc_id") +: tok +: n.as("_n") +: cc: _*)
       // _n ≥ 1 always (split of "" is [""]), so the sequence is non-empty;
       // upper bound _n − overlap: a start past it would emit a window the
       // previous chunk already covers entirely
-      .select(col("doc_id"), tok, col("_n"),
+      .select(col("doc_id") +: tok +: col("_n") +:
         posexplode(sequence(lit(1),
           greatest(lit(1), col("_n") - overlap), lit(stride)))
-          .as(Seq("chunk_id", "_s")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          .as(Seq("chunk_id", "_s")) +: cc: _*)
+      .select(col("doc_id") +: col("chunk_id").cast("long").as("chunk_id") +:
         least(lit(maxTokens), col("_n") - col("_s") + 1).cast("long")
-          .as("n_tokens"),
+          .as("n_tokens") +:
         concat_ws(" ", slice(tok, col("_s"), lit(maxTokens)))
-          .as("chunk_text"))
+          .as("chunk_text") +: cc: _*)
   }
 
   /** Internal row shape for [[packGreedy]] — public because Catalyst's

@@ -1124,10 +1124,14 @@ object LlmQueries {
       val quota = Sampling.mixQuota(sv, "source", "rep_id",
         (1 to 19).map(i => s"src$i" -> 1.0 / 19).toMap, 60L)
       val sharded = Sampling.shuffleShards(quota, "rep_id", 4, "ep1")
-      val chunks = Sampling.chunkDocs(sharded, "rep_id", "text", 32, 8)
+      // rep_id is UNIQUE in `sharded` (prepare emits min-id per distinct
+      // text hash, a partition of the id space), so carrying the
+      // metadata columns through the row-local chunk flatmap is exactly
+      // the former inner self-join `chunks ⋈ sharded on doc_id` — minus
+      // the join's second derivation of the whole prepare prefix
+      val chunks = Sampling.chunkDocs(sharded, "rep_id", "text", 32, 8,
+        carry = Seq("source", "rk", "shard", "pos"))
       sortAll(chunks
-        .join(sharded.select(col("rep_id").as("doc_id"), col("source"),
-          col("rk"), col("shard"), col("pos")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("rk"), col("shard"),
           col("pos"), col("chunk_id"), col("n_tokens"),
           md5(col("chunk_text").cast("binary")).as("chunk_fp")))
