@@ -716,8 +716,8 @@ object Similarity extends Serializable {
     else {
       val cached = flavorSniffCache.get(vdir)
       if (cached != null) cached.booleanValue()
-      else scala.util.Try(spark.read.parquet(s"$vdir/corpus")
-          .schema.fieldNames.contains("_cq")) match {
+      else scala.util.Try(parquetDirSchema(spark, s"$vdir/corpus")
+          .fieldNames.contains("_cq")) match {
         case scala.util.Success(legacy) =>
           if (legacy) scala.util.Try(f.create(p, true).close())
           flavorSniffCache.put(vdir, java.lang.Boolean.valueOf(legacy))
@@ -735,7 +735,7 @@ object Similarity extends Serializable {
       vold: String, vnew: String,
       f: org.apache.hadoop.fs.FileSystem): Unit = {
     if (isPqVersion(spark, vold)) {
-      spark.read.parquet(s"$vold/codebooks").coalesce(1)
+      readParquetDir(spark, s"$vold/codebooks").coalesce(1)
         .write.mode("overwrite").parquet(s"$vnew/codebooks")
       f.create(new org.apache.hadoop.fs.Path(vnew, "_PQ"), true).close()
       if (isResidualPqVersion(spark, vold))
@@ -743,7 +743,7 @@ object Similarity extends Serializable {
       if (isLocalPqVersion(spark, vold))
         f.create(new org.apache.hadoop.fs.Path(vnew, "_PQLOCAL"), true).close()
       if (isRotatedPqVersion(spark, vold)) {
-        spark.read.parquet(s"$vold/rotation").coalesce(1)
+        readParquetDir(spark, s"$vold/rotation").coalesce(1)
           .write.mode("overwrite").parquet(s"$vnew/rotation")
         f.create(new org.apache.hadoop.fs.Path(vnew, "_PQROT"), true).close()
       }
@@ -800,7 +800,7 @@ object Similarity extends Serializable {
     * codebooks. */
   private def readRotation(spark: org.apache.spark.sql.SparkSession,
       vdir: String): Array[Array[Float]] =
-    rotationMatrix(spark.read.parquet(s"$vdir/rotation"))
+    rotationMatrix(readParquetDir(spark, s"$vdir/rotation"))
 
   private def rotationMatrix(rotation: DataFrame): Array[Array[Float]] = {
     val rows =
@@ -925,7 +925,7 @@ object Similarity extends Serializable {
     * committed version. */
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    spark.read.parquet(s"${latestIvfVersion(spark, indexDir)}/centroids")
+    readParquetDir(spark, s"${latestIvfVersion(spark, indexDir)}/centroids")
 
   /** Per-cell occupancy of a persisted index's SERVING corpus (base +
     * committed deltas) — [[cellStats]] over what queries actually scan.
@@ -960,7 +960,7 @@ object Similarity extends Serializable {
       allowIdCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
-    val cents = spark.read.parquet(s"$vdir/centroids")
+    val cents = readParquetDir(spark, s"$vdir/centroids")
     val corpus = allow match {
       case Some(a) => ivfCorpus(spark, vdir).join(
         a.select(col(allowIdCol).as("neighbor_id")),
@@ -970,6 +970,69 @@ object Similarity extends Serializable {
     ivfScore(probedQueries(queries, cents, idCol, vecCol, nprobe),
       corpus, k, salt)
   }
+
+  /** Explicit schema of a parquet dir written by this module, read from
+    * ONE footer on the driver: every schema-inferring
+    * `spark.read.parquet` schedules a one-task footer job, and a refined
+    * serve paid five of them (centroids, codebooks, rotation, base
+    * corpus, each delta) before any data moved — the footer holds the
+    * same information and reads in sub-millisecond driver time (guide
+    * §6: supply explicit schemas). Cell-partitioned dirs get the `cell`
+    * partition column appended, typed as discovery infers it. Types are
+    * deep-nullabled to match what inference reports for Spark-written
+    * files. NO caching: index dirs mutate by append/replay/compaction,
+    * and this re-reads the current footer every call — metadata only,
+    * never results. Throws (like inference) when the dir holds no
+    * parquet file. */
+  private[graft] def parquetDirSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = root.getFileSystem(conf)
+    def firstLeaf(p: org.apache.hadoop.fs.Path)
+        : Option[org.apache.hadoop.fs.FileStatus] = {
+      val kids = f.listStatus(p).sortBy(_.getPath.getName)
+      kids.find(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          s.getLen > 0)
+        .orElse(kids.filter(_.isDirectory).iterator
+          .map(d => firstLeaf(d.getPath))
+          .collectFirst { case Some(s) => s })
+    }
+    val leaf = firstLeaf(root).getOrElse(throw new IllegalArgumentException(
+      s"parquetDirSchema: no parquet data file under $dir"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(leaf, conf))
+    val msg =
+      try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    def asNullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(fd =>
+        fd.copy(dataType = asNullable(fd.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = asNullable(m.valueType),
+        valueContainsNull = true)
+      case x => x
+    }
+    val base = asNullable(new org.apache.spark.sql.execution.datasources
+      .parquet.ParquetToSparkSchemaConverter(
+        org.apache.spark.sql.internal.SQLConf.get).convert(msg))
+      .asInstanceOf[StructType]
+    // the module's only partition layout is cell=<int>; discovery would
+    // append the column after the file fields, typed integer
+    if (leaf.getPath.getParent.getName.startsWith("cell="))
+      base.add(StructField("cell", IntegerType, nullable = true))
+    else base
+  }
+
+  /** `spark.read` of a module-written parquet dir with the footer schema
+    * imposed — same rows, no inference job (see [[parquetDirSchema]]). */
+  private def readParquetDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.schema(parquetDirSchema(spark, dir)).parquet(dir)
 
   /** The serving corpus of a version dir: the base cell-partitioned
     * corpus unioned with every COMMITTED delta (see [[appendIvfIndex]]).
@@ -1012,7 +1075,7 @@ object Similarity extends Serializable {
     // stamped at encode time) unions with post-upgrade deltas that carry
     // it — the missing column nulls out, serving scans prune it anyway,
     // and compaction's rewrite preserves the mix verbatim
-    else readable.map(spark.read.parquet(_))
+    else readable.map(readParquetDir(spark, _))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1102,7 +1165,7 @@ object Similarity extends Serializable {
     if (!deltaName.exists(foldedDeltas(spark, vdir))) {
       val f = new org.apache.hadoop.fs.Path(vdir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cents = spark.read.parquet(s"$vdir/centroids")
+      val cents = readParquetDir(spark, s"$vdir/centroids")
       val d = deltaName.getOrElse(
         (deltaDirs(spark, vdir).flatMap(_._1.toLongOption)
           .maxOption.getOrElse(0L) + 1).toString)
@@ -1120,7 +1183,7 @@ object Similarity extends Serializable {
         isResidualPqVersion(spark, vdir)
       val rows =
         if (isPqVersion(spark, vdir)) {
-          val cbs = spark.read.parquet(s"$vdir/codebooks")
+          val cbs = readParquetDir(spark, s"$vdir/codebooks")
           // the delivery follows the version's FULL flavor stack: rotate
           // into the stored space first (the _PQROT marker), then encode
           // residual / per-cell / plain exactly as the base was
@@ -1222,7 +1285,7 @@ object Similarity extends Serializable {
       vecCol: String, k: Int, nprobe: Int, salt: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
-    val cents = spark.read.parquet(s"$vdir/centroids")
+    val cents = readParquetDir(spark, s"$vdir/centroids")
     val q = probedQueries(queries, cents, idCol, vecCol, nprobe)
       .withColumn("_qs", aggregate(col("_qv"), lit(0.0d),
         (acc, x) => acc + x.cast("double")))
@@ -2195,7 +2258,7 @@ object Similarity extends Serializable {
           StructField("max_qerr", DoubleType))))
     }
     readable.map { case (src, p) =>
-      val df = spark.read.parquet(p)
+      val df = readParquetDir(spark, p)
       val qe =
         if (df.columns.contains("_qerr")) col("_qerr").cast("double")
         else lit(null).cast("double")
@@ -2227,8 +2290,8 @@ object Similarity extends Serializable {
     require(isPqVersion(spark, vdir),
       s"$indexDir's current version is not PQ-flavored — refresh retrains " +
         "PQ codebooks only")
-    val cents = spark.read.parquet(s"$vdir/centroids")
-    val (m, _) = pqShape(spark.read.parquet(s"$vdir/codebooks"))
+    val cents = readParquetDir(spark, s"$vdir/centroids")
+    val (m, _) = pqShape(readParquetDir(spark, s"$vdir/codebooks"))
     saveIvfIndexPQ(corpus, idCol, vecCol, indexDir,
       nlist = 0 /* unused: centroids are injected */, pqM = m, pqK = pqK,
       sampleFraction = sampleFraction, seed = seed, maxIter = maxIter,
@@ -2237,7 +2300,7 @@ object Similarity extends Serializable {
       perCell = isLocalPqVersion(spark, vdir),
       rotation =
         if (isRotatedPqVersion(spark, vdir))
-          Some(spark.read.parquet(s"$vdir/rotation"))
+          Some(readParquetDir(spark, s"$vdir/rotation"))
         else None)
   }
 
@@ -2251,8 +2314,8 @@ object Similarity extends Serializable {
       vecCol: String, k: Int, nprobe: Int, salt: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     val vdir = latestIvfVersion(spark, indexDir)
-    val cents = spark.read.parquet(s"$vdir/centroids")
-    val cbs = spark.read.parquet(s"$vdir/codebooks")
+    val cents = readParquetDir(spark, s"$vdir/centroids")
+    val cbs = readParquetDir(spark, s"$vdir/codebooks")
     val (mk, sub) = pqShape(cbs)
     // the per-query LUT is a NESTED DENSE array — lut[m][code] (codes
     // dense 0..k_m−1 per subspace by the trainer's construction). Earlier
@@ -2417,7 +2480,7 @@ object Similarity extends Serializable {
     val vnew = s"$indexDir/v$n"
     f(ivfCorpus(spark, vdir))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
-    spark.read.parquet(s"$vdir/centroids").coalesce(1)
+    readParquetDir(spark, s"$vdir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$vnew/centroids")
     val ledger = (foldedDeltas(spark, vdir) ++
       committedDeltas(spark, vdir).map(_._1)).toSeq.sorted
@@ -2457,7 +2520,7 @@ object Similarity extends Serializable {
       val vnew = s"$indexDir/v$n"
       ivfCorpus(spark, vdir)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
-      spark.read.parquet(s"$vdir/centroids").coalesce(1)
+      readParquetDir(spark, s"$vdir/centroids").coalesce(1)
         .write.mode("overwrite").parquet(s"$vnew/centroids")
       // the cumulative folded ledger (before _COMMIT): every delta name
       // ever folded, carried across versions, so a replayed streaming

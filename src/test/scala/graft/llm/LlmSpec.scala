@@ -323,6 +323,23 @@ class LlmSpec extends AnyFunSuite {
     assert(vdirs === Seq("v3"), s"superseded/crashed versions must sweep: $vdirs")
   }
 
+  test("parquetDirSchema \u2261 Spark inference on index layouts (partitioned corpus + metadata tables)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfschema").toString
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", dir, nlist = 8)
+    for (sub <- Seq("corpus", "centroids")) {
+      val path = s"$dir/v1/$sub"
+      val inferred = spark.read.parquet(path).schema
+      val footer = Similarity.parquetDirSchema(spark, path)
+      assert(footer === inferred, s"$sub: footer schema must match inference")
+    }
+    // no parquet file under the dir fails like inference does (Try-able)
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfschema_empty").toString
+    intercept[IllegalArgumentException] {
+      Similarity.parquetDirSchema(spark, emptyDir)
+    }
+  }
+
   test("filtered ANN serving: true top-k of the allowed subset, not a post-filter of the global top-k") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfflt").toString
     val q = embs.filter(col("vec_id") % 37 === 0)
