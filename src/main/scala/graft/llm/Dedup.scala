@@ -1193,7 +1193,13 @@ object Dedup {
       maxBucket: Long = 50L): DataFrame = {
     require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2L, s"maxBucket must be >= 2, got $maxBucket")
-    val sk = winnowSketch(docs, idCol, textCol, k, window)
+    // localCheckpoint: the DAG below consumes the sketch repeatedly (the
+    // doc-frequency aggregate, the semi-join keep side, and both bucket
+    // self-join sides — 8 copies of the scan+kernel+explode subtree in
+    // the unchecked plan) and the winnow kernel is the expensive part.
+    // Same pattern and tradeoffs as jaccardPairs' `sets` (see the long
+    // note there: eager, lineage-free).
+    val sk = winnowSketch(docs, idCol, textCol, k, window).localCheckpoint()
     val kept = sk.join(
       sk.groupBy("wh").agg(count(lit(1)).as("_docs"))
         .filter(col("_docs") <= maxBucket).select("wh"),

@@ -617,10 +617,11 @@ object Similarity extends Serializable {
     // (`nlist`/`sampleFraction`/`seed`/`maxIter` unused then)
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
-    assignedRows(corpus, cents, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
-    cents.select(col("cell"), col("_cv")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/centroids")
+    awaitWrites(
+      () => assignedRows(corpus, cents, idCol, vecCol)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus"),
+      () => cents.select(col("cell"), col("_cv")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids"))
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
   }
@@ -971,6 +972,23 @@ object Similarity extends Serializable {
       corpus, k, salt)
   }
 
+  /** Run independent index-write actions CONCURRENTLY (guide §2.6 —
+    * overlap independent jobs): a version save lands one corpus table
+    * and up to three single-file metadata tables, each a separate job
+    * whose scheduling latency serializes with the others; submitted
+    * together, the tiny metadata writes back-fill the corpus write's
+    * straggler tail. Failure semantics unchanged: every action completes
+    * (or this throws) BEFORE the caller stamps `_COMMIT`, so a failed
+    * write still leaves an uncommitted version dir readers skip. */
+  private def awaitWrites(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(
+      Future.sequence(actions.toSeq.map(a => Future(a()))),
+      scala.concurrent.duration.Duration.Inf): Unit
+  }
+
   /** Explicit schema of a parquet dir written by this module, read from
     * ONE footer on the driver: every schema-inferring
     * `spark.read.parquet` schedules a one-task footer job, and a refined
@@ -1268,10 +1286,11 @@ object Similarity extends Serializable {
     val vdir = s"$dir/v$n"
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
-    quantizeProjection(assignedRows(corpus, cents, idCol, vecCol))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
-    cents.select(col("cell"), col("_cv")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/centroids")
+    awaitWrites(
+      () => quantizeProjection(assignedRows(corpus, cents, idCol, vecCol))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus"),
+      () => cents.select(col("cell"), col("_cv")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids"))
     f.create(new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
@@ -2192,16 +2211,19 @@ object Similarity extends Serializable {
           case None => pqRows(assigned, "neighbor_id", "_cv", cbs)
         }
       }
-    rows.write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus")
-    cents.select(col("cell"), col("_cv")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/centroids")
     val cbCols =
       if (perCell) Seq(col("cell"), col("m"), col("code"), col("_cbv"))
       else Seq(col("m"), col("code"), col("_cbv"))
-    cbs.select(cbCols: _*).coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/codebooks")
-    rotation.foreach(_.select(col("i").cast("int").as("i"), col("_rv"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/rotation"))
+    awaitWrites(Seq[() => Unit](
+      () => rows.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$vdir/corpus"),
+      () => cents.select(col("cell"), col("_cv")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/centroids"),
+      () => cbs.select(cbCols: _*).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/codebooks")) ++
+      rotation.map(r => () =>
+        r.select(col("i").cast("int").as("i"), col("_rv")).coalesce(1)
+          .write.mode("overwrite").parquet(s"$vdir/rotation")): _*)
     f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
     if (useResidual)
       f.create(new org.apache.hadoop.fs.Path(vdir, "_PQRES"), true).close()
@@ -2478,10 +2500,12 @@ object Similarity extends Serializable {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = ivfVersions(spark, indexDir).map(_._1).max + 1
     val vnew = s"$indexDir/v$n"
-    f(ivfCorpus(spark, vdir))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
-    readParquetDir(spark, s"$vdir/centroids").coalesce(1)
-      .write.mode("overwrite").parquet(s"$vnew/centroids")
+    awaitWrites(
+      () => f(ivfCorpus(spark, vdir))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$vnew/corpus"),
+      () => readParquetDir(spark, s"$vdir/centroids").coalesce(1)
+        .write.mode("overwrite").parquet(s"$vnew/centroids"))
     val ledger = (foldedDeltas(spark, vdir) ++
       committedDeltas(spark, vdir).map(_._1)).toSeq.sorted
     if (ledger.nonEmpty) {
@@ -2518,10 +2542,12 @@ object Similarity extends Serializable {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val n = ivfVersions(spark, indexDir).map(_._1).max + 1
       val vnew = s"$indexDir/v$n"
-      ivfCorpus(spark, vdir)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$vnew/corpus")
-      readParquetDir(spark, s"$vdir/centroids").coalesce(1)
-        .write.mode("overwrite").parquet(s"$vnew/centroids")
+      awaitWrites(
+        () => ivfCorpus(spark, vdir)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$vnew/corpus"),
+        () => readParquetDir(spark, s"$vdir/centroids").coalesce(1)
+          .write.mode("overwrite").parquet(s"$vnew/centroids"))
       // the cumulative folded ledger (before _COMMIT): every delta name
       // ever folded, carried across versions, so a replayed streaming
       // append of a long-folded batch stays a no-op
