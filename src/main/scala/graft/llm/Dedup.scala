@@ -492,6 +492,53 @@ object Dedup {
     *
     * @return (id, component) with component = min id reachable
     */
+  /** Driver union-find cutover bound for both CC solvers: an edge list
+    * at or below this many DISTINCT rows (16 bytes each — ≤ 64 MB at
+    * the default 2²²) collects to the driver and solves with
+    * union-by-min + path compression in microseconds, instead of paying
+    * 3–4 chained tiny shuffle stages per distributed round on a
+    * metadata-sized frontier (~100 ms/round of pure job latency at any
+    * scale factor). Above the bound the distributed loops run
+    * unchanged — the tiering is SIZE-adaptive, not a local-mode
+    * constant: a 100 TB corpus whose verified near-dup pair table still
+    * fits the bound (pairs are post-banding metadata, not documents)
+    * takes the same driver path a laptop does, and a genuinely huge
+    * pair graph iterates distributed. Session-configurable so the
+    * equality tests exercise both paths (0 disables the cutover). */
+  private def ccDriverMaxEdges(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.cc.driverMaxEdges",
+      (1L << 22).toString).toLong
+
+  /** Union-find with union-by-min-root and full path compression: every
+    * union links the LARGER root under the smaller, so each final root
+    * is its component's minimum id — exactly the fixed point both
+    * distributed solvers converge to. Returns node → component-min for
+    * every node that appears in `edges` (minima map to themselves). */
+  private def unionFindMin(
+      edges: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    val parent =
+      new scala.collection.mutable.LongMap[Long](edges.length * 2 + 8)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp); x = p; p = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    parent.keys.toArray.foreach(k => parent.update(k, find(k)))
+    parent
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // The ITERATION runs on RDDs: a DataFrame loop pays Catalyst planning
     // plus one AQE query-stage job PER EXCHANGE per round (~10 driver
@@ -507,7 +554,18 @@ object Dedup {
       .select(col("i").cast("long"), col("j").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
-      .distinct()
+      .distinct().localCheckpoint()
+    val edgeCount = edges0.count()
+    val cap = ccDriverMaxEdges(spark)
+    if (cap > 0L && edgeCount <= cap) {
+      // metadata-sized graph: one bounded collect (≤ cap rows, the
+      // weight-table-guard pattern), solve on the driver, done — no
+      // distributed rounds at all
+      val comp = unionFindMin(edges0.collect())
+      return comp.toSeq.toDF("id", "component")
+        .select(col("id").cast(iType).as("id"),
+          col("component").cast(iType).as("component"))
+    }
     // one fixed partitioner for the whole loop: the per-round
     // reduceByKey and both joins then run NARROW against it, so a round
     // costs ONE shuffle (the candidate label updates) instead of four —
@@ -603,6 +661,17 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct()
       .as[(Long, Long)].rdd.localCheckpoint()
     var edgeCount = edges.count()
+    val cap = ccDriverMaxEdges(spark)
+    if (cap > 0L && edgeCount <= cap) {
+      // metadata-sized graph: bounded collect + driver union-find (the
+      // connectedComponents cutover, same bound). The fixed point is one
+      // (u, componentMin) edge per NON-minimum member — exactly the
+      // union-find map minus its self-rooted minima.
+      val comp = unionFindMin(edges.collect())
+      return comp.iterator.filter { case (k, v) => k != v }.toSeq
+        .toDF("u", "v")
+        .select(col("u").cast(iType).as("u"), col("v").cast(iType).as("v"))
+    }
     // one fixed partitioner per loop: each phase shuffles its edge list
     // ONCE (partitionBy), then the min-reduce and the join both run
     // NARROW against it — 3 shuffles per round instead of 6. The

@@ -1462,9 +1462,18 @@ class LlmSpec extends AnyFunSuite {
       val pairs = (randomEdges ++ chain ++ clique).toDF("i", "j")
       def asMap(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // both solvers, under BOTH the driver union-find cutover (default,
+      // graph is far below the bound) and the forced distributed loops
       val star = asMap(Dedup.connectedComponentsStar(pairs))
       val label = asMap(Dedup.connectedComponents(pairs))
       assert(star === label, s"seed=$seed")
+      spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+      try {
+        assert(asMap(Dedup.connectedComponentsStar(pairs)) === star,
+          s"seed=$seed: distributed star must equal the driver cutover")
+        assert(asMap(Dedup.connectedComponents(pairs)) === label,
+          s"seed=$seed: distributed label-prop must equal the driver cutover")
+      } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
     }
   }
 
@@ -1473,20 +1482,25 @@ class LlmSpec extends AnyFunSuite {
     // a 400-node chain: label propagation needs ~400 rounds (fails loudly
     // at maxIter=15); star contraction closes it in ≤15
     val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("i", "j")
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 15)
-    }
-    val comp = Dedup.connectedComponentsStar(chain, maxIter = 15).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp.size === 400 && comp.values.forall(_ == 0L))
-    // the tiered withRepresentatives path takes the same chain end-to-end:
-    // label propagation blows its round cap, star contraction finishes
-    import spark.implicits._
-    val corpus = (0L until 400L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
-    val reps = Dedup.withRepresentatives(corpus, "doc_id", chain)
-      .filter(col("doc_id") === col("rep_id"))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(reps === Set(0L))
+    // force the DISTRIBUTED loops: the round-cap semantics under test are
+    // the above-the-bound tier (the driver cutover solves any chain)
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(chain, maxIter = 15)
+      }
+      val comp = Dedup.connectedComponentsStar(chain, maxIter = 15).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp.size === 400 && comp.values.forall(_ == 0L))
+      // the tiered withRepresentatives path takes the same chain end-to-end:
+      // label propagation blows its round cap, star contraction finishes
+      import spark.implicits._
+      val corpus = (0L until 400L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      val reps = Dedup.withRepresentatives(corpus, "doc_id", chain)
+        .filter(col("doc_id") === col("rep_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(reps === Set(0L))
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
   }
 
   test("cosine is symmetric, 1 on self, deterministic") {
