@@ -617,10 +617,12 @@ object Similarity extends Serializable {
     // (`nlist`/`sampleFraction`/`seed`/`maxIter` unused then)
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
+    val corpusOut = assignedRows(corpus, cents, idCol, vecCol)
+    val centsOut = cents.select(col("cell"), col("_cv")).coalesce(1)
     awaitWrites(
-      () => assignedRows(corpus, cents, idCol, vecCol)
+      () => corpusOut
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus"),
-      () => cents.select(col("cell"), col("_cv")).coalesce(1)
+      () => centsOut
         .write.mode("overwrite").parquet(s"$vdir/centroids"))
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
     sweepOldVersions(spark, dir, n, retain)
@@ -980,6 +982,13 @@ object Similarity extends Serializable {
     * straggler tail. Failure semantics unchanged: every action completes
     * (or this throws) BEFORE the caller stamps `_COMMIT`, so a failed
     * write still leaves an uncommitted version dir readers skip. */
+  // CALLER CONTRACT: every DataFrame an action writes must be FULLY
+  // CONSTRUCTED (hence analyzed) on the calling thread before awaitWrites
+  // — Dataset construction on a pool thread runs the analyzer there, and
+  // an SQL entry point that mutates an index during function resolution
+  // (GraftSql's table-function plans) holds the SessionCatalog monitor
+  // while awaiting, so a foreign-thread UnresolvedFunction lookup
+  // deadlocks. The actions below only EXECUTE pre-analyzed write plans.
   private def awaitWrites(actions: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -1286,10 +1295,12 @@ object Similarity extends Serializable {
     val vdir = s"$dir/v$n"
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, sampleFraction, seed, maxIter))
+    val corpusOut = quantizeProjection(assignedRows(corpus, cents, idCol, vecCol))
+    val centsOut = cents.select(col("cell"), col("_cv")).coalesce(1)
     awaitWrites(
-      () => quantizeProjection(assignedRows(corpus, cents, idCol, vecCol))
+      () => corpusOut
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/corpus"),
-      () => cents.select(col("cell"), col("_cv")).coalesce(1)
+      () => centsOut
         .write.mode("overwrite").parquet(s"$vdir/centroids"))
     f.create(new org.apache.hadoop.fs.Path(vdir, "_QUANTIZED"), true).close()
     f.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), true).close()
@@ -2214,16 +2225,19 @@ object Similarity extends Serializable {
     val cbCols =
       if (perCell) Seq(col("cell"), col("m"), col("code"), col("_cbv"))
       else Seq(col("m"), col("code"), col("_cbv"))
+    val centsOut = cents.select(col("cell"), col("_cv")).coalesce(1)
+    val cbsOut = cbs.select(cbCols: _*).coalesce(1)
+    val rotOut = rotation.map(
+      _.select(col("i").cast("int").as("i"), col("_rv")).coalesce(1))
     awaitWrites(Seq[() => Unit](
       () => rows.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$vdir/corpus"),
-      () => cents.select(col("cell"), col("_cv")).coalesce(1)
+      () => centsOut
         .write.mode("overwrite").parquet(s"$vdir/centroids"),
-      () => cbs.select(cbCols: _*).coalesce(1)
+      () => cbsOut
         .write.mode("overwrite").parquet(s"$vdir/codebooks")) ++
-      rotation.map(r => () =>
-        r.select(col("i").cast("int").as("i"), col("_rv")).coalesce(1)
-          .write.mode("overwrite").parquet(s"$vdir/rotation")): _*)
+      rotOut.map(r => () =>
+        r.write.mode("overwrite").parquet(s"$vdir/rotation")): _*)
     f.create(new org.apache.hadoop.fs.Path(vdir, "_PQ"), true).close()
     if (useResidual)
       f.create(new org.apache.hadoop.fs.Path(vdir, "_PQRES"), true).close()
@@ -2500,11 +2514,13 @@ object Similarity extends Serializable {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = ivfVersions(spark, indexDir).map(_._1).max + 1
     val vnew = s"$indexDir/v$n"
+    val corpusOut = f(ivfCorpus(spark, vdir))
+    val centsOut = readParquetDir(spark, s"$vdir/centroids").coalesce(1)
     awaitWrites(
-      () => f(ivfCorpus(spark, vdir))
+      () => corpusOut
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$vnew/corpus"),
-      () => readParquetDir(spark, s"$vdir/centroids").coalesce(1)
+      () => centsOut
         .write.mode("overwrite").parquet(s"$vnew/centroids"))
     val ledger = (foldedDeltas(spark, vdir) ++
       committedDeltas(spark, vdir).map(_._1)).toSeq.sorted
@@ -2542,11 +2558,13 @@ object Similarity extends Serializable {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val n = ivfVersions(spark, indexDir).map(_._1).max + 1
       val vnew = s"$indexDir/v$n"
+      val corpusOut = ivfCorpus(spark, vdir)
+      val centsOut = readParquetDir(spark, s"$vdir/centroids").coalesce(1)
       awaitWrites(
-        () => ivfCorpus(spark, vdir)
+        () => corpusOut
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$vnew/corpus"),
-        () => readParquetDir(spark, s"$vdir/centroids").coalesce(1)
+        () => centsOut
           .write.mode("overwrite").parquet(s"$vnew/centroids"))
       // the cumulative folded ledger (before _COMMIT): every delta name
       // ever folded, carried across versions, so a replayed streaming
